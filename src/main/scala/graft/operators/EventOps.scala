@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream catalog (SURVEY.md §2 R30, T1–T2) — batch forms of the
+  * streaming operators over `events`. The true streaming forms (watermark
+  * + window, session_window) live in [[graft.streaming.EventStream]] and
+  * are spec-tested; these batch twins are what the DuckDB oracle can
+  * check, and they share the exact same grouping expressions.
+  */
+object EventOps {
+
+  val catalog: Seq[Q] = Seq(
+    // T1 — hourly tumbling-window aggregation.
+    Q(
+      "ev1_hourly",
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+        |  count(*) AS n, round(sum(value),2) AS sum_v
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .orderBy("hr", "event_type")
+    },
+
+    // T2 — sessionization: 30-min-gap sessions per user via lag + running
+    // count of session starts. Partitions by user_id (high cardinality) —
+    // the same shape `session_window` uses in the streaming twin.
+    Q(
+      "ev2_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n, min(ts) AS t0, max(ts) AS t1,
+        |  round(sum(value),2) AS sum_v
+        |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n"), min("ts").as("t0"), max("ts").as("t1"),
+          round(sum("value"), 2).as("sum_v"))
+        .orderBy("user_id", "sid")
+    },
+
+    // R30 — JSON extraction from the semi-structured props column
+    // (RAW's just-in-time semi-structured access, Spark-first).
+    Q(
+      "ev3_json_props",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }
+  )
+}

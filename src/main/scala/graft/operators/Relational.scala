@@ -1,0 +1,537 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational-core catalog (SURVEY.md §2 R1–R29): the reference's
+  * select/project/filter/join/aggregate/sort/set-op surface (reference
+  * executes these via its L0–L4 compiler + RDBMS pushdown; see
+  * /root/reference/DistributedQueryEngine.diff RDBMSPushdown.scala hunk),
+  * re-expressed as declarative DataFrame plans so Catalyst owns pushdown,
+  * pruning, and join strategy.
+  *
+  * Conventions for oracle parity (see SURVEY.md §5):
+  *  - money/ratio aggregates rounded on both sides;
+  *  - every result carries a deterministic total order;
+  *  - count-like columns are bigint on both sides.
+  */
+object Relational {
+  private val ts1998 = lit("1998-01-01 00:00:00").cast("timestamp")
+
+  val catalog: Seq[Q] = Seq(
+    // R2 — TPC-H Q1-style full-scan aggregation; partial agg map-side.
+    Q(
+      "q01_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity),2) AS sum_qty,
+        |  round(sum(l_extendedprice),2) AS sum_base_price,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        |  round(avg(l_quantity),4) AS avg_qty,
+        |  round(avg(l_discount),6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= ts1998)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // R1 — filter+project; predicate pushdown + column pruning to the scan.
+    Q(
+      "q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  l_extendedprice*l_discount AS disc_rev
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+    ) { (s, d) =>
+      // disc_rev is the RAW double product: both engines evaluate the same
+      // IEEE expression tree → bit-identical. (round(x,2) is NOT portable:
+      // Spark rounds the shortest decimal repr, DuckDB the binary value.)
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * col("l_discount")).as("disc_rev"))
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    },
+
+    // R4+R5 — TPC-H Q3-style: fact-fact shuffle join + broadcast dim, top-k.
+    Q(
+      "q03_join_agg",
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < ts1998)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > ts1998)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    },
+
+    // R8 — semi join (EXISTS).
+    Q(
+      "q04_semi_join",
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 49)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .join(
+          Tables.lineitem(s, d).filter(col("l_quantity") > 49)
+            .select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // R7 — left outer join preserving unmatched customers.
+    Q(
+      "q05_outer_join",
+      """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
+        |  round(sum(coalesce(o_totalprice,0)),2) AS tot
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_orders"),
+          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("tot"))
+        .orderBy("c_mktsegment")
+    },
+
+    // R9 — anti join (NOT EXISTS): customers with no big-ticket order.
+    // (Every customer has ≥1 order in this synthetic data, so the filter
+    // keeps the result non-empty and the anti join meaningful.)
+    Q(
+      "q05b_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+            .select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    // R5 — explicit broadcast of the part dim against the fact scan.
+    Q(
+      "q06_broadcast_join",
+      """SELECT p_brand, count(*) AS n, round(sum(l_extendedprice),2) AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("p_brand")
+    },
+
+    // R6 — 5-table star join; all dims broadcast, single fact shuffle.
+    Q(
+      "q07_star_join",
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // R14 — ranking window, unique tiebreak for determinism.
+    Q(
+      "q08_window_rank",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    },
+
+    // R15 — running-frame aggregate + lag. Quantities are integral doubles
+    // so the running sums are exact in any engine. (l_orderkey,
+    // l_linenumber) is NOT unique in this synthetic data — the window order
+    // adds (l_quantity, l_extendedprice), which makes rows unique, so the
+    // running sum is a total deterministic order on both engines.
+    Q(
+      "q09_window_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running,
+        |  lag(l_quantity,1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running"),
+          lag("l_quantity", 1).over(w).as("prev_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .drop("l_extendedprice")
+    },
+
+    // R3+R12 — distinct aggregation.
+    Q(
+      "q10_distinct_agg",
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        |  count(*) AS n FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // R13 — UNION / INTERSECT / EXCEPT (all distinct semantics).
+    Q(
+      "q11_set_ops",
+      """SELECT 'except' AS op, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |UNION ALL
+        |SELECT 'intersect' AS op, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  INTERSECT SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |UNION ALL
+        |SELECT 'union' AS op, k FROM (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+        |  UNION SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY op, k""".stripMargin
+    ) { (s, d) =>
+      val a = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      val b = Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("k"))
+      a.except(b).withColumn("op", lit("except"))
+        .union(a.intersect(b).withColumn("op", lit("intersect")))
+        .union(a.union(b).distinct().withColumn("op", lit("union")))
+        .select("op", "k").orderBy("op", "k")
+    },
+
+    // R18 — CASE bucketing + conditional aggregation.
+    Q(
+      "q12_case_agg",
+      """SELECT CASE WHEN l_quantity < 10 THEN 'small'
+        |            WHEN l_quantity < 30 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        |  count(*) AS n,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END),2)
+        |    AS returned_value,
+        |  round(avg(l_discount),6) AS avg_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("bucket",
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 30, "medium").otherwise("large"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(lit(0.0))), 2)
+            .as("returned_value"),
+          round(avg("l_discount"), 6).as("avg_disc"))
+        .orderBy("bucket")
+    },
+
+    // R24 — string function battery (all codegen'd built-ins).
+    Q(
+      "q13_string_funcs",
+      """SELECT p_partkey, upper(p_name) AS uname, substring(p_type,1,5) AS t5,
+        |  concat_ws('#', p_brand, p_type) AS bt,
+        |  CAST(length(p_name) AS INTEGER) AS nlen,
+        |  regexp_replace(p_name,'[aeiou]','','g') AS novowel,
+        |  CASE WHEN p_type LIKE 'PROMO%' THEN 'promo' ELSE 'other' END AS kind
+        |FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey""".stripMargin
+    ) { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_name").like("%a%"))
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_type"), 1, 5).as("t5"),
+          concat_ws("#", col("p_brand"), col("p_type")).as("bt"),
+          length(col("p_name")).as("nlen"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+          when(col("p_type").startsWith("PROMO"), lit("promo")).otherwise(lit("other")).as("kind"))
+        .orderBy("p_partkey")
+    },
+
+    // R25 — date/time functions.
+    Q(
+      "q14_date_funcs",
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  count(*) AS n, round(sum(o_totalprice),2) AS tot,
+        |  max(date_trunc('quarter', o_orderdate)) AS q_start,
+        |  CAST(max(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS BIGINT)
+        |    AS max_age_days
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"),
+          max(date_trunc("quarter", col("o_orderdate"))).as("q_start"),
+          max(datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")))
+            .cast("long").as("max_age_days"))
+        .orderBy("yr", "mo")
+    },
+
+    // R11 — global sort + limit → TakeOrderedAndProject (no full sort).
+    Q(
+      "q15_sort_limit",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(20)
+    },
+
+    // R21 — ROLLUP with explicit NULLS FIRST ordering on both sides.
+    Q(
+      "q16_rollup",
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+        |  round(sum(c_acctbal),2) AS bal
+        |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .rollup(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+        .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+    },
+
+    // R17 — HAVING.
+    Q(
+      "q17_having",
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS spend
+        |FROM orders GROUP BY 1 HAVING count(*) >= 10 ORDER BY o_custkey""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("spend"))
+        .filter(col("n") >= 10)
+        .orderBy("o_custkey")
+    },
+
+    // R19 — scalar subquery via broadcast single-row aggregate.
+    Q(
+      "q18_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT 1.8*avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.crossJoin(broadcast(o.agg(avg("o_totalprice").as("global_avg"))))
+        .filter(col("o_totalprice") > col("global_avg") * 1.8)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // R20 — IN-subquery as semi join.
+    Q(
+      "q19_in_subquery",
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice),2) AS rev
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(
+          Tables.part(s, d).filter(col("p_size") > 40)
+            .select(col("p_partkey").as("l_partkey")),
+          Seq("l_partkey"), "left_semi")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .orderBy("l_returnflag")
+    },
+
+    // R10 — non-equi cross join (BroadcastNestedLoop on tiny sides).
+    Q(
+      "q20_cross_join",
+      """SELECT r_name, n_name FROM region, nation
+        |WHERE r_regionkey < n_regionkey ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .filter(col("r_regionkey") < col("n_regionkey"))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")
+    },
+
+    // R22 — PIVOT with pinned values (oracle: conditional aggregation).
+    Q(
+      "q21_pivot",
+      """SELECT c_mktsegment,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("F", "O", "P")).count()
+        .select(col("c_mktsegment"),
+          coalesce(col("F"), lit(0L)).as("f_cnt"),
+          coalesce(col("O"), lit(0L)).as("o_cnt"),
+          coalesce(col("P"), lit(0L)).as("p_cnt"))
+        .orderBy("c_mktsegment")
+    },
+
+    // R23 — exact interpolated percentiles.
+    Q(
+      "q22_percentile",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5),4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9),4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.25),4) AS p25_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // R16 — top-k per group with rank().
+    Q(
+      "q23_topk_per_group",
+      """SELECT c_nationkey, c_custkey, c_acctbal, rk FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    rank() OVER (PARTITION BY c_nationkey
+        |                 ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer) WHERE rk <= 2
+        |ORDER BY c_nationkey, rk, c_custkey""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rk", rank().over(w).cast("long"))
+        .filter(col("rk") <= 2)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rk")
+        .orderBy("c_nationkey", "rk", "c_custkey")
+    },
+
+    // R26 — explode/unnest of a split array (RAW's collection semantics).
+    Q(
+      "q24_explode_words",
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, word LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("word")).limit(20)
+    },
+
+    // R28 — struct build + dotted field access (RAW record type).
+    Q(
+      "q25_struct",
+      """SELECT c_custkey, c_name AS name, round(c_acctbal*2,2) AS bal2
+        |FROM customer ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("info"))
+        .select(col("c_custkey"), col("info.name").as("name"),
+          round(col("info.bal") * 2, 2).as("bal2"))
+        .orderBy("c_custkey")
+    },
+
+    // R27 — array aggregation: collect_set → sort → join.
+    Q(
+      "q26_array_agg",
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list_distinct(list(c_mktsegment))), ',') AS segs,
+        |  count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey")
+    },
+
+    // R29 — deterministic hash-based sampling (engine-independent, unlike
+    // seeded sample()).
+    Q(
+      "q27_sample",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)),1,1) IN ('0','1')
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .filter(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 1)
+          .isin("0", "1"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    // R3 — HLL++ approximate distinct (no DuckDB oracle: different sketch).
+    Q.rowsOnly("q28_approx_distinct") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          approx_count_distinct("l_orderkey").as("approx_orders"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }
+  )
+}

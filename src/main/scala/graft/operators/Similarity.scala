@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.Vectors._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity catalog (SURVEY.md §2 L5–L8) over the
+  * `embeddings` table (`array<float>[64]`). Scale design: the query set
+  * is broadcast (small), the corpus streams; LSH buckets bound candidate
+  * counts so nothing is quadratic in corpus size.
+  */
+object Similarity {
+
+  /** Corpus with double-widened vector + precomputed norm + sign bucket. */
+  private def prepared(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  val catalog: Seq[Q] = Seq(
+    // L6 — brute-force cosine top-k: corpus × broadcast(query set).
+    Q(
+      "sim1_bruteforce_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10),
+        |ranked AS (
+        |  SELECT q_id, c_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |  FROM scored)
+        |SELECT q_id, c_id, round(cos,4) AS cos_sim, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+    ) { (s, d) =>
+      val e = prepared(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      c.crossJoin(broadcast(q))
+        .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    },
+
+    // L5 — embedding near-dup pairs via sign-LSH buckets + cosine verify.
+    // The 3-bit bucket bounds the self-join; identical bucketing in the
+    // oracle keeps the check exact.
+    Q(
+      "sim2_embed_neardup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, v, nrm,
+        |        (CASE WHEN v[1] >= 0 THEN 4 ELSE 0 END
+        |       + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+        |       + CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END) AS bk FROM e),
+        |p AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        |        list_dot_product(a.v, c.v) / (a.nrm * c.nrm) AS cos
+        |      FROM b a JOIN b c ON a.bk = c.bk AND a.vec_id < c.vec_id)
+        |SELECT id_a, id_b, round(cos,4) AS cos_sim FROM p
+        |WHERE cos > 0.4 ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val e = prepared(s, d).withColumn("bk", signBucket(col("v"), 3, 1))
+      val a = e.select(col("bk"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("bk"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos") > 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // L7 — LSH-bucketed ANN (scale path): 8-bit sign signature over
+    // strided dims; query probes its bucket only, rerank by cosine.
+    // Rows-only: recall<1 by construction; spec asserts vs brute force.
+    Q.rowsOnly("sim3_lsh_ann") { (s, d) =>
+      val e = prepared(s, d).withColumn("bk", signBucket(col("v"), 8, 8))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("bk"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("bk"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+      c.join(broadcast(q), Seq("bk"))
+        .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))
+        .orderBy("q_id", "rk")
+    },
+
+    // L8 — per-label norm statistics.
+    Q(
+      "sim4_norm_stats",
+      """SELECT label, count(*) AS n,
+        |  round(avg(nrm),4) AS avg_norm, round(min(nrm),4) AS min_norm,
+        |  round(max(nrm),4) AS max_norm
+        |FROM (SELECT label,
+        |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |      FROM embeddings)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      prepared(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg("nrm"), 4).as("avg_norm"),
+          round(min("nrm"), 4).as("min_norm"),
+          round(max("nrm"), 4).as("max_norm"))
+        .orderBy("label")
+    }
+  )
+}

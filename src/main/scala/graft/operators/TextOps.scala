@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis catalog (SURVEY.md §2 L9–L12) over the `documents`
+  * table: token counting, language-ID heuristic, quality scoring, and
+  * document fingerprinting. All pure `functions._` arithmetic — scan-local,
+  * no shuffle, embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+  /** regexp hit-count, identical semantics in Spark and DuckDB RE2. */
+  private def hits(c: Column, re: String): Column =
+    regexp_count(c, lit(re)).cast("long")
+
+  private val enRe = "\\b(the|a|of|and)\\b"
+  private val esRe = "\\b(el|la|los|una)\\b"
+  private val deRe = "\\b(der|die|das|und)\\b"
+  private val frRe = "\\b(le|les|une|et)\\b"
+
+  val catalog: Seq[Q] = Seq(
+    // L11 — whitespace tokens + regex (BPE-ish word-piece) tokens.
+    Q(
+      "tx1_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text,'[a-z0-9]+')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // L9 — stopword n-gram language-ID: per-language hit scores, argmax.
+    Q(
+      "tx2_langid",
+      s"""SELECT doc_id, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de'
+         |       ELSE 'fr' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,'$enRe')) AS BIGINT) AS s_en,
+         |  CAST(len(regexp_extract_all(text,'$esRe')) AS BIGINT) AS s_es,
+         |  CAST(len(regexp_extract_all(text,'$deRe')) AS BIGINT) AS s_de,
+         |  CAST(len(regexp_extract_all(text,'$frRe')) AS BIGINT) AS s_fr
+         |FROM documents) ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          hits(col("text"), enRe).as("s_en"), hits(col("text"), esRe).as("s_es"),
+          hits(col("text"), deRe).as("s_de"), hits(col("text"), frRe).as("s_fr"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    },
+
+    // L10 — quality scoring from length / word-count / stopword ratios.
+    // All outputs are RAW doubles from identical IEEE expression trees on
+    // both engines → bit-identical without rounding (round(x,k) is not
+    // portable at decimal midpoints; see SURVEY.md §5).
+    Q(
+      "tx3_quality",
+      """SELECT doc_id, n_words, avg_word_len, stop_ratio,
+        |  least(1.0, CAST(n_words AS DOUBLE)/50.0)
+        |    * (1.0 - least(1.0, abs(avg_word_len - 5.0)/10.0)) AS quality
+        |FROM (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |    CAST(length(text) AS DOUBLE) / CAST(len(string_split(text,' ')) AS DOUBLE)
+        |      AS avg_word_len,
+        |    CAST(len(regexp_extract_all(text,'\b(the|a|of|and)\b')) AS DOUBLE)
+        |      / CAST(len(string_split(text,' ')) AS DOUBLE) AS stop_ratio
+        |  FROM documents) ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          (length(col("text")).cast("double") / size(split(col("text"), " ")).cast("double"))
+            .as("avg_word_len"),
+          (hits(col("text"), enRe).cast("double") / size(split(col("text"), " ")).cast("double"))
+            .as("stop_ratio"))
+        .select(col("doc_id"), col("n_words"), col("avg_word_len"), col("stop_ratio"),
+          (least(lit(1.0), col("n_words").cast("double") / 50.0)
+            * (lit(1.0) - least(lit(1.0), abs(col("avg_word_len") - 5.0) / 10.0)))
+            .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // L12 — normalization fingerprint (whitespace-collapse + lower + md5).
+    Q(
+      "tx4_fingerprint",
+      """SELECT doc_id, md5(lower(regexp_replace(text,'\s+',' ','g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }
+  )
+}
