@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dev tool: dump `.explain("formatted")` for every catalog query so scan
+  * pushdown (PushedFilters/ReadSchema), join strategies, and
+  * WholeStageCodegen spans can be audited offline (SURVEY.md §6).
+  * Usage: runMain graft.Plans [sfDir] [outDir]
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "target/plans"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), formatted)
+      } catch { case e: Throwable =>
+        Files.writeString(Paths.get(s"$outDir/$name.txt"), s"PLAN FAILED: $e")
+      }
+    }
+    println(s"plans written to $outDir")
+    spark.stop()
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, EventOps, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, MediaOps, Relational, Similarity, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -9,7 +9,8 @@ object SparkEntry {
   /** Full catalog: relational core + LLM-pipeline + events operators. */
   val all: Seq[Q] =
     Relational.catalog ++ TextOps.catalog ++ Dedup.catalog ++
-      Similarity.catalog ++ EventOps.catalog
+      Similarity.catalog ++ EventOps.catalog ++ Temporal.catalog ++
+      MediaOps.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

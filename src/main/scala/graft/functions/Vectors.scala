@@ -12,15 +12,26 @@ import org.apache.spark.sql.functions._
   * stored vectors is exact.
   */
 object Vectors {
-  /** Elementwise product then ordered fold. Inputs must be array<double>. */
+  /** Elementwise product then ordered fold. Inputs must be array<double>.
+    * HOF reference form — see [[dotNative]] for the codegen'd hot path. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Native Catalyst dot product ([[DotProductExpr]], whole-stage codegen;
+    * requires [[graft.GraftExtensions]] on the session). Identical
+    * left-to-right fold → bit-identical to [[dot]] and the oracle. */
+  def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
 
   /** Cosine with precomputed norms (avoid per-pair norm recompute). */
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
+
+  def cosineNative(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dotNative(a, b) / (normA * normB)
 
   /** Sign-projection LSH bucket from `nBits` probe dimensions spaced
     * `stride` apart (1-based element_at). Cheap random-hyperplane stand-in:

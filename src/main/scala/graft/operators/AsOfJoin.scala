@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of and range joins — temporal operators the reference's relational
+  * surface (and any feed-style source it queries) needs but Spark lacks
+  * as built-ins.
+  *
+  * Both are built by composition (SURVEY.md design rule (a)): the as-of
+  * join is the union–sort–last-carry-forward formulation (one shuffle on
+  * the key, one per-key sort — the same cost as a single sort-merge join,
+  * linear at 100 TB, never a per-row probe), and the range join buckets
+  * intervals so the join is an equi-join on (key, bucket) instead of a
+  * broadcast-nested-loop over the non-equi predicate.
+  */
+object AsOfJoin {
+
+  /** For each left row, attach the latest right row with
+    * `right.tsCol <= left.tsCol` sharing `keys` (pandas merge_asof /
+    * QuestDB ASOF JOIN semantics, backward direction).
+    *
+    * Plan shape: union both sides → single hash shuffle on `keys` →
+    * per-key sort by (ts, side) → `last(_, ignoreNulls)` running window
+    * carries the most recent right values forward onto left rows.
+    * When several right rows share one timestamp the latest by
+    * `rightTiebreak` wins.
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String], tsCol: String,
+           rightCols: Seq[String], rightTiebreak: Column): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side=1 for left so that at equal ts the right row sorts first and is
+    // visible to the left row (inclusive <= semantics).
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__tb", lit(null).cast("long"))
+    var r = right.select((keys :+ tsCol).map(col) ++ rightCols.map(col): _*)
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", rightTiebreak.cast("long"))
+    for (c <- leftCols if !keys.contains(c) && c != tsCol)
+      r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    var u = l
+    for (c <- rightCols) u = u.withColumn(c, lit(null).cast(r.schema(c).dataType))
+    val unioned = u.select(r.columns.map(col): _*).union(r)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(col): _*)
+  }
+
+  /** Numeric range join: rows of `fact` matched to intervals of `ranges`
+    * satisfying `lo <= v < hi`, as an equi-join on bucketed values.
+    *
+    * Each interval is exploded into the `bucketWidth`-aligned buckets it
+    * overlaps; the fact side computes its single bucket — so the join is
+    * a plain shuffle/broadcast equi-join plus a residual filter, never a
+    * nested loop. Pick `bucketWidth` near the median interval width so
+    * interval replication stays O(1).
+    */
+  def rangeJoin(fact: DataFrame, valueCol: String,
+                ranges: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Long): DataFrame = {
+    val expanded = ranges.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+    fact.withColumn("__bucket", floor(col(valueCol) / bucketWidth).cast("long"))
+      .join(expanded, Seq("__bucket"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -63,6 +63,16 @@ object EventOps {
         .orderBy("user_id", "sid")
     },
 
+    // T3 — funnel state machine (batch twin of EventStream.funnel; the
+    // streaming form is spec-tested with flatMapGroupsWithState).
+    // Rows-only: the per-user ordered state machine isn't expressible as
+    // portable DuckDB SQL; DedupSpec-style planted sequences pin it.
+    Q.rowsOnly("st1_funnel") { (s, d) =>
+      graft.streaming.EventStream
+        .funnelBatch(s, Tables.events(s, d), Seq("view", "click", "purchase"))
+        .orderBy("user_id", "completed_at")
+    },
+
     // R30 — JSON extraction from the semi-structured props column
     // (RAW's just-in-time semi-structured access, Spark-first).
     Q(

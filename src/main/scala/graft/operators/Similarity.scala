@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Corpus with double-widened vector + precomputed norm + sign bucket. */
+  /** Corpus with double-widened vector + precomputed norm + sign bucket.
+    * Uses the native codegen'd dot product (GraftExtensions must be on
+    * the session — all graft entrypoints register it). */
   private def prepared(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm", normNative(col("v")))
 
   val catalog: Seq[Q] = Seq(
     // L6 — brute-force cosine top-k: corpus × broadcast(query set).
@@ -44,7 +46,7 @@ object Similarity {
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
       c.crossJoin(broadcast(q))
-        .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))
@@ -74,7 +76,7 @@ object Similarity {
       val b = e.select(col("bk"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
       a.join(b, Seq("bk"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+        .withColumn("cos", cosineNative(col("va"), col("vb"), col("na"), col("nb")))
         .filter(col("cos") > 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("id_a", "id_b")
@@ -91,7 +93,7 @@ object Similarity {
         .select(col("bk"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
       c.join(broadcast(q), Seq("bk"))
-        .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-on-read wrappers for self-describing and inferred sources
+  * (SURVEY.md §2 S2–S3, S6).
+  *
+  * The reference infers a schema per heterogeneous source before planning
+  * (reference: DistributedQueryEngine.diff, RDBMSInferrer.scala hunk —
+  * RDBMS metadata; the RAW lineage does the same for files). Spark-first:
+  * the DataFrameReader already implements sampling-based inference for
+  * CSV/JSON; these wrappers pin the options that matter at scale
+  * (samplingRatio — never full-scan 100 TB to infer a schema) and expose
+  * an explicit infer-then-read path so the inferred schema can be
+  * inspected, persisted, and re-applied without re-inference.
+  */
+object Inference {
+
+  /** CSV with header + type inference. `samplingRatio < 1` bounds the
+    * inference pass on large inputs. */
+  def csv(spark: SparkSession, path: String, header: Boolean = true,
+          delimiter: String = ",", samplingRatio: Double = 1.0): DataFrame =
+    spark.read
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("inferSchema", "true")
+      .option("samplingRatio", samplingRatio.toString)
+      .csv(path)
+
+  /** JSON-lines with schema inference (unions record shapes across rows). */
+  def json(spark: SparkSession, path: String, samplingRatio: Double = 1.0): DataFrame =
+    spark.read
+      .option("samplingRatio", samplingRatio.toString)
+      .json(path)
+
+  /** Infer once, return the schema for persistence; re-reading with
+    * [[withSchema]] then skips the inference scan entirely. */
+  def inferCsvSchema(spark: SparkSession, path: String, header: Boolean = true,
+                     samplingRatio: Double = 1.0): StructType =
+    csv(spark, path, header, samplingRatio = samplingRatio).schema
+
+  /** Schema-pinned CSV read — the production path once a schema is known:
+    * single pass, no inference job. */
+  def withSchema(spark: SparkSession, path: String, schema: StructType,
+                 header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  /** Hive-style partitioned parquet write (SURVEY.md §2 S6): partition
+    * columns become directories, enabling partition pruning on read. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

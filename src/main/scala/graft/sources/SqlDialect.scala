@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Vendor-SQL generation + JDBC type mapping for relational sources
+  * (SURVEY.md §2 S4–S5).
+  *
+  * The reference pushes relational subtrees down to the source RDBMS and
+  * prints them in the vendor's SQL flavor, with Hive differing from ANSI
+  * in identifier quoting (reference: DistributedQueryEngine.diff,
+  * RDBMSPushdown.scala + HiveSqlPrettyPrinter.scala hunks), and maps
+  * `java.sql.Types` codes to engine types during schema inference
+  * (reference: RDBMSInferrer.scala hunk).
+  *
+  * Spark-first re-expression: Spark's JDBC DSv2 source already pushes
+  * filters/projections for registered dialects; this module provides (a)
+  * the same vendor-SQL printing for the subquery-pushdown path
+  * (`spark.read.jdbc(url, "(<sql>) sub", props)`), which is how you bound
+  * a 100 TB source scan to the rows/columns you need before they ever
+  * reach the cluster, and (b) the `java.sql.Types` → Catalyst `DataType`
+  * mapping used when inferring a schema from JDBC metadata.
+  */
+sealed trait SqlDialect {
+  def name: String
+  /** Identifier quoting — the vendor-visible difference the reference
+    * models with its two pretty-printers. */
+  def quote(ident: String): String
+  def literal(v: Any): String = v match {
+    case null           => "NULL"
+    case s: String      => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case d: java.sql.Date      => s"DATE '$d'"
+    case b: Boolean     => if (b) "TRUE" else "FALSE"
+    case other          => other.toString
+  }
+}
+
+object AnsiDialect extends SqlDialect {
+  val name = "ansi"
+  def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+}
+
+object PostgresDialect extends SqlDialect {
+  val name = "postgresql"
+  def quote(ident: String): String = AnsiDialect.quote(ident)
+}
+
+/** Hive quotes identifiers with backticks (reference:
+  * HiveSqlPrettyPrinter.scala hunk in DistributedQueryEngine.diff). */
+object HiveDialect extends SqlDialect {
+  val name = "hive"
+  def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+}
+
+/** Minimal pushdown predicate AST — the relational subtree the engine is
+  * willing to ship to the source, kept deliberately small so every node
+  * prints identically (modulo quoting) on every vendor.
+  */
+sealed trait Pred
+object Pred {
+  final case class Eq(col: String, v: Any) extends Pred
+  final case class Ne(col: String, v: Any) extends Pred
+  final case class Gt(col: String, v: Any) extends Pred
+  final case class Ge(col: String, v: Any) extends Pred
+  final case class Lt(col: String, v: Any) extends Pred
+  final case class Le(col: String, v: Any) extends Pred
+  final case class In(col: String, vs: Seq[Any]) extends Pred
+  final case class Like(col: String, pattern: String) extends Pred
+  final case class IsNull(col: String) extends Pred
+  final case class NotNull(col: String) extends Pred
+  final case class And(l: Pred, r: Pred) extends Pred
+  final case class Or(l: Pred, r: Pred) extends Pred
+  final case class Not(p: Pred) extends Pred
+}
+
+object SqlDialect {
+  import Pred._
+
+  def printPred(p: Pred, d: SqlDialect): String = p match {
+    case Eq(c, v)      => s"${d.quote(c)} = ${d.literal(v)}"
+    case Ne(c, v)      => s"${d.quote(c)} <> ${d.literal(v)}"
+    case Gt(c, v)      => s"${d.quote(c)} > ${d.literal(v)}"
+    case Ge(c, v)      => s"${d.quote(c)} >= ${d.literal(v)}"
+    case Lt(c, v)      => s"${d.quote(c)} < ${d.literal(v)}"
+    case Le(c, v)      => s"${d.quote(c)} <= ${d.literal(v)}"
+    case In(c, vs)     => s"${d.quote(c)} IN (${vs.map(d.literal).mkString(", ")})"
+    case Like(c, pat)  => s"${d.quote(c)} LIKE ${d.literal(pat)}"
+    case IsNull(c)     => s"${d.quote(c)} IS NULL"
+    case NotNull(c)    => s"${d.quote(c)} IS NOT NULL"
+    case And(l, r)     => s"(${printPred(l, d)} AND ${printPred(r, d)})"
+    case Or(l, r)      => s"(${printPred(l, d)} OR ${printPred(r, d)})"
+    case Not(x)        => s"(NOT ${printPred(x, d)})"
+  }
+
+  /** Vendor SELECT for the pushed-down scan: projection + conjunctive
+    * filters (+ optional LIMIT), printed in the dialect's quoting.
+    */
+  def scanSql(table: String, columns: Seq[String], preds: Seq[Pred],
+              dialect: SqlDialect, limit: Option[Long] = None): String = {
+    val cols = if (columns.isEmpty) "*" else columns.map(dialect.quote).mkString(", ")
+    val base = s"SELECT $cols FROM ${dialect.quote(table)}"
+    val where = if (preds.isEmpty) "" else
+      " WHERE " + preds.map(p => printPred(p, dialect)).mkString(" AND ")
+    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
+    base + where + lim
+  }
+
+  /** `java.sql.Types` code → Catalyst type (reference: RDBMSInferrer.scala
+    * hunk maps the same codes to the engine's type lattice). Matches what
+    * Spark's own JdbcUtils infers so the two paths agree.
+    */
+  def sqlTypeToSpark(sqlType: Int, precision: Int = 0, scale: Int = 0): DataType = {
+    import java.sql.Types._
+    sqlType match {
+      case BIT | BOOLEAN            => BooleanType
+      case TINYINT                  => ByteType
+      case SMALLINT                 => ShortType
+      case INTEGER                  => IntegerType
+      case BIGINT                   => LongType
+      case REAL                     => FloatType
+      case FLOAT | DOUBLE           => DoubleType
+      case NUMERIC | DECIMAL =>
+        if (precision > 0) DecimalType(math.min(precision, 38), math.min(scale, 37))
+        else DecimalType.SYSTEM_DEFAULT
+      case CHAR | VARCHAR | LONGVARCHAR | NCHAR | NVARCHAR | LONGNVARCHAR | CLOB | NCLOB
+                                    => StringType
+      case BINARY | VARBINARY | LONGVARBINARY | BLOB
+                                    => BinaryType
+      case DATE                     => DateType
+      case TIME | TIMESTAMP | TIMESTAMP_WITH_TIMEZONE
+                                    => TimestampType
+      case ARRAY                    => ArrayType(StringType)
+      case _                        => StringType
+    }
+  }
+
+  /** JDBC read through the pushed-down vendor subquery. Partitioned reads
+    * (`partitionColumn` + bounds) split the source scan across executors —
+    * the knob that matters when the remote table is large.
+    */
+  def jdbcScan(spark: SparkSession, url: String, table: String,
+               columns: Seq[String], preds: Seq[Pred], dialect: SqlDialect,
+               props: java.util.Properties = new java.util.Properties(),
+               partitionColumn: Option[String] = None,
+               lowerBound: Long = 0L, upperBound: Long = 0L,
+               numPartitions: Int = 1): DataFrame = {
+    val sub = s"(${scanSql(table, columns, preds, dialect)}) pushed_scan"
+    partitionColumn match {
+      case Some(pc) =>
+        spark.read.jdbc(url, sub, pc, lowerBound, upperBound, numPartitions, props)
+      case None => spark.read.jdbc(url, sub, props)
+    }
+  }
+}

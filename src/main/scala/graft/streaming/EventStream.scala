@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming forms of the event operators (SURVEY.md §2
+  * T1–T4). Each transform takes the (possibly streaming) events frame —
+  * `event_id bigint, ts timestamp, user_id bigint, event_type string,
+  * value double, props string` — so batch specs and MemoryStream specs
+  * share the exact same plan. The batch twins checked against the DuckDB
+  * oracle live in [[graft.operators.EventOps]].
+  *
+  * Scale notes: every aggregation below keys on high-cardinality columns
+  * (user_id) or bounded composites (window × event_type), so state
+  * partitions evenly across executors; watermarks bound state size — the
+  * thing that actually matters on an unbounded 100 TB/day stream.
+  */
+object EventStream {
+
+  /** T1 — tumbling 1-hour windows per event_type, 2h watermark. */
+  def hourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("win.start").as("hr"), col("event_type"), col("n"), col("sum_v"))
+
+  /** T2 — native session windows: 30-min inactivity gap per user. The
+    * streaming twin of EventOps' lag-based batch sessionization. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("user_id"), col("sw.start").as("t0"), col("sw.end").as("t1"),
+        col("n"), col("sum_v"))
+
+  /** T4 — stream-static join: enrich the stream against a static dim.
+    * The static side is broadcast per micro-batch — no stream shuffle. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  // ---- T3: custom state machine via flatMapGroupsWithState ----
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class FunnelState(stage: Int, startUs: Long, lastUs: Long)
+  case class FunnelHit(user_id: Long, completed_at: java.sql.Timestamp,
+                       duration_sec: Double)
+
+  /** T3 — per-user funnel detection (`stages` in order, e.g. view → click
+    * → purchase). With `timeoutMs > 0`, a processing-time idle timeout
+    * evicts state — bounded memory on an unbounded stream. (Note: a
+    * registered timeout makes Spark schedule timeout-check micro-batches
+    * continuously under the default 0-interval trigger — pair it with a
+    * real `Trigger.ProcessingTime`; pass `timeoutMs = 0` for NoTimeout,
+    * e.g. in tests driving `processAllAvailable`.) Emits one row per
+    * completed funnel pass and resets, so repeat conversions all count.
+    */
+  def funnel(events: Dataset[Event], stages: Seq[String],
+             timeoutMs: Long = 3600 * 1000L): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (user: Long, it: Iterator[Event], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(FunnelState(0, 0L, 0L))
+            val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+            // arrival order within a micro-batch isn't time order; sort.
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val us = e.ts.getTime
+              if (st.stage < stages.length && e.event_type == stages(st.stage)) {
+                val start = if (st.stage == 0) us else st.startUs
+                st = FunnelState(st.stage + 1, start, us)
+                if (st.stage == stages.length) {
+                  hits += FunnelHit(user, e.ts, (us - st.startUs) / 1000.0)
+                  st = FunnelState(0, 0L, 0L)
+                }
+              }
+            }
+            if (st.stage == 0) state.remove()
+            else {
+              state.update(st)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            }
+            hits.iterator
+          }
+        })
+  }
+
+  /** Batch-mode funnel with identical semantics (for specs + the oracle
+    * path): sort per user, scan the stage machine with an aggregate. */
+  def funnelBatch(spark: SparkSession, events: DataFrame, stages: Seq[String]): DataFrame = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value")).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroups { (user: Long, it: Iterator[Event]) =>
+        var stage = 0; var startUs = 0L
+        val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          if (stage < stages.length && e.event_type == stages(stage)) {
+            if (stage == 0) startUs = e.ts.getTime
+            stage += 1
+            if (stage == stages.length) {
+              hits += FunnelHit(user, e.ts, (e.ts.getTime - startUs) / 1000.0)
+              stage = 0
+            }
+          }
+        }
+        hits.iterator
+      }.toDF()
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Planted-duplicate recall checks for the non-SQL-expressible dedup
+  * pipelines (SURVEY.md §5): LSH internals have no DuckDB twin, so the
+  * spec asserts known near-dup pairs are found and distant pairs aren't.
+  */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val nearDup = base.replace("tonight", "today") // 1-word edit
+  private val distant =
+    "completely different content about databases indexes and distributed query processing engines at scale"
+
+  private lazy val docsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("dedupspec").toString
+    Seq((0L, base), (1L, nearDup), (2L, distant), (3L, base))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("shingles produces n-grams") {
+    val sh = Seq(Tuple1("a b c d")).toDF("t")
+      .select(Dedup.shingles($"t", 3).as("sh")).as[Seq[String]].head()
+    assert(sh === Seq("a b c", "b c d"))
+  }
+
+  test("jaccard is 1 for identical sets, 0 for disjoint") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("c", "d"))).toDF("x", "y", "z")
+    val (j1, j0) = df.select(Dedup.jaccard($"x", $"y"), Dedup.jaccard($"x", $"z"))
+      .as[(Double, Double)].head()
+    assert(j1 === 1.0 && j0 === 0.0)
+  }
+
+  test("minhash LSH finds planted near-dups, not distant pairs") {
+    val pairs = Dedup.minhashLsh(spark, docsDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "near-dup pair (0,1) missed")
+    assert(pairs.contains((0L, 3L)), "exact-dup pair (0,3) missed")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "distant doc matched")
+  }
+
+  test("simhash finds planted near-dups with small hamming distance") {
+    val pairs = Dedup.simhashPairs(spark, docsDir)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m.contains((0L, 3L)) && m((0L, 3L)) === 0L, "exact dup should have hamming 0")
+    assert(m.contains((0L, 1L)), "near-dup pair (0,1) missed")
+    assert(!m.keySet.exists(p => p._1 == 2L || p._2 == 2L), "distant doc matched")
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.Inference
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** CSV/JSON schema-on-read inference (SURVEY.md §2 S2–S3, S6). */
+class InferenceSpec extends SparkSpecBase {
+
+  private def tmpFile(suffix: String, content: String): String = {
+    val p = Files.createTempFile("inferspec", suffix)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("CSV inference detects long, double, string, and header names") {
+    val path = tmpFile(".csv", "id,price,name\n1,1.5,alpha\n2,2.5,beta\n")
+    val df = Inference.csv(spark, path)
+    assert(df.schema === StructType(Seq(
+      StructField("id", IntegerType, true),
+      StructField("price", DoubleType, true),
+      StructField("name", StringType, true))))
+    assert(df.count() === 2)
+  }
+
+  test("inferred schema can be pinned for a no-inference re-read") {
+    val path = tmpFile(".csv", "a,b\n1,x\n2,y\n")
+    val schema = Inference.inferCsvSchema(spark, path)
+    val df = Inference.withSchema(spark, path, schema)
+    assert(df.schema === schema && df.count() === 2)
+  }
+
+  test("JSON-lines inference unions record shapes across rows") {
+    val path = tmpFile(".json",
+      """{"id":1,"name":"a"}
+        |{"id":2,"name":"b","extra":true}
+        |""".stripMargin)
+    val df = Inference.json(spark, path)
+    assert(df.columns.sorted === Array("extra", "id", "name"))
+    assert(df.count() === 2)
+  }
+
+  test("partitioned write creates partition directories prunable on read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("partspec").toString + "/out"
+    val df = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)).toDF("id", "k", "v")
+    Inference.writePartitioned(df, dir, Seq("k"))
+    assert(new java.io.File(s"$dir/k=a").isDirectory)
+    val back = spark.read.parquet(dir).filter($"k" === "a")
+    assert(back.count() === 2)
+    // partition filter must prune, not scan+filter: shows up in the plan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(!plan.contains("k=b"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-Streaming operators via MemoryStream + memory sink
+  * (SURVEY.md §2 T1–T4). */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600L * 1000 * 24 + min * 60000L)
+
+  private def runStream(name: String, df: org.apache.spark.sql.DataFrame,
+                        mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("T1 hourly tumbling windows aggregate a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    in.addData(
+      (1L, ts(10), 1L, "view", 1.0, "{}"),
+      (2L, ts(20), 2L, "view", 2.0, "{}"),
+      (3L, ts(70), 1L, "click", 3.0, "{}"))
+    val out = runStream("t1_hourly", EventStream.hourly(events), "complete")
+    val rows = out.select("event_type", "n", "sum_v").as[(String, Long, Double)]
+      .collect().toSet
+    assert(rows === Set(("view", 2L, 3.0), ("click", 1L, 3.0)))
+  }
+
+  test("T2 session windows split on 30-min inactivity gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // user 1: events at 0,10min (one session), then 60min (new session)
+    in.addData(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(10), 1L, "view", 1.0, "{}"),
+      (3L, ts(60), 1L, "view", 1.0, "{}"))
+    val out = runStream("t2_sessions", EventStream.sessions(events), "complete")
+    val sessions = out.filter($"user_id" === 1L).select("n").as[Long].collect().sorted
+    assert(sessions === Array(1L, 2L))
+  }
+
+  test("T3 funnel state machine detects ordered stage completion (batch twin)") {
+    val events = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(1), 1L, "click", 0.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 0.0, "{}"),   // user 1 completes
+      (4L, ts(0), 2L, "view", 0.0, "{}"),
+      (5L, ts(1), 2L, "purchase", 0.0, "{}"),   // user 2 skips click → no hit
+      (6L, ts(3), 1L, "view", 0.0, "{}"),
+      (7L, ts(4), 1L, "click", 0.0, "{}"),
+      (8L, ts(5), 1L, "purchase", 0.0, "{}")    // user 1 completes again
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val hits = EventStream.funnelBatch(spark, events, Seq("view", "click", "purchase"))
+    val byUser = hits.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(byUser === Map(1L -> 2L))
+  }
+
+  test("T3 funnel runs as a real stream with flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    in.addData(
+      EventStream.Event(1L, ts(0), 1L, "view", 0.0),
+      EventStream.Event(2L, ts(1), 1L, "click", 0.0),
+      EventStream.Event(3L, ts(2), 1L, "purchase", 0.0))
+    val out = runStream("t3_funnel",
+      EventStream.funnel(in.toDS(), Seq("view", "click", "purchase"),
+        timeoutMs = 0L).toDF())
+    assert(out.count() === 1)
+    assert(out.select("user_id").as[Long].head() === 1L)
+  }
+
+  test("T4 stream-static join enriches against a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    in.addData((1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(1), 3L, "view", 1.0, "{}"))
+    val out = runStream("t4_enrich", EventStream.enrich(events, dim, "user_id"))
+    val tiers = out.select("user_id", "tier").as[(Long, String)].collect().toMap
+    assert(tiers === Map(1L -> "gold", 3L -> null))
+  }
+}
