@@ -12,6 +12,7 @@ object Verify {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "256")
       .config("spark.sql.adaptive.enabled", "true")
       // events.parquet stores TIMESTAMP(NANOS); read as long, convert in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

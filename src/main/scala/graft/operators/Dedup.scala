@@ -20,10 +20,13 @@ object Dedup {
   }
 
   /** k-permutation MinHash signature: element i = min over shingles of
-    * xxhash64(shingle, seed=i). One array column, no explode.
+    * xxhash64(shingle, seed=i). One array column, no explode. HOF
+    * reference form — [[minhashLsh]] uses the codegen'd explode+agg
+    * formulation instead (HOF lambdas are interpreted per element).
     */
   def minhashSignature(sh: Column, k: Int): Column =
     array((0 until k).map(i => array_min(transform(sh, x => xxhash64(x, lit(i))))): _*)
+
 
   /** LSH band hashes: `bands` hashes, each over `rows` adjacent signature
     * elements. A pair agreeing on any band becomes a candidate.
@@ -38,24 +41,42 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    * Stages: signature (scan-local) → explode bands (k small constant) →
-    * shuffle on (band, hash) → in-bucket pairs → verify.
+    *
+    * Signature stage is fully codegen'd: shingles explode to rows, each
+    * shingle is string-hashed ONCE (`xxhash64`), and the k permutations
+    * are cheap long-remixes `xxhash64(h, i)` min-aggregated map-side — no
+    * higher-order functions in the hot path (HOF lambdas evaluate
+    * interpreted per element, and the naive k-transform form recomputes k
+    * string hashes per shingle; long-multiply mixing would trip ANSI
+    * overflow checks). Candidate generation shuffles only (band, hash, id)
+    * triples; exact-Jaccard verification rejoins the raw text and builds
+    * shingle sets ONLY for candidate pairs — document payloads never ride
+    * the wide shuffle, and signature work is never re-evaluated.
     */
-  def minhashLsh(s: SparkSession, d: String, k: Int = 16, bands: Int = 4,
+  def minhashLsh(s: SparkSession, d: String, k: Int = 16, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = docs
-      .select(col("doc_id"), col("sh"),
-        posexplode(bandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
+    val r = k / bands
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val shingleRows = docs
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    val sigCols = (0 until k).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sig = shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(bd =>
+        xxhash64((bd * r until (bd + 1) * r).map(i => col(s"m$i")) :+ lit(bd): _*)): _*))
+        .as(Seq("band", "bh")))
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+    candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
+      .withColumn("jac", jaccard(shingles(col("t_a")), shingles(col("t_b"))))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
@@ -64,20 +85,31 @@ object Dedup {
   /** 64-bit SimHash per document + near-dup pairs by hamming distance,
     * candidates via 4×16-bit chunk agreement (any chunk equal → candidate;
     * guarantees recall for hamming ≤ 3 by pigeonhole).
+    *
+    * The 64 weighted-bit majorities are 64 conditional-sum aggregate
+    * columns straight over token-occurrence rows (±1 per occurrence sums
+    * to the ±term-frequency weighting with no pre-aggregation shuffle) —
+    * one map-side-combined shuffle of 64 longs per doc, instead of
+    * exploding a 64× row blowup through the shuffle. Needs
+    * `spark.sql.codegen.maxFields` ≥ ~140 to stay in whole-stage codegen
+    * (all graft entrypoints set it).
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
       .withColumn("h", xxhash64(col("w")))
-    val bits = tok
-      .select(col("doc_id"), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("b"))
-      .withColumn("contrib",
-        when(expr("(h >> b) & 1") === 1, col("cnt")).otherwise(-col("cnt")))
-    val sim = bits.groupBy("doc_id", "b").agg(sum("contrib").as("v"))
-      .withColumn("bitval", when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(lit(0L)))
-      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    // Materialize the tiny (doc_id, simhash) frame: the candidate stage
+    // self-joins it, and without this both branches would re-run the
+    // whole tokenize+aggregate pipeline. 16 bytes/doc — negligible even
+    // at full corpus scale, spills to disk if not.
+    val sim = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         expr(s"(simhash >> ${i * 16}) & 65535")): _*)).as(Seq("chunk", "cv")))
