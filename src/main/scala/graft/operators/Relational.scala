@@ -532,6 +532,40 @@ object Relational {
           approx_count_distinct("l_orderkey").as("approx_orders"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")
+    },
+
+    // Approximate quantile sketch (GK/ApproximatePercentile) — the
+    // bounded-memory path for percentiles at 100 TB where q22's exact
+    // sort-based percentile would need the full column. Rows-only: DuckDB
+    // approximates with t-digest, a different sketch.
+    Q.rowsOnly("q29_approx_quantile") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), 10000)")
+            .as("price_quantiles"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // Mergeable HLL sketch type (Apache DataSketches): per-segment
+    // sketches merged with hll_union_agg — the re-aggregatable
+    // distinct-count pattern (build once per partition/day, union at
+    // query time) that replaces global re-scans at scale. Rows-only:
+    // sketch binaries are engine-specific.
+    Q.rowsOnly("q30_hll_union") { (s, d) =>
+      val perSeg = Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(hll_sketch_agg(col("c_nationkey")).as("sk"),
+          count(lit(1)).as("n"))
+      val global = perSeg.agg(
+        lit("ALL").as("c_mktsegment"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("distinct_nations"),
+        sum("n").as("n"))
+      perSeg.select(col("c_mktsegment"),
+          hll_sketch_estimate(col("sk")).cast("long").as("distinct_nations"), col("n"))
+        .union(global)
+        .orderBy("c_mktsegment")
     }
   )
 }

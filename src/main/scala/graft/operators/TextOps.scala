@@ -93,6 +93,36 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Composed training-data cleaning pipeline: per-doc stats → quality
+    // gate → fingerprint dedup (keep lowest id) → per-language corpus
+    // stats. The end-to-end shape a 100 TB ingest run takes: stats are
+    // scan-local, the gate prunes before the only shuffles (fingerprint
+    // group + join back), and only fixed-width columns shuffle.
+    Q(
+      "pp1_clean_pipeline",
+      """WITH stats AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        |    md5(lower(regexp_replace(text,'\s+',' ','g'))) AS fp
+        |  FROM documents),
+        |filtered AS (SELECT * FROM stats WHERE n_words >= 20),
+        |keep AS (SELECT fp, min(doc_id) AS keep_id FROM filtered GROUP BY 1),
+        |kept AS (SELECT f.* FROM filtered f JOIN keep k ON f.doc_id = k.keep_id)
+        |SELECT lang, count(*) AS docs, CAST(sum(n_words) AS BIGINT) AS tokens
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val stats = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"))
+      val filtered = stats.filter(col("n_words") >= 20)
+      val keep = filtered.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      filtered.join(keep, filtered("doc_id") === keep("keep_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum("n_words").as("tokens"))
+        .orderBy("lang")
+    },
+
     // L12 — normalization fingerprint (whitespace-collapse + lower + md5).
     Q(
       "tx4_fingerprint",
