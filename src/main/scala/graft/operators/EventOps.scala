@@ -87,6 +87,28 @@ object EventOps {
         .groupBy("event_type")
         .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // R30b — schema-declared JSON parse (`from_json` → typed struct),
+    // the "infer once, then read with a pinned schema" half of RAW's
+    // just-in-time semi-structured access (ev3 is the schema-less half).
+    Q(
+      "ev4_json_schema",
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props,'$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("j", from_json(col("props"), "k BIGINT", Map.empty[String, String]))
+        .select(col("event_type"), col("j.k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hi"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
     }
   )
 }

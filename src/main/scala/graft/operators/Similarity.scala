@@ -21,6 +21,47 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", normNative(col("v")))
 
+  /** IVF (inverted-file) approximate nearest neighbor: train a k-means
+    * coarse quantizer, assign every corpus vector to its nearest centroid
+    * ("inverted list"), then answer queries by probing only the `nProbe`
+    * closest lists and reranking with exact cosine.
+    */
+  def ivfAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 4,
+             topK: Int = 3): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val e = prepared(s, d)
+      .withColumn("features", array_to_vector(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
+      .fit(e.select("features"))
+    val assigned = model.transform(e).withColumnRenamed("prediction", "cid")
+    val centroids = s.createDataFrame(
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+      .toDF("cid", "center")
+    // query set → nProbe nearest centroids each (tiny cross join)
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        dotNative(col("qv"), col("qv")) - lit(2) * dotNative(col("qv"), col("center"))
+          + dotNative(col("center"), col("center")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cid"))
+    // probe only the matching inverted lists, rerank exactly
+    val c = assigned.filter(col("vec_id") >= 10)
+      .select(col("cid"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(probes), Seq("cid"))
+      .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   val catalog: Seq[Q] = Seq(
     // L6 — brute-force cosine top-k: corpus × broadcast(query set).
     Q(
@@ -99,6 +140,14 @@ object Similarity {
         .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))
         .orderBy("q_id", "rk")
     },
+
+    // L7b — IVF ANN: k-means coarse quantizer (trained once, seeded),
+    // queries probe only the nProbe nearest inverted lists, rerank by
+    // exact cosine. The classic corpus-partitioned ANN layout: at 100 TB
+    // the corpus is hash-partitioned by centroid id, and a query touches
+    // nProbe/nCentroids of it instead of everything. Rows-only:
+    // recall < 1 by construction; spec asserts structure + determinism.
+    Q.rowsOnly("sim5_ivf_ann")((s, d) => ivfAnn(s, d)),
 
     // L8 — per-label norm statistics.
     Q(

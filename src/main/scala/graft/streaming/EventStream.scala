@@ -41,6 +41,26 @@ object EventStream {
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** T5 — stream-stream join: views matched to purchases by the same
+    * user within `withinMinutes`. Both sides carry watermarks and the
+    * join has a two-sided time bound, so Spark can evict buffered state —
+    * the requirement for stream-stream joins to run unbounded. */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame,
+                     withinMinutes: Int = 60): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+      col("event_id").as("view_id"))
+      .withWatermark("view_ts", s"$withinMinutes minutes")
+    val p = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+      col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", s"$withinMinutes minutes")
+    v.join(p,
+        col("v_user") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
+
   // ---- T3: custom state machine via flatMapGroupsWithState ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -77,6 +77,24 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.select("user_id").as[Long].head() === 1L)
   }
 
+  test("T5 stream-stream join matches purchases to views within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val pIn = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val views = vIn.toDF().toDF(cols: _*)
+    val purchases = pIn.toDF().toDF(cols: _*)
+    vIn.addData((1L, ts(0), 1L, "view", 0.0, "{}"), (2L, ts(0), 2L, "view", 0.0, "{}"))
+    pIn.addData(
+      (3L, ts(30), 1L, "purchase", 9.0, "{}"),   // within 60 min of view 1
+      (4L, ts(90), 2L, "purchase", 5.0, "{}"))   // outside window for view 2
+    val out = runStream("t5_ssjoin",
+      EventStream.viewToPurchase(views, purchases, withinMinutes = 60))
+    val rows = out.select("user_id", "view_id", "purchase_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows === Set((1L, 1L, 3L)))
+  }
+
   test("T4 stream-static join enriches against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
