@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.Stable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,12 +18,13 @@ object EventOps {
     Q(
       "ev1_hourly",
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
-        |  count(*) AS n, round(sum(value),2) AS sum_v
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
     ) { (s, d) =>
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+        .agg(count(lit(1)).as("n"), Stable.moneySum(col("value")).as("sum_v"))
         .orderBy("hr", "event_type")
     },
 
@@ -45,7 +47,7 @@ object EventOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |  FROM x)
         |SELECT user_id, sid, count(*) AS n, min(ts) AS t0, max(ts) AS t1,
-        |  round(sum(value),2) AS sum_v
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
         |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin
     ) { (s, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -59,7 +61,7 @@ object EventOps {
           sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "sid")
         .agg(count(lit(1)).as("n"), min("ts").as("t0"), max("ts").as("t1"),
-          round(sum("value"), 2).as("sum_v"))
+          Stable.moneySum(col("value")).as("sum_v"))
         .orderBy("user_id", "sid")
     },
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.Stable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,14 +22,20 @@ object Relational {
 
   val catalog: Seq[Q] = Seq(
     // R2 — TPC-H Q1-style full-scan aggregation; partial agg map-side.
+    // Money sums via exact cents (Stable.moneySum): order-independent and
+    // bit-identical cross-engine; no outer round (it would reintroduce
+    // true decimal midpoints, where engines disagree).
     Q(
       "q01_agg",
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity),2) AS sum_qty,
-        |  round(sum(l_extendedprice),2) AS sum_base_price,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        |  round(avg(l_quantity),4) AS avg_qty,
-        |  round(avg(l_discount),6) AS avg_disc,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0
+        |    AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty,
+        |  (CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0)/count(*)
+        |    AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
@@ -37,11 +44,12 @@ object Relational {
         .filter(col("l_shipdate") <= ts1998)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_discount"), 6).as("avg_disc"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          Stable.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          (sum(col("l_quantity").cast("long")) / count(lit(1))).as("avg_qty"),
+          Stable.moneyAvg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -73,7 +81,8 @@ object Relational {
     Q(
       "q03_join_agg",
       """SELECT o_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0
+        |    AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -87,7 +96,8 @@ object Relational {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
         .orderBy(desc("revenue"), col("o_orderkey"))
         .limit(10)
     },
@@ -113,7 +123,7 @@ object Relational {
     Q(
       "q05_outer_join",
       """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders,
-        |  round(sum(coalesce(o_totalprice,0)),2) AS tot
+        |  CAST(sum(CAST(round(coalesce(o_totalprice,0)*100) AS BIGINT)) AS DOUBLE)/100.0 AS tot
         |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, d) =>
@@ -121,7 +131,7 @@ object Relational {
         .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_rows"), count(col("o_orderkey")).as("n_orders"),
-          round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("tot"))
+          Stable.moneySum(coalesce(col("o_totalprice"), lit(0.0))).as("tot"))
         .orderBy("c_mktsegment")
     },
 
@@ -145,14 +155,15 @@ object Relational {
     // R5 — explicit broadcast of the part dim against the fact scan.
     Q(
       "q06_broadcast_join",
-      """SELECT p_brand, count(*) AS n, round(sum(l_extendedprice),2) AS rev
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS rev
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, d) =>
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), Stable.moneySum(col("l_extendedprice")).as("rev"))
         .orderBy("p_brand")
     },
 
@@ -160,7 +171,8 @@ object Relational {
     Q(
       "q07_star_join",
       """SELECT r_name, n_name,
-        |  round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0
+        |    AS revenue, count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -173,7 +185,8 @@ object Relational {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
           count(lit(1)).as("n"))
         .orderBy("r_name", "n_name")
     },
@@ -270,9 +283,10 @@ object Relational {
         |            WHEN l_quantity < 30 THEN 'medium'
         |            ELSE 'large' END AS bucket,
         |  count(*) AS n,
-        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END),2)
+        |  CAST(sum(CAST(round((CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END)*100) AS BIGINT)) AS DOUBLE)/100.0
         |    AS returned_value,
-        |  round(avg(l_discount),6) AS avg_disc
+        |  (CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100.0)/count(*)
+        |    AS avg_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, d) =>
       Tables.lineitem(s, d)
@@ -281,9 +295,9 @@ object Relational {
             .when(col("l_quantity") < 30, "medium").otherwise("large"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"),
-          round(sum(when(col("l_returnflag") === "R", col("l_extendedprice")).otherwise(lit(0.0))), 2)
-            .as("returned_value"),
-          round(avg("l_discount"), 6).as("avg_disc"))
+          Stable.moneySum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+            .otherwise(lit(0.0))).as("returned_value"),
+          Stable.moneyAvg(col("l_discount")).as("avg_disc"))
         .orderBy("bucket")
     },
 
@@ -314,7 +328,8 @@ object Relational {
       "q14_date_funcs",
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |  CAST(month(o_orderdate) AS INTEGER) AS mo,
-        |  count(*) AS n, round(sum(o_totalprice),2) AS tot,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS tot,
         |  max(date_trunc('quarter', o_orderdate)) AS q_start,
         |  CAST(max(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')) AS BIGINT)
         |    AS max_age_days
@@ -322,7 +337,7 @@ object Relational {
     ) { (s, d) =>
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"),
+        .agg(count(lit(1)).as("n"), Stable.moneySum(col("o_totalprice")).as("tot"),
           max(date_trunc("quarter", col("o_orderdate"))).as("q_start"),
           max(datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")))
             .cast("long").as("max_age_days"))
@@ -343,25 +358,26 @@ object Relational {
     Q(
       "q16_rollup",
       """SELECT c_mktsegment, c_nationkey, count(*) AS n,
-        |  round(sum(c_acctbal),2) AS bal
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS bal
         |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
         |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
     ) { (s, d) =>
       Tables.customer(s, d)
         .rollup(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+        .agg(count(lit(1)).as("n"), Stable.moneySum(col("c_acctbal")).as("bal"))
         .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
     },
 
     // R17 — HAVING.
     Q(
       "q17_having",
-      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS spend
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS spend
         |FROM orders GROUP BY 1 HAVING count(*) >= 10 ORDER BY o_custkey""".stripMargin
     ) { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("spend"))
+        .agg(count(lit(1)).as("n"), Stable.moneySum(col("o_totalprice")).as("spend"))
         .filter(col("n") >= 10)
         .orderBy("o_custkey")
     },
@@ -370,11 +386,15 @@ object Relational {
     Q(
       "q18_scalar_subquery",
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (SELECT 1.8*avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > (SELECT 1.8*((CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0)/count(*))
+        |                      FROM orders)
         |ORDER BY o_orderkey""".stripMargin
     ) { (s, d) =>
       val o = Tables.orders(s, d)
-      o.crossJoin(broadcast(o.agg(avg("o_totalprice").as("global_avg"))))
+      // exact-cents average → the comparison boundary is bit-identical
+      // across engines and runs (a raw double avg depends on partial-agg
+      // order, and a price within an ulp of it would flip membership)
+      o.crossJoin(broadcast(o.agg(Stable.moneyAvg(col("o_totalprice")).as("global_avg"))))
         .filter(col("o_totalprice") > col("global_avg") * 1.8)
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
@@ -383,7 +403,8 @@ object Relational {
     // R20 — IN-subquery as semi join.
     Q(
       "q19_in_subquery",
-      """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice),2) AS rev
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS rev
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 40)
         |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -394,7 +415,7 @@ object Relational {
             .select(col("p_partkey").as("l_partkey")),
           Seq("l_partkey"), "left_semi")
         .groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+        .agg(count(lit(1)).as("n"), Stable.moneySum(col("l_extendedprice")).as("rev"))
         .orderBy("l_returnflag")
     },
 

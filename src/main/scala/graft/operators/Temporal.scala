@@ -42,7 +42,8 @@ object Temporal {
       "rj1_range_join",
       """WITH bands AS (SELECT g AS band_lo, g + 50000 AS band_hi
         |               FROM generate_series(0, 450000, 50000) t(g))
-        |SELECT band_lo, count(*) AS n, round(sum(o_totalprice),2) AS tot
+        |SELECT band_lo, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS tot
         |FROM orders JOIN bands
         |  ON o_totalprice >= band_lo AND o_totalprice < band_hi
         |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -53,7 +54,8 @@ object Temporal {
       AsOfJoin.rangeJoin(Tables.orders(s, d), "o_totalprice",
           bands, "band_lo", "band_hi", bucketWidth = 50000L)
         .groupBy("band_lo")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Stable.moneySum(col("o_totalprice")).as("tot"))
         .orderBy("band_lo")
     }
   )
