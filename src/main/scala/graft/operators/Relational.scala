@@ -276,6 +276,81 @@ object Relational {
         .select("op", "k").orderBy("op", "k")
     },
 
+    // R13b — bag-semantics set ops (EXCEPT ALL / INTERSECT ALL preserve
+    // multiplicity, unlike q11's distinct forms).
+    Q(
+      "q11b_set_ops_all",
+      """SELECT 'except_all' AS op, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |  EXCEPT ALL SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, k FROM (
+        |  SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000
+        |  INTERSECT ALL SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |ORDER BY op, k""".stripMargin
+    ) { (s, d) =>
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("k"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("k"))
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .union(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+        .select("op", "k").orderBy("op", "k")
+    },
+
+    // R14b — distribution windows: ntile / percent_rank / cume_dist /
+    // frame-bounded first+last. Ratios are single divisions of integer
+    // rank/count → bit-deterministic cross-engine.
+    Q(
+      "q31_window_misc",
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  first_value(o_orderkey) OVER w AS cheapest,
+        |  last_value(o_orderkey) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS priciest
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first("o_orderkey").over(w).as("cheapest"),
+          last("o_orderkey")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("priciest"))
+        .orderBy("o_custkey", "o_totalprice", "o_orderkey")
+    },
+
+    // R24b — null-handling scalar battery (NULLIF/COALESCE/GREATEST/LEAST).
+    Q(
+      "q32_null_funcs",
+      """SELECT c_custkey,
+        |  nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_filled,
+        |  greatest(c_acctbal, 5000.0) AS floor5k,
+        |  least(c_acctbal, 5000.0) AS cap5k,
+        |  CAST(c_acctbal IS NULL AS INTEGER) AS bal_null
+        |FROM customer ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)"))
+            .as("seg_filled"),
+          greatest(col("c_acctbal"), lit(5000.0)).as("floor5k"),
+          least(col("c_acctbal"), lit(5000.0)).as("cap5k"),
+          col("c_acctbal").isNull.cast("int").as("bal_null"))
+        .orderBy("c_custkey")
+    },
+
     // R18 — CASE bucketing + conditional aggregation.
     Q(
       "q12_case_agg",

@@ -123,6 +123,41 @@ object TextOps {
         .orderBy("lang")
     },
 
+    // Array indexing (1-based / from-end) — RAW collection element access.
+    Q(
+      "tx5_array_index",
+      """SELECT doc_id, ws[1] AS first_word, ws[len(ws)] AS last_word,
+        |  CAST(len(ws) AS BIGINT) AS n
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          element_at(col("ws"), 1).as("first_word"),
+          element_at(col("ws"), -1).as("last_word"),
+          size(col("ws")).cast("long").as("n"))
+        .orderBy("doc_id")
+    },
+
+    // Map-typed columns (RAW record/collection nesting): per-source
+    // lang→count map built from sorted entries, exploded back to rows.
+    // The oracle checks the flattened form; the map round-trip is the
+    // Spark-side capability under test.
+    Q(
+      "mp1_map_roundtrip",
+      """SELECT source, lang, count(*) AS n FROM documents
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(map_from_entries(array_sort(collect_list(struct(col("lang"), col("n")))))
+          .as("lang_counts"))
+        .select(col("source"), explode(col("lang_counts")).as(Seq("lang", "n")))
+        .orderBy("source", "lang")
+    },
+
     // L12 — normalization fingerprint (whitespace-collapse + lower + md5).
     Q(
       "tx4_fingerprint",
