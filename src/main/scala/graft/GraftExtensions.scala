@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProductExpr
+import graft.functions.{DotProductExpr, TopKPairs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -20,5 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductExpr].getName, null, "vec_dot",
         "vec_dot(a, b) - left-to-right dot product of two array<double> columns", ""),
       (children: Seq[Expression]) => DotProductExpr(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, null, "topk_pairs",
+        "topk_pairs(score, id, k) - bounded map-side top-k (score DESC, id ASC) per group",
+        ""),
+      (children: Seq[Expression]) =>
+        TopKPairs(children.head, children(1), children(2))))
   }
 }

@@ -563,6 +563,29 @@ object Relational {
         .orderBy("c_nationkey", "rk", "c_custkey")
     },
 
+    // R16b — top-k per group via the custom bounded-heap aggregate
+    // (graft.functions.TopKPairs, registered as topk_pairs): ships at
+    // most k pairs per group per map task instead of sorting whole
+    // partitions like the q08/q23 window form. Same oracle semantics as
+    // row_number() <= k with (score DESC, id ASC) ties.
+    Q(
+      "q33_topk_agg",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(call_function("topk_pairs", col("o_totalprice"), col("o_orderkey"), lit(3))
+          .as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+          col("t.score").as("o_totalprice"), (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("o_custkey", "rk")
+    },
+
     // R26 — explode/unnest of a split array (RAW's collection semantics).
     Q(
       "q24_explode_words",

@@ -40,6 +40,21 @@ class InferenceSpec extends SparkSpecBase {
     assert(df.count() === 2)
   }
 
+  test("ORC round-trip preserves schema and rows (S7)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orcspec").toString + "/t"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // ORC reads back everything nullable; compare names + types
+    assert(back.schema.fields.map(f => (f.name, f.dataType)) ===
+      df.schema.fields.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect() === df.orderBy("id").collect())
+    // predicate pushdown reaches the ORC scan
+    val plan = back.filter($"id" === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("id"))
+  }
+
   test("partitioned write creates partition directories prunable on read") {
     import spark.implicits._
     val dir = Files.createTempDirectory("partspec").toString + "/out"
