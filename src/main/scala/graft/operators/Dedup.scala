@@ -142,6 +142,33 @@ object Dedup {
     Q.rowsOnly("dd2_minhash_lsh")((s, d) => minhashLsh(s, d)),
 
     // L3 — SimHash near-dup pairs (rows-only, spec-tested).
-    Q.rowsOnly("dd3_simhash")((s, d) => simhashPairs(s, d))
+    Q.rowsOnly("dd3_simhash")((s, d) => simhashPairs(s, d)),
+
+    // L4 — exact n-gram Jaccard similarity, oracle-checked on adjacent-id
+    // pairs (the same jaccard() verifies dd2's LSH candidates; here the
+    // pair set is deterministic so DuckDB can replay it exactly).
+    Q(
+      "dd4_ngram_jaccard",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_transform(generate_series(1, len(ws)-2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS sg
+        |       FROM w WHERE len(ws) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_intersect(a.sg, b.sg)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.sg, b.sg))) AS jac
+        |      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0)
+        |SELECT id_a, id_b, jac FROM p ORDER BY id_a""".stripMargin
+    ) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), shingles(col("text")).as("sg"))
+      val a = sh.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id_a"), col("sg").as("sg_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("sg").as("sg_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"), jaccard(col("sg_a"), col("sg_b")).as("jac"))
+        .orderBy("id_a")
+    }
   )
 }
