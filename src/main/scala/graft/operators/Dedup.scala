@@ -62,7 +62,10 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("sg")).as("h"))
     val sigCols = (0 until k).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    // materialize: the banded self-join would otherwise recompute the
+    // whole shingle+hash pipeline per branch (~16 B·k per doc; spills)
     val sig = shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64((bd * r until (bd + 1) * r).map(i => col(s"m$i")) :+ lit(bd): _*)): _*))
