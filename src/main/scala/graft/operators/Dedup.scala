@@ -127,6 +127,47 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Distributed connected components by iterative min-label propagation
+    * (the hash-join formulation of large-star/small-star): each round,
+    * every node takes the minimum component label among itself and its
+    * neighbors; converges in O(cluster diameter) rounds — near-dup
+    * clusters are shallow, so a handful of shuffles regardless of corpus
+    * size. The driver loop iterates ROUNDS (checking a converged count),
+    * never rows.
+    *
+    * Input: pair frame (`id_a`, `id_b`); output: (`id`, `component`) with
+    * component = min node id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"),
+          (col("nbr_min") < col("component")).as("changed"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.filter(col("changed")).count()
+      labels.unpersist()
+      labels = next.drop("changed")
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   val catalog: Seq[Q] = Seq(
     // L1 — exact dedup: fixed-width hash shuffle, never the document text.
     Q(
@@ -146,6 +187,32 @@ object Dedup {
 
     // L3 — SimHash near-dup pairs (rows-only, spec-tested).
     Q.rowsOnly("dd3_simhash")((s, d) => simhashPairs(s, d)),
+
+    // L4b — duplicate CLUSTERS: generic distributed connected components,
+    // oracle-checked against ground truth. Pair doc i with i+1 when they
+    // share a language → clusters are same-lang runs of consecutive ids
+    // (length up to dozens → genuinely multi-hop propagation), which the
+    // oracle reproduces with a gaps-and-islands window — so the iterative
+    // min-label algorithm is checked exactly, cluster by cluster.
+    Q(
+      "dd5_components",
+      """WITH x AS (SELECT doc_id, lang,
+        |    CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang THEN 0 ELSE 1 END AS brk
+        |  FROM documents),
+        |y AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM x)
+        |SELECT min(doc_id) AS component, count(*) AS n_docs
+        |FROM y GROUP BY grp HAVING count(*) > 1 ORDER BY component""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val pairs = docs.select(col("doc_id").as("id_a"), col("lang"))
+        .join(docs.select((col("doc_id") - 1).as("id_a"), col("lang"),
+          col("doc_id").as("id_b")), Seq("id_a", "lang"))
+        .select("id_a", "id_b")
+      connectedComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).as("n_docs"))
+        .orderBy("component")
+    },
 
     // L4 — exact n-gram Jaccard similarity, oracle-checked on adjacent-id
     // pairs (the same jaccard() verifies dd2's LSH candidates; here the

@@ -45,6 +45,16 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "distant doc matched")
   }
 
+  test("connected components merges transitive chains, keeps clusters apart") {
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (7L, 8L), (8L, 9L), (2L, 3L))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp(0L) === 0L && comp(1L) === 0L && comp(2L) === 0L && comp(3L) === 0L)
+    assert(comp(5L) === 5L && comp(6L) === 5L)
+    assert(comp(7L) === 7L && comp(8L) === 7L && comp(9L) === 7L)
+  }
+
   test("simhash finds planted near-dups with small hamming distance") {
     val pairs = Dedup.simhashPairs(spark, docsDir)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
