@@ -139,13 +139,15 @@ object Dedup {
     * component = min node id in the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (not persist): each round must TRUNCATE lineage, or
+    // the logical plan nests one join deeper per iteration and plan
+    // stringification/optimization blows up long before the data does.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -158,13 +160,14 @@ object Dedup {
           least(col("component"), coalesce(col("nbr_min"), col("component")))
             .as("component"),
           (col("nbr_min") < col("component")).as("changed"))
-        .persist(MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.filter(col("changed")).count()
       labels.unpersist()
       labels = next.drop("changed")
       converged = changed == 0
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
