@@ -65,6 +65,42 @@ object EventOps {
         .orderBy("user_id", "sid")
     },
 
+    // T1b — gap-filled hourly series: dense hour×type spine (sequence +
+    // explode) left-joined with actuals so silent hours surface as zero
+    // rows. The spine is generated, never scanned — at any scale it's
+    // |hours|·|types| rows, and the join shuffles only the aggregated
+    // hourly counts, not raw events.
+    Q(
+      "ev5_gap_fill",
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT g.g AS hr, t.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+        |                                      (SELECT h1 FROM bounds),
+        |                                      INTERVAL 1 HOUR)) AS g) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |actual AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT s.hr, s.event_type, coalesce(a.n, 0) AS n
+        |FROM spine s LEFT JOIN actual a ON s.hr = a.hr AND s.event_type = a.event_type
+        |ORDER BY s.hr, s.event_type""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      val spine = bounds
+        .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+        .crossJoin(ev.select("event_type").distinct())
+      val actual = ev.groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(actual, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hr", "event_type")
+    },
+
     // T3 — funnel state machine (batch twin of EventStream.funnel; the
     // streaming form is spec-tested with flatMapGroupsWithState).
     // Rows-only: the per-user ordered state machine isn't expressible as

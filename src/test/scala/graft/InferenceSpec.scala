@@ -40,6 +40,21 @@ class InferenceSpec extends SparkSpecBase {
     assert(df.count() === 2)
   }
 
+  test("CSV and JSON sinks round-trip through their own inference (S8)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("sinkspec").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    df.write.mode("overwrite").json(s"$base/json")
+    val csvBack = Inference.csv(spark, s"$base/csv")
+    val jsonBack = Inference.json(spark, s"$base/json")
+    assert(csvBack.orderBy("id").as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    assert(jsonBack.select("id", "s", "v").orderBy("id")
+      .as[(Long, String, Double)].collect().toSeq ===
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
   test("ORC round-trip preserves schema and rows (S7)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("orcspec").toString + "/t"
