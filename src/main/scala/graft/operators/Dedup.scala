@@ -127,13 +127,12 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Distributed connected components by iterative min-label propagation
-    * (the hash-join formulation of large-star/small-star): each round,
-    * every node takes the minimum component label among itself and its
-    * neighbors; converges in O(cluster diameter) rounds — near-dup
-    * clusters are shallow, so a handful of shuffles regardless of corpus
-    * size. The driver loop iterates ROUNDS (checking a converged count),
-    * never rows.
+  /** Distributed connected components: per round, every node takes the
+    * min label among itself and its neighbors (hash-join min-propagation)
+    * and then POINTER-JUMPS (takes its label's label), so convergence is
+    * O(log diameter) rounds instead of O(diameter) — a long chain
+    * collapses in a handful of shuffles regardless of corpus size. The
+    * driver loop iterates ROUNDS (checking a converged count), never rows.
     *
     * Input: pair frame (`id_a`, `id_b`); output: (`id`, `component`) with
     * component = min node id in the cluster.
@@ -155,15 +154,24 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("component").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          (col("nbr_min") < col("component")).as("changed"))
+            .as("component"))
+      // pointer jump: component <- component's component (labels are
+      // monotonically non-increasing, so the parent lookup only shrinks)
+      val next = stepped
+        .join(stepped.select(col("id").as("component"), col("component").as("parent")),
+          Seq("component"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("parent"), col("component")))
+            .as("component"))
         .localCheckpoint(true)
-      val changed = next.filter(col("changed")).count()
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") < col("old")).count()
       labels.unpersist()
-      labels = next.drop("changed")
+      labels = next
       converged = changed == 0
       iter += 1
     }
