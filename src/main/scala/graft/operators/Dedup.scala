@@ -225,6 +225,27 @@ object Dedup {
         .orderBy("component")
     },
 
+    // L4d — edit-distance similarity on bounded candidates (levenshtein
+    // is O(len²) per pair — NEVER run corpus-wide; here the deterministic
+    // adjacent-pair set stands in for LSH candidates, same as dd4).
+    Q(
+      "dd6_levenshtein",
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(substring(a.text,1,80), substring(b.text,1,80)) AS BIGINT)
+        |    AS edit80
+        |FROM documents a JOIN documents b
+        |  ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+        |ORDER BY id_a""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val a = docs.select(col("doc_id").as("id_a"), substring(col("text"), 1, 80).as("t_a"))
+      val b = docs.select(col("doc_id").as("id_b"), substring(col("text"), 1, 80).as("t_b"))
+      a.join(b, col("id_b") === col("id_a") + 1 && col("id_a") % 2 === 0)
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("edit80"))
+        .orderBy("id_a")
+    },
+
     // L4 — exact n-gram Jaccard similarity, oracle-checked on adjacent-id
     // pairs (the same jaccard() verifies dd2's LSH candidates; here the
     // pair set is deterministic so DuckDB can replay it exactly).

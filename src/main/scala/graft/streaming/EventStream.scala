@@ -61,6 +61,37 @@ object EventStream {
         col("purchase_id"), col("purchase_ts"), col("value"))
   }
 
+  /** T7 — idempotent micro-batch sink: per-batch dedup + last-writer-wins
+    * upsert into a keyed parquet "table" via `foreachBatch`. The pattern
+    * that makes at-least-once delivery effectively-once at the sink:
+    * every batch folds into existing state keyed on `keyCol`, so replays
+    * rewrite the same rows instead of appending duplicates.
+    */
+  def upsertSink(batch: DataFrame, batchId: Long, path: String, keyCol: String,
+                 versionCol: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(versionCol).desc, col("__bid").desc)
+    val incoming = batch.withColumn("__bid", lit(batchId))
+    val existing =
+      try spark.read.parquet(path).withColumn("__bid", lit(-1L))
+      catch { case _: Throwable => incoming.limit(0) }
+    val merged = existing.union(incoming.select(existing.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__bid")
+    // write to a temp dir then swap: the read above and overwrite below
+    // can't stream from/to the same files
+    val tmp = path + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   // ---- T3: custom state machine via flatMapGroupsWithState ----
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

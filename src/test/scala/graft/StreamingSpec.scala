@@ -95,6 +95,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows === Set((1L, 1L, 3L)))
   }
 
+  test("T7 foreachBatch upsert sink is idempotent under replayed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsertspec").toString + "/state"
+    val in = MemoryStream[(Long, Long, Double)]
+    val df = in.toDF().toDF("user_id", "version", "score")
+    val q = df.writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        EventStream.upsertSink(b, id, dir, "user_id", "version"))
+      .start()
+    in.addData((1L, 1L, 10.0), (2L, 1L, 20.0))
+    q.processAllAvailable()
+    in.addData((1L, 2L, 11.0), (1L, 2L, 11.0), (3L, 1L, 30.0)) // dup in batch
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(dir)
+      .select("user_id", "version", "score").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(state.toSeq === Seq((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
+  }
+
   test("T4 stream-static join enriches against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
