@@ -123,6 +123,26 @@ object TextOps {
         .orderBy("lang")
     },
 
+    // Higher-order functions over collections (lambda filter/transform) —
+    // RAW's collection-valued expressions, codegen'd where the lambda is
+    // simple.
+    Q(
+      "tx6_higher_order",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(ws, w -> length(w) > 4)) AS BIGINT) AS n_long,
+        |  array_to_string(list_transform(ws[1:3], w -> upper(w)), ' ') AS head_upper
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"),
+          size(filter(col("ws"), w => length(w) > 4)).cast("long").as("n_long"),
+          array_join(transform(slice(col("ws"), 1, 3), w => upper(w)), " ")
+            .as("head_upper"))
+        .orderBy("doc_id")
+    },
+
     // Array indexing (1-based / from-end) — RAW collection element access.
     Q(
       "tx5_array_index",

@@ -26,6 +26,9 @@ sealed trait SqlDialect {
   /** Identifier quoting — the vendor-visible difference the reference
     * models with its two pretty-printers. */
   def quote(ident: String): String
+  /** Row-limit clause: ANSI standard is FETCH FIRST; most vendors accept
+    * LIMIT. */
+  def limitClause(n: Long): String = s" LIMIT $n"
   def literal(v: Any): String = v match {
     case null           => "NULL"
     case s: String      => "'" + s.replace("'", "''") + "'"
@@ -39,6 +42,7 @@ sealed trait SqlDialect {
 object AnsiDialect extends SqlDialect {
   val name = "ansi"
   def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+  override def limitClause(n: Long): String = s" FETCH FIRST $n ROWS ONLY"
 }
 
 object PostgresDialect extends SqlDialect {
@@ -102,7 +106,7 @@ object SqlDialect {
     val base = s"SELECT $cols FROM ${dialect.quote(table)}"
     val where = if (preds.isEmpty) "" else
       " WHERE " + preds.map(p => printPred(p, dialect)).mkString(" AND ")
-    val lim = limit.map(n => s" LIMIT $n").getOrElse("")
+    val lim = limit.map(dialect.limitClause).getOrElse("")
     base + where + lim
   }
 

@@ -67,6 +67,14 @@ class JdbcSpec extends SparkSpecBase {
     conn.close()
   }
 
+  test("ANSI limit clause executes on Derby (FETCH FIRST, not LIMIT)") {
+    seeded
+    val sub = "(" + SqlDialect.scanSql("EMP", Seq("ID"), Seq(NotNull("ID")),
+      AnsiDialect, limit = Some(2)) + ") lim_scan"
+    val df = spark.read.jdbc(url, sub, new java.util.Properties())
+    assert(df.count() === 2)
+  }
+
   test("partitioned JDBC read splits the source scan") {
     seeded
     val df = SqlDialect.jdbcScan(spark, url, "EMP",

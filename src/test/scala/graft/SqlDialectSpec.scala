@@ -24,7 +24,9 @@ class SqlDialectSpec extends AnyFunSuite {
       Seq(Gt("o_totalprice", 1000), Eq("o_orderstatus", "F")),
       AnsiDialect, limit = Some(10))
     assert(sql ===
-      """SELECT "o_orderkey", "o_totalprice" FROM "orders" WHERE "o_totalprice" > 1000 AND "o_orderstatus" = 'F' LIMIT 10""")
+      """SELECT "o_orderkey", "o_totalprice" FROM "orders" WHERE "o_totalprice" > 1000 AND "o_orderstatus" = 'F' FETCH FIRST 10 ROWS ONLY""")
+    val hiveSql = SqlDialect.scanSql("orders", Seq("a"), Nil, HiveDialect, limit = Some(5))
+    assert(hiveSql === "SELECT `a` FROM `orders` LIMIT 5")
   }
 
   test("Hive scan SQL uses backtick quoting") {
