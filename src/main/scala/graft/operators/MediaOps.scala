@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.Q
+import graft.{Q, Tables}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -23,6 +23,28 @@ object MediaOps {
     Q.rowsOnly("mm2_frame_sample") { (s, d) =>
       Multimodal.sampleFrames(Multimodal.assets(s, d), everyMs = 5000L).toDF()
         .orderBy("asset_id", "frame_idx")
+    },
+
+    // L13b — binary-column SQL surface, oracle-checked: payload length,
+    // content hash, and byte-slice inspection run relationally over the
+    // same opaque `binary` columns the codec path consumes (only the
+    // codec itself is engine-specific; the column algebra is portable).
+    Q(
+      "mm3_binary_sql",
+      """SELECT doc_id AS asset_id,
+        |  CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        |  md5(CAST(payload AS VARCHAR)) AS content_md5,
+        |  substring(CAST(payload AS VARCHAR), 1, 8) AS head
+        |FROM (SELECT doc_id, encode(text) AS payload FROM documents)
+        |ORDER BY asset_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id").as("asset_id"), col("text").cast("binary").as("payload"))
+        .select(col("asset_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("content_md5"),
+          substring(col("payload").cast("string"), 1, 8).as("head"))
+        .orderBy("asset_id")
     }
   )
 }

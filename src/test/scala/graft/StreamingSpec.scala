@@ -33,6 +33,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows === Set(("view", 2L, 3.0), ("click", 1L, 3.0)))
   }
 
+  test("T1 watermark drops events later than the allowed lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.hourly(events).writeStream
+      .format("memory").queryName("t1_late").outputMode("append").start()
+    // batch 1 advances event time far ahead → watermark = max - 2h
+    in.addData((1L, ts(10), 1L, "view", 1.0, "{}"),
+      (2L, ts(600), 1L, "view", 1.0, "{}"))     // t = 10h
+    q.processAllAvailable()
+    // batch 2: an event 10 hours late — behind the watermark, dropped
+    in.addData((3L, ts(15), 1L, "view", 100.0, "{}"))
+    // batch 3 pushes the watermark further so closed windows emit
+    in.addData((4L, ts(900), 1L, "view", 1.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val sums = spark.table("t1_late").groupBy().sum("sum_v").as[Double].collect()
+    // the late 100.0 must not appear in any emitted window
+    assert(!sums.exists(_ >= 100.0))
+  }
+
   test("T2 session windows split on 30-min inactivity gaps") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
