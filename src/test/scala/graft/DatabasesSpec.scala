@@ -1,0 +1,40 @@
+package graft
+
+import graft.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vendor database registry + Hive DESCRIBE inference (reference parity:
+  * RDBMSDatabase / RDBMSInferrer.getHiveType hunks). */
+class DatabasesSpec extends AnyFunSuite {
+
+  test("vendor registry builds the right connection string, driver, dialect") {
+    val pg = DatabaseConfig("db1", DatabaseConfig.POSTGRESQL, "h", 5432, "d", None, None)
+    assert(pg.connectionString === "jdbc:postgresql://h:5432/d")
+    assert(pg.driver === "org.postgresql.Driver" && pg.dialect === PostgresDialect)
+    val hive = DatabaseConfig("db2", DatabaseConfig.HIVE, "h", 10000, "d", Some("u"), None)
+    assert(hive.connectionString === "jdbc:hive2://h:10000/d")
+    assert(hive.driver === "org.apache.hive.jdbc.HiveDriver" && hive.dialect === HiveDialect)
+    assertThrows[IllegalArgumentException](
+      DatabaseConfig("x", "sybase", "h", 1, "d", None, None))
+  }
+
+  test("vendor token parses out of the connection string") {
+    assert(DatabaseConfig.vendorFromConnectionString("jdbc:hive2://h:10000/d") === "hive2")
+    assert(DatabaseConfig.vendorFromConnectionString("jdbc:postgresql://h/d") === "postgresql")
+    assert(DatabaseConfig.dialectFor("jdbc:hive2://h:10000/d") === HiveDialect)
+    assert(DatabaseConfig.dialectFor("jdbc:derby:memory:x") === AnsiDialect)
+  }
+
+  test("Hive DESCRIBE output maps to a full Spark schema") {
+    val schema = DatabaseConfig.hiveDescribeToSchema(Seq(
+      ("id", "int"), ("name", "string"), ("amount", "decimal(10,2)"),
+      ("ts", "timestamp"), ("tags", "array<string>"),
+      ("props", "map<string,int>"), ("", ""), ("# Partition Information", "")))
+    assert(schema === StructType(Seq(
+      StructField("id", IntegerType), StructField("name", StringType),
+      StructField("amount", DecimalType(10, 2)), StructField("ts", TimestampType),
+      StructField("tags", ArrayType(StringType)),
+      StructField("props", MapType(StringType, IntegerType)))))
+  }
+}
