@@ -32,7 +32,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // classic OLAP shapes most comparable to a reference-engine baseline
+    val headline = Set("q01_agg", "q02_filter_project", "q03_join_agg",
+      "q04_semi_join", "q06_broadcast_join", "q07_star_join",
+      "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
+    val headlineTotal = results.filter(r => headline(r._1)).map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal}""")
     spark.stop()
   }
 }
