@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, EventOps, MediaOps, Relational, Similarity, Temporal, TextOps}
+import graft.operators.{Dedup, EventOps, Graph, MediaOps, Relational, Similarity, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,7 @@ object SparkEntry {
   val all: Seq[Q] =
     Relational.catalog ++ TextOps.catalog ++ Dedup.catalog ++
       Similarity.catalog ++ EventOps.catalog ++ Temporal.catalog ++
-      MediaOps.catalog
+      MediaOps.catalog ++ Graph.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -443,6 +443,23 @@ object Relational {
         .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
     },
 
+    // R21b — CUBE with grouping_id to disambiguate aggregation levels.
+    Q(
+      "q16b_cube",
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(grouping(c_mktsegment)*2 + grouping(c_nationkey) AS BIGINT) AS gid,
+        |  count(*) AS n
+        |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+        |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"))
+        .select("c_mktsegment", "c_nationkey", "gid", "n")
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("c_nationkey").asc_nulls_first)
+    },
+
     // R17 — HAVING.
     Q(
       "q17_having",
