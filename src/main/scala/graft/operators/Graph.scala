@@ -17,22 +17,35 @@ object Graph {
     * One shuffle join per hop; frontier shrinks as nodes settle.
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var dist = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
-    var frontier = dist
+    // null endpoints would defeat the anti-join dedup (=== never matches
+    // NULL) and re-enter forever — drop them up front
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var frontier = seeds.select(col("node")).filter(col("node").isNotNull)
+      .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+    levels += frontier
+    // seen-set as a plain union of the (few, checkpointed) levels: plan
+    // depth stays O(hops) and each node is stored exactly once — no
+    // per-hop recopy of the accumulated set
+    def seen: DataFrame = levels.reduce(_ union _)
     var hop = 0
     while (hop < maxHops && frontier.limit(1).count() > 0) {
       hop += 1
       val next = e.join(frontier.withColumnRenamed("node", "src").drop("dist"), Seq("src"))
         .select(col("dst").as("node")).distinct()
-        .join(dist.select(col("node").as("seen")), col("node") === col("seen"), "left_anti")
+        .join(seen.select(col("node").as("seenNode")),
+          col("node") === col("seenNode"), "left_anti")
         .withColumn("dist", lit(hop.toLong))
         .localCheckpoint(true)
-      dist = dist.union(next).localCheckpoint(true)
+      levels += next
       frontier = next
     }
-    dist
+    // materialize the result before releasing the level blocks it unions
+    val result = levels.reduce(_ union _).localCheckpoint(true)
+    (levels :+ e).foreach(_.unpersist())
+    result
   }
 
   val catalog: Seq[Q] = Seq(
@@ -58,10 +71,10 @@ object Graph {
       val n = docs.count()
       val edges = docs.select(col("doc_id").as("src"),
         ((col("doc_id") * 7 + 13) % n).as("dst"))
+      // bfs emits exactly one row per reached node at its min distance —
+      // no re-aggregation needed
       val seeds = docs.filter(col("doc_id") < 5).select(col("doc_id").as("node"))
-      bfs(edges, seeds, maxHops = 6)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .orderBy("node")
+      bfs(edges, seeds, maxHops = 6).orderBy("node")
     }
   )
 }
