@@ -33,10 +33,12 @@ case class TopKPairs(
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (scoreExpr.dataType == DoubleType && idExpr.dataType == LongType && kExpr.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      "topk_pairs requires (score double, id bigint, k int literal)")
+    if (scoreExpr.dataType != DoubleType || idExpr.dataType != LongType || !kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "topk_pairs requires (score double, id bigint, k int literal)")
+    else if (k < 1)
+      TypeCheckResult.TypeCheckFailure(s"topk_pairs k must be >= 1, got $k")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
@@ -98,6 +100,9 @@ object TopKPairs {
       Ordering.by((t: (Double, Long)) => (-t._1, t._2)))
 
     def add(score: Double, id: Long): Unit = {
+      // a NaN score would sort as "worst" yet compare false against every
+      // challenger, freezing the heap — exclude it from ranking entirely
+      if (score.isNaN) return
       if (heap.size < k) heap.enqueue((score, id))
       else {
         val worst = heap.head

@@ -29,10 +29,11 @@ object Dedup {
 
 
   /** LSH band hashes: `bands` hashes, each over `rows` adjacent signature
-    * elements. A pair agreeing on any band becomes a candidate.
+    * elements, salted with the band index so equal slices in DIFFERENT
+    * bands never collide. A pair agreeing on any band becomes a candidate.
     */
   def bandHashes(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows))): _*)
+    array((0 until bands).map(b => xxhash64(slice(sig, b * rows + 1, rows), lit(b))): _*)
 
   /** Exact Jaccard of two shingle arrays (distinct-set semantics). */
   def jaccard(a: Column, b: Column): Column = {
@@ -55,6 +56,8 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String, k: Int = 16, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands or trailing permutations are never banded")
     val r = k / bands
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val shingleRows = docs
@@ -76,18 +79,26 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    candidates
+    val out = candidates
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
       .withColumn("jac", jaccard(shingles(col("t_a")), shingles(col("t_b"))))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
+      // materialize, then release the signature blocks — otherwise every
+      // call pins them for the session lifetime
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
   }
 
   /** 64-bit SimHash per document + near-dup pairs by hamming distance,
-    * candidates via 4×16-bit chunk agreement (any chunk equal → candidate;
-    * guarantees recall for hamming ≤ 3 by pigeonhole).
+    * candidates via 4×16-bit chunk agreement. By pigeonhole, recall is
+    * GUARANTEED only for hamming ≤ 3 (4 chunks: ≤3 differing bits leave
+    * one chunk untouched) — hence the default `maxHamming = 3`; a larger
+    * cutoff returns only the candidate pairs that happen to share a
+    * chunk (documented partial recall, like any LSH).
     *
     * The 64 weighted-bit majorities are 64 conditional-sum aggregate
     * columns straight over token-occurrence rows (±1 per occurrence sums
@@ -97,7 +108,7 @@ object Dedup {
     * `spark.sql.codegen.maxFields` ≥ ~140 to stay in whole-stage codegen
     * (all graft entrypoints set it).
     */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))
@@ -118,13 +129,16 @@ object Dedup {
         expr(s"(simhash >> ${i * 16}) & 65535")): _*)).as(Seq("chunk", "cv")))
     val a = chunked.select(col("chunk"), col("cv"), col("doc_id").as("id_a"), col("simhash").as("h_a"))
     val b = chunked.select(col("chunk"), col("cv"), col("doc_id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("chunk", "cv"))
+    val out = a.join(b, Seq("chunk", "cv"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    sim.unpersist()
+    out
   }
 
   /** Distributed connected components: per round, every node takes the
@@ -208,7 +222,9 @@ object Dedup {
     Q(
       "dd5_components",
       """WITH x AS (SELECT doc_id, lang,
-        |    CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang THEN 0 ELSE 1 END AS brk
+        |    CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang
+        |          AND lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+        |         THEN 0 ELSE 1 END AS brk
         |  FROM documents),
         |y AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM x)

@@ -29,7 +29,7 @@ object Similarity {
   def ivfAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 4,
              topK: Int = 3): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.functions.array_to_vector
     val e = prepared(s, d)
       .withColumn("features", array_to_vector(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -53,14 +53,30 @@ object Similarity {
     // probe only the matching inverted lists, rerank exactly
     val c = assigned.filter(col("vec_id") >= 10)
       .select(col("cid"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-    c.join(broadcast(probes), Seq("cid"))
-      .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(wTop).cast("long"))
-      .filter(col("rk") <= topK)
-      .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))
-      .orderBy("q_id", "rk")
+    val out = topkRerank(
+      c.join(broadcast(probes), Seq("cid"))
+        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+        .select("q_id", "c_id", "cos"),
+      k = topK)
+      .localCheckpoint(true)
+    e.unpersist()
+    out
   }
+
+  /** Exact top-k rerank per query via the bounded-heap `topk_pairs`
+    * aggregate (k rows per query per map task through the shuffle — the
+    * scalable shape; the window row_number form sorts whole groups).
+    * Input needs (q_id, c_id, cos); ties break (cos DESC, c_id ASC),
+    * identical to the window formulation the oracles use.
+    */
+  private def topkRerank(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("q_id")
+      .agg(call_function("topk_pairs", col("cos"), col("c_id"), lit(k)).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.id").as("c_id"),
+        round(col("t.score"), 4).as("cos_sim"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy("q_id", "rk")
 
   val catalog: Seq[Q] = Seq(
     // L6 — brute-force cosine top-k: corpus × broadcast(query set).
@@ -85,13 +101,11 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-      c.crossJoin(broadcast(q))
-        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))
-        .orderBy("q_id", "rk")
+      topkRerank(
+        c.crossJoin(broadcast(q))
+          .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+          .select("q_id", "c_id", "cos"),
+        k = 5)
     },
 
     // L5 — embedding near-dup pairs via sign-LSH buckets + cosine verify.
@@ -132,13 +146,11 @@ object Similarity {
         .select(col("bk"), col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       val c = e.filter(col("vec_id") >= 10)
         .select(col("bk"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
-      c.join(broadcast(q), Seq("bk"))
-        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
-        .select(col("q_id"), col("c_id"), round(col("cos"), 4).as("cos_sim"), col("rk"))
-        .orderBy("q_id", "rk")
+      topkRerank(
+        c.join(broadcast(q), Seq("bk"))
+          .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+          .select("q_id", "c_id", "cos"),
+        k = 3)
     },
 
     // L7b — IVF ANN: k-means coarse quantizer (trained once, seeded),
@@ -149,12 +161,16 @@ object Similarity {
     // recall < 1 by construction; spec asserts structure + determinism.
     Q.rowsOnly("sim5_ivf_ann")((s, d) => ivfAnn(s, d)),
 
-    // L8 — per-label norm statistics.
+    // L8 — per-label norm statistics. avg over a micro-quantized exact
+    // integer sum (norms are irrational, so the cents trick generalizes
+    // to 1e-6 units); min/max are order-independent raw doubles — whole
+    // row bit-deterministic across runs and engines (SURVEY.md §5).
     Q(
       "sim4_norm_stats",
       """SELECT label, count(*) AS n,
-        |  round(avg(nrm),4) AS avg_norm, round(min(nrm),4) AS min_norm,
-        |  round(max(nrm),4) AS max_norm
+        |  (CAST(sum(CAST(round(nrm*1000000) AS BIGINT)) AS DOUBLE)/1000000.0)/count(*)
+        |    AS avg_norm,
+        |  min(nrm) AS min_norm, max(nrm) AS max_norm
         |FROM (SELECT label,
         |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
         |      FROM embeddings)
@@ -163,9 +179,10 @@ object Similarity {
       prepared(s, d)
         .groupBy("label")
         .agg(count(lit(1)).as("n"),
-          round(avg("nrm"), 4).as("avg_norm"),
-          round(min("nrm"), 4).as("min_norm"),
-          round(max("nrm"), 4).as("max_norm"))
+          (sum(round(col("nrm") * 1000000).cast("long")) / 1000000.0 / count(lit(1)))
+            .as("avg_norm"),
+          min("nrm").as("min_norm"),
+          max("nrm").as("max_norm"))
         .orderBy("label")
     }
   )

@@ -56,7 +56,11 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("simhash finds planted near-dups with small hamming distance") {
-    val pairs = Dedup.simhashPairs(spark, docsDir)
+    // maxHamming beyond 3 is documented partial recall (only pairs
+    // sharing a 16-bit chunk); the 1-word edit flips >3 bits, so probe
+    // the wider radius explicitly — exact dups (hamming 0) stay in the
+    // guaranteed region
+    val pairs = Dedup.simhashPairs(spark, docsDir, maxHamming = 8)
       .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
     val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
     assert(m.contains((0L, 3L)) && m((0L, 3L)) === 0L, "exact dup should have hamming 0")
