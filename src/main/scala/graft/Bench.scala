@@ -24,19 +24,21 @@ object Bench {
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
+    // failed queries report -1, never a misleading partial elapsed time
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // classic OLAP shapes most comparable to a reference-engine baseline
     val headline = Set("q01_agg", "q02_filter_project", "q03_join_agg",
       "q04_semi_join", "q06_broadcast_join", "q07_star_join",
       "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
-    val headlineTotal = results.filter(r => headline(r._1)).map(_._2).sum
+    val headlineTotal = results.filter(r => headline(r._1)).map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal}""")
     spark.stop()
   }

@@ -51,12 +51,17 @@ object Multimodal {
       (if (payload.length == 0) 0.0 else sum.toDouble / payload.length, crc)
     }
 
-    /** "Resize": deterministic payload re-sampling to w*h bytes. */
+    /** "Resize": deterministic payload re-sampling to w*h bytes. Index
+      * math in Long — `i * payload.length` overflows Int for outputs
+      * beyond ~2GB/len. */
     def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val out = new Array[Byte](w * h)
+      val out = new Array[Byte](math.multiplyExact(w, h))
       if (payload.nonEmpty) {
         var i = 0
-        while (i < out.length) { out(i) = payload((i * payload.length / out.length) min (payload.length - 1)); i += 1 }
+        while (i < out.length) {
+          out(i) = payload(((i.toLong * payload.length / out.length) min (payload.length - 1)).toInt)
+          i += 1
+        }
       }
       out
     }

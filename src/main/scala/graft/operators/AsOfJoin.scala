@@ -34,22 +34,28 @@ object AsOfJoin {
     // visible to the left row (inclusive <= semantics).
     val l = left.withColumn("__side", lit(1))
       .withColumn("__tb", lit(null).cast("long"))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightCols.map(col): _*).schema.fields)))
+    // the right row rides as ONE struct: the carry then attaches a
+    // coherent row, never a column-wise mix of different right rows
+    // (per-column last(ignoreNulls) would skip a null field back to an
+    // older row's value)
     var r = right.select((keys :+ tsCol).map(col) ++ rightCols.map(col): _*)
       .withColumn("__side", lit(0))
       .withColumn("__tb", rightTiebreak.cast("long"))
+      .withColumn("__r", struct(rightCols.map(col): _*))
+      .drop(rightCols: _*)
     for (c <- leftCols if !keys.contains(c) && c != tsCol)
       r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    var u = l
-    for (c <- rightCols) u = u.withColumn(c, lit(null).cast(r.schema(c).dataType))
-    val unioned = u.select(r.columns.map(col): _*).union(r)
+    val unioned = l.select(r.columns.map(col): _*).union(r)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col("__tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(col): _*)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** Numeric range join: rows of `fact` matched to intervals of `ranges`
@@ -64,7 +70,9 @@ object AsOfJoin {
   def rangeJoin(fact: DataFrame, valueCol: String,
                 ranges: DataFrame, loCol: String, hiCol: String,
                 bucketWidth: Long): DataFrame = {
-    val expanded = ranges.withColumn("__bucket",
+    // inverted/empty intervals would make sequence() run DESCENDING and
+    // explode spurious buckets — they can match nothing, drop them first
+    val expanded = ranges.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
         floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
     fact.withColumn("__bucket", floor(col(valueCol) / bucketWidth).cast("long"))

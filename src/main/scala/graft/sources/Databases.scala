@@ -51,9 +51,12 @@ object DatabaseConfig {
   }
 
   /** Vendor token out of a JDBC URL (`jdbc:hive2://…` → `hive2`) —
-    * reference: RDBMSPushdown.scala `vendorFromConnStr`. */
-  def vendorFromConnectionString(s: String): String =
-    s.substring(5, s.indexOf(":", 5))
+    * reference: RDBMSPushdown.scala `vendorFromConnStr`. Malformed URLs
+    * yield "" so [[dialectFor]] can fall back instead of throwing. */
+  def vendorFromConnectionString(s: String): String = {
+    val end = s.indexOf(":", 5)
+    if (s.length < 5 || end < 0) "" else s.substring(5, end)
+  }
 
   /** Dialect selection off the URL, as the reference's pushdown does when
     * choosing its pretty-printer. */
@@ -74,7 +77,8 @@ object DatabaseConfig {
     */
   def hiveDescribeToSchema(rows: Seq[(String, String)]): StructType =
     StructType(rows
-      // DESCRIBE emits a blank-name separator before partition info
-      .filter { case (n, _) => n != null && n.nonEmpty && !n.startsWith("#") }
+      // DESCRIBE repeats partition columns after a blank/'#' separator —
+      // consume only the column section or partition cols appear twice
+      .takeWhile { case (n, _) => n != null && n.nonEmpty && !n.startsWith("#") }
       .map { case (n, t) => StructField(n, DataType.fromDDL(t)) })
 }

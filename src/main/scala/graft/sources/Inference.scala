@@ -37,14 +37,15 @@ object Inference {
   /** Infer once, return the schema for persistence; re-reading with
     * [[withSchema]] then skips the inference scan entirely. */
   def inferCsvSchema(spark: SparkSession, path: String, header: Boolean = true,
-                     samplingRatio: Double = 1.0): StructType =
-    csv(spark, path, header, samplingRatio = samplingRatio).schema
+                     delimiter: String = ",", samplingRatio: Double = 1.0): StructType =
+    csv(spark, path, header, delimiter, samplingRatio).schema
 
   /** Schema-pinned CSV read — the production path once a schema is known:
     * single pass, no inference job. */
   def withSchema(spark: SparkSession, path: String, schema: StructType,
-                 header: Boolean = true): DataFrame =
-    spark.read.option("header", header.toString).schema(schema).csv(path)
+                 header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.option("header", header.toString).option("sep", delimiter)
+      .schema(schema).csv(path)
 
   /** Hive-style partitioned parquet write (SURVEY.md §2 S6): partition
     * columns become directories, enabling partition pruning on read. */

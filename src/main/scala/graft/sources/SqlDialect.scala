@@ -51,10 +51,17 @@ object PostgresDialect extends SqlDialect {
 }
 
 /** Hive quotes identifiers with backticks (reference:
-  * HiveSqlPrettyPrinter.scala hunk in DistributedQueryEngine.diff). */
+  * HiveSqlPrettyPrinter.scala hunk in DistributedQueryEngine.diff), and
+  * its lexer interprets backslash escapes inside string literals, so both
+  * backslash and quote must be backslash-escaped. */
 object HiveDialect extends SqlDialect {
   val name = "hive"
   def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+  override def literal(v: Any): String = v match {
+    case s: String =>
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case other => super.literal(other)
+  }
 }
 
 /** Minimal pushdown predicate AST — the relational subtree the engine is
@@ -125,8 +132,14 @@ object SqlDialect {
       case REAL                     => FloatType
       case FLOAT | DOUBLE           => DoubleType
       case NUMERIC | DECIMAL =>
-        if (precision > 0) DecimalType(math.min(precision, 38), math.min(scale, 37))
-        else DecimalType.SYSTEM_DEFAULT
+        // clamp to Spark's invariant 0 <= scale <= precision <= 38:
+        // some vendors report scale > precision (Postgres NUMERIC(5,10))
+        // or negative scale (Oracle NUMBER(p,-2))
+        if (precision > 0) {
+          val s = math.max(0, math.min(scale, 37))
+          val p = math.min(math.max(precision, s), 38)
+          DecimalType(p, math.min(s, p))
+        } else DecimalType.SYSTEM_DEFAULT
       case CHAR | VARCHAR | LONGVARCHAR | NCHAR | NVARCHAR | LONGNVARCHAR | CLOB | NCLOB
                                     => StringType
       case BINARY | VARBINARY | LONGVARBINARY | BLOB

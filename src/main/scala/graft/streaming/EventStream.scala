@@ -82,14 +82,20 @@ object EventStream {
       .filter(col("__rn") === 1)
       .drop("__rn", "__bid")
     // write to a temp dir then swap: the read above and overwrite below
-    // can't stream from/to the same files
+    // can't stream from/to the same files. Swap via backup-rename on the
+    // PATH's filesystem (not the default FS), checking every step — a
+    // crash mid-swap leaves either dst or dst__bak intact, never neither.
     val tmp = path + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    fs.delete(bak, true)
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"upsertSink: could not move $dst aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"upsertSink: could not publish $tmp to $dst")
+    fs.delete(bak, true)
   }
 
   // ---- T3: custom state machine via flatMapGroupsWithState ----

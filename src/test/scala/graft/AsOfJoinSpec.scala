@@ -23,6 +23,26 @@ class AsOfJoinSpec extends SparkSpecBase {
     assert(out(3L) === None)        // no quote at or before ts(5) for sym 2
   }
 
+  test("asof attaches ONE coherent right row even when its fields are null") {
+    val trades = Seq((1L, 1L, ts(30))).toDF("trade_id", "sym", "ts")
+    // latest quote has px=null; a column-wise carry would leak 100.0 from
+    // the older quote — correct ASOF semantics attach (ts(20), null)
+    val quotes = Seq((1L, ts(10), Some(100.0)), (1L, ts(20), None))
+      .toDF("sym", "ts", "px").withColumn("q_ts", col("ts"))
+    val out = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts",
+        Seq("q_ts", "px"), rightTiebreak = lit(0))
+      .select("trade_id", "q_ts", "px").as[(Long, Timestamp, Option[Double])].head()
+    assert(out === ((1L, ts(20), None)))
+  }
+
+  test("rangeJoin ignores inverted intervals instead of exploding buckets") {
+    val fact = Seq((1L, 10.0)).toDF("id", "v")
+    val ranges = Seq((500.0, 0.0, "bad"), (0.0, 50.0, "ok")).toDF("lo", "hi", "band")
+    val out = AsOfJoin.rangeJoin(fact, "v", ranges, "lo", "hi", bucketWidth = 50L)
+      .select("id", "band").as[(Long, String)].collect()
+    assert(out.toSeq === Seq((1L, "ok")))
+  }
+
   test("rangeJoin matches values into overlapping intervals only") {
     val fact = Seq((1L, 5.0), (2L, 55.0), (3L, 150.0), (4L, 99.99))
       .toDF("id", "v")

@@ -27,14 +27,24 @@ class DatabasesSpec extends AnyFunSuite {
   }
 
   test("Hive DESCRIBE output maps to a full Spark schema") {
+    // real DESCRIBE repeats partition columns after the separator — the
+    // repeated dt must NOT appear twice
     val schema = DatabaseConfig.hiveDescribeToSchema(Seq(
       ("id", "int"), ("name", "string"), ("amount", "decimal(10,2)"),
       ("ts", "timestamp"), ("tags", "array<string>"),
-      ("props", "map<string,int>"), ("", ""), ("# Partition Information", "")))
+      ("props", "map<string,int>"), ("dt", "string"),
+      ("", ""), ("# Partition Information", ""), ("# col_name", "data_type"),
+      ("dt", "string")))
     assert(schema === StructType(Seq(
       StructField("id", IntegerType), StructField("name", StringType),
       StructField("amount", DecimalType(10, 2)), StructField("ts", TimestampType),
       StructField("tags", ArrayType(StringType)),
-      StructField("props", MapType(StringType, IntegerType)))))
+      StructField("props", MapType(StringType, IntegerType)),
+      StructField("dt", StringType))))
+  }
+
+  test("malformed connection strings fall back instead of throwing") {
+    assert(DatabaseConfig.vendorFromConnectionString("jdbc:odbc") === "")
+    assert(DatabaseConfig.dialectFor("nonsense") === AnsiDialect)
   }
 }

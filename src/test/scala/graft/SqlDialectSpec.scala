@@ -39,6 +39,18 @@ class SqlDialectSpec extends AnyFunSuite {
     assert(sql === "\"name\" = 'O''Brien'")
   }
 
+  test("Hive literals backslash-escape (its lexer interprets escapes)") {
+    assert(SqlDialect.printPred(Eq("path", "C:\\temp"), HiveDialect) ===
+      "`path` = 'C:\\\\temp'")
+    assert(SqlDialect.printPred(Eq("name", "O'Brien"), HiveDialect) ===
+      "`name` = 'O\\'Brien'")
+  }
+
+  test("decimal scale/precision are clamped to Spark's invariant") {
+    assert(SqlDialect.sqlTypeToSpark(java.sql.Types.NUMERIC, 5, 10) === DecimalType(10, 10))
+    assert(SqlDialect.sqlTypeToSpark(java.sql.Types.NUMERIC, 5, -2) === DecimalType(5, 0))
+  }
+
   test("compound predicates parenthesize") {
     val p = Or(And(Gt("a", 1), Lt("a", 10)), Not(In("b", Seq("x", "y"))))
     assert(SqlDialect.printPred(p, AnsiDialect) ===
