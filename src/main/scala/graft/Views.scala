@@ -12,13 +12,20 @@ object Views {
   val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // last (session, dir) registered — skips 10 parquet footer reads per
+  // sql() call in the common repeated-query case
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register all tables of an sf dir as temp views (idempotent). */
-  def register(spark: SparkSession, dir: String): Unit = {
-    tableNames.foreach { t =>
-      val df = if (t == "events") Tables.events(spark, dir) else Tables.table(spark, dir, t)
-      df.createOrReplaceTempView(t)
+  def register(spark: SparkSession, dir: String): Unit =
+    if (registered.get(spark) != dir) {
+      tableNames.foreach { t =>
+        val df = if (t == "events") Tables.events(spark, dir) else Tables.table(spark, dir, t)
+        df.createOrReplaceTempView(t)
+      }
+      registered.put(spark, dir)
     }
-  }
 
   /** One-call SQL entry point over a data dir. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

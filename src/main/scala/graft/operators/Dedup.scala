@@ -184,12 +184,13 @@ object Dedup {
       val changed = next
         .join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") < col("old")).count()
-      labels.unpersist()
+      // (checkpoint blocks of superseded rounds are reclaimed by the
+      // ContextCleaner when these references drop — Dataset.unpersist
+      // doesn't touch localCheckpoint storage)
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -42,10 +42,11 @@ object Graph {
       levels += next
       frontier = next
     }
-    // materialize the result before releasing the level blocks it unions
-    val result = levels.reduce(_ union _).localCheckpoint(true)
-    (levels :+ e).foreach(_.unpersist())
-    result
+    // Note: Dataset.unpersist is a no-op for localCheckpoint'd frames
+    // (their blocks live at the RDD layer, not the CacheManager); the
+    // level/edge blocks are reclaimed by the ContextCleaner once these
+    // local references drop out of scope.
+    levels.reduce(_ union _).localCheckpoint(true)
   }
 
   val catalog: Seq[Q] = Seq(

@@ -44,11 +44,13 @@ object Relational {
         .filter(col("l_shipdate") <= ts1998)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          // round-then-cast mirrors the oracle's round(): cast alone
+          // TRUNCATES and would diverge on any non-integral quantity
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
           Stable.moneySum(col("l_extendedprice")).as("sum_base_price"),
           Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("sum_disc_price"),
-          (sum(col("l_quantity").cast("long")) / count(lit(1))).as("avg_qty"),
+          (sum(round(col("l_quantity")).cast("long")) / count(lit(1))).as("avg_qty"),
           Stable.moneyAvg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -429,18 +431,25 @@ object Relational {
         .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(20)
     },
 
-    // R21 — ROLLUP with explicit NULLS FIRST ordering on both sides.
+    // R21 — ROLLUP. gid disambiguates subtotal rows from detail rows
+    // whose group key is a NATURAL null — without it the ordering isn't
+    // total and the compare could flap on such data.
     Q(
       "q16_rollup",
-      """SELECT c_mktsegment, c_nationkey, count(*) AS n,
+      """SELECT c_mktsegment, c_nationkey,
+        |  CAST(grouping(c_mktsegment)*2 + grouping(c_nationkey) AS BIGINT) AS gid,
+        |  count(*) AS n,
         |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS bal
         |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
-        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+        |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
     ) { (s, d) =>
       Tables.customer(s, d)
         .rollup(col("c_mktsegment"), col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), Stable.moneySum(col("c_acctbal")).as("bal"))
-        .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+        .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n"),
+          Stable.moneySum(col("c_acctbal")).as("bal"))
+        .select("c_mktsegment", "c_nationkey", "gid", "n", "bal")
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("c_nationkey").asc_nulls_first)
     },
 
     // R21b — CUBE with grouping_id to disambiguate aggregation levels.

@@ -20,9 +20,13 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
-    // deterministic per-row salt: stable under retries, unlike rand()
-    val saltExpr = pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
-      lit(salts)).cast("int")
+    // salt from the ROW CONTENT: stable under task retries (rand() and
+    // monotonically_increasing_id are both nondeterministic across
+    // re-executed map tasks, which silently duplicates/loses join rows
+    // when a lost executor forces recomputation mid-shuffle). Identical
+    // rows share a salt — spread is by value distribution, which is what
+    // breaks up a hot KEY regardless.
+    val saltExpr = pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int")
     val bigSalted = big.withColumn("__salt", saltExpr)
     val smallExploded = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))

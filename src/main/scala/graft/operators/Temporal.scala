@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   val catalog: Seq[Q] = Seq(
-    // As-of join: each click attaches the user's latest view at-or-before
-    // it. Right side pre-aggregated to one row per (user, ts) so the
-    // match is well-defined on both engines (DuckDB ASOF JOIN oracle).
+    // As-of join: each purchase attaches the user's latest VIEW
+    // at-or-before it (the view→purchase attribution join). Right side
+    // pre-aggregated to one row per (user, ts) so the match is
+    // well-defined on both engines (DuckDB ASOF JOIN oracle).
     Q(
       "aj1_asof_join",
       """WITH v AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
-        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
         |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
         |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
         |FROM c ASOF LEFT JOIN v
@@ -25,13 +26,13 @@ object Temporal {
         |ORDER BY c.event_id""".stripMargin
     ) { (s, d) =>
       val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id"), col("ts"))
         .agg(max("value").as("view_value"))
         .withColumn("view_ts", col("ts"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
-      AsOfJoin.asof(purchases, clicks, Seq("user_id"), "ts",
+      AsOfJoin.asof(purchases, views, Seq("user_id"), "ts",
           Seq("view_ts", "view_value"), rightTiebreak = lit(0))
         .orderBy("event_id")
     },

@@ -31,7 +31,7 @@ object TextOps {
       Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-          regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("re_tokens"))
+          hits(col("text"), "[a-z0-9]+").as("re_tokens"))
         .orderBy("doc_id")
     },
 
