@@ -520,6 +520,33 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // R19b — correlated aggregate subquery (TPC-H Q17 shape): each row
+    // compared against ITS GROUP's aggregate. De-correlated into a
+    // per-key aggregate joined back — one extra scan + a fixed-width agg
+    // join instead of a per-row subquery. Exact-cents average keeps the
+    // 0.5× comparison boundary bit-identical across engines.
+    Q(
+      "q34_correlated_avg",
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS rev
+        |FROM lineitem l JOIN (
+        |  SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)/count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1) p
+        |ON l.l_partkey = p.pk
+        |WHERE l.l_quantity < 0.5 * p.avg_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg((sum(round(col("l_quantity")).cast("long")) / count(lit(1))).as("avg_qty"))
+      li.join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Stable.moneySum(col("l_extendedprice")).as("rev"))
+        .orderBy("l_returnflag")
+    },
+
     // R10 — non-equi cross join (BroadcastNestedLoop on tiny sides).
     Q(
       "q20_cross_join",
