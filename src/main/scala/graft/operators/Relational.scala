@@ -353,6 +353,57 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // R7b — null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    // keys match each other instead of vanishing from the join.
+    Q(
+      "q35_null_safe_join",
+      """WITH k AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        |           FROM customer WHERE c_custkey <= 300)
+        |SELECT coalesce(a.seg, '(null)') AS seg, count(*) AS n_pairs
+        |FROM k a JOIN k b
+        |  ON a.seg IS NOT DISTINCT FROM b.seg AND a.c_custkey < b.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val k = Tables.customer(s, d).filter(col("c_custkey") <= 300)
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val a = k.select(col("c_custkey").as("ck_a"), col("seg").as("seg_a"))
+      val b = k.select(col("c_custkey").as("ck_b"), col("seg").as("seg_b"))
+      a.join(b, col("seg_a") <=> col("seg_b") && col("ck_a") < col("ck_b"))
+        .groupBy(coalesce(col("seg_a"), lit("(null)")).as("seg"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("seg")
+    },
+
+    // R6b — TPC-H Q21 shape: EXISTS + NOT EXISTS against the SAME fact
+    // table (orders where some supplier shipped late and no OTHER
+    // supplier shipped at all). Both de-correlate into per-order
+    // aggregates — one scan feeding two conditions, no repeated
+    // subquery execution.
+    Q(
+      "q36_exists_combo",
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_orderkey = o.o_orderkey
+        |                    AND l2.l_suppkey <> (
+        |                      SELECT min(l3.l_suppkey) FROM lineitem l3
+        |                      WHERE l3.l_orderkey = o.o_orderkey))
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(
+          max(col("l_shipdate") > lit("1997-06-01 00:00:00").cast("timestamp")).as("has_late"),
+          (countDistinct(col("l_suppkey")) === 1).as("single_supp"))
+      Tables.orders(s, d)
+        .join(perOrder, col("o_orderkey") === col("ok"))
+        .filter(col("has_late") && col("single_supp"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // R18 — CASE bucketing + conditional aggregation.
     Q(
       "q12_case_agg",
