@@ -24,12 +24,21 @@ object Bench {
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
-    // failed queries report -1, never a misleading partial elapsed time
+    // failed queries report -1, never a misleading partial elapsed time.
+    // Execution is a noop-sink write, not count(): count() let Catalyst
+    // prune computed projection columns (q02's disc_rev was never
+    // evaluated), understating select/project shapes. The noop sink
+    // computes every output column and discards rows executor-side.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
                catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // untimed: prompt the ContextCleaner to release storage blocks pinned
+      // by this query's localCheckpoint'd frames (dd2/dd3/sim5) so they
+      // don't pressure later-alphabetical queries' timed sections
+      System.gc()
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -39,7 +48,14 @@ object Bench {
       "q04_semi_join", "q06_broadcast_join", "q07_star_join",
       "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
     val headlineTotal = results.filter(r => headline(r._1)).map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal}"""
+    // three sinks so the driver can't lose the JSON in sbt log noise:
+    // the bare line (original contract), a grep-able marker line, a file
+    println(json)
+    println(s"BENCH_JSON $json")
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

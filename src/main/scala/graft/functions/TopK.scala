@@ -36,9 +36,19 @@ case class TopKPairs(
     if (scoreExpr.dataType != DoubleType || idExpr.dataType != LongType || !kExpr.foldable)
       TypeCheckResult.TypeCheckFailure(
         "topk_pairs requires (score double, id bigint, k int literal)")
-    else if (k < 1)
-      TypeCheckResult.TypeCheckFailure(s"topk_pairs k must be >= 1, got $k")
-    else TypeCheckResult.TypeCheckSuccess
+    else if (kExpr.dataType != IntegerType && kExpr.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_pairs k must be an integer literal, got ${kExpr.dataType.sql}")
+    else kExpr.eval(InternalRow.empty) match {
+      // validated here (not via the lazy `k`) so a bad literal surfaces as
+      // an analysis-time TypeCheckFailure, never a thrown exception
+      case null =>
+        TypeCheckResult.TypeCheckFailure("topk_pairs k must not be null")
+      case i: Int if i >= 1 => TypeCheckResult.TypeCheckSuccess
+      case l: Long if l >= 1L && l <= Int.MaxValue => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"topk_pairs k must be >= 1, got $other")
+    }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),

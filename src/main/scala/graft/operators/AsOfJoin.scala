@@ -41,13 +41,16 @@ object AsOfJoin {
     // coherent row, never a column-wise mix of different right rows
     // (per-column last(ignoreNulls) would skip a null field back to an
     // older row's value)
-    var r = right.select((keys :+ tsCol).map(col) ++ rightCols.map(col): _*)
+    val rBase = right.select((keys :+ tsCol).map(col) ++ rightCols.map(col): _*)
       .withColumn("__side", lit(0))
       .withColumn("__tb", rightTiebreak.cast("long"))
       .withColumn("__r", struct(rightCols.map(col): _*))
       .drop(rightCols: _*)
-    for (c <- leftCols if !keys.contains(c) && c != tsCol)
-      r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    // null-pad the left-only columns in ONE select (a withColumn per
+    // column would re-run the analyzer once per column on a wide frame)
+    val r = rBase.select(rBase.columns.map(col) ++
+      leftCols.filter(c => !keys.contains(c) && c != tsCol)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val unioned = l.select(r.columns.map(col): _*).union(r)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc, col("__tb").asc_nulls_last)
@@ -71,10 +74,14 @@ object AsOfJoin {
                 ranges: DataFrame, loCol: String, hiCol: String,
                 bucketWidth: Long): DataFrame = {
     // inverted/empty intervals would make sequence() run DESCENDING and
-    // explode spurious buckets — they can match nothing, drop them first
+    // explode spurious buckets — they can match nothing, drop them first.
+    // Last bucket for the EXCLUSIVE hi bound is ceil(hi/w)-1 — equal to
+    // floor(hi/w) off-boundary and floor(hi/w)-1 exactly on a boundary —
+    // rather than floor((hi-eps)/w), whose epsilon dropped fact values
+    // landing within eps below hi into a bucket the interval never joined.
     val expanded = ranges.filter(col(hiCol) > col(loCol)).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
-        floor((col(hiCol) - lit(1e-9)) / bucketWidth).cast("long"))))
+        ceil(col(hiCol) / bucketWidth).cast("long") - 1)))
     fact.withColumn("__bucket", floor(col(valueCol) / bucketWidth).cast("long"))
       .join(expanded, Seq("__bucket"))
       .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))

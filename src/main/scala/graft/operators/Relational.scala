@@ -760,15 +760,23 @@ object Relational {
     // Approximate quantile sketch (GK/ApproximatePercentile) — the
     // bounded-memory path for percentiles at 100 TB where q22's exact
     // sort-based percentile would need the full column. Rows-only: DuckDB
-    // approximates with t-digest, a different sketch.
+    // approximates with t-digest, a different sketch. The quantile array
+    // is posexploded into one scalar row per (flag, quantile) so the
+    // driver's rows-only compare can sort/hash the columns (r1 verdict:
+    // array-typed output was uncheckable).
     Q.rowsOnly("q29_approx_quantile") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), 10000)")
-            .as("price_quantiles"),
+            .as("qs"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+        .select(col("l_returnflag"), col("n"),
+          posexplode(col("qs")).as(Seq("q_idx", "price_quantile")))
+        .select(col("l_returnflag"),
+          element_at(array(lit(0.25), lit(0.5), lit(0.9)), col("q_idx") + 1).as("q"),
+          col("price_quantile"), col("n"))
+        .orderBy("l_returnflag", "q")
     },
 
     // Mergeable HLL sketch type (Apache DataSketches): per-segment

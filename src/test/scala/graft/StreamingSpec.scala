@@ -83,6 +83,28 @@ class StreamingSpec extends SparkSpecBase {
     assert(byUser === Map(1L -> 2L))
   }
 
+  test("T3 funnelBatch streams a pathological hot user in O(1) state (secondary sort)") {
+    // one bot user with 30k interleaved events (10k completions) among
+    // normal users: the secondary-sort formulation must neither buffer the
+    // hot user nor change semantics
+    val hot = (0 until 10000).flatMap { i =>
+      Seq((i * 3 + 100L, ts(i), 99L, "view", 0.0, "{}"),
+        (i * 3 + 101L, ts(i), 99L, "click", 0.0, "{}"),
+        (i * 3 + 102L, ts(i), 99L, "purchase", 0.0, "{}"))
+    }
+    val normal = Seq(
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(1), 1L, "click", 0.0, "{}"),
+      (3L, ts(2), 1L, "purchase", 0.0, "{}"),
+      (4L, ts(0), 2L, "view", 0.0, "{}"),
+      (5L, ts(1), 2L, "purchase", 0.0, "{}"))   // skips click → no hit
+    val events = (hot ++ normal)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val hits = EventStream.funnelBatch(spark, events, Seq("view", "click", "purchase"))
+    val byUser = hits.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(byUser === Map(99L -> 10000L, 1L -> 1L))
+  }
+
   test("T3 funnel runs as a real stream with flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
@@ -133,6 +155,86 @@ class StreamingSpec extends SparkSpecBase {
       .select("user_id", "version", "score").as[(Long, Long, Double)]
       .collect().sortBy(_._1)
     assert(state.toSeq === Seq((1L, 2L, 11.0), (2L, 1L, 20.0), (3L, 1L, 30.0)))
+  }
+
+  test("T7b bucketed upsert sink rewrites only touched buckets and stays replay-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    val dir = java.nio.file.Files.createTempDirectory("upsertbk").toString + "/state"
+    val nb = 8
+    def sink(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventStream.upsertSinkBucketed(b, id, dir, "user_id", "version", numBuckets = nb)
+    def bucketOf(k: Long): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(nb)).cast("int")).as[Int].head()
+    // pick keys landing in two different buckets
+    val keys = (1L to 50L).map(k => k -> bucketOf(k)).toMap
+    val (kA, kB) = {
+      val ks = keys.toSeq.sortBy(_._1)
+      val a = ks.head
+      (a._1, ks.find(_._2 != a._2).get._1)
+    }
+    val in = MemoryStream[(Long, Long, Double)]
+    val q = in.toDF().toDF("user_id", "version", "score").writeStream
+      .foreachBatch(sink _).start()
+    in.addData((kA, 1L, 10.0), (kB, 1L, 20.0))
+    q.processAllAvailable()
+    // snapshot of kB's bucket dir after batch 0
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/__kb=$b")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = bucketFiles(keys(kB))
+    // batch 1 touches only kA's bucket
+    in.addData((kA, 2L, 11.0), (kA, 2L, 11.0)) // dup rows in batch
+    q.processAllAvailable()
+    q.stop()
+    assert(bucketFiles(keys(kB)) === bBefore,
+      "untouched bucket's files must keep their modification identity")
+    val state = spark.read.parquet(dir)
+      .select("user_id", "version", "score").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(state.toSeq === Seq((kA, 2L, 11.0), (kB, 1L, 20.0)))
+    // replay batch 1 manually (at-least-once delivery) → state unchanged
+    val replay = Seq((kA, 2L, 11.0), (kA, 2L, 11.0)).toDF("user_id", "version", "score")
+    sink(replay, 1L)
+    val state2 = spark.read.parquet(dir)
+      .select("user_id", "version", "score").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(state2.toSeq === Seq((kA, 2L, 11.0), (kB, 1L, 20.0)))
+  }
+
+  test("T8 watermarked aggregation restarts from checkpoint without loss or duplication") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ckptspec").toString
+    val ckpt = base + "/ckpt"; val outDir = base + "/out"
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def start() = EventStream.hourly(events).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    in.addData((1L, ts(10), 1L, "view", 1.0, "{}"), (2L, ts(20), 2L, "view", 2.0, "{}"))
+    q1.processAllAvailable()
+    // push watermark past hour 0 so its window closes and is emitted
+    in.addData((3L, ts(600), 1L, "view", 1.0, "{}"))
+    in.addData((4L, ts(601), 1L, "view", 1.0, "{}"))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart from the same checkpoint: the closed hour-0 window must NOT
+    // re-emit, and pre-watermark stragglers must be dropped
+    val q2 = start()
+    in.addData((5L, ts(30), 1L, "view", 100.0, "{}"))   // late, behind watermark
+    in.addData((6L, ts(1300), 1L, "view", 1.0, "{}"))   // closes the hour-10 window
+    q2.processAllAvailable()
+    q2.stop()
+    // exactly one emission of the hour-0 window across both runs, with the
+    // pre-restart counts only (late 100.0 dropped)
+    val rows = spark.read.parquet(outDir).select("hr", "event_type", "n", "sum_v")
+      .as[(Timestamp, String, Long, Double)].collect()
+    assert(rows.count(r => r._2 == "view" && r._3 == 2L && r._4 == 3.0) == 1,
+      s"hour-0 window must appear exactly once, got ${rows.toSeq}")
+    assert(!rows.exists(_._4 >= 100.0), "late event must be dropped after restart")
   }
 
   test("T4 stream-static join enriches against a broadcast dim") {
