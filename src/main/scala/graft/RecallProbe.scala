@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.Vectors._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Recall measurement for the approximate operators (dd2 MinHash-LSH,
+  * sim3 sign-LSH ANN, sim5 IVF ANN) against EXACT ground truth at a given
+  * scale — the r1 verdict asked for recall pinned at bench scale (sf0.1),
+  * not just the sf0.001 planted-dup specs. Prints one JSON line; numbers
+  * are recorded in PLANS.md per round.
+  *
+  * Ground truths are exact and complete:
+  *  - near-dup pairs: any pair with Jaccard ≥ t shares ≥ 1 shingle, so an
+  *    inverted-index self-join on shingle hashes enumerates a superset of
+  *    the truth, then exact Jaccard filters it (linear in corpus +
+  *    per-shingle fan-out, never all-pairs);
+  *  - ANN: brute-force cosine top-k over query(vec_id<10) × corpus.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "256")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- dd2: MinHash-LSH near-dup pairs vs exact-Jaccard truth ----
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val shingleIndex = docs
+      .select(col("doc_id"), explode(array_distinct(Dedup.shingles(col("text")))).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+    val candA = shingleIndex.select(col("h"), col("doc_id").as("id_a"))
+    val candB = shingleIndex.select(col("h"), col("doc_id").as("id_b"))
+    val truthPairs = candA.join(candB, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
+      .filter(Dedup.jaccard(Dedup.shingles(col("t_a")), Dedup.shingles(col("t_b"))) >= 0.5)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val dd2Pairs = SparkEntry.queries("dd2_minhash_lsh")(spark, sfDir)
+      .select("id_a", "id_b")
+    val dd2Truth = truthPairs.count()
+    val dd2Hit = dd2Pairs.join(truthPairs, Seq("id_a", "id_b"), "left_semi").count()
+
+    // ---- ANN ground truth: brute-force cosine top-3 ----
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", normNative(col("v")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val bruteTop3 = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+      .groupBy("q_id")
+      .agg(call_function("topk_pairs", col("cos"), col("c_id"), lit(3)).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("c_id"))
+      .localCheckpoint(true)
+    val annTruth = bruteTop3.count()
+    def annRecall(name: String): (Long, Long) = {
+      val ann = SparkEntry.queries(name)(spark, sfDir).select("q_id", "c_id")
+      (ann.join(bruteTop3, Seq("q_id", "c_id"), "left_semi").count(), annTruth)
+    }
+    val (sim3Hit, _) = annRecall("sim3_lsh_ann")
+    val (sim5Hit, _) = annRecall("sim5_ivf_ann")
+
+    def ratio(hit: Long, truth: Long): Double =
+      if (truth == 0) 1.0 else hit.toDouble / truth
+    val json =
+      s"""{"sf":"$sfDir","dd2_recall":${ratio(dd2Hit, dd2Truth)},"dd2_truth_pairs":$dd2Truth,""" +
+      s""""sim3_recall":${ratio(sim3Hit, annTruth)},"sim5_recall":${ratio(sim5Hit, annTruth)},""" +
+      s""""ann_truth_pairs":$annTruth}"""
+    println(s"RECALL_JSON $json")
+    spark.stop()
+  }
+}

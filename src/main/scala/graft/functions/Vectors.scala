@@ -34,12 +34,14 @@ object Vectors {
     dotNative(a, b) / (normA * normB)
 
   /** Sign-projection LSH bucket from `nBits` probe dimensions spaced
-    * `stride` apart (1-based element_at). Cheap random-hyperplane stand-in:
-    * the natural basis is as good as random for synthetic embeddings, and
-    * identical buckets are reproducible in ANSI SQL for the oracle.
+    * `stride` apart starting at `offset` (1-based element_at). Cheap
+    * random-hyperplane stand-in: the natural basis is as good as random
+    * for synthetic embeddings, and identical buckets are reproducible in
+    * ANSI SQL for the oracle. Distinct offsets give the independent hash
+    * tables of multi-table LSH.
     */
-  def signBucket(v: Column, nBits: Int, stride: Int): Column =
+  def signBucket(v: Column, nBits: Int, stride: Int, offset: Int = 0): Column =
     (0 until nBits).map { i =>
-      when(element_at(v, i * stride + 1) >= 0, lit(1 << (nBits - 1 - i))).otherwise(lit(0))
+      when(element_at(v, offset + i * stride + 1) >= 0, lit(1 << (nBits - 1 - i))).otherwise(lit(0))
     }.reduce(_ + _).cast("int")
 }

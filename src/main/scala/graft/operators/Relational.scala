@@ -797,6 +797,77 @@ object Relational {
           hll_sketch_estimate(col("sk")).cast("long").as("distinct_nations"), col("n"))
         .union(global)
         .orderBy("c_mktsegment")
+    },
+
+    // R37 — TPC-H Q15 shape: revenue per supplier over a quarter, keep
+    // the max-revenue supplier(s). The max is a two-pass aggregate
+    // (per-supplier agg, then a 1-row global max broadcast back) — the
+    // scalable form of Q15's scalar subquery; an unpartitioned window max
+    // would funnel every supplier row through one partition. Revenue is
+    // compared in exact cents (bigint), so the max-equality never hits
+    // float ties. Exercises the supplier dimension (r1 verdict: loaded
+    // but never joined).
+    Q(
+      "q37_supplier_revenue",
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE)/10000.0 AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE rev_c = (SELECT max(rev_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("rev_c"))
+      val maxRev = rev.agg(max(col("rev_c")).as("max_c"))
+      rev.join(broadcast(maxRev), col("rev_c") === col("max_c"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_c").cast("double") / 10000.0).as("total_revenue"))
+        .orderBy("s_suppkey")
+    },
+
+    // Runtime join pruning (SURVEY §2 "planned r2"): the selective dim
+    // predicate (BUILDING customers) reduces the ORDERS fact before the
+    // heavy lineitem⨝orders shuffle, as an explicit broadcast semi join —
+    // the DataFrame-level form of what InjectRuntimeFilter's bloom filter
+    // does at cluster scale (the bloom path is pinned separately in
+    // PlanGuardSpec, which lowers the injection thresholds and asserts the
+    // runtime filter lands in this exact plan shape). At 100 TB this is
+    // the difference between shuffling all of orders and shuffling the
+    // ~1/5 with a BUILDING customer.
+    Q(
+      "q38_semijoin_prune",
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val buildingKeys = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val prunedOrders = Tables.orders(s, d)
+        .join(broadcast(buildingKeys), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+      Tables.lineitem(s, d)
+        .join(prunedOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -42,4 +42,42 @@ class PlanGuardSpec extends SparkSpecBase {
   test("q15 sort+limit becomes TakeOrderedAndProject (no global sort)") {
     assert(plan("q15_sort_limit").contains("TakeOrderedAndProject"))
   }
+
+  test("q38 prunes the orders fact with a broadcast semi join before the fact-fact join") {
+    val p = plan("q38_semijoin_prune")
+    // the dim-key reduction must be a broadcast LeftSemi (no shuffle added
+    // for the pruning itself), feeding the lineitem⨝orders join
+    assert(p.contains("LeftSemi") && p.contains("Broadcast"),
+      s"expected broadcast semi-join prune in:\n$p")
+  }
+
+  test("Catalyst injects a runtime bloom filter into the Q3 fact join at scale thresholds") {
+    // at 100 TB the explicit semi join in q38 is what InjectRuntimeFilter
+    // automates: lower its size thresholds to sf0.001 scale and pin that
+    // the bloom filter actually lands on the probe side of the join
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join bloom targets
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val l = Tables.lineitem(spark, sf0001)
+      val o = Tables.orders(spark, sf0001)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = l.join(o,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected an injected runtime bloom filter in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
