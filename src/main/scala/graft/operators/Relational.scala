@@ -868,6 +868,142 @@ object Relational {
           Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("revenue"))
         .orderBy("o_orderpriority")
+    },
+
+    // R21b — explicit GROUPING SETS (arbitrary set list, not just the
+    // rollup/cube lattices of q16/q16b) via the Dataset.groupingSets API;
+    // grouping_id makes the cross-level ordering total (NULLs from
+    // grouped-out columns never decide order across levels).
+    Q(
+      "q39_grouping_sets",
+      """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |  o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), ())
+        |ORDER BY gid, o_orderpriority, o_orderstatus""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq.empty),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          Stable.moneySum(col("o_totalprice")).as("total"))
+        .select(col("gid"), col("o_orderpriority"), col("o_orderstatus"),
+          col("n"), col("total"))
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    },
+
+    // R39 — TPC-H Q18 shape (large-volume orders): the HAVING-filtered
+    // per-order aggregate joins back to orders + customer. The big-order
+    // filter runs in the aggregate BEFORE any wide join — at 100 TB the
+    // orders⨝customer work touches only the few qualifying orders.
+    Q(
+      "q40_large_orders",
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 200) big
+        |  ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 200)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    },
+
+    // R40 — TPC-H Q22 shape (idle above-average customers): scalar
+    // subquery (deterministic cents-exact average, broadcast as a 1-row
+    // frame) + anti join against recent orders, grouped by nation. Two
+    // adaptations to the synthetic data: nationkey stands in for Q22's
+    // country-code prefix (no c_phone column), and "idle" means no order
+    // since 2000-01-01 (every customer has SOME order here, so Q22's
+    // no-orders-ever predicate would be vacuously empty — thresholds must
+    // yield rows for the oracle check to mean anything). The anti join's
+    // date filter pushes into the orders scan.
+    Q(
+      "q41_idle_customers",
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0 AS totacctbal
+        |FROM customer,
+        |  (SELECT CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0/count(*)
+        |     AS ab FROM customer WHERE c_acctbal > 0) avg_bal
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val avgBal = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .agg((sum(round(col("c_acctbal") * 100).cast("long")) / lit(100.0) / count(lit(1)))
+          .as("ab"))
+      val recentOrders = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+      Tables.customer(s, d)
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recentOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          Stable.moneySum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    },
+
+    // R41 — TPC-H Q7 shape (nation-pair trade volume): the 6-table join
+    // with BOTH ends of each lineitem resolved to a nation — supplier's
+    // via lineitem, customer's via orders. All four dims broadcast; the
+    // only shuffle is lineitem⨝orders on orderkey, then one partial-agg
+    // exchange on the (supp_nation, cust_nation, yr) group key.
+    Q(
+      "q42_nation_volume",
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS yr, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS DOUBLE)/10000.0
+        |    AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin
+    ) { (s, d) =>
+      val sn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val cn = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("volume"))
+        .orderBy("supp_nation", "cust_nation", "yr")
     }
   )
 }

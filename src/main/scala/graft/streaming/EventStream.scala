@@ -36,6 +36,16 @@ object EventStream {
       .select(col("user_id"), col("sw.start").as("t0"), col("sw.end").as("t1"),
         col("n"), col("sum_v"))
 
+  /** T9 — streaming exact dedup by event_id with bounded state:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only until
+    * the watermark passes it, so state size is O(keys per watermark
+    * window), not O(all keys ever) — the requirement for exactly-once
+    * event delivery on an unbounded at-least-once stream. (Plain
+    * `dropDuplicates` on a stream grows state forever.) */
+  def dedupStream(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** T4 — stream-static join: enrich the stream against a static dim.
     * The static side is broadcast per micro-batch — no stream shuffle. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -43,6 +43,12 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(plan("q15_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("q42 broadcasts all four dims; lineitem joins orders in the only wide join") {
+    val p = plan("q42_nation_volume")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected supplier/customer/nation×2 broadcast, got $broadcasts in:\n$p")
+  }
+
   test("q38 prunes the orders fact with a broadcast semi join before the fact-fact join") {
     val p = plan("q38_semijoin_prune")
     // the dim-key reduction must be a broadcast LeftSemi (no shuffle added

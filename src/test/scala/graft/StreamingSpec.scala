@@ -237,6 +237,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(!rows.exists(_._4 >= 100.0), "late event must be dropped after restart")
   }
 
+  test("T9 dropDuplicatesWithinWatermark dedups replayed events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.dedupStream(events).writeStream
+      .format("memory").queryName("t9_dedup").outputMode("append").start()
+    in.addData((1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(5), 2L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    // redelivery of event 1 in a later micro-batch, still within watermark
+    in.addData((1L, ts(0), 1L, "view", 1.0, "{}"), (3L, ts(10), 3L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t9_dedup").select("event_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L), s"each event_id exactly once, got ${ids.toSeq}")
+  }
+
   test("T4 stream-static join enriches against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
