@@ -1004,6 +1004,29 @@ object Relational {
           Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("volume"))
         .orderBy("supp_nation", "cust_nation", "yr")
+    },
+
+    // R33 — skew-salted join as a CATALOG entry (r1 had it spec-only):
+    // lineitem⨝supplier via Skew.saltedJoin (content-hash salt spreads a
+    // hot supplier over 8 reducers; small side replicated 8×). The oracle
+    // is the PLAIN join — salting must be row-identical to the unsalted
+    // join, and the hash compare proves it.
+    Q(
+      "q43_salted_join",
+      """SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS rev
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val small = Tables.supplier(s, d)
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      Skew.saltedJoin(
+        Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice"),
+        small, Seq("l_suppkey"), salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"),
+          Stable.moneySum(col("l_extendedprice")).as("rev"))
+        .orderBy("s_nationkey")
     }
   )
 }

@@ -188,6 +188,85 @@ object TextOps {
         .select(col("doc_id"),
           md5(lower(regexp_replace(col("text"), "\\s+", " ")).cast("binary")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // L17 — deterministic global shuffle (pre-training data order): total
+    // order by a seeded content hash. At scale this is a range-partitioned
+    // total sort on a uniform key — the ONLY correct way to globally
+    // shuffle a 100 TB corpus (per-partition shuffles leave shard-level
+    // correlations; rand() isn't retry-stable). Changing the seed literal
+    // gives a fresh epoch permutation.
+    Q(
+      "tx7_shuffle_order",
+      """SELECT doc_id, md5(concat(CAST(doc_id AS VARCHAR), ':42')) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(col("doc_id").cast("string"), lit(":42")).cast("binary"))
+            .as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+    },
+
+    // L18 — sequence packing: greedy fill of fixed token-budget context
+    // windows (2048 here), packed independently PER LANGUAGE SHARD — the
+    // running token sum is a window partitioned by lang, so no unbounded
+    // single-partition window; real pipelines shard by output file the
+    // same way. A doc goes to the window its FIRST token lands in
+    // (floor((cum - n_tok)/budget)).
+    Q(
+      "tx8_pack_sequences",
+      """WITH t AS (SELECT lang, doc_id,
+        |             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |c AS (SELECT lang, doc_id, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t)
+        |SELECT lang, CAST(floor((cum - n_tok)/2048.0) AS BIGINT) AS pack_id,
+        |  count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .groupBy(col("lang"),
+          floor((col("cum") - col("n_tok")) / 2048.0).cast("long").as("pack_id"))
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"))
+        .orderBy("lang", "pack_id")
+    },
+
+    // L19 — deterministic train/val/test split: first hex digit of the
+    // id hash partitions ~75/12.5/12.5 via portable STRING-range
+    // comparison (no engine-specific hex→int conversion). Content-hash
+    // splits stay stable as the corpus grows — the property a training
+    // pipeline needs so val examples never leak into train between runs.
+    Q(
+      "tx9_split",
+      """SELECT split, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens
+        |FROM (SELECT CASE WHEN h < 'd' THEN 'train'
+        |                  WHEN h < 'f' THEN 'val'
+        |                  ELSE 'test' END AS split, n_tok
+        |      FROM (SELECT substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS h,
+        |              CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |            FROM documents))
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .select(
+          when(col("h") < "d", "train").when(col("h") < "f", "val")
+            .otherwise("test").as("split"),
+          col("n_tok"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"))
+        .orderBy("split")
     }
   )
 }
