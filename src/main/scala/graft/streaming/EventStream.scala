@@ -54,9 +54,13 @@ object EventStream {
   /** T5 — stream-stream join: views matched to purchases by the same
     * user within `withinMinutes`. Both sides carry watermarks and the
     * join has a two-sided time bound, so Spark can evict buffered state —
-    * the requirement for stream-stream joins to run unbounded. */
+    * the requirement for stream-stream joins to run unbounded.
+    * `joinType = "left_outer"` additionally emits unconverted views (null
+    * purchase columns) once the watermark proves no match can arrive —
+    * the attribution-with-negatives form. */
   def viewToPurchase(views: DataFrame, purchases: DataFrame,
-                     withinMinutes: Int = 60): DataFrame = {
+                     withinMinutes: Int = 60,
+                     joinType: String = "inner"): DataFrame = {
     val v = views.select(col("user_id").as("v_user"), col("ts").as("view_ts"),
       col("event_id").as("view_id"))
       .withWatermark("view_ts", s"$withinMinutes minutes")
@@ -66,7 +70,8 @@ object EventStream {
     v.join(p,
         col("v_user") === col("p_user") &&
           col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES"),
+        joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("view_ts"),
         col("purchase_id"), col("purchase_ts"), col("value"))
   }

@@ -137,6 +137,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(rows === Set((1L, 1L, 3L)))
   }
 
+  test("T5b left-outer stream-stream join emits unconverted views after watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val vIn = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val pIn = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.viewToPurchase(vIn.toDF().toDF(cols: _*),
+        pIn.toDF().toDF(cols: _*), withinMinutes = 60, joinType = "left_outer")
+      .writeStream.format("memory").queryName("t5b_outer").outputMode("append").start()
+    vIn.addData((1L, ts(0), 1L, "view", 0.0, "{}"), (2L, ts(0), 2L, "view", 0.0, "{}"))
+    pIn.addData((3L, ts(30), 1L, "purchase", 9.0, "{}"))   // user 1 converts
+    q.processAllAvailable()
+    // advance BOTH watermarks far past view 2's join window so the outer
+    // side can conclude no purchase will ever match it
+    vIn.addData((4L, ts(600), 9L, "view", 0.0, "{}"))
+    pIn.addData((5L, ts(600), 9L, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    vIn.addData((6L, ts(1200), 9L, "view", 0.0, "{}"))
+    pIn.addData((7L, ts(1200), 9L, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t5b_outer")
+      .select("user_id", "view_id", "purchase_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(rows.contains((1L, 1L, Some(3L))), s"converted view must match: $rows")
+    assert(rows.contains((2L, 2L, None)),
+      s"unconverted view must emit with null purchase after expiry: $rows")
+  }
+
   test("T7 foreachBatch upsert sink is idempotent under replayed batches") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("upsertspec").toString + "/state"
