@@ -1,6 +1,5 @@
 package graft
 
-import graft.functions.Vectors._
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -55,19 +54,13 @@ object RecallProbe {
     val dd2Truth = truthPairs.count()
     val dd2Hit = dd2Pairs.join(truthPairs, Seq("id_a", "id_b"), "left_semi").count()
 
-    // ---- ANN ground truth: brute-force cosine top-3 ----
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", normNative(col("v")))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val c = e.filter(col("vec_id") >= 10)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val bruteTop3 = c.crossJoin(broadcast(q))
-      .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
-      .groupBy("q_id")
-      .agg(call_function("topk_pairs", col("cos"), col("c_id"), lit(3)).as("top"))
-      .select(col("q_id"), explode(col("top.id")).as("c_id"))
+    // ---- ANN ground truth: brute-force cosine top-3, taken from the
+    // catalog's own brute-force entry (k=5, identical tie-break) so the
+    // probe's "truth" can never drift from what the catalog calls brute
+    // force ----
+    val bruteTop3 = SparkEntry.queries("sim1_bruteforce_topk")(spark, sfDir)
+      .filter(col("rk") <= 3)
+      .select("q_id", "c_id")
       .localCheckpoint(true)
     val annTruth = bruteTop3.count()
     def annRecall(name: String): (Long, Long) = {

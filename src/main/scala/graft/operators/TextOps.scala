@@ -241,15 +241,16 @@ object TextOps {
     },
 
     // L19 — deterministic train/val/test split: first hex digit of the
-    // id hash partitions ~75/12.5/12.5 via portable STRING-range
+    // id hash partitions 75/12.5/12.5 (hex digits 0-b → train = 12/16,
+    // c-d → val = 2/16, e-f → test = 2/16) via portable STRING-range
     // comparison (no engine-specific hex→int conversion). Content-hash
     // splits stay stable as the corpus grows — the property a training
     // pipeline needs so val examples never leak into train between runs.
     Q(
       "tx9_split",
       """SELECT split, count(*) AS docs, CAST(sum(n_tok) AS BIGINT) AS tokens
-        |FROM (SELECT CASE WHEN h < 'd' THEN 'train'
-        |                  WHEN h < 'f' THEN 'val'
+        |FROM (SELECT CASE WHEN h < 'c' THEN 'train'
+        |                  WHEN h < 'e' THEN 'val'
         |                  ELSE 'test' END AS split, n_tok
         |      FROM (SELECT substring(md5(CAST(doc_id AS VARCHAR)),1,1) AS h,
         |              CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
@@ -261,7 +262,7 @@ object TextOps {
           substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("h"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .select(
-          when(col("h") < "d", "train").when(col("h") < "f", "val")
+          when(col("h") < "c", "train").when(col("h") < "e", "val")
             .otherwise("test").as("split"),
           col("n_tok"))
         .groupBy("split")

@@ -91,6 +91,12 @@ object EventStream {
     val incoming = batch.withColumn("__bid", lit(batchId))
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
+    // crash recovery FIRST: a previous run that died between moving dst
+    // aside and publishing tmp leaves the backup as the ONLY copy of
+    // state — treating that as "absent table" would wipe all history.
+    if (!fs.exists(dst) && fs.exists(bak) && !fs.rename(bak, dst))
+      throw new java.io.IOException(s"upsertSink: could not restore $bak to $dst")
     // only a genuinely absent table starts empty; any other read failure
     // (IO, permissions, corrupt footer) must abort the batch — swallowing
     // it would silently discard all previously upserted history
@@ -107,7 +113,6 @@ object EventStream {
     // crash mid-swap leaves either dst or dst__bak intact, never neither.
     val tmp = path + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val bak = new org.apache.hadoop.fs.Path(path + "__bak")
     fs.delete(bak, true)
     if (fs.exists(dst) && !fs.rename(dst, bak))
       throw new java.io.IOException(s"upsertSink: could not move $dst aside")
@@ -132,43 +137,77 @@ object EventStream {
                          keyCol: String, versionCol: String,
                          numBuckets: Int = 64): Unit = {
     val spark = batch.sparkSession
+    import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCol)
       .orderBy(col(versionCol).desc, col("__bid").desc)
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery FIRST (mirrors upsertSink): a previous run that died
+    // mid-publish leaves `__kb=N__bak` as the only copy of bucket N —
+    // restore it before anything reads the table. Completed publishes
+    // leave a stale bak next to a fresh main dir: drop the stale copy.
+    if (fs.exists(dst)) fs.listStatus(dst).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("__kb=") && nm.endsWith("__bak")) {
+        val main = new Path(dst, nm.stripSuffix("__bak"))
+        if (!fs.exists(main)) {
+          if (!fs.rename(st.getPath, main))
+            throw new java.io.IOException(
+              s"upsertSinkBucketed: could not restore ${st.getPath} to $main")
+        } else fs.delete(st.getPath, true)
+      }
+    }
     // deterministic content hash (not rand/monotonic id): replays land in
-    // the same buckets, keeping the sink idempotent
+    // the same buckets, keeping the sink idempotent. persist (not
+    // localCheckpoint): used for both bucket list + merge, and explicitly
+    // released below — per-micro-batch localCheckpoints would pin storage
+    // blocks until GC on a long-running stream.
     val incoming = batch
       .withColumn("__kb", pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
       .withColumn("__bid", lit(batchId))
-      .localCheckpoint()  // computed once, used for both bucket list + merge
-    val touched = incoming.select("__kb").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // as in upsertSink: only a genuinely absent table starts empty — any
-    // other read failure must abort the batch, not wipe state
-    val existing =
-      if (fs.exists(dst))
-        spark.read.parquet(path)
-          .filter(col("__kb").isin(touched.map(Int.box): _*))  // partition-pruned read
-          .withColumn("__bid", lit(-1L))
-      else incoming.limit(0)
-    val merged = existing.select(incoming.columns.map(col): _*)
-      .union(incoming)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__bid")
-      // break lineage to the parquet files about to be overwritten (Spark
-      // rejects overwriting a path that the plan is still reading from)
-      .localCheckpoint()
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")  // replace only partitions present in `merged`
-    try merged.write.mode("overwrite").partitionBy("__kb").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = incoming.select("__kb").distinct()
+        .collect().map(_.getInt(0)).sorted
+      // as in upsertSink: only a genuinely absent table starts empty — any
+      // other read failure must abort the batch, not wipe state
+      val existing =
+        if (fs.exists(dst))
+          spark.read.parquet(path)
+            .filter(col("__kb").isin(touched.map(Int.box): _*))  // partition-pruned read
+            .withColumn("__bid", lit(-1L))
+        else incoming.limit(0)
+      val merged = existing.select(incoming.columns.map(col): _*)
+        .union(incoming)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__bid")
+      // stage the merged buckets AWAY from the table (no read-write path
+      // conflict, no lineage break needed), then publish each touched
+      // bucket with the same backup-rename swap upsertSink uses — a crash
+      // at any point leaves every bucket recoverable from main or bak,
+      // unlike a direct dynamic-partition overwrite whose delete+move
+      // window can permanently lose a bucket.
+      val stage = new Path(path + "__stage")
+      merged.write.mode("overwrite").partitionBy("__kb").parquet(stage.toString)
+      fs.mkdirs(dst)
+      touched.foreach { b =>
+        val bSrc = new Path(stage, s"__kb=$b")
+        val bDst = new Path(dst, s"__kb=$b")
+        val bBak = new Path(dst, s"__kb=${b}__bak")
+        if (!fs.exists(bSrc))
+          throw new java.io.IOException(
+            s"upsertSinkBucketed: staged bucket $bSrc missing (touched bucket must have rows)")
+        fs.delete(bBak, true)
+        if (fs.exists(bDst) && !fs.rename(bDst, bBak))
+          throw new java.io.IOException(s"upsertSinkBucketed: could not move $bDst aside")
+        if (!fs.rename(bSrc, bDst))
+          throw new java.io.IOException(s"upsertSinkBucketed: could not publish $bSrc")
+        fs.delete(bBak, true)
+      }
+      fs.delete(stage, true)
+    } finally incoming.unpersist()
   }
 
   // ---- T3: custom state machine via flatMapGroupsWithState ----

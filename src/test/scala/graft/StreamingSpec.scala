@@ -232,6 +232,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(state2.toSeq === Seq((kA, 2L, 11.0), (kB, 1L, 20.0)))
   }
 
+  test("T7 upsert sink recovers state from the backup after a simulated mid-swap crash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsertcrash").toString + "/state"
+    val b0 = Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("user_id", "version", "score")
+    EventStream.upsertSink(b0, 0L, dir, "user_id", "version")
+    // simulate a crash between "move dst aside" and "publish tmp": the
+    // backup is the only surviving copy of state
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__bak")))
+    val b1 = Seq((3L, 1L, 30.0)).toDF("user_id", "version", "score")
+    EventStream.upsertSink(b1, 1L, dir, "user_id", "version")
+    val state = spark.read.parquet(dir)
+      .select("user_id", "version", "score").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(state.toSeq === Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0)),
+      "pre-crash history must be restored from the backup, not wiped")
+  }
+
+  test("T7b bucketed sink recovers a bucket from its backup after a simulated crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val dir = java.nio.file.Files.createTempDirectory("upsertbkcrash").toString + "/state"
+    val nb = 8
+    def bucketOf(k: Long): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(k)), lit(nb)).cast("int")).as[Int].head()
+    val b0 = Seq((1L, 1L, 10.0), (2L, 1L, 20.0)).toDF("user_id", "version", "score")
+    EventStream.upsertSinkBucketed(b0, 0L, dir, "user_id", "version", numBuckets = nb)
+    // simulate a crash that left bucket(1) moved aside but never republished
+    val kb = bucketOf(1L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/__kb=$kb"),
+      new org.apache.hadoop.fs.Path(s"$dir/__kb=${kb}__bak")))
+    val b1 = Seq((3L, 1L, 30.0)).toDF("user_id", "version", "score")
+    EventStream.upsertSinkBucketed(b1, 1L, dir, "user_id", "version", numBuckets = nb)
+    val state = spark.read.parquet(dir)
+      .select("user_id", "version", "score").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    assert(state.toSeq === Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0)),
+      "the moved-aside bucket must be restored before the batch merges")
+  }
+
   test("T8 watermarked aggregation restarts from checkpoint without loss or duplication") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("ckptspec").toString
