@@ -113,11 +113,24 @@ object EventStream {
     // crash mid-swap leaves either dst or dst__bak intact, never neither.
     val tmp = path + "__tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    publishWithBackup(fs, new org.apache.hadoop.fs.Path(tmp), dst, bak)
+  }
+
+  /** Backup-rename publish shared by both upsert sinks: move `main` aside
+    * to `bak`, rename `src` into place, then drop the backup. A crash at
+    * any point leaves `main` or `bak` intact — the matching recovery code
+    * in each sink restores `bak` when `main` is missing, so the ordering
+    * here and there must stay in lockstep (one shared copy, not two).
+    */
+  private def publishWithBackup(fs: org.apache.hadoop.fs.FileSystem,
+                                src: org.apache.hadoop.fs.Path,
+                                main: org.apache.hadoop.fs.Path,
+                                bak: org.apache.hadoop.fs.Path): Unit = {
     fs.delete(bak, true)
-    if (fs.exists(dst) && !fs.rename(dst, bak))
-      throw new java.io.IOException(s"upsertSink: could not move $dst aside")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
-      throw new java.io.IOException(s"upsertSink: could not publish $tmp to $dst")
+    if (fs.exists(main) && !fs.rename(main, bak))
+      throw new java.io.IOException(s"upsert publish: could not move $main aside")
+    if (!fs.rename(src, main))
+      throw new java.io.IOException(s"upsert publish: could not publish $src to $main")
     fs.delete(bak, true)
   }
 
@@ -171,9 +184,15 @@ object EventStream {
       val touched = incoming.select("__kb").distinct()
         .collect().map(_.getInt(0)).sorted
       // as in upsertSink: only a genuinely absent table starts empty — any
-      // other read failure must abort the batch, not wipe state
+      // other read failure must abort the batch, not wipe state. "Absent"
+      // includes an existing dir with NO bucket subdirs (left by a crash
+      // between mkdirs and the first publish, or an empty first batch):
+      // reading that with spark.read.parquet would throw unable-to-infer-
+      // schema on every replay, wedging the stream permanently.
+      val hasBuckets = fs.exists(dst) &&
+        fs.listStatus(dst).exists(_.getPath.getName.startsWith("__kb="))
       val existing =
-        if (fs.exists(dst))
+        if (hasBuckets)
           spark.read.parquet(path)
             .filter(col("__kb").isin(touched.map(Int.box): _*))  // partition-pruned read
             .withColumn("__bid", lit(-1L))
@@ -194,17 +213,11 @@ object EventStream {
       fs.mkdirs(dst)
       touched.foreach { b =>
         val bSrc = new Path(stage, s"__kb=$b")
-        val bDst = new Path(dst, s"__kb=$b")
-        val bBak = new Path(dst, s"__kb=${b}__bak")
         if (!fs.exists(bSrc))
           throw new java.io.IOException(
             s"upsertSinkBucketed: staged bucket $bSrc missing (touched bucket must have rows)")
-        fs.delete(bBak, true)
-        if (fs.exists(bDst) && !fs.rename(bDst, bBak))
-          throw new java.io.IOException(s"upsertSinkBucketed: could not move $bDst aside")
-        if (!fs.rename(bSrc, bDst))
-          throw new java.io.IOException(s"upsertSinkBucketed: could not publish $bSrc")
-        fs.delete(bBak, true)
+        publishWithBackup(fs, bSrc,
+          new Path(dst, s"__kb=$b"), new Path(dst, s"__kb=${b}__bak"))
       }
       fs.delete(stage, true)
     } finally incoming.unpersist()

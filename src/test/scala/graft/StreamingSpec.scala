@@ -276,6 +276,21 @@ class StreamingSpec extends SparkSpecBase {
       "the moved-aside bucket must be restored before the batch merges")
   }
 
+  test("T7b bucketed sink tolerates a pre-existing empty state directory (no wedge)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsertbkempty").toString + "/state"
+    // the state a crash between mkdirs and the first publish leaves behind:
+    // an existing directory with no bucket subdirs
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val b0 = Seq((1L, 1L, 10.0)).toDF("user_id", "version", "score")
+    EventStream.upsertSinkBucketed(b0, 0L, dir, "user_id", "version", numBuckets = 8)
+    val state = spark.read.parquet(dir)
+      .select("user_id", "version", "score").as[(Long, Long, Double)].collect()
+    assert(state.toSeq === Seq((1L, 1L, 10.0)))
+  }
+
   test("T8 watermarked aggregation restarts from checkpoint without loss or duplication") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("ckptspec").toString
