@@ -63,6 +63,34 @@ object ScaleProbe {
         .agg(call_function("topk_pairs", col("o_totalprice"), col("o_orderkey"), lit(3)))
         .count()
     }
+    // r2 shapes: semi-join prune (q38) — the pruned fact-fact join should
+    // track the plain join's cost minus the pruned fraction, not add to it
+    time("semijoin_pruned_join") {
+      val buildingKeys = Tables.customer(spark, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val prunedOrders = or.join(broadcast(buildingKeys),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      li.join(prunedOrders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1))).count()
+    }
+    // r2 shapes: 6-table nation-pair join (q42) — dims broadcast, the
+    // replicated facts carry the only shuffle
+    time("nation_pair_6table") {
+      val sup = Tables.supplier(spark, d)
+      val cust = Tables.customer(spark, d)
+      val sn = Tables.nation(spark, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val cn = Tables.nation(spark, d)
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(count(lit(1))).count()
+    }
     spark.stop()
   }
 }
