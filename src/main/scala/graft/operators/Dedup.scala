@@ -263,6 +263,39 @@ object Dedup {
         .orderBy("id_a")
     },
 
+    // L20 — eval-set contamination detection: corpus documents sharing
+    // >= 3 distinct 3-word shingles with any eval document (eval set =
+    // doc_id < 20, standing in for a held-out benchmark). The shape that
+    // decontaminates a 100 TB training corpus against eval sets: the
+    // SMALL eval shingle index broadcasts, the corpus side streams —
+    // never corpus×corpus, and the corpus is touched once.
+    Q(
+      "dd7_contamination",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+        |       FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id AS eval_id, unnest(sg) AS s FROM sh WHERE doc_id < 20),
+        |cx AS (SELECT doc_id AS corpus_id, unnest(sg) AS s FROM sh WHERE doc_id >= 20)
+        |SELECT eval_id, corpus_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM ex JOIN cx USING (s)
+        |GROUP BY 1,2 HAVING count(*) >= 3 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sg"))
+      val ex = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("eval_id"), explode(col("sg")).as("s"))
+      val cx = sh.filter(col("doc_id") >= 20)
+        .select(col("doc_id").as("corpus_id"), explode(col("sg")).as("s"))
+      cx.join(broadcast(ex), Seq("s"))
+        .groupBy("eval_id", "corpus_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("eval_id", "corpus_id")
+    },
+
     // L4 — exact n-gram Jaccard similarity, oracle-checked on adjacent-id
     // pairs (the same jaccard() verifies dd2's LSH candidates; here the
     // pair set is deterministic so DuckDB can replay it exactly).

@@ -240,6 +240,29 @@ object TextOps {
         .orderBy("lang", "pack_id")
     },
 
+    // L21 — sensitive-term scrubbing: regex redaction with an audit count,
+    // the PII-removal shape (emails/phones/SSNs in production; the
+    // synthetic corpus has no such patterns, so two stand-in terms play
+    // the role — the operator is the regexp machinery, scan-local and
+    // codegen'd, not the pattern). n_redactions > 0 keeps the check
+    // non-vacuous.
+    Q(
+      "tx10_redact",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(spark|query)\b')) AS BIGINT)
+        |    AS n_redactions,
+        |  md5(regexp_replace(text, '\b(spark|query)\b', '<TERM>', 'g')) AS redacted_fp
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("\\b(spark|query)\\b")).cast("long")
+            .as("n_redactions"),
+          md5(regexp_replace(col("text"), "\\b(spark|query)\\b", "<TERM>")
+            .cast("binary")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+
     // L19 — deterministic train/val/test split: first hex digit of the
     // id hash partitions 75/12.5/12.5 (hex digits 0-b → train = 12/16,
     // c-d → val = 2/16, e-f → test = 2/16) via portable STRING-range
