@@ -84,6 +84,36 @@ object Multimodal {
       .as[Asset]
   }
 
+  /** Real media-lake ingestion seam: `binaryFile` source over a directory
+    * tree — one row per file with `(path, modificationTime, length,
+    * content)` — mapped onto the same [[Asset]] schema the rest of the
+    * pipeline consumes. This is how an actual image/audio/video lake
+    * enters the engine (payloads stay scan-local; the source supports
+    * pathGlobFilter + recursive lookup, and partition sizing is governed
+    * by `spark.sql.files.maxPartitionBytes` exactly like parquet scans).
+    * The asset id is the path hash — deterministic under re-ingestion;
+    * kind comes from the file extension.
+    */
+  def ingestBinaryDir(spark: SparkSession, dir: String,
+                      glob: String = "*"): Dataset[Asset] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("asset_id"),
+        when(col("path").rlike("\\.(png|jpe?g|bmp)$"), "image")
+          .when(col("path").rlike("\\.(wav|mp3|flac)$"), "audio")
+          .when(col("path").rlike("\\.(mp4|mkv|webm)$"), "video")
+          .otherwise("binary").as("kind"),
+        col("content").as("payload"),
+        lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sample_rate"),
+        col("length").as("duration_ms"))
+      .as[Asset]
+  }
+
   /** Decode + feature-extract, partition-local. */
   def imageFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
     import assets.sparkSession.implicits._

@@ -35,6 +35,29 @@ class MultimodalSpec extends SparkSpecBase {
     assert(frames.map(_.t_ms).sorted === Array(0L, 5000L, 10000L, 15000L))
   }
 
+  test("binaryFile ingestion maps a real directory tree onto the Asset pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("medialake")
+    val sub = java.nio.file.Files.createDirectory(dir.resolve("shard0"))
+    java.nio.file.Files.write(dir.resolve("a.png"), "PNGBYTES".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.wav"), "WAVDATA".getBytes("UTF-8"))
+    java.nio.file.Files.write(sub.resolve("c.mp4"), "MP4!".getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("notes.txt"), "x".getBytes("UTF-8"))
+    val assets = Multimodal.ingestBinaryDir(spark, dir.toString).collect()
+    assert(assets.length === 4, "recursive lookup must find all files")
+    val byKind = assets.groupBy(_.kind).view.mapValues(_.length).toMap
+    assert(byKind === Map("image" -> 1, "audio" -> 1, "video" -> 1, "binary" -> 1))
+    // payload bytes survive ingestion intact and feed the feature pipeline
+    val img = assets.find(_.kind == "image").get
+    assert(new String(img.payload, "UTF-8") === "PNGBYTES")
+    assert(img.duration_ms === 8L) // binaryFile `length` carried through
+    val feats = Multimodal.imageFeatures(
+      Multimodal.ingestBinaryDir(spark, dir.toString, glob = "*.png")).collect()
+    assert(feats.length === 1 && feats.head.n_bytes === 8L)
+    // deterministic ids under re-ingestion (path hash, not monotonic id)
+    val again = Multimodal.ingestBinaryDir(spark, dir.toString).collect()
+    assert(again.map(_.asset_id).sorted.sameElements(assets.map(_.asset_id).sorted))
+  }
+
   test("assets table from documents has the real binary+metadata schema") {
     val ds = Multimodal.assets(spark, sf0001)
     val sch = ds.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap

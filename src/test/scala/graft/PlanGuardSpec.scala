@@ -57,6 +57,32 @@ class PlanGuardSpec extends SparkSpecBase {
       s"expected broadcast semi-join prune in:\n$p")
   }
 
+  test("q38's semi-join prune measurably reduces rows entering the fact join") {
+    // AQE off for this check: query stages are leaf nodes, so executed
+    // metrics inside them aren't reachable by plan collect
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      val df = SparkEntry.queries("q38_semijoin_prune")(spark, sf0001)
+      df.collect()  // execute so SQL metrics are populated
+      val semiOut = df.queryExecution.executedPlan.collectWithSubqueries {
+        case j: BaseJoinExec if j.joinType == LeftSemi =>
+          j.metrics("numOutputRows").value
+      }
+      val totalOrders = Tables.orders(spark, sf0001).count()
+      assert(semiOut.nonEmpty,
+        s"no LeftSemi join executed in:\n${df.queryExecution.executedPlan}")
+      assert(semiOut.head > 0 && semiOut.head < totalOrders,
+        s"prune must pass a strict subset of orders: ${semiOut.head} of $totalOrders")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.adaptive.enabled", v)
+      case None    => conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("Catalyst injects a runtime bloom filter into the Q3 fact join at scale thresholds") {
     // at 100 TB the explicit semi join in q38 is what InjectRuntimeFilter
     // automates: lower its size thresholds to sf0.001 scale and pin that

@@ -340,6 +340,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(ids === Array(1L, 2L, 3L), s"each event_id exactly once, got ${ids.toSeq}")
   }
 
+  test("T10 AvailableNow trigger drains the backlog then terminates on its own") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    in.addData((1L, ts(10), 1L, "view", 1.0, "{}"), (2L, ts(20), 2L, "view", 2.0, "{}"))
+    // catch-up mode: process everything currently available, then stop —
+    // the operational pattern for backfilling a stream job without
+    // leaving it running
+    val q = EventStream.hourly(events).writeStream
+      .format("memory").queryName("t10_avail").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
+    val n = spark.table("t10_avail").select("n").as[Long].collect().sum
+    assert(n === 2L)
+  }
+
   test("T4 stream-static join enriches against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
