@@ -49,10 +49,12 @@ object Bench {
       "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
     val headlineTotal = results.filter(r => headline(r._1)).map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal}"""
-    // three sinks so the driver can't lose the JSON in sbt log noise:
-    // the bare line (original contract), a grep-able marker line, a file
+    // two sinks so the driver can't lose the JSON in sbt log noise: the
+    // bare stdout line (original contract — kept as the ONLY line
+    // matching '"metric"'; a second marker line would break the r1
+    // driver's grep, and sbt merges the forked JVM's stderr back into its
+    // stdout so stderr is no escape) and the target/bench.json file
     println(json)
-    println(s"BENCH_JSON $json")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))

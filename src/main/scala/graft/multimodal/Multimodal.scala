@@ -103,9 +103,11 @@ object Multimodal {
       .load(dir)
       .select(
         xxhash64(col("path")).as("asset_id"),
-        when(col("path").rlike("\\.(png|jpe?g|bmp)$"), "image")
-          .when(col("path").rlike("\\.(wav|mp3|flac)$"), "audio")
-          .when(col("path").rlike("\\.(mp4|mkv|webm)$"), "video")
+        // (?i): camera/encoder output is routinely uppercase (.JPG, .MP4);
+        // a case-sensitive match would silently route those to "binary"
+        when(col("path").rlike("(?i)\\.(png|jpe?g|bmp)$"), "image")
+          .when(col("path").rlike("(?i)\\.(wav|mp3|flac)$"), "audio")
+          .when(col("path").rlike("(?i)\\.(mp4|mkv|webm)$"), "video")
           .otherwise("binary").as("kind"),
         col("content").as("payload"),
         lit(0).as("width"), lit(0).as("height"),

@@ -171,6 +171,20 @@ object EventStream {
         } else fs.delete(st.getPath, true)
       }
     }
+    // the bucket count is part of the table's physical identity: a run
+    // with a different numBuckets would hash keys into different dirs,
+    // silently leaving stale versions in never-again-read buckets. Pin it
+    // in a marker file on first publish and refuse mismatched runs.
+    val marker = new Path(dst, "_graft_num_buckets")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val persisted = try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+      finally in.close()
+      if (persisted != numBuckets)
+        throw new IllegalArgumentException(
+          s"upsertSinkBucketed: table at $path was created with numBuckets=$persisted, " +
+            s"got $numBuckets — changing the bucket count would corrupt last-writer-wins state")
+    }
     // deterministic content hash (not rand/monotonic id): replays land in
     // the same buckets, keeping the sink idempotent. persist (not
     // localCheckpoint): used for both bucket list + merge, and explicitly
@@ -211,6 +225,10 @@ object EventStream {
       val stage = new Path(path + "__stage")
       merged.write.mode("overwrite").partitionBy("__kb").parquet(stage.toString)
       fs.mkdirs(dst)
+      if (!fs.exists(marker)) {
+        val out = fs.create(marker, true)
+        try out.write(numBuckets.toString.getBytes("UTF-8")) finally out.close()
+      }
       touched.foreach { b =>
         val bSrc = new Path(stage, s"__kb=$b")
         if (!fs.exists(bSrc))

@@ -42,14 +42,17 @@ class MultimodalSpec extends SparkSpecBase {
     java.nio.file.Files.write(dir.resolve("b.wav"), "WAVDATA".getBytes("UTF-8"))
     java.nio.file.Files.write(sub.resolve("c.mp4"), "MP4!".getBytes("UTF-8"))
     java.nio.file.Files.write(dir.resolve("notes.txt"), "x".getBytes("UTF-8"))
+    // camera-style uppercase extension must still route by kind
+    java.nio.file.Files.write(dir.resolve("IMG_0042.JPG"), "JPGDATA".getBytes("UTF-8"))
     val assets = Multimodal.ingestBinaryDir(spark, dir.toString).collect()
-    assert(assets.length === 4, "recursive lookup must find all files")
+    assert(assets.length === 5, "recursive lookup must find all files")
     val byKind = assets.groupBy(_.kind).view.mapValues(_.length).toMap
-    assert(byKind === Map("image" -> 1, "audio" -> 1, "video" -> 1, "binary" -> 1))
+    assert(byKind === Map("image" -> 2, "audio" -> 1, "video" -> 1, "binary" -> 1))
     // payload bytes survive ingestion intact and feed the feature pipeline
-    val img = assets.find(_.kind == "image").get
-    assert(new String(img.payload, "UTF-8") === "PNGBYTES")
-    assert(img.duration_ms === 8L) // binaryFile `length` carried through
+    val imgs = assets.filter(_.kind == "image")
+      .map(a => new String(a.payload, "UTF-8") -> a.duration_ms).toMap
+    assert(imgs === Map("PNGBYTES" -> 8L, "JPGDATA" -> 7L),
+      "payloads intact, binaryFile `length` carried through")
     val feats = Multimodal.imageFeatures(
       Multimodal.ingestBinaryDir(spark, dir.toString, glob = "*.png")).collect()
     assert(feats.length === 1 && feats.head.n_bytes === 8L)

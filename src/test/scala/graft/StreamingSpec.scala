@@ -276,6 +276,21 @@ class StreamingSpec extends SparkSpecBase {
       "the moved-aside bucket must be restored before the batch merges")
   }
 
+  test("T7b bucketed sink refuses a numBuckets change that would corrupt state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("upsertbknb").toString + "/state"
+    val b0 = Seq((1L, 1L, 10.0)).toDF("user_id", "version", "score")
+    EventStream.upsertSinkBucketed(b0, 0L, dir, "user_id", "version", numBuckets = 8)
+    val b1 = Seq((2L, 1L, 20.0)).toDF("user_id", "version", "score")
+    val e = intercept[IllegalArgumentException] {
+      EventStream.upsertSinkBucketed(b1, 1L, dir, "user_id", "version", numBuckets = 16)
+    }
+    assert(e.getMessage.contains("numBuckets=8"))
+    // same count still works
+    EventStream.upsertSinkBucketed(b1, 1L, dir, "user_id", "version", numBuckets = 8)
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
   test("T7b bucketed sink tolerates a pre-existing empty state directory (no wedge)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("upsertbkempty").toString + "/state"
