@@ -75,6 +75,31 @@ class JdbcSpec extends SparkSpecBase {
     assert(df.count() === 2)
   }
 
+  test("JDBC write round-trips a DataFrame into Derby and back (S4 sink side)") {
+    seeded
+    import spark.implicits._
+    val out = Seq((10L, "widget", 9.99), (11L, "gizmo", 24.50))
+      .toDF("item_id", "item_name", "price")
+    out.write.mode("overwrite")
+      .jdbc(url, "catalog_out", new java.util.Properties())
+    // appends fold into the same table (the incremental-load shape)
+    Seq((12L, "doohickey", 1.25)).toDF("item_id", "item_name", "price")
+      .write.mode("append").jdbc(url, "catalog_out", new java.util.Properties())
+    val back = spark.read.jdbc(url, "catalog_out", new java.util.Properties())
+      .orderBy("item_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(back.toSeq === Seq((10L, "widget", 9.99), (11L, "gizmo", 24.50),
+      (12L, "doohickey", 1.25)))
+    // and the written table is queryable with pushdown like any source.
+    // Stored-case matters under quoting: Spark's writer passed the TABLE
+    // name unquoted (Derby folded it upper) but CREATEd the columns
+    // quoted (stored lowercase) — the scan must use each as stored.
+    val filtered = SqlDialect.jdbcScan(spark, url, "CATALOG_OUT",
+      columns = Seq("item_id"), preds = Seq(Gt("price", 5)),
+      dialect = AnsiDialect)
+    assert(filtered.count() === 2)
+  }
+
   test("partitioned JDBC read splits the source scan") {
     seeded
     val df = SqlDialect.jdbcScan(spark, url, "EMP",
