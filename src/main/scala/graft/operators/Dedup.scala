@@ -54,43 +54,100 @@ object Dedup {
     * shingle sets ONLY for candidate pairs — document payloads never ride
     * the wide shuffle, and signature work is never re-evaluated.
     */
-  def minhashLsh(s: SparkSession, d: String, k: Int = 16, bands: Int = 8,
-                 threshold: Double = 0.5): DataFrame = {
-    require(k % bands == 0,
-      s"k=$k must be divisible by bands=$bands or trailing permutations are never banded")
-    val r = k / bands
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+  /** MinHash signature frame `(doc_id, m0..m{k-1})` for a `(doc_id,
+    * text)` frame: shingles explode to rows, each shingle string-hashed
+    * ONCE, the k permutations as cheap long-remixes min-aggregated
+    * map-side (fully codegen'd — see [[minhashLsh]] scaladoc). This is
+    * the PERSISTABLE index of incremental dedup: store it once, never
+    * recompute old documents.
+    */
+  def signatureFrame(docs: DataFrame, k: Int): DataFrame = {
     val shingleRows = docs
       .select(col("doc_id"), explode(shingles(col("text"))).as("sg"))
       .select(col("doc_id"), xxhash64(col("sg")).as("h"))
     val sigCols = (0 until k).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    // materialize: the banded self-join would otherwise recompute the
-    // whole shingle+hash pipeline per branch (~16 B·k per doc; spills)
-    val sig = shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("doc_id"),
+    shingleRows.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH banding of a signature frame → `(doc_id, band, bh)` rows. */
+  def bandFrame(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64((bd * r until (bd + 1) * r).map(i => col(s"m$i")) :+ lit(bd): _*)): _*))
         .as(Seq("band", "bh")))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-    val out = candidates
+
+  /** Exact-Jaccard verification of candidate `(id_a, id_b)` pairs against
+    * the docs' text, keeping pairs with jaccard >= threshold. */
+  private def verifyPairs(candidates: DataFrame, docs: DataFrame,
+                          threshold: Double): DataFrame =
+    candidates
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
       .withColumn("jac", jaccard(shingles(col("t_a")), shingles(col("t_b"))))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
+
+  def minhashLsh(s: SparkSession, d: String, k: Int = 16, bands: Int = 8,
+                 threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands or trailing permutations are never banded")
+    val r = k / bands
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // materialize: the banded self-join would otherwise recompute the
+    // whole shingle+hash pipeline per branch (~16 B·k per doc; spills)
+    val sig = signatureFrame(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandFrame(sig, bands, r)
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val out = verifyPairs(candidates, docs, threshold)
       // materialize, then release the signature blocks — otherwise every
       // call pins them for the session lifetime
       .localCheckpoint(true)
     sig.unpersist()
     out
+  }
+
+  /** Incremental MinHash-LSH dedup: near-dup pairs of a NEW ingest batch
+    * against an EXISTING corpus whose signatures are already on disk —
+    * the shape a production pipeline runs per ingest, where recomputing
+    * signatures for a 100 TB historical corpus every batch is a
+    * non-starter. Work is O(batch) + one banded join against the stored
+    * index: old signatures are READ, never recomputed; old TEXT is
+    * touched only for verified candidates of this batch.
+    *
+    * Returns pairs where id_b is new (new-vs-old and new-vs-new both
+    * reported, id_a < id_b). `allDocs` supplies text for verification
+    * (in production: the document store, accessed per candidate).
+    */
+  def minhashLshIncremental(newDocs: DataFrame, existingSigs: DataFrame,
+                            allDocs: DataFrame, k: Int = 16, bands: Int = 8,
+                            threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands or trailing permutations are never banded")
+    val r = k / bands
+    val s = newDocs.sparkSession
+    val newSigs = signatureFrame(newDocs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBanded = bandFrame(newSigs, bands, r)
+      .select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    // probe side = old index + the batch itself (for within-batch dups)
+    val indexBanded = bandFrame(existingSigs.unionByName(newSigs), bands, r)
+      .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val candidates = indexBanded.join(newBanded, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val pairs = verifyPairs(candidates, allDocs, threshold).localCheckpoint(true)
+    val updatedIndex = existingSigs.unionByName(newSigs).localCheckpoint(true)
+    newSigs.unpersist()
+    (pairs, updatedIndex)
   }
 
   /** 64-bit SimHash per document + near-dup pairs by hamming distance,

@@ -45,6 +45,26 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "distant doc matched")
   }
 
+  test("incremental minhash LSH equals the full run restricted to new-batch pairs") {
+    // full corpus at sf0.001; "ingest" split: old = doc_id < 250, new = rest
+    val allDocs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    val oldDocs = allDocs.filter(col("doc_id") < 250)
+    val newDocs = allDocs.filter(col("doc_id") >= 250)
+    // the stored index a production pipeline would have on disk
+    val storedSigs = Dedup.signatureFrame(oldDocs, k = 16)
+    val (pairs, updatedIndex) =
+      Dedup.minhashLshIncremental(newDocs, storedSigs, allDocs)
+    val incr = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: the full-corpus run's pairs that touch the new batch
+    // (id_a < id_b, so any pair touching a new doc has id_b >= 250)
+    val full = Dedup.minhashLsh(spark, sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(incr === full.filter(_._2 >= 250),
+      s"incremental run diverged from full-run restriction: $incr vs $full")
+    // the updated index covers the whole corpus for the next batch
+    assert(updatedIndex.count() === allDocs.count())
+  }
+
   test("connected components merges transitive chains, keeps clusters apart") {
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (7L, 8L), (8L, 9L), (2L, 3L))
       .toDF("id_a", "id_b")
