@@ -41,25 +41,15 @@ object Dedup {
     inter / size(array_union(a, b)).cast("double")
   }
 
-  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
-    *
-    * Signature stage is fully codegen'd: shingles explode to rows, each
+  /** MinHash signature frame `(doc_id, m0..m{k-1})` for a `(doc_id,
+    * text)` frame. Fully codegen'd: shingles explode to rows, each
     * shingle is string-hashed ONCE (`xxhash64`), and the k permutations
     * are cheap long-remixes `xxhash64(h, i)` min-aggregated map-side — no
     * higher-order functions in the hot path (HOF lambdas evaluate
     * interpreted per element, and the naive k-transform form recomputes k
     * string hashes per shingle; long-multiply mixing would trip ANSI
-    * overflow checks). Candidate generation shuffles only (band, hash, id)
-    * triples; exact-Jaccard verification rejoins the raw text and builds
-    * shingle sets ONLY for candidate pairs — document payloads never ride
-    * the wide shuffle, and signature work is never re-evaluated.
-    */
-  /** MinHash signature frame `(doc_id, m0..m{k-1})` for a `(doc_id,
-    * text)` frame: shingles explode to rows, each shingle string-hashed
-    * ONCE, the k permutations as cheap long-remixes min-aggregated
-    * map-side (fully codegen'd — see [[minhashLsh]] scaladoc). This is
-    * the PERSISTABLE index of incremental dedup: store it once, never
-    * recompute old documents.
+    * overflow checks). This is the PERSISTABLE index of incremental
+    * dedup: store it once, never recompute old documents.
     */
   def signatureFrame(docs: DataFrame, k: Int): DataFrame = {
     val shingleRows = docs
@@ -89,6 +79,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    * Candidate generation shuffles only (band, hash, id) triples;
+    * verification rejoins the raw text and builds shingle sets ONLY for
+    * candidate pairs — document payloads never ride the wide shuffle, and
+    * signature work is never re-evaluated (see [[signatureFrame]]).
+    */
   def minhashLsh(s: SparkSession, d: String, k: Int = 16, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0,
@@ -119,12 +115,21 @@ object Dedup {
     * the shape a production pipeline runs per ingest, where recomputing
     * signatures for a 100 TB historical corpus every batch is a
     * non-starter. Work is O(batch) + one banded join against the stored
-    * index: old signatures are READ, never recomputed; old TEXT is
-    * touched only for verified candidates of this batch.
+    * index: old signatures are READ, never recomputed or copied; old
+    * TEXT is touched only for verified candidates of this batch.
     *
-    * Returns pairs where id_b is new (new-vs-old and new-vs-new both
-    * reported, id_a < id_b). `allDocs` supplies text for verification
-    * (in production: the document store, accessed per candidate).
+    * Pairs are emitted as (min id, max id) with NO assumption about id
+    * ordering between batches (an old doc's id may exceed a new doc's);
+    * new-vs-old and new-vs-new are both reported. Docs whose ids already
+    * exist in the index are skipped entirely — a replayed/retried batch
+    * adds no duplicate index rows and re-reports no pairs (idempotent).
+    *
+    * Returns `(pairs, freshSigs)` where `freshSigs` is ONLY the new
+    * batch's signature rows — the caller appends them to the durable
+    * index store (returning the concatenated index would copy the whole
+    * corpus through executor storage every batch). `allDocs` supplies
+    * text for verification (in production: the document store, accessed
+    * per candidate).
     */
   def minhashLshIncremental(newDocs: DataFrame, existingSigs: DataFrame,
                             allDocs: DataFrame, k: Int = 16, bands: Int = 8,
@@ -132,22 +137,27 @@ object Dedup {
     require(k % bands == 0,
       s"k=$k must be divisible by bands=$bands or trailing permutations are never banded")
     val r = k / bands
-    val s = newDocs.sparkSession
-    val newSigs = signatureFrame(newDocs, k)
+    // replay guard: a doc already in the index contributes nothing new
+    val fresh = signatureFrame(newDocs, k)
+      .join(existingSigs.select("doc_id"), Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBanded = bandFrame(newSigs, bands, r)
-      .select(col("band"), col("bh"), col("doc_id").as("id_b"))
-    // probe side = old index + the batch itself (for within-batch dups)
-    val indexBanded = bandFrame(existingSigs.unionByName(newSigs), bands, r)
+    val freshBanded = bandFrame(fresh, bands, r)
+    val newSide = freshBanded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val oldSide = bandFrame(existingSigs, bands, r)
       .select(col("band"), col("bh"), col("doc_id").as("id_a"))
-    val candidates = indexBanded.join(newBanded, Seq("band", "bh"))
+    val newVsOld = oldSide.join(newSide, Seq("band", "bh"))
+      .filter(col("id_a") =!= col("id_b"))
+    val newVsNew = freshBanded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(newSide, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val candidates = newVsOld.unionByName(newVsNew)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val pairs = verifyPairs(candidates, allDocs, threshold).localCheckpoint(true)
-    val updatedIndex = existingSigs.unionByName(newSigs).localCheckpoint(true)
-    newSigs.unpersist()
-    (pairs, updatedIndex)
+    val freshOut = fresh.localCheckpoint(true) // batch-sized, not corpus-sized
+    fresh.unpersist()
+    (pairs, freshOut)
   }
 
   /** 64-bit SimHash per document + near-dup pairs by hamming distance,

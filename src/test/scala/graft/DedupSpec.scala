@@ -46,23 +46,32 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("incremental minhash LSH equals the full run restricted to new-batch pairs") {
-    // full corpus at sf0.001; "ingest" split: old = doc_id < 250, new = rest
+    // full corpus at sf0.001; INTERLEAVED "ingest" split (old = even ids,
+    // new = odd) so new-vs-old pairs occur in BOTH id orderings — a split
+    // at an id boundary would mask ordering assumptions
     val allDocs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
-    val oldDocs = allDocs.filter(col("doc_id") < 250)
-    val newDocs = allDocs.filter(col("doc_id") >= 250)
+    val oldDocs = allDocs.filter(col("doc_id") % 2 === 0)
+    val newDocs = allDocs.filter(col("doc_id") % 2 === 1)
     // the stored index a production pipeline would have on disk
     val storedSigs = Dedup.signatureFrame(oldDocs, k = 16)
-    val (pairs, updatedIndex) =
+      .localCheckpoint(true)
+    val (pairs, freshSigs) =
       Dedup.minhashLshIncremental(newDocs, storedSigs, allDocs)
     val incr = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // ground truth: the full-corpus run's pairs that touch the new batch
-    // (id_a < id_b, so any pair touching a new doc has id_b >= 250)
     val full = Dedup.minhashLsh(spark, sf0001)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(incr === full.filter(_._2 >= 250),
-      s"incremental run diverged from full-run restriction: $incr vs $full")
-    // the updated index covers the whole corpus for the next batch
-    assert(updatedIndex.count() === allDocs.count())
+    val expected = full.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(incr === expected,
+      s"incremental run diverged from full-run restriction: $incr vs $expected")
+    // the returned rows are batch-only; old + fresh covers the corpus
+    assert(freshSigs.count() === newDocs.count())
+    assert(storedSigs.count() + freshSigs.count() === allDocs.count())
+    // replaying the same batch against the appended index is a no-op
+    val (replayPairs, replayFresh) = Dedup.minhashLshIncremental(
+      newDocs, storedSigs.unionByName(freshSigs), allDocs)
+    assert(replayFresh.count() === 0, "replayed docs must not re-enter the index")
+    assert(replayPairs.count() === 0, "replayed batch must not re-report pairs")
   }
 
   test("connected components merges transitive chains, keeps clusters apart") {
