@@ -137,16 +137,20 @@ object Dedup {
     require(k % bands == 0,
       s"k=$k must be divisible by bands=$bands or trailing permutations are never banded")
     val r = k / bands
-    // replay guard: a doc already in the index contributes nothing new
-    val fresh = signatureFrame(newDocs, k)
-      .join(existingSigs.select("doc_id"), Seq("doc_id"), "left_anti")
+    // replay guard BEFORE signing: a doc already in the index contributes
+    // nothing new, and anti-joining first skips the whole shingle+minhash
+    // pipeline for replayed docs (signatureFrame is per-doc, so filtering
+    // docs first is semantically identical)
+    val fresh = signatureFrame(
+        newDocs.join(existingSigs.select("doc_id"), Seq("doc_id"), "left_anti"), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freshBanded = bandFrame(fresh, bands, r)
     val newSide = freshBanded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
     val oldSide = bandFrame(existingSigs, bands, r)
       .select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    // (no id_a =!= id_b needed: the replay guard makes fresh ids disjoint
+    // from the stored index by construction)
     val newVsOld = oldSide.join(newSide, Seq("band", "bh"))
-      .filter(col("id_a") =!= col("id_b"))
     val newVsNew = freshBanded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
       .join(newSide, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
