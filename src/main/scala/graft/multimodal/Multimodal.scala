@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * struct, with decode / feature-extraction / resize / frame-sampling as
   * partition-local typed transforms.
   *
-  * The Spark-side plumbing is real — schema, encoders, `mapPartitions`
-  * batch shape, partition sizing — while the codec itself is a
-  * DETERMINISTIC STUB (`FakeCodec`): the container ships no image/audio
-  * libraries, so "decoding" derives stable pseudo-features from the
-  * payload bytes. Swapping `FakeCodec` for a JNI/javacv decoder changes
-  * no plan shape: the stub is the only non-Spark seam.
+  * The IMAGE path is real: `ImageCodec` decodes PNG/JPEG/BMP/GIF/TIFF
+  * payloads with the JDK's `javax.imageio.ImageIO` (no extra
+  * dependencies), extracts true dimensions + pixel statistics, and
+  * resizes via `BufferedImage`/`Graphics2D`. Payloads that are not a
+  * decodable image (and the audio/video kinds — the JDK ships no
+  * audio/video frame codecs, so those remain a DETERMINISTIC STUB,
+  * `FakeCodec`) fall back to byte statistics, with the `decoded` flag
+  * recording which path ran. Swapping `FakeCodec` for a javacv decoder
+  * changes no plan shape: the codec seam is the only non-Spark code.
   *
   * Scale notes: payloads never pass through a shuffle — every transform
   * below is scan-local (`mapPartitions`), so 100 TB of media streams
@@ -30,14 +33,98 @@ object Multimodal {
                    width: Int, height: Int, sample_rate: Int, duration_ms: Long)
 
   case class ImageFeatures(asset_id: Long, width: Int, height: Int,
-                           n_bytes: Long, mean_byte: Double, checksum: Long)
+                           n_bytes: Long, mean_byte: Double, checksum: Long,
+                           decoded: Boolean)
 
   case class Frame(asset_id: Long, frame_idx: Int, t_ms: Long, checksum: Long)
 
-  /** ---- STUB CODEC ---------------------------------------------------
-    * Deterministic fake decode: byte statistics standing in for pixel
-    * decode. Replace with a real codec (e.g. TwelveMonkeys/javacv) here —
-    * signature and batch shape are what production code would keep.
+  /** ---- REAL IMAGE CODEC (JDK ImageIO) -------------------------------
+    * Decode/stats/resize over PNG/JPEG/BMP/GIF/TIFF using only
+    * `javax.imageio` + `java.awt.image` — both ship in the JDK. All
+    * methods are static + allocation-local: safe to call from executor
+    * task threads (ImageIO's plugin registry is thread-safe for reads;
+    * `ImageIO.setUseCache(false)` avoids temp-file spooling per decode).
+    */
+  object ImageCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decode a payload; None when the bytes are not a readable image
+      * (wrong format, truncated, or not an image at all). */
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+      catch { case _: Exception => None }
+
+    /** Mean channel value (0–255, average of R,G,B over all pixels) —
+      * the real-pixel analogue of FakeCodec's mean byte. */
+    def meanPixel(img: java.awt.image.BufferedImage): Double = {
+      val w = img.getWidth; val h = img.getHeight
+      if (w == 0 || h == 0) return 0.0
+      var sum = 0L
+      var y = 0
+      // row-batched getRGB: one int[] per row, not per-pixel calls
+      val row = new Array[Int](w)
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      sum.toDouble / (3.0 * w * h)
+    }
+
+    /** FNV-1a over the decoded ARGB pixels — identical pixels hash equal
+      * regardless of the container format that carried them. */
+    def pixelChecksum(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      var crc = 1469598103934665603L
+      var y = 0
+      val row = new Array[Int](w)
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          var p = row(x); var i = 0
+          while (i < 4) { crc = (crc ^ (p & 0xff)) * 1099511628211L; p >>>= 8; i += 1 }
+          x += 1
+        }
+        y += 1
+      }
+      crc
+    }
+
+    /** Real resize: bilinear `Graphics2D.drawImage` into a fresh RGB
+      * canvas. Deterministic for a given JDK (pure Java2D software path —
+      * no GPU/platform rasterizer variance for drawImage scaling). */
+    def resize(img: java.awt.image.BufferedImage, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      out
+    }
+
+    /** Re-encode as PNG (lossless, always-available writer). */
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** ---- STUB CODEC (audio/video only) --------------------------------
+    * Deterministic fake decode: byte statistics standing in for
+    * audio-sample / video-frame decode. The JDK ships no audio/video
+    * codecs (images are REAL — see [[ImageCodec]]); replace this with a
+    * javacv/ffmpeg decoder here — signature and batch shape are what
+    * production code would keep. Also the fallback for payloads that
+    * claim to be images but don't decode.
     */
   object FakeCodec {
     def decodeStats(payload: Array[Byte]): (Double, Long) = {
@@ -116,21 +203,45 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** Decode + feature-extract, partition-local. */
+  /** Decode + feature-extract, partition-local. Image payloads that
+    * ImageIO can read get REAL features — true pixel dimensions (not the
+    * carried metadata), mean channel value, pixel-space checksum — with
+    * `decoded = true`; everything else (audio/video kinds, corrupt or
+    * non-image bytes) falls back to deterministic byte statistics with
+    * `decoded = false`, so a 100 TB ingest never aborts on one bad file
+    * and the flag makes the fallback rows filterable downstream. */
   def imageFeatures(assets: Dataset[Asset]): Dataset[ImageFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions(_.map { a =>
-      val (mean, crc) = FakeCodec.decodeStats(a.payload)
-      ImageFeatures(a.asset_id, a.width, a.height, a.payload.length.toLong, mean, crc)
+      val real = if (a.kind == "image") ImageCodec.decode(a.payload) else None
+      real match {
+        case Some(img) =>
+          ImageFeatures(a.asset_id, img.getWidth, img.getHeight,
+            a.payload.length.toLong, ImageCodec.meanPixel(img),
+            ImageCodec.pixelChecksum(img), decoded = true)
+        case None =>
+          val (mean, crc) = FakeCodec.decodeStats(a.payload)
+          ImageFeatures(a.asset_id, a.width, a.height, a.payload.length.toLong,
+            mean, crc, decoded = false)
+      }
     })
   }
 
   /** Resize pipeline: payload-in, payload-out, metadata updated — the
-    * write side of a media-preprocessing job. */
+    * write side of a media-preprocessing job. Decodable image payloads
+    * are REALLY resized (bilinear) and re-encoded as PNG; everything
+    * else keeps the deterministic byte-resampling stub. */
   def resized(assets: Dataset[Asset], w: Int, h: Int): Dataset[Asset] = {
     import assets.sparkSession.implicits._
-    assets.mapPartitions(_.map(a =>
-      a.copy(payload = FakeCodec.resize(a.payload, w, h), width = w, height = h)))
+    assets.mapPartitions(_.map { a =>
+      val realPayload =
+        if (a.kind == "image")
+          ImageCodec.decode(a.payload)
+            .map(img => ImageCodec.encodePng(ImageCodec.resize(img, w, h)))
+        else None
+      a.copy(payload = realPayload.getOrElse(FakeCodec.resize(a.payload, w, h)),
+        width = w, height = h)
+    })
   }
 
   /** Frame sampling for video assets: one row per sampled frame at

@@ -9,15 +9,71 @@ class MultimodalSpec extends SparkSpecBase {
   private def asset(id: Long, kind: String, payload: String, durMs: Long = 60000L) =
     Asset(id, kind, payload.getBytes("UTF-8"), 64, 48, 16000, durMs)
 
-  test("imageFeatures computes deterministic byte stats partition-locally") {
+  test("imageFeatures falls back to deterministic byte stats for non-decodable payloads") {
     val ds = Seq(asset(1L, "image", "abcd"), asset(2L, "image", "")).toDS()
     val f = Multimodal.imageFeatures(ds).collect().map(x => x.asset_id -> x).toMap
     assert(f(1L).n_bytes === 4L)
     assert(f(1L).mean_byte === ('a' + 'b' + 'c' + 'd') / 4.0)
+    assert(!f(1L).decoded, "text bytes are not a decodable image")
     assert(f(2L).n_bytes === 0L && f(2L).mean_byte === 0.0)
     // determinism: same payload → same checksum
     val again = Multimodal.imageFeatures(ds).collect().map(x => x.asset_id -> x.checksum).toMap
     assert(again(1L) === f(1L).checksum)
+  }
+
+  // ---- real-image path (JDK ImageIO — no stub involved) ----
+
+  /** A w×h image filled with a constant RGB color. */
+  private def flatImage(w: Int, h: Int, r: Int, g: Int, b: Int) = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gr = img.createGraphics()
+    try { gr.setColor(new java.awt.Color(r, g, b)); gr.fillRect(0, 0, w, h) }
+    finally gr.dispose()
+    img
+  }
+
+  test("real PNG/JPEG decode: true pixel dimensions and stats, end-to-end from a binary lake") {
+    import Multimodal.ImageCodec
+    val dir = java.nio.file.Files.createTempDirectory("imagelake")
+    // 20×10 PNG of constant RGB(10,20,30) → mean channel (10+20+30)/3 = 20
+    java.nio.file.Files.write(dir.resolve("flat.png"),
+      ImageCodec.encodePng(flatImage(20, 10, 10, 20, 30)))
+    // a JPEG too (lossy — only dims asserted)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(flatImage(33, 17, 200, 100, 50), "jpg", jb)
+    java.nio.file.Files.write(dir.resolve("photo.jpg"), jb.toByteArray)
+    val feats = Multimodal.imageFeatures(Multimodal.ingestBinaryDir(spark, dir.toString))
+      .collect().map(f => f.n_bytes -> f)
+    val byDims = feats.map(_._2).map(f => (f.width, f.height) -> f).toMap
+    assert(byDims.keySet === Set((20, 10), (33, 17)),
+      "ImageIO must report TRUE pixel dimensions (binaryFile ingestion carries width=0)")
+    val png = byDims((20, 10))
+    assert(png.decoded && png.mean_byte === 20.0)
+    assert(byDims((33, 17)).decoded)
+  }
+
+  test("pixel checksum is pixel-space: PNG and BMP of identical pixels hash equal") {
+    import Multimodal.ImageCodec
+    val img = flatImage(7, 5, 1, 2, 3)
+    val bmp = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "bmp", bmp), "JDK BMP writer present")
+    val fromPng = ImageCodec.decode(ImageCodec.encodePng(img)).get
+    val fromBmp = ImageCodec.decode(bmp.toByteArray).get
+    assert(ImageCodec.pixelChecksum(fromPng) === ImageCodec.pixelChecksum(fromBmp))
+    assert(ImageCodec.pixelChecksum(fromPng) !==
+      ImageCodec.pixelChecksum(flatImage(7, 5, 1, 2, 4)))
+  }
+
+  test("real resize: decodable images resize in pixel space and re-encode as PNG") {
+    import Multimodal.ImageCodec
+    val payload = ImageCodec.encodePng(flatImage(16, 16, 40, 80, 120))
+    val ds = Seq(Asset(9L, "image", payload, 16, 16, 0, 0L)).toDS()
+    val out = Multimodal.resized(ds, 4, 6).head()
+    assert(out.width === 4 && out.height === 6)
+    val img = ImageCodec.decode(out.payload).get
+    assert(img.getWidth === 4 && img.getHeight === 6, "payload is a real resized image")
+    // constant image stays constant under bilinear resampling
+    assert(ImageCodec.meanPixel(img) === (40 + 80 + 120) / 3.0)
   }
 
   test("resize produces exactly w*h bytes and updates metadata") {
