@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.functions.Vectors._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable, incrementally-appendable ANN indexes (SURVEY.md §2 L7c) —
+  * the similarity-search twin of the incremental MinHash dedup path
+  * (L2b, [[Dedup.minhashLshIncremental]]): at 100 TB the index is built
+  * ONCE, persisted, and each ingest batch assigns/appends ONLY its own
+  * vectors — never re-fitting the quantizer or re-hashing the corpus.
+  *
+  * Two index families, same lifecycle (`build` → `append`* → `query`):
+  *
+  *  - '''IVF''': k-means coarse quantizer trained on a deterministic
+  *    content-hash sample at build time and FROZEN; inverted lists stored
+  *    as parquet partitioned by centroid id, so a query's `nProbe` list
+  *    probe becomes dynamic partition pruning — a 1000-executor scan
+  *    touches `nProbe/nCentroids` of the files, not the corpus. Appends
+  *    re-enter the stored centroids as literal expressions
+  *    ([[Similarity.nearestCid]]), so batch and incremental assignment
+  *    are the SAME codegen'd expression — provably identical.
+  *  - '''LSH''': multi-table sign-bucket index `(tab, bk, vec_id)`
+  *    partitioned by table. The hash family is stateless (no trained
+  *    state), so incremental build is exactly equivalent to a full
+  *    rebuild by construction; the spec pins it anyway.
+  *
+  * Replay safety matches L2b: every append anti-joins the batch against
+  * the stored ids first (a column-pruned id scan), so a retried/replayed
+  * batch appends nothing and the index never holds duplicate rows.
+  */
+object AnnIndex {
+
+  private def listsDir(indexDir: String) = s"$indexDir/lists"
+  private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
+  private def tablesDir(indexDir: String) = s"$indexDir/tables"
+
+  // ---------------------------------------------------------------- IVF
+
+  /** Build the IVF index at `indexDir` from `vectors` (vec_id, v, nrm):
+    * trains the quantizer on a content-hash sample ([[Similarity
+    * .trainCentroids]]) then delegates to [[buildIvfWith]]. */
+  def buildIvf(spark: SparkSession, vectors: DataFrame, indexDir: String,
+               nCentroids: Int = 16, sampleDivisor: Int = 10): Unit =
+    buildIvfWith(spark, vectors, indexDir,
+      Similarity.trainCentroids(vectors, nCentroids, sampleDivisor))
+
+  /** Build with an explicit (frozen) quantizer — the one-shot reference
+    * the incremental spec compares against, and the seam that makes the
+    * centroid lifecycle explicit: centroids are index STATE, fixed at
+    * build time. */
+  def buildIvfWith(spark: SparkSession, vectors: DataFrame, indexDir: String,
+                   centroids: Array[(Int, Array[Double])]): Unit = {
+    import spark.implicits._
+    centroids.map { case (i, c) => (i, c.toSeq) }.toSeq.toDF("cid", "center")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsDir(indexDir))
+    vectors
+      .withColumn("cid", Similarity.nearestCid(col("v"), centroids))
+      .write.mode("overwrite").partitionBy("cid").parquet(listsDir(indexDir))
+  }
+
+  /** Stored quantizer, re-materialized for literal-expression assignment
+    * (k centroids ≪ memory — this is model state, not data). */
+  def readCentroids(spark: SparkSession, indexDir: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(centroidsDir(indexDir))
+      .select("cid", "center").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Assign + append ONLY `newVectors` to the stored lists: O(batch)
+    * compute + one column-pruned id scan for the replay guard. The
+    * stored centroids enter as literals, so this is bit-identical to
+    * what the original build would have assigned. */
+  def appendIvf(spark: SparkSession, newVectors: DataFrame, indexDir: String): Unit = {
+    val centroids = readCentroids(spark, indexDir)
+    val existingIds = spark.read.parquet(listsDir(indexDir)).select("vec_id")
+    newVectors
+      .join(existingIds, Seq("vec_id"), "left_anti")
+      .withColumn("cid", Similarity.nearestCid(col("v"), centroids))
+      .write.mode("append").partitionBy("cid").parquet(listsDir(indexDir))
+  }
+
+  /** Probe the stored index: per query the `nProbe` nearest lists, exact
+    * cosine rerank. The broadcast equi-join on the partition column `cid`
+    * is what turns the probe into dynamic partition pruning at scale —
+    * unprobed lists are never read. */
+  def queryIvf(spark: SparkSession, indexDir: String, queries: DataFrame,
+               nProbe: Int = 12, topK: Int = 3): DataFrame = {
+    val centroids = readCentroids(spark, indexDir)
+    val probes = Similarity.probeLists(queries, centroids, nProbe)
+    val lists = spark.read.parquet(listsDir(indexDir))
+      .select(col("cid"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    Similarity.topkRerank(
+      lists.join(broadcast(probes), Seq("cid"))
+        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+        .select("q_id", "c_id", "cos"),
+      k = topK)
+  }
+
+  // ---------------------------------------------------------------- LSH
+
+  /** Multi-table sign-LSH bucket rows for a vector frame — the same
+    * family sim3 uses (table t probes dims {t, t+nTables, ...}). */
+  private def bucketRows(vectors: DataFrame, nTables: Int, bits: Int): DataFrame =
+    vectors.select(col("vec_id"),
+      posexplode(array((0 until nTables).map(t =>
+        signBucket(col("v"), bits, nTables, t)): _*)).as(Seq("tab", "bk")))
+      .select("tab", "bk", "vec_id")
+
+  /** Build the LSH table index at `indexDir` from (vec_id, v, ...). */
+  def buildLsh(spark: SparkSession, vectors: DataFrame, indexDir: String,
+               nTables: Int = 16, bits: Int = 3): Unit =
+    bucketRows(vectors, nTables, bits)
+      .write.mode("overwrite").partitionBy("tab").parquet(tablesDir(indexDir))
+
+  /** Append a batch: replay-guarded (anti-join on stored ids), then the
+    * stateless hash family bucketizes scan-locally — incremental ≡ full
+    * rebuild by construction. `nTables`/`bits` must match the build
+    * (they are layout constants of the index, like `k` in L2b). */
+  def appendLsh(spark: SparkSession, newVectors: DataFrame, indexDir: String,
+                nTables: Int = 16, bits: Int = 3): Unit = {
+    val existingIds = spark.read.parquet(tablesDir(indexDir))
+      .select("vec_id").distinct()
+    bucketRows(newVectors.join(existingIds, Seq("vec_id"), "left_anti"), nTables, bits)
+      .write.mode("append").partitionBy("tab").parquet(tablesDir(indexDir))
+  }
+
+  /** Query the stored tables: bucketize the (small, broadcast) query set
+    * with the same family, candidates = union over tables of bucket
+    * matches (id-only shuffle), then exact-cosine rerank joining vectors
+    * from `corpus` for candidates alone — payload vectors never ride the
+    * candidate join, exactly like dd2's verify stage. */
+  def queryLsh(spark: SparkSession, indexDir: String, corpus: DataFrame,
+               queries: DataFrame, nTables: Int = 16, bits: Int = 3,
+               topK: Int = 3): DataFrame = {
+    val qBuckets = bucketRows(
+      queries.select(col("q_id").as("vec_id"), col("qv").as("v")), nTables, bits)
+      .withColumnRenamed("vec_id", "q_id")
+    val candidates = spark.read.parquet(tablesDir(indexDir))
+      .join(broadcast(qBuckets), Seq("tab", "bk"))
+      .select("q_id", "vec_id")
+      .dropDuplicates("q_id", "vec_id")
+    val c = corpus.select(col("vec_id"), col("v").as("cv"), col("nrm").as("cn"))
+    Similarity.topkRerank(
+      candidates
+        .join(c, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("cos")),
+      k = topK)
+  }
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Vectors._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -16,40 +16,80 @@ object Similarity {
   /** Corpus with double-widened vector + precomputed norm + sign bucket.
     * Uses the native codegen'd dot product (GraftExtensions must be on
     * the session — all graft entrypoints register it). */
-  private def prepared(s: SparkSession, d: String): DataFrame =
+  private[graft] def prepared(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", normNative(col("v")))
 
-  /** IVF (inverted-file) approximate nearest neighbor: train a k-means
-    * coarse quantizer, assign every corpus vector to its nearest centroid
-    * ("inverted list"), then answer queries by probing only the `nProbe`
-    * closest lists and reranking with exact cosine.
+  /** Train the IVF coarse quantizer on a DETERMINISTIC content-hash
+    * sample (`xxhash64(vec_id) % sampleDivisor == 0`, ~1/divisor of the
+    * corpus) — at 100 TB the quantizer training must never become a
+    * full-corpus ML job; standard IVF practice fits on ~1–10% and assigns
+    * everything in one scan-local pass (see [[nearestCid]]). Falls back
+    * to the full corpus only when the sample is too small to support `k`
+    * clusters (tiny test SFs) — the guard costs one column-pruned count.
+    * Returns `(cid, center)` rows, cids dense 0..k-1.
     */
-  def ivfAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 12,
-             topK: Int = 3): DataFrame = {
+  private[graft] def trainCentroids(e: DataFrame, nCentroids: Int,
+                                    sampleDivisor: Int = 10): Array[(Int, Array[Double])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = prepared(s, d)
-      .withColumn("features", array_to_vector(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sampled = e.filter(pmod(xxhash64(col("vec_id")), lit(sampleDivisor)) === 0)
+    val train = (if (sampled.count() >= 8L * nCentroids) sampled else e)
+      .select(array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(nCentroids).setSeed(42L).setMaxIter(5)
-      .fit(e.select("features"))
-    val assigned = model.transform(e).withColumnRenamed("prediction", "cid")
-    val centroids = s.createDataFrame(
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
-      .toDF("cid", "center")
-    // query set → nProbe nearest centroids each (tiny cross join)
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .fit(train)
+    model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+  }
+
+  /** Nearest-centroid id as a pure codegen'd column expression over the
+    * literal centroid array: argmin over `‖c‖² − 2·v·c` (the `‖v‖²` term
+    * is constant per row). Scan-local — assignment of the whole corpus is
+    * one pass with NO shuffle and no ML-model closure; ties break to the
+    * lowest cid via lexicographic struct ordering. This is also what
+    * makes the persisted index incrementally appendable: stored centroids
+    * re-enter as literals, so a new batch is assigned by exactly the same
+    * expression the original build used ([[AnnIndex]]).
+    */
+  private[graft] def nearestCid(v: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotNative(v, typedlit(c.toSeq))).as("d2"),
+        lit(cid).as("cid"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("cid")
+  }
+
+  /** Per-query nProbe nearest centroids (tiny broadcast cross join). */
+  private[graft] def probeLists(q: DataFrame, centroids: Array[(Int, Array[Double])],
+                                nProbe: Int): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val cents = centroids.map { case (i, c) => (i, c.toSeq) }.toSeq.toDF("cid", "center")
     val wProbe = Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
+    q.crossJoin(broadcast(cents))
       .withColumn("dist2",
-        dotNative(col("qv"), col("qv")) - lit(2) * dotNative(col("qv"), col("center"))
-          + dotNative(col("center"), col("center")))
+        dotNative(col("center"), col("center")) - lit(2.0) * dotNative(col("qv"), col("center")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select(col("q_id"), col("qv"), col("qn"), col("cid"))
+  }
+
+  /** IVF (inverted-file) approximate nearest neighbor: sample-trained
+    * k-means coarse quantizer, every corpus vector assigned to its
+    * nearest centroid ("inverted list") in one scan-local pass, queries
+    * probe only the `nProbe` closest lists and rerank with exact cosine.
+    * The durable form of this layout (lists persisted partitioned-by-cid,
+    * appended per ingest) is [[AnnIndex.buildIvf]]/[[AnnIndex.appendIvf]].
+    */
+  def ivfAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 12,
+             topK: Int = 3): DataFrame = {
+    val e = prepared(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainCentroids(e, nCentroids)
+    val assigned = e.withColumn("cid", nearestCid(col("v"), centroids))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = probeLists(q, centroids, nProbe)
     // probe only the matching inverted lists, rerank exactly
     val c = assigned.filter(col("vec_id") >= 10)
       .select(col("cid"), col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -69,7 +109,7 @@ object Similarity {
     * Input needs (q_id, c_id, cos); ties break (cos DESC, c_id ASC),
     * identical to the window formulation the oracles use.
     */
-  private def topkRerank(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def topkRerank(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("q_id")
       .agg(call_function("topk_pairs", col("cos"), col("c_id"), lit(k)).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))

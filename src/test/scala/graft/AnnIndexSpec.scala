@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{AnnIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** L7c: durable + incrementally-appendable ANN indexes. Mirrors
+  * DedupSpec's incremental-MinHash test shape: build on an interleaved-id
+  * half, append the other half, prove equality with the one-shot build
+  * under the same (frozen) quantizer, replay idempotence, and identical
+  * query answers from both indexes.
+  */
+class AnnIndexSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val e: DataFrame =
+    Similarity.prepared(spark, sf0001).select("vec_id", "v", "nrm")
+      .persist()
+
+  // interleaved split: ids alternate between batches, so neither batch is
+  // an id-prefix (catches any hidden id-ordering assumption)
+  private lazy val batchA = e.filter(col("vec_id") % 2 === 0)
+  private lazy val batchB = e.filter(col("vec_id") % 2 === 1)
+
+  private def queries: DataFrame =
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+
+  test("IVF: incremental append ≡ one-shot build under the frozen quantizer; replay is a no-op") {
+    val cents = Similarity.trainCentroids(e, nCentroids = 8)
+    val incrDir = tmp("ivf_incr"); val fullDir = tmp("ivf_full")
+    AnnIndex.buildIvfWith(spark, batchA, incrDir, cents)
+    AnnIndex.appendIvf(spark, batchB, incrDir)
+    AnnIndex.buildIvfWith(spark, e, fullDir, cents)
+
+    def assignments(dir: String) =
+      spark.read.parquet(s"$dir/lists").select("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(assignments(incrDir).sameElements(assignments(fullDir)),
+      "append must assign exactly what the one-shot build assigns")
+    assert(AnnIndex.readCentroids(spark, incrDir).map(_._2.toSeq).toSeq ===
+      cents.map(_._2.toSeq).toSeq)
+
+    // replayed batch: anti-join guard → nothing appended
+    val before = spark.read.parquet(s"$incrDir/lists").count()
+    AnnIndex.appendIvf(spark, batchB, incrDir)
+    assert(spark.read.parquet(s"$incrDir/lists").count() === before)
+
+    // identical answers from both indexes
+    val qi = AnnIndex.queryIvf(spark, incrDir, queries, nProbe = 3, topK = 3).collect()
+    val qf = AnnIndex.queryIvf(spark, fullDir, queries, nProbe = 3, topK = 3).collect()
+    assert(qi.nonEmpty && qi.sameElements(qf))
+  }
+
+  test("IVF: lists are laid out partitioned by centroid id (probe = partition pruning)") {
+    val dir = tmp("ivf_layout")
+    AnnIndex.buildIvf(spark, e, dir, nCentroids = 4)
+    val parts = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("cid=")).map(_.getName).sorted
+    assert(parts.nonEmpty && parts.forall(_.matches("cid=\\d+")),
+      s"expected cid=N partition dirs, got ${parts.mkString(",")}")
+  }
+
+  test("IVF: full-probe query over the stored index equals brute-force top-1") {
+    import spark.implicits._
+    val dir = tmp("ivf_exact")
+    // corpus side only, as sim1/sim5 define it
+    AnnIndex.buildIvf(spark, e.filter(col("vec_id") >= 10), dir, nCentroids = 8)
+    val top1 = AnnIndex.queryIvf(spark, dir, queries, nProbe = 8, topK = 1)
+      .select("q_id", "cos_sim").as[(Long, Double)].collect().toMap
+    val exact = SparkEntry.queries("sim1_bruteforce_topk")(spark, sf0001)
+      .filter(col("rk") === 1L).select("q_id", "cos_sim")
+      .as[(Long, Double)].collect().toMap
+    top1.foreach { case (q, c) =>
+      assert(math.abs(c - exact(q)) < 1e-9, s"query $q: $c vs ${exact(q)}")
+    }
+    assert(top1.keySet === exact.keySet)
+  }
+
+  test("LSH: incremental append ≡ full rebuild; replay no-op; answers match the in-memory sim3 path") {
+    val incrDir = tmp("lsh_incr"); val fullDir = tmp("lsh_full")
+    val corpus = e.filter(col("vec_id") >= 10)
+    AnnIndex.buildLsh(spark, corpus.filter(col("vec_id") % 2 === 0), incrDir)
+    AnnIndex.appendLsh(spark, corpus.filter(col("vec_id") % 2 === 1), incrDir)
+    AnnIndex.buildLsh(spark, corpus, fullDir)
+
+    def rows(dir: String) =
+      spark.read.parquet(s"$dir/tables").select("tab", "bk", "vec_id")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted
+    assert(rows(incrDir).sameElements(rows(fullDir)),
+      "stateless hash family: incremental must equal the full rebuild exactly")
+
+    val before = spark.read.parquet(s"$incrDir/tables").count()
+    AnnIndex.appendLsh(spark, corpus.filter(col("vec_id") % 2 === 1), incrDir)
+    assert(spark.read.parquet(s"$incrDir/tables").count() === before)
+
+    // stored-index query ≡ the catalog's in-memory sim3 (same family/knobs)
+    val stored = AnnIndex.queryLsh(spark, incrDir, corpus, queries).collect()
+    val inMem = SparkEntry.queries("sim3_lsh_ann")(spark, sf0001).collect()
+    assert(stored.nonEmpty && stored.sameElements(inMem))
+  }
+}
