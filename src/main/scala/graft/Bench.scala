@@ -40,24 +40,31 @@ object Bench {
       System.gc()
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // classic OLAP shapes most comparable to a reference-engine baseline
     val headline = Set("q01_agg", "q02_filter_project", "q03_join_agg",
       "q04_semi_join", "q06_broadcast_join", "q07_star_join",
       "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
     val headlineTotal = results.filter(r => headline(r._1)).map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal}"""
-    // two sinks so the driver can't lose the JSON in sbt log noise: the
-    // bare stdout line (original contract — kept as the ONLY line
-    // matching '"metric"'; a second marker line would break the r1
-    // driver's grep, and sbt merges the forked JVM's stderr back into its
-    // stdout so stderr is no escape) and the target/bench.json file
-    println(json)
+    // The FULL per-query map goes to target/bench.json. The stdout line
+    // carries only the 10 headline queries: the driver keeps just the
+    // last 2000 chars of stdout (BENCH_r01/r02 "tail"), and the full
+    // 82+-entry map is ~2.5 KB, so its head — including the '{"metric"'
+    // prefix — fell outside the window and "parsed" came back null both
+    // rounds. A bounded line (~500 chars, headline map + n_queries +
+    // pointer to the full file) ends well inside the window even after
+    // sbt's trailing "[success] Total time..." line, and stays the ONLY
+    // stdout line matching '"metric"'.
+    def emit(qs: String, extra: String) =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal$extra}"""
+    val full = emit(jsonMap(results), "")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    java.nio.file.Files.write(out, full.getBytes("UTF-8"))
+    println(emit(jsonMap(results.filter(r => headline(r._1))),
+      s""","n_queries":${results.size},"all_queries_file":"target/bench.json""""))
     spark.stop()
   }
 }
