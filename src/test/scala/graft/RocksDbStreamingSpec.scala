@@ -1,0 +1,106 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** T3/T8 under the RocksDB state store provider (SURVEY.md §2 T3/T8
+  * scale note): the default HDFS-backed store keeps every key's state on
+  * the executor heap, which caps stateful streaming at heap-sized key
+  * cardinality; RocksDB spills state to local disk and is the
+  * operational answer at 100 TB/day key counts. These specs prove the
+  * graft stateful operators (arbitrary `flatMapGroupsWithState` state,
+  * watermarked windowed aggregation, checkpoint restart) run unchanged
+  * on RocksDB — the provider is a config swap, no operator rewrite —
+  * and that RocksDB really backed the state (provider-specific metrics
+  * + RocksDB files in the checkpoint).
+  */
+class RocksDbStreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600L * 1000 * 24 + min * 60000L)
+
+  /** Run `body` with the RocksDB provider set, restoring the prior value
+    * (the shared spec session must not leak the provider into other
+    * suites — provider is pinned per-query at start, from this conf). */
+  private def withRocksDb[A](body: => A): A = {
+    val prev = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey, RocksDb)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None    => spark.conf.unset(ProviderKey)
+    }
+  }
+
+  test("T3 funnel (flatMapGroupsWithState) is correct on the RocksDB state store") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[EventStream.Event]
+      in.addData(
+        EventStream.Event(1L, ts(0), 1L, "view", 0.0),
+        EventStream.Event(2L, ts(1), 1L, "click", 0.0))
+      val q = EventStream.funnel(in.toDS(), Seq("view", "click", "purchase"),
+          timeoutMs = 0L).toDF()
+        .writeStream.format("memory").queryName("t3_rocksdb")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // state (view+click seen) must survive into the next micro-batch
+      in.addData(
+        EventStream.Event(3L, ts(2), 1L, "purchase", 0.0),
+        EventStream.Event(4L, ts(0), 2L, "view", 0.0),
+        EventStream.Event(5L, ts(1), 2L, "purchase", 0.0)) // skips click
+      q.processAllAvailable()
+      // the provider actually in use surfaces in state-operator metrics
+      val metrics = q.lastProgress.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String]))
+      assert(metrics.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb* state metrics, got ${metrics.toSeq}")
+      q.stop()
+      val users = spark.table("t3_rocksdb").select("user_id").as[Long].collect()
+      assert(users.toSeq === Seq(1L))
+    }
+  }
+
+  test("T8 watermarked agg restarts from a RocksDB checkpoint without loss or duplication") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val base = java.nio.file.Files.createTempDirectory("rocksckpt").toString
+      val ckpt = base + "/ckpt"; val outDir = base + "/out"
+      val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+      val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      def start() = EventStream.hourly(events).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      val q1 = start()
+      in.addData((1L, ts(10), 1L, "view", 1.0, "{}"), (2L, ts(20), 2L, "view", 2.0, "{}"))
+      q1.processAllAvailable()
+      in.addData((3L, ts(600), 1L, "view", 1.0, "{}"))
+      in.addData((4L, ts(601), 1L, "view", 1.0, "{}"))
+      q1.processAllAvailable()
+      q1.stop()
+      // RocksDB leaves versioned zip/changelog files under state/, not the
+      // HDFS provider's bare .delta files
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+        .toArray.map(_.toString)
+      assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"expected RocksDB snapshot files under the checkpoint, got ${stateFiles.take(20).toSeq}")
+      // restart against the SAME checkpoint: closed hour-0 window must not
+      // re-emit; pre-watermark stragglers must be dropped
+      val q2 = start()
+      in.addData((5L, ts(30), 1L, "view", 100.0, "{}"))   // behind watermark
+      in.addData((6L, ts(1300), 1L, "view", 1.0, "{}"))   // closes hour-10
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(outDir).select("hr", "event_type", "n", "sum_v")
+        .as[(Timestamp, String, Long, Double)].collect()
+      assert(rows.count(r => r._2 == "view" && r._3 == 2L && r._4 == 3.0) == 1,
+        s"hour-0 window must appear exactly once, got ${rows.toSeq}")
+      assert(!rows.exists(_._4 >= 100.0), "late event must be dropped after restart")
+    }
+  }
+}
