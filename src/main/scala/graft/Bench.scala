@@ -29,7 +29,12 @@ object Bench {
     // prune computed projection columns (q02's disc_rev was never
     // evaluated), understating select/project shapes. The noop sink
     // computes every output column and discards rows executor-side.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q09_window_running,q22_percentile → bench just
+    // those (isolated-regression runs); unset = full sweep
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
                catch { case _: Throwable => false }
