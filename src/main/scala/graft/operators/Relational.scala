@@ -1027,6 +1027,110 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           Stable.moneySum(col("l_extendedprice")).as("rev"))
         .orderBy("s_nationkey")
+    },
+
+    // R42 — TPC-H Q20 shape (dominant suppliers), adapted to a schema
+    // with no partsupp: Q20 filters suppliers by a per-(supplier, part)
+    // aggregate threshold; here a supplier "dominates" a part when it
+    // shipped > 50% of that part's 1997 volume, and qualifies by
+    // dominating ≥ 8 parts. Share test is INTEGER math (q*2 > total), no
+    // float ratio. The per-part total is a WINDOW sum over the already-
+    // aggregated (part,supp) frame — not a second aggregate joined back,
+    // which would re-run the lineitem scan+agg subtree (ReuseExchange
+    // does not match the two differently-pruned copies; caught in the r3
+    // plan audit). One fact scan; every later shuffle is over the
+    // dims-sized aggregate. The fact side reduces to (supp, n_dominated)
+    // BEFORE touching supplier/nation, which then broadcast — Q20's
+    // semi-join character: dims filter on the aggregate, never join the
+    // raw fact.
+    Q(
+      "q44_dominant_supplier",
+      """SELECT s_suppkey, s_name, n_name, n_dominated
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN (SELECT l_suppkey, count(*) AS n_dominated
+        |      FROM (SELECT l_partkey, l_suppkey,
+        |              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |            GROUP BY 1,2) sp
+        |      JOIN (SELECT l_partkey,
+        |              CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS tq
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |            GROUP BY 1) pt ON sp.l_partkey = pt.l_partkey
+        |      WHERE sp.q * 2 > pt.tq
+        |      GROUP BY 1 HAVING count(*) >= 8) dom
+        |  ON s_suppkey = l_suppkey
+        |ORDER BY s_suppkey""".stripMargin
+    ) { (s, d) =>
+      val sp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      val dom = sp
+        .withColumn("tq", sum(col("q")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("q") * 2 > col("tq"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_dominated"))
+        .filter(col("n_dominated") >= 8)
+      dom
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "n_dominated")
+        .orderBy("s_suppkey")
+    },
+
+    // R43 — TPC-H Q2 shape (min-cost supplier per part in a region),
+    // adapted: no partsupp.ps_supplycost, so "cost" is the minimum unit
+    // price (l_extendedprice/l_quantity — identical IEEE expression both
+    // engines, and min() is order-independent, so the raw double is
+    // hash-portable) a EUROPE supplier ever charged for the part. The
+    // correlated min-subquery de-correlates into a per-part WINDOW min
+    // with an equality filter — Q2's signature shape without the
+    // join-back, which would re-run the fact scan+agg subtree
+    // (ReuseExchange does not match the differently-pruned copies).
+    // Region/nation/supplier/part all broadcast; the fact shuffles once
+    // into the per-(part,supp) aggregate, and the window runs over that
+    // dims-sized frame.
+    Q(
+      "q45_min_cost_supplier",
+      """WITH eu AS (SELECT s_suppkey, s_name, n_name FROM supplier
+        |            JOIN nation ON s_nationkey = n_nationkey
+        |            JOIN region ON n_regionkey = r_regionkey
+        |            WHERE r_name = 'EUROPE'),
+        |  cost AS (SELECT l_partkey, s_suppkey, s_name, n_name,
+        |             min(l_extendedprice / l_quantity) AS min_cost
+        |           FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+        |           GROUP BY 1,2,3,4),
+        |  best AS (SELECT l_partkey, min(min_cost) AS mc FROM cost GROUP BY 1)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, min_cost
+        |FROM cost
+        |JOIN best ON cost.l_partkey = best.l_partkey AND min_cost = mc
+        |JOIN part ON cost.l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD'
+        |ORDER BY min_cost, p_partkey, s_suppkey LIMIT 100""".stripMargin
+    ) { (s, d) =>
+      val eu = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val cost = Tables.lineitem(s, d)
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("min_cost"))
+      cost
+        .withColumn("mc", min(col("min_cost")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("min_cost") === col("mc"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "min_cost")
+        .orderBy("min_cost", "p_partkey", "s_suppkey")
+        .limit(100)
     }
   )
 }
