@@ -33,7 +33,16 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"RECALL_JSON ${measure(spark, sfDir)}")
+    spark.stop()
+  }
 
+  /** Recall JSON for the approximate operators at `sfDir` — called by
+    * [[main]] (standalone sf0.1 runs) AND by [[Verify]] (r3+: every
+    * round's correctness dump also emits `<outDir>/recall.json`, so a
+    * recall regression surfaces next to a correctness regression
+    * instead of waiting for a manual probe run). */
+  def measure(spark: SparkSession, sfDir: String): String = {
     // ---- dd2: MinHash-LSH near-dup pairs vs exact-Jaccard truth ----
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val shingleIndex = docs
@@ -72,11 +81,8 @@ object RecallProbe {
 
     def ratio(hit: Long, truth: Long): Double =
       if (truth == 0) 1.0 else hit.toDouble / truth
-    val json =
-      s"""{"sf":"$sfDir","dd2_recall":${ratio(dd2Hit, dd2Truth)},"dd2_truth_pairs":$dd2Truth,""" +
+    s"""{"sf":"$sfDir","dd2_recall":${ratio(dd2Hit, dd2Truth)},"dd2_truth_pairs":$dd2Truth,""" +
       s""""sim3_recall":${ratio(sim3Hit, annTruth)},"sim5_recall":${ratio(sim5Hit, annTruth)},""" +
       s""""ann_truth_pairs":$annTruth}"""
-    println(s"RECALL_JSON $json")
-    spark.stop()
   }
 }

@@ -48,6 +48,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // recall alongside correctness (r3): approximate-operator recall vs
+    // exact ground truth at the same sf, so a recall regression (a
+    // silently-useless ANN/LSH config, like r1's 0.00-recall sim3) shows
+    // up in the per-round artifacts, not only in manual probe runs.
+    // Never fails the dump — correctness outputs stand on their own.
+    try {
+      val recall = RecallProbe.measure(spark, sfDir)
+      Files.writeString(Paths.get(s"$outDir/recall.json"), recall)
+      println(s"RECALL_JSON $recall")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[verify] recall probe failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
