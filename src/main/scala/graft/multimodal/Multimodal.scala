@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is real: `ImageCodec` decodes PNG/JPEG/BMP/GIF/TIFF
   * payloads with the JDK's `javax.imageio.ImageIO` (no extra
   * dependencies), extracts true dimensions + pixel statistics, and
-  * resizes via `BufferedImage`/`Graphics2D`. Payloads that are not a
-  * decodable image (and the audio/video kinds — the JDK ships no
-  * audio/video frame codecs, so those remain a DETERMINISTIC STUB,
-  * `FakeCodec`) fall back to byte statistics, with the `decoded` flag
-  * recording which path ran. Swapping `FakeCodec` for a javacv decoder
-  * changes no plan shape: the codec seam is the only non-Spark code.
+  * resizes via `BufferedImage`/`Graphics2D`. The AUDIO path is real for
+  * WAV/AIFF/AU: `AudioCodec` decodes via the JDK's
+  * `javax.sound.sampled.AudioSystem` — true sample rate, frame count,
+  * duration, amplitude stats. Only VIDEO (and compressed audio —
+  * MP3/FLAC) remains a DETERMINISTIC STUB (`FakeCodec`): the JDK ships
+  * no codecs for those. Undecodable payloads of any kind fall back to
+  * byte statistics, with the `decoded` flag recording which path ran.
+  * Swapping `FakeCodec` for a javacv decoder changes no plan shape: the
+  * codec seam is the only non-Spark code.
   *
   * Scale notes: payloads never pass through a shuffle — every transform
   * below is scan-local (`mapPartitions`), so 100 TB of media streams
@@ -37,6 +40,10 @@ object Multimodal {
                            decoded: Boolean)
 
   case class Frame(asset_id: Long, frame_idx: Int, t_ms: Long, checksum: Long)
+
+  case class AudioFeatures(asset_id: Long, sample_rate: Int, channels: Int,
+                           n_frames: Long, duration_ms: Long, rms: Double,
+                           peak: Double, n_bytes: Long, decoded: Boolean)
 
   /** ---- REAL IMAGE CODEC (JDK ImageIO) -------------------------------
     * Decode/stats/resize over PNG/JPEG/BMP/GIF/TIFF using only
@@ -118,13 +125,58 @@ object Multimodal {
     }
   }
 
-  /** ---- STUB CODEC (audio/video only) --------------------------------
+  /** ---- REAL AUDIO CODEC (JDK javax.sound.sampled) -------------------
+    * WAV/AIFF/AU decode via `AudioSystem` — ships in the JDK's
+    * `java.desktop` module, zero new dependencies (same rationale as
+    * [[ImageCodec]]). Non-PCM encodings (µ-law, a-law) are converted to
+    * 16-bit signed PCM through `AudioSystem.getAudioInputStream(target,
+    * src)`; amplitude stats are computed over normalized [-1, 1]
+    * samples. Compressed formats (MP3/FLAC/OGG) have no JDK service
+    * provider and fall back to the stub like any undecodable payload.
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** (sampleRate, channels, nFrames, durationMs, rms, peak) for a
+      * decodable WAV/AIFF/AU payload; None otherwise. */
+    def decode(payload: Array[Byte]): Option[(Int, Int, Long, Long, Double, Double)] =
+      try {
+        val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        try {
+          val f = src.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+            f.getSampleRate, false)
+          val pcm = AudioSystem.getAudioInputStream(target, src)
+          try {
+            val bytes = pcm.readAllBytes()
+            val n = bytes.length / 2
+            var sumSq = 0.0; var peak = 0.0
+            var i = 0
+            while (i < n) {
+              // little-endian 16-bit signed, normalized to [-1, 1]
+              val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort / 32768.0
+              sumSq += s * s
+              val a = math.abs(s); if (a > peak) peak = a
+              i += 1
+            }
+            val frames = n / f.getChannels
+            val durMs = (frames * 1000.0 / f.getSampleRate).toLong
+            Some((f.getSampleRate.toInt, f.getChannels, frames.toLong, durMs,
+              if (n == 0) 0.0 else math.sqrt(sumSq / n), peak))
+          } finally pcm.close()
+        } finally src.close()
+      } catch { case _: Exception => None }
+  }
+
+  /** ---- STUB CODEC (video only) --------------------------------------
     * Deterministic fake decode: byte statistics standing in for
-    * audio-sample / video-frame decode. The JDK ships no audio/video
-    * codecs (images are REAL — see [[ImageCodec]]); replace this with a
-    * javacv/ffmpeg decoder here — signature and batch shape are what
-    * production code would keep. Also the fallback for payloads that
-    * claim to be images but don't decode.
+    * video-frame decode. Images ([[ImageCodec]]) and WAV/AIFF/AU audio
+    * ([[AudioCodec]]) are REAL via in-JDK codecs; the JDK ships no video
+    * (or compressed-audio) codecs, so this remains the stub for those —
+    * replace with a javacv/ffmpeg decoder here; signature and batch
+    * shape are what production code would keep. Also the fallback for
+    * payloads that claim a decodable kind but don't parse.
     */
   object FakeCodec {
     def decodeStats(payload: Array[Byte]): (Double, Long) = {
@@ -223,6 +275,29 @@ object Multimodal {
           val (mean, crc) = FakeCodec.decodeStats(a.payload)
           ImageFeatures(a.asset_id, a.width, a.height, a.payload.length.toLong,
             mean, crc, decoded = false)
+      }
+    })
+  }
+
+  /** Decode + feature-extract audio payloads, partition-local — the
+    * audio twin of [[imageFeatures]]: WAV/AIFF/AU payloads get REAL
+    * sample rate / frame count / duration / amplitude stats with
+    * `decoded = true`; everything else falls back to deterministic byte
+    * statistics (byte-mean standing in for rms on a 0–1 scale, carried
+    * metadata for rate/duration) with `decoded = false`. */
+  def audioFeatures(assets: Dataset[Asset]): Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val real = if (a.kind == "audio") AudioCodec.decode(a.payload) else None
+      real match {
+        case Some((rate, ch, frames, durMs, rms, peak)) =>
+          AudioFeatures(a.asset_id, rate, ch, frames, durMs, rms, peak,
+            a.payload.length.toLong, decoded = true)
+        case None =>
+          val (mean, _) = FakeCodec.decodeStats(a.payload)
+          AudioFeatures(a.asset_id, a.sample_rate, 1,
+            a.sample_rate.toLong * a.duration_ms / 1000, a.duration_ms,
+            mean / 255.0, mean / 255.0, a.payload.length.toLong, decoded = false)
       }
     })
   }

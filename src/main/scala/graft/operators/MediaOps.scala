@@ -19,6 +19,15 @@ object MediaOps {
         .orderBy("asset_id")
     },
 
+    // L13 — audio decode + feature extraction: the synthetic assets carry
+    // text bytes (not WAV), so every row exercises the declared fallback
+    // path here; the REAL decode (generated PCM WAV → true rate/frames/
+    // rms) is pinned by MultimodalSpec.
+    Q.rowsOnly("mm4_audio_features") { (s, d) =>
+      Multimodal.audioFeatures(Multimodal.assets(s, d)).toDF()
+        .orderBy("asset_id")
+    },
+
     // L13 — video frame sampling: bounded fan-out, scan-local.
     Q.rowsOnly("mm2_frame_sample") { (s, d) =>
       Multimodal.sampleFrames(Multimodal.assets(s, d), everyMs = 5000L).toDF()

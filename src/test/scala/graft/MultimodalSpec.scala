@@ -124,4 +124,49 @@ class MultimodalSpec extends SparkSpecBase {
     assert(sch("kind") === "string" && sch("duration_ms") === "bigint")
     assert(ds.count() > 0)
   }
+
+  // ---- real-audio path (JDK javax.sound.sampled — no stub involved) ----
+
+  /** 16-bit little-endian mono PCM WAV of a sine wave. */
+  private def sineWav(rate: Int, frames: Int, freqHz: Double, amp: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val data = new Array[Byte](frames * 2)
+    (0 until frames).foreach { i =>
+      val s = (amp * math.sin(2 * math.Pi * freqHz * i / rate) * 32767).toInt.toShort
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: true sample rate, frames, duration, and amplitude stats from a binary lake") {
+    val dir = java.nio.file.Files.createTempDirectory("audiolake")
+    // 0.5 s of a 440 Hz sine at amplitude 0.5, 8 kHz mono
+    java.nio.file.Files.write(dir.resolve("tone.wav"), sineWav(8000, 4000, 440.0, 0.5))
+    val feats = Multimodal.audioFeatures(
+      Multimodal.ingestBinaryDir(spark, dir.toString)).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.decoded, "WAV must take the real AudioSystem path")
+    assert(f.sample_rate === 8000 && f.channels === 1,
+      "TRUE rate/channels from the WAV header (binaryFile ingestion carries sample_rate=0)")
+    assert(f.n_frames === 4000L && f.duration_ms === 500L)
+    // sine RMS = amp/√2; peak = amp (16-bit quantization tolerance)
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2)) < 1e-3, s"rms=${f.rms}")
+    assert(math.abs(f.peak - 0.5) < 0.01, s"peak=${f.peak}")
+  }
+
+  test("audioFeatures falls back to byte stats for non-audio payloads, with carried metadata") {
+    val ds = Seq(asset(1L, "audio", "abcd", durMs = 2000L),
+      asset(2L, "video", "efgh")).toDS()
+    val f = Multimodal.audioFeatures(ds).collect().map(x => x.asset_id -> x).toMap
+    assert(!f(1L).decoded && !f(2L).decoded)
+    assert(f(1L).sample_rate === 16000 && f(1L).duration_ms === 2000L)
+    assert(f(1L).n_frames === 16000L * 2000L / 1000L)
+    assert(f(1L).rms === (('a' + 'b' + 'c' + 'd') / 4.0) / 255.0)
+  }
 }
