@@ -294,6 +294,56 @@ object EventStream {
         })
   }
 
+  /** T3b — the same funnel on Spark 4's state API v2
+    * (`transformWithState`): state lives in NAMED typed handles
+    * ([[org.apache.spark.sql.streaming.ValueState]]) with optional
+    * per-state TTL, instead of one opaque `GroupState` blob — the API
+    * Spark is converging on for arbitrary stateful work, and the one
+    * that composes with state-store-level features (TTL eviction,
+    * RocksDB changelog checkpointing). Requires the RocksDB provider
+    * (the only v2 state-store implementation); the spec runs it under
+    * that config. Semantics are identical to [[funnel]] — the spec
+    * pins both paths to the same answer.
+    */
+  class FunnelProcessor(stages: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, FunnelHit] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[FunnelHit] = {
+      var s = if (st.exists()) st.get() else FunnelState(0, 0L, 0L)
+      val hits = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = e.ts.getTime
+        if (s.stage < stages.length && e.event_type == stages(s.stage)) {
+          val start = if (s.stage == 0) us else s.startUs
+          s = FunnelState(s.stage + 1, start, us)
+          if (s.stage == stages.length) {
+            hits += FunnelHit(user, e.ts, (us - s.startUs) / 1000.0)
+            s = FunnelState(0, 0L, 0L)
+          }
+        }
+      }
+      if (s.stage == 0) st.clear() else st.update(s)
+      hits.iterator
+    }
+  }
+
+  def funnelV2(events: Dataset[Event], stages: Seq[String]): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stages), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Batch-mode funnel with identical semantics (for specs + the oracle
     * path), as a secondary sort: one shuffle partitioned on user_id with
     * rows sorted (user_id, ts, event_id) WITHIN each partition by the

@@ -66,6 +66,45 @@ class RocksDbStreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T3b funnel on the v2 state API (transformWithState) matches the v1 answer") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val data = Seq(
+        EventStream.Event(1L, ts(0), 1L, "view", 0.0),
+        EventStream.Event(2L, ts(1), 1L, "click", 0.0),
+        EventStream.Event(3L, ts(2), 1L, "purchase", 0.0),   // user 1 completes
+        EventStream.Event(4L, ts(0), 2L, "view", 0.0),
+        EventStream.Event(5L, ts(1), 2L, "purchase", 0.0),   // skips click
+        EventStream.Event(6L, ts(3), 1L, "view", 0.0),
+        EventStream.Event(7L, ts(4), 1L, "click", 0.0))
+      val in = MemoryStream[EventStream.Event]
+      in.addData(data.take(4): _*)
+      val q = EventStream.funnelV2(in.toDS(), Seq("view", "click", "purchase")).toDF()
+        .writeStream.format("memory").queryName("t3b_tws")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      in.addData(data.drop(4): _*)     // state must carry across batches
+      q.processAllAvailable()
+      // second completion arrives in a third batch, against stored state
+      in.addData(EventStream.Event(8L, ts(5), 1L, "purchase", 0.0))
+      q.processAllAvailable(); q.stop()
+      val v2 = spark.table("t3b_tws")
+        .select("user_id", "duration_sec").as[(Long, Double)].collect().sorted
+      // v1 (flatMapGroupsWithState) on the same events, one batch
+      val in1 = MemoryStream[EventStream.Event]
+      in1.addData(data :+ EventStream.Event(8L, ts(5), 1L, "purchase", 0.0): _*)
+      val q1 = EventStream.funnel(in1.toDS(), Seq("view", "click", "purchase"),
+          timeoutMs = 0L).toDF()
+        .writeStream.format("memory").queryName("t3b_v1")
+        .outputMode("append").start()
+      q1.processAllAvailable(); q1.stop()
+      val v1 = spark.table("t3b_v1")
+        .select("user_id", "duration_sec").as[(Long, Double)].collect().sorted
+      assert(v2.nonEmpty && v2.sameElements(v1),
+        s"v2=${v2.toSeq} must equal v1=${v1.toSeq}")
+    }
+  }
+
   test("T8 watermarked agg restarts from a RocksDB checkpoint without loss or duplication") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
