@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators (SURVEY.md §2 L22/L23): how 100 TB actually
+  * stays scannable. Parquet pruning works off per-file/row-group min-max
+  * stats, so the WRITE-side row order decides whether a later filter
+  * reads 1% or 100% of the lake.
+  *
+  *  - [[zorderWrite]]: multi-column clustering via a Z-value (Morton
+  *    code) sort — equal-frequency bucket per dimension (quantile
+  *    boundaries, so skew can't collapse the curve), bit-interleaved
+  *    into one integer, then `repartitionByRange` + in-partition sort on
+  *    it. Files end up covering small hyper-rectangles, so min-max
+  *    pruning is selective on EVERY clustered column, not just a lead
+  *    sort key. (Same layout idea Delta/Iceberg OPTIMIZE ZORDER uses;
+  *    built here from plain Spark expressions.)
+  *  - [[compact]]: bin-pack a directory of small files into
+  *    ~`targetBytes` outputs with a staged, atomic, crash-safe publish —
+  *    streaming sinks and incremental ingests produce file counts that
+  *    otherwise dominate scan planning time at scale.
+  *
+  * Both are write-side: they change bytes-on-disk layout, never query
+  * results — specs prove content identity plus the layout property
+  * (per-file min-max selectivity / file count + size).
+  */
+object Layout {
+
+  /** Equal-frequency bucket id (0..2^bits-1) for one column from
+    * approx-quantile boundaries: a codegen'd `when`-chain over at most
+    * 2^bits-1 literal thresholds (bits ≤ 6 keeps the chain small). The
+    * boundary fetch is one tiny driver-side quantile sketch pass. */
+  private def bucketExpr(boundaries: Array[Double], c: Column): Column = {
+    val base: Column = lit(boundaries.length) // above every boundary
+    boundaries.zipWithIndex.reverse.foldLeft(base) { case (acc, (b, i)) =>
+      when(c <= lit(b), lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Interleave the low `bits` of each bucket id into a Morton code —
+    * pure integer shift/or arithmetic, whole-stage codegen'd. */
+  private def mortonExpr(buckets: Seq[Column], bits: Int): Column =
+    (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (col0, d) =>
+        // bit b of dim d lands at position b*nDims + d
+        shiftleft(shiftright(col0, b).bitwiseAND(lit(1)), b * buckets.size + d)
+      }
+    }.reduce(_.bitwiseOR(_))
+
+  /** Z-value column for `df` over numeric `cols` (cast to double for the
+    * quantile boundaries; ordering is all that matters). Exposed for
+    * specs; [[zorderWrite]] is the user entry point. */
+  def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 6): Column = {
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bucketCols = cols.map { name =>
+      val bounds = df.stat.approxQuantile(name, probs, 0.01)
+      bucketExpr(bounds, col(name).cast("double"))
+    }
+    mortonExpr(bucketCols, bits)
+  }
+
+  /** Write `df` to `outDir` clustered on `cols` into `nFiles` files.
+    * One range shuffle on the Z-value (sampled range boundaries keep
+    * files equal-sized), one in-partition sort — the same cost class as
+    * any global sort write, independent of dimension count. */
+  def zorderWrite(df: DataFrame, cols: Seq[String], outDir: String,
+                  nFiles: Int, bits: Int = 6): Unit =
+    df.withColumn("__z", zvalue(df, cols, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Per-file min/max of `cols` for a parquet directory — the exact
+    * stats a reader's pruning consults, reconstructed relationally so
+    * specs (and operators) can measure a layout's selectivity: for a
+    * point predicate `c = v`, the files with `min <= v <= max` are the
+    * ones a scan must read. */
+  def fileStats(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fraction of files of `dir` a point-lookup `c = v` must read under
+    * min-max pruning (1.0 = layout useless for that column). */
+  def pruneFraction(spark: SparkSession, dir: String, c: String, v: Double): Double = {
+    val st = fileStats(spark, dir, Seq(c))
+    val total = st.count()
+    val hit = st.filter(col(s"min_$c") <= v && col(s"max_$c") >= v).count()
+    if (total == 0) 1.0 else hit.toDouble / total
+  }
+
+  /** Compact `dir` in place to ~`targetBytes` files: read once, coalesce
+    * (no shuffle) to `ceil(totalBytes/targetBytes)` outputs, write to a
+    * staging dir, then swap via the backup-rename protocol (publish is
+    * two renames; a crash leaves either old or new state plus debris
+    * dirs, never a partial mix). Returns the new file count. */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(hadoopConf)
+    val dataFiles = fs.listStatus(path).filter(f => f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".__compact_staging")
+    val backup = new org.apache.hadoop.fs.Path(dir + ".__compact_backup")
+    fs.delete(staging, true); fs.delete(backup, true)
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    // atomic-enough swap: old → backup, staged → live, drop backup
+    if (!fs.rename(path, backup))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!fs.rename(staging, path)) {
+      fs.rename(backup, path) // roll back
+      throw new java.io.IOException(s"compact: cannot publish staged files for $dir")
+    }
+    fs.delete(backup, true)
+    nOut
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** L22/L23: write-side layout — Z-order clustering and small-file
+  * compaction. The Z-order test measures the property that matters: the
+  * fraction of files a point lookup must read under per-file min-max
+  * pruning, on BOTH clustered dimensions, against a single-key-sorted
+  * baseline layout of the same data.
+  */
+class LayoutSpec extends SparkSpecBase {
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString + "/t"
+
+  test("z-order clustering prunes point lookups on BOTH dimensions; lead-key sort only on one") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val nFiles = 16
+
+    // baseline: classic single-lead-key sorted layout
+    val sortedDir = tmp("lead_sorted")
+    li.repartitionByRange(nFiles, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(sortedDir)
+
+    val zDir = tmp("zordered")
+    Layout.zorderWrite(li, Seq("l_partkey", "l_suppkey"), zDir, nFiles)
+
+    // identical content, different bytes layout
+    assert(spark.read.parquet(zDir).exceptAll(li).isEmpty
+      && li.exceptAll(spark.read.parquet(zDir)).isEmpty)
+
+    import spark.implicits._
+    val parts = li.select(col("l_partkey").cast("double")).distinct().as[Double]
+      .collect().sorted
+    val supps = li.select(col("l_suppkey").cast("double")).distinct().as[Double]
+      .collect().sorted
+    def avgFrac(dir: String, c: String, vs: Array[Double]): Double =
+      vs.map(Layout.pruneFraction(spark, dir, c, _)).sum / vs.length
+
+    // probe a spread of real key values on each dimension
+    val probeParts = parts.indices.by(math.max(1, parts.length / 8)).map(parts).toArray
+    val probeSupps = supps
+
+    val zPart = avgFrac(zDir, "l_partkey", probeParts)
+    val zSupp = avgFrac(zDir, "l_suppkey", probeSupps)
+    val sPart = avgFrac(sortedDir, "l_partkey", probeParts)
+    val sSupp = avgFrac(sortedDir, "l_suppkey", probeSupps)
+    info(f"avg files read: zorder part=$zPart%.2f supp=$zSupp%.2f | lead-sorted part=$sPart%.2f supp=$sSupp%.2f")
+
+    // lead-key sort: great on the lead key, useless on the other
+    assert(sPart < 0.35, s"lead-sorted layout should prune its lead key, got $sPart")
+    assert(sSupp > 0.9, s"lead-sorted layout cannot prune the second key, got $sSupp")
+    // z-order: strictly useful on BOTH dimensions
+    assert(zPart < 0.7, s"zorder must prune dim 1, got $zPart")
+    assert(zSupp < 0.7, s"zorder must prune dim 2, got $zSupp")
+  }
+
+  test("compaction bin-packs a fragmented directory and preserves content") {
+    val dir = tmp("fragmented")
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    li.repartition(64).write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nParquet = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(nParquet === 64)
+    val before = li.orderBy("l_orderkey", "l_quantity").collect()
+
+    val n = Layout.compact(spark, dir, targetBytes = 512 * 1024)
+    assert(nParquet === n && n < 64, s"expected far fewer files, got $n")
+    // no staging/backup debris, content bit-identical
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_staging")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_backup")))
+    val after = spark.read.parquet(dir).orderBy("l_orderkey", "l_quantity").collect()
+    assert(after.sameElements(before))
+  }
+}
