@@ -147,6 +147,34 @@ object EventOps {
           sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hi"),
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type")
+    },
+
+    // R30c — VARIANT-typed semi-structured access (Spark 4's open-format
+    // answer to RAW's just-in-time heterogeneous records): `parse_json`
+    // once into a binary VARIANT column, then typed `variant_get` path
+    // extraction — unlike ev3's per-access string re-parse, the parse
+    // cost is paid once per row however many paths are read, and the
+    // encoded value column-prunes/pushes like any binary. Absent paths
+    // surface as NULL via `try_variant_get` (count() skips them — the
+    // oracle's json_extract_string does the same).
+    Q(
+      "ev6_variant",
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(count(json_extract_string(props,'$.absent')) AS BIGINT) AS n_absent,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(col("event_type"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          try_variant_get(col("v"), "$.absent", "string").as("absent"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"),
+          count(col("absent")).as("n_absent"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
     }
   )
 }
