@@ -49,6 +49,56 @@ object Graph {
     levels.reduce(_ union _).localCheckpoint(true)
   }
 
+  /** PageRank in FIXED-POINT integer arithmetic: ranks are longs in
+    * units of 1e-12 (`Scale`), contributions use exact integral `DIV`,
+    * and every per-node inflow is a sum of longs — order-independent, so
+    * results are bit-identical across partition counts and retries
+    * (float-sum PageRank is not, and would fail the determinism audit
+    * every other catalog query passes). Floor losses shrink total mass
+    * by < nIter·|E| units of 1e-12 — irrelevant for ranking.
+    *
+    * Shape per iteration: one hash-join shuffle (ranks ⨝ edges on src) +
+    * one aggregation on dst; dangling mass (nodes without out-edges) is
+    * a 1-row aggregate redistributed uniformly; `localCheckpoint` keeps
+    * plan depth constant like [[bfs]]. Driver loop iterates ITERATIONS,
+    * never rows.
+    */
+  def pageRank(edges: DataFrame, nIter: Int = 8,
+               dampingPpm: Long = 850000L): DataFrame = {
+    val Scale = 1000000000000L
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(Scale / n)).localCheckpoint(true)
+    (1 to nIter).foreach { _ =>
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("s"))
+        .head().getLong(0)
+      val contribs = e
+        .join(withDeg.filter(col("deg").isNotNull)
+          .select(col("node").as("src"), col("r"), col("deg")), Seq("src"))
+        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inflow"))
+      val base = (Scale * (1000000L - dampingPpm) / 1000000L) / n
+      val danglingShare = dangling / n
+      // `/` on long Columns is DOUBLE division in Spark SQL — the
+      // integral `DIV` operator keeps the whole update in exact longs
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"${base}L + ($dampingPpm" + "L * (coalesce(inflow, 0L) + " +
+            s"${danglingShare}L)) DIV 1000000L").as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.withColumnRenamed("r", "rank_e12")
+  }
+
   val catalog: Seq[Q] = Seq(
     // Reachability over a deterministic functional graph on doc ids,
     // oracle = DuckDB WITH RECURSIVE (the declarative twin of the
@@ -76,6 +126,19 @@ object Graph {
       // no re-aggregation needed
       val seeds = docs.filter(col("doc_id") < 5).select(col("doc_id").as("node"))
       bfs(edges, seeds, maxHops = 6).orderBy("node")
+    },
+
+    // R36b — PageRank over the same deterministic functional graph.
+    // Rows-only: aggregation inside a recursive member isn't portable
+    // DuckDB SQL; GraphSpec pins the fixed-point values against an
+    // independent driver-side reference implementation.
+    Q.rowsOnly("gr2_pagerank") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val edges = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 13) % n).as("dst"))
+      pageRank(edges, nIter = 8)
+        .orderBy(desc("rank_e12"), col("node")).limit(50)
     }
   )
 }

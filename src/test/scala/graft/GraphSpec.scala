@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** R36b: fixed-point PageRank. The distributed result must match an
+  * independent driver-side reference that uses the SAME integer
+  * arithmetic — exact equality, no tolerance, which is the point of the
+  * fixed-point formulation (bit-identical across partitionings).
+  */
+class GraphSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Reference PageRank with identical long arithmetic, sequential. */
+  private def reference(edges: Seq[(Long, Long)], nIter: Int,
+                        dampingPpm: Long = 850000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outDeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> Scale / n).toMap
+    (1 to nIter).foreach { _ =>
+      val dangling = nodes.filterNot(outDeg.contains).map(r).sum
+      val inflow = e.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / outDeg(s) }.sum).toMap
+      val base = (Scale * (1000000L - dampingPpm) / 1000000L) / n
+      val share = dangling / n
+      r = nodes.map(v => v ->
+        (base + (dampingPpm * (inflow.getOrElse(v, 0L) + share)) / 1000000L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the sequential fixed-point reference exactly (incl. dangling mass)") {
+    // hub-and-spoke + a chain + a DANGLING sink (4 has no out-edges)
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (2L, 3L),
+      (3L, 4L), (1L, 4L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), nIter = 10)
+      .as[(Long, Long)].collect().toMap
+    val want = reference(edges, nIter = 10)
+    assert(got === want, s"got $got, want $want")
+    // sanity: hub 2 outranks leaf 1; everything got (1-d)/n at least
+    assert(got(2L) > got(1L))
+    assert(got.values.forall(_ >= (Scale * 150000L / 1000000L) / 5))
+  }
+
+  test("pageRank is bit-identical across partition layouts") {
+    val edges = (0L until 200L).map(i => (i, (i * 7 + 13) % 200))
+    val a = Graph.pageRank(edges.toDF("src", "dst").repartition(1), nIter = 6)
+      .orderBy("node").as[(Long, Long)].collect()
+    val b = Graph.pageRank(edges.toDF("src", "dst").repartition(13), nIter = 6)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("gr2 catalog entry yields a full ranking with deterministic order") {
+    val out = SparkEntry.queries("gr2_pagerank")(spark, sf0001).collect()
+    assert(out.length === 50)
+    val ranks = out.map(_.getLong(1))
+    assert(ranks.sameElements(ranks.sorted.reverse), "sorted by rank desc")
+  }
+}
