@@ -91,6 +91,25 @@ object ScaleProbe {
         .groupBy("supp_nation", "cust_nation")
         .agg(count(lit(1))).count()
     }
+    // r3 shapes: dominant-supplier (q44) — agg to (part,supp), window
+    // total per part, never a second fact scan; the window runs over the
+    // aggregate, so cost should track the single agg
+    time("dominant_supplier_window") {
+      import org.apache.spark.sql.expressions.Window
+      val sp = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      sp.withColumn("tq", sum(col("q")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("q") * 2 > col("tq"))
+        .groupBy("l_suppkey").agg(count(lit(1))).count()
+    }
+    // r3 shapes: fixed-point pagerank on a replicated functional graph —
+    // per-iteration join+agg cost should scale with |E|
+    time("pagerank_5iter") {
+      val n = rep * 5000L
+      val edges = li.select((col("l_orderkey") % n).as("src"),
+        ((col("l_orderkey") * 7 + 13) % n).as("dst"))
+      graft.operators.Graph.pageRank(edges, nIter = 5).count()
+    }
     spark.stop()
   }
 }
