@@ -799,6 +799,34 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
+    // R33b — approx_top_k heavy hitters (Spark 4 frequent-items sketch;
+    // the reference's sketch family alongside HLL/GK). Over a column
+    // whose cardinality fits the sketch's tracked-items budget the
+    // counts are EXACT, so this is oracle-checkable against a plain
+    // count(*) top-k — the same trick q28's HLL entry can't use (HLL
+    // estimates stay approximate at any cardinality). Per-segment
+    // sketches merge via accumulate → combine → estimate, the mergeable
+    // build-per-partition/union-at-query-time layout sketches exist for.
+    Q(
+      "q46_approx_topk",
+      """SELECT CAST(rk - 1 AS INT) AS pos, item, cnt
+        |FROM (SELECT event_type AS item, count(*) AS cnt,
+        |             row_number() OVER (ORDER BY count(*) DESC, event_type) AS rk
+        |      FROM events GROUP BY 1)
+        |WHERE rk <= 3 ORDER BY pos""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        // build one sketch per day segment...
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(expr("approx_top_k_accumulate(event_type)").as("sk"))
+        // ...then merge the segment sketches and extract top-3
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 3)").as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("pos").cast("int").as("pos"),
+          col("t.item").as("item"), col("t.count").as("cnt"))
+        .orderBy("pos")
+    },
+
     // R37 — TPC-H Q15 shape: revenue per supplier over a quarter, keep
     // the max-revenue supplier(s). The max is a two-pass aggregate
     // (per-supplier agg, then a 1-row global max broadcast back) — the
