@@ -51,4 +51,38 @@ object Inference {
     * columns become directories, enabling partition pruning on read. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** JSON-lines read with explicit malformed-record policy (S11) — what
+    * a 100 TB ingest of third-party data actually needs: `PERMISSIVE`
+    * keeps bad lines, NULLs their fields, and captures the raw text in
+    * `corruptCol` for quarantine/audit; `DROPMALFORMED` silently drops;
+    * `FAILFAST` aborts the job on the first bad record. The corrupt
+    * column must be part of the declared schema (Spark only populates
+    * it when named), which is why this wrapper pins the whole contract.
+    * Caveat: Spark refuses projections that touch ONLY the corrupt
+    * column on a raw file scan — materialize (cache/write) the parsed
+    * frame before quarantine-only queries.
+    */
+  def jsonWithPolicy(spark: SparkSession, path: String, schema: StructType,
+                     mode: String = "PERMISSIVE",
+                     corruptCol: String = "_corrupt_record"): DataFrame = {
+    val withCorrupt =
+      if (mode.equalsIgnoreCase("PERMISSIVE") && !schema.fieldNames.contains(corruptCol))
+        schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+      else schema
+    spark.read
+      .option("mode", mode)
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .schema(withCorrupt)
+      .json(path)
+  }
+
+  /** Parquet read across evolved schemas (S12): `mergeSchema` unions the
+    * footers of every file, so files written before a column existed
+    * read as NULL for it — additive schema evolution without a rewrite.
+    * (Default reads take ONE footer — fast, but silently drops late
+    * columns when the first-listed file predates them; evolution reads
+    * must opt in, and at 100 TB you pay one footer per file for it.) */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }
