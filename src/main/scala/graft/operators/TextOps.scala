@@ -291,6 +291,30 @@ object TextOps {
         .groupBy("split")
         .agg(count(lit(1)).as("docs"), sum("n_tok").as("tokens"))
         .orderBy("split")
+    },
+
+    // L10b — lexical-diversity quality signal (type-token ratio): the
+    // repetition filter a training corpus actually applies — boilerplate
+    // and bot text sit at low TTR. Scan-local per doc; tokens lowered,
+    // empty tokens (double spaces) filtered on BOTH engines so counts
+    // match; raw double division is bit-portable (identical IEEE trees).
+    Q(
+      "tx11_lexical_diversity",
+      """SELECT doc_id,
+        |  CAST(len(list_distinct(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS BIGINT)
+        |    AS n_types,
+        |  CAST(len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS DOUBLE)
+        |    / len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -77,6 +77,19 @@ object Inference {
       .json(path)
   }
 
+  /** XML with row-tag extraction + schema inference (S13) — Spark 4
+    * ships the XML source natively (no spark-xml dependency): each
+    * `rowTag` element becomes a row, nested elements become struct
+    * fields, attributes surface with the `_` prefix. Rounds out the
+    * reference's heterogeneous-file surface (CSV/JSON/parquet/ORC/XML).
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          samplingRatio: Double = 1.0): DataFrame =
+    spark.read.format("xml")
+      .option("rowTag", rowTag)
+      .option("samplingRatio", samplingRatio.toString)
+      .load(path)
+
   /** Parquet read across evolved schemas (S12): `mergeSchema` unions the
     * footers of every file, so files written before a column existed
     * read as NULL for it — additive schema evolution without a rewrite.

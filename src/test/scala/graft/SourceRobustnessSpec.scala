@@ -55,6 +55,23 @@ class SourceRobustnessSpec extends SparkSpecBase {
       || Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
   }
 
+  test("XML source: rowTag rows, nested structs, attributes, inferred types") {
+    val dir = java.nio.file.Files.createTempDirectory("xmlsrc")
+    java.nio.file.Files.write(dir.resolve("cat.xml"),
+      """<catalog>
+        |  <book id="b1"><title>Spark</title><price>10.5</price>
+        |    <author><name>Ada</name></author></book>
+        |  <book id="b2"><title>Query</title><price>7</price>
+        |    <author><name>Lin</name></author></book>
+        |</catalog>""".stripMargin.getBytes("UTF-8"))
+    val df = Inference.xml(spark, dir.toString, rowTag = "book")
+    assert(df.count() === 2)
+    val rows = df.select(col("_id"), col("title"), col("price").cast("double"),
+        col("author.name")).as[(String, String, Double, String)]
+      .collect().toSet
+    assert(rows === Set(("b1", "Spark", 10.5, "Ada"), ("b2", "Query", 7.0, "Lin")))
+  }
+
   test("mergeSchema reads files written before a column existed (additive evolution)") {
     val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/t"
     Seq((1L, "a")).toDF("id", "name").write.parquet(dir)          // v1 schema
