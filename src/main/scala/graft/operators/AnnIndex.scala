@@ -34,6 +34,36 @@ object AnnIndex {
   private def listsDir(indexDir: String) = s"$indexDir/lists"
   private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
   private def tablesDir(indexDir: String) = s"$indexDir/tables"
+  private def lshParamsPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_graft_lsh_params")
+
+  /** Pin the LSH layout constants in the index (same pattern as the
+    * bucketed sink's `_graft_num_buckets` marker): an append or query
+    * with a different hash family than the build would silently mix
+    * incompatible bucketings — recall collapses with no error. The
+    * marker makes the mismatch loud. */
+  private def writeLshParams(spark: SparkSession, indexDir: String,
+                             nTables: Int, bits: Int): Unit = {
+    val p = lshParamsPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$nTables,$bits".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireLshParams(spark: SparkSession, indexDir: String,
+                               nTables: Int, bits: Int): Unit = {
+    val p = lshParamsPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val stored = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      require(stored == s"$nTables,$bits",
+        s"LSH index at $indexDir was built with (nTables,bits)=($stored); " +
+          s"got ($nTables,$bits) — layout constants are fixed at build time")
+    }
+  }
 
   // ---------------------------------------------------------------- IVF
 
@@ -41,9 +71,14 @@ object AnnIndex {
     * trains the quantizer on a content-hash sample ([[Similarity
     * .trainCentroids]]) then delegates to [[buildIvfWith]]. */
   def buildIvf(spark: SparkSession, vectors: DataFrame, indexDir: String,
-               nCentroids: Int = 16, sampleDivisor: Int = 10): Unit =
-    buildIvfWith(spark, vectors, indexDir,
-      Similarity.trainCentroids(vectors, nCentroids, sampleDivisor))
+               nCentroids: Int = 16, sampleDivisor: Int = 10): Unit = {
+    // three actions consume the frame (sample-count guard, k-means fit,
+    // partitioned write) — persist so the upstream lineage runs once
+    val v = vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try buildIvfWith(spark, v, indexDir,
+      Similarity.trainCentroids(v, nCentroids, sampleDivisor))
+    finally v.unpersist()
+  }
 
   /** Build with an explicit (frozen) quantizer — the one-shot reference
     * the incremental spec compares against, and the seam that makes the
@@ -110,9 +145,11 @@ object AnnIndex {
 
   /** Build the LSH table index at `indexDir` from (vec_id, v, ...). */
   def buildLsh(spark: SparkSession, vectors: DataFrame, indexDir: String,
-               nTables: Int = 16, bits: Int = 3): Unit =
+               nTables: Int = 16, bits: Int = 3): Unit = {
     bucketRows(vectors, nTables, bits)
       .write.mode("overwrite").partitionBy("tab").parquet(tablesDir(indexDir))
+    writeLshParams(spark, indexDir, nTables, bits)
+  }
 
   /** Append a batch: replay-guarded (anti-join on stored ids), then the
     * stateless hash family bucketizes scan-locally — incremental ≡ full
@@ -120,6 +157,7 @@ object AnnIndex {
     * (they are layout constants of the index, like `k` in L2b). */
   def appendLsh(spark: SparkSession, newVectors: DataFrame, indexDir: String,
                 nTables: Int = 16, bits: Int = 3): Unit = {
+    requireLshParams(spark, indexDir, nTables, bits)
     val existingIds = spark.read.parquet(tablesDir(indexDir))
       .select("vec_id").distinct()
     bucketRows(newVectors.join(existingIds, Seq("vec_id"), "left_anti"), nTables, bits)
@@ -134,6 +172,7 @@ object AnnIndex {
   def queryLsh(spark: SparkSession, indexDir: String, corpus: DataFrame,
                queries: DataFrame, nTables: Int = 16, bits: Int = 3,
                topK: Int = 3): DataFrame = {
+    requireLshParams(spark, indexDir, nTables, bits)
     val qBuckets = bucketRows(
       queries.select(col("q_id").as("vec_id"), col("qv").as("v")), nTables, bits)
       .withColumnRenamed("vec_id", "q_id")

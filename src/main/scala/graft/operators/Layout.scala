@@ -54,9 +54,14 @@ object Layout {
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 6): Column = {
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bucketCols = cols.map { name =>
-      val bounds = df.stat.approxQuantile(name, probs, 0.01)
-      bucketExpr(bounds, col(name).cast("double"))
+    // ONE multi-column quantile pass — the per-column overload would
+    // re-scan the input once per clustered dimension
+    val doubled = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__zq_$c", col(c).cast("double")))
+    val bounds = doubled.stat.approxQuantile(
+      cols.map(c => s"__zq_$c").toArray, probs, 0.01)
+    val bucketCols = cols.zip(bounds).map { case (name, bs) =>
+      bucketExpr(bs, col(name).cast("double"))
     }
     mortonExpr(bucketCols, bits)
   }
@@ -94,31 +99,44 @@ object Layout {
     if (total == 0) 1.0 else hit.toDouble / total
   }
 
-  /** Compact `dir` in place to ~`targetBytes` files: read once, coalesce
-    * (no shuffle) to `ceil(totalBytes/targetBytes)` outputs, write to a
-    * staging dir, then swap via the backup-rename protocol (publish is
-    * two renames; a crash leaves either old or new state plus debris
-    * dirs, never a partial mix). Returns the new file count. */
+  /** Compact a FLAT parquet directory in place to ~`targetBytes` files:
+    * read once, coalesce (no shuffle) to `ceil(totalBytes/targetBytes)`
+    * outputs, write to a staging dir, then swap via the shared
+    * backup-rename protocol ([[graft.streaming.EventStream
+    * .publishWithBackup]]). Crash-safe end to end: a run that died
+    * after moving the live dir aside left the backup as the only copy —
+    * recovery-first restores it before anything else, so a re-run (or a
+    * reader that calls compact) always sees either the old or the new
+    * state. Hive-partitioned tables (`col=value` subdirs) are REFUSED
+    * loudly rather than silently flattened — collapsing them to one
+    * unpartitioned file would both destroy partition pruning and, for
+    * marker-pinned layouts like the bucketed upsert state, corrupt the
+    * table's contract; compact each partition directory instead.
+    * Returns the new file count. */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(hadoopConf)
-    val dataFiles = fs.listStatus(path).filter(f => f.getPath.getName.endsWith(".parquet"))
-    val totalBytes = dataFiles.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val staging = new org.apache.hadoop.fs.Path(dir + ".__compact_staging")
     val backup = new org.apache.hadoop.fs.Path(dir + ".__compact_backup")
-    fs.delete(staging, true); fs.delete(backup, true)
+    // recovery first: crash between the two publish renames leaves the
+    // backup as the ONLY copy — restore it; a backup next to a live dir
+    // is a completed publish's debris — drop it
+    if (fs.exists(backup) && !fs.exists(path)) {
+      if (!fs.rename(backup, path))
+        throw new java.io.IOException(s"compact: cannot restore $backup to $dir")
+    } else fs.delete(backup, true)
+    fs.delete(staging, true)
+    val entries = fs.listStatus(path)
+    val dataFiles = entries.filter(f => f.getPath.getName.endsWith(".parquet"))
+    if (dataFiles.isEmpty && entries.exists(e => e.isDirectory && e.getPath.getName.contains("=")))
+      throw new IllegalArgumentException(
+        s"compact: $dir is hive-partitioned — compact each partition directory instead")
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(staging.toString)
-    // atomic-enough swap: old → backup, staged → live, drop backup
-    if (!fs.rename(path, backup))
-      throw new java.io.IOException(s"compact: cannot move $dir aside")
-    if (!fs.rename(staging, path)) {
-      fs.rename(backup, path) // roll back
-      throw new java.io.IOException(s"compact: cannot publish staged files for $dir")
-    }
-    fs.delete(backup, true)
+    graft.streaming.EventStream.publishWithBackup(fs, staging, path, backup)
     nOut
   }
 }

@@ -821,9 +821,16 @@ object Relational {
         .agg(expr("approx_top_k_accumulate(event_type)").as("sk"))
         // ...then merge the segment sketches and extract top-3
         .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 3)").as("top"))
-        .select(posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("pos").cast("int").as("pos"),
-          col("t.item").as("item"), col("t.count").as("cnt"))
+        // re-rank the extracted items deterministically: the sketch's
+        // ordering among EQUAL counts is unspecified, the oracle's
+        // (count DESC, item) is not — pos must come from the same total
+        // order on both sides
+        .select(explode(col("top")).as("t"))
+        .select(col("t.item").as("item"), col("t.count").as("cnt"))
+        .withColumn("pos",
+          (row_number().over(Window.orderBy(col("cnt").desc, col("item"))) - 1)
+            .cast("int"))
+        .select("pos", "item", "cnt")
         .orderBy("pos")
     },
 

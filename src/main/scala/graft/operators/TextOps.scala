@@ -304,16 +304,21 @@ object TextOps {
         |  CAST(len(list_distinct(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS BIGINT)
         |    AS n_types,
         |  CAST(len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS DOUBLE)
-        |    / len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS ttr
+        |  CASE WHEN len(list_filter(string_split(lower(text),' '), x -> x <> '')) = 0 THEN NULL
+        |       ELSE CAST(len(list_distinct(list_filter(string_split(lower(text),' '), x -> x <> ''))) AS DOUBLE)
+        |            / len(list_filter(string_split(lower(text),' '), x -> x <> '')) END AS ttr
         |FROM documents ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       val toks = filter(split(lower(col("text")), " "), t => t =!= "")
+      // explicit zero-token guard: engines disagree on 0.0/0 (NULL vs
+      // NaN depending on IEEE settings) — NULL on both sides by contract
       Tables.documents(s, d)
         .select(col("doc_id"),
           size(array_distinct(toks)).cast("long").as("n_types"),
           size(toks).cast("long").as("n_tokens"),
-          (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"))
+          when(size(toks) === 0, lit(null).cast("double"))
+            .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
+            .as("ttr"))
         .orderBy("doc_id")
     }
   )

@@ -122,7 +122,11 @@ object EventStream {
     * in each sink restores `bak` when `main` is missing, so the ordering
     * here and there must stay in lockstep (one shared copy, not two).
     */
-  private def publishWithBackup(fs: org.apache.hadoop.fs.FileSystem,
+  /** Shared staged-publish protocol (also used by
+    * [[graft.operators.Layout.compact]]): move main aside, promote the
+    * staged dir, drop the backup. Callers must run recovery-first logic
+    * for the crash window where `bak` is the only copy. */
+  private[graft] def publishWithBackup(fs: org.apache.hadoop.fs.FileSystem,
                                 src: org.apache.hadoop.fs.Path,
                                 main: org.apache.hadoop.fs.Path,
                                 bak: org.apache.hadoop.fs.Path): Unit = {
@@ -305,7 +309,7 @@ object EventStream {
     * that config. Semantics are identical to [[funnel]] — the spec
     * pins both paths to the same answer.
     */
-  class FunnelProcessor(stages: Seq[String])
+  class FunnelProcessor(stages: Seq[String], ttlMs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, FunnelHit] {
     import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
     import org.apache.spark.sql.Encoders
@@ -313,7 +317,9 @@ object EventStream {
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[FunnelState]("funnel",
-        Encoders.product[FunnelState], TTLConfig.NONE)
+        Encoders.product[FunnelState],
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs))
+        else TTLConfig.NONE)
 
     override def handleInputRows(user: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[FunnelHit] = {
@@ -335,12 +341,19 @@ object EventStream {
     }
   }
 
-  def funnelV2(events: Dataset[Event], stages: Seq[String]): Dataset[FunnelHit] = {
+  /** `ttlMs > 0` (the production default) evicts mid-funnel state for
+    * idle users via the v2 API's state TTL — the unbounded-stream memory
+    * bound [[funnel]] gets from its processing-time timeout (TTL needs
+    * `TimeMode.ProcessingTime`). `ttlMs = 0` disables eviction (tests
+    * driving `processAllAvailable`). */
+  def funnelV2(events: Dataset[Event], stages: Seq[String],
+               ttlMs: Long = 3600 * 1000L): Dataset[FunnelHit] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
     events
       .groupByKey(_.user_id)
-      .transformWithState(new FunnelProcessor(stages), TimeMode.None(),
+      .transformWithState(new FunnelProcessor(stages, ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
 

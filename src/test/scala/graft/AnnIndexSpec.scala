@@ -100,5 +100,16 @@ class AnnIndexSpec extends SparkSpecBase {
     val stored = AnnIndex.queryLsh(spark, incrDir, corpus, queries).collect()
     val inMem = SparkEntry.queries("sim3_lsh_ann")(spark, sf0001).collect()
     assert(stored.nonEmpty && stored.sameElements(inMem))
+
+    // layout constants are pinned at build: a mismatched append or query
+    // must refuse loudly (a silent mix of hash families collapses recall)
+    val exA = intercept[IllegalArgumentException] {
+      AnnIndex.appendLsh(spark, corpus, incrDir, nTables = 8, bits = 4)
+    }
+    assert(exA.getMessage.contains("built with"))
+    val exQ = intercept[IllegalArgumentException] {
+      AnnIndex.queryLsh(spark, incrDir, corpus, queries, nTables = 8, bits = 4)
+    }
+    assert(exQ.getMessage.contains("built with"))
   }
 }

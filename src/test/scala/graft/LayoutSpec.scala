@@ -76,4 +76,35 @@ class LayoutSpec extends SparkSpecBase {
     val after = spark.read.parquet(dir).orderBy("l_orderkey", "l_quantity").collect()
     assert(after.sameElements(before))
   }
+
+  test("compaction recovers a crash that left the backup as the only copy") {
+    val dir = tmp("crash")
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_quantity")
+    li.repartition(8).write.mode("overwrite").parquet(dir)
+    val before = li.orderBy("l_orderkey", "l_quantity").collect()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate dying between the two publish renames: live moved aside,
+    // staged never promoted
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__compact_backup")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    Layout.compact(spark, dir, targetBytes = 512 * 1024)
+    val after = spark.read.parquet(dir).orderBy("l_orderkey", "l_quantity").collect()
+    assert(after.sameElements(before), "recovery-first must restore, then compact")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__compact_backup")))
+  }
+
+  test("compaction refuses hive-partitioned directories instead of flattening them") {
+    val dir = tmp("parted")
+    Tables.orders(spark, sf0001)
+      .withColumn("o_year", org.apache.spark.sql.functions.year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+    val ex = intercept[IllegalArgumentException] {
+      Layout.compact(spark, dir, targetBytes = 1024 * 1024)
+    }
+    assert(ex.getMessage.contains("hive-partitioned"))
+    // table untouched
+    assert(spark.read.parquet(dir).count() === Tables.orders(spark, sf0001).count())
+  }
 }

@@ -79,7 +79,9 @@ class RocksDbStreamingSpec extends SparkSpecBase {
         EventStream.Event(7L, ts(4), 1L, "click", 0.0))
       val in = MemoryStream[EventStream.Event]
       in.addData(data.take(4): _*)
-      val q = EventStream.funnelV2(in.toDS(), Seq("view", "click", "purchase")).toDF()
+      // ttlMs=0 in tests (processAllAvailable); the TTL path runs below
+      val q = EventStream.funnelV2(in.toDS(), Seq("view", "click", "purchase"),
+          ttlMs = 0L).toDF()
         .writeStream.format("memory").queryName("t3b_tws")
         .outputMode("append").start()
       q.processAllAvailable()
@@ -102,6 +104,26 @@ class RocksDbStreamingSpec extends SparkSpecBase {
         .select("user_id", "duration_sec").as[(Long, Double)].collect().sorted
       assert(v2.nonEmpty && v2.sameElements(v1),
         s"v2=${v2.toSeq} must equal v1=${v1.toSeq}")
+
+      // the production configuration (state TTL on, ProcessingTime mode)
+      // must run and answer identically while the TTL hasn't elapsed.
+      // NOTE: TimeMode.ProcessingTime schedules continuous micro-batches
+      // to advance the TTL clock, so processAllAvailable() never settles
+      // (same trap as ProcessingTimeTimeout in v1) — poll the sink.
+      val inT = MemoryStream[EventStream.Event]
+      inT.addData(data :+ EventStream.Event(8L, ts(5), 1L, "purchase", 0.0): _*)
+      val qT = EventStream.funnelV2(inT.toDS(), Seq("view", "click", "purchase"),
+          ttlMs = 3600 * 1000L).toDF()
+        .writeStream.format("memory").queryName("t3b_ttl")
+        .outputMode("append").start()
+      val deadline = System.currentTimeMillis() + 60000
+      def ttlRows = spark.table("t3b_ttl")
+        .select("user_id", "duration_sec").as[(Long, Double)].collect().sorted
+      while (ttlRows.length < v1.length && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      qT.stop()
+      val withTtl = ttlRows
+      assert(withTtl.sameElements(v1), s"ttl=${withTtl.toSeq} must equal v1=${v1.toSeq}")
     }
   }
 
