@@ -149,6 +149,34 @@ object EventOps {
         .orderBy("event_type")
     },
 
+    // T10 — retention cohort matrix (the canonical product-analytics
+    // shape): cohort = a user's first active day, then distinct active
+    // users per (cohort, day offset). Two aggregations over the same
+    // per-(user, day) distinct frame — at 100 TB you would persist
+    // `activity` between them; both reductions shuffle on user_id /
+    // (cohort, offset), never on raw events. Offsets and counts cast to
+    // bigint on BOTH sides for schema parity.
+    Q(
+      "ev7_retention",
+      """WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+        |               FROM events GROUP BY 1),
+        |  activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT cohort, CAST(datediff('day', cohort, d) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM activity JOIN first USING (user_id)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      val activity = Tables.events(s, d)
+        .select(col("user_id"), col("ts").cast("date").as("d"))
+        .distinct()
+      val first = activity.groupBy("user_id").agg(min("d").as("cohort"))
+      activity.join(first, Seq("user_id"))
+        .groupBy(col("cohort"),
+          datediff(col("d"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("active_users"))
+        .orderBy("cohort", "day_offset")
+    },
+
     // R30c — VARIANT-typed semi-structured access (Spark 4's open-format
     // answer to RAW's just-in-time heterogeneous records): `parse_json`
     // once into a binary VARIANT column, then typed `variant_get` path
