@@ -149,6 +149,52 @@ object EventOps {
         .orderBy("event_type")
     },
 
+    // T3c — funnel conversion rates, the SQL-expressible twin of st1's
+    // state machine: per user the first view, the first click within 24 h
+    // AFTER that view, the first purchase within 24 h after that click —
+    // each stage a de-correlated (join + conditional min) aggregate, so
+    // the whole funnel is three key-shuffles over per-user reductions,
+    // never a per-user sort of raw history. Counts grouped by first-view
+    // day.
+    Q(
+      "ev8_funnel_rates",
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.tv
+        |        AND e.ts <= v.tv + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        |        AND e.ts <= c.tc + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT CAST(tv AS DATE) AS d, count(*) AS n_view,
+        |  CAST(count(tc) AS BIGINT) AS n_click,
+        |  CAST(count(tp) AS BIGINT) AS n_purchase
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("tv")
+          && col("ts") <= col("tv") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("tc")
+          && col("ts") <= col("tc") + expr("INTERVAL 24 HOURS"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .groupBy(col("tv").cast("date").as("d"))
+        .agg(count(lit(1)).as("n_view"),
+          count(col("tc")).as("n_click"),
+          count(col("tp")).as("n_purchase"))
+        .orderBy("d")
+    },
+
     // T10 — retention cohort matrix (the canonical product-analytics
     // shape): cohort = a user's first active day, then distinct active
     // users per (cohort, day offset). Two aggregations over the same
