@@ -146,9 +146,13 @@ object AnnIndex {
   /** Build the LSH table index at `indexDir` from (vec_id, v, ...). */
   def buildLsh(spark: SparkSession, vectors: DataFrame, indexDir: String,
                nTables: Int = 16, bits: Int = 3): Unit = {
+    // marker BEFORE data: a crash between the two must leave the marker
+    // matching the intended layout (a missing/partial tables dir fails
+    // loudly; a stale marker would refuse the CORRECT params and accept
+    // the wrong ones — the exact mix-up the marker exists to prevent)
+    writeLshParams(spark, indexDir, nTables, bits)
     bucketRows(vectors, nTables, bits)
       .write.mode("overwrite").partitionBy("tab").parquet(tablesDir(indexDir))
-    writeLshParams(spark, indexDir, nTables, bits)
   }
 
   /** Append a batch: replay-guarded (anti-join on stored ids), then the
@@ -158,8 +162,15 @@ object AnnIndex {
   def appendLsh(spark: SparkSession, newVectors: DataFrame, indexDir: String,
                 nTables: Int = 16, bits: Int = 3): Unit = {
     requireLshParams(spark, indexDir, nTables, bits)
+    // backfill the marker for pre-marker indexes so the guard protects
+    // every subsequent append/query (first writer pins the layout)
+    val p = lshParamsPath(indexDir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      writeLshParams(spark, indexDir, nTables, bits)
+    // every vec_id appears in EVERY tab partition — reading one
+    // partition yields the full id set at 1/nTables the scan
     val existingIds = spark.read.parquet(tablesDir(indexDir))
-      .select("vec_id").distinct()
+      .filter(col("tab") === 0).select("vec_id")
     bucketRows(newVectors.join(existingIds, Seq("vec_id"), "left_anti"), nTables, bits)
       .write.mode("append").partitionBy("tab").parquet(tablesDir(indexDir))
   }

@@ -176,19 +176,21 @@ object EventOps {
     ) { (s, d) =>
       val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
       // v and c feed TWO consumers each (the next stage + the final
-      // join); unpersisted, Catalyst recomputes the whole upstream per
-      // branch — the plan audit showed 6 scans of events. The stage
-      // frames are per-user aggregates (tiny), so persist them: one
-      // type-filtered scan per stage, which is this shape's floor.
+      // join); unmaterialized, Catalyst recomputes the whole upstream
+      // per branch — the plan audit showed 6 scans of events. The stage
+      // frames are per-user aggregates (tiny), so localCheckpoint them
+      // (the repo's GC-reclaimable pattern — a bare persist() is pinned
+      // by the CacheManager for the whole session): one type-filtered
+      // scan per stage, which is this shape's floor.
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts").as("tv"))
-        .persist()
+        .localCheckpoint(true)
       val c = ev.filter(col("event_type") === "click")
         .join(v, Seq("user_id"))
         .filter(col("ts") > col("tv")
           && col("ts") <= col("tv") + expr("INTERVAL 24 HOURS"))
         .groupBy("user_id").agg(min("ts").as("tc"))
-        .persist()
+        .localCheckpoint(true)
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, Seq("user_id"))
         .filter(col("ts") > col("tc")
@@ -220,11 +222,12 @@ object EventOps {
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
     ) { (s, d) =>
       // activity feeds both the cohort derivation and the final join —
-      // persist the (user, day) distinct frame so events scan once
+      // localCheckpoint the (user, day) distinct frame so events scan
+      // once (GC-reclaimable, unlike a session-pinned persist())
       val activity = Tables.events(s, d)
         .select(col("user_id"), col("ts").cast("date").as("d"))
         .distinct()
-        .persist()
+        .localCheckpoint(true)
       val first = activity.groupBy("user_id").agg(min("d").as("cohort"))
       activity.join(first, Seq("user_id"))
         .groupBy(col("cohort"),

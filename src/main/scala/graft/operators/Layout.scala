@@ -136,7 +136,15 @@ object Layout {
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(dir).coalesce(nOut)
       .write.mode("overwrite").parquet(staging.toString)
-    graft.streaming.EventStream.publishWithBackup(fs, staging, path, backup)
+    // unlike the streaming sinks (whose recovery runs every micro-batch),
+    // nothing re-runs compact on a one-shot failure — roll back in
+    // process when the promote rename fails, so readers never see a
+    // missing table on a transient FS error
+    try graft.streaming.EventStream.publishWithBackup(fs, staging, path, backup)
+    catch { case e: java.io.IOException =>
+      if (!fs.exists(path) && fs.exists(backup)) fs.rename(backup, path)
+      throw e
+    }
     nOut
   }
 }

@@ -820,16 +820,19 @@ object Relational {
         .groupBy(date_trunc("day", col("ts")).as("day"))
         .agg(expr("approx_top_k_accumulate(event_type)").as("sk"))
         // ...then merge the segment sketches and extract top-3
-        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 3)").as("top"))
-        // re-rank the extracted items deterministically: the sketch's
-        // ordering among EQUAL counts is unspecified, the oracle's
-        // (count DESC, item) is not — pos must come from the same total
-        // order on both sides
+        // extract MORE than k items (the full tracked set here — 10 ≥
+        // cardinality) and take the top 3 ourselves: asking the sketch
+        // for exactly 3 would let IT choose among count ties at the 3/4
+        // boundary in an unspecified order, while the oracle's
+        // (count DESC, item) is total — set membership AND position must
+        // come from the same deterministic order on both sides
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 10)").as("top"))
         .select(explode(col("top")).as("t"))
         .select(col("t.item").as("item"), col("t.count").as("cnt"))
         .withColumn("pos",
           (row_number().over(Window.orderBy(col("cnt").desc, col("item"))) - 1)
             .cast("int"))
+        .filter(col("pos") < 3)
         .select("pos", "item", "cnt")
         .orderBy("pos")
     },

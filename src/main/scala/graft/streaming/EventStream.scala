@@ -116,16 +116,13 @@ object EventStream {
     publishWithBackup(fs, new org.apache.hadoop.fs.Path(tmp), dst, bak)
   }
 
-  /** Backup-rename publish shared by both upsert sinks: move `main` aside
-    * to `bak`, rename `src` into place, then drop the backup. A crash at
-    * any point leaves `main` or `bak` intact — the matching recovery code
-    * in each sink restores `bak` when `main` is missing, so the ordering
-    * here and there must stay in lockstep (one shared copy, not two).
-    */
-  /** Shared staged-publish protocol (also used by
-    * [[graft.operators.Layout.compact]]): move main aside, promote the
-    * staged dir, drop the backup. Callers must run recovery-first logic
-    * for the crash window where `bak` is the only copy. */
+  /** Backup-rename publish shared by both upsert sinks and
+    * [[graft.operators.Layout.compact]]: move `main` aside to `bak`,
+    * rename `src` into place, then drop the backup. A crash at any point
+    * leaves `main` or `bak` intact — every caller must run
+    * recovery-first logic (restore `bak` when `main` is missing) before
+    * its next use of the table, so the ordering here and there must stay
+    * in lockstep (one shared copy, not two). */
   private[graft] def publishWithBackup(fs: org.apache.hadoop.fs.FileSystem,
                                 src: org.apache.hadoop.fs.Path,
                                 main: org.apache.hadoop.fs.Path,
