@@ -102,6 +102,29 @@ object ScaleProbe {
         .filter(col("q") * 2 > col("tq"))
         .groupBy("l_suppkey").agg(count(lit(1))).count()
     }
+    // r3 shapes: MinHash-LSH dedup pipeline (the bench's top cost class)
+    // on replicated documents — ids shifted AND text salted per replica
+    // so replicas aren't near-dups of each other (candidate volume grows
+    // with the corpus, not quadratically across replicas)
+    time("minhash_lsh_dedup") {
+      import graft.operators.Dedup
+      val docs = (0 until rep).map { i =>
+        Tables.documents(spark, d).select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          concat(col("text"), lit(s" replica$i")).as("text"))
+      }.reduce(_ union _)
+      val sig = Dedup.signatureFrame(docs, k = 16)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = Dedup.bandFrame(sig, bands = 8, r = 2)
+      val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+      val n = a.join(b, Seq("band", "bh"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+        .count()
+      sig.unpersist()
+      n
+    }
     // r3 shapes: fixed-point pagerank on a replicated functional graph —
     // per-iteration join+agg cost should scale with |E|
     time("pagerank_5iter") {
