@@ -293,6 +293,31 @@ object TextOps {
         .orderBy("split")
     },
 
+    // L24 — deterministic stratified sampling (corpus rebalancing): keep
+    // a per-stratum fraction — here downsample the dominant language to
+    // ~50% and keep the rest — selected by a content-hash range test
+    // (md5 hex prefix, the tx9 portability pattern), so the sample is
+    // retry-stable, grows stably with the corpus, and is reproducible
+    // cross-engine (no rand(), no sampleBy RNG). Scan-local filter; the
+    // only shuffle is the tiny per-language audit aggregate.
+    Q(
+      "tx12_stratified_sample",
+      """SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        |FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |      < CASE WHEN lang = 'en' THEN '80' ELSE 'gg' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          < when(col("lang") === "en", lit("80")).otherwise(lit("gg")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("n_chars").as("chars_sampled"))
+        .orderBy("lang")
+    },
+
     // L10b — lexical-diversity quality signal (type-token ratio): the
     // repetition filter a training corpus actually applies — boilerplate
     // and bot text sit at low TTR. Scan-local per doc; tokens lowered,
