@@ -837,6 +837,83 @@ object Relational {
         .orderBy("pos")
     },
 
+    // R44 — winsorized aggregation (robust statistics / outlier-clipped
+    // data prep): per-group p05/p95 bounds, every value clipped into
+    // them, then an exact-cents sum. Bounds are rounded to 4 decimals on
+    // BOTH engines before clipping (raw interpolated percentiles differ
+    // at ulp level cross-engine — q22's lesson); exact `percentile` here
+    // for oracle parity, `approx_percentile` is the 100 TB path (exact
+    // percentile buffers each group's values). Bounds frame is 3 rows —
+    // broadcast back onto the fact.
+    Q(
+      "q47_winsorized",
+      """WITH b AS (SELECT l_returnflag,
+        |             round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+        |             round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(sum(CAST(round(least(greatest(l_extendedprice, lo), hi)*100) AS BIGINT))
+        |    AS DOUBLE)/100.0 AS winsorized_sum,
+        |  count(*) AS n
+        |FROM lineitem JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val bounds = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.05)"), 4).as("lo"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).as("hi"))
+      Tables.lineitem(s, d)
+        .join(broadcast(bounds), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(Stable.moneySum(least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+          .as("winsorized_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // R45 — one-pass column profiling (the engine's ANALYZE/data-quality
+    // surface): null counts, distinct counts, min/max for several
+    // columns computed in ONE aggregate scan, then unpivoted into a
+    // per-column report. The 1-row agg frame is localCheckpoint'd so the
+    // three report branches read it instead of re-scanning the fact.
+    Q(
+      "q48_profile",
+      """WITH a AS (SELECT count(*) AS n,
+        |    count(l_quantity) AS nn_q, count(DISTINCT l_quantity) AS nd_q,
+        |    min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+        |    count(l_discount) AS nn_d, count(DISTINCT l_discount) AS nd_d,
+        |    min(l_discount) AS mn_d, max(l_discount) AS mx_d,
+        |    count(l_extendedprice) AS nn_p, count(DISTINCT l_extendedprice) AS nd_p,
+        |    min(l_extendedprice) AS mn_p, max(l_extendedprice) AS mx_p
+        |  FROM lineitem)
+        |SELECT col_name, n, n_nonnull, n_distinct, min_v, max_v FROM (
+        |  SELECT 'l_quantity' AS col_name, n, CAST(nn_q AS BIGINT) AS n_nonnull,
+        |         CAST(nd_q AS BIGINT) AS n_distinct, mn_q AS min_v, mx_q AS max_v FROM a
+        |  UNION ALL
+        |  SELECT 'l_discount', n, CAST(nn_d AS BIGINT), CAST(nd_d AS BIGINT), mn_d, mx_d FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', n, CAST(nn_p AS BIGINT), CAST(nd_p AS BIGINT), mn_p, mx_p FROM a)
+        |ORDER BY col_name""".stripMargin
+    ) { (s, d) =>
+      val a = Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        count(col("l_quantity")).as("nn_q"), countDistinct(col("l_quantity")).as("nd_q"),
+        min("l_quantity").as("mn_q"), max("l_quantity").as("mx_q"),
+        count(col("l_discount")).as("nn_d"), countDistinct(col("l_discount")).as("nd_d"),
+        min("l_discount").as("mn_d"), max("l_discount").as("mx_d"),
+        count(col("l_extendedprice")).as("nn_p"), countDistinct(col("l_extendedprice")).as("nd_p"),
+        min("l_extendedprice").as("mn_p"), max("l_extendedprice").as("mx_p"))
+        .localCheckpoint(true)
+      def row(name: String, sfx: String) =
+        a.select(lit(name).as("col_name"), col("n"),
+          col(s"nn_$sfx").as("n_nonnull"), col(s"nd_$sfx").as("n_distinct"),
+          col(s"mn_$sfx").as("min_v"), col(s"mx_$sfx").as("max_v"))
+      row("l_quantity", "q")
+        .unionAll(row("l_discount", "d"))
+        .unionAll(row("l_extendedprice", "p"))
+        .orderBy("col_name")
+    },
+
     // R37 — TPC-H Q15 shape: revenue per supplier over a quarter, keep
     // the max-revenue supplier(s). The max is a two-pass aggregate
     // (per-supplier agg, then a 1-row global max broadcast back) — the
