@@ -102,26 +102,23 @@ object ScaleProbe {
         .filter(col("q") * 2 > col("tq"))
         .groupBy("l_suppkey").agg(count(lit(1))).count()
     }
-    // r3 shapes: MinHash-LSH dedup pipeline (the bench's top cost class)
-    // on replicated documents — ids shifted AND text salted per replica
-    // so replicas aren't near-dups of each other (candidate volume grows
-    // with the corpus, not quadratically across replicas)
-    time("minhash_lsh_dedup") {
+    // r3 shapes: the FULL MinHash-LSH dedup pipeline (candidate
+    // generation + exact-Jaccard verify — the same stages dd2 ships,
+    // via the shared Dedup.candidatePairs/verifyPairs) on replicated
+    // documents. NOTE this is deliberately a HOT-BUCKET stress test,
+    // not a linear-scaling probe: the per-replica salt changes only a
+    // few trailing shingles, so replicas ARE true near-dups — MinHash
+    // buckets them together and candidates grow quadratically across
+    // replicas (175× at 8×), with the verify stage paying per pair.
+    time("minhash_lsh_dedup_full") {
       import graft.operators.Dedup
       val docs = (0 until rep).map { i =>
         Tables.documents(spark, d).select(
           (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
           concat(col("text"), lit(s" replica$i")).as("text"))
       }.reduce(_ union _)
-      val sig = Dedup.signatureFrame(docs, k = 16)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = Dedup.bandFrame(sig, bands = 8, r = 2)
-      val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-      val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-      val n = a.join(b, Seq("band", "bh"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-        .count()
+      val (candidates, sig) = Dedup.candidatePairs(docs, k = 16, bands = 8)
+      val n = Dedup.verifyPairs(candidates, docs, threshold = 0.5).count()
       sig.unpersist()
       n
     }

@@ -69,7 +69,7 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate `(id_a, id_b)` pairs against
     * the docs' text, keeping pairs with jaccard >= threshold. */
-  private def verifyPairs(candidates: DataFrame, docs: DataFrame,
+  private[graft] def verifyPairs(candidates: DataFrame, docs: DataFrame,
                           threshold: Double): DataFrame =
     candidates
       .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
@@ -79,6 +79,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** LSH candidate pairs for a (doc_id, text) frame — the shared
+    * candidate-generation stage of [[minhashLsh]] AND the scale probe,
+    * so the probe measures the pipeline dd2 actually ships. Signatures
+    * are persisted around the banded self-join (it would otherwise
+    * recompute the shingle+hash pipeline per branch); the caller gets
+    * `(candidates, sig)` and must unpersist `sig` after consuming. */
+  def candidatePairs(docs: DataFrame, k: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(k % bands == 0,
+      s"k=$k must be divisible by bands=$bands or trailing permutations are never banded")
+    val sig = signatureFrame(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = bandFrame(sig, bands, k / bands)
+    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    (candidates, sig)
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification.
     * Candidate generation shuffles only (band, hash, id) triples;
     * verification rejoins the raw text and builds shingle sets ONLY for
@@ -87,21 +108,8 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String, k: Int = 16, bands: Int = 8,
                  threshold: Double = 0.5): DataFrame = {
-    require(k % bands == 0,
-      s"k=$k must be divisible by bands=$bands or trailing permutations are never banded")
-    val r = k / bands
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    // materialize: the banded self-join would otherwise recompute the
-    // whole shingle+hash pipeline per branch (~16 B·k per doc; spills)
-    val sig = signatureFrame(docs, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = bandFrame(sig, bands, r)
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bh"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val (candidates, sig) = candidatePairs(docs, k, bands)
     val out = verifyPairs(candidates, docs, threshold)
       // materialize, then release the signature blocks — otherwise every
       // call pins them for the session lifetime

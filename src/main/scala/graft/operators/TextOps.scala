@@ -295,22 +295,26 @@ object TextOps {
 
     // L24 — deterministic stratified sampling (corpus rebalancing): keep
     // a per-stratum fraction — here downsample the dominant language to
-    // ~50% and keep the rest — selected by a content-hash range test
-    // (md5 hex prefix, the tx9 portability pattern), so the sample is
+    // ~50% and keep the rest — selected by an id-hash range test (md5
+    // hex prefix, the tx9 portability pattern), so the sample is
     // retry-stable, grows stably with the corpus, and is reproducible
-    // cross-engine (no rand(), no sampleBy RNG). Scan-local filter; the
-    // only shuffle is the tiny per-language audit aggregate.
+    // cross-engine (no rand(), no sampleBy RNG). The hash input is
+    // SALTED ('#sample') so the decision is independent of tx9's
+    // train/val/test split, which hashes the same ids — unsalted, every
+    // sampled dominant-language doc would land in the same splits.
+    // Scan-local filter; the only shuffle is the per-language audit agg.
     Q(
       "tx12_stratified_sample",
       """SELECT lang, count(*) AS n_sampled,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
         |FROM documents
-        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR) || '#sample'), 1, 2)
         |      < CASE WHEN lang = 'en' THEN '80' ELSE 'gg' END
         |GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, d) =>
       Tables.documents(s, d)
-        .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+        .filter(substring(
+          md5(concat(col("doc_id").cast("string"), lit("#sample")).cast("binary")), 1, 2)
           < when(col("lang") === "en", lit("80")).otherwise(lit("gg")))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_sampled"),
