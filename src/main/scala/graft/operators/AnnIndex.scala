@@ -143,16 +143,27 @@ object AnnIndex {
         signBucket(col("v"), bits, nTables, t)): _*)).as(Seq("tab", "bk")))
       .select("tab", "bk", "vec_id")
 
-  /** Build the LSH table index at `indexDir` from (vec_id, v, ...). */
+  /** Build the LSH table index at `indexDir` from (vec_id, v, ...).
+    *
+    * Crash ordering: on a FRESH dir the marker goes first (a crash
+    * leaves marker-without-data, which fails loudly on read). On a
+    * REBUILD the OLD marker and tables are deleted first, then data,
+    * then the new marker — marker-first there would let a crash before
+    * the data overwrite pair OLD-layout tables with a NEW marker, the
+    * silent bucket-mixing the marker exists to prevent; a crash now
+    * leaves data-without-marker, caught by the append backfill's
+    * layout validation below. */
   def buildLsh(spark: SparkSession, vectors: DataFrame, indexDir: String,
                nTables: Int = 16, bits: Int = 3): Unit = {
-    // marker BEFORE data: a crash between the two must leave the marker
-    // matching the intended layout (a missing/partial tables dir fails
-    // loudly; a stale marker would refuse the CORRECT params and accept
-    // the wrong ones — the exact mix-up the marker exists to prevent)
-    writeLshParams(spark, indexDir, nTables, bits)
+    val fs = lshParamsPath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tdir = new org.apache.hadoop.fs.Path(tablesDir(indexDir))
+    val fresh = !fs.exists(tdir) && !fs.exists(lshParamsPath(indexDir))
+    if (fresh) writeLshParams(spark, indexDir, nTables, bits)
+    else { fs.delete(lshParamsPath(indexDir), false); fs.delete(tdir, true) }
     bucketRows(vectors, nTables, bits)
       .write.mode("overwrite").partitionBy("tab").parquet(tablesDir(indexDir))
+    if (!fresh) writeLshParams(spark, indexDir, nTables, bits)
   }
 
   /** Append a batch: replay-guarded (anti-join on stored ids), then the
@@ -163,10 +174,20 @@ object AnnIndex {
                 nTables: Int = 16, bits: Int = 3): Unit = {
     requireLshParams(spark, indexDir, nTables, bits)
     // backfill the marker for pre-marker indexes so the guard protects
-    // every subsequent append/query (first writer pins the layout)
+    // every subsequent append/query — but VALIDATE the claimed layout
+    // against the stored tables first (max table id must be nTables-1
+    // and every bucket must fit in `bits`), so the first appender can't
+    // pin params the data contradicts
     val p = lshParamsPath(indexDir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      val shape = spark.read.parquet(tablesDir(indexDir))
+        .agg(max("tab").as("maxTab"), max("bk").as("maxBk")).head()
+      require(shape.getInt(0) == nTables - 1 && shape.getInt(1) < (1 << bits),
+        s"LSH index at $indexDir has max(tab)=${shape.getInt(0)}, " +
+          s"max(bk)=${shape.getInt(1)} — inconsistent with claimed " +
+          s"(nTables,bits)=($nTables,$bits); rebuild the index")
       writeLshParams(spark, indexDir, nTables, bits)
+    }
     // every vec_id appears in EVERY tab partition — reading one
     // partition yields the full id set at 1/nTables the scan
     val existingIds = spark.read.parquet(tablesDir(indexDir))

@@ -73,6 +73,7 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
     val n = nodes.count()
+    require(n > 0, "pageRank: empty graph (no non-null edges)")
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("r", lit(Scale / n)).localCheckpoint(true)

@@ -39,19 +39,28 @@ object Layout {
   }
 
   /** Interleave the low `bits` of each bucket id into a Morton code —
-    * pure integer shift/or arithmetic, whole-stage codegen'd. */
-  private def mortonExpr(buckets: Seq[Column], bits: Int): Column =
+    * pure integer shift/or arithmetic, whole-stage codegen'd. Bucket ids
+    * are widened to long first: int shift counts wrap mod 32, so past 31
+    * interleaved bits the dims would silently collide and corrupt the
+    * Z-order (invisible — layout quality only). Beyond 63 bits even a
+    * long can't hold the code, so that is a hard error. */
+  private def mortonExpr(buckets: Seq[Column], bits: Int): Column = {
     (0 until bits).flatMap { b =>
       buckets.zipWithIndex.map { case (col0, d) =>
         // bit b of dim d lands at position b*nDims + d
-        shiftleft(shiftright(col0, b).bitwiseAND(lit(1)), b * buckets.size + d)
+        shiftleft(shiftright(col0.cast("long"), b).bitwiseAND(lit(1L)),
+          b * buckets.size + d)
       }
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** Z-value column for `df` over numeric `cols` (cast to double for the
     * quantile boundaries; ordering is all that matters). Exposed for
     * specs; [[zorderWrite]] is the user entry point. */
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 6): Column = {
+    require(bits * cols.size <= 63,
+      s"zorder: $bits bits x ${cols.size} dims = ${bits * cols.size} " +
+        "interleaved bits > 63 — lower bits or cluster fewer columns")
     val nBuckets = 1 << bits
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
     // ONE multi-column quantile pass — the per-column overload would

@@ -112,4 +112,40 @@ class AnnIndexSpec extends SparkSpecBase {
     }
     assert(exQ.getMessage.contains("built with"))
   }
+
+  test("LSH: rebuilding an existing index with different params replaces layout and marker together") {
+    val dir = tmp("lsh_rebuild")
+    val corpus = e.filter(col("vec_id") >= 10)
+    AnnIndex.buildLsh(spark, corpus, dir, nTables = 16, bits = 3)
+    // rebuild with a different hash family over the same dir: the old
+    // marker must not survive to refuse the new (correct) params
+    AnnIndex.buildLsh(spark, corpus, dir, nTables = 4, bits = 2)
+    val tabs = spark.read.parquet(s"$dir/tables")
+      .agg(max("tab"), max("bk")).head()
+    assert(tabs.getInt(0) === 3 && tabs.getInt(1) < 4)
+    // marker now pins the NEW layout: old params refused, new accepted
+    intercept[IllegalArgumentException] {
+      AnnIndex.queryLsh(spark, dir, corpus, queries, nTables = 16, bits = 3)
+    }
+    assert(AnnIndex.queryLsh(spark, dir, corpus, queries, nTables = 4, bits = 2)
+      .collect().nonEmpty)
+  }
+
+  test("LSH: marker backfill validates the claimed layout against the stored tables") {
+    val dir = tmp("lsh_backfill")
+    val corpus = e.filter(col("vec_id") >= 10)
+    AnnIndex.buildLsh(spark, corpus, dir, nTables = 16, bits = 3)
+    // simulate a pre-marker index (or a rebuild crash that died between
+    // the data write and the marker write)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_graft_lsh_params")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false)
+    // an appender claiming a CONTRADICTED layout must be refused...
+    val ex = intercept[IllegalArgumentException] {
+      AnnIndex.appendLsh(spark, corpus.limit(0), dir, nTables = 8, bits = 2)
+    }
+    assert(ex.getMessage.contains("inconsistent"))
+    // ...while the true layout backfills the marker and proceeds
+    AnnIndex.appendLsh(spark, corpus.limit(0), dir, nTables = 16, bits = 3)
+    assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+  }
 }

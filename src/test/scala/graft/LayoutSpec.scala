@@ -107,4 +107,28 @@ class LayoutSpec extends SparkSpecBase {
     // table untouched
     assert(spark.read.parquet(dir).count() === Tables.orders(spark, sf0001).count())
   }
+
+  test("z-order refuses bit budgets beyond a long instead of silently corrupting the curve") {
+    val li0 = Tables.lineitem(spark, sf0001)
+    // 11 dims x 6 bits = 66 interleaved bits > 63
+    val wide = (8 to 10).foldLeft(li0)((d, i) =>
+      d.withColumn(s"extra_$i", col("l_partkey") * i))
+    val cols = Seq("l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_linenumber",
+      "extra_8", "extra_9", "extra_10")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zvalue(wide, cols)
+    }
+    assert(ex.getMessage.contains("63"))
+    val li = li0
+    // and a >31-bit (but ≤63) budget interleaves on longs without wrapping:
+    // 6 dims x 6 bits = 36 bits — distinct z-values must reflect all dims
+    val z6 = Layout.zvalue(li, Seq("l_partkey", "l_suppkey", "l_orderkey",
+      "l_quantity", "l_extendedprice", "l_discount"))
+    val distinct6 = li.select(z6.as("z")).distinct().count()
+    val z1 = Layout.zvalue(li, Seq("l_partkey"))
+    val distinct1 = li.select(z1.as("z")).distinct().count()
+    assert(distinct6 > distinct1,
+      s"36-bit morton must separate more than one dim alone ($distinct6 vs $distinct1)")
+  }
 }
