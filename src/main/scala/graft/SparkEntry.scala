@@ -1,16 +1,17 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, EventOps, Graph, MediaOps, Relational, Similarity, Temporal, TextOps}
+import graft.operators.{Dedup, EventOps, Graph, MediaOps, Olap, Relational, Scd, Similarity, Temporal, TextOps, TextRank}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Full catalog: relational core + LLM-pipeline + events operators. */
   val all: Seq[Q] =
-    Relational.catalog ++ TextOps.catalog ++ Dedup.catalog ++
-      Similarity.catalog ++ EventOps.catalog ++ Temporal.catalog ++
-      MediaOps.catalog ++ Graph.catalog
+    Relational.catalog ++ Olap.catalog ++ TextOps.catalog ++
+      TextRank.catalog ++ Dedup.catalog ++ Similarity.catalog ++
+      EventOps.catalog ++ Temporal.catalog ++ MediaOps.catalog ++
+      Graph.catalog ++ Scd.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (SCD type 2) operators (round 4) — the
+  * batch MERGE shape every warehouse ingest needs: turn a change log
+  * into versioned dimension rows `(key, run, attr, valid_from,
+  * valid_to, is_current)`, and apply new change batches incrementally
+  * without rebuilding history.
+  *
+  *  - [[buildHistory]]: gaps-and-islands collapse of consecutive equal
+  *    attribute values per key — one key-shuffle, two windows over it,
+  *    and a per-run aggregate. `valid_to` is the next run's
+  *    `valid_from` (NULL = current version).
+  *  - [[applyChanges]]: the incremental twin (same design as the
+  *    incremental dedup L2b / ANN L7c paths): closed versions are
+  *    IMMUTABLE and never reshuffled — only each key's current row
+  *    re-enters as a pseudo-event, is unioned with the new batch, and
+  *    the tail history is rebuilt per affected key. O(batch + affected
+  *    keys), not O(history). Contract: in-order ingest (every new
+  *    event's order key is strictly after the current version's
+  *    `valid_from`) — the standard SCD2 append assumption; replaying a
+  *    suffix of already-applied events is an exact no-op (duplicates
+  *    collapse into the runs that already absorbed them).
+  *
+  * ScdSpec proves incremental ≡ one-shot on a date-split orders log,
+  * replay idempotence, and untouched-key stability.
+  */
+object Scd {
+
+  /** Collapse an event log into SCD2 versions. `orderCol` + `tieCol`
+    * must totally order events within a key (SURVEY §5: every window
+    * needs a genuinely unique sort). Besides the version columns, each
+    * row carries the run's last-seen event position (`last_order`,
+    * `last_tie`) — on the current version that is the key's REPLAY
+    * WATERMARK, which is what lets [[applyChanges]] drop already-applied
+    * events exactly instead of trusting the caller never to replay. */
+  def buildHistory(events: DataFrame, key: String, attr: String,
+                   orderCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol), col(tieCol))
+    val runs = events
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .withColumn("__chg",
+        when(col("__prev").isNull || col("__prev") =!= col(attr), 1L).otherwise(0L))
+      .withColumn("run", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val hist = runs.groupBy(col(key), col("run"))
+      // attr is constant within a run — min() is just the portable pick;
+      // struct max = lexicographic (order, tie) max = run's last event
+      .agg(min(col(attr)).as(attr), min(col(orderCol)).as("valid_from"),
+        max(struct(col(orderCol).as("o"), col(tieCol).cast("long").as("t")))
+          .as("__last"))
+    hist
+      .withColumn("valid_to", lead(col("valid_from"), 1)
+        .over(Window.partitionBy(col(key)).orderBy(col("run"))))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(key), col("run"), col(attr),
+        col("valid_from"), col("valid_to"), col("is_current"),
+        col("__last.o").as("last_order"), col("__last.t").as("last_tie"))
+  }
+
+  /** Apply a new batch of change events to an existing SCD2 dim built by
+    * [[buildHistory]] (same key/attr/order columns).
+    *
+    * Closed versions pass through untouched. Per affected key: events at
+    * or before the stored watermark are dropped (REPLAY GUARD — without
+    * it, a replayed multi-run batch would resurrect its earlier runs as
+    * duplicate versions after the current one); the current version
+    * re-enters as its two BOUNDARY pseudo-events (run start at tie −1,
+    * and the watermark event) so the rebuilt tail both collapses
+    * continuing values into the current run and preserves the exact
+    * watermark for the next apply; runs renumber after the key's
+    * current run so closed history never shifts. */
+  def applyChanges(dim: DataFrame, newEvents: DataFrame, key: String,
+                   attr: String, orderCol: String, tieCol: String): DataFrame = {
+    val cur = dim.filter(col("is_current")).localCheckpoint(true)
+    val closed = dim.filter(!col("is_current"))
+    val wm = cur.select(col(key),
+      col("last_order").as("__lo"), col("last_tie").as("__lt"))
+    val fresh = newEvents
+      .select(col(key), col(attr), col(orderCol),
+        col(tieCol).cast("long").as(tieCol))
+      .join(wm, Seq(key), "left")
+      .filter(col("__lo").isNull
+        || col(orderCol) > col("__lo")
+        || (col(orderCol) === col("__lo") && col(tieCol) > col("__lt")))
+      .select(col(key), col(attr), col(orderCol), col(tieCol))
+    val pseudoStart = cur.select(col(key), col(attr),
+      col("valid_from").as(orderCol), lit(-1L).as(tieCol))
+    val pseudoEnd = cur.select(col(key), col(attr),
+      col("last_order").as(orderCol), col("last_tie").as(tieCol))
+    val tailHist = buildHistory(
+      pseudoStart.unionByName(pseudoEnd).unionByName(fresh),
+      key, attr, orderCol, tieCol)
+    val offsets = cur.select(col(key), (col("run") - 1L).as("__off"))
+    val renumbered = tailHist.join(offsets, Seq(key), "left")
+      .withColumn("run", col("run") + coalesce(col("__off"), lit(0L)))
+      .drop("__off")
+    closed.unionByName(renumbered)
+  }
+
+  val catalog: Seq[Q] = Seq(
+    // R51 — SCD2 history build as a catalog entry: each customer's
+    // order-status timeline collapsed into versioned runs. The oracle is
+    // the identical window program in DuckDB (ROWS frame pinned — range
+    // vs rows is moot under the unique (date, orderkey) sort, but say
+    // what we mean).
+    Q(
+      "scd1_status_history",
+      """WITH fl AS (
+        |  SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |         o_orderdate AS vf, o_orderkey AS ok,
+        |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |           OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |runs AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY vf, ok
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM fl),
+        |hist AS (
+        |  SELECT custkey, CAST(run AS BIGINT) AS run, min(status) AS status,
+        |         min(vf) AS valid_from
+        |  FROM runs GROUP BY 1, 2)
+        |SELECT custkey, run, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY custkey ORDER BY run) AS valid_to,
+        |  (lead(valid_from) OVER (PARTITION BY custkey ORDER BY run) IS NULL)
+        |    AS is_current
+        |FROM hist ORDER BY custkey, run""".stripMargin
+    ) { (s, d) =>
+      buildHistory(
+        Tables.orders(s, d).select(
+          col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate"), col("o_orderkey")),
+        key = "custkey", attr = "status",
+        orderCol = "o_orderdate", tieCol = "o_orderkey")
+        .select("custkey", "run", "status", "valid_from", "valid_to", "is_current")
+        .orderBy("custkey", "run")
+    }
+  )
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-weighting / ranked-retrieval catalog (round 4): TF-IDF keyword
+  * extraction and BM25 scoring over `documents` — the relevance-ranking
+  * half of a training-data pipeline (salient-term indexing, query-driven
+  * corpus slicing).
+  *
+  * Cross-engine float discipline: the usual `ln(N/df)` idf is NOT
+  * hash-portable (libm vs JDK `Math.log` can differ in the last ulp), so
+  * idf is an exact scaled-integer rational `(N·10^6) DIV df` — a
+  * monotone transform of N/df, preserving every ranking property of idf
+  * while keeping tf·idf in exact longs. BM25's term saturation needs
+  * real division, but every operand is an exact integer (or the
+  * integer-ratio avgdl), both engines evaluate the IDENTICAL expression
+  * tree, and the per-term partial scores are added in a FIXED literal
+  * order (conditional-agg pivot, never a float `sum()`), so the doubles
+  * compare bit-equal.
+  *
+  * Scale notes: token explode is scan-local; `tf` shuffles (doc, term)
+  * pairs once; `df` is a tiny per-term frame (vocabulary-sized) and
+  * broadcasts; nothing is ever corpus×corpus.
+  */
+object TextRank {
+
+  private val tok = "__term"
+
+  /** (doc_id, term) exploded tokens — whitespace split, empties dropped;
+    * identical to DuckDB `unnest(string_split(text,' '))`. */
+  private def tokens(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as(tok))
+      .filter(col(tok) =!= "")
+
+  val catalog: Seq[Q] = Seq(
+    // L25 — TF-IDF top-3 salient terms per document. Exact long score:
+    // score6 = tf · ((N·10^6) DIV df). Ranking tie-broken by term.
+    Q(
+      "tx13_tfidf",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |         WHERE term <> '' GROUP BY 1, 2),
+        |  df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |  nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, rk, term, score6 FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ((nn.n * 1000000) // df.df) AS score6,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ((nn.n * 1000000) // df.df) DESC, tf.term)
+        |      AS BIGINT) AS rk
+        |  FROM tf JOIN df USING (term) CROSS JOIN nn)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tf = tokens(docs).groupBy(col("doc_id"), col(tok).as("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // feeds df AND the scored join — one pass
+      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .withColumn("score6", col("tf") * expr(s"(${n}L * 1000000L) DIV df"))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("score6"), col("term")))
+          .cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "score6")
+        .orderBy("doc_id", "rk")
+    },
+
+    // L26 — BM25 (k1=1.2, b=0.75) ranked retrieval for a fixed 3-term
+    // query. idf6 integer as tx13; saturation term evaluated as the
+    // identical double expression tree both engines; per-term partials
+    // combined in FIXED order (pivot + literal additions).
+    Q(
+      "tx14_bm25",
+      """WITH dl AS (SELECT doc_id,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |            FROM documents),
+        |  a AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+        |        FROM dl),
+        |  tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |          FROM documents),
+        |  tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |         WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |  df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        |  nn AS (SELECT count(*) AS n FROM documents),
+        |  sc AS (SELECT tf.doc_id, tf.term,
+        |           CAST((nn.n * 1000000) // df.df AS DOUBLE)
+        |           * ((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + CAST(1.2 AS DOUBLE)
+        |                   * (CAST(0.25 AS DOUBLE)
+        |                      + CAST(0.75 AS DOUBLE)
+        |                        * (CAST(dl.dl AS DOUBLE) / a.avgdl)))) AS sterm
+        |         FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+        |         CROSS JOIN a CROSS JOIN nn)
+        |SELECT doc_id,
+        |  coalesce(max(CASE WHEN term = 'spark'  THEN sterm END), CAST(0 AS DOUBLE))
+        |  + coalesce(max(CASE WHEN term = 'window' THEN sterm END), CAST(0 AS DOUBLE))
+        |  + coalesce(max(CASE WHEN term = 'merge'  THEN sterm END), CAST(0 AS DOUBLE))
+        |    AS bm25
+        |FROM sc GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val terms = Seq("spark", "window", "merge")
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dl"))
+        .localCheckpoint(true) // avgdl agg + per-doc join below
+      val avgdl = dl.agg((sum(col("dl")).cast("double")
+        / count(lit(1)).cast("double")).as("avgdl"))
+      val tf = tokens(docs).filter(col(tok).isin(terms: _*))
+        .groupBy(col("doc_id"), col(tok).as("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // feeds df AND the scored join
+      val df = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+      val tfd = col("tf").cast("double")
+      val sterm = expr(s"CAST((${n}L * 1000000L) DIV df AS DOUBLE)")
+        .*(tfd * lit(2.2) / (tfd + lit(1.2)
+          * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))))
+      val sc = tf.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(avgdl))
+        .withColumn("sterm", sterm)
+      def part(t: String) =
+        coalesce(max(when(col("term") === t, col("sterm"))), lit(0.0))
+      sc.groupBy("doc_id")
+        .agg((part("spark") + part("window") + part("merge")).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(20)
+    }
+  )
+}
