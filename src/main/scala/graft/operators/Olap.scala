@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.functions.Stable
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Round-4 OLAP catalog additions: the remaining classic TPC-H shapes
@@ -21,6 +23,20 @@ object Olap {
     * revenue fixed-point q42/q44/q45 use. */
   private def rev4: org.apache.spark.sql.Column =
     round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")
+
+  /** Batch twin of [[graft.streaming.EventStream.sliding]]: 10-minute
+    * windows every 5, each event exploded into its exactly-two windows
+    * (the k∈{0,1} back-shift of the event's 5-minute grid floor — the
+    * same assignment `window(ts, '10 minutes', '5 minutes')` makes).
+    * Scan-local explode (2× rows, fixed) into one fixed-width shuffle. */
+  def slidingBatch(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", explode(array(lit(0), lit(1))))
+      .withColumn("win_start",
+        expr("timestamp_seconds((unix_timestamp(ts) DIV 300) * 300 - k * 300)"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"), Stable.moneySum(col("value")).as("sum_v"))
+      .orderBy("win_start", "event_type")
 
   val catalog: Seq[Q] = Seq(
     // R46 — TPC-H Q11 shape (important stock): per-part shipped value
@@ -209,6 +225,19 @@ object Olap {
           > lit(4L) * (col("n") * col("ss") - col("s") * col("s")))
         .select(col("event_type"), col("hr"), col("c"))
         .orderBy("event_type", "hr")
-    }
+    },
+
+    // T11 — sliding-window aggregation (batch twin of the streaming
+    // form; StreamingSpec proves the two paths agree value-for-value).
+    // Every event contributes to exactly 2 overlapping 10-min windows.
+    Q(
+      "ev10_sliding",
+      """SELECT make_timestamp(((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000)
+        |         * 300 - k * 300) * 1000000) AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) s
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) => slidingBatch(Tables.events(s, d)) }
   )
 }

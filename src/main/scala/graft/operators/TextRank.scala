@@ -132,6 +132,50 @@ object TextRank {
         .agg((part("spark") + part("window") + part("merge")).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id"))
         .limit(20)
+    },
+
+    // L27 — within-document repetition analysis (Gopher-style quality
+    // filter): per doc, the most-repeated word trigram, its count, and
+    // the distinct/total trigram counts the repetition-ratio filters
+    // use. All integers — no float score. Trigram explode is scan-local
+    // (HOF transform off the hot path — this is per-doc metadata, not a
+    // corpus join); argmax is a window top-1 tie-broken by trigram text.
+    Q(
+      "tx15_repetition",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |  g AS (SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri
+        |        FROM t, LATERAL (SELECT unnest(range(1, len(l) - 1)) AS i) s),
+        |  c AS (SELECT doc_id, tri, count(*) AS cnt FROM g GROUP BY 1, 2),
+        |  s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+        |          CAST(sum(cnt) AS BIGINT) AS tot_tri
+        |        FROM c GROUP BY 1),
+        |  r AS (SELECT doc_id, tri, CAST(cnt AS BIGINT) AS top_cnt,
+        |          row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY cnt DESC, tri) AS rk
+        |        FROM c)
+        |SELECT r.doc_id AS doc_id, tri AS top_tri, top_cnt, n_tri, tot_tri
+        |FROM r JOIN s ON r.doc_id = s.doc_id
+        |WHERE rk = 1 ORDER BY r.doc_id""".stripMargin
+    ) { (s, d) =>
+      val tris = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) - 3), i -> concat(l[i], ' ', l[i+1], ' ', l[i+2]))"))
+          .as("tri"))
+      val c = tris.groupBy("doc_id", "tri").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // stats agg + top-1 window both consume it
+      val stats = c.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"), sum(col("cnt")).as("tot_tri"))
+      val top = c
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("cnt"), col("tri"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("tri").as("top_tri"), col("cnt").as("top_cnt"))
+      top.join(stats, Seq("doc_id"))
+        .select("doc_id", "top_tri", "top_cnt", "n_tri", "tot_tri")
+        .orderBy("doc_id")
     }
   )
 }

@@ -26,6 +26,20 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
       .select(col("win.start").as("hr"), col("event_type"), col("n"), col("sum_v"))
 
+  /** T11 — SLIDING windows: 10-minute windows every 5 minutes, so each
+    * event lands in exactly two overlapping windows. Same exact-cents
+    * value sum as the batch twin ([[graft.operators.Olap.slidingBatch]])
+    * so the spec can compare the two paths value-for-value. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Stable.moneySum(col("value")).as("sum_v"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_v"))
+
   /** T2 — native session windows: 30-min inactivity gap per user. The
     * streaming twin of EventOps' lag-based batch sessionization. */
   def sessions(events: DataFrame): DataFrame =

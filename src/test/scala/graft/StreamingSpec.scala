@@ -53,6 +53,26 @@ class StreamingSpec extends SparkSpecBase {
     assert(!sums.exists(_ >= 100.0))
   }
 
+  test("T11 sliding windows assign each event to exactly two windows and match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val data = Seq(
+      (1L, ts(2), 1L, "view", 1.5, "{}"),    // windows [-5,5) and [0,10)
+      (2L, ts(7), 2L, "view", 2.25, "{}"),   // windows [0,10) and [5,15)
+      (3L, ts(12), 1L, "click", 4.0, "{}"))  // windows [5,15) and [10,20)
+    in.addData(data: _*)
+    val out = runStream("t11_sliding", EventStream.sliding(events), "complete")
+      .select("win_start", "event_type", "n", "sum_v")
+    // each of the 3 events lands in exactly 2 windows
+    assert(out.agg(sum("n")).head().getLong(0) === 6L)
+    // the oracle-checked batch twin computes the identical rows
+    val batch = operators.Olap.slidingBatch(
+      data.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .select("win_start", "event_type", "n", "sum_v")
+    assert(out.collect().toSet === batch.collect().toSet)
+  }
+
   test("T2 session windows split on 30-min inactivity gaps") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
