@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-hygiene operators (round 4): passage-level duplication,
+  * corpus-frequency token rarity, and source-mixture reweighting —
+  * the three "shape the training distribution" steps that sit between
+  * dedup (Dedup.scala) and packing (TextOps.scala) in a real pipeline.
+  *
+  * All three are integer-exact end to end (counts, `DIV` rationals) so
+  * the DuckDB hash compare is a true equality — same discipline as
+  * tx13/ev9 (SURVEY §5).
+  *
+  * Scale notes: every explode is scan-local; the only shuffles are (a)
+  * fixed-width passage-hash / term keys and (b) per-doc reduction. No
+  * corpus×corpus joins, no driver collects (the two `count()`s are
+  * single-scalar actions, the same pattern tx13 uses for N).
+  */
+object Corpus {
+
+  private val chunk = 5 // words per passage (docs are 10–99 words)
+
+  val catalog: Seq[Q] = Seq(
+    // L28 — passage-level duplication (sub-document dedup): split each
+    // doc into consecutive 5-word passages, count how many of a doc's
+    // passages also appear in ≥1 OTHER doc, report the all-integer
+    // duplication permille. The passage join shuffles md5 HASHES, not
+    // passage text (at 100 TB the text never leaves the scan; xxhash64
+    // would be the production key — md5 here because DuckDB ships it).
+    Q(
+      "dd8_passage_dup",
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= $chunk),
+        |  ch AS (SELECT doc_id,
+        |           md5(array_to_string(l[i*$chunk+1 : i*$chunk+$chunk], ' ')) AS ph
+        |         FROM t, LATERAL (SELECT unnest(range(0, len(l) // $chunk)) AS i) s),
+        |  pc AS (SELECT ph, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+        |  agg AS (SELECT doc_id, count(*) AS n_chunks,
+        |            sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS dup_chunks
+        |          FROM ch JOIN pc USING (ph) GROUP BY 1)
+        |SELECT doc_id, CAST(n_chunks AS BIGINT) AS n_chunks,
+        |  CAST(dup_chunks AS BIGINT) AS dup_chunks,
+        |  (CAST(dup_chunks AS BIGINT) * 1000) // CAST(n_chunks AS BIGINT)
+        |    AS dup_permille
+        |FROM agg ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= chunk)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(l) DIV $chunk - 1), " +
+            s"i -> md5(array_join(slice(l, i*$chunk+1, $chunk), ' ')))")).as("ph"))
+        .localCheckpoint(true) // passage-count agg + join both consume it
+      val pc = ch.groupBy("ph").agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(pc, Seq("ph"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+          expr("(dup_chunks * 1000) DIV n_chunks").as("dup_permille"))
+        .orderBy("doc_id")
+    },
+
+    // L29 — corpus-frequency token rarity (the integer-exact surrogate
+    // for unigram-LM perplexity): rarity6(term) = (T·10^6) DIV ctf —
+    // a monotone transform of 1/p(term), same trick as tx13's idf —
+    // and a doc's score is the integer mean over its token OCCURRENCES.
+    // High avg_rarity6 = surprising/rare vocabulary, the perplexity
+    // quality-filter signal without a single float.
+    Q(
+      "tx16_token_rarity",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |  t2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        |  ctf AS (SELECT term, count(*) AS ctf FROM t2 GROUP BY 1),
+        |  tot AS (SELECT count(*) AS t FROM t2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum((tot.t * 1000000) // ctf.ctf) AS BIGINT)
+        |    // CAST(count(*) AS BIGINT) AS avg_rarity6
+        |FROM t2 JOIN ctf USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .localCheckpoint(true) // total count + ctf agg + score join
+      val t = tk.count()
+      // vocabulary-sized frame; shuffle-joined on term (linear — at real
+      // scale the vocab outgrows a broadcast)
+      val ctf = tk.groupBy("term").agg(count(lit(1)).as("ctf"))
+      tk.join(ctf, Seq("term"))
+        .withColumn("r6", expr(s"(${t}L * 1000000L) DIV ctf"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("r6")).as("sr"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("sr DIV n_tokens").as("avg_rarity6"))
+        .orderBy("doc_id")
+    },
+
+    // L30 — source-mixture reweighting: the per-source sampling weight
+    // that rebalances the corpus to a uniform target mix. weight6 =
+    // (target·10^6) DIV actual with target = total DIV n_sources — all
+    // integer, so downstream samplers (tx12's salted hash-range test)
+    // can consume the weights deterministically. One tiny agg + a 1-row
+    // broadcast; the corpus is touched once.
+    Q(
+      "tx17_source_mixture",
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |  t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |          CAST(count(*) AS BIGINT) AS k FROM s)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  ((total // k) * 1000000) // CAST(n_docs AS BIGINT) AS weight6
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val bySrc = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(true) // totals agg + weight projection
+      val tot = bySrc.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).cast("long").as("k"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          expr("((total DIV k) * 1000000) DIV n_docs").as("weight6"))
+        .orderBy("source")
+    }
+  )
+}

@@ -140,6 +140,48 @@ object Graph {
         ((col("doc_id") * 7 + 13) % n).as("dst"))
       pageRank(edges, nIter = 8)
         .orderBy(desc("rank_e12"), col("node")).limit(50)
+    },
+
+    // R60 — triangle enumeration (graph-analytics staple): undirected
+    // edges from three deterministic hash links per doc, normalized to
+    // (u < v) and deduped; triangles are TWO equi-join shuffles with the
+    // u < v < w orientation so each triangle is emitted exactly once.
+    // At 100 TB the standard refinement is degree-ordering the
+    // orientation (point the edge at the higher-degree endpoint) so the
+    // wedge join is bounded by Σ d(v)² of the LOW-degree side — the
+    // join structure here is already that algorithm.
+    Q(
+      "gr3_triangles",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b)
+        |SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        |ORDER BY u, v, w""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val raw = docs.select(col("doc_id").as("a"), ((col("doc_id") * 7 + 13) % n).as("b"))
+        .unionByName(docs.select(col("doc_id").as("a"), ((col("doc_id") * 3 + 5) % n).as("b")))
+        .unionByName(docs.select(col("doc_id").as("a"), ((col("doc_id") * 11 + 2) % n).as("b")))
+      val e = raw.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // three self-join consumers — dedup once
+      val wedges = e.select(col("u"), col("v"))
+        .join(e.select(col("u").as("v"), col("v").as("w")), "v")
+      wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
+        .select(col("u"), col("v"), col("w"))
+        .orderBy("u", "v", "w")
     }
   )
 }

@@ -238,6 +238,269 @@ object Olap {
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_v
         |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) s
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    ) { (s, d) => slidingBatch(Tables.events(s, d)) }
+    ) { (s, d) => slidingBatch(Tables.events(s, d)) },
+
+    // R52 — TPC-H Q5 shape (local supplier volume): revenue where the
+    // ordering customer and the shipping supplier sit in the SAME ASIA
+    // nation. Supplier+nation+region broadcast onto the fact; the
+    // customer join is an honest key shuffle (customer does NOT
+    // broadcast at 100 TB) with the locality predicate applied as a
+    // post-join filter on the two nationkeys.
+    Q(
+      "q53_local_supplier",
+      """SELECT n_name, CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |    AS BIGINT)) AS DOUBLE)/10000.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin
+    ) { (s, d) =>
+      val asiaSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      Tables.lineitem(s, d)
+        .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // R53 — TPC-H Q6 shape (forecasting revenue change): pure scan
+    // aggregate, every predicate pushable. The discount band test is
+    // INTEGER (round(d*100) BETWEEN 5 AND 7) — never an FP range test
+    // on a stored double.
+    Q(
+      "q54_forecast_revenue",
+      """SELECT CAST(sum(CAST(round(l_extendedprice*l_discount*10000) AS BIGINT))
+        |    AS DOUBLE)/10000.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && round(col("l_discount") * 100).cast("long").between(5, 7)
+          && col("l_quantity") < 24)
+        .agg(Stable.moneySum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // R54 — TPC-H Q12 shape (shipping-delay priority): the synthetic
+    // schema has no shipmode/commitdate/receiptdate, so the Q12 signal
+    // becomes "shipped ≥ 90 days after ordering", grouped by linestatus:
+    // how many late lines carried urgent vs non-urgent priority.
+    // Conditional-count aggregation over the one fact-fact shuffle.
+    Q(
+      "q55_late_priority",
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_n,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS low_n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_n"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_n"))
+        .orderBy("l_linestatus")
+    },
+
+    // R55 — TPC-H Q13 shape (customer order-count distribution): LEFT
+    // join with an EXTRA join-time predicate (priority filter lives in
+    // the ON clause, so filtered-out customers still appear with count
+    // 0), then a second aggregate over the per-customer counts.
+    // Two fixed-width shuffles; the distribution frame is tiny.
+    Q(
+      "q56_cust_distribution",
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // R56 — TPC-H Q14 shape (promo revenue share): per ship-month, the
+    // fraction of revenue from PROMO parts. Numerator and denominator
+    // are exact cent sums; the share is ONE double division (no ×100
+    // scaling — that would add a second FP op).
+    Q(
+      "q57_promo_share",
+      """SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP)) AS mo,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+        |      ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |        AS BIGINT)) AS DOUBLE) AS promo_share,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |    AS DOUBLE)/10000.0 AS total_rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("mo"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", rev4).otherwise(lit(0L))).cast("double")
+            / sum(rev4).cast("double")).as("promo_share"),
+          (sum(rev4).cast("double") / 10000.0).as("total_rev"))
+        .orderBy("mo")
+    },
+
+    // R57 — TPC-H Q16 shape (supplier variety per part class): distinct
+    // suppliers that shipped each (brand, type, size) class, excluding
+    // one brand and a supplier blacklist (negative account balance —
+    // Q16's complaints list). The fact reduces to DISTINCT
+    // (partkey, suppkey) pairs first — at 100 TB that dedup is the
+    // whole game; part attrs broadcast onto the pair frame afterwards.
+    Q(
+      "q58_supplier_variety",
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supp_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_cnt DESC, p_brand, p_type, p_size""".stripMargin
+    ) { (s, d) =>
+      val pairs = Tables.lineitem(s, d).select("l_partkey", "l_suppkey").distinct()
+      val badSupp = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      val goodParts = Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1"
+          && col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      pairs
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(goodParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supp_cnt"))
+        .orderBy(desc("supp_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // R58 — TPC-H Q19 shape (disjunctive predicates): revenue under an
+    // OR of three (brand, quantity-band, size-band) conjuncts. The
+    // disjunction references BOTH tables, so it can only apply after the
+    // join — but each disjunct's part-only half prunes the broadcast
+    // build side (p_size <= 15 covers all three), which Catalyst
+    // extracts via constraint propagation.
+    Q(
+      "q59_disjunctive_rev",
+      """SELECT CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000)
+        |    AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |       AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |       AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#24' AND l_quantity BETWEEN 20 AND 30
+        |       AND p_size BETWEEN 1 AND 15)""".stripMargin
+    ) { (s, d) =>
+      val disj =
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11)
+          && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20)
+          && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#24" && col("l_quantity").between(20, 30)
+          && col("p_size").between(1, 15))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(disj)
+        .agg(Stable.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // R59 — statistical aggregates (corr / covariance / regression
+    // slope) per return flag. Cross-engine float discipline: the moments
+    // are EXACT LONGS (quantity is integral, discount is exact at 2dp →
+    // ×100), and corr/slope are computed FROM those longs by the
+    // IDENTICAL double expression tree on both engines. IEEE divide and
+    // sqrt are correctly rounded, so doubles derived from equal integers
+    // hash-compare equal — the built-in corr()/covar_samp() (float
+    // running sums, engine-specific order) would not.
+    Q(
+      "q60_stats_corr",
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+        |    sum(CAST(round(l_discount*100) AS BIGINT)) AS sd,
+        |    sum(CAST(round(l_quantity) AS BIGINT)
+        |        * CAST(round(l_quantity) AS BIGINT)) AS sqq,
+        |    sum(CAST(round(l_discount*100) AS BIGINT)
+        |        * CAST(round(l_discount*100) AS BIGINT)) AS sdd,
+        |    sum(CAST(round(l_quantity) AS BIGINT)
+        |        * CAST(round(l_discount*100) AS BIGINT)) AS sqd
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, CAST(sq AS BIGINT) AS sq, CAST(sd AS BIGINT) AS sd,
+        |  CAST(n*sqd - sq*sd AS DOUBLE)
+        |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+        |       * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_qd,
+        |  CAST(n*sqd - sq*sd AS DOUBLE) / CAST(n*sqq - sq*sq AS DOUBLE)
+        |    AS slope_dq
+        |FROM m ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      val qi = round(col("l_quantity")).cast("long")
+      val di = round(col("l_discount") * 100).cast("long")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(qi).as("sq"), sum(di).as("sd"),
+          sum(qi * qi).as("sqq"), sum(di * di).as("sdd"), sum(qi * di).as("sqd"))
+        .select(col("l_returnflag"), col("n"), col("sq"), col("sd"),
+          ((col("n") * col("sqd") - col("sq") * col("sd")).cast("double")
+            / (sqrt((col("n") * col("sqq") - col("sq") * col("sq")).cast("double"))
+              * sqrt((col("n") * col("sdd") - col("sd") * col("sd")).cast("double"))))
+            .as("corr_qd"),
+          ((col("n") * col("sqd") - col("sq") * col("sd")).cast("double")
+            / (col("n") * col("sqq") - col("sq") * col("sq")).cast("double"))
+            .as("slope_dq"))
+        .orderBy("l_returnflag")
+    }
   )
 }

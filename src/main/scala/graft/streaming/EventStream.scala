@@ -40,6 +40,24 @@ object EventStream {
       .select(col("win.start").as("win_start"), col("event_type"),
         col("n"), col("sum_v"))
 
+  /** T12 — CHAINED stateful operators (Spark 4 multiple-stateful-ops
+    * support): a 5-minute tumbling pre-aggregation re-windowed into
+    * 1-hour totals in the SAME streaming query — `window(w5, '1 hour')`
+    * on the first agg's window column. This is the streaming rollup
+    * shape (fine-grained state emits early, coarse tier re-aggregates
+    * closed windows) that otherwise needs two queries and an
+    * intermediate topic. Append mode only: tier-2 consumes tier-1 rows
+    * as they FINALIZE past the watermark, so state in both tiers stays
+    * bounded. */
+  def chainedWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w5"), col("event_type"))
+      .agg(count(lit(1)).as("n5"))
+      .groupBy(window(col("w5"), "1 hour").as("w60"), col("event_type"))
+      .agg(sum(col("n5")).as("n"))
+      .select(col("w60.start").as("hr"), col("event_type"), col("n"))
+
   /** T2 — native session windows: 30-min inactivity gap per user. The
     * streaming twin of EventOps' lag-based batch sessionization. */
   def sessions(events: DataFrame): DataFrame =

@@ -73,6 +73,29 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.collect().toSet === batch.collect().toSet)
   }
 
+  test("T12 chained window aggregations roll 5-min tiers into hours in one query") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.chainedWindows(events).writeStream
+      .format("memory").queryName("t12_chained").outputMode("append").start()
+    // hour 1 of day 2 (ts() counts minutes from day-2 midnight): three
+    // views across two distinct 5-min tiers + one click
+    in.addData(
+      (1L, ts(2), 1L, "view", 0.0, "{}"),
+      (2L, ts(3), 2L, "view", 0.0, "{}"),
+      (3L, ts(12), 1L, "view", 0.0, "{}"),
+      (4L, ts(17), 1L, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    // sentinel two hours later closes both tiers for hour 0
+    in.addData((5L, ts(130), 9L, "flush", 0.0, "{}"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("t12_chained")
+      .filter($"event_type" isin ("view", "click"))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    assert(out === Map("view" -> 3L, "click" -> 1L))
+  }
+
   test("T2 session windows split on 30-min inactivity gaps") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
