@@ -13,8 +13,13 @@ Test / fork := true
 run / fork := true
 // Emit the forked run's stdout RAW (no "[info] " logger prefix): the
 // driver parses the Bench JSON line from captured stdout, and the sbt
-// logger prefix breaks a strict json parse of that line.
+// logger prefix breaks a strict json parse of that line. The r3 bench
+// tail proved the run-scoped setting alone does NOT apply to `runMain`
+// (the JSON line still carried "[info] "), so set it unscoped too —
+// the task-axis fallback runMain's forkOptions actually read.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

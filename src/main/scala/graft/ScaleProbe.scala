@@ -130,6 +130,50 @@ object ScaleProbe {
         ((col("l_orderkey") * 7 + 13) % n).as("dst"))
       graft.operators.Graph.pageRank(edges, nIter = 5).count()
     }
+    // r4 shapes: passage-level dedup (dd8) on replicated docs — the
+    // WORST case for passage dedup: every passage appears in all `rep`
+    // replicas, so passage groups are maximally hot. Unlike pairwise
+    // candidate joins, the per-passage aggregate is count-distinct, so
+    // cost must stay linear in corpus size even under total duplication.
+    time("passage_dedup_hot") {
+      val docs = (0 until rep).map { i =>
+        Tables.documents(spark, d).select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text"))
+      }.reduce(_ union _)
+      val ch = docs
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(l) DIV 5 - 1), " +
+            "i -> md5(array_join(slice(l, i*5+1, 5), ' ')))")).as("ph"))
+        .localCheckpoint(true)
+      val pc = ch.groupBy("ph").agg(countDistinct(col("doc_id")).as("nd"))
+      ch.join(pc, Seq("ph"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+        .count()
+    }
+    // r4 shapes: corpus token rarity (tx16) — explode + vocab-keyed agg +
+    // term-keyed join back; vocabulary is CONSTANT as the corpus grows,
+    // so the ctf frame stays tiny and cost tracks the token explode
+    time("token_rarity") {
+      val docs = (0 until rep).map { i =>
+        Tables.documents(spark, d).select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text"))
+      }.reduce(_ union _)
+      val tk = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .localCheckpoint(true)
+      val t = tk.count()
+      val ctf = tk.groupBy("term").agg(count(lit(1)).as("ctf"))
+      tk.join(ctf, Seq("term"))
+        .withColumn("r6", expr(s"(${t}L * 1000000L) DIV ctf"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("r6")).as("sr"))
+        .count()
+    }
     spark.stop()
   }
 }

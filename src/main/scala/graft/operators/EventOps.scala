@@ -262,6 +262,57 @@ object EventOps {
           count(col("absent")).as("n_absent"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // T13 — interval merging (gaps-and-islands over time RANGES): each
+    // event opens a 10-minute activity interval; overlapping intervals
+    // per user merge into coverage islands. The classic pattern: sort by
+    // start within the user, island starts where start > running max of
+    // prior ends, island id = running sum of starts. ALL INTEGER (epoch
+    // seconds) — no float time math. One user-key shuffle, two window
+    // passes over it; per-user output is bounded by island count.
+    Q(
+      "ev11_interval_merge",
+      """WITH iv AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+        |  FROM events),
+        |m AS (SELECT user_id, s, e,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_max
+        |  FROM iv),
+        |fl AS (SELECT user_id, s, e,
+        |    CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS st
+        |  FROM m),
+        |isl AS (SELECT user_id, s, e,
+        |    sum(st) OVER (PARTITION BY user_id ORDER BY s, e
+        |                  ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM fl)
+        |SELECT user_id, CAST(count(DISTINCT island) AS BIGINT) AS n_islands,
+        |  CAST(sum(covered) AS BIGINT) AS covered_us
+        |FROM (SELECT user_id, island, max(e) - min(s) AS covered
+        |      FROM isl GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + 600000000L)
+      iv
+        .withColumn("prev_max", max(col("e"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("st",
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L).otherwise(0L))
+        .withColumn("island", sum(col("st"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "island")
+        .agg((max(col("e")) - min(col("s"))).as("covered"))
+        .groupBy("user_id")
+        .agg(countDistinct(col("island")).as("n_islands"),
+          sum(col("covered")).as("covered_us"))
+        .orderBy("user_id")
     }
   )
 }

@@ -501,6 +501,40 @@ object Olap {
             / (col("n") * col("sqq") - col("sq") * col("sq")).cast("double"))
             .as("slope_dq"))
         .orderBy("l_returnflag")
+    },
+
+    // R61 — equal-width histogram (the ANALYZE/visualization staple):
+    // 32 buckets over o_totalprice. The global (min, max) is a 1-row
+    // aggregate broadcast back (never a second scan pass in the same
+    // job thanks to the checkpointed base); the bucket index is
+    // floor((x−min)·32/(max−min)) — one multiply and one divide on
+    // doubles, the IDENTICAL expression tree both engines, floor exact —
+    // clamped to 31 so x = max lands in the top bucket.
+    Q(
+      "q61_histogram",
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |           FROM orders)
+        |SELECT least(CAST(floor((o_totalprice - lo) * 32.0 / (hi - lo)) AS BIGINT),
+        |         31) AS bucket,
+        |  count(*) AS n,
+        |  lo + CAST(least(CAST(floor((o_totalprice - lo) * 32.0 / (hi - lo))
+        |      AS BIGINT), 31) AS DOUBLE) * ((hi - lo) / 32.0) AS bucket_lo
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_totalprice"))
+        .localCheckpoint(true) // bounds agg + bucketing share one scan
+      val b = o.agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      val bucket = least(
+        floor((col("o_totalprice") - col("lo")) * 32.0 / (col("hi") - col("lo")))
+          .cast("long"), lit(31L))
+      o.crossJoin(broadcast(b))
+        .groupBy(bucket.as("bucket"),
+          (col("lo") + bucket.cast("double") * ((col("hi") - col("lo")) / 32.0))
+            .as("bucket_lo"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("bucket"), col("n"), col("bucket_lo"))
+        .orderBy("bucket")
     }
   )
 }

@@ -247,6 +247,55 @@ object Similarity {
           min("nrm").as("min_norm"),
           max("nrm").as("max_norm"))
         .orderBy("label")
+    },
+
+    // L31 — label cohesion (cluster-quality analytics over embeddings):
+    // per label, the mean dot-product of each member against its own
+    // label centroid. EXACT integer vector math end to end: components
+    // micro-quantized to longs (float→double is exact, round(v·10^6) is
+    // exact), the centroid is kept as the RATIONAL (sum-vector, count) —
+    // never a float division per dimension — and each member's dot with
+    // the centroid numerator is an exact long; the only doubles are two
+    // final divisions of exact integers, identical both engines. Scale
+    // shape: posexplode is scan-local (64× rows, fixed), centroid agg is
+    // a (label, dim)-keyed fixed-width shuffle, centroids broadcast back
+    // (n_labels × 64 rows), per-vector reduction is one vec_id shuffle.
+    Q(
+      "sim6_label_cohesion",
+      """WITH c AS (SELECT vec_id, label, i,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000) AS BIGINT) AS v6
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(0, len(embedding))) AS i) s),
+        |  cent AS (SELECT label, i, CAST(sum(v6) AS BIGINT) AS c6,
+        |             count(DISTINCT vec_id) AS cnt
+        |           FROM c GROUP BY 1, 2),
+        |  dots AS (SELECT c.vec_id, c.label,
+        |             CAST(sum(c.v6 * cent.c6) AS BIGINT) AS dot12,
+        |             min(cent.cnt) AS cnt
+        |           FROM c JOIN cent ON c.label = cent.label AND c.i = cent.i
+        |           GROUP BY 1, 2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(CAST(sum(dot12) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) * min(cnt) AS DOUBLE) / 1e12 AS mean_dot
+        |FROM dots GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("i", "ev")))
+        .select(col("vec_id"), col("label"), col("i"),
+          round(col("ev").cast("double") * 1000000).cast("long").as("v6"))
+        .localCheckpoint(true) // centroid agg + dot join share one explode
+      val cent = c.groupBy("label", "i")
+        .agg(sum(col("v6")).as("c6"), countDistinct(col("vec_id")).as("cnt"))
+      val dots = c.join(broadcast(cent), Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("v6") * col("c6")).as("dot12"), min(col("cnt")).as("cnt"))
+      dots.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("dot12")).cast("double")
+            / (count(lit(1)) * min(col("cnt"))).cast("double") / lit(1e12))
+            .as("mean_dot"))
+        .orderBy("label")
     }
   )
 }
