@@ -133,6 +133,91 @@ object AnnIndex {
       k = topK)
   }
 
+  // ----------------------------------------------------------------- PQ
+
+  private def codesDir(indexDir: String) = s"$indexDir/codes"
+  private def booksDir(indexDir: String) = s"$indexDir/codebooks"
+
+  /** Build the PQ index at `indexDir` from `vectors` (vec_id, v, nrm):
+    * trains the per-subspace codebooks on a content-hash sample
+    * ([[Similarity.trainPqCodebooks]]) then delegates to
+    * [[buildPqWith]]. */
+  def buildPq(spark: SparkSession, vectors: DataFrame, indexDir: String,
+              m: Int = 16, ks: Int = 32, sampleDivisor: Int = 10): Unit = {
+    val v = vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try buildPqWith(spark, v, indexDir,
+      Similarity.trainPqCodebooks(v, m, ks, 64 / m, sampleDivisor))
+    finally v.unpersist()
+  }
+
+  /** Build with explicit (frozen) codebooks — like the IVF quantizer,
+    * codebooks are index STATE fixed at build time; appends re-enter
+    * them as literals so incremental encoding is bit-identical to the
+    * build's. Stored layout: `codebooks/` (sub, code, center) and
+    * `codes/` (vec_id, nrm, codes array<int>) — the compressed corpus
+    * representation ADC queries scan instead of raw vectors. */
+  def buildPqWith(spark: SparkSession, vectors: DataFrame, indexDir: String,
+                  books: Array[Array[(Int, Array[Double])]]): Unit = {
+    import spark.implicits._
+    val subDim = 64 / books.length
+    books.zipWithIndex.flatMap { case (book, sub) =>
+      book.map { case (code, c) => (sub, code, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "center")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(booksDir(indexDir))
+    vectors
+      .select(col("vec_id"), col("nrm"),
+        Similarity.pqCodes(col("v"), books, subDim).as("codes"))
+      .write.mode("overwrite").parquet(codesDir(indexDir))
+  }
+
+  /** Stored codebooks, re-materialized for literal-expression encoding
+    * (m·ks centroids ≪ memory — model state, not data). */
+  def readCodebooks(spark: SparkSession, indexDir: String): Array[Array[(Int, Array[Double])]] =
+    spark.read.parquet(booksDir(indexDir))
+      .select("sub", "code", "center").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).sortBy(_._1))
+
+  /** Encode + append ONLY `newVectors`: O(batch) compute + one
+    * column-pruned id scan for the replay guard; the stored codebooks
+    * enter as literals, so a replayed or late batch is encoded exactly
+    * as the build would have encoded it. */
+  def appendPq(spark: SparkSession, newVectors: DataFrame, indexDir: String): Unit = {
+    val books = readCodebooks(spark, indexDir)
+    val subDim = 64 / books.length
+    val existingIds = spark.read.parquet(codesDir(indexDir)).select("vec_id")
+    newVectors
+      .join(existingIds, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("nrm"),
+        Similarity.pqCodes(col("v"), books, subDim).as("codes"))
+      .write.mode("append").parquet(codesDir(indexDir))
+  }
+
+  /** ADC query over the stored code frame: the scan reads 16 ints +
+    * a norm per corpus vector (the compressed representation — at scale
+    * this is the whole point: the probe never touches raw vectors until
+    * the `overfetch` rerank, which joins `corpus` for candidates only). */
+  def queryPq(spark: SparkSession, indexDir: String, corpus: DataFrame,
+              queries: DataFrame, overfetch: Int = 48, topK: Int = 3): DataFrame = {
+    val books = readCodebooks(spark, indexDir)
+    val subDim = 64 / books.length
+    val codes = spark.read.parquet(codesDir(indexDir))
+      .select(col("vec_id").as("c_id"), col("nrm").as("cn"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+    val candidates = Similarity.adcCandidates(
+      codes, Similarity.pqLut(queries, books, subDim), overfetch)
+    val c = corpus.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    Similarity.topkRerank(
+      candidates
+        .join(c, Seq("c_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+        .select("q_id", "c_id", "cos"),
+      k = topK)
+  }
+
   // ---------------------------------------------------------------- LSH
 
   /** Multi-table sign-LSH bucket rows for a vector frame — the same

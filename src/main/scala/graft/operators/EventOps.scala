@@ -313,6 +313,40 @@ object EventOps {
         .agg(countDistinct(col("island")).as("n_islands"),
           sum(col("covered")).as("covered_us"))
         .orderBy("user_id")
+    },
+
+    // T14 — event-type transition matrix (Markov bigrams over per-user
+    // event sequences): for every consecutive (prev → next) pair within a
+    // user's timeline, the global count and its per-prev-state probability
+    // in INTEGER PERMILLE ((cnt·1000) DIV row_total — exact both engines,
+    // no float division). One user-key shuffle for the sequence window
+    // (the same partitioning ev2/ev11 use); the transition frame is
+    // |types|² ≤ ~25 rows, so the row-total join is a broadcast.
+    // The sequence order is total (ts, event_id) — retry-deterministic.
+    Q(
+      "ev12_transitions",
+      """WITH seq AS (
+        |  SELECT event_type AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next
+        |  FROM events),
+        |t AS (SELECT prev, next, count(*) AS cnt FROM seq
+        |      WHERE next IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, next, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(cnt * 1000 AS BIGINT) // CAST(sum(cnt) OVER (PARTITION BY prev)
+        |    AS BIGINT) AS permille
+        |FROM t ORDER BY prev, next""".stripMargin
+    ) { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, d)
+        .select(col("event_type").as("prev"),
+          lead(col("event_type"), 1).over(byUser).as("next"))
+        .filter(col("next").isNotNull)
+        .groupBy("prev", "next")
+        .agg(count(lit(1)).as("cnt"))
+      t.withColumn("permille",
+          expr("cnt * 1000 DIV sum(cnt) OVER (PARTITION BY prev)"))
+        .orderBy("prev", "next")
     }
   )
 }

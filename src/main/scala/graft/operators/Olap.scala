@@ -503,6 +503,74 @@ object Olap {
         .orderBy("l_returnflag")
     },
 
+    // R62 — TPC-H Q3 shape (shipping priority): top-10 highest-revenue
+    // orders in one market segment still unshipped at the cutoff date
+    // (order placed before, lineitem shipped after). The customer filter
+    // broadcasts onto orders; lineitem⨝orders on orderkey is the one big
+    // shuffle, and the per-order aggregate reduces it before the top-k
+    // (TakeOrderedAndProject — k rows per map task, never a full sort).
+    Q(
+      "q62_shipping_priority",
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*10000) AS BIGINT))
+        |    AS DOUBLE)/10000.0 AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY 1, 3, 4
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      val cutoff = lit("1997-06-01").cast("timestamp")
+      val bldg = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(bldg), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum(rev4).as("rev_c"))
+        .select(col("l_orderkey"), (col("rev_c").cast("double") / 10000.0).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    // R63 — TPC-H Q4 shape (order priority checking): per-priority count
+    // of orders with at least one late lineitem. Q4's EXISTS is
+    // lineitem-local (commitdate < receiptdate); this schema's lateness
+    // signal needs o_orderdate, so the correlated predicate spans both
+    // tables — expressed as a left_semi join with a compound condition
+    // (equi-key + inequality), which Spark executes as a semi hash join
+    // on orderkey with the residual applied at probe time: one shuffle,
+    // each order emitted at most once, no distinct needed.
+    Q(
+      "q63_priority_exists",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate >= o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      o.join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
     // R61 — equal-width histogram (the ANALYZE/visualization staple):
     // 32 buckets over o_totalprice. The global (min, max) is a 1-row
     // aggregate broadcast back (never a second scan pass in the same

@@ -102,6 +102,21 @@ object Scd {
     closed.unionByName(renumbered)
   }
 
+  /** Point-in-time dimension lookup: each fact row joined to the ONE
+    * dimension version whose `[valid_from, valid_to)` interval contains
+    * the fact's `dateCol` (current version = open interval). The classic
+    * warehouse "as-of the event" join: an equi-join on the dimension key
+    * carries the shuffle, the interval test is a cheap residual — per-key
+    * version counts are small, so this never needs the generic
+    * interval-bucketing machinery rj1 uses for keyless range joins. */
+  def pitLookup(dim: DataFrame, facts: DataFrame, key: String,
+                dateCol: String): DataFrame =
+    facts.join(dim,
+      facts(key) === dim(key)
+        && facts(dateCol) >= dim("valid_from")
+        && (dim("valid_to").isNull || facts(dateCol) < dim("valid_to")))
+      .drop(dim(key))
+
   val catalog: Seq[Q] = Seq(
     // R51 — SCD2 history build as a catalog entry: each customer's
     // order-status timeline collapsed into versioned runs. The oracle is
@@ -140,6 +155,58 @@ object Scd {
         orderCol = "o_orderdate", tieCol = "o_orderkey")
         .select("custkey", "run", "status", "valid_from", "valid_to", "is_current")
         .orderBy("custkey", "run")
+    },
+
+    // R51b — point-in-time lookup against the SCD2 dim: every order
+    // resolves the status version current AT ITS ORDER DATE. Exactly one
+    // version matches per fact row (the dim's intervals partition each
+    // key's timeline), so row count == fact count — which the oracle
+    // pins. Key-shuffle join + interval residual; history frame reused
+    // from the same build as scd1.
+    Q(
+      "scd2_pit_lookup",
+      """WITH fl AS (
+        |  SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |         o_orderdate AS vf, o_orderkey AS ok,
+        |    CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |           OR lag(o_orderstatus) OVER w <> o_orderstatus
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |runs AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY vf, ok
+        |                           ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM fl),
+        |hist AS (
+        |  SELECT custkey, CAST(run AS BIGINT) AS run, min(status) AS status,
+        |         min(vf) AS valid_from
+        |  FROM runs GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT custkey, run, status, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY custkey ORDER BY run) AS valid_to
+        |  FROM hist)
+        |SELECT o_orderkey, o_custkey AS custkey, dim.status, dim.run
+        |FROM orders JOIN dim
+        |  ON o_custkey = dim.custkey
+        |  AND o_orderdate >= dim.valid_from
+        |  AND (dim.valid_to IS NULL OR o_orderdate < dim.valid_to)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      val dim = buildHistory(
+        Tables.orders(s, d).select(
+          col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate"), col("o_orderkey")),
+        key = "custkey", attr = "status",
+        orderCol = "o_orderdate", tieCol = "o_orderkey")
+        .select(col("custkey"), col("run"), col("status"),
+          col("valid_from"), col("valid_to"))
+      pitLookup(dim,
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate")
+          .withColumnRenamed("o_custkey", "custkey")
+          .withColumnRenamed("o_orderdate", "odate"),
+        key = "custkey", dateCol = "odate")
+        .select(col("o_orderkey"), col("custkey"), col("status"), col("run"))
+        .orderBy("o_orderkey")
     }
   )
 }

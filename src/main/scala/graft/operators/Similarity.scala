@@ -103,6 +103,110 @@ object Similarity {
     out
   }
 
+  /** Train the per-subspace PQ codebooks (m codebooks of ks centroids
+    * over subDim-wide slices) on the SAME deterministic content-hash
+    * sample [[trainCentroids]] uses — m small k-means fits, never a
+    * full-corpus ML job. Seeds differ per subspace so codebooks are
+    * independent; every fit is deterministic.
+    */
+  private[graft] def trainPqCodebooks(e: DataFrame, m: Int, ks: Int, subDim: Int,
+                                      sampleDivisor: Int = 10): Array[Array[(Int, Array[Double])]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sampled = e.filter(pmod(xxhash64(col("vec_id")), lit(sampleDivisor)) === 0)
+    val base = if (sampled.count() >= 8L * ks) sampled else e
+    (0 until m).toArray.map { sub =>
+      val train = base
+        .select(array_to_vector(slice(col("v"), sub * subDim + 1, subDim)).as("features"))
+      new KMeans().setK(ks).setSeed(42L + sub).setMaxIter(5)
+        .fit(train)
+        .clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+    }
+  }
+
+  /** The m-wide PQ code array for a vector — one scan-local argmin per
+    * subspace over literal centroids (the [[nearestCid]] machinery on
+    * slices): encoding the whole corpus is one codegen'd pass, no
+    * shuffle, no model closure. */
+  private[graft] def pqCodes(v: Column, books: Array[Array[(Int, Array[Double])]],
+                             subDim: Int): Column =
+    array(books.zipWithIndex.map { case (book, sub) =>
+      nearestCid(slice(v, sub * subDim + 1, subDim), book)
+    }.toIndexedSeq: _*)
+
+  /** Product-quantization ANN (the memory-compressed ANN scale path,
+    * complementing sim3's LSH tables and sim5's IVF lists): the corpus is
+    * encoded to m=16 5-bit codes (10 bytes/vector packed vs 512 raw — at
+    * 100 TB this is what lets the candidate-scoring structure live in
+    * executor memory), queries score EVERY corpus vector by asymmetric distance
+    * (ADC): a per-query lookup table of query-subvector · centroid dots
+    * (m·ks = 128 entries/query) is broadcast onto the exploded code
+    * frame, summed per (query, corpus) pair — fixed-width rows, no
+    * 64-dim math per pair — then the top `overfetch` approximate matches
+    * are reranked with exact cosine. ADC partial sums are micro-quantized
+    * to longs so the approximate ranking is bit-deterministic across
+    * partitionings (a float sum of shuffled parts is not).
+    */
+  def pqAnn(s: SparkSession, d: String, m: Int = 16, ks: Int = 32,
+            overfetch: Int = 48, topK: Int = 3): DataFrame = {
+    val subDim = 64 / m
+    val e = prepared(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = trainPqCodebooks(e, m, ks, subDim)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // corpus code frame: m fixed-width rows per vector (id, sub, code, norm)
+    val codes = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("nrm").as("cn"),
+        posexplode(pqCodes(col("v"), books, subDim)).as(Seq("sub", "code")))
+    val candidates = adcCandidates(codes, pqLut(q, books, subDim), overfetch)
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val out = topkRerank(
+      candidates
+        .join(c, Seq("c_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+        .select("q_id", "c_id", "cos"),
+      k = topK)
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
+  /** Per-query ADC lookup table (q_id, qn, sub, code, part6): part6 is
+    * the micro-quantized (×10⁶, exact long) dot of the query's
+    * `sub`-th slice with that codebook centroid — m·ks rows per query,
+    * always broadcast-sized. */
+  private[graft] def pqLut(q: DataFrame, books: Array[Array[(Int, Array[Double])]],
+                           subDim: Int): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    val cents = books.zipWithIndex.flatMap { case (book, sub) =>
+      book.map { case (code, c) => (sub, code, c.toSeq) }
+    }.toSeq.toDF("sub", "code", "center")
+    q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qn"), col("sub"), col("code"),
+        round(dotNative(slice(col("qv"), col("sub") * subDim + 1, lit(subDim)),
+          col("center")) * 1e6).cast("long").as("part6"))
+  }
+
+  /** ADC candidate selection: broadcast the LUT onto the exploded code
+    * frame `(c_id, cn, sub, code)`, sum the integer partials per
+    * (query, corpus) pair, keep each query's `overfetch` best by
+    * approximate cosine via the bounded-heap aggregate. Returns
+    * (q_id, c_id) for the exact rerank. */
+  private[graft] def adcCandidates(codes: DataFrame, lut: DataFrame,
+                                   overfetch: Int): DataFrame =
+    codes
+      .join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("part6")).as("ad6"), min(col("cn")).as("cn"), min(col("qn")).as("qn"))
+      .select(col("q_id"), col("c_id"),
+        (col("ad6").cast("double") / (col("qn") * col("cn")) / 1e6).as("approx_cos"))
+      .groupBy("q_id")
+      .agg(call_function("topk_pairs", col("approx_cos"), col("c_id"), lit(overfetch)).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("c_id"))
+
   /** Exact top-k rerank per query via the bounded-heap `topk_pairs`
     * aggregate (k rows per query per map task through the shuffle — the
     * scalable shape; the window row_number form sorts whole groups).
@@ -223,6 +327,13 @@ object Similarity {
     // nProbe/nCentroids of it instead of everything. Rows-only:
     // recall < 1 by construction; spec asserts structure + determinism.
     Q.rowsOnly("sim5_ivf_ann")((s, d) => ivfAnn(s, d)),
+
+    // L32 — product-quantization ANN (the third ANN scale path): corpus
+    // compressed to 8 codes/vector, ADC scoring via broadcast per-query
+    // lookup tables, exact-cosine rerank of the overfetched candidates.
+    // Rows-only: recall < 1 by construction; RecallProbe measures it and
+    // PqSpec proves full-overfetch ≡ brute force.
+    Q.rowsOnly("sim7_pq_ann")((s, d) => pqAnn(s, d)),
 
     // L8 — per-label norm statistics. avg over a micro-quantized exact
     // integer sum (norms are irrational, so the cents trick generalizes

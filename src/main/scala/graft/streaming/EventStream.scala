@@ -148,6 +148,62 @@ object EventStream {
     publishWithBackup(fs, new org.apache.hadoop.fs.Path(tmp), dst, bak)
   }
 
+  /** T15 — streaming upsert into a TRANSACTIONAL JDBC sink (composes the
+    * S10 JDBC sink surface with T7's idempotence — the serving-database
+    * pattern). Each micro-batch:
+    *   1. short-circuits if its batch id is already in `<table>_commits`
+    *      (a fully-replayed batch is a no-op without touching data);
+    *   2. upserts rows per partition as DELETE+INSERT inside ONE
+    *      transaction per partition (vendor-portable — Derby has no
+    *      UPSERT; MERGE is the vendor upgrade);
+    *   3. records the batch id in the commits table.
+    * A crash between 2 and 3 re-runs the batch on restart; the per-key
+    * DELETE+INSERT makes the re-run idempotent (same keys rewritten with
+    * the same values), so at-least-once delivery is effectively-once in
+    * sink state. The commit marker is an optimization + audit trail, not
+    * the correctness mechanism — that's the upsert semantics, which is
+    * why per-partition transactions (scalable) are safe here where a
+    * single global transaction (driver-side collect) would not be.
+    * Caller owns DDL: `table(k BIGINT PRIMARY KEY, v DOUBLE)`,
+    * `<table>_commits(batch_id BIGINT PRIMARY KEY)`.
+    */
+  def jdbcUpsertSink(batch: DataFrame, batchId: Long, url: String,
+                     table: String, keyCol: String, valCol: String): Unit = {
+    import java.sql.DriverManager
+    val commits = table + "_COMMITS"
+    val seen = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery(s"SELECT 1 FROM $commits WHERE batch_id = $batchId")
+        rs.next()
+      } finally c.close()
+    }
+    if (!seen) {
+      batch.select(col(keyCol).cast("long"), col(valCol).cast("double"))
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          if (rows.hasNext) {
+            val conn = DriverManager.getConnection(url)
+            conn.setAutoCommit(false)
+            try {
+              val del = conn.prepareStatement(s"DELETE FROM $table WHERE k = ?")
+              val ins = conn.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
+              rows.foreach { r =>
+                del.setLong(1, r.getLong(0)); del.executeUpdate()
+                ins.setLong(1, r.getLong(0)); ins.setDouble(2, r.getDouble(1))
+                ins.executeUpdate()
+              }
+              conn.commit()
+            } catch { case t: Throwable => conn.rollback(); throw t }
+            finally conn.close()
+          }
+        }
+      val c = DriverManager.getConnection(url)
+      try c.createStatement().executeUpdate(s"INSERT INTO $commits VALUES ($batchId)")
+      finally c.close()
+    }
+  }
+
   /** Backup-rename publish shared by both upsert sinks and
     * [[graft.operators.Layout.compact]]: move `main` aside to `bak`,
     * rename `src` into place, then drop the backup. A crash at any point

@@ -79,6 +79,42 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(top1.keySet === exact.keySet)
   }
 
+  test("PQ: incremental append ≡ one-shot build under frozen codebooks; replay no-op; full-overfetch ≡ brute force") {
+    import spark.implicits._
+    val corpus = e.filter(col("vec_id") >= 10)
+    val books = Similarity.trainPqCodebooks(e, m = 16, ks = 16, subDim = 4)
+    val incrDir = tmp("pq_incr"); val fullDir = tmp("pq_full")
+    AnnIndex.buildPqWith(spark, corpus.filter(col("vec_id") % 2 === 0), incrDir, books)
+    AnnIndex.appendPq(spark, corpus.filter(col("vec_id") % 2 === 1), incrDir)
+    AnnIndex.buildPqWith(spark, corpus, fullDir, books)
+
+    def stored(dir: String) =
+      spark.read.parquet(s"$dir/codes").select("vec_id", "codes")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).sortBy(_._1)
+    assert(stored(incrDir).sameElements(stored(fullDir)),
+      "appendPq must encode exactly what the one-shot build encodes")
+    assert(AnnIndex.readCodebooks(spark, incrDir).map(_.map(_._2.toSeq).toSeq).toSeq ===
+      books.map(_.map(_._2.toSeq).toSeq).toSeq)
+
+    // replayed batch: anti-join guard → nothing appended
+    val before = spark.read.parquet(s"$incrDir/codes").count()
+    AnnIndex.appendPq(spark, corpus.filter(col("vec_id") % 2 === 1), incrDir)
+    assert(spark.read.parquet(s"$incrDir/codes").count() === before)
+
+    // identical answers from incremental and one-shot indexes
+    val qi = AnnIndex.queryPq(spark, incrDir, corpus, queries).collect()
+    val qf = AnnIndex.queryPq(spark, fullDir, corpus, queries).collect()
+    assert(qi.nonEmpty && qi.sameElements(qf))
+
+    // reranking every stored code (overfetch ≥ corpus) ≡ brute force
+    val n = corpus.count().toInt
+    val full = AnnIndex.queryPq(spark, fullDir, corpus, queries, overfetch = n)
+      .collect().map(_.toSeq)
+    val brute = SparkEntry.queries("sim1_bruteforce_topk")(spark, sf0001)
+      .filter(col("rk") <= 3).collect().map(_.toSeq)
+    assert(full.toSeq === brute.toSeq)
+  }
+
   test("LSH: incremental append ≡ full rebuild; replay no-op; answers match the in-memory sim3 path") {
     val incrDir = tmp("lsh_incr"); val fullDir = tmp("lsh_full")
     val corpus = e.filter(col("vec_id") >= 10)
