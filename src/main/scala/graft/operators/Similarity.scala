@@ -105,23 +105,74 @@ object Similarity {
 
   /** Train the per-subspace PQ codebooks (m codebooks of ks centroids
     * over subDim-wide slices) on the SAME deterministic content-hash
-    * sample [[trainCentroids]] uses — m small k-means fits, never a
-    * full-corpus ML job. Seeds differ per subspace so codebooks are
-    * independent; every fit is deterministic.
+    * sample [[trainCentroids]] uses, collected to the driver and fit
+    * with an in-memory seeded Lloyd's k-means — the standard PQ recipe:
+    * codebook training is a bounded-sample problem (≤ `maxSample` rows,
+    * deterministic hash order), NEVER a distributed ML job. The m×ks
+    * tiny fits as Spark-ML jobs cost ~80 scheduler round-trips and
+    * dominated sim7's wall time; in-memory they are microseconds, and at
+    * 100 TB the sample bound (not the corpus) still governs. Sorted by
+    * vec_id before use so the result is independent of partitioning.
     */
   private[graft] def trainPqCodebooks(e: DataFrame, m: Int, ks: Int, subDim: Int,
-                                      sampleDivisor: Int = 10): Array[Array[(Int, Array[Double])]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                                      sampleDivisor: Int = 10,
+                                      maxSample: Int = 65536): Array[Array[(Int, Array[Double])]] = {
     val sampled = e.filter(pmod(xxhash64(col("vec_id")), lit(sampleDivisor)) === 0)
     val base = if (sampled.count() >= 8L * ks) sampled else e
+    val data = base.select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(maxSample)
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
     (0 until m).toArray.map { sub =>
-      val train = base
-        .select(array_to_vector(slice(col("v"), sub * subDim + 1, subDim)).as("features"))
-      new KMeans().setK(ks).setSeed(42L + sub).setMaxIter(5)
-        .fit(train)
-        .clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+      val slices = data.map(v => java.util.Arrays.copyOfRange(v, sub * subDim, (sub + 1) * subDim))
+      lloyd(slices, ks, iters = 8, seed = 42L + sub)
+        .zipWithIndex.map { case (c, i) => (i, c) }
     }
+  }
+
+  /** Deterministic in-memory Lloyd's k-means: seeded distinct-point
+    * init, squared-Euclidean assignment with lowest-index tie-break,
+    * empty clusters keep their previous center. Pure function of
+    * (points, k, iters, seed). */
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+                           seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "lloyd: empty training set")
+    val rnd = new scala.util.Random(seed)
+    val n = points.length
+    val centers = Array.tabulate(math.min(k, n))(i => points(i).clone())
+    // seeded shuffle of distinct starting points when we have spares
+    if (n > k) {
+      val idx = rnd.shuffle((0 until n).toVector).take(k)
+      idx.zipWithIndex.foreach { case (p, c) => centers(c) = points(p).clone() }
+    }
+    val dim = points(0).length
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centers.length, dim)(0.0)
+      val counts = Array.fill(centers.length)(0L)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          val ctr = centers(c)
+          while (i < dim) { val x = p(i) - ctr(i); d += x * x; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- centers.indices if counts(c) > 0; i <- 0 until dim)
+        centers(c)(i) = sums(c)(i) / counts(c)
+    }
+    // pad degenerate (n < k) codebooks by repeating the last center so
+    // every code id in [0, k) decodes — harmless: unused codes never win
+    if (centers.length < k)
+      centers ++ Array.fill(k - centers.length)(centers.last.clone())
+    else centers
   }
 
   /** The m-wide PQ code array for a vector — one scan-local argmin per

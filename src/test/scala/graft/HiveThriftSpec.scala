@@ -1,0 +1,104 @@
+package graft
+
+import graft.sources.{AnsiDialect, HiveDialect, Pred, SqlDialect}
+import java.sql.DriverManager
+
+/** S4 (Hive half), LIVE: the reference's ApacheHiveDatabase path ships
+  * vendor SQL to a HiveServer2 endpoint over the Hive JDBC driver
+  * (reference: DistributedQueryEngine.diff, RDBMSPushdown +
+  * HiveSqlPrettyPrinter hunks; HiveJdbcTest there needs an external
+  * thrift server). This sandbox ships `spark-hive-thriftserver` +
+  * `hive-jdbc`, so the endpoint can run IN-PROCESS: a Spark Thrift
+  * Server (the standard production deployment of a HiveServer2-protocol
+  * SQL endpoint) serving this suite's catalog. The spec proves, live:
+  *
+  *  - the `org.apache.hive.jdbc.HiveDriver` connects and round-trips;
+  *  - `HiveDialect.scanSql` (backtick identifier quoting) executes and
+  *    returns exactly the filtered/projected rows — on a RESERVED-WORD
+  *    column (`order`), where unquoted SQL is a parse error;
+  *  - the quoting is load-bearing: the SAME scan printed by
+  *    `AnsiDialect` ("" quoting) does NOT survive on this endpoint
+  *    (HiveQL reads double quotes as string literals), which is exactly
+  *    why the reference carries two pretty-printers.
+  *
+  * What remains environmental: a PostgreSQL server (no pg engine in the
+  * sandbox) — PostgresDialect stays print-tested + Derby-executed.
+  */
+class HiveThriftSpec extends SparkSpecBase {
+
+  test("HiveDialect pushdown SQL executes live on a HiveServer2 thrift endpoint") {
+    val port = graft.HiveThriftSpec.serverPort
+    assert(port > 0, "thrift server failed to start")
+    val url = s"jdbc:hive2://localhost:$port/default"
+    Class.forName("org.apache.hive.jdbc.HiveDriver")
+    val conn = DriverManager.getConnection(url, "anonymous", "")
+    try {
+      val st = conn.createStatement()
+      // session-scoped view over real parquet, created THROUGH the wire
+      // (`order` is reserved in HiveQL/Spark — backticks are required)
+      st.execute(
+        s"""CREATE TEMPORARY VIEW hv_orders (`okey`, `order`, `status`) AS
+           |SELECT o_orderkey, o_orderdate, o_orderstatus
+           |FROM parquet.`$sf0001/orders.parquet`""".stripMargin)
+
+      // the dialect-printed scan: backtick quoting on a reserved word
+      val sql = SqlDialect.scanSql("hv_orders",
+        columns = Seq("okey", "order", "status"),
+        preds = Seq(Pred.Eq("status", "F"), Pred.Gt("okey", 100)),
+        dialect = HiveDialect, limit = Some(5))
+      assert(sql.contains("`order`") && sql.contains("\\'") == false)
+      val rs = st.executeQuery(sql + " -- pushed by graft")
+      var n = 0
+      while (rs.next()) {
+        assert(rs.getLong("okey") > 100)
+        assert(rs.getString("status") == "F")
+        n += 1
+      }
+      assert(n == 5, s"expected LIMIT 5 rows, got $n")
+
+      // Hive backslash string escaping round-trips through the wire
+      val esc = st.executeQuery(
+        s"SELECT count(*) c FROM hv_orders WHERE ${SqlDialect.printPred(
+          Pred.Eq("status", "it's\\here"), HiveDialect)}")
+      assert(esc.next() && esc.getLong("c") == 0L)
+
+      // the ANSI printer's "" quoting is NOT valid on this endpoint:
+      // HiveQL lexes "order" as a string literal, so the same scan either
+      // errors or projects literals — proof the vendor split is real
+      val ansiSql = SqlDialect.scanSql("hv_orders",
+        columns = Seq("okey", "order", "status"),
+        preds = Seq(Pred.Eq("status", "F")), dialect = AnsiDialect)
+      val ansiBroken =
+        try {
+          val r = st.executeQuery(ansiSql)
+          r.next() && r.getString(2) == "order" // literal, not the column
+        } catch { case _: java.sql.SQLException => true }
+      assert(ansiBroken, "ANSI double-quoting must not work as identifiers on Hive")
+    } finally conn.close()
+  }
+}
+
+object HiveThriftSpec {
+  /** Start the in-process thrift server once per JVM and return the port
+    * it actually bound (0 = failed); `lazy` so suites that never touch
+    * Hive pay nothing. The port conf is set through both the hadoop conf
+    * and a system property — whichever the HiveConf picks up — and the
+    * probe accepts the requested port or HiveServer2's default 10000. */
+  lazy val serverPort: Int =
+    try {
+      val spark = SparkSpecBase.session
+      spark.sparkContext.hadoopConfiguration.set("hive.server2.thrift.port", "10023")
+      System.setProperty("hive.server2.thrift.port", "10023")
+      org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        .startWithContext(spark.sqlContext)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var found = 0
+      while (found == 0 && System.nanoTime() < deadline) {
+        found = Seq(10023, 10000).find { p =>
+          try { new java.net.Socket("localhost", p).close(); true }
+          catch { case _: java.io.IOException => false }
+        }.getOrElse { Thread.sleep(500); 0 }
+      }
+      found
+    } catch { case scala.util.control.NonFatal(_) => 0 }
+}
