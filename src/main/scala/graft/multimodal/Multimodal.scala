@@ -117,6 +117,33 @@ object Multimodal {
       out
     }
 
+    /** 64-bit average perceptual hash (aHash): bilinear-resize to 8×8,
+      * per-pixel gray (R+G+B), bit i set where pixel i ≥ the 64-pixel
+      * mean. Near-duplicate images (recompressed, lightly noised,
+      * rescaled) differ in a few bits — Hamming distance on the hash is
+      * the image analogue of SimHash on text (L3), and the 8-byte hash
+      * is what a 100 TB image-dedup pass shuffles instead of pixels. */
+    def aHash(img: java.awt.image.BufferedImage): Long = {
+      val small = resize(img, 8, 8)
+      val gray = new Array[Int](64)
+      val row = new Array[Int](8)
+      var y = 0; var idx = 0; var sum = 0L
+      while (y < 8) {
+        small.getRGB(0, y, 8, 1, row, 0, 8)
+        var x = 0
+        while (x < 8) {
+          val p = row(x)
+          val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          gray(idx) = g; sum += g; idx += 1; x += 1
+        }
+        y += 1
+      }
+      val mean = sum.toDouble / 64.0
+      var h = 0L; var i = 0
+      while (i < 64) { if (gray(i) >= mean) h |= (1L << i); i += 1 }
+      h
+    }
+
     /** Re-encode as PNG (lossless, always-available writer). */
     def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -298,6 +325,26 @@ object Multimodal {
           AudioFeatures(a.asset_id, a.sample_rate, 1,
             a.sample_rate.toLong * a.duration_ms / 1000, a.duration_ms,
             mean / 255.0, mean / 255.0, a.payload.length.toLong, decoded = false)
+      }
+    })
+  }
+
+  case class PHash(asset_id: Long, phash: Long, decoded: Boolean)
+
+  /** Perceptual hashes for image dedup, partition-local: decodable
+    * images get the REAL pixel-space aHash; everything else falls back
+    * to the byte-checksum (decoded=false, filterable). Downstream,
+    * near-dup clustering over these 8-byte hashes is exactly the dd3
+    * SimHash machinery: Hamming-ball candidate pairs via chunk buckets,
+    * never pixels×pixels. */
+  def perceptualHashes(assets: Dataset[Asset]): Dataset[PHash] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val real = if (a.kind == "image") ImageCodec.decode(a.payload) else None
+      real match {
+        case Some(img) => PHash(a.asset_id, ImageCodec.aHash(img), decoded = true)
+        case None =>
+          PHash(a.asset_id, FakeCodec.decodeStats(a.payload)._2, decoded = false)
       }
     })
   }

@@ -571,6 +571,88 @@ object Olap {
         .orderBy("o_orderpriority")
     },
 
+    // R65 — RANGE-framed window (trailing 90-day per-customer revenue):
+    // the VALUE-based frame the ROWS-framed q09 cannot express — peers
+    // at the same day aggregate together, and the frame spans a time
+    // interval, not a row count. Order key is the INTEGER epoch day on
+    // both engines (identical frame boundaries; interval-typed range
+    // frames differ subtly across engines, integer ranges do not).
+    // One custkey shuffle; trailing sums in exact cents.
+    Q(
+      "q65_trailing_window",
+      """SELECT o_orderkey,  o_custkey,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_90d,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS cents_90d
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |        CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+        |          AS BIGINT) AS eday
+        |      FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY eday
+        |             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("eday"))
+        .rangeBetween(-90, Window.currentRow)
+      Tables.orders(s, d)
+        // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so the
+        // cast is the identity and matches DuckDB's epoch_us
+        .withColumn("eday",
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_90d"),
+          sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("cents_90d"))
+        .orderBy("o_orderkey")
+    },
+
+    // R64 — keyed snapshot diff (data reconciliation): ADDED / REMOVED /
+    // CHANGED rows between two keyed snapshots via ONE full-outer join
+    // on the key — the operational "what changed since yesterday" /
+    // migration-validation shape. Snapshots here are per-customer
+    // (order count, exact cents) at two date cutoffs, so every
+    // comparison is integer equality; `unchanged` rows are filtered
+    // out (at scale the diff is tiny even when the snapshots are not).
+    Q(
+      "q64_snapshot_diff",
+      """WITH a AS (SELECT o_custkey AS k, count(*) AS cnt,
+        |             sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        |           FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |           GROUP BY 1),
+        |  b AS (SELECT o_custkey AS k, count(*) AS cnt,
+        |          sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        |        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |        GROUP BY 1)
+        |SELECT coalesce(a.k, b.k) AS k,
+        |  CASE WHEN a.k IS NULL THEN 'added'
+        |       WHEN b.k IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS kind,
+        |  CAST(coalesce(b.cnt, 0) - coalesce(a.cnt, 0) AS BIGINT) AS d_cnt,
+        |  CAST(coalesce(b.cents, 0) - coalesce(a.cents, 0) AS BIGINT) AS d_cents
+        |FROM a FULL OUTER JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL
+        |   OR a.cnt <> b.cnt OR a.cents <> b.cents
+        |ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      def snap(cutoff: String) = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val a = snap("1997-07-01"); val b = snap("1998-01-01")
+      a.join(b.withColumnsRenamed(Map("k" -> "bk", "cnt" -> "bcnt", "cents" -> "bcents")),
+          col("k") === col("bk"), "full_outer")
+        .filter(col("k").isNull || col("bk").isNull
+          || col("cnt") =!= col("bcnt") || col("cents") =!= col("bcents"))
+        .select(coalesce(col("k"), col("bk")).as("k"),
+          when(col("k").isNull, "added")
+            .when(col("bk").isNull, "removed")
+            .otherwise("changed").as("kind"),
+          (coalesce(col("bcnt"), lit(0L)) - coalesce(col("cnt"), lit(0L))).as("d_cnt"),
+          (coalesce(col("bcents"), lit(0L)) - coalesce(col("cents"), lit(0L))).as("d_cents"))
+        .orderBy("k")
+    },
+
     // R61 — equal-width histogram (the ANALYZE/visualization staple):
     // 32 buckets over o_totalprice. The global (min, max) is a 1-row
     // aggregate broadcast back (never a second scan pass in the same

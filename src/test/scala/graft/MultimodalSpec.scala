@@ -64,6 +64,61 @@ class MultimodalSpec extends SparkSpecBase {
       ImageCodec.pixelChecksum(flatImage(7, 5, 1, 2, 4)))
   }
 
+  private def patternImage(w: Int, h: Int, noise: Int = 0): java.awt.image.BufferedImage = {
+    // left half dark, right half bright — structured enough that aHash
+    // has both 0 and 1 bits; `noise` flips that many left-edge pixels
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < w / 2) 0x202020 else 0xe0e0e0)
+        x += 1
+      }
+      y += 1
+    }
+    (0 until noise).foreach(i => img.setRGB(i % w, i / w, 0xffffff))
+    img
+  }
+
+  test("aHash: container-independent, noise-tolerant, pattern-sensitive") {
+    import Multimodal.ImageCodec
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = patternImage(64, 64)
+    // identical pixels through different containers hash equal
+    val bmp = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(base, "bmp", bmp))
+    assert(ImageCodec.aHash(ImageCodec.decode(ImageCodec.encodePng(base)).get)
+      === ImageCodec.aHash(ImageCodec.decode(bmp.toByteArray).get))
+    // a lightly-noised near-duplicate lands within a small Hamming ball
+    val near = ImageCodec.aHash(patternImage(64, 64, noise = 12))
+    assert(hamming(ImageCodec.aHash(base), near) <= 8,
+      s"near-dup distance ${hamming(ImageCodec.aHash(base), near)}")
+    // the mirrored pattern is far away
+    val mirrored = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach(y => (0 until 64).foreach(x =>
+      mirrored.setRGB(x, y, base.getRGB(63 - x, y))))
+    assert(hamming(ImageCodec.aHash(base), ImageCodec.aHash(mirrored)) >= 24)
+    // a RESCALED copy of the same image hashes identically (aHash's
+    // whole point: the 8×8 reduction absorbs resolution)
+    val scaled = ImageCodec.resize(base, 128, 128)
+    assert(hamming(ImageCodec.aHash(base), ImageCodec.aHash(scaled)) <= 4)
+  }
+
+  test("perceptualHashes: real aHash for decodable images, byte-checksum fallback otherwise") {
+    import spark.implicits._
+    val png = Multimodal.ImageCodec.encodePng(patternImage(32, 32))
+    val ds = Seq(
+      Asset(1L, "image", png, 32, 32, 0, 0L),
+      Asset(2L, "image", "notanimage".getBytes("UTF-8"), 0, 0, 0, 0L),
+      Asset(3L, "audio", "audio".getBytes("UTF-8"), 0, 0, 16000, 0L)).toDS()
+    val out = Multimodal.perceptualHashes(ds).collect().sortBy(_.asset_id)
+    assert(out.map(_.decoded).toSeq === Seq(true, false, false))
+    assert(out(0).phash === Multimodal.ImageCodec.aHash(
+      Multimodal.ImageCodec.decode(png).get))
+  }
+
   test("real resize: decodable images resize in pixel space and re-encode as PNG") {
     import Multimodal.ImageCodec
     val payload = ImageCodec.encodePng(flatImage(16, 16, 40, 80, 120))
