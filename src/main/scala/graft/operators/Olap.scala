@@ -571,6 +571,40 @@ object Olap {
         .orderBy("o_orderpriority")
     },
 
+    // R66 — error-safe expression semantics (TRY_ forms under ANSI
+    // mode): Spark 4 runs ANSI-enabled, where a bad cast or division by
+    // zero ABORTS the job — on a 100 TB ingest one malformed row must
+    // not kill the pass, so the dirty-input arithmetic goes through
+    // try_cast/try_divide, which yield NULL exactly where DuckDB's
+    // native semantics do. Exercises: non-numeric cast, digit-prefix
+    // cast, division by a periodically-zero divisor, and numeric
+    // overflow — each surfaced as a portable NULL count.
+    Q(
+      "q66_try_semantics",
+      """SELECT
+        |  CAST(count(try_cast(o_orderstatus AS INT)) AS BIGINT) AS n_status_numeric,
+        |  CAST(count(try_cast(substring(o_orderpriority, 1, 1) AS INT)) AS BIGINT)
+        |    AS n_prio_numeric,
+        |  CAST(sum(CASE WHEN o_totalprice / (o_orderkey % 100) IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_div0,
+        |  CAST(count(try_cast('99999999999999999999' || CAST(o_orderkey AS VARCHAR)
+        |      AS BIGINT)) AS BIGINT) AS n_overflow,
+        |  count(*) AS n
+        |FROM orders""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .agg(
+          count(expr("try_cast(o_orderstatus AS INT)")).as("n_status_numeric"),
+          count(expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)"))
+            .as("n_prio_numeric"),
+          sum(when(expr("try_divide(o_totalprice, o_orderkey % 100)").isNull, 1L)
+            .otherwise(0L)).as("n_div0"),
+          count(expr(
+            "try_cast(concat('99999999999999999999', CAST(o_orderkey AS STRING)) AS BIGINT)"))
+            .as("n_overflow"),
+          count(lit(1)).as("n"))
+    },
+
     // R65 — RANGE-framed window (trailing 90-day per-customer revenue):
     // the VALUE-based frame the ROWS-framed q09 cannot express — peers
     // at the same day aggregate together, and the frame spans a time

@@ -123,6 +123,60 @@ object TextOps {
         .orderBy("lang")
     },
 
+    // L35 — composed corpus-rebalance pipeline (the tx17 → tx12 → stats
+    // composition run as ONE declarative plan): per-language mixture
+    // weights (uniform target, downsample-only — weight capped at 10^6;
+    // upsampling means duplication, a policy call left to the caller),
+    // applied by the salted-hash deterministic sampler, then the
+    // post-sample mix audited in integer permille. The keep test maps
+    // weight6 → a 16-bit hex threshold compared against 4 md5 hex chars
+    // — pure string/int ops, identical both engines, retry-stable, and
+    // independent of tx9/tx12's decisions (different salt). The skewed
+    // `lang` column (en ≈ 3.4× fr) makes the rebalance non-degenerate.
+    Q(
+      "pp2_rebalance_pipeline",
+      """WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |  t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |          CAST(count(*) AS BIGINT) AS k FROM s),
+        |  w AS (SELECT lang, n_docs,
+        |          least(((total // k) * 1000000) // n_docs, 1000000) AS w6
+        |        FROM s CROSS JOIN t),
+        |  kept AS (SELECT d.lang, count(*) AS n_after
+        |           FROM documents d JOIN w USING (lang)
+        |           WHERE w.w6 >= 1000000
+        |              OR substring(md5(CAST(doc_id AS VARCHAR) || '#rebal'), 1, 4)
+        |                 < printf('%04x', CAST((w6 * 65536) // 1000000 AS INT))
+        |           GROUP BY 1),
+        |  t2 AS (SELECT CAST(sum(n_after) AS BIGINT) AS ta FROM kept)
+        |SELECT w.lang, CAST(w.n_docs AS BIGINT) AS n_before,
+        |  CAST(coalesce(kept.n_after, 0) AS BIGINT) AS n_after,
+        |  CAST(coalesce(kept.n_after, 0) * 1000 AS BIGINT) // ta AS mix_permille
+        |FROM w LEFT JOIN kept USING (lang) CROSS JOIN t2
+        |ORDER BY w.lang""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .localCheckpoint(true) // weights + final report share one scan
+      val tot = byLang.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).cast("long").as("k"))
+      val w = byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          least(expr("((total DIV k) * 1000000) DIV n_docs"), lit(1000000L)).as("w6"))
+      val kept = docs.join(broadcast(w.select("lang", "w6")), Seq("lang"))
+        .filter(col("w6") >= 1000000L
+          || substring(md5(concat(col("doc_id").cast("string"), lit("#rebal"))
+            .cast("binary")), 1, 4)
+            < format_string("%04x", expr("CAST((w6 * 65536) DIV 1000000 AS INT)")))
+        .groupBy("lang").agg(count(lit(1)).as("n_after"))
+        .localCheckpoint(true) // total agg + final join — one filter scan
+      val t2 = kept.agg(sum(col("n_after")).as("ta"))
+      w.join(kept, Seq("lang"), "left").crossJoin(broadcast(t2))
+        .select(col("lang"), col("n_docs").as("n_before"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          expr("coalesce(n_after, 0L) * 1000 DIV ta").as("mix_permille"))
+        .orderBy("lang")
+    },
+
     // Higher-order functions over collections (lambda filter/transform) —
     // RAW's collection-valued expressions, codegen'd where the lambda is
     // simple.
