@@ -100,6 +100,36 @@ object Graph {
     ranks.withColumnRenamed("r", "rank_e12")
   }
 
+  /** Hop-bounded single-source shortest paths (Bellman–Ford relaxation):
+    * after `rounds` iterations, `dist` holds the exact minimum-weight
+    * path using ≤ `rounds` edges — which equals the min over all ≤rounds
+    * walks, the form a recursive-CTE oracle can enumerate. INTEGER
+    * weights, so distances are exact longs (no float-sum drift across
+    * partitionings). One join+agg shuffle per round; the settled frame
+    * is node-sized, localCheckpoint'd per round like [[bfs]]/[[pageRank]].
+    * `edges` = (src, dst, w≥0). At 100 TB scale the same loop runs with
+    * `dist` and `edges` co-partitioned on the join key; rounds — not
+    * rows — drive the driver loop.
+    */
+  def shortestPaths(edges: DataFrame, source: Long, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep cheapest
+      .localCheckpoint(true)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("d")), Seq("src"))
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min("d").as("d"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   val catalog: Seq[Q] = Seq(
     // Reachability over a deterministic functional graph on doc ids,
     // oracle = DuckDB WITH RECURSIVE (the declarative twin of the
@@ -182,6 +212,47 @@ object Graph {
       wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
         .select(col("u"), col("v"), col("w"))
         .orderBy("u", "v", "w")
+    },
+
+    // R64b — hop-bounded weighted shortest paths from node 0 over the
+    // same deterministic 3-out functional graph gr3 uses, directed, with
+    // integer weights (src+dst) % 100 + 1. 10 Bellman–Ford rounds ≡ the
+    // min over all ≤10-hop walks, which is exactly what the DuckDB
+    // recursive CTE (with a hop counter) enumerates — walks with cycles
+    // are never cheaper than their shortcut path, so the two agree.
+    Q(
+      "gr4_shortest_path",
+      """WITH RECURSIVE e AS (
+        |  SELECT src, dst, CAST((src + dst) % 100 + 1 AS BIGINT) AS w FROM (
+        |    SELECT doc_id AS src,
+        |           (doc_id*7+13) % (SELECT count(*) FROM documents) AS dst
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents)
+        |    FROM documents) raw
+        |  WHERE src <> dst),
+        |walk(node, d, hops) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT e.dst, walk.d + e.w, hops + 1
+        |  FROM walk JOIN e ON e.src = walk.node
+        |  WHERE hops < 10)
+        |SELECT node, CAST(min(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("src") =!= col("dst"))
+        .withColumn("w", (col("src") + col("dst")) % 100 + 1)
+      shortestPaths(e, source = 0L, rounds = 10)
+        .select(col("node"), col("d").as("dist"))
+        .orderBy("node")
     }
   )
 }

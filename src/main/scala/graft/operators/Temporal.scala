@@ -58,6 +58,58 @@ object Temporal {
         .agg(count(lit(1)).as("n"),
           graft.functions.Stable.moneySum(col("o_totalprice")).as("tot"))
         .orderBy("band_lo")
+    },
+
+    // L36 — INTERVAL-OVERLAP join (interval × interval, vs rj1's
+    // value-in-interval): per-user 10-minute activity intervals matched
+    // against recurring "maintenance windows" (every 7th hour), with
+    // per-user overlap count and total overlapped microseconds. The
+    // scalable formulation: both sides keyed by HOUR BUCKET — an
+    // interval lands in its (≤2, distinct) covering buckets, a window
+    // IS one bucket — so the pair search is an equi-join on the bucket
+    // with the overlap test as residual, never an unbounded
+    // inequality-only join. All integer µs; half-open [s, e) on both
+    // engines, so boundary-touching pairs are excluded identically.
+    Q(
+      "rj2_interval_overlap",
+      """WITH iv AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+        |  FROM events),
+        |  b AS (SELECT min(s) // 3600000000 AS hl, max(s) // 3600000000 AS hh
+        |        FROM iv),
+        |  mw AS (SELECT g * 3600000000 AS ws, (g + 1) * 3600000000 AS we
+        |         FROM (SELECT unnest(range((SELECT hl FROM b),
+        |                                   (SELECT hh FROM b) + 1)) AS g)
+        |         WHERE g % 7 = 0),
+        |  ov AS (SELECT user_id,
+        |           least(iv.e, mw.we) - greatest(iv.s, mw.ws) AS o_us
+        |         FROM iv JOIN mw ON iv.s < mw.we AND mw.ws < iv.e)
+        |SELECT user_id, count(*) AS n_overlaps,
+        |  CAST(sum(o_us) AS BIGINT) AS overlap_us
+        |FROM ov GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("s"))
+        .withColumn("e", col("s") + 600000000L)
+        .localCheckpoint(true) // bounds agg + bucket join share one scan
+      val bounds = iv.agg(expr("min(s) DIV 3600000000").as("hl"),
+        expr("max(s) DIV 3600000000").as("hh"))
+      val mw = bounds
+        .select(explode(sequence(col("hl"), col("hh"))).as("hb"))
+        .filter(col("hb") % 7 === 0)
+        .select(col("hb"), (col("hb") * 3600000000L).as("ws"),
+          ((col("hb") + 1) * 3600000000L).as("we"))
+      val ivb = iv.withColumn("hb",
+        explode(array_distinct(array(expr("s DIV 3600000000"), expr("e DIV 3600000000")))))
+      ivb.join(broadcast(mw), Seq("hb")) // window set is calendar-sized;
+        // at real scale this becomes a key-shuffle join on hb
+        .filter(col("s") < col("we") && col("ws") < col("e"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("e"), col("we")) - greatest(col("s"), col("ws")))
+            .as("overlap_us"))
+        .orderBy("user_id")
     }
   )
 }
