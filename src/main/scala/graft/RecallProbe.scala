@@ -79,11 +79,13 @@ object RecallProbe {
     val (sim3Hit, _) = annRecall("sim3_lsh_ann")
     val (sim5Hit, _) = annRecall("sim5_ivf_ann")
     val (sim7Hit, _) = annRecall("sim7_pq_ann")
+    val (sim8Hit, _) = annRecall("sim8_ivfpq_ann")
 
     def ratio(hit: Long, truth: Long): Double =
       if (truth == 0) 1.0 else hit.toDouble / truth
     s"""{"sf":"$sfDir","dd2_recall":${ratio(dd2Hit, dd2Truth)},"dd2_truth_pairs":$dd2Truth,""" +
       s""""sim3_recall":${ratio(sim3Hit, annTruth)},"sim5_recall":${ratio(sim5Hit, annTruth)},""" +
-      s""""sim7_recall":${ratio(sim7Hit, annTruth)},"ann_truth_pairs":$annTruth}"""
+      s""""sim7_recall":${ratio(sim7Hit, annTruth)},"sim8_recall":${ratio(sim8Hit, annTruth)},""" +
+      s""""ann_truth_pairs":$annTruth}"""
   }
 }

@@ -258,6 +258,73 @@ object Similarity {
       .agg(call_function("topk_pairs", col("approx_cos"), col("c_id"), lit(overfetch)).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("c_id"))
 
+  /** IVF-PQ composed ANN (the production large-corpus layout): the IVF
+    * coarse quantizer partitions the corpus into inverted lists, and
+    * each vector's RESIDUAL (v − its centroid) is product-quantized —
+    * residuals are smaller than raw vectors, so the same codebook budget
+    * quantizes them better. Queries probe only the `nProbe` nearest
+    * lists and score their members by `q·c_cid + ADC(q, residual codes)`
+    * (the exact decomposition `q·v = q·c + q·(v−c)` with the second term
+    * approximated); the `overfetch` best are reranked with exact cosine.
+    * Cost shape at scale: ADC touches `nProbe/nCentroids` of the code
+    * frame (vs ALL of it for plain PQ), per-query centroid dots are
+    * nCentroids-sized, the LUT is m·ks-sized, and raw vectors are read
+    * only for the overfetched candidates. ADC partials are integer-
+    * quantized (bit-deterministic) like sim7; with nProbe = nCentroids
+    * and full overfetch this reduces exactly to brute force (spec'd).
+    */
+  def ivfPqAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 12,
+               m: Int = 16, ks: Int = 32, overfetch: Int = 48,
+               topK: Int = 3): DataFrame = {
+    val subDim = 64 / m
+    val e = prepared(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainCentroids(e, nCentroids)
+    val centerArr = array(cents.sortBy(_._1).map(c => typedlit(c._2.toSeq)): _*)
+    // residuals, computed scan-locally against literal centroids
+    val resid = e
+      .withColumn("cid", nearestCid(col("v"), cents))
+      .withColumn("rv", zip_with(col("v"),
+        element_at(centerArr, col("cid") + 1), (a, b) => a - b))
+    val books = trainPqCodebooks(
+      resid.select(col("vec_id"), col("rv").as("v")), m, ks, subDim)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // probed lists + the exact q·centroid term for each probed pair
+    val probes = probeLists(q, cents, nProbe)
+      .withColumn("qc6", round(dotNative(col("qv"),
+        element_at(centerArr, col("cid") + 1)) * 1e6).cast("long"))
+      .select("q_id", "qn", "cid", "qc6")
+    // residual code frame, m fixed-width rows per corpus vector
+    val codes = resid.filter(col("vec_id") >= 10)
+      .select(col("cid"), col("vec_id").as("c_id"), col("nrm").as("cn"),
+        posexplode(pqCodes(col("rv"), books, subDim)).as(Seq("sub", "code")))
+    val lut = pqLut(q, books, subDim).drop("qn") // qn rides with probes
+    val candidates = codes
+      .join(broadcast(probes), Seq("cid"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "c_id")
+      .agg(sum(col("part6")).as("ad6"), min(col("qc6")).as("qc6"),
+        min(col("cn")).as("cn"), min(col("qn")).as("qn"))
+      .select(col("q_id"), col("c_id"),
+        ((col("qc6") + col("ad6")).cast("double") / (col("qn") * col("cn")) / 1e6)
+          .as("approx_cos"))
+      .groupBy("q_id")
+      .agg(call_function("topk_pairs", col("approx_cos"), col("c_id"), lit(overfetch)).as("top"))
+      .select(col("q_id"), explode(col("top.id")).as("c_id"))
+    val c = e.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val out = topkRerank(
+      candidates
+        .join(c, Seq("c_id"))
+        .join(broadcast(q), Seq("q_id"))
+        .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+        .select("q_id", "c_id", "cos"),
+      k = topK)
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Exact top-k rerank per query via the bounded-heap `topk_pairs`
     * aggregate (k rows per query per map task through the shuffle — the
     * scalable shape; the window row_number form sorts whole groups).
@@ -378,6 +445,11 @@ object Similarity {
     // nProbe/nCentroids of it instead of everything. Rows-only:
     // recall < 1 by construction; spec asserts structure + determinism.
     Q.rowsOnly("sim5_ivf_ann")((s, d) => ivfAnn(s, d)),
+
+    // L33 — IVF-PQ composed ANN (the production layout): coarse lists
+    // probed, residual codes ADC-scored, exact rerank. Rows-only;
+    // RecallProbe measures it and SimilaritySpec/PqSpec pin reductions.
+    Q.rowsOnly("sim8_ivfpq_ann")((s, d) => ivfPqAnn(s, d)),
 
     // L32 — product-quantization ANN (the third ANN scale path): corpus
     // compressed to 8 codes/vector, ADC scoring via broadcast per-query

@@ -40,6 +40,21 @@ class PqSpec extends SparkSpecBase {
     assert(full.toSeq === brute.toSeq)
   }
 
+  test("IVF-PQ: full probe + full overfetch ≡ brute force; default point deterministic") {
+    // with every list probed and every candidate reranked, the residual
+    // ADC stage only ORDERS candidates — exact rerank must reproduce
+    // brute force bit-for-bit
+    val full = Similarity.ivfPqAnn(spark, sf0001,
+      nCentroids = 8, nProbe = 8, overfetch = corpusSize, topK = 3)
+      .collect().map(_.toSeq)
+    val brute = SparkEntry.queries("sim1_bruteforce_topk")(spark, sf0001)
+      .filter(col("rk") <= 3).collect().map(_.toSeq)
+    assert(full.toSeq === brute.toSeq)
+    val a = SparkEntry.queries("sim8_ivfpq_ann")(spark, sf0001).collect().map(_.toSeq)
+    val b = SparkEntry.queries("sim8_ivfpq_ann")(spark, sf0001).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq && a.nonEmpty)
+  }
+
   test("default operating point is deterministic across runs") {
     val a = SparkEntry.queries("sim7_pq_ann")(spark, sf0001).collect().map(_.toSeq)
     val b = SparkEntry.queries("sim7_pq_ann")(spark, sf0001).collect().map(_.toSeq)
