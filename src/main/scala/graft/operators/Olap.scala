@@ -571,6 +571,72 @@ object Olap {
         .orderBy("o_orderpriority")
     },
 
+    // R67 — median absolute deviation (robust dispersion, the outlier-
+    // resistant sibling of q47's winsorizing): MAD = median(|x − median|)
+    // per group, two exact-percentile passes over CENTS (longs) so the
+    // medians are exact or exact-half values — round(·, 2) is then a
+    // fixed-point operation, portable across engines (the general-double
+    // rounding caveat from q47 does not bite on .0/.5 values). The
+    // per-group median is a dims-sized frame broadcast back onto the
+    // fact for the deviation pass.
+    Q(
+      "q67_mad",
+      """WITH c AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+        |           FROM lineitem),
+        |  med AS (SELECT l_returnflag,
+        |            CAST(round(quantile_cont(cents, 0.5), 2) AS DOUBLE) AS med_c
+        |          FROM c GROUP BY 1)
+        |SELECT c.l_returnflag,
+        |  CAST(round(med.med_c / 100, 4) AS DOUBLE) AS median_price,
+        |  CAST(round(quantile_cont(abs(cents - med.med_c), 0.5) / 100, 4) AS DOUBLE)
+        |    AS mad_price,
+        |  count(*) AS n
+        |FROM c JOIN med USING (l_returnflag)
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .localCheckpoint(true) // median pass + deviation pass, one scan
+      val med = c.groupBy("l_returnflag")
+        .agg(round(expr("percentile(cents, 0.5)"), 2).as("med_c"))
+      c.join(broadcast(med), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), round(col("med_c") / 100, 4).as("median_price"))
+        .agg(
+          round(expr("percentile(abs(cents - med_c), 0.5)") / 100, 4).as("mad_price"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "median_price", "mad_price", "n")
+        .orderBy("l_returnflag")
+    },
+
+    // R68 — MODE per group (most frequent value, deterministic):
+    // Spark's/DuckDB's built-in mode() leaves ties unspecified, so the
+    // portable form is the count + window-argmax with an explicit
+    // tie-break (highest count, then lowest value) — the same
+    // determinism discipline as every other ranking in the catalog.
+    // Two fixed-width shuffles ((group, value) counts → per-group top-1).
+    Q(
+      "q68_mode",
+      """WITH c AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+        |             count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, q AS mode_qty, CAST(cnt AS BIGINT) AS cnt
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |        ORDER BY cnt DESC, q) AS rk FROM c)
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), round(col("l_quantity")).cast("long").as("q"))
+        .agg(count(lit(1)).as("cnt"))
+      c.withColumn("rk", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy(desc("cnt"), col("q"))))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("q").as("mode_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    },
+
     // R66 — error-safe expression semantics (TRY_ forms under ANSI
     // mode): Spark 4 runs ANSI-enabled, where a bad cast or division by
     // zero ABORTS the job — on a 100 TB ingest one malformed row must
