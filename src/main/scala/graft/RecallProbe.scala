@@ -81,11 +81,35 @@ object RecallProbe {
     val (sim7Hit, _) = annRecall("sim7_pq_ann")
     val (sim8Hit, _) = annRecall("sim8_ivfpq_ann")
 
+    // ---- dd9: semantic dedup removed-set vs the exact quadratic truth.
+    // The truth here IS the all-pairs problem dd9 exists to avoid, so it
+    // only runs at probe scale (corpus² cosine filters stream through a
+    // broadcast NLJ — ~2·10⁸ codegen'd pairs at sf0.1, no materialized
+    // quadratic frame). Removed-set recall: an id counts as caught if
+    // dd9 removed it, regardless of which kept partner it credits. ----
+    import graft.operators.Similarity
+    import graft.functions.Vectors._
+    val emb = Similarity.prepared(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val la = emb.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val lb = emb.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val exactRemoved = la.crossJoin(lb)
+      .filter(col("ia") < col("ib"))
+      .filter(cosineNative(col("va"), col("vb"), col("na"), col("nb")) > 0.4)
+      .select(col("ib").as("removed_id")).distinct()
+      .localCheckpoint(true)
+    emb.unpersist()
+    val dd9Removed = SparkEntry.queries("dd9_semantic_dedup")(spark, sfDir)
+      .select("removed_id")
+    val dd9Truth = exactRemoved.count()
+    val dd9Hit = dd9Removed.join(exactRemoved, Seq("removed_id"), "left_semi").count()
+
     def ratio(hit: Long, truth: Long): Double =
       if (truth == 0) 1.0 else hit.toDouble / truth
     s"""{"sf":"$sfDir","dd2_recall":${ratio(dd2Hit, dd2Truth)},"dd2_truth_pairs":$dd2Truth,""" +
       s""""sim3_recall":${ratio(sim3Hit, annTruth)},"sim5_recall":${ratio(sim5Hit, annTruth)},""" +
       s""""sim7_recall":${ratio(sim7Hit, annTruth)},"sim8_recall":${ratio(sim8Hit, annTruth)},""" +
-      s""""ann_truth_pairs":$annTruth}"""
+      s""""ann_truth_pairs":$annTruth,""" +
+      s""""dd9_recall":${ratio(dd9Hit, dd9Truth)},"dd9_truth_removed":$dd9Truth}"""
   }
 }

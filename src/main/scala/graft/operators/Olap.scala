@@ -785,6 +785,33 @@ object Olap {
         .agg(count(lit(1)).as("n"))
         .select(col("bucket"), col("n"), col("bucket_lo"))
         .orderBy("bucket")
+    },
+
+    // R65 — NOT IN subquery under three-valued logic: the classic SQL
+    // correctness trap. The probe side carries real NULLs (nullif), and
+    // a NULL probe must be EXCLUDED (NULL NOT IN list is UNKNOWN, never
+    // true) — an engine that compiles NOT IN to a plain anti join gets
+    // this wrong. Spark plans it as a null-aware anti join (single-key
+    // NAAJ, broadcast build side; PlanGuardSpec pins the plan shape +
+    // the null-probe exclusion). Runs through the registered-view SQL
+    // surface ([[graft.Views]]) with the IDENTICAL statement both
+    // engines — the reference's declarative entry point (reference:
+    // README.md query surface), demonstrated on semantics where
+    // operator-level translation is easiest to get wrong.
+    Q(
+      "q69_not_in_nulls",
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer
+        |WHERE nullif(c_custkey % 1000, 7) NOT IN
+        |  (SELECT o_custkey % 1000 FROM orders WHERE o_totalprice > 490000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      graft.Views.sql(s, d,
+        """SELECT c_mktsegment, count(*) AS n
+          |FROM customer
+          |WHERE nullif(c_custkey % 1000, 7) NOT IN
+          |  (SELECT o_custkey % 1000 FROM orders WHERE o_totalprice > 490000)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     }
   )
 }

@@ -60,6 +60,22 @@ object Similarity {
     array_min(array(scored.toIndexedSeq: _*)).getField("cid")
   }
 
+  /** The `n` nearest centroid ids (ascending distance, ties to the lower
+    * cid) as an array column — multi-assignment for recall-critical
+    * cluster-bounded searches ([[semanticDedup]]): a vector participates
+    * in its `n` closest clusters, so a near-dup pair is caught if ANY of
+    * their clusters overlap. Same literal-centroid scan-local codegen as
+    * [[nearestCid]]. */
+  private[graft] def nearestCids(v: Column, centroids: Array[(Int, Array[Double])],
+                                 n: Int): Column = {
+    val scored = centroids.map { case (cid, c) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dotNative(v, typedlit(c.toSeq))).as("d2"),
+        lit(cid).as("cid"))
+    }
+    slice(sort_array(array(scored.toIndexedSeq: _*)), 1, n).getField("cid")
+  }
+
   /** Per-query nProbe nearest centroids (tiny broadcast cross join). */
   private[graft] def probeLists(q: DataFrame, centroids: Array[(Int, Array[Double])],
                                 nProbe: Int): DataFrame = {
@@ -325,6 +341,63 @@ object Similarity {
     out
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the corpus with the sample-trained k-means coarse quantizer,
+    * then search for near-duplicate pairs ONLY within each cluster — the
+    * clustering bounds the pairwise search, so nothing is quadratic in
+    * corpus size (at 100 TB `nCentroids` scales with the corpus to hold
+    * the per-cluster size ~constant; SemDeDup's published recipe uses
+    * k ≈ N/1000). A vector is removed iff some LOWER-id vector in its
+    * cluster has cosine > `tau` with it ("keep the first seen" — the
+    * deterministic form of SemDeDup's keep-one-per-group rule), so the
+    * surviving set provably contains no intra-cluster pair above `tau`
+    * (spec'd). Reported pairs are exact cosines — precision 1 by
+    * construction; recall < 1 only across cluster boundaries, mitigated
+    * by MULTI-ASSIGNMENT: each vector participates in its `nAssign`
+    * nearest clusters (the IVF-nProbe idea applied to dedup — a pair is
+    * caught if any of their clusters overlap; candidate work scales by
+    * ≤ nAssign²/cluster balance, still never corpus²). `nCentroids = 1`
+    * reduces exactly to the full quadratic dedup (spec'd). Output is
+    * all-integer (ids + counts) → bit-deterministic across
+    * partitionings.
+    *
+    * Scale shape: assignment is one scan-local codegen'd pass (literal
+    * centroids, no shuffle); the candidate self-join shuffles by cid
+    * once; vectors cross the shuffle once per side.
+    */
+  def semanticDedup(s: SparkSession, d: String, nCentroids: Int = 16,
+                    nAssign: Int = 3, tau: Double = 0.4): DataFrame = {
+    val e = prepared(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nCentroids = 1 is the degenerate everything-in-one-cluster form
+    // (≡ exact quadratic dedup — the spec's ground truth); Spark-ML
+    // KMeans requires k ≥ 2, and training is pointless for one cluster
+    val cid = if (nCentroids == 1) lit(0)
+      else explode(nearestCids(col("v"), trainCentroids(e, nCentroids),
+        math.min(nAssign, nCentroids)))
+    val assigned = e.withColumn("cid", cid)
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = assigned.select(col("cid"), col("vec_id").as("kept_cand"),
+      col("v").as("va"), col("nrm").as("na"))
+    val cand = assigned.select(col("cid"), col("vec_id").as("removed_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val out = keep.join(cand, Seq("cid"))
+      .filter(col("kept_cand") < col("removed_id"))
+      // multi-assignment can surface a pair in up to nAssign shared
+      // clusters — dedupe before scoring (rows for a pair are identical)
+      .dropDuplicates("kept_cand", "removed_id")
+      .withColumn("cos", cosineNative(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("cos") > tau)
+      .groupBy("removed_id")
+      .agg(min(col("kept_cand")).as("kept_id"), count(lit(1)).as("n_near"))
+      .orderBy("removed_id")
+      .localCheckpoint(true)
+    assigned.unpersist()
+    e.unpersist()
+    out
+  }
+
   /** Exact top-k rerank per query via the bounded-heap `topk_pairs`
     * aggregate (k rows per query per map task through the shuffle — the
     * scalable shape; the window row_number form sorts whole groups).
@@ -457,6 +530,17 @@ object Similarity {
     // Rows-only: recall < 1 by construction; RecallProbe measures it and
     // PqSpec proves full-overfetch ≡ brute force.
     Q.rowsOnly("sim7_pq_ann")((s, d) => pqAnn(s, d)),
+
+    // L37 — SemDeDup-style semantic dedup: k-means clusters bound the
+    // pairwise near-dup search; lower-id-wins removal rule. Rows-only:
+    // cross-cluster recall < 1 by construction (nCentroids = 1 ≡ exact
+    // quadratic dedup, spec'd; reported pairs are exact cosines —
+    // precision 1); all-integer output, bit-deterministic. Measured
+    // removed-set recall vs the exact quadratic truth (RecallProbe):
+    // nAssign 1 → 0.51, 2 → 0.79, 3 → 1.00 at sf0.01 — the structureless
+    // synthetic corpus needs the multi-assignment margin, exactly like
+    // sim5's high nProbe (PLANS.md).
+    Q.rowsOnly("dd9_semantic_dedup")((s, d) => semanticDedup(s, d)),
 
     // L8 — per-label norm statistics. avg over a micro-quantized exact
     // integer sum (norms are irrational, so the cents trick generalizes

@@ -112,4 +112,32 @@ class PlanGuardSpec extends SparkSpecBase {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("q69 NOT IN compiles to a null-aware anti join and drops NULL probes") {
+    // NOT IN under three-valued logic: a NULL probe is UNKNOWN, never
+    // kept. Spark's single-column null-aware anti join (NAAJ) is the
+    // plan shape that preserves this; a plain LeftAnti would keep the
+    // NULL-probe rows and silently overcount.
+    val df = SparkEntry.queries("q69_not_in_nulls")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    // BroadcastHashJoinExec prints (..., LeftAnti, BuildRight, <isNullAwareAntiJoin>)
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"expected a null-aware anti join (NAAJ flag true) in:\n$p")
+    // semantic pin: NULL probes (c_custkey % 1000 == 7) are excluded —
+    // the total across segments must equal the count over non-null
+    // probes only, and be strictly fewer than a null-oblivious rewrite
+    import org.apache.spark.sql.functions._
+    val total = df.agg(sum("n")).collect().head.getLong(0)
+    val c = Tables.customer(spark, sf0001)
+    val o = Tables.orders(spark, sf0001).filter(col("o_totalprice") > 490000)
+      .select((col("o_custkey") % 1000).as("r")).distinct()
+    val nullOblivious = c.withColumn("pr", nullif(col("c_custkey") % 1000, lit(7)))
+      .join(o, col("pr") === col("r"), "left_anti").count()
+    val nonNullOnly = c.withColumn("pr", nullif(col("c_custkey") % 1000, lit(7)))
+      .filter(col("pr").isNotNull)
+      .join(o, col("pr") === col("r"), "left_anti").count()
+    assert(total === nonNullOnly, "NOT IN must exclude NULL probes")
+    assert(nullOblivious > total,
+      "plain left_anti keeps NULL probes — the behavior NOT IN must not have")
+  }
 }

@@ -1,9 +1,61 @@
 package graft
 
 import graft.operators.Similarity
+import graft.functions.Vectors._
+import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
+
+  test("semantic dedup with one cluster equals the exact quadratic dedup") {
+    val sem = Similarity.semanticDedup(spark, sf0001, nCentroids = 1, tau = 0.4)
+      .as[(Long, Long, Long)].collect().toSet
+    val e = Similarity.prepared(spark, sf0001)
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+    val exact = a.crossJoin(b)
+      .filter($"ia" < $"ib")
+      .filter(cosineNative($"va", $"vb", $"na", $"nb") > 0.4)
+      .groupBy($"ib")
+      .agg(min($"ia").as("kept_id"), count(lit(1)).as("n_near"))
+      .select($"ib", $"kept_id", $"n_near")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sem === exact)
+    assert(sem.nonEmpty, "tau=0.4 should find near-dups in the synthetic corpus")
+  }
+
+  test("semantic dedup reported pairs are true near-dups and survivors are separated") {
+    val tau = 0.4
+    val sem = Similarity.semanticDedup(spark, sf0001, nCentroids = 8, tau = tau)
+      .select("removed_id", "kept_id").as[(Long, Long)].collect()
+    val e = Similarity.prepared(spark, sf0001)
+    val vecs = e.select($"vec_id", $"v", $"nrm")
+      .as[(Long, Seq[Double], Double)].collect()
+      .map { case (id, v, n) => id -> ((v.toArray, n)) }.toMap
+    def cos(x: Long, y: Long): Double = {
+      val (vx, nx) = vecs(x); val (vy, ny) = vecs(y)
+      var d = 0.0; var i = 0
+      while (i < vx.length) { d += vx(i) * vy(i); i += 1 }
+      d / (nx * ny)
+    }
+    // precision 1: every reported (kept, removed) pair is a true near-dup
+    sem.foreach { case (rm, kp) =>
+      assert(kp < rm, s"kept id must be lower: $kp vs $rm")
+      assert(cos(kp, rm) > tau, s"reported pair ($kp, $rm) below tau: ${cos(kp, rm)}")
+    }
+    // with one cluster, no two SURVIVORS may be within tau of each other
+    val removed1 = Similarity.semanticDedup(spark, sf0001, nCentroids = 1, tau = tau)
+      .select("removed_id").as[Long].collect().toSet
+    val survivors = vecs.keySet -- removed1
+    for (x <- survivors; y <- survivors if x < y)
+      assert(cos(x, y) <= tau, s"survivors $x,$y still within tau: ${cos(x, y)}")
+  }
+
+  test("semantic dedup is deterministic across runs") {
+    def run() = Similarity.semanticDedup(spark, sf0001, nCentroids = 8, tau = 0.4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(run() === run())
+  }
 
   test("IVF ANN returns at most topK deterministic results per query") {
     val out = Similarity.ivfAnn(spark, sf0001, nCentroids = 8, nProbe = 2, topK = 3)
