@@ -403,6 +403,48 @@ object TextOps {
             .otherwise(size(array_distinct(toks)).cast("double") / size(toks))
             .as("ttr"))
         .orderBy("doc_id")
+    },
+
+    // L38 — overlapping document chunking (RAG / context-window prep):
+    // each doc split into 20-token windows advancing by 15 (5-token
+    // overlap carries context across boundaries — the standard retrieval
+    // chunking recipe). Scan-local: tokenize once, generate chunk
+    // indices with `sequence`, slice the SAME token array per index —
+    // no shuffle, no self-join; output grows ~L/step per doc, linear.
+    // Chunk count = ceil((L − overlap) / step), min 1, so the final
+    // window is allowed to run short but every token lands in ≥ 1 chunk
+    // and consecutive chunks share exactly `overlap` tokens (spec'd;
+    // docs shorter than one window yield themselves). Identical
+    // 1-based slice semantics both engines (Spark slice(arr, start,
+    // len) ≡ DuckDB arr[start : start+len−1]).
+    Q(
+      "tx18_chunk_overlap",
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, toks,
+        |        greatest(1, CAST(ceil((len(toks) - 5) / 15.0) AS BIGINT)) AS nc
+        |      FROM t),
+        |c AS (SELECT doc_id, i AS chunk_idx,
+        |        array_to_string(toks[i*15+1 : i*15+20], ' ') AS chunk
+        |      FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i) s)
+        |SELECT doc_id, chunk_idx, chunk,
+        |  CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    ) { (s, d) =>
+      val (win, overlap) = (20, 5)
+      val step = win - overlap
+      val toks = split(trim(col("text")), "\\s+")
+      val nc = greatest(lit(1L),
+        ceil((size(toks) - overlap).cast("double") / step).cast("long"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), nc.as("nc"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("toks"),
+            (col("chunk_idx") * step + 1).cast("int"), lit(win)), " ").as("chunk"))
+        .withColumn("n_tok", size(split(col("chunk"), "\\s+")).cast("long"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }
