@@ -306,4 +306,144 @@ object AnnIndex {
         .select(col("q_id"), col("vec_id").as("c_id"), col("cos")),
       k = topK)
   }
+
+  // ------------------------------------------- semantic dedup index
+
+  private def semListsDir(indexDir: String) = s"$indexDir/semlists"
+  private def semCentroidsDir(indexDir: String) = s"$indexDir/semcentroids"
+  private def semParamsPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_graft_sem_params")
+
+  /** Durable form of [[Similarity.semanticDedup]] (SemDeDup at ingest
+    * time): the multi-assigned cluster lists persist, and each new batch
+    * is deduplicated against the STORED corpus — assign only the batch,
+    * join only the shared clusters, never re-cluster or re-scan history.
+    * Layout state fixed at build time: the frozen centroids AND
+    * `nAssign` (a batch assigned to a different number of clusters than
+    * the stored rows would silently miss pairs — same failure the LSH
+    * params marker guards, so it gets the same marker).
+    *
+    * Rows are (cid, vec_id, v, nrm), partitioned by cid: each vector
+    * appears in its `nAssign` nearest clusters, so batch-vs-stored
+    * candidate search is an equi-join on the partition column — at
+    * scale, dynamic partition pruning reads only the batch's clusters.
+    */
+  def buildSemantic(spark: SparkSession, vectors: DataFrame, indexDir: String,
+                    nCentroids: Int = 16, nAssign: Int = 3,
+                    sampleDivisor: Int = 10): Unit = {
+    val v = vectors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try buildSemanticWith(spark, v, indexDir,
+      Similarity.trainCentroids(v, nCentroids, sampleDivisor), nAssign)
+    finally v.unpersist()
+  }
+
+  /** Build with an explicit (frozen) quantizer — the one-shot reference
+    * the incremental spec compares against. Marker ordering follows
+    * [[buildLsh]]: fresh dir marker-first; rebuild deletes old marker +
+    * data first so a crash can't pair old data with a new marker. */
+  def buildSemanticWith(spark: SparkSession, vectors: DataFrame, indexDir: String,
+                        centroids: Array[(Int, Array[Double])], nAssign: Int): Unit = {
+    import spark.implicits._
+    val fs = semParamsPath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ldir = new org.apache.hadoop.fs.Path(semListsDir(indexDir))
+    val fresh = !fs.exists(ldir) && !fs.exists(semParamsPath(indexDir))
+    if (fresh) writeSemParams(spark, indexDir, nAssign)
+    else { fs.delete(semParamsPath(indexDir), false); fs.delete(ldir, true) }
+    centroids.map { case (i, c) => (i, c.toSeq) }.toSeq.toDF("cid", "center")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(semCentroidsDir(indexDir))
+    vectors
+      .withColumn("cid",
+        explode(Similarity.nearestCids(col("v"), centroids,
+          math.min(nAssign, centroids.length))))
+      .select("cid", "vec_id", "v", "nrm")
+      .write.mode("overwrite").partitionBy("cid").parquet(semListsDir(indexDir))
+    if (!fresh) writeSemParams(spark, indexDir, nAssign)
+  }
+
+  private def writeSemParams(spark: SparkSession, indexDir: String,
+                             nAssign: Int): Unit = {
+    val p = semParamsPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(nAssign.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSemParams(spark: SparkSession, indexDir: String): Int = {
+    val p = semParamsPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"semantic index at $indexDir has no params marker")
+    val in = fs.open(p)
+    (try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()).toInt
+  }
+
+  private def readSemCentroids(spark: SparkSession, indexDir: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(semCentroidsDir(indexDir))
+      .select("cid", "center").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Dedup `newVectors` against the stored corpus AND each other, then
+    * append them to the lists. Returns the new near-duplicate pairs
+    * `(kept_cand, removed_id, cos)` — every pair touches the batch
+    * (stored-vs-stored pairs were reported when THEIR batch arrived;
+    * the running union over appends equals the one-shot run, spec'd).
+    * Replayed batches are anti-joined away → empty result, no growth.
+    * Cost per batch: O(batch assignment) + a join against the batch's
+    * clusters only — never history × history.
+    */
+  def appendSemantic(spark: SparkSession, newVectors: DataFrame, indexDir: String,
+                     tau: Double = 0.4): DataFrame = {
+    val centroids = readSemCentroids(spark, indexDir)
+    val nAssign = readSemParams(spark, indexDir)
+    val existingIds = spark.read.parquet(semListsDir(indexDir))
+      .select("vec_id").distinct()
+    val batch = newVectors
+      .join(existingIds, Seq("vec_id"), "left_anti")
+      .withColumn("cid",
+        explode(Similarity.nearestCids(col("v"), centroids,
+          math.min(nAssign, centroids.length))))
+      .select("cid", "vec_id", "v", "nrm")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stored = spark.read.parquet(semListsDir(indexDir))
+      .select("cid", "vec_id", "v", "nrm")
+    val all = stored.unionByName(batch)
+    val pairs = batch
+      .select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
+      .join(all.select(col("cid"), col("vec_id").as("ia"),
+        col("v").as("va"), col("nrm").as("na")), Seq("cid"))
+      .filter(col("ia") =!= col("ib"))
+      .select(least(col("ia"), col("ib")).as("kept_cand"),
+        greatest(col("ia"), col("ib")).as("removed_id"),
+        cosineNative(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") > tau)
+      .dropDuplicates("kept_cand", "removed_id")
+      .orderBy("kept_cand", "removed_id")
+      // materialize BEFORE the append mutates the lists the plan reads
+      .localCheckpoint(true)
+    batch.write.mode("append").partitionBy("cid").parquet(semListsDir(indexDir))
+    batch.unpersist()
+    pairs
+  }
+
+  /** All near-duplicate pairs in the stored index (the one-shot truth
+    * the incremental spec accumulates toward; also the "dedup the whole
+    * stored corpus" entry point). */
+  def semanticDuplicates(spark: SparkSession, indexDir: String,
+                         tau: Double = 0.4): DataFrame = {
+    val lists = spark.read.parquet(semListsDir(indexDir))
+      .select("cid", "vec_id", "v", "nrm")
+    lists.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
+      .join(lists.select(col("cid"), col("vec_id").as("ib"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cid"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("kept_cand"), col("ib").as("removed_id"),
+        cosineNative(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") > tau)
+      .dropDuplicates("kept_cand", "removed_id")
+      .orderBy("kept_cand", "removed_id")
+  }
 }

@@ -366,15 +366,23 @@ object Similarity {
     * centroids, no shuffle); the candidate self-join shuffles by cid
     * once; vectors cross the shuffle once per side.
     */
-  def semanticDedup(s: SparkSession, d: String, nCentroids: Int = 16,
+  def semanticDedup(s: SparkSession, d: String, nCentroids: Int = 0,
                     nAssign: Int = 3, tau: Double = 0.4): DataFrame = {
     val e = prepared(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // nCentroids = 0 (default) scales k with the corpus so the
+    // per-cluster size — and with it the pairwise work — stays BOUNDED
+    // as the corpus grows (SemDeDup's k ≈ N/1000 recipe; ~500·nAssign
+    // members per cluster here). A fixed k is quadratic in disguise:
+    // measured 69 s at sf0.1 with k=16 vs ~3 s scaled. The count is one
+    // column-pruned scan, the same guard trainCentroids already pays.
+    val k = if (nCentroids > 0) nCentroids
+      else math.max(16, (e.count() / 500L).toInt)
     // nCentroids = 1 is the degenerate everything-in-one-cluster form
     // (≡ exact quadratic dedup — the spec's ground truth); Spark-ML
     // KMeans requires k ≥ 2, and training is pointless for one cluster
-    val cid = if (nCentroids == 1) lit(0)
-      else explode(nearestCids(col("v"), trainCentroids(e, nCentroids),
-        math.min(nAssign, nCentroids)))
+    val cid = if (k == 1) lit(0)
+      else explode(nearestCids(col("v"), trainCentroids(e, k),
+        math.min(nAssign, k)))
     val assigned = e.withColumn("cid", cid)
       .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -384,11 +392,14 @@ object Similarity {
       col("v").as("vb"), col("nrm").as("nb"))
     val out = keep.join(cand, Seq("cid"))
       .filter(col("kept_cand") < col("removed_id"))
-      // multi-assignment can surface a pair in up to nAssign shared
-      // clusters — dedupe before scoring (rows for a pair are identical)
-      .dropDuplicates("kept_cand", "removed_id")
+      // score FIRST (scan-local, vectors never leave the join output),
+      // then dedupe the multi-assignment repeats on the id-only
+      // survivors — deduping before the τ filter would shuffle the full
+      // candidate set WITH its vectors (measured 10× slower at sf0.1)
       .withColumn("cos", cosineNative(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") > tau)
+      .select("kept_cand", "removed_id")
+      .dropDuplicates("kept_cand", "removed_id")
       .groupBy("removed_id")
       .agg(min(col("kept_cand")).as("kept_id"), count(lit(1)).as("n_near"))
       .orderBy("removed_id")
@@ -537,9 +548,10 @@ object Similarity {
     // quadratic dedup, spec'd; reported pairs are exact cosines —
     // precision 1); all-integer output, bit-deterministic. Measured
     // removed-set recall vs the exact quadratic truth (RecallProbe):
-    // nAssign 1 → 0.51, 2 → 0.79, 3 → 1.00 at sf0.01 — the structureless
-    // synthetic corpus needs the multi-assignment margin, exactly like
-    // sim5's high nProbe (PLANS.md).
+    // nAssign 1 → 0.51, 2 → 0.79, 3 → 1.00 at sf0.01; 0.96 at sf0.1
+    // with the auto-scaled k — the structureless synthetic corpus needs
+    // the multi-assignment margin, exactly like sim5's high nProbe
+    // (PLANS.md "r4 continuation").
     Q.rowsOnly("dd9_semantic_dedup")((s, d) => semanticDedup(s, d)),
 
     // L8 — per-label norm statistics. avg over a micro-quantized exact

@@ -184,4 +184,46 @@ class AnnIndexSpec extends SparkSpecBase {
     AnnIndex.appendLsh(spark, corpus.limit(0), dir, nTables = 16, bits = 3)
     assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
   }
+
+  test("semantic index: per-ingest dedup accumulates to the one-shot pair set; replay is empty") {
+    val cents = Similarity.trainCentroids(e, nCentroids = 8)
+    val incrDir = tmp("sem_incr"); val fullDir = tmp("sem_full")
+    // build on the even half, dedup-ingest the odd half
+    AnnIndex.buildSemanticWith(spark, batchA, incrDir, cents, nAssign = 3)
+    val incPairs = AnnIndex.appendSemantic(spark, batchB, incrDir, tau = 0.4)
+      .select("kept_cand", "removed_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    AnnIndex.buildSemanticWith(spark, e, fullDir, cents, nAssign = 3)
+    val bIds = batchB.select("vec_id").collect().map(_.getLong(0)).toSet
+    val fullPairs = AnnIndex.semanticDuplicates(spark, fullDir, tau = 0.4)
+      .select("kept_cand", "removed_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullTouchingB = fullPairs.filter(p => bIds(p._1) || bIds(p._2))
+    assert(incPairs === fullTouchingB,
+      "batch ingest must report exactly the one-shot pairs that touch the batch")
+    assert(incPairs.nonEmpty, "tau=0.4 should find cross-batch near-dups")
+
+    // the within-build-half pairs are the rest: build-half pairs
+    // (reported when THAT data arrived) ∪ batch pairs = one-shot total
+    val buildPairs = AnnIndex.semanticDuplicates(spark, incrDir, tau = 0.4)
+      .select("kept_cand", "removed_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(buildPairs === fullPairs,
+      "after the append, the stored index must contain the one-shot pair set")
+
+    // replay: anti-join guard → no pairs, no list growth
+    val before = spark.read.parquet(s"$incrDir/semlists").count()
+    assert(AnnIndex.appendSemantic(spark, batchB, incrDir, tau = 0.4).count() === 0)
+    assert(spark.read.parquet(s"$incrDir/semlists").count() === before)
+  }
+
+  test("semantic index: nAssign is pinned at build time and every vector sits in 3 lists") {
+    val dir = tmp("sem_layout")
+    AnnIndex.buildSemantic(spark, e, dir, nCentroids = 8, nAssign = 3)
+    val perVec = spark.read.parquet(s"$dir/semlists")
+      .groupBy("vec_id").count().select("count").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(perVec === Set(3L), s"every vector must appear in exactly nAssign lists: $perVec")
+  }
 }
