@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import graft.functions.Stable
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-4 OLAP catalog additions: the remaining classic TPC-H shapes
@@ -812,6 +813,48 @@ object Olap {
           |WHERE nullif(c_custkey % 1000, 7) NOT IN
           |  (SELECT o_custkey % 1000 FROM orders WHERE o_totalprice > 490000)
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // R69 — exponentially-decayed aggregation (time-decay scoring, the
+    // recency-weighted customer value every retention model starts
+    // from): each customer's 16 most recent orders weighted by 2^-lag.
+    // Float EMA is NOT hash-portable (pow() isn't correctly rounded,
+    // float sums reassociate) — instead the weights are DYADIC INTEGERS
+    // (wt = 1 << (15 − lag)), so the decayed sum and its normalizer are
+    // EXACT LONGS (cents ≤ 2^26 · wt ≤ 2^15 · 16 rows < 2^63) summed in
+    // any order, and the final ema is ONE double division of exact
+    // integers — the cents trick generalized to geometric decay. One
+    // custkey shuffle for the recency window, nothing else.
+    Q(
+      "q70_decayed_value",
+      """WITH r AS (
+        |  SELECT o_custkey, CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate DESC, o_orderkey DESC) - 1 AS lag
+        |  FROM orders),
+        |w AS (SELECT o_custkey, cents, (CAST(1 AS BIGINT) << (15 - lag)) AS wt
+        |      FROM r WHERE lag < 16)
+        |SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(cents * wt) AS BIGINT) AS dec16,
+        |  CAST(sum(wt) AS BIGINT) AS norm16,
+        |  CAST(sum(cents * wt) AS DOUBLE) / CAST(sum(wt) AS DOUBLE) AS ema_cents
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val wLag = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          (row_number().over(wLag) - 1).as("lag"))
+        .filter(col("lag") < 16)
+        .withColumn("wt", expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - lag AS INT))"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents") * col("wt")).as("dec16"),
+          sum(col("wt")).as("norm16"),
+          (sum(col("cents") * col("wt")).cast("double")
+            / sum(col("wt")).cast("double")).as("ema_cents"))
+        .orderBy("o_custkey")
     }
   )
 }

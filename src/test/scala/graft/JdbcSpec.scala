@@ -43,6 +43,46 @@ class JdbcSpec extends SparkSpecBase {
     assert(rows.toSeq === Seq((1, "ada"), (4, "dee")))
   }
 
+  test("DSv2 JDBC pushes the AGGREGATE itself to the source (reference: RDBMSPushdown)") {
+    seeded
+    // the reference's pushdown rewrites relational SUBTREES — not just
+    // filters — into vendor SQL; Spark's DSv2 JDBC does the same when
+    // pushDownAggregate is on: the GROUP BY runs inside the database and
+    // only |groups| rows cross the wire, the economics the reference's
+    // RDBMSPushdown.scala exists for
+    // plain format("jdbc") is the V1 source (filter/column pushdown
+    // only); WHOLE-SUBTREE pushdown lives in the DSv2 JDBCTableCatalog
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.catalog.derby",
+      "spark.sql.catalog.derby.url",
+      "spark.sql.catalog.derby.pushDownAggregate",
+      "spark.sql.catalog.derby.pushDownLimit").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.catalog.derby",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      conf.set("spark.sql.catalog.derby.url", url)
+      conf.set("spark.sql.catalog.derby.pushDownAggregate", "true")
+      conf.set("spark.sql.catalog.derby.pushDownLimit", "true")
+      val df = spark.table("derby.APP.EMP")
+        .filter(col("SALARY") > 80000)
+        .groupBy("DEPT")
+        .agg(count(lit(1)).as("n"), max(col("SALARY")).as("top"))
+      val rows = df.orderBy("DEPT").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("eng", 3L, 130000.0)))
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.contains("PushedAggregates"),
+        s"expected the aggregate pushed into the JDBC scan in:\n$p")
+      assert(p.contains("PushedFilters") && p.contains("SALARY"),
+        s"expected the filter pushed beneath the pushed aggregate in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("schema inferred through JDBC metadata matches the sqlTypeToSpark mapping") {
     seeded
     import org.apache.spark.sql.types._

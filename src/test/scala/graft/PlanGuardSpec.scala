@@ -140,4 +140,49 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(nullOblivious > total,
       "plain left_anti keeps NULL probes — the behavior NOT IN must not have")
   }
+
+  test("a twice-consumed aggregate reuses one exchange instead of recomputing") {
+    // self-join of an aggregate on its own grouping key: the shuffle
+    // feeding the agg must be planned ONCE and wired to both consumers
+    // (ReusedExchange) — at 100 TB the difference between one fact scan
+    // + shuffle and two. Catalyst only unifies IDENTICAL subtrees; the
+    // catalog learned this in r3 when differently-pruned copies of one
+    // aggregate scanned the fact twice (q44/q45, PLANS.md).
+    import org.apache.spark.sql.functions._
+    val agg = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    val joined = agg.join(
+      agg.select(col("l_returnflag"), col("l_linestatus"), col("q").as("q2")),
+      Seq("l_returnflag", "l_linestatus"))
+    assert(joined.collect().nonEmpty)
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("TableCacheQueryStage"),
+      s"expected the aggregate's exchange to be planned once in:\n$p")
+  }
+
+  test("AQE coalesces an over-partitioned shuffle down to the data's real size") {
+    // 32 shuffle partitions configured, a few KB of data: the adaptive
+    // read must collapse post-shuffle partitions (coalesced) — at scale
+    // this is what keeps reducer count proportional to bytes, not to a
+    // static config, after selective filters shrink a stage.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq("spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val df = Tables.nation(spark, sf0001)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+      assert(df.collect().length > 0)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("coalesced") || p.contains("AQEShuffleRead"),
+        s"expected an adaptively coalesced shuffle read in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
