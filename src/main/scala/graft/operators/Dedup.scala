@@ -400,6 +400,56 @@ object Dedup {
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"), jaccard(col("sg_a"), col("sg_b")).as("jac"))
         .orderBy("id_a")
+    },
+
+    // L41 — shingle CONTAINMENT (doc-in-doc duplication): Jaccard misses
+    // a short doc wholly embedded in a long one (union dilutes it);
+    // containment |A∩B| / min(|A|,|B|) is the asymmetric measure
+    // web-dedup uses for boilerplate-wrapped and quoted-in-full pages.
+    // Scalable shape: distinct (doc, shingle) inverted index, pair
+    // intersections from a shingle-keyed equi-join GROUP BY pair (never
+    // doc×doc; the scale knob is dropping ultra-common shingles — a df
+    // cap — before the join, exactly dd2's banding economics), sizes
+    // joined back onto the ~|pairs| frame. All-integer output
+    // (permille = (|∩|·1000) DIV min-size); threshold 500‰ surfaces the
+    // planted full-overlap pairs.
+    Q(
+      "dd10_containment",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+        |       FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(sg) AS n FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        |  CAST((inter * 1000) // least(sa.n, sb.n) AS BIGINT) AS cont_pm
+        |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE (inter * 1000) // least(sa.n, sb.n) >= 500
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sg"))
+        .localCheckpoint(true) // inverted index + sizes share one shingling
+      val e = sh.select(col("doc_id"), explode(col("sg")).as("g"))
+      val sz = sh.select(col("doc_id"), size(col("sg")).cast("long").as("n"))
+      val pairs = e.select(col("g"), col("doc_id").as("id_a"))
+        .join(e.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sz.select(col("doc_id").as("id_a"), col("n").as("size_a")), Seq("id_a"))
+        .join(sz.select(col("doc_id").as("id_b"), col("n").as("size_b")), Seq("id_b"))
+        .withColumn("cont_pm", expr("(inter * 1000) DIV least(size_a, size_b)"))
+        .filter(col("cont_pm") >= 500)
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "cont_pm")
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -130,6 +130,45 @@ object Graph {
     dist
   }
 
+  /** Deterministic synchronous label propagation (community detection):
+    * every node starts as its own label; each round a node adopts the
+    * most frequent label among its undirected neighbors plus itself,
+    * ties broken to the SMALLEST label — a total order, so the result is
+    * a pure function of the graph (plain LPA's random tie-breaks and
+    * asynchronous sweeps are not reproducible, which would fail the
+    * repo-wide determinism audit). Complements [[Dedup]]'s connected
+    * components: LPA splits a connected graph into DENSE regions, CC
+    * only finds disconnected ones.
+    *
+    * Shape per round: one join shuffle (labels ⨝ edges on the neighbor
+    * key) + one (node, label) count + one per-node argmax via min-struct
+    * aggregation — all fixed-width; `localCheckpoint` pins plan depth
+    * like [[bfs]]/[[pageRank]]. Driver loop iterates ROUNDS, never rows.
+    */
+  def labelPropagation(edges: DataFrame, nIter: Int = 5): DataFrame = {
+    // undirected: each edge contributes both directions
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val adj = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = adj.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
+    for (_ <- 0 until nIter) {
+      val neighborVotes = adj
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .select(col("src").as("node"), col("lbl"))
+      val votes = neighborVotes.union(labels.select(col("node"), col("lbl")))
+        .groupBy("node", "lbl").agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("neg"), col("lbl"))).as("best"))
+        .select(col("node"), col("best.lbl").as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   val catalog: Seq[Q] = Seq(
     // Reachability over a deterministic functional graph on doc ids,
     // oracle = DuckDB WITH RECURSIVE (the declarative twin of the
@@ -253,6 +292,25 @@ object Graph {
       shortestPaths(e, source = 0L, rounds = 10)
         .select(col("node"), col("d").as("dist"))
         .orderBy("node")
+    },
+
+    // R72 — label-propagation communities over the 3-out functional
+    // graph. Rows-only: synchronous LPA isn't expressible as a portable
+    // recursive CTE (aggregation per iteration); GraphSpec pins the
+    // planted two-community case and cross-partitioning determinism.
+    // Output is the community summary (label, size, sample member) —
+    // node→community assignments are the operator's full frame.
+    Q.rowsOnly("gr5_lpa_communities") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+      labelPropagation(e, nIter = 5)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+        .orderBy(desc("n_members"), col("community"))
+        .limit(50)
     }
   )
 }

@@ -855,6 +855,52 @@ object Olap {
           (sum(col("cents") * col("wt")).cast("double")
             / sum(col("wt")).cast("double")).as("ema_cents"))
         .orderBy("o_custkey")
+    },
+
+    // R71 — equi-depth histogram (quantile bucketing): q61's equal-WIDTH
+    // twin, the form ANALYZE and feature binning actually want. The
+    // SCALABLE pattern: 7 interior percentile boundaries computed once
+    // (1 row, broadcast back), every row assigned by summing 7 codegen'd
+    // boolean comparisons — never a global ntile() window (a total sort
+    // through ONE partition at 100 TB). Boundaries rounded to 4 decimals
+    // both engines (q47's ulp lesson); exact `percentile` for oracle
+    // parity, `approx_percentile` is the 100 TB path. Bucket populations
+    // come out ±1/8 of the table by construction — the check the oracle
+    // hash does implicitly.
+    Q(
+      "q71_equidepth",
+      """WITH b AS (SELECT
+        |    round(quantile_cont(o_totalprice, 0.125), 4) AS b1,
+        |    round(quantile_cont(o_totalprice, 0.250), 4) AS b2,
+        |    round(quantile_cont(o_totalprice, 0.375), 4) AS b3,
+        |    round(quantile_cont(o_totalprice, 0.500), 4) AS b4,
+        |    round(quantile_cont(o_totalprice, 0.625), 4) AS b5,
+        |    round(quantile_cont(o_totalprice, 0.750), 4) AS b6,
+        |    round(quantile_cont(o_totalprice, 0.875), 4) AS b7
+        |  FROM orders)
+        |SELECT (CAST(o_totalprice > b1 AS INT) + CAST(o_totalprice > b2 AS INT)
+        |      + CAST(o_totalprice > b3 AS INT) + CAST(o_totalprice > b4 AS INT)
+        |      + CAST(o_totalprice > b5 AS INT) + CAST(o_totalprice > b6 AS INT)
+        |      + CAST(o_totalprice > b7 AS INT)) AS bucket,
+        |  count(*) AS n, min(b4) AS median
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_totalprice"))
+        .localCheckpoint(true) // boundary agg + assignment share one scan
+      val qs = Seq(0.125, 0.250, 0.375, 0.500, 0.625, 0.750, 0.875)
+      val b = o.agg(
+        round(expr(s"percentile(o_totalprice, ${qs.head})"), 4).as("b1"),
+        qs.tail.zipWithIndex.map { case (p, i) =>
+          round(expr(s"percentile(o_totalprice, $p)"), 4).as(s"b${i + 2}")
+        }: _*)
+      val bucket = (1 to 7)
+        .map(i => (col("o_totalprice") > col(s"b$i")).cast("int"))
+        .reduce(_ + _)
+      o.crossJoin(broadcast(b))
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("b4")).as("median"))
+        .orderBy("bucket")
     }
   )
 }

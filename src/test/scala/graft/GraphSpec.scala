@@ -61,4 +61,29 @@ class GraphSpec extends SparkSpecBase {
     val ranks = out.map(_.getLong(1))
     assert(ranks.sameElements(ranks.sorted.reverse), "sorted by rank desc")
   }
+
+  test("LPA separates two dense communities linked by one bridge") {
+    // two 6-cliques (0-5, 10-15) + a single bridge 5–10: a connected
+    // graph — CC would report ONE component — but two dense regions
+    val clique = (base: Long) =>
+      for (i <- 0L to 5L; j <- 0L to 5L if i < j) yield (base + i, base + j)
+    val edges = (clique(0L) ++ clique(10L) :+ (5L, 10L)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, nIter = 5)
+      .as[(Long, Long)].collect().toMap
+    val left = (0L to 5L).map(out)
+    val right = (10L to 15L).map(out)
+    assert(left.distinct.size === 1, s"left clique must agree on one label: $left")
+    assert(right.distinct.size === 1, s"right clique must agree on one label: $right")
+    assert(left.head !== right.head, "the bridge must not merge the communities")
+  }
+
+  test("LPA is bit-identical across partition layouts") {
+    val edges = (0L until 300L).flatMap(i =>
+      Seq((i, (i * 7 + 13) % 300), (i, (i * 3 + 5) % 300)))
+    val a = Graph.labelPropagation(edges.toDF("src", "dst").repartition(1), nIter = 4)
+      .orderBy("node").as[(Long, Long)].collect()
+    val b = Graph.labelPropagation(edges.toDF("src", "dst").repartition(13), nIter = 4)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
 }
