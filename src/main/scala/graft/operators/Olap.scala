@@ -901,6 +901,33 @@ object Olap {
         .groupBy(bucket.as("bucket"))
         .agg(count(lit(1)).as("n"), min(col("b4")).as("median"))
         .orderBy("bucket")
+    },
+
+    // R73 — UNPIVOT/melt (q21 PIVOT's inverse): a wide per-flag metric
+    // frame folded to (key, metric, value) rows — the wide→long reshape
+    // every metrics-warehouse export needs. Scan-local row explosion of
+    // an already-aggregated frame (3 rows → 9); all-long values so the
+    // reshape is type-exact on both engines.
+    Q(
+      "q72_unpivot",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN (qty, cents, n))
+        |ORDER BY l_returnflag, metric""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("cents"), col("n")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
     }
   )
 }
