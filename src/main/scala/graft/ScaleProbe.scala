@@ -174,6 +174,57 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n_tokens"), sum(col("r6")).as("sr"))
         .count()
     }
+    // r4 continuation: semantic dedup with corpus-scaled k (dd9) — the
+    // probe's point is the k-scaling rule: per-cluster membership stays
+    // ~500·nAssign as the corpus grows, so pairwise work is linear in
+    // corpus PLUS output pairs. Replicas are IDENTICAL vectors (cos = 1
+    // with every other replica), so like the MinHash hot probe the
+    // emitted pair count grows ~rep² by construction — wall should
+    // track corpus + output, never corpus².
+    time("semantic_dedup_scaledk") {
+      import graft.operators.Similarity
+      import graft.functions.Vectors._
+      val e = (0 until rep).map { i =>
+        Tables.embeddings(spark, d).select(
+          (col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+      }.reduce(_ union _)
+        .withColumn("nrm", normNative(col("v")))
+        .localCheckpoint(true)
+      val k = math.max(16, (e.count() / 500L).toInt)
+      val cents = Similarity.trainCentroids(e, k)
+      val assigned = e.withColumn("cid",
+        explode(Similarity.nearestCids(col("v"), cents, 3)))
+        .localCheckpoint(true)
+      val a = assigned.select(col("cid"), col("vec_id").as("ia"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = assigned.select(col("cid"), col("vec_id").as("ib"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("cid"))
+        .filter(col("ia") < col("ib"))
+        .withColumn("cos", cosineNative(col("va"), col("vb"), col("na"), col("nb")))
+        .filter(col("cos") > 0.4)
+        .select("ia", "ib").dropDuplicates("ia", "ib")
+        .count()
+    }
+    // r4 continuation: recency-decay window (q70) — replicas multiply
+    // each customer's order history ×rep, but the window keeps 16 rows
+    // per customer, so downstream cost is CONSTANT and the window sort
+    // is the only thing that grows
+    time("decayed_value_window") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      or.select(col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderdate"), col("o_orderkey"))
+        .withColumn("lag", row_number().over(w) - 1)
+        .filter(col("lag") < 16)
+        .withColumn("wt", expr("shiftleft(CAST(1 AS BIGINT), CAST(15 - lag AS INT))"))
+        .groupBy("o_custkey")
+        .agg(sum(col("cents") * col("wt")), sum(col("wt")))
+        .count()
+    }
     spark.stop()
   }
 }

@@ -196,14 +196,76 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
-  /** ---- STUB CODEC (video only) --------------------------------------
+  /** ---- REAL video CONTAINER metadata (ISO-BMFF / MP4) ---------------
+    * The JDK ships no video CODEC, but the MP4 container is a plain
+    * length-prefixed box tree — duration, timescale, track count and
+    * the video track's pixel dimensions live in `moov/mvhd` and
+    * `moov/trak/tkhd` and need zero frame decoding. Parsing them here
+    * narrows the video stub to FRAME decode only: a 100 TB media
+    * catalog (dims, duration, per-format counts) is buildable from this
+    * without ffmpeg. Handles version-0 and version-1 headers, 64-bit
+    * largesize boxes, and truncated/corrupt payloads (None — callers
+    * fall back, never abort).
+    */
+  object VideoContainer {
+    case class Mp4Meta(brand: String, timescaleHz: Long, durationMs: Long,
+                       nTracks: Int, width: Int, height: Int)
+
+    def parseMp4(b: Array[Byte]): Option[Mp4Meta] =
+      try {
+        def u32(o: Int): Long =
+          ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+            ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+        def typ(o: Int): String = new String(b, o + 4, 4, "ISO-8859-1")
+        def boxes(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+          var o = start
+          var ok = true
+          while (ok && o + 8 <= end) {
+            var size = u32(o); var hdr = 8
+            if (size == 1 && o + 16 <= end) { size = (u32(o + 8) << 32) | u32(o + 12); hdr = 16 }
+            else if (size == 0) size = end - o
+            if (size < hdr || o + size > end) ok = false
+            else { f(typ(o), o + hdr, (o + size).toInt); o += size.toInt }
+          }
+        }
+        if (b.length < 12 || typ(0) != "ftyp") return None
+        val brand = new String(b, 8, 4, "ISO-8859-1")
+        var timescale = 0L; var duration = 0L; var nTracks = 0
+        var w = 0; var h = 0
+        boxes(0, b.length) { (t, s, e) =>
+          if (t == "moov") boxes(s, e) { (t2, s2, e2) =>
+            if (t2 == "mvhd") {
+              if ((b(s2) & 0xff) == 0) { timescale = u32(s2 + 12); duration = u32(s2 + 16) }
+              else { timescale = u32(s2 + 20); duration = (u32(s2 + 24) << 32) | u32(s2 + 28) }
+            } else if (t2 == "trak") {
+              nTracks += 1
+              boxes(s2, e2) { (t3, s3, _) =>
+                if (t3 == "tkhd") {
+                  val off = if ((b(s3) & 0xff) == 0) s3 + 76 else s3 + 88
+                  // 16.16 fixed point; audio tracks carry 0×0 — keep the
+                  // first track with real pixel dimensions
+                  val tw = (u32(off) >> 16).toInt; val th = (u32(off + 4) >> 16).toInt
+                  if (tw > 0 && th > 0 && w == 0) { w = tw; h = th }
+                }
+              }
+            }
+          }
+        }
+        if (timescale <= 0) None
+        else Some(Mp4Meta(brand, timescale, duration * 1000L / timescale,
+          nTracks, w, h))
+      } catch { case _: Exception => None }
+  }
+
+  /** ---- STUB CODEC (video FRAMES only) -------------------------------
     * Deterministic fake decode: byte statistics standing in for
     * video-frame decode. Images ([[ImageCodec]]) and WAV/AIFF/AU audio
-    * ([[AudioCodec]]) are REAL via in-JDK codecs; the JDK ships no video
-    * (or compressed-audio) codecs, so this remains the stub for those —
-    * replace with a javacv/ffmpeg decoder here; signature and batch
-    * shape are what production code would keep. Also the fallback for
-    * payloads that claim a decodable kind but don't parse.
+    * ([[AudioCodec]]) are REAL via in-JDK codecs, and MP4 container
+    * METADATA is real via [[VideoContainer]]; the JDK ships no video
+    * (or compressed-audio) codecs, so frame/sample decode remains the
+    * stub — replace with a javacv/ffmpeg decoder here; signature and
+    * batch shape are what production code would keep. Also the fallback
+    * for payloads that claim a decodable kind but don't parse.
     */
   object FakeCodec {
     def decodeStats(payload: Array[Byte]): (Double, Long) = {
@@ -345,6 +407,32 @@ object Multimodal {
         case Some(img) => PHash(a.asset_id, ImageCodec.aHash(img), decoded = true)
         case None =>
           PHash(a.asset_id, FakeCodec.decodeStats(a.payload)._2, decoded = false)
+      }
+    })
+  }
+
+  case class VideoMeta(asset_id: Long, brand: String, duration_ms: Long,
+                       n_tracks: Int, width: Int, height: Int,
+                       n_bytes: Long, parsed: Boolean)
+
+  /** Container-metadata extraction for video payloads, partition-local —
+    * the catalog-building pass a media lake runs BEFORE any transcode
+    * job: MP4 payloads get REAL brand/duration/track-count/dimensions
+    * from the box tree ([[VideoContainer]], no codec involved);
+    * non-MP4 or corrupt payloads fall back to carried metadata with
+    * `parsed = false`, so the ingest never aborts and fallback rows are
+    * filterable. */
+  def videoMetadata(assets: Dataset[Asset]): Dataset[VideoMeta] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map { a =>
+      val real = if (a.kind == "video") VideoContainer.parseMp4(a.payload) else None
+      real match {
+        case Some(m) =>
+          VideoMeta(a.asset_id, m.brand, m.durationMs, m.nTracks,
+            m.width, m.height, a.payload.length.toLong, parsed = true)
+        case None =>
+          VideoMeta(a.asset_id, "none", a.duration_ms, 0, a.width, a.height,
+            a.payload.length.toLong, parsed = false)
       }
     })
   }

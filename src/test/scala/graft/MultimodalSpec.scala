@@ -224,4 +224,53 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f(1L).n_frames === 16000L * 2000L / 1000L)
     assert(f(1L).rms === (('a' + 'b' + 'c' + 'd') / 4.0) / 255.0)
   }
+
+  /** Minimal valid MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). Built box
+    * by box so the parser is tested against the real wire format. */
+  private def tinyMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+    def u32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ payload
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ u32(0) ++
+      "isom".getBytes("ISO-8859-1"))
+    // mvhd v0: ver/flags, ctime, mtime, timescale, duration, rest zeroed
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++
+      u32(timescale.toLong) ++ u32(duration.toLong) ++ Array.fill[Byte](80)(0))
+    // tkhd v0: ver/flags..duration (24 B) + reserved/layer/matrix (52 B)
+    // + width/height as 16.16 fixed point
+    val tkhd = box("tkhd", Array.fill[Byte](76)(0) ++
+      u32(w.toLong << 16) ++ u32(h.toLong << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  test("MP4 container metadata parses for real: duration, dims, tracks — no codec") {
+    val mp4 = tinyMp4(timescale = 1000, duration = 5000, w = 320, h = 240)
+    val meta = Multimodal.VideoContainer.parseMp4(mp4)
+    assert(meta.isDefined, "hand-built MP4 must parse")
+    val m = meta.get
+    assert(m.brand === "isom" && m.timescaleHz === 1000L)
+    assert(m.durationMs === 5000L && m.nTracks === 1)
+    assert(m.width === 320 && m.height === 240)
+    // corrupt/truncated payloads must return None, never throw
+    assert(Multimodal.VideoContainer.parseMp4(mp4.take(20)).isEmpty)
+    assert(Multimodal.VideoContainer.parseMp4("junkdata".getBytes).isEmpty)
+    assert(Multimodal.VideoContainer.parseMp4(Array.emptyByteArray).isEmpty)
+  }
+
+  test("videoMetadata: real MP4 rows parse through the binary lake; others fall back flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("videolake")
+    java.nio.file.Files.write(dir.resolve("clip.mp4"),
+      tinyMp4(timescale = 600, duration = 1200, w = 640, h = 360))
+    java.nio.file.Files.write(dir.resolve("bogus.mp4"), "nonsense".getBytes("UTF-8"))
+    val metas = Multimodal.videoMetadata(Multimodal.ingestBinaryDir(spark, dir.toString))
+      .collect().map(m => m.n_bytes -> m)
+    val real = metas.find(_._2.parsed).map(_._2)
+    val fake = metas.find(!_._2.parsed).map(_._2)
+    assert(real.isDefined && fake.isDefined)
+    assert(real.get.duration_ms === 2000L, "1200 ticks at 600 Hz = 2 s")
+    assert(real.get.width === 640 && real.get.height === 360 && real.get.n_tracks === 1)
+    assert(fake.get.brand === "none")
+  }
 }
