@@ -432,24 +432,46 @@ object Dedup {
         |WHERE (inter * 1000) // least(sa.n, sb.n) >= 500
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
-      val sh = Tables.documents(s, d)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sg"))
-        .localCheckpoint(true) // inverted index + sizes share one shingling
-      val e = sh.select(col("doc_id"), explode(col("sg")).as("g"))
-      val sz = sh.select(col("doc_id"), size(col("sg")).cast("long").as("n"))
-      val pairs = e.select(col("g"), col("doc_id").as("id_a"))
-        .join(e.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sz.select(col("doc_id").as("id_a"), col("n").as("size_a")), Seq("id_a"))
-        .join(sz.select(col("doc_id").as("id_b"), col("n").as("size_b")), Seq("id_b"))
-        .withColumn("cont_pm", expr("(inter * 1000) DIV least(size_a, size_b)"))
-        .filter(col("cont_pm") >= 500)
-        .select("id_a", "id_b", "inter", "size_a", "size_b", "cont_pm")
+      containmentPairs(Tables.documents(s, d), thresholdPm = 500)
         .orderBy("id_a", "id_b")
     }
   )
+
+  /** Shingle-containment pair search (L41, `dd10_containment`'s engine):
+    * distinct (doc, shingle) inverted index, pair intersections from one
+    * shingle-keyed equi-join, sizes joined onto the pair-sized frame.
+    * `maxDf` is the SCALE KNOB: shingles appearing in more than `maxDf`
+    * docs are dropped from the index BEFORE the self-join (their
+    * pair fan-out is df² and they carry no near-dup signal — the same
+    * economics as dd2's banding). Capping lowers `inter` — reported
+    * containment becomes a LOWER BOUND, so the cap can hide pairs but
+    * never fabricates them (spec'd: cap ≥ true max df ≡ exact).
+    */
+  def containmentPairs(docs: DataFrame, thresholdPm: Int,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sg"))
+      .localCheckpoint(true) // inverted index + sizes share one shingling
+    val e0 = sh.select(col("doc_id"), explode(col("sg")).as("g"))
+    val e =
+      if (maxDf == Int.MaxValue) e0
+      else {
+        val hot = e0.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("g")
+        e0.join(hot, Seq("g"), "left_anti")
+      }
+    val sz = sh.select(col("doc_id"), size(col("sg")).cast("long").as("n"))
+    val pairs = e.select(col("g"), col("doc_id").as("id_a"))
+      .join(e.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("size_a")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("size_b")), Seq("id_b"))
+      .withColumn("cont_pm", expr("(inter * 1000) DIV least(size_a, size_b)"))
+      .filter(col("cont_pm") >= thresholdPm)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "cont_pm")
+  }
 }

@@ -156,4 +156,37 @@ object Layout {
     }
     nOut
   }
+
+  /** Compact a HIVE-PARTITIONED table partition by partition — the path
+    * [[compact]] deliberately refuses (flattening would destroy the
+    * layout). Each `col=value` leaf directory is compacted independently
+    * through the same staged-write + backup-rename protocol, so a crash
+    * leaves every partition either old or new — and because partitions
+    * publish one at a time, a half-finished RUN is also safe: done
+    * partitions are live, untouched ones unchanged, and re-running
+    * converges (compaction is idempotent). Nested partitioning recurses
+    * to the leaves. Returns (partitions compacted, total output files).
+    * At 100 TB this loop is the nightly small-file janitor: partition
+    * count bounds driver iterations, data never leaves its partition,
+    * and readers are never blocked (each swap is two renames).
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetBytes: Long): (Int, Int) = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hadoopConf)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(p).filter(_.isDirectory)
+        .filter(_.getPath.getName.contains("="))
+      if (kids.isEmpty) Seq(p)
+      else kids.toSeq.flatMap(k => leaves(k.getPath))
+    }
+    require(fs.exists(root), s"compactPartitioned: $dir does not exist")
+    val parts = leaves(root).filter(_ != root)
+    require(parts.nonEmpty,
+      s"compactPartitioned: $dir has no col=value partition directories — use compact")
+    var files = 0
+    parts.foreach { p => files += compact(spark, p.toString, targetBytes) }
+    (parts.size, files)
+  }
 }

@@ -84,6 +84,30 @@ class DedupSpec extends SparkSpecBase {
     assert(comp(7L) === 7L && comp(8L) === 7L && comp(9L) === 7L)
   }
 
+  test("containment df-cap is exact above true max df and only ever lowers pairs") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = Dedup.containmentPairs(docs, thresholdPm = 500)
+      .select("id_a", "id_b", "inter").as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(exact.nonEmpty)
+    val trueMaxDf = docs
+      .select(col("doc_id"), explode(array_distinct(Dedup.shingles(col("text")))).as("g"))
+      .groupBy("g").count().agg(max("count")).head().getLong(0).toInt
+    val atCap = Dedup.containmentPairs(docs, 500, maxDf = trueMaxDf)
+      .select("id_a", "id_b", "inter").as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(atCap === exact, "a cap covering every shingle's df must change nothing")
+    // a tight cap may DROP pairs (lower-bound containment) but must
+    // never add pairs or raise any pair's intersection
+    val tight = Dedup.containmentPairs(docs, 500, maxDf = 3)
+      .select("id_a", "id_b", "inter").as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    tight.foreach { case (pair, inter) =>
+      assert(exact.contains(pair), s"cap fabricated pair $pair")
+      assert(inter <= exact(pair), s"cap raised intersection for $pair")
+    }
+  }
+
   test("simhash finds planted near-dups with small hamming distance") {
     // maxHamming beyond 3 is documented partial recall (only pairs
     // sharing a 16-bit chunk); the 1-word edit flips >3 bits, so probe

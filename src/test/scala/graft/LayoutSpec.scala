@@ -108,6 +108,33 @@ class LayoutSpec extends SparkSpecBase {
     assert(spark.read.parquet(dir).count() === Tables.orders(spark, sf0001).count())
   }
 
+  test("partitioned compaction bin-packs every leaf partition and preserves the layout") {
+    val dir = tmp("compactpart")
+    // fragmented: 6 files per partition
+    Tables.orders(spark, sf0001)
+      .withColumn("p", (col("o_orderkey") % 3).cast("int"))
+      .repartition(6)
+      .write.partitionBy("p").parquet(dir)
+    def filesPer(p: Int) =
+      Option(new java.io.File(s"$dir/p=$p").listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    assert((0 to 2).forall(filesPer(_) > 1), "fixture must be fragmented")
+    val before = spark.read.parquet(dir).orderBy("o_orderkey", "p")
+      .collect().map(_.toString).toSeq
+
+    val (nParts, nFiles) = Layout.compactPartitioned(spark, dir, targetBytes = 1L << 30)
+    assert(nParts === 3 && nFiles === 3, s"expected 1 file per partition, got $nFiles")
+    assert((0 to 2).forall(filesPer(_) === 1))
+    // partition dirs survive (pruning still works) and content is identical
+    val after = spark.read.parquet(dir).orderBy("o_orderkey", "p")
+      .collect().map(_.toString).toSeq
+    assert(after === before)
+    val pruned = spark.read.parquet(dir).filter(col("p") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() > 0 && scan.contains("PartitionFilters"),
+      s"partition pruning must survive compaction:\n$scan")
+  }
+
   test("z-order refuses bit budgets beyond a long instead of silently corrupting the curve") {
     val li0 = Tables.lineitem(spark, sf0001)
     // 11 dims x 6 bits = 66 interleaved bits > 63
