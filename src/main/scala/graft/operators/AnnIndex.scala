@@ -399,17 +399,27 @@ object AnnIndex {
                      tau: Double = 0.4): DataFrame = {
     val centroids = readSemCentroids(spark, indexDir)
     val nAssign = readSemParams(spark, indexDir)
+    val effAssign = math.min(nAssign, centroids.length)
+    // replay guard counts FULL presence (all effAssign list rows): a
+    // crash inside a previous append's job commit can leave a vector
+    // with a subset of its rows, and a distinct-id guard would then
+    // skip it forever. Partially-present vectors re-append whole; the
+    // duplicate (cid, vec_id) rows that creates are deduped on every
+    // read path, so the index converges under replay like the other
+    // append families.
     val existingIds = spark.read.parquet(semListsDir(indexDir))
-      .select("vec_id").distinct()
+      .groupBy("vec_id").agg(count(lit(1)).as("__rows"))
+      .filter(col("__rows") >= effAssign)
+      .select("vec_id")
     val batch = newVectors
       .join(existingIds, Seq("vec_id"), "left_anti")
       .withColumn("cid",
-        explode(Similarity.nearestCids(col("v"), centroids,
-          math.min(nAssign, centroids.length))))
+        explode(Similarity.nearestCids(col("v"), centroids, effAssign)))
       .select("cid", "vec_id", "v", "nrm")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stored = spark.read.parquet(semListsDir(indexDir))
       .select("cid", "vec_id", "v", "nrm")
+      .dropDuplicates("cid", "vec_id")
     val all = stored.unionByName(batch)
     val pairs = batch
       .select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb"))
@@ -436,6 +446,7 @@ object AnnIndex {
                          tau: Double = 0.4): DataFrame = {
     val lists = spark.read.parquet(semListsDir(indexDir))
       .select("cid", "vec_id", "v", "nrm")
+      .dropDuplicates("cid", "vec_id") // tolerate replayed-append rows
     lists.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na"))
       .join(lists.select(col("cid"), col("vec_id").as("ib"),
         col("v").as("vb"), col("nrm").as("nb")), Seq("cid"))

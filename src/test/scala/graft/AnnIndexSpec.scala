@@ -218,6 +218,29 @@ class AnnIndexSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$incrDir/semlists").count() === before)
   }
 
+  test("semantic index: a crashed partial append converges on replay") {
+    val cents = Similarity.trainCentroids(e, nCentroids = 8)
+    val crashDir = tmp("sem_crash"); val cleanDir = tmp("sem_clean")
+    AnnIndex.buildSemanticWith(spark, batchA, crashDir, cents, nAssign = 3)
+    AnnIndex.buildSemanticWith(spark, batchA, cleanDir, cents, nAssign = 3)
+    // simulate a crash inside a previous append's commit: exactly ONE of
+    // a batchB vector's three list rows made it to disk
+    val partial = batchB.limit(1)
+      .withColumn("cid", explode(Similarity.nearestCids(col("v"), cents, 3)))
+      .select("cid", "vec_id", "v", "nrm").limit(1)
+    partial.write.mode("append").partitionBy("cid").parquet(s"$crashDir/semlists")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("kept_cand", "removed_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val replayed = pairSet(AnnIndex.appendSemantic(spark, batchB, crashDir, tau = 0.4))
+    val clean = pairSet(AnnIndex.appendSemantic(spark, batchB, cleanDir, tau = 0.4))
+    assert(replayed === clean,
+      "the full-presence guard must re-append the partially-written vector")
+    assert(pairSet(AnnIndex.semanticDuplicates(spark, crashDir, tau = 0.4)) ===
+      pairSet(AnnIndex.semanticDuplicates(spark, cleanDir, tau = 0.4)),
+      "recovered index must answer identically to the never-crashed one")
+  }
+
   test("semantic index: nAssign is pinned at build time and every vector sits in 3 lists") {
     val dir = tmp("sem_layout")
     AnnIndex.buildSemantic(spark, e, dir, nCentroids = 8, nAssign = 3)
