@@ -46,7 +46,15 @@ object IncrementalAgg {
 
   /** Merge `batch` into the state at `stateDir`, creating it if absent.
     * Replayed batch ids are no-ops (exactly-once against at-least-once
-    * delivery). Returns true iff the batch was applied. */
+    * delivery). Returns true iff the batch was applied.
+    *
+    * SINGLE WRITER by contract (like every rename-published state in
+    * this repo — the bucketed sink, compaction, the ANN indexes): two
+    * concurrent updaters could both read the same base state and the
+    * second publish would silently drop the first batch's merge. Batch
+    * pipelines serialize naturally (one scheduler slot per table); a
+    * multi-writer deployment needs a lock or a log-structured table
+    * format, which is out of scope here. */
   def update(spark: SparkSession, stateDir: String, batch: DataFrame,
              batchId: Long, key: String, value: String): Boolean = {
     import spark.implicits._

@@ -78,9 +78,11 @@ object AvroSource {
   /** The container-embedded writer schema of the first `*.avro` file
     * under `dir` — the source's self-describing inference step. */
   def inferSchema(spark: SparkSession, dir: String): (Schema, StructType) = {
-    val first = spark.read.format("binaryFile")
+    val heads = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.avro").load(dir)
-      .select("content").head().getAs[Array[Byte]](0)
+      .select("content").head(1)
+    require(heads.nonEmpty, s"no *.avro files under $dir — nothing to infer from")
+    val first = heads.head.getAs[Array[Byte]](0)
     val rdr = new DataFileReader(new SeekableByteArrayInput(first),
       new GenericDatumReader[GenericRecord]())
     val avro = try rdr.getSchema finally rdr.close()
