@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-hygiene operators (round 4): passage-level duplication,
@@ -122,6 +123,86 @@ object Corpus {
         .select(col("source"), col("n_docs"),
           expr("((total DIV k) * 1000000) DIV n_docs").as("weight6"))
         .orderBy("source")
+    },
+
+    // L42 — the full corpus-preparation pipeline as ONE declarative
+    // plan: quality gate (length + type-token ratio) → exact dedup
+    // (min-id per normalized hash) → overlapping chunking (tx18's
+    // windows) → deterministic global order (content-hash, tx7's
+    // retry-stable trick) → per-language token packing into 64-token
+    // bins (tx8's running-sum window). Every stage is individually
+    // oracle-checked elsewhere; this entry proves they COMPOSE — no
+    // materialization barriers, Catalyst owns the whole tree. Scale
+    // shape: gate + hash scan-local; dedup one hash-key window; chunk
+    // explode scan-local; packing one lang-key window; output is
+    // bin-aggregated (bounded), not chunk-sized.
+    Q(
+      "pp3_corpus_pipeline",
+      """WITH gated AS (
+        |  SELECT doc_id, lang, trim(text) AS t FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30
+        |    AND 10 * len(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> '')))
+        |        >= 3 * len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |),
+        |ded AS (
+        |  SELECT doc_id, lang, t FROM gated
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(lower(t)))
+        |),
+        |toks AS (SELECT doc_id, lang, string_split_regex(t, '\s+') AS ws FROM ded),
+        |n AS (SELECT doc_id, lang, ws,
+        |        greatest(1, CAST(ceil((len(ws) - 5) / 15.0) AS BIGINT)) AS nc FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, lang, i AS chunk_idx,
+        |    array_to_string(ws[i*15+1 : i*15+20], ' ') AS chunk
+        |  FROM n, LATERAL (SELECT unnest(range(0, nc)) AS i) s),
+        |counted AS (
+        |  SELECT lang, doc_id, chunk_idx,
+        |    CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_tok,
+        |    md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(chunk_idx AS VARCHAR))) AS ok
+        |  FROM chunks),
+        |packed AS (
+        |  SELECT lang, n_tok,
+        |    (sum(n_tok) OVER (PARTITION BY lang ORDER BY ok, doc_id, chunk_idx
+        |                      ROWS UNBOUNDED PRECEDING) - n_tok) // 64 AS bin
+        |  FROM counted)
+        |SELECT lang, CAST(bin AS BIGINT) AS bin, count(*) AS n_chunks,
+        |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+        |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val (win, overlap) = (20, 5)
+      val step = win - overlap
+      val spaceToks = filter(split(lower(col("text")), " "), t => t =!= "")
+      val gated = Tables.documents(s, d)
+        .filter(size(split(trim(col("text")), "\\s+")) >= 30)
+        .filter(lit(10) * size(array_distinct(spaceToks)) >= lit(3) * size(spaceToks))
+        .select(col("doc_id"), col("lang"), trim(col("text")).as("t"))
+      val wDup = Window.partitionBy(md5(lower(col("t"))))
+      val ded = gated
+        .withColumn("keep", min(col("doc_id")).over(wDup))
+        .filter(col("doc_id") === col("keep"))
+      val ws = split(col("t"), "\\s+")
+      val nc = greatest(lit(1L),
+        ceil((size(ws) - overlap).cast("double") / step).cast("long"))
+      val counted = ded
+        .select(col("doc_id"), col("lang"), ws.as("ws"), nc.as("nc"))
+        .select(col("doc_id"), col("lang"), col("ws"),
+          explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("lang"), col("chunk_idx"),
+          array_join(slice(col("ws"),
+            (col("chunk_idx") * step + 1).cast("int"), lit(win)), " ").as("chunk"))
+        .select(col("lang"), col("doc_id"), col("chunk_idx"),
+          size(split(col("chunk"), "\\s+")).cast("long").as("n_tok"),
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("chunk_idx").cast("string"))).as("ok"))
+      val wPack = Window.partitionBy(col("lang"))
+        .orderBy(col("ok"), col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counted
+        .withColumn("cum", sum(col("n_tok")).over(wPack))
+        .withColumn("bin", expr("(cum - n_tok) DIV 64"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy("lang", "bin")
     }
   )
 }
