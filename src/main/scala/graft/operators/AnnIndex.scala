@@ -400,16 +400,18 @@ object AnnIndex {
     val centroids = readSemCentroids(spark, indexDir)
     val nAssign = readSemParams(spark, indexDir)
     val effAssign = math.min(nAssign, centroids.length)
-    // replay guard counts FULL presence (all effAssign list rows): a
-    // crash inside a previous append's job commit can leave a vector
-    // with a subset of its rows, and a distinct-id guard would then
-    // skip it forever. Partially-present vectors re-append whole; the
+    // replay guard counts FULL presence as effAssign DISTINCT cluster
+    // ids: a crash inside a previous append's job commit can leave a
+    // vector with a subset of its rows, and a distinct-id guard would
+    // skip it forever — while a raw ROW count could be satisfied by
+    // duplicate rows from an earlier crashed re-append with a cluster
+    // still missing. Partially-present vectors re-append whole; the
     // duplicate (cid, vec_id) rows that creates are deduped on every
     // read path, so the index converges under replay like the other
     // append families.
     val existingIds = spark.read.parquet(semListsDir(indexDir))
-      .groupBy("vec_id").agg(count(lit(1)).as("__rows"))
-      .filter(col("__rows") >= effAssign)
+      .groupBy("vec_id").agg(countDistinct(col("cid")).as("__cids"))
+      .filter(col("__cids") >= effAssign)
       .select("vec_id")
     val batch = newVectors
       .join(existingIds, Seq("vec_id"), "left_anti")

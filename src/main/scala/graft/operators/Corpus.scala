@@ -169,8 +169,6 @@ object Corpus {
         |  CAST(sum(n_tok) AS BIGINT) AS bin_tokens
         |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, d) =>
-      val (win, overlap) = (20, 5)
-      val step = win - overlap
       val spaceToks = filter(split(lower(col("text")), " "), t => t =!= "")
       val gated = Tables.documents(s, d)
         .filter(size(split(trim(col("text")), "\\s+")) >= 30)
@@ -180,16 +178,10 @@ object Corpus {
       val ded = gated
         .withColumn("keep", min(col("doc_id")).over(wDup))
         .filter(col("doc_id") === col("keep"))
-      val ws = split(col("t"), "\\s+")
-      val nc = greatest(lit(1L),
-        ceil((size(ws) - overlap).cast("double") / step).cast("long"))
-      val counted = ded
-        .select(col("doc_id"), col("lang"), ws.as("ws"), nc.as("nc"))
-        .select(col("doc_id"), col("lang"), col("ws"),
-          explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
-        .select(col("doc_id"), col("lang"), col("chunk_idx"),
-          array_join(slice(col("ws"),
-            (col("chunk_idx") * step + 1).cast("int"), lit(win)), " ").as("chunk"))
+      // SHARED chunker (TextOps.chunked) — one copy of the 20/15 recipe
+      // for tx18 and this composition, so the stages cannot drift
+      val counted = TextOps.chunked(
+          ded.select(col("doc_id"), col("lang"), col("t")), col("t"))
         .select(col("lang"), col("doc_id"), col("chunk_idx"),
           size(split(col("chunk"), "\\s+")).cast("long").as("n_tok"),
           md5(concat(col("doc_id").cast("string"), lit(":"),

@@ -71,11 +71,13 @@ object IncrementalAgg {
     hfs.delete(staging, true)
 
     val exists = hfs.exists(main)
-    if (exists) {
-      val applied = spark.read.parquet(s"$stateDir/batches")
-        .filter(col("batch_id") === batchId).limit(1).count() > 0
-      if (applied) return false // replay — the merge already committed
-    }
+    // marker table is one long per applied batch — read it ONCE to the
+    // driver (bounded by batch count); a second lazy scan at write time
+    // could in principle observe a different listing
+    val appliedIds: Seq[Long] =
+      if (!exists) Seq.empty
+      else spark.read.parquet(s"$stateDir/batches").as[Long].collect().toSeq
+    if (appliedIds.contains(batchId)) return false // replay — already committed
     val newPart = partials(batch, key, value)
     val merged =
       if (!exists) newPart
@@ -83,9 +85,7 @@ object IncrementalAgg {
         .groupBy("k")
         .agg(sum("cnt").as("cnt"), sum("sm").as("sm"),
           min("mn").as("mn"), max("mx").as("mx"))
-    val batches =
-      if (!exists) Seq(batchId).toDF("batch_id")
-      else spark.read.parquet(s"$stateDir/batches").union(Seq(batchId).toDF("batch_id"))
+    val batches = (appliedIds :+ batchId).toDF("batch_id")
     // stage the WHOLE next state (agg + marker), then one atomic swap
     merged.write.parquet(s"$staging/agg")
     batches.write.parquet(s"$staging/batches")

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis catalog (SURVEY.md §2 L9–L12) over the `documents`
@@ -13,6 +13,25 @@ object TextOps {
   /** regexp hit-count, identical semantics in Spark and DuckDB RE2. */
   private def hits(c: Column, re: String): Column =
     regexp_count(c, lit(re)).cast("long")
+
+  /** Overlapping token chunking (L38) shared by `tx18_chunk_overlap`
+    * and the pp3 composed pipeline — ONE copy of the window/step/slice
+    * recipe so the stages can't drift apart: appends (chunk_idx, chunk)
+    * rows for the whitespace tokens of `textCol`, carrying every other
+    * column through. Chunk count = ceil((L − overlap) / step), min 1;
+    * scan-local (tokenize once, `sequence` indices, slice the same
+    * array). */
+  private[graft] def chunked(df: DataFrame, textCol: Column,
+                             win: Int = 20, overlap: Int = 5): DataFrame = {
+    val step = win - overlap
+    val nc = greatest(lit(1L),
+      ceil((size(col("__toks")) - overlap).cast("double") / step).cast("long"))
+    df.withColumn("__toks", split(trim(textCol), "\\s+"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nc - 1)))
+      .withColumn("chunk", array_join(slice(col("__toks"),
+        (col("chunk_idx") * step + 1).cast("int"), lit(win)), " "))
+      .drop("__toks")
+  }
 
   private val enRe = "\\b(the|a|of|and)\\b"
   private val esRe = "\\b(el|la|los|una)\\b"
@@ -431,18 +450,8 @@ object TextOps {
         |  CAST(len(string_split_regex(chunk, '\s+')) AS BIGINT) AS n_tok
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
     ) { (s, d) =>
-      val (win, overlap) = (20, 5)
-      val step = win - overlap
-      val toks = split(trim(col("text")), "\\s+")
-      val nc = greatest(lit(1L),
-        ceil((size(toks) - overlap).cast("double") / step).cast("long"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("toks"), nc.as("nc"))
-        .select(col("doc_id"), col("toks"),
-          explode(sequence(lit(0L), col("nc") - 1)).as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-          array_join(slice(col("toks"),
-            (col("chunk_idx") * step + 1).cast("int"), lit(win)), " ").as("chunk"))
+      chunked(Tables.documents(s, d).select(col("doc_id"), col("text")), col("text"))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"))
         .withColumn("n_tok", size(split(col("chunk"), "\\s+")).cast("long"))
         .orderBy("doc_id", "chunk_idx")
     }

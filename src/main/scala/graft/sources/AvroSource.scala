@@ -17,8 +17,9 @@ import scala.jdk.CollectionConverters._
   * for JDBC types — reference: DistributedQueryEngine.diff,
   * RDBMSInferrer.scala hunk) and the per-record conversion.
   *
-  * Scale shape: one driver-side header read for the schema (a bounded
-  * metadata fetch, like a parquet footer), then files decode in
+  * Scale shape: bounded driver-side HEADER reads for the schema (a few
+  * KB per file via DataFileStream, capped file count — never a file
+  * body, like parquet footer reads), then files decode in
   * parallel wherever their bytes land — payloads never shuffle. Avro
   * blocks inside one file are sequential by format; the parallel unit
   * is the file, which is what Avro data lakes look like (many
@@ -75,18 +76,40 @@ object AvroSource {
     case (x, _) => x
   }
 
-  /** The container-embedded writer schema of the first `*.avro` file
-    * under `dir` — the source's self-describing inference step. */
-  def inferSchema(spark: SparkSession, dir: String): (Schema, StructType) = {
-    val heads = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.avro").load(dir)
-      .select("content").head(1)
-    require(heads.nonEmpty, s"no *.avro files under $dir — nothing to infer from")
-    val first = heads.head.getAs[Array[Byte]](0)
-    val rdr = new DataFileReader(new SeekableByteArrayInput(first),
-      new GenericDatumReader[GenericRecord]())
-    val avro = try rdr.getSchema finally rdr.close()
-    (avro, sparkType(avro).asInstanceOf[StructType])
+  /** The reader schema for the `*.avro` files under `dir` (recursive,
+    * matching [[read]]'s listing): container HEADERS are read through
+    * the Hadoop FS — a few KB each, never the file bodies — from up to
+    * `maxHeaderFiles` files, and the WIDEST schema (most leaf fields)
+    * is chosen as the reader, required to contain every other header's
+    * fields by name so Avro schema resolution cannot silently project a
+    * newer file's columns away (an old-schema file listing first must
+    * not decide the schema for the lake). Disagreement beyond
+    * subset-evolution fails loudly. */
+  def inferSchema(spark: SparkSession, dir: String,
+                  maxHeaderFiles: Int = 100): (Schema, StructType) = {
+    val paths = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select("path").head(maxHeaderFiles).map(_.getString(0))
+    require(paths.nonEmpty, s"no *.avro files under $dir — nothing to infer from")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val schemas = paths.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val in = hp.getFileSystem(conf).open(hp)
+      // DataFileStream reads only the header (magic + metadata block)
+      val s = new org.apache.avro.file.DataFileStream(in,
+        new GenericDatumReader[GenericRecord]())
+      try s.getSchema finally { s.close(); in.close() }
+    }.distinct
+    val fieldNames: Schema => Set[String] = s => s.getFields.asScala.map(_.name).toSet
+    val widest = schemas.maxBy(s => fieldNames(s).size)
+    schemas.foreach { s =>
+      require(fieldNames(s).subsetOf(fieldNames(widest)),
+        s"Avro headers disagree beyond additive evolution: ${fieldNames(s)} " +
+          s"vs widest ${fieldNames(widest)} — pass an explicit reader schema")
+    }
+    (widest, sparkType(widest).asInstanceOf[StructType])
   }
 
   /** Read every `*.avro` container under `dir` (recursively) as a

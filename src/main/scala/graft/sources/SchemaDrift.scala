@@ -38,16 +38,37 @@ object SchemaDrift {
       }
     }
 
+  /** Nullability-normalized type: containsNull/valueContainsNull (and
+    * nested field nullability) forced permissive, so a batch differing
+    * ONLY in nullability flags — JSON inference always infers
+    * containsNull=true where Avro may carry false — is not a "retype"
+    * (simpleString renders both sides identically, which would make the
+    * refusal unreadable; nullability widening is additive-compatible,
+    * the reader just sees more nulls allowed). */
+  private def normalized(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(dataType = normalized(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = normalized(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = normalized(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Classify the incoming batch schema against the registered one. */
   def diff(registered: StructType, incoming: StructType): Drift = {
-    val reg = leaves(registered).toMap
-    val inc = leaves(incoming).toMap
-    val regOrder = leaves(registered).map(_._1)
-    val incOrder = leaves(incoming).map(_._1)
+    val regLeaves = leaves(registered)
+    val incLeaves = leaves(incoming)
+    val reg = regLeaves.toMap
+    val inc = incLeaves.toMap
     Drift(
-      added = incOrder.filterNot(reg.contains).map(n => n -> inc(n).simpleString),
-      dropped = regOrder.filterNot(inc.contains).map(n => n -> reg(n).simpleString),
-      retyped = regOrder.filter(n => inc.contains(n) && inc(n) != reg(n))
+      added = incLeaves.map(_._1).filterNot(reg.contains)
+        .map(n => n -> inc(n).simpleString),
+      dropped = regLeaves.map(_._1).filterNot(inc.contains)
+        .map(n => n -> reg(n).simpleString),
+      retyped = regLeaves.map(_._1)
+        .filter(n => inc.contains(n) && normalized(inc(n)) != normalized(reg(n)))
         .map(n => (n, reg(n).simpleString, inc(n).simpleString)))
   }
 

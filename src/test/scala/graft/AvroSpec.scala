@@ -43,7 +43,9 @@ class AvroSpec extends SparkSpecBase {
     writeAvro(dir.resolve("a.avro"), v1Schema, Seq(
       rec(v1Schema, 1L, "alpha", 0.5, Seq("x", "y")),
       rec(v1Schema, 2L, null, 1.5, Seq.empty)))
-    writeAvro(dir.resolve("b.avro"), v1Schema, Seq(
+    // nested shard directory: inference and read must both recurse
+    val sub = Files.createDirectory(dir.resolve("shard0"))
+    writeAvro(sub.resolve("b.avro"), v1Schema, Seq(
       rec(v1Schema, 3L, "gamma", 2.5, Seq("z"))))
 
     val df = AvroSource.read(spark, dir.toString)
@@ -64,10 +66,10 @@ class AvroSpec extends SparkSpecBase {
   }
 
   test("Avro schema resolution reads old-schema files under the evolved schema") {
-    // v2 adds a defaulted column; the reader schema comes from the
-    // NEWEST file header found first? — inference takes the first file,
-    // so pin the evolved schema explicitly by writing it first in a
-    // separate dir layer and relying on per-file writer-schema resolution
+    // v2 adds a defaulted column; inference picks the WIDEST header
+    // regardless of listing order (the old file deliberately sorts
+    // FIRST here), and per-file writer-schema resolution fills the
+    // old rows' missing column from its default
     val v2Schema = SchemaBuilder.record("doc").fields()
       .requiredLong("id")
       .name("title").`type`().unionOf().nullType().and().stringType().endUnion().nullDefault()
@@ -76,13 +78,14 @@ class AvroSpec extends SparkSpecBase {
       .name("lang").`type`().stringType().stringDefault("und")
       .endRecord()
     val dir = Files.createTempDirectory("avroevolve")
-    // first-listed file carries the EVOLVED schema → it becomes the reader
-    writeAvro(dir.resolve("0_new.avro"), v2Schema, Seq(
+    // the OLD-schema file sorts first: the widest-header rule, not
+    // listing order, must pick the evolved schema
+    writeAvro(dir.resolve("0_old.avro"), v1Schema, Seq(
+      rec(v1Schema, 11L, "old", 8.0, Seq("o"))))
+    writeAvro(dir.resolve("1_new.avro"), v2Schema, Seq(
       new GenericRecordBuilder(v2Schema).set("id", 10L).set("title", "new")
         .set("score", 9.0).set("tags", java.util.Arrays.asList("n"))
         .set("lang", "en").build()))
-    writeAvro(dir.resolve("1_old.avro"), v1Schema, Seq(
-      rec(v1Schema, 11L, "old", 8.0, Seq("o"))))
 
     val df = AvroSource.read(spark, dir.toString)
     assert(df.columns.toSeq === Seq("id", "title", "score", "tags", "lang"))

@@ -47,6 +47,19 @@ class SchemaDriftSpec extends SparkSpecBase {
     assert(meta("source").nullable)
   }
 
+  test("nullability-only differences are not drift (JSON infers permissive flags)") {
+    val reg = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType, containsNull = false), nullable = false)))
+    val incoming = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = true)))
+    val d = SchemaDrift.diff(reg, incoming)
+    assert(d.isEmpty, s"nullability widening must not be drift: ${d.describe}")
+    // and the gate passes the batch through unchanged
+    assert(SchemaDrift.gateAdditive(reg, incoming) === reg)
+  }
+
   test("additive gate refuses drops and retypes with the full report") {
     val dropped = StructType(registered.fields.filterNot(_.name == "name"))
     val e1 = intercept[IllegalArgumentException] {
