@@ -27,5 +27,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ""),
       (children: Seq[Expression]) =>
         TopKPairs(children.head, children(1), children(2))))
+    // Spark ships a mergeable Bloom-filter sketch pair (the machinery
+    // behind InjectRuntimeFilter) but exposes neither function to users;
+    // registering them makes the fixed-size membership sketch a
+    // first-class primitive: build once over the small side (binary,
+    // O(numBits) regardless of row count), test map-side on the big side.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null, "bloom_agg",
+        "bloom_agg(longCol, estItems, numBits) - mergeable Bloom filter sketch (binary)", ""),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null, "bloom_contains",
+        "bloom_contains(filterBinary, longCol) - membership test; false negatives impossible",
+        ""),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
   }
 }

@@ -125,6 +125,59 @@ object Corpus {
         .orderBy("source")
     },
 
+    // L44 — mixture-divergence diagnostics: per source, the Shannon
+    // entropy (bits) of its language distribution and its KL divergence
+    // from the corpus-wide language mix — the "is this source skewing
+    // the blend" dashboard numbers behind tx17's reweighting. All
+    // aggregation is exact integer counts on a |sources|×|langs| frame
+    // (the corpus is touched ONCE); the transcendental terms are then
+    // computed per cell and MICRO-QUANTIZED (round(1e6·term) as BIGINT)
+    // so the per-source sum is order-invariant — partition layout cannot
+    // change the answer. Cross-engine parity rests on both libms
+    // rounding log2 to the same double (term counts are small integers;
+    // a disagreement needs an exact .5 boundary hit after a ≤1-ulp log
+    // difference — q47's documented probabilistic-parity license).
+    Q(
+      "tx19_source_entropy",
+      """WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1,2),
+        |s AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |l AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS cl FROM c GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |term AS (
+        |  SELECT source, ns,
+        |    CAST(round(1000000 * (CAST(cnt AS DOUBLE)/ns)
+        |        * log2(CAST(ns AS DOUBLE)/cnt)) AS BIGINT) AS hq,
+        |    CAST(round(1000000 * (CAST(cnt AS DOUBLE)/ns)
+        |        * log2((CAST(cnt AS DOUBLE)*n)/(CAST(ns AS DOUBLE)*cl))) AS BIGINT) AS kq
+        |  FROM c JOIN s USING (source) JOIN l USING (lang) CROSS JOIN t)
+        |SELECT source, ns AS n_docs,
+        |  CAST(sum(hq) AS DOUBLE)/1000000 AS entropy_bits,
+        |  CAST(sum(kq) AS DOUBLE)/1000000 AS kl_bits
+        |FROM term GROUP BY source, ns ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val cts = Tables.documents(s, d)
+        .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // cells frame feeds three tiny aggregates
+      val bySrc = cts.groupBy("source").agg(sum("cnt").as("ns"))
+      val byLang = cts.groupBy("lang").agg(sum("cnt").as("cl"))
+      val tot = cts.agg(sum("cnt").as("n"))
+      val p = col("cnt").cast("double") / col("ns")
+      cts.join(broadcast(bySrc), Seq("source"))
+        .join(broadcast(byLang), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("ns"),
+          round(lit(1000000) * p * log2(col("ns").cast("double") / col("cnt")))
+            .cast("long").as("hq"),
+          round(lit(1000000) * p
+              * log2((col("cnt").cast("double") * col("n"))
+                / (col("ns").cast("double") * col("cl"))))
+            .cast("long").as("kq"))
+        .groupBy(col("source"), col("ns").as("n_docs"))
+        .agg((sum("hq").cast("double") / 1000000).as("entropy_bits"),
+          (sum("kq").cast("double") / 1000000).as("kl_bits"))
+        .orderBy("source")
+    },
+
     // L42 — the full corpus-preparation pipeline as ONE declarative
     // plan: quality gate (length + type-token ratio) → exact dedup
     // (min-id per normalized hash) → overlapping chunking (tx18's

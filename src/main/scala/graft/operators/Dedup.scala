@@ -273,6 +273,47 @@ object Dedup {
     labels
   }
 
+  /** Contamination detection with a Bloom-filter prefilter — the 100 TB
+    * refinement of [[catalog dd7]]'s broadcast-exact-index shape. dd7
+    * broadcasts every eval shingle STRING to every executor; as eval
+    * suites grow that broadcast grows with total eval text. Here the
+    * eval set is first compressed to a FIXED-size membership sketch
+    * (`bloom_agg`, Spark's own mergeable Bloom aggregate — the
+    * InjectRuntimeFilter machinery, registered as a user function in
+    * [[graft.GraftExtensions]]): `numBits` bytes regardless of eval row
+    * count. The corpus side drops non-member shingles scan-locally
+    * (`bloom_contains` on the already-computed xxhash64 — codegen'd, no
+    * shuffle, no join) and only the tiny surviving candidate slice meets
+    * the exact eval index for verification. False positives cost only
+    * wasted candidates — the exact join keeps the OUTPUT exact, so the
+    * DuckDB oracle is a full hash-match, not rows-only.
+    *
+    * The one driver action collects the filter binary itself —
+    * `numBits/8` bytes, bounded by construction (same license as the
+    * bucketed sink's touched-bucket list); it re-enters the corpus scan
+    * as a literal so the membership test stays whole-stage-codegen'd.
+    */
+  def bloomContamination(s: SparkSession, d: String, minShared: Int = 2,
+                         numBits: Long = 1L << 20): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sg"))
+    val evalSh = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("sg")).as("s"))
+    val filterBin = evalSh
+      .agg(call_function("bloom_agg", xxhash64(col("s")),
+        lit(numBits / 8), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("corpus_id"), explode(col("sg")).as("s"))
+      .filter(call_function("bloom_contains", lit(filterBin), xxhash64(col("s"))))
+      .join(broadcast(evalSh), Seq("s"))
+      .groupBy("eval_id", "corpus_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy("eval_id", "corpus_id")
+  }
+
   val catalog: Seq[Q] = Seq(
     // L1 — exact dedup: fixed-width hash shuffle, never the document text.
     Q(
@@ -374,6 +415,27 @@ object Dedup {
         .filter(col("n_shared") >= 3)
         .orderBy("eval_id", "corpus_id")
     },
+
+    // L43 — contamination with a Bloom prefilter (see
+    // [[bloomContamination]]): eval set compressed to a fixed-size
+    // membership sketch, corpus shingles dropped scan-locally before any
+    // join. Output is EXACT (false positives die in the verify join), so
+    // the oracle is the plain exact-join SQL — the Bloom stage must be
+    // invisible in the answer. Eval = doc_id % 10 == 0 (a 10% held-out
+    // slice), >= 2 shared trigrams.
+    Q(
+      "dd11_bloom_contamination",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+        |       FROM w WHERE len(ws) >= 3),
+        |ex AS (SELECT doc_id AS eval_id, unnest(sg) AS s FROM sh WHERE doc_id % 10 = 0),
+        |cx AS (SELECT doc_id AS corpus_id, unnest(sg) AS s FROM sh WHERE doc_id % 10 <> 0)
+        |SELECT eval_id, corpus_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM ex JOIN cx USING (s)
+        |GROUP BY 1,2 HAVING count(*) >= 2 ORDER BY 1,2""".stripMargin
+    )((s, d) => bloomContamination(s, d)),
 
     // L4 — exact n-gram Jaccard similarity, oracle-checked on adjacent-id
     // pairs (the same jaccard() verifies dd2's LSH candidates; here the

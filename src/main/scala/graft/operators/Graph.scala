@@ -169,6 +169,51 @@ object Graph {
     labels
   }
 
+  /** k-core decomposition (iterative peel): repeatedly delete nodes of
+    * degree < k until none remain; survivors are the k-core — the
+    * standard "dense region" prefilter before expensive per-cluster work
+    * (community detection, pairwise dedup). `edges` = undirected pairs
+    * (symmetrized + deduped here, callers pass either orientation).
+    *
+    * Shape per round: one degree aggregate (fixed-width (node, count)
+    * shuffle) + two semi-joins that shrink the edge frame; the frame is
+    * localCheckpoint'd so plan depth stays constant. Rounds are bounded
+    * by the peel depth (≤ max core number ≤ √|E|, tiny in practice);
+    * the driver loop iterates ROUNDS, never rows — the per-round
+    * `count()` is the convergence test, same license as [[bfs]] and
+    * [[Dedup.connectedComponents]]. Returns `(node, core_degree)` —
+    * each survivor's degree within the k-core (≥ k by definition).
+    */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val canon = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    // both directions, so degree is one groupBy on the source column
+    var sym = canon.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(canon.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var nEdges = sym.count()
+    var it = 0
+    var converged = nEdges == 0
+    while (!converged && it < maxIter) {
+      val keep = sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("a")
+      val pruned = sym
+        .join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n2 = pruned.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      sym = pruned
+      it += 1
+    }
+    sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+
   val catalog: Seq[Q] = Seq(
     // Reachability over a deterministic functional graph on doc ids,
     // oracle = DuckDB WITH RECURSIVE (the declarative twin of the
@@ -311,6 +356,20 @@ object Graph {
         .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
         .orderBy(desc("n_members"), col("community"))
         .limit(50)
+    },
+
+    // R75 — k-core decomposition over the same 3-out functional graph.
+    // Rows-only: iterate-to-fixpoint peeling has no portable recursive
+    // CTE (each round re-aggregates degrees); GraphSpec pins the planted
+    // clique-vs-chain case and cross-partitioning determinism. Output is
+    // exact, so the determinism audit covers it like gr2/gr5.
+    Q.rowsOnly("gr6_kcore") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+      kCore(e, k = 3).orderBy("node")
     }
   )
 }

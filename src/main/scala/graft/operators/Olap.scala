@@ -928,6 +928,76 @@ object Olap {
         .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("cents"), col("n")),
           "metric", "value")
         .orderBy("l_returnflag", "metric")
-    }
+    },
+
+    // R74 — Spearman rank correlation per group (robust association:
+    // Pearson on AVERAGE ranks, the tie-correct definition). Rank
+    // doubling keeps everything integral: 2·avgrank = 2·rank + ties − 1
+    // is an exact BIGINT, so all five moments are order-invariant exact
+    // integer sums. The quadratic moments grow as 4n³ — past long at
+    // n ≈ 10^6 rows/group — so they aggregate as decimal(38,0) (exact to
+    // 10^38, DuckDB's HUGEINT twin); the n·S² cross terms that would
+    // overflow ANY integer width are evaluated in the final fixed float
+    // expression tree instead, identical on both engines given identical
+    // integer inputs — q60's discipline, made corpus-size-proof.
+    // Shuffle shape: one exchange per rank key ((flag,price), (flag,qty),
+    // flag), then the groupBy reuses the flag partitioning; Spearman is
+    // inherently sort-heavy (ranking IS sorting) and each sort is
+    // per-group parallel, never global.
+    Q(
+      "q73_spearman",
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1 AS ra,
+        |    2*rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |      + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1 AS rb
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(ra) AS BIGINT) AS sa, CAST(sum(rb) AS BIGINT) AS sb,
+        |    CAST(sum(ra*ra) AS BIGINT) AS saa, CAST(sum(rb*rb) AS BIGINT) AS sbb,
+        |    CAST(sum(ra*rb) AS BIGINT) AS sab
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE)/n)
+        |  / sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)/n)
+        |       * (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)/n))
+        |    AS spearman_qp
+        |FROM m ORDER BY l_returnflag""".stripMargin
+    )((s, d) =>
+      spearman(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice", "l_quantity")
+        .withColumnRenamed("rho", "spearman_qp")
+        .orderBy("l_returnflag"))
   )
+
+  /** Spearman rank correlation of `a` vs `b` per `group` — see the q73
+    * catalog entry for the numeric-discipline rationale (doubled average
+    * ranks → exact integer/decimal moments → one fixed float tree).
+    * Returns `(group, n, rho)`.
+    */
+  def spearman(df: DataFrame, group: String, a: String, b: String): DataFrame = {
+    val g = Window.partitionBy(group)
+    def rank2(v: String): org.apache.spark.sql.Column =
+      (rank().over(g.orderBy(v)) * 2
+        + count(lit(1)).over(Window.partitionBy(col(group), col(v))) - 1)
+        .cast("long")
+    val m = df
+      .select(col(group), rank2(a).as("ra"), rank2(b).as("rb"))
+      .groupBy(group)
+      .agg(count(lit(1)).as("n"), sum("ra").as("sa"), sum("rb").as("sb"),
+        sum(col("ra").cast("decimal(19,0)") * col("ra").cast("decimal(19,0)")).as("saa"),
+        sum(col("rb").cast("decimal(19,0)") * col("rb").cast("decimal(19,0)")).as("sbb"),
+        sum(col("ra").cast("decimal(19,0)") * col("rb").cast("decimal(19,0)")).as("sab"))
+    // one sqrt of the variance PRODUCT, not a product of sqrts: identical
+    // on both engines either way, but this form keeps rho exactly ±1 on
+    // perfectly monotone data (sqrt(v)·sqrt(v) ≠ v by an ulp; sqrt(v·v)
+    // is exact), so the spec can assert the closed-form values.
+    def d0(c: String) = col(c).cast("double")
+    m.select(col(group), col("n"),
+      ((d0("sab") - d0("sa") * d0("sb") / col("n"))
+        / sqrt((d0("saa") - d0("sa") * d0("sa") / col("n"))
+          * (d0("sbb") - d0("sb") * d0("sb") / col("n"))))
+        .as("rho"))
+  }
 }

@@ -86,4 +86,32 @@ class GraphSpec extends SparkSpecBase {
       .orderBy("node").as[(Long, Long)].collect()
     assert(a.sameElements(b))
   }
+
+  test("kCore peels a pendant chain and keeps only the clique (cascading rounds)") {
+    // 4-clique 0–3 + chain 3→4→5→6: node 4 starts at degree 2, but only
+    // drops below 3 AFTER 5 and 6 peel — the fixpoint must cascade, a
+    // single degree-filter pass would wrongly keep parts of the chain.
+    val clique = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    val chain = Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    val core = Graph.kCore((clique ++ chain).toDF("src", "dst"), k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"3-core must be exactly the clique at degree 3, got $core")
+  }
+
+  test("kCore returns empty when no subgraph survives, without iterating forever") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    assert(Graph.kCore(chain.toDF("src", "dst"), k = 3).count() === 0L)
+  }
+
+  test("kCore is bit-identical across partition layouts") {
+    val edges = (0L until 200L).flatMap(i =>
+      Seq((i, (i * 7 + 13) % 200), (i, (i * 3 + 5) % 200), (i, (i * 11 + 2) % 200)))
+    val a = Graph.kCore(edges.toDF("src", "dst").repartition(1), k = 3)
+      .orderBy("node").as[(Long, Long)].collect()
+    val b = Graph.kCore(edges.toDF("src", "dst").repartition(13), k = 3)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+    assert(a.nonEmpty, "degenerate fixture: functional graph lost its 3-core")
+  }
 }

@@ -415,6 +415,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(n === 2L)
   }
 
+  test("T17 streamed ingestion into the durable minhash index equals the one-shot run") {
+    // The 100 TB ingest topology end to end: documents ARRIVE as a stream,
+    // each micro-batch runs the incremental dedup (replay-guarded, O(batch)
+    // against the stored signature index) and APPENDS its signatures +
+    // verified pairs. After three interleaved-id batches, index and pairs
+    // must equal the one-shot full-corpus batch run — streaming is just a
+    // delivery mechanism, never a semantics change.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("t17").toString
+    val sigDir = s"$dir/sigs"; val pairDir = s"$dir/pairs"
+    val allDocs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val s2 = batch.sparkSession
+        val existing =
+          if (new java.io.File(sigDir).exists) s2.read.parquet(sigDir)
+          else graft.operators.Dedup.signatureFrame(batch.limit(0), 16)
+        val (pairs, fresh) =
+          graft.operators.Dedup.minhashLshIncremental(batch, existing, allDocs)
+        fresh.write.mode("append").parquet(sigDir)
+        pairs.write.mode("append").parquet(pairDir)
+      }.start()
+    val docs = allDocs.as[(Long, String)].collect()
+    (0 to 2).foreach { r =>
+      in.addData(docs.filter(_._1 % 3 == r).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamedPairs = spark.read.parquet(pairDir)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val oneShot = graft.operators.Dedup.minhashLsh(spark, sf0001)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(streamedPairs === oneShot,
+      "streamed per-batch pairs diverge from the one-shot full-corpus run")
+    val streamedIndex = spark.read.parquet(sigDir)
+    assert(streamedIndex.count() === allDocs.count(),
+      "index must hold exactly one signature row per ingested doc")
+    val fullIndex = graft.operators.Dedup.signatureFrame(allDocs, 16)
+    assert(streamedIndex.exceptAll(fullIndex).isEmpty &&
+      fullIndex.exceptAll(streamedIndex).isEmpty,
+      "streamed index content diverges from the one-shot signature frame")
+  }
+
   test("T4 stream-static join enriches against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
