@@ -51,5 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))))
+    // Logical-plan rewrite: window row_number top-k → bounded-heap
+    // topk_pairs aggregate where provably answer-preserving (see
+    // graft.plans.RewriteWindowTopK). Toggle:
+    // spark.graft.topkRewrite.enabled (default on).
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
 }

@@ -55,8 +55,25 @@ object ScaleProbe {
     }
     time("window_topk") {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      or.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).count()
+      // rule pinned OFF so this stays the true window-sort baseline (the
+      // parquet columns are nullable so the rewrite wouldn't fire anyway
+      // — pinning makes the comparison explicit, not accidental)
+      spark.conf.set(graft.plans.RewriteWindowTopK.ConfKey, "false")
+      try {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        or.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3).count()
+      } finally spark.conf.unset(graft.plans.RewriteWindowTopK.ConfKey)
+    }
+    time("window_topk_rewritten") {
+      import org.apache.spark.sql.expressions.Window
+      // SAME query text, nullability stripped so RewriteWindowTopK fires:
+      // the user writes the window form, the optimizer runs the heap
+      val nn = or.select(col("o_custkey"),
+        coalesce(col("o_totalprice"), lit(0.0)).as("price"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("okey"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("price").desc, col("okey"))
+      nn.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("o_custkey", "price", "okey").count()
     }
     time("topk_agg_custom") {
       or.groupBy("o_custkey")

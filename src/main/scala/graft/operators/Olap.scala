@@ -969,7 +969,43 @@ object Olap {
       spearman(Tables.lineitem(s, d), "l_returnflag", "l_extendedprice", "l_quantity")
         .withColumnRenamed("rho", "spearman_qp")
         .orderBy("l_returnflag"))
-  )
+  ) :+
+    // R76 — top-k per group THROUGH THE OPTIMIZER REWRITE: authored as
+    // the textbook window form (row_number over (price DESC, okey ASC),
+    // filter rn<=3) that every SQL user writes, executed as the
+    // bounded-heap topk_pairs aggregate because
+    // graft.plans.RewriteWindowTopK fires on it (non-null score/id via
+    // coalesce; output restricted to group+score+id — the provably
+    // answer-preserving pattern). The DuckDB oracle runs the SAME window
+    // text via QUALIFY, so the hash match certifies the rewrite
+    // end-to-end; TopKRewriteSpec pins that the plan really does swap
+    // the Window for the aggregate.
+    Q(
+      "q74_topk_rewrite",
+      """SELECT c_mktsegment, price, okey FROM (
+        |  SELECT c_mktsegment,
+        |    coalesce(o_totalprice, 0) AS price,
+        |    coalesce(o_orderkey, -1) AS okey,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY coalesce(o_totalprice, 0) DESC,
+        |                                coalesce(o_orderkey, -1)) AS rn
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, price DESC, okey""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val joined = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("price"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("okey"))
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("price").desc, col("okey"))
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_mktsegment", "price", "okey")
+        .orderBy(col("c_mktsegment"), col("price").desc, col("okey"))
+    }
 
   /** Spearman rank correlation of `a` vs `b` per `group` — see the q73
     * catalog entry for the numeric-discipline rationale (doubled average
