@@ -372,6 +372,29 @@ object EventOps {
         .groupBy(col("r.ty").as("ty"))
         .agg(count(lit(1)).as("n"), sum(col("r.uid")).as("sum_uid"))
         .orderBy("ty")
+    },
+
+    // L45 — consistent key pseudonymization: user ids replaced by a
+    // salted SHA-256 BEFORE analytics/sharing, with referential
+    // integrity preserved — the same salt+hash applied to any table
+    // yields the same pseudonym, so joins and group-bys still line up
+    // (proven here by grouping ON the pseudonym and hash-matching the
+    // aggregate against DuckDB doing the same). Scan-local projection;
+    // in production the salt is a secret config, not a literal, and
+    // rotation = re-run (the mapping is deliberately one-way — no
+    // lookup table to leak).
+    Q(
+      "ev14_pseudonymize",
+      """SELECT sha256('graft:' || CAST(user_id AS VARCHAR)) AS pid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY pid""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(sha2(concat(lit("graft:"), col("user_id").cast("string")), 256).as("pid"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("pid")
     }
   )
 }

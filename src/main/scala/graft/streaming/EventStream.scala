@@ -148,6 +148,40 @@ object EventStream {
     publishWithBackup(fs, new org.apache.hadoop.fs.Path(tmp), dst, bak)
   }
 
+  /** T19 — CDC apply with tombstones: the change-data-capture form of
+    * [[upsertSink]] for feeds carrying `op` ∈ I/U/D per row. Inserts and
+    * updates fold last-writer-wins exactly like T7; a DELETE is applied
+    * by RETAINING the winning tombstone row in stored state rather than
+    * erasing the key — dropping it would let a LATE, STALE update (lower
+    * version arriving in a later batch) silently resurrect a deleted key.
+    * With the tombstone retained, the stale row loses the per-key
+    * version race like any other out-of-order write. Readers take
+    * [[cdcCurrent]] (tombstones filtered); tombstone garbage collection
+    * is a compaction concern (drop `op = 'D'` rows older than the
+    * source's out-of-order horizon), not an apply-time one.
+    *
+    * Same crash/replay envelope as T7: replayed batches rewrite the same
+    * rows (idempotent), the backup-rename publish survives mid-swap
+    * crashes, and per-batch work is O(batch + table) — the bucketed T7b
+    * layout is the same upgrade path here.
+    */
+  def cdcApply(batch: DataFrame, batchId: Long, path: String, keyCol: String,
+               versionCol: String): Unit = {
+    require(batch.columns.contains("op"),
+      "cdcApply: batch must carry an 'op' column with I/U/D per row")
+    upsertSink(batch, batchId, path, keyCol, versionCol)
+  }
+
+  /** Full stored CDC state, tombstones included — the replication/audit
+    * view. */
+  def cdcState(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Live-rows view of a [[cdcApply]] table: winning tombstones hide
+    * their keys. */
+  def cdcCurrent(spark: SparkSession, path: String): DataFrame =
+    cdcState(spark, path).filter(col("op") =!= lit("D"))
+
   /** T15 — streaming upsert into a TRANSACTIONAL JDBC sink (composes the
     * S10 JDBC sink surface with T7's idempotence — the serving-database
     * pattern). Each micro-batch:

@@ -460,6 +460,33 @@ class StreamingSpec extends SparkSpecBase {
       "streamed index content diverges from the one-shot signature frame")
   }
 
+  test("T19 CDC apply: deletes tombstone, stale late updates cannot resurrect, replay is a no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t19").toString + "/state"
+    def apply(rows: Seq[(Long, Long, String, String)], bid: Long): Unit =
+      EventStream.cdcApply(rows.toDF("k", "ver", "op", "payload"), bid, dir, "k", "ver")
+    def current: Map[Long, (Long, String)] =
+      EventStream.cdcCurrent(spark, dir).select("k", "ver", "payload")
+        .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    apply(Seq((1L, 1L, "I", "a1"), (2L, 1L, "I", "b1")), 0L)
+    assert(current === Map(1L -> (1L, "a1"), 2L -> (1L, "b1")))
+    // update k1, delete k2
+    apply(Seq((1L, 2L, "U", "a2"), (2L, 2L, "D", "")), 1L)
+    assert(current === Map(1L -> (2L, "a2")), "k2 must be tombstoned")
+    // STALE late update for k2 (version below the tombstone's): must lose
+    apply(Seq((2L, 1L, "U", "b1-late")), 2L)
+    assert(current === Map(1L -> (2L, "a2")),
+      "a stale update must not resurrect a deleted key")
+    assert(EventStream.cdcState(spark, dir).filter($"k" === 2L && $"op" === "D").count() === 1L,
+      "the tombstone itself must be retained in stored state")
+    // replay of batch 1 (at-least-once delivery): state unchanged
+    apply(Seq((1L, 2L, "U", "a2"), (2L, 2L, "D", "")), 1L)
+    assert(current === Map(1L -> (2L, "a2")))
+    // genuine re-insert at a higher version wins over the tombstone
+    apply(Seq((2L, 3L, "I", "b3")), 3L)
+    assert(current === Map(1L -> (2L, "a2"), 2L -> (3L, "b3")))
+  }
+
   test("T18 per-batch HLL sketches union to the whole-stream estimate (mergeable segments)") {
     // The segment-sketch pattern at 100 TB: each ingest window persists a
     // FIXED-size distinct-count sketch (not its raw keys); any later
