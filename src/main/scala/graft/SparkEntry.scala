@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, EventOps, Graph, IncrementalAgg, MediaOps, Olap, Relational, Scd, Similarity, Temporal, TextOps, TextRank}
+import graft.operators.{Corpus, Dedup, EventOps, Graph, IncrementalAgg, MediaOps, Olap, Relational, Scd, SearchIndex, Similarity, Temporal, TextOps, TextRank}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
     Relational.catalog ++ Olap.catalog ++ TextOps.catalog ++
       TextRank.catalog ++ Dedup.catalog ++ Similarity.catalog ++
       EventOps.catalog ++ Temporal.catalog ++ MediaOps.catalog ++
-      Graph.catalog ++ Scd.catalog ++ Corpus.catalog ++ IncrementalAgg.catalog
+      Graph.catalog ++ Scd.catalog ++ Corpus.catalog ++
+      IncrementalAgg.catalog ++ SearchIndex.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -178,6 +178,46 @@ object Corpus {
         .orderBy("source")
     },
 
+    // L46 — vocabulary build + out-of-vocabulary rate: the top-V corpus
+    // terms (deterministic tie-break: count DESC, term ASC) become the
+    // vocab; per language, the permille of token occurrences falling
+    // outside it — the coverage number that decides V before tokenizer
+    // training. Shuffle shape: one term-count aggregate; the V-row vocab
+    // comes back as a BROADCAST left join (never a shuffle of the token
+    // frame against it); top-V is TakeOrderedAndProject (k rows per map
+    // task, no global sort). All-integer output (permille via DIV).
+    Q(
+      "tx20_vocab_oov",
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS term
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT term FROM (SELECT term, count(*) AS cnt FROM tk GROUP BY 1)
+        |  QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 256),
+        |mk AS (
+        |  SELECT lang, CASE WHEN term IN (SELECT term FROM vocab) THEN 0 ELSE 1 END AS oov
+        |  FROM tk)
+        |SELECT lang, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  (CAST(sum(oov) AS BIGINT) * 1000) // count(*) AS oov_permille
+        |FROM mk GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(256)
+        .select(col("term"), lit(1).as("in_v"))
+      tk.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000) DIV n_tokens").as("oov_permille"))
+        .orderBy("lang")
+    },
+
     // L42 — the full corpus-preparation pipeline as ONE declarative
     // plan: quality gate (length + type-token ratio) → exact dedup
     // (min-id per normalized hash) → overlapping chunking (tx18's

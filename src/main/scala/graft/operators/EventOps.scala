@@ -395,6 +395,36 @@ object EventOps {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 100).cast("long")).as("cents"))
         .orderBy("pid")
+    },
+
+    // T20 — behavioral co-occurrence: which event types happen TOGETHER
+    // in the same (user, hour) context — the co-visitation matrix behind
+    // "users who did X also did Y". Distinct (user, hour, type) first
+    // (one fixed-width shuffle, bounding every context at |event_types|
+    // rows), then a context-keyed self-join whose fan-out is ≤
+    // |types|²/2 per context — never user×user or event×event. The
+    // matrix is |types|² — tiny at any corpus scale.
+    Q(
+      "ev15_cooccurrence",
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |    event_type
+        |  FROM events)
+        |SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n
+        |FROM d a JOIN d b
+        |  ON a.user_id = b.user_id AND a.h = b.h AND a.event_type < b.event_type
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+    ) { (s, d) =>
+      val dctx = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .distinct()
+      val a = dctx.select(col("user_id"), col("h"), col("event_type").as("ta"))
+      val b = dctx.select(col("user_id"), col("h"), col("event_type").as("tb"))
+      a.join(b, Seq("user_id", "h"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("ta", "tb")
     }
   )
 }

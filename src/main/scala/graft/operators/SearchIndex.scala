@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Durable inverted text index + conjunctive keyword search (L47).
+  *
+  * The postings layout is the fixed-width frame `(term, doc_id)` —
+  * document text never enters the index, so the index shuffles and
+  * stores like dd10's in-query inverted index but PERSISTS, and ingest
+  * batches append O(batch) postings instead of re-tokenizing history
+  * (the L2b/L37b incremental-index discipline applied to search).
+  * Replays are exact no-ops via a doc-id anti-join — the guard reads
+  * ONLY the pruned doc_id column of the stored postings.
+  *
+  * Search reads the |terms| posting lists (term-equality pushdown; at
+  * warehouse scale the postings would be written bucketed/partitioned by
+  * term so a lookup touches one bucket) and intersects them with one
+  * fixed-width groupBy — never a scan of the corpus text.
+  */
+object SearchIndex {
+
+  private def postingsDir(indexDir: String) = s"$indexDir/postings"
+
+  /** Distinct `(doc_id, term)` postings of a `(doc_id, text)` frame —
+    * scan-local tokenize + one dedup shuffle. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+
+  def build(docs: DataFrame, indexDir: String): Unit =
+    postings(docs).write.mode("overwrite").parquet(postingsDir(indexDir))
+
+  /** Append a new batch: already-indexed doc ids are skipped entirely
+    * (replayed/retried batches add no duplicate postings). */
+  def append(spark: SparkSession, newDocs: DataFrame, indexDir: String): Unit = {
+    val indexed = spark.read.parquet(postingsDir(indexDir))
+      .select("doc_id").distinct()
+    val fresh = newDocs.join(indexed, Seq("doc_id"), "left_anti")
+    postings(fresh).write.mode("append").parquet(postingsDir(indexDir))
+  }
+
+  /** Doc ids containing ALL `terms`: |terms| posting lists intersected
+    * via count-match — one fixed-width aggregate, no text touched. */
+  def search(spark: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
+    val distinctTerms = terms.distinct
+    require(distinctTerms.nonEmpty, "search: at least one term required")
+    spark.read.parquet(postingsDir(indexDir))
+      .filter(col("term").isin(distinctTerms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === distinctTerms.size)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  val catalog: Seq[Q] = Seq(
+    // L47 — conjunctive keyword search in its inline form (the durable
+    // index path is SearchIndexSpec's subject; the QUERY shape is
+    // identical): distinct postings → term-filtered → count-match
+    // intersection. The oracle answers from the raw text, so the
+    // inverted form must agree with a direct containment scan.
+    Q(
+      "tx21_keyword_search",
+      """SELECT doc_id FROM documents
+        |WHERE list_has_all(string_split(text, ' '), ['scan', 'merge', 'window'])
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val terms = Seq("scan", "merge", "window")
+      postings(Tables.documents(s, d).select(col("doc_id"), col("text")))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .filter(col("nt") === terms.size)
+        .select("doc_id").orderBy("doc_id")
+    }
+  )
+}
