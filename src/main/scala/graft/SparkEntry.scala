@@ -12,7 +12,8 @@ object SparkEntry {
       TextRank.catalog ++ Dedup.catalog ++ Similarity.catalog ++
       EventOps.catalog ++ Temporal.catalog ++ MediaOps.catalog ++
       Graph.catalog ++ Scd.catalog ++ Corpus.catalog ++
-      IncrementalAgg.catalog ++ SearchIndex.catalog
+      IncrementalAgg.catalog ++ SearchIndex.catalog ++
+      graft.sources.v2.SeqDataSource.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
