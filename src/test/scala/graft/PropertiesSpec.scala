@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.{Graph, Olap}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based checks (scalacheck) for the custom primitives — the
+  * invariants a hand-picked fixture can miss. Each property evaluates
+  * Spark plans per trial, so trial counts stay modest; seeds are
+  * scalacheck-managed and failures print the shrunk counterexample.
+  */
+class PropertiesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def check(prop: Prop, trials: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(trials), prop)
+    assert(res.passed, s"property falsified: ${res.status}")
+  }
+
+  test("topk_pairs equals the sort-based reference on random groups") {
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      k <- Gen.choose(1, 8)
+      scores <- Gen.listOfN(n, Gen.choose(-50, 50))
+    } yield (k, scores.zipWithIndex.map { case (s, i) => (s.toDouble, i.toLong) })
+    check(Prop.forAll(gen) { case (k, rows) =>
+      val expected = rows.sortBy { case (s, i) => (-s, i) }.take(k)
+      if (rows.isEmpty) true
+      else {
+        val got = rows.toDF("s", "id")
+          .agg(call_function("topk_pairs", col("s"), col("id"), lit(k)))
+          .as[Seq[(Double, Long)]].head()
+        got == expected
+      }
+    }, trials = 15)
+  }
+
+  test("spearman is within [-1,1] and exactly invariant under monotone affine maps") {
+    val gen = for {
+      n <- Gen.choose(3, 50)
+      xs <- Gen.listOfN(n, Gen.choose(-20, 20))
+      ys <- Gen.listOfN(n, Gen.choose(-20, 20))
+    } yield xs.map(_.toDouble).zip(ys.map(_.toDouble))
+    check(Prop.forAll(gen) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((x, y), i) => ("g", x, y, i) }
+        .toDF("g", "x", "y", "i")
+      def rho(xc: String, yc: String): Option[Double] = {
+        val r = Olap.spearman(df.select(col("g"), col(xc).as("a"), col(yc).as("b"),
+          col("i")), "g", "a", "b").select("rho").as[Double].head()
+        if (r.isNaN) None else Some(r) // NaN = zero variance (all-tied column)
+      }
+      val base = rho("x", "y")
+      // strictly increasing exact transforms: ranks (and so rho) identical
+      val mapped = rho("x", "y") // recompute to pin determinism
+      val affine = {
+        val df2 = df.withColumn("x2", col("x") * 2 + 1).withColumn("y2", col("y") / 2)
+        val r = Olap.spearman(df2.select(col("g"), col("x2").as("a"), col("y2").as("b")),
+          "g", "a", "b").select("rho").as[Double].head()
+        if (r.isNaN) None else Some(r)
+      }
+      val inRange = base.forall(r => r >= -1.0 && r <= 1.0)
+      inRange && base == mapped && base == affine
+    }, trials = 15)
+  }
+
+  test("bloom_agg admits every member for arbitrary key sets (no false negatives)") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))
+    check(Prop.forAll(gen) { keys =>
+      val df = keys.distinct.toDF("k")
+      val bin = df.agg(call_function("bloom_agg", xxhash64(col("k")),
+        lit(keys.size.toLong.max(1L)), lit(4096L))).head().getAs[Array[Byte]](0)
+      df.filter(!call_function("bloom_contains", lit(bin), xxhash64(col("k"))))
+        .count() == 0L
+    }, trials = 12)
+  }
+
+  test("kCore is sound (all survivors have in-core degree >= k) and a fixpoint") {
+    val gen = for {
+      n <- Gen.choose(4, 30)
+      m <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield edges
+    check(Prop.forAll(gen) { edges =>
+      val df = if (edges.isEmpty) Seq((0L, 0L)).toDF("src", "dst") // self-loop → dropped
+        else edges.toDF("src", "dst")
+      val core = Graph.kCore(df, k = 2).as[(Long, Long)].collect().toMap
+      val sound = core.values.forall(_ >= 2L)
+      // fixpoint: peeling the induced subgraph again changes nothing
+      val survivors = core.keySet
+      val induced = edges.filter(e => survivors(e._1) && survivors(e._2))
+      val again =
+        if (induced.isEmpty) Map.empty[Long, Long]
+        else Graph.kCore(induced.toDF("src", "dst"), k = 2).as[(Long, Long)].collect().toMap
+      sound && again == core
+    }, trials = 12)
+  }
+}
