@@ -425,6 +425,117 @@ object EventOps {
         .groupBy("ta", "tb")
         .agg(count(lit(1)).as("n"))
         .orderBy("ta", "tb")
+    },
+
+    // T21 — multi-touch attribution: each purchase's value split equally
+    // (in EXACT integer cents) across the user's views in the preceding
+    // 24 h — base = cents DIV n to every view, the remainder cent to the
+    // EARLIEST rem views, so credit sums back to the purchase exactly
+    // and the split is deterministic. One user-key join (fan-out bounded
+    // per user-day) + per-purchase windows; never event×event globally.
+    Q(
+      "ev17_attribution",
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, ts AS pts,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS vid, user_id, ts AS vts
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT pid, cents, vid, vts FROM p JOIN v USING (user_id)
+        |  WHERE vts < pts AND vts >= pts - INTERVAL 24 HOURS),
+        |w AS (
+        |  SELECT pid, cents, vid,
+        |    count(*) OVER (PARTITION BY pid) AS n,
+        |    row_number() OVER (PARTITION BY pid ORDER BY vts, vid) AS rn
+        |  FROM j)
+        |SELECT pid, vid,
+        |  cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END AS credit_cents
+        |FROM w ORDER BY pid, vid""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("vid"), col("user_id"), col("ts").as("vts"))
+      val j = p.join(v, Seq("user_id"))
+        .filter(col("vts") < col("pts") &&
+          col("vts") >= col("pts") - expr("INTERVAL 24 HOURS"))
+      val byP = Window.partitionBy("pid")
+      j.select(col("pid"), col("cents"), col("vid"),
+          count(lit(1)).over(byP).as("n"),
+          row_number().over(byP.orderBy(col("vts"), col("vid"))).as("rn"))
+        .select(col("pid"), col("vid"),
+          (expr("cents DIV n") +
+            when(col("rn") <= col("cents") % col("n"), 1L).otherwise(0L))
+            .as("credit_cents"))
+        .orderBy("pid", "vid")
+    },
+
+    // T22 — time-series linear interpolation (ev5's other half: gap-fill
+    // puts ZEROS in empty buckets; forecasting inputs want the line
+    // between the neighbors): hourly purchase revenue on the full spine,
+    // missing hours = (prev·dr + next·dl) DIV (dl+dr) in EXACT integer
+    // cents over integer hour distances; leading/trailing gaps take the
+    // single available side. Two IGNORE-NULLS window passes over the
+    // spine (hours-sized, not events-sized).
+    Q(
+      "ev16_interpolate",
+      """WITH pe AS (SELECT ts, CAST(round(value*100) AS BIGINT) AS c
+        |            FROM events WHERE event_type = 'purchase'),
+        |bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM pe),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT h0 FROM bounds),
+        |                                (SELECT h1 FROM bounds),
+        |                                INTERVAL 1 HOUR)) AS hr),
+        |actual AS (
+        |  SELECT date_trunc('hour', ts) AS hr, CAST(sum(c) AS BIGINT) AS cents
+        |  FROM pe GROUP BY 1),
+        |g AS (
+        |  SELECT epoch_us(spine.hr) // 3600000000 AS hh, actual.cents
+        |  FROM spine LEFT JOIN actual ON spine.hr = actual.hr),
+        |n AS (
+        |  SELECT hh, cents,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN struct_pack(h := hh, c := cents) END
+        |      IGNORE NULLS) OVER (ORDER BY hh ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN struct_pack(h := hh, c := cents) END
+        |      IGNORE NULLS) OVER (ORDER BY hh ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+        |  FROM g)
+        |SELECT hh, cents IS NOT NULL AS observed,
+        |  CASE WHEN cents IS NOT NULL THEN cents
+        |       WHEN p IS NULL THEN f.c
+        |       WHEN f IS NULL THEN p.c
+        |       ELSE (p.c * (f.h - hh) + f.c * (hh - p.h)) // (f.h - p.h) END
+        |    AS cents_filled
+        |FROM n ORDER BY hh""".stripMargin
+    ) { (s, d) =>
+      val pe = Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("ts"), round(col("value") * 100).cast("long").as("c"))
+      val actual = pe.groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum("c").as("cents"))
+      val bounds = pe.agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      val spine = bounds.select(
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      val g = spine.join(actual, Seq("hr"), "left")
+        .select(expr("unix_micros(hr) DIV 3600000000").as("hh"), col("cents"))
+      val wb = Window.orderBy("hh").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.orderBy("hh").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val marked = when(col("cents").isNotNull,
+        struct(col("hh").as("h"), col("cents").as("c")))
+      g.select(col("hh"), col("cents"),
+          last(marked, ignoreNulls = true).over(wb).as("p"),
+          first(marked, ignoreNulls = true).over(wf).as("f"))
+        .select(col("hh"), col("cents").isNotNull.as("observed"),
+          when(col("cents").isNotNull, col("cents"))
+            .when(col("p").isNull, col("f.c"))
+            .when(col("f").isNull, col("p.c"))
+            .otherwise(expr("(p.c * (f.h - hh) + f.c * (hh - p.h)) DIV (f.h - p.h)"))
+            .as("cents_filled"))
+        .orderBy("hh")
     }
   )
 }
