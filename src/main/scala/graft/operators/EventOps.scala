@@ -418,6 +418,9 @@ object EventOps {
       val dctx = Tables.events(s, d)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .distinct()
+        // both self-join sides read THIS frame — without the pin the
+        // distinct (and the events scan under it) runs once per side
+        .localCheckpoint(true)
       val a = dctx.select(col("user_id"), col("h"), col("event_type").as("ta"))
       val b = dctx.select(col("user_id"), col("h"), col("event_type").as("tb"))
       a.join(b, Seq("user_id", "h"))
