@@ -476,6 +476,29 @@ object EventOps {
         .orderBy("pid", "vid")
     },
 
+    // T6c — regex log-line extraction, the third semi-structured codec
+    // exercise (JSON ev3/ev4, XML ev13, regex here): events re-rendered
+    // as access-log-style lines in the scan projection, fields pulled
+    // back out with regexp_extract (typed by cast), aggregated; the
+    // oracle aggregates the ORIGINAL columns — a lossy pattern or a
+    // wrong capture group breaks the hash. Scan-local end to end.
+    Q(
+      "ev18_log_parse",
+      """SELECT event_type AS ty, count(*) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val line = format_string("evt=%s uid=%d ignored=1", col("event_type"), col("user_id"))
+      Tables.events(s, d)
+        .select(line.as("raw"))
+        .select(
+          regexp_extract(col("raw"), "evt=(\\w+) uid=(\\d+)", 1).as("ty"),
+          regexp_extract(col("raw"), "evt=(\\w+) uid=(\\d+)", 2).cast("long").as("uid"))
+        .groupBy("ty")
+        .agg(count(lit(1)).as("n"), sum("uid").as("sum_uid"))
+        .orderBy("ty")
+    },
+
     // T22 — time-series linear interpolation (ev5's other half: gap-fill
     // puts ZEROS in empty buckets; forecasting inputs want the line
     // between the neighbors): hourly purchase revenue on the full spine,

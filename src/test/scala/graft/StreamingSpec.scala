@@ -523,6 +523,43 @@ class StreamingSpec extends SparkSpecBase {
       s"estimate $merged strayed >3% from the true 1200 distinct keys")
   }
 
+  test("T23 per-batch count-min sketches merge into whole-stream frequency estimates") {
+    // the heavy-hitter cousin of T18's HLL rollup: each micro-batch
+    // persists a FIXED-size frequency sketch; later rollups merge
+    // sketches instead of rescanning events. Count-min never
+    // undercounts, and overcount is bounded by eps·N with prob. 1-delta.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("t23").toString
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("t").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.agg(expr("count_min_sketch(t, 0.001d, 0.99d, 42)").as("sk"))
+          .withColumn("batch", lit(id))
+          .write.mode("append").parquet(dir)
+      }.start()
+    val batches = Seq(
+      Seq.fill(500)("view") ++ Seq.fill(80)("click"),
+      Seq.fill(300)("view") ++ Seq.fill(40)("purchase"),
+      Seq.fill(10)("click") ++ Seq.fill(5)("error"))
+    batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val bins = spark.read.parquet(dir).select("sk")
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(bins.length === 3)
+    val merged = bins.map(b =>
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val exact = batches.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = batches.flatten.size
+    exact.foreach { case (k, c) =>
+      val est = merged.estimateCount(k)
+      assert(est >= c, s"count-min must never undercount: $k est=$est exact=$c")
+      assert(est <= c + math.ceil(0.001 * n).toLong + 1,
+        s"overcount outside the eps bound: $k est=$est exact=$c n=$n")
+    }
+  }
+
   test("T4 stream-static join enriches against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
