@@ -103,21 +103,35 @@ case class TopKPairs(
 
 object TopKPairs {
   /** Size-bounded heap; the WORST entry (lowest score, then highest id)
-    * sits at the top for O(log k) eviction. */
+    * sits at the top for O(log k) eviction.
+    *
+    * Scores compare under `java.lang.Double.compare` — the TOTAL order
+    * Spark's own SortOrder uses, where NaN ranks ABOVE every double and
+    * NaNs compare equal to each other. This matches
+    * `row_number() OVER (ORDER BY s DESC, id)` exactly (NaN rows first,
+    * then the id tiebreak), which is what lets [[graft.plans.RewriteWindowTopK]]
+    * substitute this aggregate for the window form on ANY double input;
+    * IEEE `>`/`==` would both mis-rank NaN and freeze the heap (NaN
+    * comparisons are all false). Callers that consider NaN scores
+    * garbage (the ANN rerankers — a zero-norm vector yields a NaN
+    * cosine) must filter them out explicitly before aggregating.
+    */
   final class Buffer(k: Int) {
-    // worst-first ordering: max element = lowest score / highest id
+    // worst-first ordering: max element = lowest score / then highest id
     private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
-      Ordering.by((t: (Double, Long)) => (-t._1, t._2)))
+      Ordering.comparatorToOrdering[(Double, Long)] { (a, b) =>
+        val c = java.lang.Double.compare(b._1, a._1) // lower score = worse = larger
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id = worse
+      })
 
     def add(score: Double, id: Long): Unit = {
-      // a NaN score would sort as "worst" yet compare false against every
-      // challenger, freezing the heap — exclude it from ranking entirely
-      if (score.isNaN) return
       if (heap.size < k) heap.enqueue((score, id))
       else {
         val worst = heap.head
-        // better than current worst = higher score, or equal score + lower id
-        if (score > worst._1 || (score == worst._1 && id < worst._2)) {
+        // better than current worst = higher score (total order), or
+        // equal score + lower id
+        val c = java.lang.Double.compare(score, worst._1)
+        if (c > 0 || (c == 0 && id < worst._2)) {
           heap.dequeue(); heap.enqueue((score, id))
         }
       }
@@ -125,8 +139,11 @@ object TopKPairs {
 
     def foreach(f: (Double, Long) => Unit): Unit = heap.foreach(t => f(t._1, t._2))
 
-    /** Best-first: score DESC, id ASC. */
+    /** Best-first: score DESC (total order, NaN first), id ASC. */
     def sortedBestFirst: Array[(Double, Long)] =
-      heap.toArray.sortBy(t => (-t._1, t._2))
+      heap.toArray.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(b._1, a._1)
+        c < 0 || (c == 0 && a._2 < b._2)
+      }
   }
 }

@@ -206,6 +206,9 @@ object Corpus {
       val tk = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
+        // consumed by BOTH the vocab aggregate and the OOV join — without
+        // the pin the corpus tokenizes twice
+        .localCheckpoint(true)
       val vocab = tk.groupBy("term").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("term")).limit(256)
         .select(col("term"), lit(1).as("in_v"))

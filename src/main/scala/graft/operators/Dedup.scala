@@ -309,8 +309,16 @@ object Dedup {
     // a fixed default can't know the corpus. 16 bits/key ≈ 4e-4 fpp at
     // the optimal hash count; at sf0.1 the wall cost is dominated by the
     // two shingle passes (eval build + corpus probe), not the fpp.
-    val items = math.max(1L, evalSh.count())
-    val numBits = items * bitsPerKey
+    // BloomFilterAggregate require()s its inputs under the runtime-filter
+    // conf maxima — clamp to them (degraded fpp, still correct) instead
+    // of letting a large eval set abort the query at analysis time.
+    val conf = s.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val items = math.min(maxItems, math.max(1L, evalSh.count()))
+    val numBits = math.min(maxBits, items * bitsPerKey)
     val filterBin = evalSh
       .agg(call_function("bloom_agg", xxhash64(col("s")),
         lit(items), lit(numBits)).as("bf"))

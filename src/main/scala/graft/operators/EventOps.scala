@@ -353,11 +353,13 @@ object EventOps {
     // ev3/ev4's JSON paths): events re-serialized as XML records in the
     // scan projection, then parsed back through `from_xml` with an
     // explicit schema and aggregated. The encode half exists only
-    // because the synthetic lake has no XML column; the DECODE half is
-    // the operator under test, and the oracle aggregates the original
-    // columns directly — any parse loss (types, escaping, null
-    // handling) breaks the hash match. Scan-local both ways: encode,
-    // parse, and the pre-aggregation all ride the projection.
+    // because the synthetic lake has no XML column (and assumes the
+    // event-type vocabulary is XML-text-safe, which the fixture's
+    // word-only types are — a real encoder would escape &<>); the
+    // DECODE half is the operator under test, and the oracle aggregates
+    // the original columns directly — any parse loss (types, escaping,
+    // null handling) breaks the hash match. Scan-local both ways:
+    // encode, parse, and the pre-aggregation all ride the projection.
     Q(
       "ev13_xml_parse",
       """SELECT event_type AS ty, count(*) AS n,
@@ -434,8 +436,12 @@ object EventOps {
     // (in EXACT integer cents) across the user's views in the preceding
     // 24 h — base = cents DIV n to every view, the remainder cent to the
     // EARLIEST rem views, so credit sums back to the purchase exactly
-    // and the split is deterministic. One user-key join (fan-out bounded
-    // per user-day) + per-purchase windows; never event×event globally.
+    // and the split is deterministic. The split runs on |cents| with the
+    // sign re-applied: refunds (negative cents) split exactly too, and
+    // the engines' integer-division disagreement on negatives (Spark DIV
+    // truncates toward zero, DuckDB // floors) can never surface. One
+    // user-key join (fan-out bounded per user-day) + per-purchase
+    // windows; never event×event globally.
     Q(
       "ev17_attribution",
       """WITH p AS (
@@ -453,7 +459,9 @@ object EventOps {
         |    row_number() OVER (PARTITION BY pid ORDER BY vts, vid) AS rn
         |  FROM j)
         |SELECT pid, vid,
-        |  cents // n + CASE WHEN rn <= cents % n THEN 1 ELSE 0 END AS credit_cents
+        |  (CASE WHEN cents < 0 THEN -1 ELSE 1 END)
+        |    * (abs(cents) // n + CASE WHEN rn <= abs(cents) % n THEN 1 ELSE 0 END)
+        |    AS credit_cents
         |FROM w ORDER BY pid, vid""".stripMargin
     ) { (s, d) =>
       val ev = Tables.events(s, d)
@@ -470,8 +478,9 @@ object EventOps {
           count(lit(1)).over(byP).as("n"),
           row_number().over(byP.orderBy(col("vts"), col("vid"))).as("rn"))
         .select(col("pid"), col("vid"),
-          (expr("cents DIV n") +
-            when(col("rn") <= col("cents") % col("n"), 1L).otherwise(0L))
+          (when(col("cents") < 0, -1L).otherwise(1L)
+            * (expr("abs(cents) DIV n") +
+              when(col("rn") <= abs(col("cents")) % col("n"), 1L).otherwise(0L)))
             .as("credit_cents"))
         .orderBy("pid", "vid")
     },
@@ -488,12 +497,15 @@ object EventOps {
         |  CAST(sum(user_id) AS BIGINT) AS sum_uid
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, d) =>
+      // the log format's contract is SPACE-delimited fields, so the
+      // capture is [^ ]+ (not \w+, which would silently truncate a
+      // hyphenated or punctuated event type at the first non-word char)
       val line = format_string("evt=%s uid=%d ignored=1", col("event_type"), col("user_id"))
       Tables.events(s, d)
         .select(line.as("raw"))
         .select(
-          regexp_extract(col("raw"), "evt=(\\w+) uid=(\\d+)", 1).as("ty"),
-          regexp_extract(col("raw"), "evt=(\\w+) uid=(\\d+)", 2).cast("long").as("uid"))
+          regexp_extract(col("raw"), "evt=([^ ]+) uid=(\\d+)", 1).as("ty"),
+          regexp_extract(col("raw"), "evt=([^ ]+) uid=(\\d+)", 2).cast("long").as("uid"))
         .groupBy("ty")
         .agg(count(lit(1)).as("n"), sum("uid").as("sum_uid"))
         .orderBy("ty")

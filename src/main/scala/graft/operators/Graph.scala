@@ -177,14 +177,16 @@ object Graph {
     *
     * Shape per round: one degree aggregate (fixed-width (node, count)
     * shuffle) + two semi-joins that shrink the edge frame; the frame is
-    * localCheckpoint'd so plan depth stays constant. Rounds are bounded
-    * by the peel depth (≤ max core number ≤ √|E|, tiny in practice);
-    * the driver loop iterates ROUNDS, never rows — the per-round
+    * localCheckpoint'd so plan depth stays constant. Rounds equal the
+    * PEEL DEPTH, which is usually tiny but is O(n) in the worst case (a
+    * bare path peels two endpoints per round) — so non-convergence
+    * within `maxIter` is a loud error, never a silent non-fixpoint that
+    * would break the "every survivor has in-core degree ≥ k" contract.
+    * The driver loop iterates ROUNDS, never rows — the per-round
     * `count()` is the convergence test, same license as [[bfs]] and
-    * [[Dedup.connectedComponents]]. Returns `(node, core_degree)` —
-    * each survivor's degree within the k-core (≥ k by definition).
+    * [[Dedup.connectedComponents]]. Returns `(node, core_degree)`.
     */
-  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 200): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val canon = edges
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
@@ -211,6 +213,9 @@ object Graph {
       sym = pruned
       it += 1
     }
+    require(converged,
+      s"kCore: not converged after $maxIter rounds ($nEdges directed edges left) — " +
+        "raise maxIter; returning a non-fixpoint would violate the degree->=k contract")
     sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 

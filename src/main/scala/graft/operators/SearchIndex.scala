@@ -34,11 +34,17 @@ object SearchIndex {
     postings(docs).write.mode("overwrite").parquet(postingsDir(indexDir))
 
   /** Append a new batch: already-indexed doc ids are skipped entirely
-    * (replayed/retried batches add no duplicate postings). */
+    * (replayed/retried batches add no duplicate postings). A missing
+    * index is an empty indexed set — a streaming topology's FIRST
+    * micro-batch may append before any build ran. */
   def append(spark: SparkSession, newDocs: DataFrame, indexDir: String): Unit = {
-    val indexed = spark.read.parquet(postingsDir(indexDir))
-      .select("doc_id").distinct()
-    val fresh = newDocs.join(indexed, Seq("doc_id"), "left_anti")
+    val pdir = new org.apache.hadoop.fs.Path(postingsDir(indexDir))
+    val fs = pdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(pdir)) newDocs
+      else newDocs.join(
+        spark.read.parquet(postingsDir(indexDir)).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
     postings(fresh).write.mode("append").parquet(postingsDir(indexDir))
   }
 

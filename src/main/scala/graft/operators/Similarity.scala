@@ -270,6 +270,7 @@ object Similarity {
       .agg(sum(col("part6")).as("ad6"), min(col("cn")).as("cn"), min(col("qn")).as("qn"))
       .select(col("q_id"), col("c_id"),
         (col("ad6").cast("double") / (col("qn") * col("cn")) / 1e6).as("approx_cos"))
+      .filter(!isnan(col("approx_cos"))) // integer partials can't be NaN, but qn·cn = 0 can
       .groupBy("q_id")
       .agg(call_function("topk_pairs", col("approx_cos"), col("c_id"), lit(overfetch)).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("c_id"))
@@ -324,6 +325,7 @@ object Similarity {
       .select(col("q_id"), col("c_id"),
         ((col("qc6") + col("ad6")).cast("double") / (col("qn") * col("cn")) / 1e6)
           .as("approx_cos"))
+      .filter(!isnan(col("approx_cos"))) // integer partials can't be NaN, but qn·cn = 0 can
       .groupBy("q_id")
       .agg(call_function("topk_pairs", col("approx_cos"), col("c_id"), lit(overfetch)).as("top"))
       .select(col("q_id"), explode(col("top.id")).as("c_id"))
@@ -416,7 +418,11 @@ object Similarity {
     * identical to the window formulation the oracles use.
     */
   private[graft] def topkRerank(scored: DataFrame, k: Int): DataFrame =
-    scored.groupBy("q_id")
+    // a zero-norm vector yields a NaN cosine; topk_pairs now ranks NaN
+    // FIRST (Spark's sort total order — what the window-form oracles and
+    // the R76 rewrite require), so garbage scores are dropped EXPLICITLY
+    scored.filter(!isnan(col("cos")))
+      .groupBy("q_id")
       .agg(call_function("topk_pairs", col("cos"), col("c_id"), lit(k)).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("q_id"), col("t.id").as("c_id"),

@@ -30,9 +30,16 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructFiel
   *
   *  - the window expression is exactly `row_number()` over
   *    `(s DESC, id ASC)` with `s: double NOT NULL` and
-  *    `id: bigint NOT NULL` — matching `topk_pairs`' comparator. Null
-  *    scores would rank (NULLS LAST) under the window but are skipped by
-  *    the heap, so nullable inputs are left alone.
+  *    `id: bigint NOT NULL` — matching `topk_pairs`' comparator, which
+  *    orders scores under `java.lang.Double.compare`, the SAME total
+  *    order SortOrder uses, so NaN scores rank first in both forms and
+  *    the rewrite stays exact on any double input. Null scores would
+  *    rank (NULLS LAST) under the window but are skipped by the heap,
+  *    so nullable inputs are left alone.
+  *  - neither s nor id is itself a partition key — restoring them under
+  *    their original exprIds next to the pass-through group columns
+  *    would otherwise emit two attributes with one exprId, breaking
+  *    Catalyst's attribute-uniqueness invariant.
   *  - the filter is `rn <= lit` / `rn < lit` and nothing else.
   *  - the surviving output references ONLY the partition keys and
   *    (s, id). Then the kept rows are determined up to the top-k
@@ -59,6 +66,7 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
           k <- limitFromCond(cond, rnAlias.toAttribute)
           (s, id) <- scoreIdFromOrder(order)
           groups <- attributeOnly(part)
+          if !groups.exists(g => g.exprId == s.exprId || g.exprId == id.exprId)
           if outputIsRestorable(out, groups, s, id, rnAlias.toAttribute)
         } yield rebuild(out, groups, s, id, k, child)
         rewritten.getOrElse(p)

@@ -104,6 +104,21 @@ class GraphSpec extends SparkSpecBase {
     assert(Graph.kCore(chain.toDF("src", "dst"), k = 3).count() === 0L)
   }
 
+  test("kCore peels a LONG path to empty (worst-case O(n) peel depth converges)") {
+    // a bare path sheds only its two endpoints per round — the shape
+    // that overruns a too-small round budget; with k=2 the true core is
+    // empty and a non-fixpoint would leave interior nodes behind
+    val path = (0L until 150L).map(i => (i, i + 1))
+    assert(Graph.kCore(path.toDF("src", "dst"), k = 2).count() === 0L)
+  }
+
+  test("kCore fails LOUDLY when the round budget is too small (never a non-fixpoint)") {
+    val path = (0L until 60L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Graph.kCore(path.toDF("src", "dst"), k = 2, maxIter = 3).count()
+    }
+  }
+
   test("kCore is bit-identical across partition layouts") {
     val edges = (0L until 200L).flatMap(i =>
       Seq((i, (i * 7 + 13) % 200), (i, (i * 3 + 5) % 200), (i, (i * 11 + 2) % 200)))

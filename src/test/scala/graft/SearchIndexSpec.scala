@@ -40,6 +40,15 @@ class SearchIndexSpec extends SparkSpecBase {
       "replayed append must be a no-op")
   }
 
+  test("append to a fresh directory bootstraps the index (streaming's first batch)") {
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sidx_boot").toString
+    SearchIndex.append(spark, docs.filter(col("doc_id") % 2 === 0), dir)
+    SearchIndex.append(spark, docs.filter(col("doc_id") % 2 === 1), dir)
+    val hits = SearchIndex.search(spark, dir, terms).as[Long].collect().toSet
+    assert(hits === scanTruth, "append-bootstrapped index diverges from the text scan")
+  }
+
   test("duplicate query terms do not change the intersection") {
     val dir = java.nio.file.Files.createTempDirectory("sidx_dup").toString
     SearchIndex.build(Tables.documents(spark, sf0001).select("doc_id", "text"), dir)

@@ -89,6 +89,34 @@ class TopKRewriteSpec extends SparkSpecBase {
     assert(q.count() === 15L, "5 market segments × k=3")
   }
 
+  test("NaN scores: rewritten and window forms agree (NaN ranks first in both)") {
+    // 0.0/0.0 in a non-nullable double column — the case the rule must
+    // survive: Spark's sort total-orders NaN above every double, and
+    // TopKPairs uses the same java.lang.Double.compare order
+    val withNaN = (0L until 400L)
+      .map(i => (i % 4, if (i % 97 == 0) Double.NaN else (i * 31 % 89).toDouble, i))
+      .toDF("g", "s", "id")
+    val q = windowTopK(withNaN, 3)
+    assert(usesTopKPairs(q), "rule must fire on non-nullable doubles containing NaN")
+    val got = q.as[(Long, Double, Long)].collect()
+      .map { case (g, s, id) => (g, if (s.isNaN) "NaN" else s.toString, id) }.sorted
+    spark.conf.set(RewriteWindowTopK.ConfKey, "false")
+    try {
+      val ref = windowTopK(withNaN, 3).as[(Long, Double, Long)].collect()
+        .map { case (g, s, id) => (g, if (s.isNaN) "NaN" else s.toString, id) }.sorted
+      assert(got.sameElements(ref), "NaN handling diverged between the two forms")
+      assert(got.exists(_._2 == "NaN"), "fixture must actually surface NaN rows in the top-k")
+    } finally spark.conf.unset(RewriteWindowTopK.ConfKey)
+  }
+
+  test("not rewritten when the score or id is itself a partition key (exprId collision)") {
+    val w = Window.partitionBy("g", "s").orderBy(col("s").desc, col("id").asc)
+    val q = base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .select("g", "s", "id")
+    assert(!usesTopKPairs(q) && usesWindow(q))
+    assert(q.count() > 0L)
+  }
+
   test("not rewritten for an ascending score or a nullable score") {
     val wAsc = Window.partitionBy("g").orderBy(col("s").asc, col("id").asc)
     val qAsc = base.withColumn("rn", row_number().over(wAsc)).filter(col("rn") <= 5)
