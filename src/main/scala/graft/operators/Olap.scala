@@ -815,6 +815,31 @@ object Olap {
           |GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    // R77 — correlated LATERAL subquery (top-1-per-outer-row), the SQL
+    // surface every per-entity-best report reaches for; Spark plans the
+    // correlated aggregate+limit as a decorrelated join, so the lateral
+    // is declarative sugar over the same single-shuffle shape as q23.
+    // Same text runs on both engines via the registered-views surface.
+    Q(
+      "q76_lateral",
+      """SELECT r_name, t.top_nation, t.n_cust
+        |FROM region, LATERAL (
+        |  SELECT n_name AS top_nation, CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r_regionkey
+        |  GROUP BY n_name ORDER BY n_cust DESC, top_nation LIMIT 1) t
+        |ORDER BY r_name""".stripMargin
+    ) { (s, d) =>
+      graft.Views.sql(s, d,
+        """SELECT r_name, t.top_nation, t.n_cust
+          |FROM region, LATERAL (
+          |  SELECT n_name AS top_nation, CAST(count(*) AS BIGINT) AS n_cust
+          |  FROM nation JOIN customer ON c_nationkey = n_nationkey
+          |  WHERE n_regionkey = r_regionkey
+          |  GROUP BY n_name ORDER BY n_cust DESC, top_nation LIMIT 1) t
+          |ORDER BY r_name""".stripMargin)
+    },
+
     // R69 — exponentially-decayed aggregation (time-decay scoring, the
     // recency-weighted customer value every retention model starts
     // from): each customer's 16 most recent orders weighted by 2^-lag.
