@@ -117,33 +117,36 @@ object TopKPairs {
     * cosine) must filter them out explicitly before aggregating.
     */
   final class Buffer(k: Int) {
-    // worst-first ordering: max element = lowest score / then highest id
+    // THE comparator, single-sourced (heap order, eviction test, and the
+    // final sort must agree or the heap's contents and its output
+    // diverge): scores under Spark's SQL ordering — IEEE == first, so
+    // -0.0 ties 0.0 exactly as SQLOrderingUtil.compareDoubles does
+    // (bare Double.compare would rank -0.0 below 0.0 and silently
+    // disagree with the window form), then Double.compare for the
+    // NaN-greatest total order; score ties break to the LOWER id.
+    // Returns > 0 when a is BETTER than b.
+    private def cmp(aScore: Double, aId: Long, bScore: Double, bId: Long): Int = {
+      val c = if (aScore == bScore) 0 else java.lang.Double.compare(aScore, bScore)
+      if (c != 0) c else java.lang.Long.compare(bId, aId)
+    }
+
+    // worst-first heap: max element = the entry every other entry beats
     private val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
       Ordering.comparatorToOrdering[(Double, Long)] { (a, b) =>
-        val c = java.lang.Double.compare(b._1, a._1) // lower score = worse = larger
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id = worse
+        cmp(b._1, b._2, a._1, a._2)
       })
 
     def add(score: Double, id: Long): Unit = {
       if (heap.size < k) heap.enqueue((score, id))
-      else {
-        val worst = heap.head
-        // better than current worst = higher score (total order), or
-        // equal score + lower id
-        val c = java.lang.Double.compare(score, worst._1)
-        if (c > 0 || (c == 0 && id < worst._2)) {
-          heap.dequeue(); heap.enqueue((score, id))
-        }
+      else if (cmp(score, id, heap.head._1, heap.head._2) > 0) {
+        heap.dequeue(); heap.enqueue((score, id))
       }
     }
 
     def foreach(f: (Double, Long) => Unit): Unit = heap.foreach(t => f(t._1, t._2))
 
-    /** Best-first: score DESC (total order, NaN first), id ASC. */
+    /** Best-first: score DESC (SQL order, NaN first), id ASC. */
     def sortedBestFirst: Array[(Double, Long)] =
-      heap.toArray.sortWith { (a, b) =>
-        val c = java.lang.Double.compare(b._1, a._1)
-        c < 0 || (c == 0 && a._2 < b._2)
-      }
+      heap.toArray.sortWith((a, b) => cmp(a._1, a._2, b._1, b._2) > 0)
   }
 }

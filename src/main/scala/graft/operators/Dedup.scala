@@ -311,12 +311,13 @@ object Dedup {
     // two shingle passes (eval build + corpus probe), not the fpp.
     // BloomFilterAggregate require()s its inputs under the runtime-filter
     // conf maxima — clamp to them (degraded fpp, still correct) instead
-    // of letting a large eval set abort the query at analysis time.
-    val conf = s.conf
-    val maxItems = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
-    val maxBits = conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    // of letting a large eval set abort the query at analysis time. Read
+    // through the registered SQLConf entries, not re-typed key/default
+    // strings, so the clamp can never drift from what the aggregate
+    // actually enforces.
+    import org.apache.spark.sql.internal.SQLConf
+    val maxItems = SQLConf.get.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = SQLConf.get.getConf(SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
     val items = math.min(maxItems, math.max(1L, evalSh.count()))
     val numBits = math.min(maxBits, items * bitsPerKey)
     val filterBin = evalSh

@@ -437,11 +437,13 @@ object EventOps {
     // 24 h — base = cents DIV n to every view, the remainder cent to the
     // EARLIEST rem views, so credit sums back to the purchase exactly
     // and the split is deterministic. The split runs on |cents| with the
-    // sign re-applied: refunds (negative cents) split exactly too, and
-    // the engines' integer-division disagreement on negatives (Spark DIV
-    // truncates toward zero, DuckDB // floors) can never surface. One
-    // user-key join (fan-out bounded per user-day) + per-purchase
-    // windows; never event×event globally.
+    // sign re-applied: a negative DIV/% would hand the remainder to no
+    // view (rn <= negative is never true), so refunds would NOT sum back
+    // — the abs form keeps the conservation invariant for any sign.
+    // (Both engines truncate integer division toward zero, so this is
+    // about the invariant, not engine parity.) One user-key join
+    // (fan-out bounded per user-day) + per-purchase windows; never
+    // event×event globally.
     Q(
       "ev17_attribution",
       """WITH p AS (

@@ -52,8 +52,11 @@ class FederationSpec extends SparkSpecBase {
     // pushdown reached each source: Derby got the WHERE, parquet got
     // PushedFilters, and the CSV scan reads only the two used columns
     val plan = fed.queryExecution.executedPlan.toString
-    assert(plan.contains("JDBCRelation") && plan.contains("PushedFilters"),
-      s"expected a filtered JDBC scan in:\n$plan")
+    // the PushedFilters must be ON THE JDBC SCAN LINE — a bare
+    // contains("PushedFilters") would be satisfied by the parquet scan
+    // and let a JDBC-pushdown regression pass silently
+    assert(plan.matches("(?si).*JDBCRelation[^\\n]*PushedFilters: \\[[^\\]]*regionkey.*"),
+      s"expected the regionkey predicate pushed into the JDBC scan in:\n$plan")
     assert(plan.contains("Format: CSV"), s"expected a CSV scan in:\n$plan")
     assert(plan.matches("(?s).*Format: Parquet.*PushedFilters: \\[.*c_acctbal.*"),
       "expected the acctbal predicate pushed into the parquet scan")

@@ -109,6 +109,23 @@ class TopKRewriteSpec extends SparkSpecBase {
     } finally spark.conf.unset(RewriteWindowTopK.ConfKey)
   }
 
+  test("signed zeros: rewritten and window forms agree (-0.0 ties 0.0, id breaks it)") {
+    // Spark's SQL ordering treats -0.0 == 0.0 (SQLOrderingUtil), so the
+    // id tiebreak decides between them; a bare Double.compare in the
+    // heap would rank -0.0 below 0.0 and silently change the answer
+    val zeros = Seq((0L, 0.0, 10L), (0L, -0.0, 1L), (0L, -1.0, 2L))
+      .toDF("g", "s", "id")
+    val got = windowTopK(zeros, 1).as[(Long, Double, Long)].collect().toSeq
+    assert(usesTopKPairs(windowTopK(zeros, 1)))
+    spark.conf.set(RewriteWindowTopK.ConfKey, "false")
+    try {
+      val ref = windowTopK(zeros, 1).as[(Long, Double, Long)].collect().toSeq
+      assert(got.map(_._3) === ref.map(_._3),
+        s"signed-zero tiebreak diverged: rewritten kept id ${got.map(_._3)}, window kept ${ref.map(_._3)}")
+      assert(ref.map(_._3) === Seq(1L), "window form must keep the lower id among tied zeros")
+    } finally spark.conf.unset(RewriteWindowTopK.ConfKey)
+  }
+
   test("not rewritten when the score or id is itself a partition key (exprId collision)") {
     val w = Window.partitionBy("g", "s").orderBy(col("s").desc, col("id").asc)
     val q = base.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
