@@ -523,6 +523,44 @@ class StreamingSpec extends SparkSpecBase {
       s"estimate $merged strayed >3% from the true 1200 distinct keys")
   }
 
+  test("T24 stream enrichment against the SCD2 dimension is EVENT-time correct") {
+    // the versioned-dimension enrichment problem: a fact must join the
+    // dim version valid AT ITS EVENT TIME, not whatever is current when
+    // the fact happens to arrive — late facts are the trap. foreachBatch
+    // + the batch PIT lookup gives exactly that, and the streamed result
+    // must equal the one-shot batch lookup over all facts.
+    import graft.operators.Scd
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(
+      (1L, "bronze", ts(0), Option(ts(100))),
+      (1L, "gold", ts(100), Option.empty[Timestamp]),
+      (2L, "silver", ts(0), Option.empty[Timestamp]))
+      .toDF("user_id", "tier", "valid_from", "valid_to")
+    val outDir = java.nio.file.Files.createTempDirectory("t24").toString + "/enriched"
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val q = in.toDF().toDF("fact_id", "fuser", "fts").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Scd.pitLookup(dim, b.withColumnRenamed("fuser", "user_id"), "user_id", "fts")
+          .select("fact_id", "tier")
+          .write.mode("append").parquet(outDir)
+      }.start()
+    in.addData((10L, 1L, ts(50))); q.processAllAvailable()
+    // batch 2 arrives after user 1 moved to gold — fact 12 is LATE with a
+    // bronze-era event time and must still enrich as bronze
+    in.addData((11L, 1L, ts(150)), (12L, 1L, ts(60)), (13L, 2L, ts(150)))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .as[(Long, String)].collect().toMap
+    assert(streamed === Map(10L -> "bronze", 11L -> "gold",
+      12L -> "bronze", 13L -> "silver"),
+      s"event-time enrichment wrong: $streamed")
+    val allFacts = Seq((10L, 1L, ts(50)), (11L, 1L, ts(150)),
+      (12L, 1L, ts(60)), (13L, 2L, ts(150))).toDF("fact_id", "user_id", "fts")
+    val batch = Scd.pitLookup(dim, allFacts, "user_id", "fts")
+      .select("fact_id", "tier").as[(Long, String)].collect().toMap
+    assert(streamed === batch, "streamed enrichment diverges from the one-shot batch lookup")
+  }
+
   test("T23 per-batch count-min sketches merge into whole-stream frequency estimates") {
     // the heavy-hitter cousin of T18's HLL rollup: each micro-batch
     // persists a FIXED-size frequency sketch; later rollups merge
