@@ -840,6 +840,28 @@ object Olap {
           |ORDER BY r_name""".stripMargin)
     },
 
+    // R78 — FILTER clause on aggregates (SQL:2003), the declarative form
+    // of q12's CASE-based conditional aggregation — one scan, each
+    // aggregate sees its own predicate; identical text on both engines
+    // through the registered-views surface.
+    Q(
+      "q77_filter_clause",
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS disc_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      graft.Views.sql(s, d,
+        """SELECT l_returnflag,
+          |  count(*) AS n,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+          |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+          |    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS disc_cents
+          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     // R69 — exponentially-decayed aggregation (time-decay scoring, the
     // recency-weighted customer value every retention model starts
     // from): each customer's 16 most recent orders weighted by 2^-lag.
