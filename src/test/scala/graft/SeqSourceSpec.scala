@@ -51,4 +51,11 @@ class SeqSourceSpec extends SparkSpecBase {
   test("partitions option controls scan parallelism") {
     assert(seq(1000, parts = 7).rdd.getNumPartitions === 7)
   }
+
+  test("point lookup pushes EqualTo to a single-row range") {
+    val df = seq(100000).filter($"id" === 42L)
+    assert(scanDesc(df).contains("range=[42,43)"),
+      s"expected a single-row scan range, got:\n${scanDesc(df)}")
+    assert(df.as[(Long, Long, String)].head() === ((42L, 42L * 37 % 101, "t2")))
+  }
 }
