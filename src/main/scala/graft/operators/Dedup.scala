@@ -382,6 +382,36 @@ object Dedup {
         .orderBy("component")
     },
 
+    // L48 — the dedup OPS dashboard number: how big are the duplicate
+    // clusters (cluster-size histogram over dd5's components)? The
+    // "are we deduping a few giant mirrors or millions of pairs" readout
+    // that decides keep-one-per-cluster cost. Component frame reduces
+    // map-side to (component, size) then to the |distinct sizes|-row
+    // histogram — two fixed-width aggregates on top of the CC rounds.
+    Q(
+      "dd12_cluster_sizes",
+      """WITH x AS (SELECT doc_id, lang,
+        |    CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang
+        |          AND lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM documents),
+        |y AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM x),
+        |c AS (SELECT count(*) AS n_docs FROM y GROUP BY grp HAVING count(*) > 1)
+        |SELECT n_docs AS cluster_size, count(*) AS n_clusters
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val pairs = docs.select(col("doc_id").as("id_a"), col("lang"))
+        .join(docs.select((col("doc_id") - 1).as("id_a"), col("lang"),
+          col("doc_id").as("id_b")), Seq("id_a", "lang"))
+        .select("id_a", "id_b")
+      connectedComponents(pairs)
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
+    },
+
     // L4d — edit-distance similarity on bounded candidates (levenshtein
     // is O(len²) per pair — NEVER run corpus-wide; here the deterministic
     // adjacent-pair set stands in for LSH candidates, same as dd4).

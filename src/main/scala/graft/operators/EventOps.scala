@@ -349,6 +349,50 @@ object EventOps {
         .orderBy("prev", "next")
     },
 
+    // T25 — conversion-latency distribution: seconds from a user's first
+    // view to their first SUBSEQUENT purchase, summarized as exact order
+    // statistics (p50/p90 as explicit rank picks over integer seconds —
+    // shared integer rank formulas on both engines, so no
+    // quantile-definition drift can bite). Per-user reductions shuffle
+    // user keys; the global ranking runs on the CONVERTS frame
+    // (users-sized, not events-sized).
+    Q(
+      "ev19_time_to_convert",
+      """WITH fv AS (SELECT user_id, min(ts) AS vts FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |fp AS (SELECT e.user_id, min(e.ts) AS pts
+        |       FROM events e JOIN fv ON e.user_id = fv.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > fv.vts GROUP BY 1),
+        |dd AS (SELECT fv.user_id,
+        |         (epoch_us(pts) - epoch_us(vts)) // 1000000 AS delta_s
+        |       FROM fv JOIN fp ON fv.user_id = fp.user_id),
+        |r AS (SELECT user_id, delta_s,
+        |        row_number() OVER (ORDER BY delta_s, user_id) AS rn,
+        |        count(*) OVER () AS n FROM dd)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converts,
+        |  CAST(max(CASE WHEN rn = (n+1)//2 THEN delta_s END) AS BIGINT) AS p50_s,
+        |  CAST(max(CASE WHEN rn = (n*9+9)//10 THEN delta_s END) AS BIGINT) AS p90_s,
+        |  CAST(max(delta_s) AS BIGINT) AS max_s
+        |FROM r""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vts"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fv, Seq("user_id")).filter(col("ts") > col("vts"))
+        .groupBy("user_id").agg(min("ts").as("pts"))
+      val dd = fv.join(fp, Seq("user_id"))
+        .select(col("user_id"),
+          expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000").as("delta_s"))
+      val r = dd.select(col("user_id"), col("delta_s"),
+        row_number().over(Window.orderBy(col("delta_s"), col("user_id"))).as("rn"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      r.agg(max("n").cast("long").as("n_converts"),
+        max(when(col("rn") === expr("(n+1) DIV 2"), col("delta_s"))).cast("long").as("p50_s"),
+        max(when(col("rn") === expr("(n*9+9) DIV 10"), col("delta_s"))).cast("long").as("p90_s"),
+        max("delta_s").cast("long").as("max_s"))
+    },
+
     // T6b — typed XML extraction (the third semi-structured codec after
     // ev3/ev4's JSON paths): events re-serialized as XML records in the
     // scan projection, then parsed back through `from_xml` with an
