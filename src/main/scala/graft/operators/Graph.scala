@@ -363,6 +363,42 @@ object Graph {
         .limit(50)
     },
 
+    // R79 — degree distribution over the 3-out functional graph: the
+    // first graph-health readout (hubs? isolates? is the k-core knob
+    // sensible?) before any iterative algorithm is worth running.
+    // Undirected distinct edges → one degree aggregate → the
+    // |distinct degrees|-row histogram; oracle replays the same
+    // construction in SQL.
+    Q(
+      "gr7_degree_histogram",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |sym AS (SELECT u AS node FROM e UNION ALL SELECT v FROM e),
+        |deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY 1)
+        |SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    },
+
     // R75 — k-core decomposition over the same 3-out functional graph.
     // Rows-only: iterate-to-fixpoint peeling has no portable recursive
     // CTE (each round re-aggregates degrees); GraphSpec pins the planted
