@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, EventOps, Graph, IncrementalAgg, MediaOps, Olap, Relational, Scd, SearchIndex, Similarity, Temporal, TextOps, TextRank}
+import graft.operators.{Analytics, Corpus, Dedup, EventOps, Graph, IncrementalAgg, MediaOps, Olap, Relational, Scd, SearchIndex, Similarity, Temporal, TextOps, TextRank}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,6 +13,7 @@ object SparkEntry {
       EventOps.catalog ++ Temporal.catalog ++ MediaOps.catalog ++
       Graph.catalog ++ Scd.catalog ++ Corpus.catalog ++
       IncrementalAgg.catalog ++ SearchIndex.catalog ++
+      Analytics.catalog ++
       graft.sources.v2.SeqDataSource.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -620,6 +620,123 @@ object EventOps {
             .otherwise(expr("(p.c * (f.h - hh) + f.c * (hh - p.h)) DIV (f.h - p.h)"))
             .as("cents_filled"))
         .orderBy("hh")
+    },
+
+    // T26 — change-point detection via integer CUSUM: per event type,
+    // the hour where the cumulative deviation of hourly counts from the
+    // type's mean peaks. Deviations are cleared of the float mean by
+    // scaling with the hour count (ev9's trick): CUSUM_h = n·cum_h − h·T
+    // where cum_h is the running count, T the type total, n the number
+    // of observed hours — exact longs under any partitioning. Peak =
+    // max |CUSUM| with earliest-hour tie-break via a min-struct argmax.
+    // Two fixed-width shuffles (hourly reduction, per-type windows over
+    // the hours-sized frame).
+    Q(
+      "ev20_cusum",
+      """WITH hc AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |              count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hr, c,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY hr
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hr) AS h,
+        |        sum(c) OVER (PARTITION BY event_type) AS t,
+        |        count(*) OVER (PARTITION BY event_type) AS n
+        |      FROM hc),
+        |s AS (SELECT event_type, hr, abs(n*cum - h*t) AS dev FROM w)
+        |SELECT event_type,
+        |  min(CASE WHEN dev = mx THEN hr END) AS peak_hour,
+        |  CAST(max(dev) AS BIGINT) AS peak_dev
+        |FROM (SELECT event_type, hr, dev,
+        |        max(dev) OVER (PARTITION BY event_type) AS mx FROM s) z
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy("event_type")
+      val ordered = byType.orderBy("hr")
+      val w = hc
+        .withColumn("cum", sum("c").over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("h", row_number().over(ordered).cast("long"))
+        .withColumn("t", sum("c").over(byType))
+        .withColumn("n", count(lit(1)).over(byType))
+        .withColumn("dev", abs(col("n") * col("cum") - col("h") * col("t")))
+      w.withColumn("mx", max("dev").over(byType))
+        .groupBy("event_type")
+        .agg(min(when(col("dev") === col("mx"), col("hr"))).as("peak_hour"),
+          max("dev").as("peak_dev"))
+        .orderBy("event_type")
+    },
+
+    // T27 — burst detection (rate-limit / abuse readout): each user's
+    // maximum event count inside any trailing 60-second window, via a
+    // VALUE-based RANGE frame over integer epoch seconds (q65's
+    // precedent — peers at the same second aggregate together, which a
+    // ROWS frame cannot express). Top-30 burstiest users with a total
+    // order. One user-key shuffle; frames are per-user event-sized.
+    Q(
+      "ev21_burst",
+      """WITH t AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS sec
+        |           FROM events),
+        |b AS (SELECT user_id,
+        |        count(*) OVER (PARTITION BY user_id ORDER BY sec
+        |                       RANGE BETWEEN 59 PRECEDING AND CURRENT ROW) AS w
+        |      FROM t)
+        |SELECT user_id, CAST(max(w) AS BIGINT) AS burst
+        |FROM b GROUP BY 1
+        |ORDER BY burst DESC, user_id LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val t = Tables.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts) DIV 1000000").as("sec"))
+      val frame = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-59, 0)
+      t.withColumn("w", count(lit(1)).over(frame))
+        .groupBy("user_id").agg(max("w").as("burst"))
+        .orderBy(desc("burst"), col("user_id")).limit(30)
+    },
+
+    // T28 — lag-1 autocorrelation of the hourly count series per event
+    // type (periodicity / trend readout): consecutive-hour pairs via
+    // lead() over the observed-hours frame, then Pearson over the pairs
+    // with EXACT integer moments and q60's fixed double tree — so the
+    // hash compare is a true equality. Degenerate series (constant
+    // counts) yield NULL on both engines (0/0). Hourly reduction is the
+    // only events-sized shuffle.
+    Q(
+      "ev22_autocorr",
+      """WITH hc AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |              count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, c AS a,
+        |        lead(c) OVER (PARTITION BY event_type ORDER BY hr) AS b
+        |      FROM hc),
+        |m AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |        CAST(sum(a*a) AS BIGINT) AS saa, CAST(sum(b*b) AS BIGINT) AS sbb,
+        |        CAST(sum(a*b) AS BIGINT) AS sab
+        |      FROM p WHERE b IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(n*sab - sa*sb AS DOUBLE)
+        |    / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+        |       * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))) AS autocorr
+        |FROM m ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val p = hc.select(col("event_type"), col("c").as("a"),
+          lead("c", 1).over(Window.partitionBy("event_type").orderBy("hr")).as("b"))
+        .filter(col("b").isNotNull)
+      p.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
+          sum(col("a") * col("a")).as("saa"), sum(col("b") * col("b")).as("sbb"),
+          sum(col("a") * col("b")).as("sab"))
+        .select(col("event_type"), col("n"),
+          ((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+            / (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+              * sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+            .as("autocorr"))
+        .orderBy("event_type")
     }
   )
 }

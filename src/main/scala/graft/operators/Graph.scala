@@ -411,6 +411,115 @@ object Graph {
         ((col("doc_id") * mult + add) % n).as("dst"))
       val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
       kCore(e, k = 3).orderBy("node")
+    },
+
+    // R85 — link prediction by common-neighbor count: the top
+    // NON-adjacent pairs sharing the most neighbors (the simplest
+    // link-prediction score, and the candidate generator Adamic-Adar /
+    // Jaccard variants rerank). Pairs come from ONE equi-join of the
+    // symmetric adjacency on the shared neighbor — fan-out Σ d(v)² like
+    // gr3's wedge join, never node×node — then an anti-join drops
+    // existing edges. Top-30 under a total order.
+    Q(
+      "gr8_common_neighbors",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |cn AS (SELECT a1.node AS a, a2.node AS b, count(*) AS common
+        |       FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+        |       GROUP BY 1, 2),
+        |nonadj AS (SELECT cn.a, cn.b, cn.common FROM cn
+        |           LEFT JOIN e ON cn.a = e.u AND cn.b = e.v
+        |           WHERE e.u IS NULL)
+        |SELECT a, b, CAST(common AS BIGINT) AS common
+        |FROM nonadj ORDER BY common DESC, a, b LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // adjacency (twice) + anti-join consume it
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+      val cn = adj.select(col("node").as("a"), col("nbr"))
+        .join(adj.select(col("node").as("b"), col("nbr")), "nbr")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
+        .orderBy(desc("common"), col("a"), col("b")).limit(30)
+    },
+
+    // R86 — local clustering coefficient: per node, the fraction of its
+    // neighbor pairs that are themselves connected, in integer permille
+    // ((2·t·1000) DIV (deg·(deg−1))). Triangles-per-node reuses gr3's
+    // two-shuffle u<v<w enumeration (each triangle credits all three
+    // corners); degrees are one aggregate. The permille stays integral
+    // so the hash compare is exact; nodes with deg < 2 are excluded
+    // (coefficient undefined). Top-30 most-clustered under a total
+    // order.
+    Q(
+      "gr9_clustering",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |tri AS (SELECT e1.u AS u, e1.v AS v, e2.v AS w
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT node, count(*) AS t FROM (
+        |         SELECT u AS node FROM tri UNION ALL
+        |         SELECT v FROM tri UNION ALL
+        |         SELECT w FROM tri) x GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS deg FROM (
+        |          SELECT u AS node FROM e UNION ALL SELECT v FROM e) s GROUP BY 1)
+        |SELECT deg.node, CAST(deg AS BIGINT) AS degree,
+        |  CAST(coalesce(t, 0) AS BIGINT) AS triangles,
+        |  (coalesce(t, 0) * 2 * 1000) // (deg * (deg - 1)) AS coeff_permille
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |WHERE deg >= 2
+        |ORDER BY coeff_permille DESC, deg.node LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // triangle joins + degree agg consume it
+      val wedges = e.select(col("u"), col("v"))
+        .join(e.select(col("u").as("v"), col("v").as("w")), "v")
+      val tri = wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
+        .select(col("u"), col("v"), col("w"))
+      val tc = tri.select(col("u").as("node"))
+        .unionByName(tri.select(col("v").as("node")))
+        .unionByName(tri.select(col("w").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("t"))
+      val deg = e.select(col("u").as("node")).unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      deg.join(tc, Seq("node"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("node"), col("deg").as("degree"),
+          coalesce(col("t"), lit(0L)).as("triangles"),
+          expr("(coalesce(t, 0) * 2 * 1000) DIV (deg * (deg - 1))").as("coeff_permille"))
+        .orderBy(desc("coeff_permille"), col("node")).limit(30)
     }
   )
 }
