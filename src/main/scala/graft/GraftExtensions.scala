@@ -56,5 +56,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.RewriteWindowTopK). Toggle:
     // spark.graft.topkRewrite.enabled (default on).
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    // Whole-operator physical extension: `left.join(right,
+    // asof_match(lk, rk, lt, rt), "left")` plans as the partitioned
+    // sort-merge AsOfJoinExec (see graft.plans.AsOfJoinExec). The marker
+    // predicate is Unevaluable, so a session without the strategy fails
+    // loudly instead of computing something else.
+    ext.injectFunction((
+      new FunctionIdentifier("asof_match"),
+      new ExpressionInfo(classOf[graft.plans.AsOfMatch].getName, null, "asof_match",
+        "asof_match(lk, rk, lt, rt) - marker join condition planned as AsOfJoinExec " +
+          "(latest right row with rk = lk and rt <= lt per left row)", ""),
+      (children: Seq[Expression]) =>
+        graft.plans.AsOfMatch(children.head, children(1), children(2), children(3))))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -61,6 +61,26 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** [[asof]] through the native physical operator
+    * ([[graft.plans.AsOfJoinExec]]) instead of the union–window
+    * composition: each side shuffles and sorts independently on
+    * (key, time) and a single forward merge pass attaches the latest
+    * at-or-before right row — already-bucketed inputs skip the exchange
+    * entirely, which the composition cannot. Requires
+    * [[graft.GraftExtensions]] on the session (every graft session has
+    * it). Contract: `right`'s non-key columns must not collide with
+    * `left`'s (the key is renamed internally and dropped); right rows
+    * unique per (key, time) — DuckDB ASOF's own contract.
+    */
+  def asofNative(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String): DataFrame = {
+    val r = right.withColumnRenamed(key, "__rk")
+    left.join(r,
+        call_function("asof_match",
+          left(key), r("__rk"), left(leftTs), r(rightTs)), "left")
+      .drop("__rk")
+  }
+
   /** Numeric range join: rows of `fact` matched to intervals of `ranges`
     * satisfying `lo <= v < hi`, as an equi-join on bucketed values.
     *

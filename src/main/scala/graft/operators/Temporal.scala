@@ -37,6 +37,32 @@ object Temporal {
         .orderBy("event_id")
     },
 
+    // aj1 again THROUGH THE PHYSICAL OPERATOR (graft.plans.AsOfJoinExec,
+    // planned from the asof_match marker by the injected strategy): the
+    // same DuckDB ASOF oracle certifies the custom exec end-to-end, and
+    // AsOfExecSpec pins that the plan really contains AsOfJoinExec — so
+    // this entry is to the physical rung what q74 is to the optimizer
+    // rung.
+    Q(
+      "aj2_asof_exec",
+      """WITH v AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
+        |FROM c ASOF LEFT JOIN v
+        |  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+        |ORDER BY c.event_id""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max("value").as("view_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      AsOfJoin.asofNative(purchases, views, "user_id", "ts", "view_ts")
+        .orderBy("event_id")
+    },
+
     // Range join: orders bucketed into 50k price bands via the
     // bucketed-equi-join formulation (never a nested loop).
     Q(
