@@ -183,6 +183,136 @@ object Analytics {
           sum(when(lit(5) * (col("cum") - col("rev")) < lit(4) * col("total"), 1)
             .otherwise(0)).as("k80"))
         .orderBy("n_name")
+    },
+
+    // R87 — RFM customer segmentation (recency / frequency / monetary
+    // quintile scores): the marketing-analytics staple. Scores come from
+    // BROADCAST quantile boundaries + codegen'd comparison sums — q71's
+    // pattern, deliberately NOT a global ntile() (a total sort through
+    // one partition at 100 TB). All three boundary sets ride ONE 1-row
+    // aggregate; day arithmetic is integer DATE diffs; output is the
+    // ≤125-cell segment matrix. Boundaries rounded 4dp both engines
+    // (q47 license); approx_percentile is the stated 100 TB swap.
+    Q(
+      "q83_rfm",
+      """WITH cr AS (
+        |  SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS f,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS m
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_d) AS anchor FROM cr),
+        |r AS (SELECT o_custkey, date_diff('day', last_d, anchor) AS r_days, f, m
+        |      FROM cr CROSS JOIN a),
+        |b AS (SELECT
+        |    round(quantile_cont(r_days, 0.2), 4) AS r1, round(quantile_cont(r_days, 0.4), 4) AS r2,
+        |    round(quantile_cont(r_days, 0.6), 4) AS r3, round(quantile_cont(r_days, 0.8), 4) AS r4,
+        |    round(quantile_cont(f, 0.2), 4) AS f1, round(quantile_cont(f, 0.4), 4) AS f2,
+        |    round(quantile_cont(f, 0.6), 4) AS f3, round(quantile_cont(f, 0.8), 4) AS f4,
+        |    round(quantile_cont(m, 0.2), 4) AS m1, round(quantile_cont(m, 0.4), 4) AS m2,
+        |    round(quantile_cont(m, 0.6), 4) AS m3, round(quantile_cont(m, 0.8), 4) AS m4
+        |  FROM r)
+        |SELECT
+        |  1 + CAST(r_days > r1 AS INT) + CAST(r_days > r2 AS INT)
+        |    + CAST(r_days > r3 AS INT) + CAST(r_days > r4 AS INT) AS r_score,
+        |  1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+        |    + CAST(f > f3 AS INT) + CAST(f > f4 AS INT) AS f_score,
+        |  1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT)
+        |    + CAST(m > m3 AS INT) + CAST(m > m4 AS INT) AS m_score,
+        |  count(*) AS n_customers
+        |FROM r CROSS JOIN b
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    ) { (s, d) =>
+      val cr = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+          count(lit(1)).as("f"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+      val a = cr.agg(max("last_d").as("anchor"))
+      val r = cr.crossJoin(broadcast(a))
+        .select(col("o_custkey"), datediff(col("anchor"), col("last_d")).as("r_days"),
+          col("f"), col("m"))
+        .localCheckpoint(true) // boundary agg + assignment share the frame
+      val qs = Seq(0.2, 0.4, 0.6, 0.8)
+      def bounds(c: String, pfx: String) = qs.zipWithIndex.map { case (p, i) =>
+        round(expr(s"percentile($c, $p)"), 4).as(s"$pfx${i + 1}")
+      }
+      val b = r.agg(bounds("r_days", "r").head,
+        (bounds("r_days", "r").tail ++ bounds("f", "f") ++ bounds("m", "m")): _*)
+      def score(c: String, pfx: String) = lit(1) +
+        (1 to 4).map(i => (col(c) > col(s"$pfx$i")).cast("int")).reduce(_ + _)
+      r.crossJoin(broadcast(b))
+        .groupBy(score("r_days", "r").as("r_score"), score("f", "f").as("f_score"),
+          score("m", "m").as("m_score"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+
+    // R88 — Benford leading-digit profile (fraud / data-quality
+    // screening): the distribution of first digits of the money column,
+    // in integer permille against the row total. Purely scan-local
+    // string-of-integer arithmetic plus one 9-row aggregate.
+    Q(
+      "q84_benford",
+      """WITH dg AS (SELECT substring(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS digit
+        |            FROM lineitem),
+        |t AS (SELECT count(*) AS total FROM dg)
+        |SELECT digit, count(*) AS n,
+        |  (count(*) * 1000) // max(total) AS permille
+        |FROM dg CROSS JOIN t
+        |GROUP BY digit ORDER BY digit""".stripMargin
+    ) { (s, d) =>
+      val dg = Tables.lineitem(s, d)
+        .select(substring(round(col("l_extendedprice") * 100).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .localCheckpoint(true) // total + per-digit agg share one scan
+      val t = dg.agg(count(lit(1)).as("total"))
+      dg.crossJoin(broadcast(t))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"),
+          expr("(count(1) * 1000) DIV max(total)").as("permille"))
+        .orderBy("digit")
+    },
+
+    // R89 — referential-integrity audit (the data-quality gate a
+    // warehouse runs before trusting joins): orphan counts per foreign
+    // key, each an anti join on the pruned KEY COLUMNS only — fixed-width
+    // keys shuffle (or the dim broadcasts when AQE sizes it small), the
+    // fact is touched once per check. Zero orphans is the expected
+    // answer on sound data; the entry certifies the CHECK, the oracle
+    // certifies the zeros.
+    Q(
+      "q85_ref_integrity",
+      """SELECT 'lineitem->orders' AS fk, (SELECT count(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |  AS n_orphans
+        |UNION ALL
+        |SELECT 'lineitem->part', (SELECT count(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+        |UNION ALL
+        |SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+        |UNION ALL
+        |SELECT 'orders->customer', (SELECT count(*) FROM orders
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |ORDER BY fk""".stripMargin
+    ) { (s, d) =>
+      def orphans(label: String, child: org.apache.spark.sql.DataFrame, key: String,
+                  parent: org.apache.spark.sql.DataFrame, pkey: String) =
+        child.select(col(key))
+          .join(parent.select(col(pkey)), col(key) === col(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(label).as("fk"), col("n_orphans"))
+      orphans("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+          Tables.orders(s, d), "o_orderkey")
+        .unionByName(orphans("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+          Tables.part(s, d), "p_partkey"))
+        .unionByName(orphans("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(orphans("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey"))
+        .orderBy("fk")
     }
   )
 }

@@ -291,6 +291,45 @@ object Corpus {
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_chunks"), sum(col("n_tok")).as("bin_tokens"))
         .orderBy("lang", "bin")
+    },
+
+    // L49 — vocabulary growth curve (Heaps-law readout): how fast the
+    // corpus keeps meeting NEW terms as it is consumed in doc_id order —
+    // the "is more data still adding vocabulary" saturation signal that
+    // sizes tokenizer training (tx20's vocab) and data-collection
+    // stopping rules. Each term contributes only its FIRST document
+    // (min(doc_id) — one vocabulary-sized aggregate), docs are split
+    // into 10 integer id-range slices via a broadcast 1-row max, and the
+    // cumulative vocabulary is a window over the 10-row slice frame.
+    // All integers end to end.
+    Q(
+      "tx22_vocab_growth",
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |t2 AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        |ft AS (SELECT term, min(doc_id) AS first_doc FROM t2 GROUP BY 1),
+        |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |sl AS (SELECT (first_doc * 10) // m AS slice, count(*) AS new_terms
+        |       FROM ft CROSS JOIN mx GROUP BY 1)
+        |SELECT slice, CAST(new_terms AS BIGINT) AS new_terms,
+        |  CAST(sum(new_terms) OVER (ORDER BY slice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM sl ORDER BY slice""".stripMargin
+    ) { (s, d) =>
+      val t2 = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val ft = t2.groupBy("term").agg(min("doc_id").as("first_doc"))
+      val mx = Tables.documents(s, d).agg((max("doc_id") + 1).as("m"))
+      val sl = ft.crossJoin(broadcast(mx))
+        .groupBy(expr("(first_doc * 10) DIV m").as("slice"))
+        .agg(count(lit(1)).as("new_terms"))
+      // 10-row frame: the global window is bounded by construction
+      sl.withColumn("cum_vocab",
+          sum("new_terms").over(Window.orderBy("slice")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("slice")
     }
   )
 }

@@ -460,6 +460,65 @@ object Graph {
         .orderBy(desc("common"), col("a"), col("b")).limit(30)
     },
 
+    // R87b — degree assortativity (do hubs link to hubs?): Pearson
+    // correlation of endpoint degrees over all DIRECTED edge instances
+    // (both orientations of each undirected edge — the standard
+    // definition). Degrees are one aggregate joined onto the edge frame;
+    // the moments are exact integer sums and the coefficient is q60's
+    // fixed double tree, so the hash compare is exact.
+    Q(
+      "gr10_assortativity",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY 1),
+        |p AS (SELECT du.deg AS x, dv.deg AS y FROM sym
+        |      JOIN deg du ON sym.node = du.node
+        |      JOIN deg dv ON sym.nbr = dv.node),
+        |m AS (SELECT count(*) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy
+        |      FROM p)
+        |SELECT n,
+        |  CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS assortativity
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+      val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+      val p = sym
+        .join(deg.select(col("node"), col("deg").as("x")), Seq("node"))
+        .join(deg.select(col("node").as("nbr"), col("deg").as("y")), Seq("nbr"))
+        .select(col("x"), col("y"))
+      p.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("assortativity"))
+    },
+
     // R86 — local clustering coefficient: per node, the fraction of its
     // neighbor pairs that are themselves connected, in integer permille
     // ((2·t·1000) DIV (deg·(deg−1))). Triangles-per-node reuses gr3's
