@@ -278,6 +278,34 @@ object ScaleProbe {
         .spearman(li, "l_returnflag", "l_extendedprice", "l_quantity")
         .count()
     }
+    // r4 third continuation: as-of join, composition vs native exec on
+    // replicated events (distinct user spaces per replica, so per-key
+    // density is constant and growth isolates the plan shape). The
+    // composition shuffles LEFT+RIGHT together and windows the union;
+    // the exec shuffles each side and merges — both should be linear,
+    // with the exec saving the window-state pass.
+    def asofFrames(): (DataFrame, DataFrame) = {
+      val ev = (0 until rep).map { i =>
+        Tables.events(spark, d).select(
+          (col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("ts"), col("event_id"), col("event_type"), col("value"))
+      }.reduce(_ union _)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts").as("view_ts"))
+        .agg(max("value").as("view_value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      (purchases, views)
+    }
+    time("asof_composition") {
+      val (p, v) = asofFrames()
+      graft.operators.AsOfJoin.asof(p, v.withColumn("ts", col("view_ts")),
+        Seq("user_id"), "ts", Seq("view_ts", "view_value"), lit(0)).count()
+    }
+    time("asof_native_exec") {
+      val (p, v) = asofFrames()
+      graft.operators.AsOfJoin.asofNative(p, v, "user_id", "ts", "view_ts").count()
+    }
     spark.stop()
   }
 }

@@ -622,6 +622,55 @@ object EventOps {
         .orderBy("hh")
     },
 
+    // T29 — session path mining (sequential-pattern readout): the top
+    // opening event-type sequences (first 3 events) across ev2's 30-min
+    // gap sessions — the "how do sessions start" funnel-discovery query.
+    // Sessions come from the same lag/cumsum windows as ev2 (one
+    // user-key shuffle); each session reduces to ONE ordered path string
+    // via sort_array(collect_list(struct)) — per-session arrays are
+    // session-sized, bounded by the gap rule, and sliced to 3 before
+    // leaving the aggregate. Top-20 paths under a total order.
+    Q(
+      "ev23_session_paths",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x),
+        |p AS (
+        |  SELECT user_id, sid,
+        |    array_to_string((list(event_type ORDER BY ts, event_id))[1:3], '>') AS path
+        |  FROM y GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(array_join(
+          slice(transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), 1, 3), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path")).limit(20)
+    },
+
     // T26 — change-point detection via integer CUSUM: per event type,
     // the hour where the cumulative deviation of hourly counts from the
     // type's mean peaks. Deviations are cleared of the float mean by

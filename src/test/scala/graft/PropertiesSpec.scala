@@ -95,4 +95,29 @@ class PropertiesSpec extends SparkSpecBase {
       sound && again == core
     }, trials = 12)
   }
+
+  test("AsOfJoinExec equals the sequential as-of reference on random frames") {
+    // narrow key/time domains force dense per-key collisions, exact ties,
+    // and empty-key edges — the merge pass's hard cases
+    val gen = for {
+      nl <- Gen.choose(0, 40)
+      nr <- Gen.choose(0, 40)
+      l <- Gen.listOfN(nl, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L)))
+      r <- Gen.listOfN(nr, Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L)))
+    } yield (l.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      // unique per (key, time): keep the max value, like aj1's pre-agg
+      r.groupBy(identity).keys.toList.sorted
+        .map { case (k, t) => (k, t, k * 100 + t) })
+    check(Prop.forAll(gen) { case (lefts, rights) =>
+      val expected = lefts.map { case (id, k, t) =>
+        id -> rights.filter(rr => rr._1 == k && rr._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      val ldf = lefts.toDF("id", "k", "t")
+      val rdf = rights.toDF("k", "rt", "v")
+      val got = operators.AsOfJoin.asofNative(ldf, rdf, "k", "t", "rt")
+        .select("id", "v").as[(Long, Option[Long])].collect().toMap
+      got == expected
+    }, trials = 12)
+  }
 }
