@@ -313,6 +313,89 @@ object Analytics {
         .unionByName(orphans("orders->customer", Tables.orders(s, d), "o_custkey",
           Tables.customer(s, d), "c_custkey"))
         .orderBy("fk")
+    },
+
+    // R90 — Gini coefficient of customer spend per market segment (the
+    // inequality readout behind every "how concentrated is our revenue"
+    // question; pairs with q81's HHI and q82's Pareto share). Rank
+    // formula G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over cents: the
+    // rank product sums in decimal(38,0) (HUGEINT in DuckDB), and the
+    // ONE double expression at the end is the identical tree both
+    // engines. Ties in x make Σ i·x_i order-independent among tied
+    // ranks, so row_number's custkey tie-break is for determinism only.
+    // Shape: fact→per-customer agg (one shuffle), then the rank window
+    // runs on the CUSTOMER-sized frame, never the fact; at warehouse
+    // scale the per-segment sort would go range-partitioned prefix-rank,
+    // same algebra.
+    Q(
+      "q86_gini",
+      """WITH spend AS (
+        |  SELECT c_mktsegment, o_custkey,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY cents, o_custkey) AS i
+        |  FROM spend)
+        |SELECT c_mktsegment, count(*) AS n_cust,
+        |  (2.0 * CAST(sum(CAST(i AS HUGEINT) * CAST(cents AS HUGEINT)) AS DOUBLE)
+        |   - (CAST(count(*) AS DOUBLE) + 1.0) * CAST(sum(cents) AS DOUBLE))
+        |  / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)) AS gini
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val spend = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_custkey"))
+      val ranked = spend.withColumn("i", row_number().over(w))
+      ranked.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("i").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)"))
+            .as("ix"),
+          sum("cents").as("sx"))
+        .select(col("c_mktsegment"), col("n_cust"),
+          ((lit(2.0) * col("ix").cast("double")
+            - (col("n_cust").cast("double") + lit(1.0)) * col("sx").cast("double"))
+            / (col("n_cust").cast("double") * col("sx").cast("double"))).as("gini"))
+        .orderBy("c_mktsegment")
+    },
+
+    // R91 — weighted median (the revenue-weighted "typical" quantity:
+    // half the DOLLARS sit at or below it, where q80's MAD and plain
+    // medians weight every row equally). Exact integer algebra end to
+    // end: weights are cents, the fact reduces map-side to one row per
+    // (flag, qty) before any window runs, and the cumulative window
+    // then walks |distinct qty| rows per flag — never the fact. The
+    // answer is min{q : 2·cumw(q) ≥ totw}, pure bigint comparisons.
+    Q(
+      "q87_weighted_median",
+      """WITH w AS (
+        |  SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS wt
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, qty, wt,
+        |    sum(wt) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM w)
+        |SELECT l_returnflag, min(qty) AS wmedian_qty
+        |FROM c WHERE 2*cum >= tot GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val byQty = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), round(col("l_quantity")).cast("long").as("qty"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("wt"))
+      val ord = Window.partitionBy("l_returnflag").orderBy("qty")
+      byQty
+        .withColumn("cum", sum("wt").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot", sum("wt").over(Window.partitionBy("l_returnflag")))
+        .filter(lit(2) * col("cum") >= col("tot"))
+        .groupBy("l_returnflag").agg(min("qty").as("wmedian_qty"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -330,6 +330,121 @@ object Corpus {
           sum("new_terms").over(Window.orderBy("slice")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("slice")
+    },
+
+    // L50 — Zipf rank-frequency slope: OLS fit of log2(freq) on
+    // log2(rank) over the top-V terms. Natural text sits near −1;
+    // a flat slope flags templated/synthetic corpora, a cliff flags
+    // boilerplate domination — the one-number distribution-shape
+    // diagnostic next to tx22's growth curve. The term-count aggregate
+    // is the only corpus-sized shuffle; top-V is TakeOrderedAndProject
+    // (k rows per map task) and the regression runs on the V-row frame
+    // (rank window on ≤V rows, documented bounded). Per tx19's
+    // discipline, each per-term transcendental TERM is micro-quantized
+    // (round(1e6·v) AS BIGINT) so the sums are order-invariant longs,
+    // and the final slope/intercept is ONE double tree over them.
+    Q(
+      "tx23_zipf_slope",
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk
+        |       WHERE term <> '' GROUP BY 1),
+        |top AS (SELECT term, cnt FROM tc
+        |        QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= 200),
+        |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rnk
+        |       FROM top),
+        |q AS (SELECT
+        |    CAST(round(1000000 * log2(CAST(rnk AS DOUBLE))) AS BIGINT) AS qx,
+        |    CAST(round(1000000 * log2(CAST(cnt AS DOUBLE))) AS BIGINT) AS qy,
+        |    CAST(round(1000000 * log2(CAST(rnk AS DOUBLE))
+        |         * log2(CAST(cnt AS DOUBLE))) AS BIGINT) AS qxy,
+        |    CAST(round(1000000 * log2(CAST(rnk AS DOUBLE))
+        |         * log2(CAST(rnk AS DOUBLE))) AS BIGINT) AS qx2
+        |  FROM rk)
+        |SELECT count(*) AS n_terms,
+        |  (CAST(count(*) AS DOUBLE) * (CAST(sum(qxy) AS DOUBLE) * 0.000001)
+        |   - (CAST(sum(qx) AS DOUBLE) * 0.000001) * (CAST(sum(qy) AS DOUBLE) * 0.000001))
+        |  / (CAST(count(*) AS DOUBLE) * (CAST(sum(qx2) AS DOUBLE) * 0.000001)
+        |   - (CAST(sum(qx) AS DOUBLE) * 0.000001) * (CAST(sum(qx) AS DOUBLE) * 0.000001))
+        |  AS zipf_slope
+        |FROM q""".stripMargin
+    ) { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val top = tc.orderBy(desc("cnt"), col("term")).limit(200)
+      val rk = top.withColumn("rnk",
+        row_number().over(Window.orderBy(desc("cnt"), col("term"))))
+      val lx = log2(col("rnk").cast("double"))
+      val ly = log2(col("cnt").cast("double"))
+      val q = rk.select(
+        round(lit(1000000) * lx).cast("long").as("qx"),
+        round(lit(1000000) * ly).cast("long").as("qy"),
+        round(lit(1000000) * lx * ly).cast("long").as("qxy"),
+        round(lit(1000000) * lx * lx).cast("long").as("qx2"))
+      q.agg(count(lit(1)).as("n_terms"),
+          sum("qx").as("sqx"), sum("qy").as("sqy"),
+          sum("qxy").as("sqxy"), sum("qx2").as("sqx2"))
+        .select(col("n_terms"),
+          ((col("n_terms").cast("double") * (col("sqxy").cast("double") * lit(0.000001))
+            - (col("sqx").cast("double") * lit(0.000001))
+              * (col("sqy").cast("double") * lit(0.000001)))
+          / (col("n_terms").cast("double") * (col("sqx2").cast("double") * lit(0.000001))
+            - (col("sqx").cast("double") * lit(0.000001))
+              * (col("sqx").cast("double") * lit(0.000001)))).as("zipf_slope"))
+    },
+
+    // L51 — lexical-complexity profile per language: mean word length,
+    // vowel-group rate (the classic syllables-per-word proxy), and the
+    // long-word share — the reading-level features a quality classifier
+    // consumes when real punctuation (tx3's signal) is absent. Every
+    // numerator/denominator is an exact integer sum — vowel groups are
+    // counted by pure LENGTH ARITHMETIC on two regexp_replace forms
+    // (never an explode per character) — and the two ratios are single
+    // double divisions over the aggregated bigints; the long-word share
+    // stays all-integer (permille via DIV). One token explode feeds the
+    // long-word count; everything else is scan-local per document.
+    Q(
+      "tx24_lexical_complexity",
+      """WITH perdoc AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS words,
+        |    length(replace(text, ' ', '')) AS chars,
+        |    length(regexp_replace(lower(text), '[aeiou]+', '#', 'g'))
+        |      - length(regexp_replace(lower(text), '[aeiou]+', '', 'g')) AS vgroups
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, CAST(sum(words) AS BIGINT) AS w,
+        |    CAST(sum(chars) AS BIGINT) AS c, CAST(sum(vgroups) AS BIGINT) AS v
+        |  FROM perdoc GROUP BY 1),
+        |lw AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nlong FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  WHERE length(term) > 5 GROUP BY 1)
+        |SELECT lang, w AS n_words,
+        |  CAST(c AS DOUBLE) / CAST(w AS DOUBLE) AS avg_word_len,
+        |  CAST(v AS DOUBLE) / CAST(w AS DOUBLE) AS syllables_per_word,
+        |  nlong * 1000 // w AS long_permille
+        |FROM agg JOIN lw USING (lang) ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val lo = lower(col("text"))
+      val perdoc = Tables.documents(s, d).select(col("lang"),
+        size(filter(split(col("text"), " "), x => x =!= "")).as("words"),
+        length(regexp_replace(col("text"), " ", "")).as("chars"),
+        (length(regexp_replace(lo, "[aeiou]+", "#"))
+          - length(regexp_replace(lo, "[aeiou]+", ""))).as("vgroups"))
+      val agg = perdoc.groupBy("lang")
+        .agg(sum("words").as("w"), sum("chars").as("c"), sum("vgroups").as("v"))
+      val lw = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .filter(length(col("term")) > 5)
+        .groupBy("lang").agg(count(lit(1)).as("nlong"))
+      agg.join(lw, Seq("lang"))
+        .select(col("lang"), col("w").as("n_words"),
+          (col("c").cast("double") / col("w").cast("double")).as("avg_word_len"),
+          (col("v").cast("double") / col("w").cast("double")).as("syllables_per_word"),
+          expr("nlong * 1000 DIV w").as("long_permille"))
+        .orderBy("lang")
     }
   )
 }

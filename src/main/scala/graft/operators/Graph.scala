@@ -100,6 +100,52 @@ object Graph {
     ranks.withColumnRenamed("r", "rank_e12")
   }
 
+  /** HITS hubs & authorities (Kleinberg) in exact fixed-point integers:
+    * authority = Σ hub over in-edges, hub = Σ authority over out-edges,
+    * each vector max-normalized to `Scale` units per iteration with
+    * integral division — like [[pageRank]], float-free so scores are
+    * bit-identical across partitionings/retries. Max-normalization (vs
+    * the textbook L2) keeps the update in integer algebra; the ranking
+    * it induces is the same fixpoint ranking.
+    *
+    * Shape per iteration: two join+agg shuffles (edges ⨝ scores on one
+    * endpoint, aggregated on the other) and two 1-row max aggregates
+    * re-entering as broadcast scalars; frames stay node-sized and
+    * localCheckpoint'd, the driver loop iterates ITERATIONS, never rows.
+    */
+  def hits(edges: DataFrame, nIter: Int = 8): DataFrame = {
+    val Scale = 1000000000L
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    require(!nodes.isEmpty, "hits: empty graph (no non-null edges)")
+    // raw Σ then max-normalize: raw ≤ Scale·maxDegree fits a long; the
+    // Scale·raw product goes through decimal(38,0) before the DIV
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      val mx = raw.agg(max(col(scoreCol)).as("mx"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(mx)) // 1-row scalar
+        .select(col("node"),
+          expr(s"CAST(coalesce($scoreCol, 0L) AS DECIMAL(38,0)) * ${Scale}L" +
+            " DIV CAST(mx AS DECIMAL(38,0))").cast("long").as(scoreCol))
+    }
+    var hub = nodes.withColumn("hub", lit(Scale)).localCheckpoint(true)
+    var auth = hub.select(col("node"), col("hub").as("auth"))
+    (1 to nIter).foreach { _ =>
+      val authRaw = e.join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("auth"))
+      auth = normalized(authRaw, "auth").localCheckpoint(true)
+      val hubRaw = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum("auth").as("hub"))
+      hub = normalized(hubRaw, "hub").localCheckpoint(true)
+    }
+    auth.join(hub, Seq("node"))
+      .select(col("node"), col("auth").as("auth_e9"), col("hub").as("hub_e9"))
+  }
+
   /** Hop-bounded single-source shortest paths (Bellman–Ford relaxation):
     * after `rounds` iterations, `dist` holds the exact minimum-weight
     * path using ≤ `rounds` edges — which equals the min over all ≤rounds
@@ -579,6 +625,60 @@ object Graph {
           coalesce(col("t"), lit(0L)).as("triangles"),
           expr("(coalesce(t, 0) * 2 * 1000) DIV (deg * (deg - 1))").as("coeff_permille"))
         .orderBy(desc("coeff_permille"), col("node")).limit(30)
+    },
+
+    // R92 — directed-edge reciprocity (what share of links are mutual —
+    // the first asymmetry readout on any directed graph: follower
+    // graphs, citation links, hyperlinks). The DIRECTED deterministic
+    // formula graph (no least/greatest fold), mutual pairs found by one
+    // self-join on the reversed edge; both counts are 1-row aggregates
+    // re-entering as broadcast scalars, the ratio exact integral ppm.
+    Q(
+      "gr11_reciprocity",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT a, b FROM raw WHERE a <> b)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM e e1 JOIN e e2 ON e1.a = e2.b AND e1.b = e2.a)
+        |    AS n_mutual,
+        |  (SELECT count(*) FROM e e1 JOIN e e2 ON e1.a = e2.b AND e1.b = e2.a)
+        |    * 1000000 // (SELECT count(*) FROM e) AS recip_ppm""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true) // both counts + the reversed join consume it
+      val mutual = e.join(
+        e.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(mutual.agg(count(lit(1)).as("n_mutual"))))
+        .select(col("n_edges"), col("n_mutual"),
+          expr("n_mutual * 1000000 DIV n_edges").as("recip_ppm"))
+    },
+
+    // R93 — HITS hubs & authorities over the directed formula graph:
+    // the link-analysis complement of gr2's PageRank (endorsement mass
+    // vs the hub/authority duality). Exact fixed-point integers — see
+    // [[hits]]; rows-only (iterative mutual recursion has no portable
+    // recursive CTE), pinned by HitsSpec's BigInt sequential reference
+    // on adversarial small graphs + the determinism audit.
+    Q.rowsOnly("gr12_hits") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("src") =!= col("dst"))
+      hits(e, nIter = 8)
+        .orderBy(desc("auth_e9"), desc("hub_e9"), col("node")).limit(20)
     }
   )
 }

@@ -129,4 +129,52 @@ class GraphSpec extends SparkSpecBase {
     assert(a.sameElements(b))
     assert(a.nonEmpty, "degenerate fixture: functional graph lost its 3-core")
   }
+
+  /** Reference HITS with identical BigInt fixed-point arithmetic:
+    * max-normalized to 1e9 units, auth from hub then hub from the NEW
+    * auth, integral (floor) division — the exact algebra of
+    * [[Graph.hits]], sequential.
+    */
+  private def hitsReference(edges: Seq[(Long, Long)],
+                            nIter: Int): Map[Long, (Long, Long)] = {
+    val HScale = BigInt(1000000000L)
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> HScale).toMap
+    var auth = hub
+    def normalize(raw: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val mx = raw.values.max
+      nodes.map(v => v -> raw.getOrElse(v, BigInt(0)) * HScale / mx).toMap
+    }
+    (1 to nIter).foreach { _ =>
+      auth = normalize(e.groupBy(_._2).view.mapValues(_.map(p => hub(p._1)).sum).toMap)
+      hub = normalize(e.groupBy(_._1).view.mapValues(_.map(p => auth(p._2)).sum).toMap)
+    }
+    nodes.map(v => v -> (auth(v).toLong, hub(v).toLong)).toMap
+  }
+
+  test("hits matches the sequential BigInt reference exactly (pure hub, pure authority, dangling)") {
+    // 0,1 are pure hubs into 2,3 (pure authorities); 4 points at 2 and
+    // is pointed at by 3 (mixed); 5 is a disconnected self-contained pair
+    val edges = Seq((0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (4L, 2L),
+      (3L, 4L), (5L, 6L), (6L, 5L))
+    val got = Graph.hits(edges.toDF("src", "dst"), nIter = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val want = hitsReference(edges, nIter = 8)
+    assert(got === want, s"got $got, want $want")
+    // structure: 2 is the top authority (3 in-links from hubs), 0/1 top hubs
+    assert(got(2L)._1 === 1000000000L)
+    assert(got(0L)._2 === 1000000000L && got(1L)._2 === 1000000000L)
+    assert(got(2L)._2 === 0L, "pure authority has zero hub score")
+  }
+
+  test("hits is bit-identical across partition layouts") {
+    val edges = (0L until 200L).flatMap(i =>
+      Seq((i, (i * 7 + 13) % 200), (i, (i * 3 + 5) % 200)))
+    val a = Graph.hits(edges.toDF("src", "dst").repartition(1), nIter = 5)
+      .orderBy("node").as[(Long, Long, Long)].collect()
+    val b = Graph.hits(edges.toDF("src", "dst").repartition(13), nIter = 5)
+      .orderBy("node").as[(Long, Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
 }
