@@ -14,7 +14,8 @@ object SparkEntry {
       Graph.catalog ++ Scd.catalog ++ Corpus.catalog ++
       IncrementalAgg.catalog ++ SearchIndex.catalog ++
       Analytics.catalog ++
-      graft.sources.v2.SeqDataSource.catalog
+      graft.sources.v2.SeqDataSource.catalog ++
+      graft.sources.TableLog.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

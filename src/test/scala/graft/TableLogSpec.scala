@@ -1,0 +1,152 @@
+package graft
+
+import graft.sources.TableLog
+import org.apache.spark.sql.functions._
+
+/** S22: the versioned table format. Each test builds its own table in a
+  * fresh temp dir; the properties proven are the ACID-on-a-lake core:
+  * snapshot isolation, atomic publication, optimistic concurrency,
+  * crash invisibility, history retention and its bounded destruction.
+  */
+class TableLogSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("tablelog").toString + "/t"
+
+  private def batch(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+
+  test("create + append round-trip; versions accumulate; latest read is the union") {
+    val dir = freshDir()
+    assert(TableLog.versions(spark, dir).isEmpty)
+    TableLog.create(spark, batch(0 until 10), dir)
+    TableLog.append(spark, batch(10 until 15), dir)
+    TableLog.append(spark, batch(15 until 18), dir)
+    assert(TableLog.versions(spark, dir) === Seq(0L, 1L, 2L))
+    val got = TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+    assert(got === (0L until 18L).toArray)
+  }
+
+  test("time travel: every historical snapshot reads exactly its commits") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 4), dir)
+    TableLog.append(spark, batch(4 until 9), dir)
+    TableLog.append(spark, batch(9 until 11), dir)
+    assert(TableLog.readVersion(spark, dir, 0).count() === 4)
+    assert(TableLog.readVersion(spark, dir, 1).select("id").as[Long]
+      .collect().sorted === (0L until 9L).toArray)
+    assert(TableLog.readVersion(spark, dir, 2).count() === 11)
+  }
+
+  test("overwrite replaces the snapshot but old versions stay readable") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 6), dir)
+    TableLog.overwrite(spark, batch(100 until 103), dir)
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === Array(100L, 101L, 102L))
+    assert(TableLog.readVersion(spark, dir, 0).count() === 6)
+  }
+
+  test("concurrent commit to the same version slot: exactly one wins, loser is loud") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 3), dir)
+    // another writer claims version 1 between our read and our publish:
+    // simulate by publishing 1 out-of-band first
+    TableLog.append(spark, batch(3 until 5), dir)
+    val racing = intercept[Exception] {
+      // force the slot collision: write manifest 1's file again
+      val m = TableLog.readManifest(spark, dir, 1L)
+      val method = TableLog.getClass.getDeclaredMethods
+        .find(_.getName == "publish").get
+      method.setAccessible(true)
+      try method.invoke(TableLog, spark, dir, m)
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+    assert(racing.isInstanceOf[TableLog.ConcurrentCommitException])
+    // the committed table is untouched
+    assert(TableLog.read(spark, dir).count() === 5)
+  }
+
+  test("crash mid-commit: orphan data without a manifest is invisible, then vacuumed") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 5), dir)
+    // a crashed writer: data landed, manifest never published
+    batch(500 until 600).write.parquet(s"$dir/data/v9-orphan")
+    assert(TableLog.read(spark, dir).count() === 5, "orphan must be invisible")
+    TableLog.append(spark, batch(5 until 8), dir)
+    assert(TableLog.read(spark, dir).count() === 8)
+    val deleted = TableLog.vacuum(spark, dir, retainLast = 2)
+    assert(deleted.exists(_.contains("v9-orphan")), s"orphan not vacuumed: $deleted")
+    assert(TableLog.read(spark, dir).count() === 8, "vacuum must not touch live data")
+  }
+
+  test("changesBetween returns exactly the appended rows, O(manifest) planning") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 7), dir)
+    TableLog.append(spark, batch(7 until 12), dir)
+    TableLog.append(spark, batch(12 until 14), dir)
+    val delta = TableLog.changesBetween(spark, dir, 0L, 2L)
+      .select("id").as[Long].collect().sorted
+    assert(delta === (7L until 14L).toArray)
+    assert(TableLog.changesBetween(spark, dir, 2L, 2L).count() === 0)
+  }
+
+  test("changesBetween refuses a range containing a rewrite (overwrite is not an append)") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 4), dir)
+    TableLog.overwrite(spark, batch(50 until 55), dir)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.changesBetween(spark, dir, 0L, 1L)
+    }
+    assert(e.getMessage.contains("not a pure append"))
+  }
+
+  test("compact folds many dirs into one, preserving content and history") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 5), dir)
+    (1 to 4).foreach(i => TableLog.append(spark, batch(i * 5 until i * 5 + 5), dir))
+    val before = TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+    val v = TableLog.compact(spark, dir, parts = 2)
+    assert(TableLog.readManifest(spark, dir, v).dirs.length === 1)
+    val after = TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+    assert(after === before)
+    assert(TableLog.readVersion(spark, dir, 2).count() === 15, "history intact")
+  }
+
+  test("vacuum ages out history but retained time travel keeps working") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 3), dir)
+    TableLog.append(spark, batch(3 until 6), dir)
+    TableLog.overwrite(spark, batch(10 until 12), dir)
+    TableLog.append(spark, batch(12 until 16), dir)
+    TableLog.vacuum(spark, dir, retainLast = 2)
+    assert(TableLog.versions(spark, dir) === Seq(2L, 3L))
+    assert(TableLog.readVersion(spark, dir, 2).count() === 2)
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === (10L until 16L).toArray)
+    intercept[IllegalArgumentException] {
+      TableLog.readVersion(spark, dir, 0)
+    }
+  }
+
+  test("append with a different schema fails loudly") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 3), dir)
+    val drifted = Seq((1L, "x", 3.0)).toDF("id", "s", "extra")
+    val e = intercept[IllegalArgumentException] {
+      TableLog.append(spark, drifted, dir)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
+  test("snapshot reads keep parquet pushdown (filter reaches the multi-dir scan)") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 100), dir)
+    TableLog.append(spark, batch(100 until 200), dir)
+    val plan = TableLog.read(spark, dir).filter(col("id") === 150L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,150)"),
+      s"pushdown lost through the log:\n$plan")
+  }
+}
