@@ -211,6 +211,87 @@ object TableLog {
     v
   }
 
+  // ------------------------------------------------- mutations (CoW)
+
+  /** MERGE (upsert) by key: target rows whose key matches an update row
+    * are replaced, unmatched update rows are inserted — published as
+    * one copy-on-write commit. The rewrite is an anti-join + union (two
+    * fixed-width-key shuffles; with the table and updates bucketed on
+    * the key both would co-locate); history stays readable, so a failed
+    * merge leaves the table exactly at the previous version. At 100 TB
+    * the refinement is partition-scoped rewrites (only partitions
+    * holding matched keys re-written) or deletion vectors — the commit
+    * protocol here is unchanged by either. */
+  def merge(spark: SparkSession, updates: DataFrame, dir: String,
+            keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge: at least one key column")
+    val prevV = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist"))
+    val prev = readManifest(spark, dir, prevV)
+    requireSameSchema(updates, prev, dir)
+    val next = readVersion(spark, dir, prevV)
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+    val v = prevV + 1
+    val d = writeData(next, dir, v)
+    publish(spark, dir, Manifest(v, "merge", prev.schemaJson, Seq(d)))
+    v
+  }
+
+  /** Copy-on-write DELETE: rows matching `predicate` are dropped in one
+    * rewrite commit (the GDPR/right-to-erasure shape — the old versions
+    * still hold the rows until [[vacuum]], which is the actual erasure
+    * boundary and must be part of any compliance story). */
+  def delete(spark: SparkSession, dir: String, predicate: org.apache.spark.sql.Column): Long = {
+    val prevV = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist"))
+    val prev = readManifest(spark, dir, prevV)
+    val next = readVersion(spark, dir, prevV).filter(!predicate)
+    val v = prevV + 1
+    val d = writeData(next, dir, v)
+    publish(spark, dir, Manifest(v, "delete", prev.schemaJson, Seq(d)))
+    v
+  }
+
+  // --------------------------------------- exactly-once streaming sink
+
+  private def batchIdOf(op: String): Option[Long] =
+    if (op.startsWith("append:batch=")) Some(op.drop("append:batch=".length).toLong)
+    else None
+
+  /** Batch ids already committed — read from the manifest ops, so the
+    * replay guard costs O(commits) manifest reads and ZERO data reads. */
+  def committedBatchIds(spark: SparkSession, dir: String): Set[Long] =
+    versions(spark, dir)
+      .flatMap(v => batchIdOf(readManifest(spark, dir, v).op)).toSet
+
+  /** Exactly-once micro-batch append: the epoch's batchId rides in the
+    * manifest op, so a replayed epoch (post-crash re-delivery — Spark's
+    * foreachBatch contract is at-least-once) is detected from the log
+    * alone and commits NOTHING. With the single-writer guarantee of a
+    * restarted streaming query this yields exactly-once table contents;
+    * a genuinely concurrent duplicate writer loses the version-slot
+    * race in [[publish]] and surfaces loudly. */
+  def appendBatch(spark: SparkSession, df: DataFrame, dir: String,
+                  batchId: Long): Option[Long] = {
+    if (committedBatchIds(spark, dir).contains(batchId)) None
+    else {
+      val prevOpt = latestVersion(spark, dir)
+      val v = prevOpt.map(_ + 1).getOrElse(0L)
+      val prevDirs = prevOpt.map(readManifest(spark, dir, _))
+        .map(m => { requireSameSchema(df, m, dir); m.dirs }).getOrElse(Seq.empty)
+      val d = writeData(df, dir, v)
+      publish(spark, dir,
+        Manifest(v, s"append:batch=$batchId", df.schema.json, prevDirs :+ d))
+      Some(v)
+    }
+  }
+
+  /** `writeStream.foreachBatch(TableLog.streamSink(dir))` — the
+    * streaming entry point over [[appendBatch]]. */
+  def streamSink(dir: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { appendBatch(df.sparkSession, df, dir, batchId); () }
+
   /** S22 catalog proof: orders lands in three append commits, the query
     * TIME-TRAVELS to version 1 (the first two batches) and aggregates —
     * the DuckDB oracle recomputes the same snapshot from the mod-3
@@ -231,6 +312,33 @@ object TableLog {
       append(s, orders.filter(col("o_orderkey") % 3 === 1), dir)
       append(s, orders.filter(col("o_orderkey") % 3 === 2), dir)
       readVersion(s, dir, 1L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // S22b proof: MERGE semantics hash-checked end to end — the table
+    // starts as the mod-3 ∈ {0,1} slice, the update batch re-prices
+    // mod-3 ∈ {1,2} at 2×, so after the merge: 0 untouched, 1 UPDATED
+    // (replaced, not duplicated), 2 INSERTED. The oracle recomputes
+    // that exact three-way outcome from the base table, so a duplicate
+    // key, lost update, or dropped insert all hash-mismatch.
+    graft.Q(
+      "src3_merge",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round((CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+        |    ELSE o_totalprice * 2 END) * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("txmerge").toString + "/orders"
+      val orders = graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      create(s, orders.filter(col("o_orderkey") % 3 <= 1), dir)
+      merge(s, orders.filter(col("o_orderkey") % 3 >= 1)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        dir, Seq("o_orderkey"))
+      read(s, dir)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))

@@ -140,6 +140,69 @@ class TableLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("merge upserts: matched keys replaced, unmatched inserted, history intact") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 6), dir)
+    val updates = Seq((4L, "UPDATED4"), (5L, "UPDATED5"), (20L, "NEW20"))
+      .toDF("id", "s")
+    TableLog.merge(spark, updates, dir, Seq("id"))
+    val got = TableLog.read(spark, dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(got === Array((0L, "row0"), (1L, "row1"), (2L, "row2"), (3L, "row3"),
+      (4L, "UPDATED4"), (5L, "UPDATED5"), (20L, "NEW20")))
+    assert(TableLog.readVersion(spark, dir, 0).count() === 6, "pre-merge intact")
+    assert(TableLog.readManifest(spark, dir, 1L).op === "merge")
+  }
+
+  test("delete drops only matching rows; erasure completes at vacuum") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 10), dir)
+    TableLog.delete(spark, dir, col("id") >= 7L)
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === (0L until 7L).toArray)
+    assert(TableLog.readVersion(spark, dir, 0).count() === 10,
+      "deleted rows remain in history until vacuum — the compliance boundary")
+    TableLog.vacuum(spark, dir, retainLast = 1)
+    assert(TableLog.versions(spark, dir) === Seq(1L))
+    assert(TableLog.read(spark, dir).count() === 7)
+  }
+
+  test("appendBatch is exactly-once: a replayed epoch commits nothing") {
+    val dir = freshDir()
+    assert(TableLog.appendBatch(spark, batch(0 until 5), dir, batchId = 0L)
+      === Some(0L))
+    assert(TableLog.appendBatch(spark, batch(5 until 8), dir, batchId = 1L)
+      === Some(1L))
+    // at-least-once redelivery of epoch 1 (possibly different partitioning)
+    assert(TableLog.appendBatch(spark, batch(5 until 8).repartition(3), dir,
+      batchId = 1L) === None)
+    assert(TableLog.appendBatch(spark, batch(8 until 9), dir, batchId = 2L)
+      === Some(2L))
+    assert(TableLog.committedBatchIds(spark, dir) === Set(0L, 1L, 2L))
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === (0L until 9L).toArray)
+  }
+
+  test("a real streaming query lands micro-batches through the sink exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "s").writeStream
+      .foreachBatch(TableLog.streamSink(dir))
+      .outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tlsink").toString)
+      .start()
+    in.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    in.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L))
+    assert(TableLog.committedBatchIds(spark, dir).nonEmpty)
+  }
+
   test("snapshot reads keep parquet pushdown (filter reaches the multi-dir scan)") {
     val dir = freshDir()
     TableLog.create(spark, batch(0 until 100), dir)
