@@ -396,6 +396,76 @@ object Analytics {
         .filter(lit(2) * col("cum") >= col("tot"))
         .groupBy("l_returnflag").agg(min("qty").as("wmedian_qty"))
         .orderBy("l_returnflag")
+    },
+
+    // R94 — Kendall tau-b rank correlation, completing the correlation
+    // family (Pearson q60 measures linearity, Spearman q73 monotonicity
+    // by ranks, Kendall by PAIR CONCORDANCE — the robust choice under
+    // heavy ties). The fact reduces map-side to (flag, x, y, count)
+    // CELLS; concordant/discordant mass comes from the cell×cell join
+    // under x1<x2 (≤|cells|² pairs, never row pairs), tie corrections
+    // from the x/y marginals. All quadratics in decimal(38,0)/HUGEINT
+    // (q73's overflow precedent); halvings avoided by the doubled
+    // identity tau_b = 2(nc−nd)/√((N0−N1)(N0−N2)) with N = n(n−1)
+    // forms, so the only float is the ONE final tree.
+    Q(
+      "q88_kendall",
+      """WITH cells AS (
+        |  SELECT l_returnflag AS f, CAST(round(l_quantity) AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) // 1000000 AS y,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY 1),
+        |mx AS (SELECT f, CAST(sum(CAST(nx AS HUGEINT) * (nx - 1)) AS HUGEINT) AS n1
+        |       FROM (SELECT f, CAST(sum(c) AS BIGINT) AS nx FROM cells GROUP BY f, x)
+        |       GROUP BY 1),
+        |my AS (SELECT f, CAST(sum(CAST(ny AS HUGEINT) * (ny - 1)) AS HUGEINT) AS n2
+        |       FROM (SELECT f, CAST(sum(c) AS BIGINT) AS ny FROM cells GROUP BY f, y)
+        |       GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.f,
+        |    CAST(sum(CASE WHEN a.y < b.y
+        |      THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) ELSE 0 END) AS HUGEINT)
+        |      AS nc,
+        |    CAST(sum(CASE WHEN a.y > b.y
+        |      THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT) ELSE 0 END) AS HUGEINT)
+        |      AS nd
+        |  FROM cells a JOIN cells b ON a.f = b.f AND a.x < b.x
+        |  GROUP BY 1)
+        |SELECT f AS l_returnflag, n AS n_rows,
+        |  (2.0 * (CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)))
+        |  / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - n1 AS DOUBLE)
+        |       * CAST(CAST(n AS HUGEINT) * (n - 1) - n2 AS DOUBLE)) AS tau_b
+        |FROM pairs JOIN tot USING (f) JOIN mx USING (f) JOIN my USING (f)
+        |ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val cells = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("f"),
+          round(col("l_quantity")).cast("long").as("x"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT) DIV 1000000").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // marginals ×2 + totals + the pair self-join ×2
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val tot = cells.groupBy("f").agg(sum("c").as("n"))
+      val mxs = cells.groupBy("f", "x").agg(sum("c").as("nx"))
+        .groupBy("f").agg(sum(dec(col("nx")) * (col("nx") - 1)).as("n1"))
+      val mys = cells.groupBy("f", "y").agg(sum("c").as("ny"))
+        .groupBy("f").agg(sum(dec(col("ny")) * (col("ny") - 1)).as("n2"))
+      val a = cells.select(col("f"), col("x").as("xa"), col("y").as("ya"), col("c").as("ca"))
+      val b = cells.select(col("f"), col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+      val pairs = a.join(b, Seq("f")).filter(col("xa") < col("xb"))
+        .groupBy("f")
+        .agg(sum(when(col("ya") < col("yb"), dec(col("ca")) * dec(col("cb")))
+            .otherwise(lit(0))).as("nc"),
+          sum(when(col("ya") > col("yb"), dec(col("ca")) * dec(col("cb")))
+            .otherwise(lit(0))).as("nd"))
+      pairs.join(tot, Seq("f")).join(mxs, Seq("f")).join(mys, Seq("f"))
+        .select(col("f").as("l_returnflag"), col("n").as("n_rows"),
+          ((lit(2.0) * (col("nc").cast("double") - col("nd").cast("double")))
+            / sqrt((dec(col("n")) * (col("n") - 1) - col("n1")).cast("double")
+              * (dec(col("n")) * (col("n") - 1) - col("n2")).cast("double")))
+            .as("tau_b"))
+        .orderBy("l_returnflag")
     }
   )
 }

@@ -786,6 +786,70 @@ object EventOps {
               * sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
             .as("autocorr"))
         .orderBy("event_type")
+    },
+
+    // T31 — hour-of-day periodicity (chi-square vs uniform): per event
+    // type, how far the 24-bucket hour histogram departs from flat —
+    // the "is this traffic diurnal or constant" readout behind ev9's
+    // anomaly z-scores. ev20's clear-the-float-mean trick applied to
+    // chi-square: Σ(obs−T/24)²/(T/24) = Σ(24·obs−T)² / (24·T), so the
+    // numerator terms are EXACT integers (HUGEINT/decimal quadratics)
+    // and the one double division happens on the aggregated bigints.
+    // Missing hours enter as true zero cells via a 24-row spine per
+    // type (broadcast — the spine is bounded by the clock, not the
+    // data); peak hour is a min-struct argmax tie-broken to the
+    // earliest hour. One fact-sized aggregate, everything after runs
+    // on ≤ 24·|types| rows.
+    Q(
+      "ev24_hour_chisq",
+      """WITH h AS (
+        |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hh,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot FROM h GROUP BY 1),
+        |sp AS (SELECT event_type, g.hh FROM t
+        |       CROSS JOIN (SELECT unnest(range(0, 24)) AS hh) g),
+        |fl AS (SELECT sp.event_type, sp.hh, coalesce(h.c, 0) AS c
+        |       FROM sp LEFT JOIN h ON sp.event_type = h.event_type AND sp.hh = h.hh),
+        |q AS (SELECT fl.event_type, t.tot, fl.hh, fl.c,
+        |        CAST(24 * fl.c - t.tot AS HUGEINT)
+        |          * CAST(24 * fl.c - t.tot AS HUGEINT) AS d2
+        |      FROM fl JOIN t USING (event_type)),
+        |pk AS (SELECT event_type, hh AS peak_hour, c AS peak_count FROM (
+        |         SELECT event_type, hh, c,
+        |           row_number() OVER (PARTITION BY event_type
+        |                              ORDER BY c DESC, hh) AS rn FROM h)
+        |       WHERE rn = 1)
+        |SELECT q.event_type, max(q.tot) AS n_events,
+        |  CAST(sum(q.d2) AS DOUBLE) / (24.0 * CAST(max(q.tot) AS DOUBLE))
+        |    AS chisq,
+        |  max(pk.peak_hour) AS peak_hour, max(pk.peak_count) AS peak_count
+        |FROM q JOIN pk USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val h = Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hh"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // spine fill + peak argmax both consume it
+      val t = h.groupBy("event_type").agg(sum("c").as("tot"))
+      val sp = t.select(col("event_type"), col("tot"),
+        explode(sequence(lit(0L), lit(23L))).as("hh"))
+      val fl = sp.join(h, Seq("event_type", "hh"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val d2 = (lit(24) * col("c") - col("tot")).cast("decimal(38,0)")
+      val pk = h.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(desc("c"), col("hh"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("hh").as("peak_hour"), col("c").as("peak_count"))
+      fl.withColumn("d2", d2 * d2)
+        .groupBy(col("event_type"))
+        .agg(max("tot").as("n_events"), sum("d2").as("sd2"))
+        .join(pk, Seq("event_type"))
+        .select(col("event_type"), col("n_events"),
+          (col("sd2").cast("double") / (lit(24.0) * col("n_events").cast("double")))
+            .as("chisq"),
+          col("peak_hour"), col("peak_count"))
+        .orderBy("event_type")
     }
   )
 }

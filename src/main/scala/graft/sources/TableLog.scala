@@ -48,8 +48,15 @@ object TableLog {
     extends RuntimeException(
       s"version $v of $dir was committed by another writer — rebase and retry")
 
+  /** `stats`: commit-level zone maps — (dataDir, column, min, max) for
+    * LONG-typed columns, carried in the manifest so planning can skip
+    * whole commits without touching data (Delta-style file skipping at
+    * commit granularity; see [[readRange]]). Dirs without stats for a
+    * column are always read — skipping is an optimization, never a
+    * correctness dependency. */
   final case class Manifest(version: Long, op: String, schemaJson: String,
-                            dirs: Seq[String])
+                            dirs: Seq[String],
+                            stats: Seq[(String, String, Long, Long)] = Seq.empty)
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -75,7 +82,9 @@ object TableLog {
     * (schema json is opaque pass-through; dirs are one per line). */
   private def render(m: Manifest): String =
     (Seq(s"version=${m.version}", s"op=${m.op}", s"schema=${m.schemaJson}") ++
-      m.dirs.map(d => s"dir=$d")).mkString("", "\n", "\n")
+      m.dirs.map(d => s"dir=$d") ++
+      m.stats.map { case (d, c, lo, hi) => s"stats=$d;$c;$lo;$hi" })
+      .mkString("", "\n", "\n")
 
   def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
     val p = manifestPath(dir, v)
@@ -89,7 +98,11 @@ object TableLog {
       .getOrElse(sys.error(s"corrupt manifest $p: missing $k"))
       .drop(k.length + 1)
     Manifest(field("version").toLong, field("op"), field("schema"),
-      lines.filter(_.startsWith("dir=")).map(_.drop(4)))
+      lines.filter(_.startsWith("dir=")).map(_.drop(4)),
+      lines.filter(_.startsWith("stats=")).map { l =>
+        val Array(d, c, lo, hi) = l.drop(6).split(";")
+        (d, c, lo.toLong, hi.toLong)
+      })
   }
 
   /** Publish `m` as the one committed manifest for its version: write a
@@ -128,26 +141,71 @@ object TableLog {
         "(SchemaDrift gates additive drift), never by silent union")
   }
 
+  /** Commit-level zone map for the WRITTEN dir: min/max of each LONG
+    * stats column, read back from the new files (the footer-stats pass
+    * a production format gets for free from the writer). */
+  private def statsFor(spark: SparkSession, d: String,
+                       statsCols: Seq[String]): Seq[(String, String, Long, Long)] =
+    if (statsCols.isEmpty) Seq.empty
+    else {
+      // one agg computing min+max per column
+      val aggs = statsCols.flatMap(c =>
+        Seq(min(col(c)).cast("long").as(s"__lo_$c"), max(col(c)).cast("long").as(s"__hi_$c")))
+      val r = spark.read.parquet(d).agg(aggs.head, aggs.tail: _*).head()
+      statsCols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None // empty/all-null batch
+        else Some((d, c, r.getLong(2 * i), r.getLong(2 * i + 1)))
+      }
+    }
+
   /** Create the table at `dir` as version 0. Fails loudly if any
-    * version already exists. */
-  def create(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    * version already exists. `statsCols` (LONG columns) adds commit
+    * zone maps for [[readRange]] skipping. */
+  def create(spark: SparkSession, df: DataFrame, dir: String,
+             statsCols: Seq[String] = Seq.empty): Long = {
     require(latestVersion(spark, dir).isEmpty,
       s"table $dir already exists — use append/overwrite")
     val d = writeData(df, dir, 0L)
-    publish(spark, dir, Manifest(0L, "create", df.schema.json, Seq(d)))
+    publish(spark, dir, Manifest(0L, "create", df.schema.json, Seq(d),
+      statsFor(spark, d, statsCols)))
     0L
   }
 
-  /** Append `df` as the next version (previous dirs stay live). */
-  def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
+  /** Append `df` as the next version (previous dirs stay live); prior
+    * commits' zone maps carry forward untouched. */
+  def append(spark: SparkSession, df: DataFrame, dir: String,
+             statsCols: Seq[String] = Seq.empty): Long = {
     val prevV = latestVersion(spark, dir)
       .getOrElse(sys.error(s"table $dir does not exist — create first"))
     val prev = readManifest(spark, dir, prevV)
     requireSameSchema(df, prev, dir)
     val v = prevV + 1
     val d = writeData(df, dir, v)
-    publish(spark, dir, Manifest(v, "append", prev.schemaJson, prev.dirs :+ d))
+    publish(spark, dir, Manifest(v, "append", prev.schemaJson, prev.dirs :+ d,
+      prev.stats ++ statsFor(spark, d, statsCols)))
     v
+  }
+
+  /** Range scan with commit-granularity data skipping: only data dirs
+    * whose zone map intersects [lo, hi] enter the Spark scan — the
+    * others are pruned at PLANNING time from the manifest alone, the
+    * log-metadata analogue of partition pruning (and exactly how a
+    * time-range query over an append-mostly table avoids touching
+    * years of history). Dirs lacking stats for `column` are read
+    * (skipping never changes answers); the residual filter stays in
+    * the plan and reaches the parquet scan as PushedFilters. */
+  def readRange(spark: SparkSession, dir: String, column: String,
+                lo: Long, hi: Long): DataFrame = {
+    val m = readManifest(spark, dir,
+      latestVersion(spark, dir).getOrElse(sys.error(s"table $dir does not exist")))
+    val byDir = m.stats.filter(_._2 == column).map(s => s._1 -> (s._3, s._4)).toMap
+    val keep = m.dirs.filter(d => byDir.get(d).forall { case (mn, mx) =>
+      mx >= lo && mn <= hi
+    })
+    val pred = col(column) >= lo && col(column) <= hi
+    if (keep.isEmpty)
+      spark.read.parquet(m.dirs: _*).filter(pred).limit(0)
+    else spark.read.parquet(keep: _*).filter(pred)
   }
 
   /** Replace the table contents as the next version; older snapshots

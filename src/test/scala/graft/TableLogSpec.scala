@@ -203,6 +203,31 @@ class TableLogSpec extends SparkSpecBase {
     assert(TableLog.committedBatchIds(spark, dir).nonEmpty)
   }
 
+  test("zone-map skipping: a range read plans only the commits whose stats intersect") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 100), dir, statsCols = Seq("id"))
+    TableLog.append(spark, batch(100 until 200), dir, statsCols = Seq("id"))
+    TableLog.append(spark, batch(200 until 300), dir, statsCols = Seq("id"))
+    val m = TableLog.readManifest(spark, dir, 2L)
+    assert(m.stats.map(s => (s._3, s._4)).sorted
+      === Seq((0L, 99L), (100L, 199L), (200L, 299L)))
+    val hit = TableLog.readRange(spark, dir, "id", 120L, 150L)
+    // planning-time skip: only the middle commit's files enter the scan
+    val hitDir = m.stats.find(_._3 == 100L).get._1
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(_.contains(new org.apache.hadoop.fs.Path(hitDir).getName)),
+      s"scan not pruned to the matching commit: ${hit.inputFiles.toSeq}")
+    // and the residual filter keeps answers exact
+    assert(hit.select("id").as[Long].collect().sorted === (120L to 150L).toArray)
+    // dirs WITHOUT stats are always read: a stats-less append must show up
+    TableLog.append(spark, batch(130 until 132), dir) // no statsCols
+    val again = TableLog.readRange(spark, dir, "id", 120L, 150L)
+      .select("id").as[Long].collect().sorted
+    assert(again === ((120L to 150L) ++ Seq(130L, 131L)).toArray.sorted)
+    // disjoint range: planned empty, correct empty
+    assert(TableLog.readRange(spark, dir, "id", 5000L, 6000L).count() === 0)
+  }
+
   test("snapshot reads keep parquet pushdown (filter reaches the multi-dir scan)") {
     val dir = freshDir()
     TableLog.create(spark, batch(0 until 100), dir)
