@@ -150,6 +150,38 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
     }
+
+    /** Deterministic 8×8-cell block pattern for fixtures: each 8 px cell
+      * is dark/bright by an LCG bit of `seed`, and the first `flipCells`
+      * cells are inverted — a cell-aligned "edit" that moves the aHash
+      * by ≤ flipCells bits, while different seeds produce far-apart
+      * hashes. Executor-safe (pure allocation-local drawing). */
+    def syntheticPattern(seed: Long, flipCells: Int = 0): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var cell = 0
+      while (cell < 64) {
+        // splitmix64 finalizer: full avalanche, so seeds that differ in
+        // ANY bit give uncorrelated cell patterns (a bare LCG bit has
+        // visible period structure across nearby seeds)
+        var z = seed * 64 + cell + 0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        val bright0 = (z & 1L) == 1L
+        val bright = if (cell < flipCells) !bright0 else bright0
+        val rgb = if (bright) 0xe8e8e8 else 0x181818
+        val cx = (cell % 8) * 8; val cy = (cell / 8) * 8
+        var dy = 0
+        while (dy < 8) {
+          var dx = 0
+          while (dx < 8) { img.setRGB(cx + dx, cy + dy, rgb); dx += 1 }
+          dy += 1
+        }
+        cell += 1
+      }
+      img
+    }
   }
 
   /** ---- REAL AUDIO CODEC (JDK javax.sound.sampled) -------------------

@@ -54,6 +54,48 @@ object MediaOps {
           md5(col("payload")).as("content_md5"),
           substring(col("payload").cast("string"), 1, 8).as("head"))
         .orderBy("asset_id")
+    },
+
+    // L52 — image near-duplicate detection END TO END on real pixels:
+    // 60 deterministic PNGs (20 pattern families × {original, 2-cell
+    // edit, unrelated reshoot}) decode through the REAL ImageIO path,
+    // hash to 64-bit aHashes partition-locally, and near-dup pairs come
+    // from dd3's SimHash machinery — 4×16-bit chunk buckets (pigeonhole:
+    // any pair within Hamming 3 shares a chunk; the fixture's edits land
+    // ≤ 2 bits) then bit_count verify on candidates only. Pixels never
+    // shuffle; after the hash pass everything is 8 bytes/asset. The
+    // expected pair set (exactly the 20 original↔edit pairs) is pinned
+    // by MultimodalSpec; rows-only here (no DuckDB image decode).
+    Q.rowsOnly("mm5_image_neardup") { (s, d) =>
+      import s.implicits._
+      val assets: org.apache.spark.sql.Dataset[Multimodal.Asset] =
+        s.range(60).mapPartitions(_.map { i =>
+          val fam = i % 20
+          val seed = if (i / 20 == 2) fam + 1000L else fam
+          val flips = if (i / 20 == 1) 2 else 0
+          Multimodal.Asset(i, "image",
+            Multimodal.ImageCodec.encodePng(
+              Multimodal.ImageCodec.syntheticPattern(seed, flips)),
+            64, 64, 0, 0L)
+        })
+      val ph = Multimodal.perceptualHashes(assets).toDF()
+        .filter(col("decoded"))
+        .select(col("asset_id"), col("phash"))
+        .localCheckpoint(true) // both sides of the candidate self-join
+      val chunked = ph.select(col("asset_id"), col("phash"),
+        posexplode(array((0 until 4).map(i =>
+          expr(s"(phash >> ${i * 16}) & 65535")): _*)).as(Seq("chunk", "cv")))
+      val a = chunked.select(col("chunk"), col("cv"),
+        col("asset_id").as("id_a"), col("phash").as("h_a"))
+      val b = chunked.select(col("chunk"), col("cv"),
+        col("asset_id").as("id_b"), col("phash").as("h_b"))
+      a.join(b, Seq("chunk", "cv"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
     }
   )
 }

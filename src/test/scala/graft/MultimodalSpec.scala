@@ -273,4 +273,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(real.get.width === 640 && real.get.height === 360 && real.get.n_tracks === 1)
     assert(fake.get.brand === "none")
   }
+
+  test("mm5: image near-dup finds exactly the 20 original-edit pairs at Hamming 2") {
+    // fixture contract (see MediaOps): asset f and f+20 share a pattern
+    // family differing by a 2-cell edit; f+40 is an unrelated reshoot
+    val got = SparkEntry.queries("mm5_image_neardup")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (0L until 20L).map(f => (f, f + 20L, 2L)).toArray
+    assert(got === want,
+      s"got ${got.toSeq}") // any cross-family pair here = fixture collision
+  }
+
+  test("syntheticPattern: the 2-cell edit moves aHash by exactly 2 bits, reshoots are far") {
+    import Multimodal.ImageCodec
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0L until 20L).foreach { fam =>
+      val base = ImageCodec.aHash(ImageCodec.syntheticPattern(fam))
+      val edit = ImageCodec.aHash(ImageCodec.syntheticPattern(fam, flipCells = 2))
+      val other = ImageCodec.aHash(ImageCodec.syntheticPattern(fam + 1000L))
+      assert(hamming(base, edit) === 2, s"fam $fam edit distance")
+      assert(hamming(base, other) > 3, s"fam $fam reshoot too close")
+    }
+  }
 }
