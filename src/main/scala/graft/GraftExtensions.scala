@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.RewriteWindowTopK). Toggle:
     // spark.graft.topkRewrite.enabled (default on).
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    // Materialized-view query rewrite: conforming base-table aggregates
+    // are answered from a registered summary table (see
+    // graft.plans.RewriteToMv). No-op while the MV registry is empty.
+    // Toggle: spark.graft.mvRewrite.enabled (default on).
+    ext.injectOptimizerRule(_ => graft.plans.RewriteToMv)
     // Whole-operator physical extension: `left.join(right,
     // asof_match(lk, rk, lt, rt), "left")` plans as the partitioned
     // sort-merge AsOfJoinExec (see graft.plans.AsOfJoinExec). The marker
