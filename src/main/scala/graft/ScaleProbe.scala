@@ -306,6 +306,46 @@ object ScaleProbe {
       val (p, v) = asofFrames()
       graft.operators.AsOfJoin.asofNative(p, v, "user_id", "ts", "view_ts").count()
     }
+    // r4 third continuation: incremental join vs recompute. History =
+    // rep× orders already merged into the maintained join (seeded OUTSIDE
+    // the timer); the probe times (a) applying ONE sf-sized batch — work
+    // should track the BATCH, not the history — vs (b) re-joining the
+    // full history from scratch, which must grow with rep.
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("incjoin_probe").toString + "/j"
+      val cust = Tables.customer(spark, d).select("c_custkey", "c_mktsegment")
+      val histOrders = or.select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+        col("o_totalprice"))
+      graft.operators.IncrementalJoin.update(spark, root, cust, histOrders,
+        batchId = 0L, keyCols = Seq("c_custkey"))
+      val newBatch = Tables.orders(spark, d)
+        .select((col("o_orderkey") + lit(900000000L)).as("o_orderkey"),
+          col("o_custkey").as("c_custkey"), col("o_totalprice"))
+      time("incjoin_apply_one_batch") {
+        graft.operators.IncrementalJoin.update(spark, root, cust.limit(0), newBatch,
+          batchId = 1L, keyCols = Seq("c_custkey"))
+        graft.sources.TableLog.latestVersion(spark, s"$root/out").getOrElse(-1L)
+      }
+      time("incjoin_full_recompute") {
+        graft.sources.TableLog.read(spark, s"$root/left")
+          .join(graft.sources.TableLog.read(spark, s"$root/right"), Seq("c_custkey"))
+          .count()
+      }
+    }
+    // MV rewrite: the base aggregate scans rep× the data; the MV-served
+    // plan scans the |dims|-row summary — constant in rep.
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("mv_probe").toString
+      replicate(Tables.documents(spark, d), Seq("doc_id"), 10000000L)
+        .write.parquet(s"$root/base")
+      graft.operators.MaterializedView.build(spark, s"$root/base", s"$root/mv",
+        dims = Seq("lang", "source"), sums = Seq("n_chars"))
+      def agg() = spark.read.parquet(s"$root/base")
+        .groupBy("lang").agg(sum("n_chars").as("tc"), count(lit(1)).as("n")).count()
+      time("mv_answered_aggregate") { agg() }
+      graft.plans.MvCatalog.clear()
+      time("mv_base_aggregate") { agg() }
+    }
     spark.stop()
   }
 }
