@@ -850,6 +850,74 @@ object EventOps {
             .as("chisq"),
           col("peak_hour"), col("peak_count"))
         .orderBy("event_type")
+    },
+
+    // T32 — seasonal decomposition (trend-removed diurnal profile):
+    // ev24 asks "is the hour histogram flat"; this answers "what is the
+    // daily SHAPE once the multi-day trend is removed" — the classic
+    // series = trend + seasonal + residual split, here reduced to the
+    // seasonal component. ev5's zero-filled hour spine carries the
+    // series; trend is a centered 24 h moving average in pure integers
+    // (window SUM DIV 24 — counts are ≥ 0 so floor division agrees
+    // cross-engine), edge hours without a full 24-row window are
+    // excluded by an explicit window COUNT; the per-hour-of-day mean of
+    // the detrended series is the ONE double division, over exact
+    // integer sums. Windows run on the spine (hours × types), never the
+    // event frame.
+    Q(
+      "ev25_seasonal",
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT g.g AS hr, t.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+        |                                      (SELECT h1 FROM bounds),
+        |                                      INTERVAL 1 HOUR)) AS g) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |actual AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT s.hr, s.event_type, CAST(coalesce(a.n, 0) AS BIGINT) AS c
+        |  FROM spine s LEFT JOIN actual a ON s.hr = a.hr AND s.event_type = a.event_type),
+        |tr AS (
+        |  SELECT hr, event_type, c,
+        |    sum(c) OVER w AS wsum, count(*) OVER w AS wn
+        |  FROM series
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+        |               ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)),
+        |det AS (
+        |  SELECT event_type, CAST(hour(hr) AS BIGINT) AS hh,
+        |    c - (wsum // 24) AS dv
+        |  FROM tr WHERE wn = 24)
+        |SELECT event_type, hh, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(CAST(sum(dv) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS seasonal
+        |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      val spine = bounds
+        .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+        .crossJoin(ev.select("event_type").distinct())
+      val actual = ev.groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val series = spine.join(actual, Seq("hr", "event_type"), "left")
+        .select(col("hr"), col("event_type"), coalesce(col("n"), lit(0L)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(-12, 11)
+      series
+        .withColumn("wsum", sum("c").over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .filter(col("wn") === 24)
+        .select(col("event_type"), hour(col("hr")).cast("long").as("hh"),
+          (col("c") - expr("wsum DIV 24")).as("dv"))
+        .groupBy("event_type", "hh")
+        .agg(count(lit(1)).as("n_hours"),
+          (sum("dv").cast("double") / count(lit(1)).cast("double")).as("seasonal"))
+        .orderBy("event_type", "hh")
     }
   )
 }
