@@ -466,6 +466,43 @@ object Analytics {
               * (dec(col("n")) * (col("n") - 1) - col("n2")).cast("double")))
             .as("tau_b"))
         .orderBy("l_returnflag")
+    },
+
+    // R97 — k-anonymity audit (privacy risk before a data release, the
+    // governance sibling of ev14's pseudonymization: hashing direct
+    // identifiers does NOT stop re-identification through
+    // quasi-identifier combinations). Group by the quasi-identifier
+    // tuple, then report per segment: the k actually achieved (min
+    // group size), how many rows sit in groups below the target k=5,
+    // and the exposure permille — all exact integers from two
+    // fixed-width aggregates (tuple groups, then segment rollup).
+    Q(
+      "q89_kanonymity",
+      """WITH g AS (
+        |  SELECT c_mktsegment, c_nationkey,
+        |    CAST(count(*) AS BIGINT) AS gsize
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(gsize) AS BIGINT) AS k_achieved,
+        |  CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k,
+        |  CAST(sum(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT) * 1000
+        |    // CAST(sum(gsize) AS BIGINT) AS exposed_permille
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("gsize"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_groups"),
+          min("gsize").as("k_achieved"),
+          sum(when(col("gsize") < 5, col("gsize")).otherwise(0L)).as("rows_below_k"),
+          sum("gsize").as("total"))
+        .select(col("c_mktsegment"), col("n_groups"), col("k_achieved"),
+          col("rows_below_k"),
+          expr("rows_below_k * 1000 DIV total").as("exposed_permille"))
+        .orderBy("c_mktsegment")
     }
   )
 }

@@ -445,6 +445,55 @@ object Corpus {
           (col("v").cast("double") / col("w").cast("double")).as("syllables_per_word"),
           expr("nlong * 1000 DIV w").as("long_permille"))
         .orderBy("lang")
+    },
+
+    // L54 — population stability index between corpus snapshots (the
+    // ML-ops drift gate: "did the mix shift since the last training
+    // cut"). Snapshots = doc_id halves (the deterministic stand-in for
+    // two ingest cuts); per (source, lang) cell, PSI term =
+    // (pA−pB)·ln(pA/pB) over the two snapshots' cell shares. Counts are
+    // exact integers on a |sources×langs| frame (corpus touched once);
+    // each transcendental term is micro-quantized to a 1e6-unit BIGINT
+    // (tx19's order-invariance discipline), summed exactly, ONE double
+    // at the end. PSI < 0.1 = stable, > 0.25 = drifted — the report
+    // carries the raw value, the thresholds are the consumer's.
+    Q(
+      "tx25_psi_drift",
+      """WITH mx AS (SELECT (max(doc_id) + 1) // 2 AS half FROM documents),
+        |c AS (
+        |  SELECT source, lang,
+        |    CAST(sum(CASE WHEN doc_id < half THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN doc_id >= half THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM documents CROSS JOIN mx GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb
+        |      FROM c),
+        |q AS (
+        |  SELECT CAST(round(1000000 *
+        |      (CAST(ca AS DOUBLE)/ta - CAST(cb AS DOUBLE)/tb)
+        |      * ln((CAST(ca AS DOUBLE)*tb) / (CAST(cb AS DOUBLE)*ta))) AS BIGINT)
+        |    AS term
+        |  FROM c CROSS JOIN t WHERE ca > 0 AND cb > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(CAST(sum(term) AS BIGINT) AS DOUBLE) / 1000000 AS psi
+        |FROM q""".stripMargin
+    ) { (s, d) =>
+      val mx = Tables.documents(s, d)
+        .agg(expr("(max(doc_id) + 1) DIV 2").as("half"))
+      val c = Tables.documents(s, d).crossJoin(broadcast(mx))
+        .groupBy("source", "lang")
+        .agg(sum(when(col("doc_id") < col("half"), 1L).otherwise(0L)).as("ca"),
+          sum(when(col("doc_id") >= col("half"), 1L).otherwise(0L)).as("cb"))
+        .localCheckpoint(true) // totals + term projection
+      val t = c.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      c.crossJoin(broadcast(t))
+        .filter(col("ca") > 0 && col("cb") > 0)
+        .select(round(lit(1000000) *
+            (col("ca").cast("double") / col("ta") - col("cb").cast("double") / col("tb"))
+            * log((col("ca").cast("double") * col("tb"))
+              / (col("cb").cast("double") * col("ta"))))
+          .cast("long").as("term"))
+        .agg(count(lit(1)).as("n_cells"),
+          (sum("term").cast("double") / lit(1000000)).as("psi"))
     }
   )
 }
