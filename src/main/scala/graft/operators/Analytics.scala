@@ -503,6 +503,63 @@ object Analytics {
           col("rows_below_k"),
           expr("rows_below_k * 1000 DIV total").as("exposed_permille"))
         .orderBy("c_mktsegment")
+    },
+
+    // R98 — mergeable quantile sketch rollup, completing the sketch
+    // family (T18 HLL distinct, T23 count-min heavy hitters): a 64-bin
+    // equi-width histogram of order value is built PER MONTH SEGMENT
+    // (the nightly-build unit), merged by plain integer bin-count sums,
+    // and quantiles read off the merged cumulative — segment-build/
+    // rollup economics with a bin-width error bound ((hi−lo)/64,
+    // deterministic, unlike GK/KLL's probabilistic bounds). The oracle
+    // computes the SAME binned estimate DIRECTLY over the full table
+    // with no segment intermediate, so the hash match proves the merge
+    // is lossless — the sketch's whole contract. All integer: bin ids
+    // by integral DIV over a broadcast 1-row (lo, hi), cumulative over
+    // the 64-row merged frame, estimates as bin upper bounds in cents.
+    Q(
+      "q90_quantile_rollup",
+      """WITH cents AS (
+        |  SELECT o_orderkey, date_trunc('month', o_orderdate) AS seg,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders),
+        |b AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n
+        |      FROM cents),
+        |seg_hist AS (
+        |  SELECT seg, ((v - lo) * 64) // (hi - lo + 1) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM cents CROSS JOIN b GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM seg_hist GROUP BY 1),
+        |cum AS (
+        |  SELECT bin, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM merged),
+        |qs AS (SELECT unnest([50, 90, 99]) AS p100)
+        |SELECT p100, min(lo + ((bin + 1) * (hi - lo + 1)) // 64) AS est_cents
+        |FROM qs JOIN cum ON 100 * c >= p100 * (SELECT n FROM b)
+        |CROSS JOIN b
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val cents = Tables.orders(s, d)
+        .select(date_trunc("month", col("o_orderdate")).as("seg"),
+          round(col("o_totalprice") * 100).cast("long").as("v"))
+      val b = cents.agg(min("v").as("lo"), max("v").as("hi"),
+        count(lit(1)).as("n"))
+      val segHist = cents.crossJoin(broadcast(b))
+        .groupBy(col("seg"), expr("((v - lo) * 64) DIV (hi - lo + 1)").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val merged = segHist.groupBy("bin").agg(sum("cnt").as("cnt"))
+      val cum = merged.withColumn("c",
+        sum("cnt").over(Window.orderBy("bin") // 64-row frame: bounded
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val qs = s.range(1).select(explode(array(lit(50L), lit(90L), lit(99L))).as("p100"))
+      qs.crossJoin(broadcast(b)) // 3×1 rows: (p100, lo, hi, n)
+        .join(cum, lit(100) * col("c") >= col("p100") * col("n"))
+        .groupBy("p100")
+        .agg(min(expr("lo + ((bin + 1) * (hi - lo + 1)) DIV 64")).as("est_cents"))
+        .orderBy("p100")
     }
   )
 }
