@@ -79,6 +79,10 @@ object RewriteToMv extends Rule[LogicalPlan] {
 
   private def attemptRewrite(ge: Seq[Expression], ae: Seq[NamedExpression],
                              child: LogicalPlan): Option[LogicalPlan] = {
+    // GROUPED queries only: a global aggregate over an EMPTY base emits
+    // one row (count(*) = 0) while the empty MV's sum emits NULL — the
+    // one spot where the cell-decomposition argument breaks
+    if (ge.isEmpty) return None
     val (paths, conds) = unwrap(child, Seq.empty).getOrElse(return None)
     val mv = MvCatalog.lookup(paths).getOrElse(return None)
     val dimSet = mv.dims.toSet
@@ -100,22 +104,31 @@ object RewriteToMv extends Rule[LogicalPlan] {
     def mvAttr(name: String): AttributeReference =
       mvAttrOpt(name).getOrElse(
         throw new IllegalStateException(s"mv missing column $name"))
-    def sumOf(name: String): Expression =
-      AggregateExpression(Sum(mvAttr(name)), Complete, isDistinct = false)
+    // the eval context rides through: try_sum/ANSI overflow semantics
+    // must survive the swap (legacy wraps where TRY nulls, ANSI throws)
+    def sumOf(name: String,
+              ctx: Option[NumericEvalContext] = None): Expression =
+      AggregateExpression(
+        ctx.map(Sum(mvAttr(name), _)).getOrElse(Sum(mvAttr(name))),
+        Complete, isDistinct = false)
     // output list: grouping dims pass through; sum(x) → sum(__sum_x);
     // count(*) → sum(__cnt); anything else aborts. exprIds preserved.
+    // NOTE the explicit `None` in the filter slot: an aggregate with a
+    // FILTER (WHERE ...) clause keeps or drops individual BASE rows —
+    // matching it with a wildcard would rewrite `sum(x) FILTER (...)`
+    // to a plain sum of cell partials, silently dropping the filter.
     val newAe: Seq[NamedExpression] = ae.map {
       case a: AttributeReference if dimSet.contains(a.name) =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(AggregateExpression(Sum(se, _), _, false, _, _), n) =>
+      case al @ Alias(AggregateExpression(Sum(se, mode), _, false, None, _), n) =>
         val base = se match {
           case ar: AttributeReference => ar
           case Cast(ar: AttributeReference, LongType, _, _) => ar
           case _ => return None
         }
         if (!mv.sums.contains(base.name)) return None
-        Alias(sumOf(s"__sum_${base.name}"), n)(exprId = al.exprId)
-      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, IntegerType))), _, false, _, _), n) =>
+        Alias(sumOf(s"__sum_${base.name}", Some(mode)), n)(exprId = al.exprId)
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, IntegerType))), _, false, None, _), n) =>
         Alias(sumOf("__cnt"), n)(exprId = al.exprId)
       case _ => return None
     }

@@ -70,6 +70,17 @@ class MvRewriteSpec extends SparkSpecBase with BeforeAndAfterEach {
     // predicate over a non-dim column keeps or drops PARTS of cells
     assert(!scansMv(spark.read.parquet(base).filter(col("extra") > 100)
       .groupBy("d1").agg(sum("v"))))
+    // FILTER (WHERE ...) on the aggregate itself filters BASE rows —
+    // rewriting would silently drop the clause
+    assert(!scansMv(spark.read.parquet(base).groupBy("d1")
+      .agg(sum_distinct(col("v")))), "distinct sums are not decomposable")
+    assert(!scansMv(spark.sql(
+      s"SELECT d1, sum(v) FILTER (WHERE d2 = 1) AS s " +
+        s"FROM parquet.`$base` GROUP BY d1")))
+    // a GLOBAL aggregate must stay on the base: on an empty base
+    // count(*) emits one 0-row, the MV's sum would emit NULL
+    assert(!scansMv(spark.read.parquet(base)
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))))
   }
 
   test("kill switch and deregistration both restore the base scan") {
