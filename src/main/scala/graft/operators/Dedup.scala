@@ -412,6 +412,52 @@ object Dedup {
         .orderBy("cluster_size")
     },
 
+    // L55 — canonical selection per duplicate cluster: the step AFTER
+    // clustering that dedup actually exists for — of each mirror set,
+    // KEEP the best copy (longest text, ties to the smallest doc_id)
+    // and drop the rest. Composition: dd5's components ⨝ per-doc stats,
+    // the argmax a single max(struct(n_chars, −doc_id)) — one
+    // fixed-width aggregate, no window over the corpus, deterministic
+    // under ties by construction. Oracle recomputes via the
+    // gaps-and-islands truth + a rank window.
+    Q(
+      "dd13_canonical",
+      """WITH x AS (SELECT doc_id, lang,
+        |    CASE WHEN lag(lang) OVER (ORDER BY doc_id) = lang
+        |          AND lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM documents),
+        |y AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM x),
+        |c AS (SELECT grp, min(doc_id) AS component,
+        |        CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM y GROUP BY grp HAVING count(*) > 1),
+        |a AS (SELECT y.grp, d.doc_id AS canonical_doc,
+        |        d.n_chars AS canonical_chars,
+        |        row_number() OVER (PARTITION BY y.grp
+        |                           ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |      FROM y JOIN documents d USING (doc_id))
+        |SELECT c.component, c.n_docs, a.canonical_doc, a.canonical_chars
+        |FROM c JOIN a ON c.grp = a.grp AND a.rn = 1
+        |ORDER BY c.component""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val pairs = docs.select(col("doc_id").as("id_a"), col("lang"))
+        .join(docs.select((col("doc_id") - 1).as("id_a"), col("lang"),
+          col("doc_id").as("id_b")), Seq("id_a", "lang"))
+        .select("id_a", "id_b")
+      connectedComponents(pairs)
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_docs"),
+          max(struct(col("n_chars"), (-col("id")).as("negid"))).as("best"))
+        .select(col("component"), col("n_docs"),
+          (-col("best.negid")).as("canonical_doc"),
+          col("best.n_chars").as("canonical_chars"))
+        .orderBy("component")
+    },
+
     // L4d — edit-distance similarity on bounded candidates (levenshtein
     // is O(len²) per pair — NEVER run corpus-wide; here the deterministic
     // adjacent-pair set stands in for LSH candidates, same as dd4).

@@ -425,8 +425,12 @@ object TableLog {
     // compare by path suffix: manifests may store scheme-less paths
     val dead = onDisk.filterNot(p => live.exists(l =>
       p.endsWith(new Path(l).toUri.getPath)))
-    dead.foreach(p => fs.delete(new Path(p), true))
+    // manifests FIRST: a crash mid-vacuum then leaves orphan data dirs
+    // (invisible, cleaned by the next vacuum) — the other order leaves
+    // live-looking manifests referencing deleted data, which would turn
+    // a time-travel read into a scan-time file-not-found
     aged.foreach(v => fs.delete(manifestPath(dir, v), false))
+    dead.foreach(p => fs.delete(new Path(p), true))
     dead
   }
 }
