@@ -96,6 +96,53 @@ class PropertiesSpec extends SparkSpecBase {
     }, trials = 12)
   }
 
+  test("TableLog: random op sequences track the in-memory model, including time travel") {
+    import graft.sources.TableLog
+    sealed trait Op
+    case class App(rows: List[Long]) extends Op
+    case class Over(rows: List[Long]) extends Op
+    case class Merge(rows: List[Long]) extends Op
+    case object Compact extends Op
+    val rowsGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 30L)).map(_.distinct))
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> rowsGen.map(App), 2 -> rowsGen.map(Over),
+      2 -> rowsGen.map(Merge), 1 -> Gen.const(Compact))
+    val gen = for {
+      first <- rowsGen
+      ops <- Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, opGen))
+    } yield (first, ops)
+    check(Prop.forAll(gen) { case (first, ops) =>
+      val dir = java.nio.file.Files.createTempDirectory("tlprop").toString + "/t"
+      def df(rows: List[Long]) = rows.map(i => (i, s"v$i")).toDF("id", "s")
+      // model: multiset of (id, payload) per version; merge dedups by id
+      var model = Vector(first.map(i => (i, s"v$i")))
+      TableLog.create(spark, df(first), dir)
+      ops.foreach {
+        case App(r) =>
+          model :+= model.last ++ r.map(i => (i, s"v$i"))
+          TableLog.append(spark, df(r), dir)
+        case Over(r) =>
+          model :+= r.map(i => (i, s"v$i")).toList
+          TableLog.overwrite(spark, df(r), dir)
+        case Merge(r) =>
+          model :+= model.last.filterNot(t => r.contains(t._1)) ++
+            r.map(i => (i, s"v$i"))
+          TableLog.merge(spark, df(r), dir, Seq("id"))
+        case Compact =>
+          model :+= model.last
+          TableLog.compact(spark, dir, parts = 2)
+      }
+      val latestOk = TableLog.read(spark, dir).as[(Long, String)].collect()
+        .sorted.toSeq == model.last.sorted.toSeq
+      // time travel at EVERY version must replay the model history
+      val travelOk = model.indices.forall(v =>
+        TableLog.readVersion(spark, dir, v.toLong).as[(Long, String)].collect()
+          .sorted.toSeq == model(v).sorted.toSeq)
+      latestOk && travelOk && TableLog.versions(spark, dir).length == model.length
+    }, trials = 8)
+  }
+
   test("AsOfJoinExec equals the sequential as-of reference on random frames") {
     // narrow key/time domains force dense per-key collisions, exact ties,
     // and empty-key edges — the merge pass's hard cases
