@@ -494,6 +494,36 @@ object Corpus {
           .cast("long").as("term"))
         .agg(count(lit(1)).as("n_cells"),
           (sum("term").cast("double") / lit(1000000)).as("psi"))
+    },
+
+    // L56 — BPE merge-pair statistics: the inner aggregate of byte-pair
+    // tokenizer training — the most frequent ADJACENT symbol pairs
+    // within words decide the next merge rule, and at 100 TB this count
+    // IS the training job (the merge loop re-runs it on re-segmented
+    // text; one iteration shown, the loop is a driver concern like
+    // BFS/CC rounds). Scan-local double explode (words, then in-word
+    // adjacent pairs via transform over an index sequence — no
+    // per-character shuffle), ONE pair-count aggregate, top-30 under a
+    // total order. Words shorter than 2 chars are excluded EXPLICITLY
+    // on both engines (Spark's sequence(1, 0) counts DOWN rather than
+    // emitting empty — the guard is semantic, not just tidy).
+    Q(
+      "tx26_bpe_pairs",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+        |p AS (SELECT substring(wd, i, 2) AS pair
+        |      FROM w, LATERAL (SELECT unnest(range(1, length(wd))) AS i) s
+        |      WHERE length(wd) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("wd"))
+        .filter(length(col("wd")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(wd) - 1), i -> substring(wd, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("pair")).limit(30)
     }
   )
 }
