@@ -524,6 +524,119 @@ object Corpus {
           .as("pair"))
         .groupBy("pair").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("pair")).limit(30)
+    },
+
+    // L57 — per-document unigram cross-entropy (the perplexity-style
+    // quality filter): score each document by its mean token surprisal
+    // under the corpus's own unigram model — the CCNet-family signal
+    // that separates fluent text from boilerplate/noise without any
+    // external model. Shuffle shape: ONE (doc, term) aggregate, ONE
+    // vocabulary-sized term aggregate re-entering as a broadcast join;
+    // the corpus total is a broadcast 1-row scalar. Per-term log terms
+    // are micro-quantized to 1e6-unit BIGINTs (tx19 discipline) and
+    // scaled by the EXACT integer in-doc count, so per-doc sums are
+    // order-invariant across partitionings; bits_per_token is the one
+    // double division at the end.
+    Q(
+      "tx27_doc_surprisal",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dtc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cdw
+        |        FROM tok WHERE length(w) >= 1 GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(cdw) AS BIGINT) AS cw FROM dtc GROUP BY 1),
+        |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM cw),
+        |term AS (
+        |  SELECT doc_id, cdw,
+        |    cdw * CAST(round(1000000 * log2(CAST(n AS DOUBLE) / cw)) AS BIGINT) AS sq
+        |  FROM dtc JOIN cw USING (w) CROSS JOIN n)
+        |SELECT doc_id, CAST(sum(cdw) AS BIGINT) AS n_tokens,
+        |  CAST(sum(sq) AS DOUBLE) / (1000000 * CAST(sum(cdw) AS DOUBLE))
+        |    AS bits_per_token
+        |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val dtc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cdw"))
+        .localCheckpoint(true) // term model + per-doc join both consume it
+      val cw = dtc.groupBy("w").agg(sum("cdw").as("cw"))
+      val n = cw.agg(sum("cw").as("n"))
+      dtc.join(broadcast(cw), Seq("w"))
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("cdw"),
+          (col("cdw") * round(lit(1000000)
+              * log2(col("n").cast("double") / col("cw"))).cast("long")).as("sq"))
+        .groupBy("doc_id")
+        .agg(sum("cdw").as("n_tokens"),
+          (sum("sq").cast("double")
+            / (lit(1000000) * sum("cdw").cast("double"))).as("bits_per_token"))
+        .orderBy("doc_id")
+    },
+
+    // L58 — PMI collocation mining (phrase discovery): adjacent word
+    // pairs whose co-occurrence beats the independence baseline —
+    // log2(P(xy)/(P(x)P(y))) — are the multi-word expressions a
+    // tokenizer/vocab builder should treat as units. Bigrams come from
+    // a scan-local transform over each doc's token array (no
+    // self-join: adjacency is positional, the classic pair-with-next
+    // trap of joining the token frame to itself on position would
+    // shuffle the corpus twice); unigram and bigram count aggregates
+    // are the only shuffles, totals are broadcast 1-row scalars, and
+    // the vocabulary-sized count frames re-enter as broadcast joins.
+    // PMI is micro-quantized (round(1e6·log2) BIGINT) for an exact
+    // cross-engine compare and a total output order; the cxy >= 3
+    // support floor is applied AFTER the totals so the probability
+    // denominators are the true corpus mass.
+    Q(
+      "tx28_pmi_bigrams",
+      """WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |u AS (SELECT unnest(a) AS w FROM t),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+        |       FROM u WHERE length(w) >= 1 GROUP BY 1),
+        |n AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM uc),
+        |b AS (SELECT a[i] AS w1, a[i + 1] AS w2
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(a))) AS i) s
+        |      WHERE len(a) >= 2),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+        |       FROM b WHERE length(w1) >= 1 AND length(w2) >= 1 GROUP BY 1, 2),
+        |p AS (SELECT CAST(sum(cxy) AS BIGINT) AS p FROM bc),
+        |term AS (
+        |  SELECT w1, w2, cxy,
+        |    CAST(round(1000000 * log2(
+        |      (CAST(cxy AS DOUBLE) * n * n) / (CAST(p AS DOUBLE) * x.cw * y.cw)))
+        |      AS BIGINT) AS pmi_micro
+        |  FROM bc JOIN uc x ON bc.w1 = x.w JOIN uc y ON bc.w2 = y.w CROSS JOIN n CROSS JOIN p
+        |  WHERE cxy >= 3)
+        |SELECT w1, w2, cxy, pmi_micro FROM term
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val arr = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("a"))
+        .localCheckpoint(true) // unigram + bigram branches both consume it
+      val uc = arr.select(explode(col("a")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+        .localCheckpoint(true) // total + two broadcast joins consume it
+      val n = uc.agg(sum("cw").as("n"))
+      val bc = arr.filter(size(col("a")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2))"))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(length(col("w1")) >= 1 && length(col("w2")) >= 1)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+        .localCheckpoint(true) // total-bigrams scalar + term frame
+      val p = bc.agg(sum("cxy").as("p"))
+      bc.filter(col("cxy") >= 3)
+        .join(broadcast(uc.select(col("w").as("w1"), col("cw").as("cx"))), Seq("w1"))
+        .join(broadcast(uc.select(col("w").as("w2"), col("cw").as("cy"))), Seq("w2"))
+        .crossJoin(broadcast(n)).crossJoin(broadcast(p))
+        .select(col("w1"), col("w2"), col("cxy"),
+          round(lit(1000000) * log2(
+            (col("cxy").cast("double") * col("n") * col("n"))
+              / (col("p").cast("double") * col("cx") * col("cy"))))
+            .cast("long").as("pmi_micro"))
+        .orderBy(desc("pmi_micro"), col("w1"), col("w2")).limit(30)
     }
   )
 }
