@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,6 +22,68 @@ import org.apache.spark.sql.functions._
 object Corpus {
 
   private val chunk = 5 // words per passage (docs are 10–99 words)
+
+  /** Train `nMerges` BPE merge rules on the corpus — the ITERATIVE
+    * outer loop whose inner aggregate is `tx26_bpe_pairs`. Works on
+    * word TYPES weighted by frequency (the standard trick: the corpus
+    * collapses to its vocabulary once, so every round's cost is
+    * vocabulary-sized, not corpus-sized — at 100 TB the one type-count
+    * aggregate is the only corpus pass). Per round: one pair-count
+    * shuffle over the segmented vocab, a 1-ROW driver argmax (total
+    * order: freq DESC, left ASC, right ASC — retry/partitioning
+    * stable), then a greedy left-to-right merge applied scan-locally
+    * via a codegen'd array fold; `localCheckpoint` keeps plan depth
+    * constant like BFS/CC. Rounds are a driver concern (merge count,
+    * typically 10k-100k, bounds iterations — never data volume).
+    *
+    * Returns (rank, left, right, merged, freq) — rank 1-based in merge
+    * order. Stops early when no adjacent pair remains.
+    */
+  def trainBpe(docs: DataFrame, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var segs = docs
+      .select(explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 1)
+      .groupBy("wd").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(wd)), i -> substring(wd, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= nMerges && !done) {
+      val best = segs
+        .filter(size(col("syms")) >= 2) // sequence(1, 0) counts DOWN
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), col("l"), col("r"))
+        .limit(1).collect() // ONE row — the argmax, like a BFS frontier count
+      if (best.isEmpty) done = true
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val m = l + r
+        rules += ((rank, l, r, m, f))
+        // greedy left-to-right: a pair consumed by a merge can't also
+        // pair with the preceding symbol — exactly the fold below
+        // (the freshly-pushed merged symbol no longer equals `l`
+        // unless the text really contains it again)
+        val mergeFold = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, s) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(s))))
+        segs = segs.select(col("cnt"), mergeFold.as("syms")).localCheckpoint(true)
+        rank += 1
+      }
+    }
+    rules.toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
 
   val catalog: Seq[Q] = Seq(
     // L28 — passage-level duplication (sub-document dedup): split each
@@ -637,6 +700,16 @@ object Corpus {
               / (col("p").cast("double") * col("cx") * col("cy"))))
             .cast("long").as("pmi_micro"))
         .orderBy(desc("pmi_micro"), col("w1"), col("w2")).limit(30)
+    },
+
+    // L59 — BPE tokenizer training (the full merge loop): 12 merge
+    // rules trained on the corpus via [[trainBpe]] — vocabulary-sized
+    // rounds, corpus touched once, driver argmax under a total order.
+    // Not SQL-expressible (iterative with a data-dependent argmax per
+    // round) → rows-only here; BpeSpec pins the rules against an
+    // independent sequential reference implementation.
+    Q.rowsOnly("tx29_bpe_train") { (s, d) =>
+      trainBpe(Tables.documents(s, d), 12).orderBy("rank")
     }
   )
 }
