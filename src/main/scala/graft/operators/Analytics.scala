@@ -560,6 +560,32 @@ object Analytics {
         .groupBy("p100")
         .agg(min(expr("lo + ((bin + 1) * (hi - lo + 1)) DIV 64")).as("est_cents"))
         .orderBy("p100")
+    },
+
+    // R99 — discrete percentiles (percentile_disc): the SQL-standard
+    // WITHIN GROUP form that returns an ACTUAL data value (smallest
+    // value whose cume_dist ≥ p) — q22's percentile_cont interpolates,
+    // which is the wrong tool when the quantile must be a real
+    // observation (a real order quantity, a real latency sample).
+    // Because the result is an element, not an interpolation, the
+    // cross-engine compare is exact equality with no quantization.
+    // One group-by over fixed-width keys; Spark evaluates the three
+    // percentiles in a single aggregate pass per group.
+    Q(
+      "q91_percentile_disc",
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS p50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)").as("p25"),
+          expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"))
+        .orderBy("l_returnflag")
     }
   )
 }

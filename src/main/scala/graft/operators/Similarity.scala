@@ -632,6 +632,51 @@ object Similarity {
             / (count(lit(1)) * min(col("cnt"))).cast("double") / lit(1e12))
             .as("mean_dot"))
         .orderBy("label")
+    },
+
+    // L60 — per-dimension standardization statistics (the feature-scaler
+    // fit): mean/std/min/max for every embedding dimension — what a
+    // z-score whitening, PCA preprocessing, or drift monitor consumes.
+    // The posexplode is scan-local (64× rows, fixed factor); the ONLY
+    // shuffle is the 64-group fixed-width aggregate. Components are
+    // micro-quantized to longs BEFORE summing (sum and sum-of-squares
+    // are exact integers — order-invariant across partitionings; v6² ≤
+    // ~1e13 so int64 holds ~9e5 corpus rows per dim at this embedding
+    // scale, the documented bound — shard the sum at larger corpora);
+    // mean and std are single double expression trees over exact
+    // integers, identical on both engines.
+    Q(
+      "sim9_dim_stats",
+      """WITH c AS (SELECT
+        |    CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v6, i
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(range(0, len(embedding))) AS i) s),
+        |a AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(v6) AS BIGINT) AS s, CAST(sum(v6 * v6) AS BIGINT) AS ss,
+        |        CAST(min(v6) AS BIGINT) AS mn, CAST(max(v6) AS BIGINT) AS mx
+        |      FROM c GROUP BY 1)
+        |SELECT i AS dim, n,
+        |  CAST(s AS DOUBLE) / n / 1000000 AS mean,
+        |  sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) / 1000000 AS std,
+        |  CAST(mn AS DOUBLE) / 1000000 AS min_v,
+        |  CAST(mx AS DOUBLE) / 1000000 AS max_v
+        |FROM a ORDER BY dim""".stripMargin
+    ) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("i", "ev")))
+        .select(col("i"),
+          round(col("ev").cast("double") * 1000000).cast("long").as("v6"))
+        .groupBy("i")
+        .agg(count(lit(1)).as("n"), sum("v6").as("s"),
+          sum(col("v6") * col("v6")).as("ss"),
+          min("v6").as("mn"), max("v6").as("mx"))
+        .select(col("i").as("dim"), col("n"),
+          (col("s").cast("double") / col("n") / lit(1000000)).as("mean"),
+          (sqrt((col("ss").cast("double") - col("s").cast("double") * col("s") / col("n"))
+            / col("n")) / lit(1000000)).as("std"),
+          (col("mn").cast("double") / lit(1000000)).as("min_v"),
+          (col("mx").cast("double") / lit(1000000)).as("max_v"))
+        .orderBy("dim")
     }
   )
 }
