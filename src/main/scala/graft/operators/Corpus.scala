@@ -710,6 +710,75 @@ object Corpus {
     // independent sequential reference implementation.
     Q.rowsOnly("tx29_bpe_train") { (s, d) =>
       trainBpe(Tables.documents(s, d), 12).orderBy("rank")
+    },
+
+    // L60 — DSIR-style importance weights (data selection for language
+    // models, Xie et al. 2023): score every document by how much more
+    // likely its tokens are under the TARGET domain's unigram model
+    // than under the model of the rest of the corpus — the reweighting
+    // signal behind "make the 100 TB crawl look like the curated set".
+    // Both models are add-one smoothed over the SHARED corpus
+    // vocabulary so every word has mass on both sides; each word's
+    // log-likelihood ratio is micro-quantized ONCE (round(1e6·log2)
+    // BIGINT, the tx19/tx27 discipline) and scaled by the exact in-doc
+    // count, so the per-doc score is an order-invariant integer sum and
+    // the per-token normalization is the single final double.
+    // Shuffle shape: ONE (doc, word) aggregate; the vocabulary-sized
+    // model frame re-enters as a broadcast join; corpus totals are
+    // broadcast 1-row scalars. The target set here is a source slice —
+    // at scale it would be the curated reference corpus.
+    Q(
+      "tx30_dsir_weights",
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |dtc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cdw
+        |        FROM tok WHERE length(w) >= 1 GROUP BY 1, 2),
+        |cnt AS (SELECT w,
+        |    CAST(sum(CASE WHEN source IN ('src1', 'src2', 'src3') THEN 1
+        |             ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN source IN ('src1', 'src2', 'src3') THEN 0
+        |             ELSE 1 END) AS BIGINT) AS cr
+        |  FROM tok WHERE length(w) >= 1 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+        |          CAST(count(*) AS BIGINT) AS v
+        |        FROM cnt),
+        |model AS (SELECT w,
+        |    CAST(round(1000000 * log2(
+        |      ((CAST(ct AS DOUBLE) + 1) / (nt + v))
+        |      / ((CAST(cr AS DOUBLE) + 1) / (nr + v)))) AS BIGINT) AS llr_micro
+        |  FROM cnt CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(cdw) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cdw * llr_micro) AS BIGINT) AS llr_sum_micro,
+        |  CAST(sum(cdw * llr_micro) AS DOUBLE)
+        |    / (1000000 * CAST(sum(cdw) AS DOUBLE)) AS llr_per_token
+        |FROM dtc JOIN model USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val targetSrcs = Seq("src1", "src2", "src3")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .localCheckpoint(true) // model counts + per-doc counts both consume it
+      val dtc = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cdw"))
+      val isT = col("source").isin(targetSrcs: _*)
+      val cnt = tok.groupBy("w")
+        .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+          sum(when(isT, 0L).otherwise(1L)).as("cr"))
+      val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"),
+        count(lit(1)).as("v"))
+      val model = cnt.crossJoin(broadcast(tot))
+        .select(col("w"), round(lit(1000000) * log2(
+          ((col("ct").cast("double") + 1) / (col("nt") + col("v")))
+            / ((col("cr").cast("double") + 1) / (col("nr") + col("v")))))
+          .cast("long").as("llr_micro"))
+      dtc.join(broadcast(model), Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum("cdw").as("n_tokens"),
+          sum(col("cdw") * col("llr_micro")).as("llr_sum_micro"),
+          (sum(col("cdw") * col("llr_micro")).cast("double")
+            / (lit(1000000) * sum("cdw").cast("double"))).as("llr_per_token"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nonparametric two-sample hypothesis tests (SURVEY.md §2 T33/T34) —
+  * the A/B-readout shapes an events warehouse runs constantly: "did the
+  * `value` distribution of treatment differ from control", answered
+  * without normality assumptions.
+  *
+  * Both tests reduce the fact table to DISTINCT VALUE CELLS first
+  * (`round(value*100)` cent cells, one aggregate shuffle), then run the
+  * rank/ECDF algebra on the cell frame — |cells| is bounded by the
+  * value domain, not the event count, so the window pass costs the same
+  * at 100 TB as at sf0.01 once the aggregate is done. Rank sums, U
+  * statistics, tie corrections, and ECDF gaps are EXACT integers
+  * (doubled where halves appear, q88's no-halving identity); the only
+  * floats are the single final double trees (AUC, z, D), evaluated
+  * identically on both engines per the q60/q88 precedent.
+  *
+  * Reference intent: dias-hbp-sp8/Distributed-Query-Engine exposes
+  * aggregate pushdown for analytic SQL; these are the canonical
+  * beyond-TPC-H statistical readouts over the same surface.
+  */
+object HypoTests {
+
+  /** Cell frame shared by both tests: for each comparison group
+    * (`click`, `view`) a full union with the `purchase` side's cells —
+    * (grp, v, ca, cb) with ca = purchase count at cent-value v, cb =
+    * that group's count at v. Built as tagged UNION ALL + re-aggregate
+    * (never a per-group FULL OUTER JOIN — same result, one shuffle). */
+  private def cells(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val q = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+    val a = q.filter(col("event_type") === "purchase")
+      .groupBy("v").agg(count(lit(1)).as("ca"))
+    val b = q.filter(col("event_type") =!= "purchase")
+      .groupBy(col("event_type").as("grp"), col("v"))
+      .agg(count(lit(1)).as("cb"))
+    val grps = b.select("grp").distinct()
+    a.crossJoin(broadcast(grps))
+      .select(col("grp"), col("v"), col("ca"), lit(0L).as("cb"))
+      .unionByName(b.select(col("grp"), col("v"), lit(0L).as("ca"), col("cb")))
+      .groupBy("grp", "v")
+      .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+  }
+
+  private val cellsSql =
+    """WITH q AS (SELECT event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE event_type IN ('purchase', 'click', 'view')),
+      |a AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM q
+      |      WHERE event_type = 'purchase' GROUP BY 1),
+      |b AS (SELECT event_type AS grp, v, CAST(count(*) AS BIGINT) AS cb
+      |      FROM q WHERE event_type <> 'purchase' GROUP BY 1, 2),
+      |u AS (SELECT grp, v, ca, CAST(0 AS BIGINT) AS cb
+      |      FROM a CROSS JOIN (SELECT DISTINCT grp FROM b) g
+      |      UNION ALL
+      |      SELECT grp, v, CAST(0 AS BIGINT) AS ca, cb FROM b),
+      |cells AS (SELECT grp, v, CAST(sum(ca) AS BIGINT) AS ca,
+      |            CAST(sum(cb) AS BIGINT) AS cb
+      |          FROM u GROUP BY 1, 2)""".stripMargin
+
+  val catalog: Seq[Q] = Seq(
+    // T33 — Mann-Whitney U (Wilcoxon rank-sum): purchase `value` vs each
+    // comparison group. DOUBLED U keeps halves integral:
+    //   2·U_A = 2·Σ_v ca(v)·cumB(<v) + Σ_v ca(v)·cb(v).
+    // The tie term Σ(t³−t) rides decimal(38,0) (DuckDB HUGEINT) per the
+    // q73/q88 wide-product precedent and — like q88's marginals — feeds
+    // only the final double tree, never the output schema. AUC =
+    // U/(n1·n2) and the tie-corrected normal z are the two double trees.
+    Q(
+      "ev26_mannwhitney",
+      s"""$cellsSql,
+        |win AS (SELECT grp, ca, cb,
+        |    coalesce(sum(cb) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+        |  FROM cells),
+        |agg AS (SELECT grp, CAST(sum(ca) AS BIGINT) AS n1,
+        |    CAST(sum(cb) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(ca AS HUGEINT) * (2 * cumb + cb)) AS BIGINT) AS u2,
+        |    CAST(sum(CAST(ca + cb AS HUGEINT) * (ca + cb) * (ca + cb)
+        |             - (ca + cb)) AS HUGEINT) AS tsum
+        |  FROM win GROUP BY 1)
+        |SELECT grp, n1, n2, u2,
+        |  -- tsum stays internal: HUGEINT/decimal never hits the schema
+        |  CAST(u2 AS DOUBLE) / (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc,
+        |  CAST(u2 - n1 * n2 AS DOUBLE)
+        |    / (2 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12)
+        |        * ((CAST(n1 + n2 AS DOUBLE) + 1)
+        |           - CAST(tsum AS DOUBLE)
+        |             / (CAST(n1 + n2 AS DOUBLE) * (CAST(n1 + n2 AS DOUBLE) - 1))))) AS z
+        |FROM agg ORDER BY grp""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val t = col("ca").cast("decimal(38,0)") + col("cb").cast("decimal(38,0)")
+      val agg = cells(s, d)
+        .withColumn("cumb", coalesce(sum("cb").over(w), lit(0L)))
+        .groupBy("grp")
+        .agg(sum("ca").as("n1"), sum("cb").as("n2"),
+          sum(col("ca").cast("decimal(38,0)")
+            * (lit(2) * col("cumb") + col("cb"))).cast("long").as("u2"),
+          sum(t * t * t - t).as("tsum"))
+      val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+      val nd = (col("n1") + col("n2")).cast("double")
+      agg.select(col("grp"), col("n1"), col("n2"), col("u2"),
+        (col("u2").cast("double") / (lit(2) * n1d * n2d)).as("auc"),
+        ((col("u2") - col("n1") * col("n2")).cast("double")
+          / (lit(2) * sqrt((n1d * n2d / 12)
+            * ((nd + 1) - col("tsum").cast("double") / (nd * (nd - 1)))))).as("z"))
+        .orderBy("grp")
+    },
+
+    // T34 — two-sample Kolmogorov-Smirnov: D = max_v |F_A(v) − F_B(v)|,
+    // held as the EXACT integer max |cumA·n2 − cumB·n1| (cross-scaled
+    // ECDF numerators — no per-cell division, so the argmax can't be
+    // perturbed by float rounding); D itself is the one final division.
+    // Totals enter the window frame as group-level window sums — the
+    // cell frame is touched once.
+    Q(
+      "ev27_ks_test",
+      s"""$cellsSql,
+        |win AS (SELECT grp,
+        |    sum(ca) OVER (PARTITION BY grp ORDER BY v) AS cuma,
+        |    sum(cb) OVER (PARTITION BY grp ORDER BY v) AS cumb,
+        |    sum(ca) OVER (PARTITION BY grp) AS n1,
+        |    sum(cb) OVER (PARTITION BY grp) AS n2
+        |  FROM cells)
+        |SELECT grp, CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+        |  CAST(max(abs(CAST(cuma AS HUGEINT) * n2 - CAST(cumb AS HUGEINT) * n1))
+        |    AS BIGINT) AS d_num,
+        |  CAST(max(abs(CAST(cuma AS HUGEINT) * n2 - CAST(cumb AS HUGEINT) * n1))
+        |    AS DOUBLE)
+        |    / (CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE)) AS d
+        |FROM win GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val ord = Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("grp")
+      // decimal cross-products: cum·n overflows long at lake-scale counts
+      val gap = abs(col("cuma").cast("decimal(38,0)") * col("n2")
+        - col("cumb").cast("decimal(38,0)") * col("n1"))
+      cells(s, d)
+        .select(col("grp"),
+          sum("ca").over(ord).as("cuma"), sum("cb").over(ord).as("cumb"),
+          sum("ca").over(all).as("n1"), sum("cb").over(all).as("n2"))
+        .groupBy("grp")
+        .agg(max("n1").as("n1"), max("n2").as("n2"),
+          max(gap).cast("long").as("d_num"),
+          (max(gap).cast("double")
+            / (max("n1").cast("double") * max("n2").cast("double"))).as("d"))
+        .orderBy("grp")
+    }
+  )
+}

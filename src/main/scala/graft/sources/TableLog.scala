@@ -186,6 +186,34 @@ object TableLog {
     v
   }
 
+  /** Append `df` as the next version, EVOLVING the table schema when
+    * the batch is an additive superset (new nullable columns only —
+    * [[SchemaDrift.gateAdditive]] is the gate, so drops and retypes
+    * still fail the batch loudly before anything lands). Old data dirs
+    * are untouched: the evolved manifest schema makes every reader see
+    * the new columns as NULL on pre-evolution rows ([[readVersion]]),
+    * which is exactly Delta/Iceberg `mergeSchema` semantics at
+    * commit-metadata cost — no data rewrite, O(manifest) planning.
+    * A batch with the REGISTERED schema (no drift) is an ordinary
+    * append through the same call. */
+  def evolveAppend(spark: SparkSession, df: DataFrame, dir: String,
+                   statsCols: Seq[String] = Seq.empty): Long = {
+    val prevV = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist — create first"))
+    val prev = readManifest(spark, dir, prevV)
+    val registered = org.apache.spark.sql.types.DataType
+      .fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val evolved = SchemaDrift.gateAdditive(registered, df.schema)
+    val v = prevV + 1
+    // write in the evolved column ORDER so all post-evolution dirs share
+    // one layout (readers match by name; this is for humans + scanners)
+    val d = writeData(df.select(evolved.fieldNames.map(col).toSeq: _*), dir, v)
+    publish(spark, dir, Manifest(v, "evolve-append", evolved.json,
+      prev.dirs :+ d, prev.stats ++ statsFor(spark, d, statsCols)))
+    v
+  }
+
   /** Range scan with commit-granularity data skipping: only data dirs
     * whose zone map intersects [lo, hi] enter the Spark scan — the
     * others are pruned at PLANNING time from the manifest alone, the
@@ -219,10 +247,20 @@ object TableLog {
   }
 
   /** Snapshot read at `version` (time travel) — ONE multi-dir parquet
-    * scan, so pushdown/pruning/parallelism are ordinary Spark. */
+    * scan, so pushdown/pruning/parallelism are ordinary Spark. The
+    * MANIFEST's schema is authoritative (passed explicitly to the
+    * reader): after an [[evolveAppend]] the pre-evolution dirs simply
+    * lack the new columns and surface them as NULL, parquet's standard
+    * missing-column semantics — no footer-merging (`mergeSchema`) scan
+    * over every file, which at 100 TB is a planning-time full-lake
+    * metadata pass. Time travel to a pre-evolution version reads with
+    * THAT version's narrower schema, as committed. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = readManifest(spark, dir, version)
-    spark.read.parquet(m.dirs: _*)
+    spark.read
+      .schema(org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .parquet(m.dirs: _*)
   }
 
   /** Latest snapshot read. */
@@ -250,8 +288,10 @@ object TableLog {
         s"${fromVersion + 1}..$toVersion rewrite existing data " +
         s"(overwrite/compact) — not a pure append range")
     val added = to.dirs.filterNot(from.dirs.toSet)
-    if (added.isEmpty) spark.read.parquet(to.dirs: _*).limit(0)
-    else spark.read.parquet(added: _*)
+    val toSchema = org.apache.spark.sql.types.DataType.fromJson(to.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (added.isEmpty) spark.read.schema(toSchema).parquet(to.dirs: _*).limit(0)
+    else spark.read.schema(toSchema).parquet(added: _*)
   }
 
   /** Fold the current snapshot into ONE data dir as the next version —
@@ -400,6 +440,38 @@ object TableLog {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // S22d proof: SCHEMA EVOLUTION hash-checked end to end — the table
+    // starts with 3 columns (mod-3 = 0 rows), then an evolve-append
+    // lands the mod-3 ∈ {1,2} rows WITH a new `o_custkey` column: no
+    // data rewrite, old rows read as NULL in the new column. The oracle
+    // recomputes the post-evolution snapshot from the base table (null
+    // custkey on the old slice), so a dropped legacy row, a misfiled
+    // new column, or non-null garbage on pre-evolution rows all
+    // hash-mismatch. n_legacy pins the NULL-backfill semantics
+    // specifically.
+    graft.Q(
+      "src4_schema_evolution",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_custkey END)
+        |    AS BIGINT) AS custkey_sum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("txevo").toString + "/orders"
+      val orders = graft.Tables.orders(s, d)
+      create(s, orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice"), dir)
+      evolveAppend(s, orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_custkey"), dir)
+      read(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(col("o_custkey")).as("custkey_sum"))
         .orderBy("o_orderpriority")
     }
   )

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.HypoTests
+
+/** T33/T34: the distributed rank/ECDF algebra pinned against
+  * independent SEQUENTIAL references computed from the same events —
+  * a brute-force O(n·m) pair count for Mann-Whitney and a literal
+  * two-pointer ECDF walk for KS. The DuckDB oracle already certifies
+  * cross-engine SQL equality; this spec certifies the MATH (doubled-U
+  * identity, tie handling, cross-scaled ECDF gap) against definitions.
+  */
+class HypoTestsSpec extends SparkSpecBase {
+
+  private lazy val byType: Map[String, Array[Long]] = {
+    import spark.implicits._
+    Tables.events(spark, sf0001)
+      .filter($"event_type".isin("purchase", "click", "view"))
+      .select($"event_type", org.apache.spark.sql.functions
+        .round($"value" * 100).cast("long").as("v"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+  }
+
+  private lazy val results =
+    HypoTests.catalog.map(q => q.name ->
+      q.run(spark, sf0001).collect()).toMap
+
+  test("ev26: doubled U equals the brute-force pair count, per group") {
+    val a = byType("purchase")
+    for (row <- results("ev26_mannwhitney")) {
+      val grp = row.getString(0)
+      val b = byType(grp)
+      // 2U = 2·#{(x,y): x>y} + #ties, straight from the definition
+      var u2 = 0L
+      for (x <- a; y <- b)
+        u2 += (if (x > y) 2L else if (x == y) 1L else 0L)
+      assert(row.getLong(1) === a.length.toLong, s"$grp n1")
+      assert(row.getLong(2) === b.length.toLong, s"$grp n2")
+      assert(row.getLong(3) === u2, s"$grp doubled U")
+      // AUC is U/(n1·n2) — must equal the same division exactly
+      assert(row.getDouble(4) ===
+        u2.toDouble / (2.0 * a.length * b.length), s"$grp auc")
+    }
+  }
+
+  test("ev27: integer ECDF gap equals the sequential two-sample KS walk") {
+    val a = byType("purchase").sorted
+    for (row <- results("ev27_ks_test")) {
+      val grp = row.getString(0)
+      val b = byType(grp).sorted
+      val cells = (a ++ b).distinct.sorted
+      var best = 0L
+      for (v <- cells) {
+        val ca = a.count(_ <= v).toLong
+        val cb = b.count(_ <= v).toLong
+        best = math.max(best, math.abs(ca * b.length - cb * a.length))
+      }
+      assert(row.getLong(1) === a.length.toLong, s"$grp n1")
+      assert(row.getLong(2) === b.length.toLong, s"$grp n2")
+      assert(row.getLong(3) === best, s"$grp d_num")
+      assert(row.getDouble(4) ===
+        best.toDouble / (a.length.toDouble * b.length), s"$grp d")
+    }
+  }
+
+  test("both tests emit one row per comparison group, deterministically") {
+    assert(results("ev26_mannwhitney").map(_.getString(0)).toSeq
+      === Seq("click", "view"))
+    assert(results("ev27_ks_test").map(_.getString(0)).toSeq
+      === Seq("click", "view"))
+  }
+}

@@ -140,6 +140,58 @@ class TableLogSpec extends SparkSpecBase {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("evolveAppend adds a nullable column without rewriting history") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 5), dir)
+    val dirsBefore = TableLog.readManifest(spark, dir, 0L).dirs
+    val evolved = Seq((5L, "row5", 50.0), (6L, "row6", 60.0))
+      .toDF("id", "s", "score")
+    TableLog.evolveAppend(spark, evolved, dir)
+    // history untouched: version 1 references version 0's dirs verbatim
+    assert(TableLog.readManifest(spark, dir, 1L).dirs.take(1) === dirsBefore)
+    val latest = TableLog.read(spark, dir)
+    assert(latest.columns.toSeq === Seq("id", "s", "score"))
+    // pre-evolution rows surface the new column as NULL; new rows carry it
+    val byId = latest.select("id", "score").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(byId(0L).isEmpty && byId(4L).isEmpty)
+    assert(byId(5L).contains(50.0) && byId(6L).contains(60.0))
+    // time travel to the pre-evolution version reads the NARROW schema
+    assert(TableLog.readVersion(spark, dir, 0L).columns.toSeq === Seq("id", "s"))
+  }
+
+  test("evolveAppend refuses dropped or retyped columns (additive only)") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 3), dir)
+    val dropped = Seq(1L).toDF("id") // loses "s"
+    val e1 = intercept[IllegalArgumentException] {
+      TableLog.evolveAppend(spark, dropped, dir)
+    }
+    assert(e1.getMessage.contains("not additive"))
+    val retyped = Seq((1L, 2L)).toDF("id", "s") // s: string -> long
+    val e2 = intercept[IllegalArgumentException] {
+      TableLog.evolveAppend(spark, retyped, dir)
+    }
+    assert(e2.getMessage.contains("not additive"))
+    // nothing landed: still exactly version 0
+    assert(TableLog.versions(spark, dir) === Seq(0L))
+  }
+
+  test("changesBetween across an evolution reads the EVOLVED schema") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 3), dir)
+    TableLog.evolveAppend(spark,
+      Seq((3L, "row3", 7.0)).toDF("id", "s", "score"), dir)
+    val delta = TableLog.changesBetween(spark, dir, 0L, 1L)
+    assert(delta.columns.toSeq === Seq("id", "s", "score"))
+    assert(delta.select("id", "score").as[(Long, Option[Double])]
+      .collect().toSeq === Seq((3L, Some(7.0))))
+    // an ordinary same-schema batch still appends through evolveAppend
+    TableLog.evolveAppend(spark,
+      Seq((4L, "row4", 8.0)).toDF("id", "s", "score"), dir)
+    assert(TableLog.read(spark, dir).count() === 5)
+  }
+
   test("merge upserts: matched keys replaced, unmatched inserted, history intact") {
     val dir = freshDir()
     TableLog.create(spark, batch(0 until 6), dir)
