@@ -354,8 +354,14 @@ object EventOps {
     // statistics (p50/p90 as explicit rank picks over integer seconds —
     // shared integer rank formulas on both engines, so no
     // quantile-definition drift can bite). Per-user reductions shuffle
-    // user keys; the global ranking runs on the CONVERTS frame
-    // (users-sized, not events-sized).
+    // user keys; the rank pick then runs on DISTINCT-SECOND CELLS
+    // (value at rank k = min value whose cumulative count reaches k),
+    // so the one global window is bounded by the latency domain — an
+    // earlier draft ranked the users-sized converts frame through a
+    // single-partition row_number, the exact WindowExec bottleneck the
+    // ev26/ev27 cell discipline exists to avoid. The oracle keeps the
+    // literal rank-pick formulation; the hash match proves the cell
+    // form is the same statistic.
     Q(
       "ev19_time_to_convert",
       """WITH fv AS (SELECT user_id, min(ts) AS vts FROM events
@@ -384,12 +390,15 @@ object EventOps {
       val dd = fv.join(fp, Seq("user_id"))
         .select(col("user_id"),
           expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000").as("delta_s"))
-      val r = dd.select(col("user_id"), col("delta_s"),
-        row_number().over(Window.orderBy(col("delta_s"), col("user_id"))).as("rn"),
-        count(lit(1)).over(Window.partitionBy()).as("n"))
+      val cells = dd.groupBy("delta_s").agg(count(lit(1)).as("c"))
+      val cum = Window.orderBy("delta_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = cells.select(col("delta_s"),
+        sum("c").over(cum).as("cum"),
+        sum("c").over(Window.partitionBy()).as("n"))
       r.agg(max("n").cast("long").as("n_converts"),
-        max(when(col("rn") === expr("(n+1) DIV 2"), col("delta_s"))).cast("long").as("p50_s"),
-        max(when(col("rn") === expr("(n*9+9) DIV 10"), col("delta_s"))).cast("long").as("p90_s"),
+        min(when(expr("cum >= (n+1) DIV 2"), col("delta_s"))).cast("long").as("p50_s"),
+        min(when(expr("cum >= (n*9+9) DIV 10"), col("delta_s"))).cast("long").as("p90_s"),
         max("delta_s").cast("long").as("max_s"))
     },
 

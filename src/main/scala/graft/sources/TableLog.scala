@@ -309,6 +309,38 @@ object TableLog {
     v
   }
 
+  /** OPTIMIZE ZORDER as an ordinary commit: rewrite the snapshot
+    * clustered on `cols` via the Morton curve ([[graft.operators.Layout
+    * .zvalue]] — equal-frequency buckets, bit-interleave, ONE range
+    * shuffle + in-partition sort), published like [[compact]] so
+    * readers never block and a crash leaves the previous version live.
+    * Rows are untouched — only bytes-on-disk order changes — but every
+    * output file now covers a small hyper-rectangle of the clustered
+    * columns, so parquet row-group min-max pruning (and the commit
+    * zone maps, recorded for `cols`) turn selective on EVERY clustered
+    * column, not just a lead sort key. This is the nightly layout job
+    * a 100 TB append-mostly table runs after ingest: appends land fast
+    * and unclustered, the zorder commit restores scan selectivity. */
+  def compactZorder(spark: SparkSession, dir: String, cols: Seq[String],
+                    parts: Int = 8, bits: Int = 6): Long = {
+    val prevV = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist"))
+    val prev = readManifest(spark, dir, prevV)
+    val v = prevV + 1
+    val d = s"$dir/data/v$v-${java.util.UUID.randomUUID()}"
+    val snap = readVersion(spark, dir, prevV)
+    val statCols = cols.filter(c => snap.schema(c).dataType ==
+      org.apache.spark.sql.types.LongType)
+    snap.withColumn("__z", graft.operators.Layout.zvalue(snap, cols, bits))
+      .repartitionByRange(parts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.parquet(d)
+    publish(spark, dir, Manifest(v, "zorder", prev.schemaJson, Seq(d),
+      statsFor(spark, d, statCols)))
+    v
+  }
+
   // ------------------------------------------------- mutations (CoW)
 
   /** MERGE (upsert) by key: target rows whose key matches an update row

@@ -192,6 +192,38 @@ class TableLogSpec extends SparkSpecBase {
     assert(TableLog.read(spark, dir).count() === 5)
   }
 
+  test("compactZorder rewrites layout only: content identical, every clustered column turns selective") {
+    val dir = freshDir()
+    // interleaved random-ish (x, y): insertion order correlates with
+    // NEITHER column, so pre-zorder every file spans the full domain
+    val rows = (0 until 20000).map(i =>
+      (i.toLong, (i * 2654435761L) % 997L, (i * 40503L) % 997L))
+    val df = rows.toDF("id", "x", "y")
+    TableLog.create(spark, df.filter($"id" < 10000), dir)
+    TableLog.append(spark, df.filter($"id" >= 10000), dir)
+    val before = TableLog.read(spark, dir).collect().map(_.toSeq).toSet
+    val preDirs = TableLog.readManifest(spark, dir, 1L).dirs
+    val preFrac = preDirs.map(d =>
+      graft.operators.Layout.pruneFraction(spark, d, "x", 500.0)).max
+    val v = TableLog.compactZorder(spark, dir, Seq("x", "y"), parts = 8)
+    val m = TableLog.readManifest(spark, dir, v)
+    assert(m.op === "zorder" && m.dirs.size === 1)
+    // rows untouched — only bytes-on-disk order changed
+    assert(TableLog.read(spark, dir).collect().map(_.toSeq).toSet === before)
+    // min-max pruning now selective on BOTH clustered columns
+    val fx = graft.operators.Layout.pruneFraction(spark, m.dirs.head, "x", 500.0)
+    val fy = graft.operators.Layout.pruneFraction(spark, m.dirs.head, "y", 500.0)
+    assert(preFrac === 1.0, s"unclustered layout should be unprunable, got $preFrac")
+    assert(fx <= 0.75 && fy <= 0.75, s"zorder not selective: x=$fx y=$fy")
+    // commit zone maps recorded for the clustered LONG columns
+    assert(m.stats.map(_._2).toSet === Set("x", "y"))
+    // a rewrite: CDC ranges across it are refused, history stays readable
+    intercept[IllegalArgumentException] {
+      TableLog.changesBetween(spark, dir, 0L, v)
+    }
+    assert(TableLog.readVersion(spark, dir, 1L).count() === 20000)
+  }
+
   test("merge upserts: matched keys replaced, unmatched inserted, history intact") {
     val dir = freshDir()
     TableLog.create(spark, batch(0 until 6), dir)
