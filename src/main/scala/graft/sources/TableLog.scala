@@ -56,7 +56,19 @@ object TableLog {
     * correctness dependency. */
   final case class Manifest(version: Long, op: String, schemaJson: String,
                             dirs: Seq[String],
-                            stats: Seq[(String, String, Long, Long)] = Seq.empty)
+                            stats: Seq[(String, String, Long, Long)] = Seq.empty,
+                            dvs: Seq[Dv] = Seq.empty)
+
+  /** One deletion vector: `dataDir` holds the deleted KEYS (`keyCols`
+    * projection), and it applies to exactly the first `coversDirs`
+    * entries of the manifest's dir list — the dirs that existed when
+    * the delete committed. The dir list is append-ordered (appends do
+    * `prev.dirs :+ d`), so that prefix IS the delete-time snapshot:
+    * rows appended later with a deleted key are NOT affected, matching
+    * positional-DV semantics (Delta/Iceberg) without file/row-position
+    * bookkeeping. Any rewrite commit (compact/merge/delete/overwrite/
+    * zorder) materializes and drops DVs. */
+  final case class Dv(dataDir: String, keyCols: Seq[String], coversDirs: Int)
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -83,7 +95,8 @@ object TableLog {
   private def render(m: Manifest): String =
     (Seq(s"version=${m.version}", s"op=${m.op}", s"schema=${m.schemaJson}") ++
       m.dirs.map(d => s"dir=$d") ++
-      m.stats.map { case (d, c, lo, hi) => s"stats=$d;$c;$lo;$hi" })
+      m.stats.map { case (d, c, lo, hi) => s"stats=$d;$c;$lo;$hi" } ++
+      m.dvs.map(v => s"dv=${v.dataDir};${v.keyCols.mkString(",")};${v.coversDirs}") )
       .mkString("", "\n", "\n")
 
   def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
@@ -102,6 +115,10 @@ object TableLog {
       lines.filter(_.startsWith("stats=")).map { l =>
         val Array(d, c, lo, hi) = l.drop(6).split(";")
         (d, c, lo.toLong, hi.toLong)
+      },
+      lines.filter(_.startsWith("dv=")).map { l =>
+        val Array(d, ks, n) = l.drop(3).split(";")
+        Dv(d, ks.split(",").toSeq, n.toInt)
       })
   }
 
@@ -182,7 +199,7 @@ object TableLog {
     val v = prevV + 1
     val d = writeData(df, dir, v)
     publish(spark, dir, Manifest(v, "append", prev.schemaJson, prev.dirs :+ d,
-      prev.stats ++ statsFor(spark, d, statsCols)))
+      prev.stats ++ statsFor(spark, d, statsCols), prev.dvs))
     v
   }
 
@@ -210,7 +227,7 @@ object TableLog {
     // one layout (readers match by name; this is for humans + scanners)
     val d = writeData(df.select(evolved.fieldNames.map(col).toSeq: _*), dir, v)
     publish(spark, dir, Manifest(v, "evolve-append", evolved.json,
-      prev.dirs :+ d, prev.stats ++ statsFor(spark, d, statsCols)))
+      prev.dirs :+ d, prev.stats ++ statsFor(spark, d, statsCols), prev.dvs))
     v
   }
 
@@ -231,9 +248,11 @@ object TableLog {
       mx >= lo && mn <= hi
     })
     val pred = col(column) >= lo && col(column) <= hi
-    if (keep.isEmpty)
-      spark.read.parquet(m.dirs: _*).filter(pred).limit(0)
-    else spark.read.parquet(keep: _*).filter(pred)
+    // DV-deleted rows can only SHRINK a commit's true min/max, so the
+    // stored zone maps over-include, never skip a live row — the
+    // anti-join inside the DV scan stays correct under skipping
+    if (keep.isEmpty) scanWithDvs(spark, m, m.dirs, _.filter(pred)).limit(0)
+    else scanWithDvs(spark, m, keep, _.filter(pred))
   }
 
   /** Replace the table contents as the next version; older snapshots
@@ -257,10 +276,37 @@ object TableLog {
     * THAT version's narrower schema, as committed. */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = readManifest(spark, dir, version)
-    spark.read
-      .schema(org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .parquet(m.dirs: _*)
+    scanWithDvs(spark, m, m.dirs, identity)
+  }
+
+  /** Snapshot scan with deletion vectors: dirs are grouped by WHICH DVs
+    * cover them (dir at append-position i is covered by DVs with
+    * coversDirs > i — a handful of prefix groups, never per-dir scans),
+    * each group scanned once under the manifest's authoritative schema,
+    * anti-joined against the union of its covering DV key frames per
+    * distinct key-column set, then unioned. `shape` is applied to each
+    * group scan BEFORE the anti-join so pushed filters/pruning reach
+    * parquet ([[readRange]]); the DV side is deleted-KEYS only — at
+    * scale it broadcasts, the standard merge-on-read probe cost until
+    * [[compact]]/[[merge]] materializes. */
+  private def scanWithDvs(spark: SparkSession, m: Manifest,
+                          dirs: Seq[String],
+                          shape: DataFrame => DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def scan(ds: Seq[String]) = shape(spark.read.schema(schema).parquet(ds: _*))
+    if (m.dvs.isEmpty) scan(dirs)
+    else {
+      val pos = m.dirs.zipWithIndex.toMap
+      dirs.groupBy(d => m.dvs.filter(_.coversDirs > pos(d))).toSeq
+        .map { case (covering, group) =>
+          covering.groupBy(_.keyCols).foldLeft(scan(group)) {
+            case (acc, (keyCols, dvGroup)) =>
+              acc.join(spark.read.parquet(dvGroup.map(_.dataDir): _*)
+                .distinct(), keyCols, "left_anti")
+          }
+        }.reduce(_.unionByName(_))
+    }
   }
 
   /** Latest snapshot read. */
@@ -287,6 +333,10 @@ object TableLog {
       s"changesBetween($fromVersion, $toVersion) on $dir: versions " +
         s"${fromVersion + 1}..$toVersion rewrite existing data " +
         s"(overwrite/compact) — not a pure append range")
+    require(from.dvs == to.dvs,
+      s"changesBetween($fromVersion, $toVersion) on $dir: the range " +
+        "contains a deletion-vector commit — visibility of EXISTING rows " +
+        "changed, which a dir diff cannot represent as pure addition")
     val added = to.dirs.filterNot(from.dirs.toSet)
     val toSchema = org.apache.spark.sql.types.DataType.fromJson(to.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -304,7 +354,9 @@ object TableLog {
     val prev = readManifest(spark, dir, prevV)
     val v = prevV + 1
     val d = s"$dir/data/v$v-${java.util.UUID.randomUUID()}"
-    spark.read.parquet(prev.dirs: _*).repartition(parts).write.parquet(d)
+    // snapshot read (DVs applied) → the rewrite MATERIALIZES pending
+    // deletes; the new manifest carries no deletion vectors
+    readVersion(spark, dir, prevV).repartition(parts).write.parquet(d)
     publish(spark, dir, Manifest(v, "compact", prev.schemaJson, Seq(d)))
     v
   }
@@ -383,6 +435,34 @@ object TableLog {
     v
   }
 
+  /** Merge-on-read DELETE via a deletion vector: the commit writes only
+    * the DELETED KEYS (O(Δ), never O(table) — the fast path [[delete]]'s
+    * copy-on-write doc comment promises at 100 TB) and every subsequent
+    * read subtracts them with one anti-join ([[applyDvs]]). Time travel
+    * still works: older manifests carry fewer DVs, so pre-delete
+    * versions show the rows. NOT an erasure path — the bytes stay in
+    * the data files until [[compact]]/[[merge]]/[[delete]] materializes
+    * the deletes and [[vacuum]] destroys the old dirs; compliance
+    * stories must still end in copy-on-write + vacuum. */
+  def deleteByKey(spark: SparkSession, keys: DataFrame, dir: String,
+                  keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteByKey: at least one key column")
+    val prevV = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist"))
+    val prev = readManifest(spark, dir, prevV)
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    keyCols.foreach(k => require(tableSchema.fieldNames.contains(k),
+      s"deleteByKey: $k is not a column of $dir"))
+    val v = prevV + 1
+    val d = s"$dir/data/v$v-dv-${java.util.UUID.randomUUID()}"
+    keys.select(keyCols.map(col): _*).distinct().write.parquet(d)
+    publish(spark, dir, Manifest(v, "delete-dv", prev.schemaJson, prev.dirs,
+      prev.stats, prev.dvs :+ Dv(d, keyCols, prev.dirs.size)))
+    v
+  }
+
   // --------------------------------------- exactly-once streaming sink
 
   private def batchIdOf(op: String): Option[Long] =
@@ -408,11 +488,14 @@ object TableLog {
     else {
       val prevOpt = latestVersion(spark, dir)
       val v = prevOpt.map(_ + 1).getOrElse(0L)
-      val prevDirs = prevOpt.map(readManifest(spark, dir, _))
-        .map(m => { requireSameSchema(df, m, dir); m.dirs }).getOrElse(Seq.empty)
+      val prevM = prevOpt.map(readManifest(spark, dir, _))
+      prevM.foreach(m => requireSameSchema(df, m, dir))
+      val prevDirs = prevM.map(_.dirs).getOrElse(Seq.empty)
       val d = writeData(df, dir, v)
       publish(spark, dir,
-        Manifest(v, s"append:batch=$batchId", df.schema.json, prevDirs :+ d))
+        Manifest(v, s"append:batch=$batchId", df.schema.json, prevDirs :+ d,
+          prevM.map(_.stats).getOrElse(Seq.empty),
+          prevM.map(_.dvs).getOrElse(Seq.empty)))
       Some(v)
     }
   }
@@ -518,7 +601,10 @@ object TableLog {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"table $dir does not exist")
     val (aged, kept) = vs.splitAt(math.max(0, vs.length - retainLast))
-    val live = kept.flatMap(readManifest(spark, dir, _).dirs).toSet
+    val live = kept.flatMap { v =>
+      val m = readManifest(spark, dir, v)
+      m.dirs ++ m.dvs.map(_.dataDir) // DV dirs are as load-bearing as data dirs
+    }.toSet
     val dataRoot = new Path(s"$dir/data")
     val fs = fsFor(spark, dataRoot)
     val onDisk =

@@ -224,6 +224,63 @@ class TableLogSpec extends SparkSpecBase {
     assert(TableLog.readVersion(spark, dir, 1L).count() === 20000)
   }
 
+  test("deleteByKey: O(keys) commit hides rows; time travel shows them; compact materializes") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 10), dir)
+    val preDirs = TableLog.readManifest(spark, dir, 0L).dirs
+    val v = TableLog.deleteByKey(spark,
+      Seq(2L, 5L, 7L).toDF("id"), dir, Seq("id"))
+    val m = TableLog.readManifest(spark, dir, v)
+    // merge-on-read: the data dirs are UNTOUCHED — only a key frame landed
+    assert(m.dirs === preDirs && m.op === "delete-dv" && m.dvs.size === 1)
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === Array(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+    // pre-delete snapshot still shows the rows
+    assert(TableLog.readVersion(spark, dir, 0L).count() === 10)
+    // zone-map range read subtracts DVs too
+    assert(TableLog.readRange(spark, dir, "id", 0L, 9L)
+      .select("id").as[Long].collect().sorted === Array(0L, 1L, 3L, 4L, 6L, 8L, 9L))
+    // compact materializes: DVs drop, content is the post-delete snapshot
+    val cv = TableLog.compact(spark, dir)
+    assert(TableLog.readManifest(spark, dir, cv).dvs.isEmpty)
+    assert(TableLog.read(spark, dir).count() === 7)
+  }
+
+  test("a DV covers only its delete-time prefix: later appends of the same key survive") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 5), dir)
+    TableLog.deleteByKey(spark, Seq(1L, 3L).toDF("id"), dir, Seq("id"))
+    // the key comes BACK in a later append — positional semantics says
+    // the old DV must not swallow it
+    TableLog.append(spark, batch(3 until 4), dir)
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === Array(0L, 2L, 3L, 4L))
+    // a second delete takes out the reborn row (covers the longer prefix)
+    TableLog.deleteByKey(spark, Seq(3L).toDF("id"), dir, Seq("id"))
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === Array(0L, 2L, 4L))
+  }
+
+  test("changesBetween refuses a range containing a DV commit; vacuum keeps live DV dirs") {
+    val dir = freshDir()
+    TableLog.create(spark, batch(0 until 4), dir)
+    TableLog.append(spark, batch(4 until 6), dir)
+    val dv = TableLog.deleteByKey(spark, Seq(0L).toDF("id"), dir, Seq("id"))
+    TableLog.append(spark, batch(6 until 8), dir)
+    // pure-append range after the DV commit is fine
+    assert(TableLog.changesBetween(spark, dir, dv, dv + 1)
+      .select("id").as[Long].collect().sorted === Array(6L, 7L))
+    // a range STRADDLING the DV commit is refused (visibility changed)
+    val e = intercept[IllegalArgumentException] {
+      TableLog.changesBetween(spark, dir, 1L, dv)
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+    // vacuum to the last 2 versions: the DV dir is still referenced
+    TableLog.vacuum(spark, dir, retainLast = 2)
+    assert(TableLog.read(spark, dir).select("id").as[Long].collect().sorted
+      === Array(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
   test("merge upserts: matched keys replaced, unmatched inserted, history intact") {
     val dir = freshDir()
     TableLog.create(spark, batch(0 until 6), dir)
