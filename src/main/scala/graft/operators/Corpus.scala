@@ -85,6 +85,59 @@ object Corpus {
     rules.toSeq.toDF("rank", "left", "right", "merged", "freq")
   }
 
+  /** Greedy left-to-right application of ONE merge rule to a symbol
+    * array — the SAME semantics as [[trainBpe]]'s in-loop fold (a pair
+    * consumed by a merge can't also pair with the preceding symbol), in
+    * plain Scala for the encoder path. */
+  private[graft] def applyRule(syms: Array[String], l: String, r: String,
+                                   m: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == l && syms(i) == r) {
+        out(out.length - 1) = m
+      } else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Encode one word under the trained rules (rank order, one greedy
+    * pass per rule — bit-for-bit the training semantics, so encoding
+    * the training corpus reproduces training's final segmentation). */
+  private[graft] def encodeWord(wd: String,
+                                    rules: Seq[(String, String, String)]): Array[String] =
+    rules.foldLeft(wd.map(_.toString).toArray) { case (syms, (l, r, m)) =>
+      applyRule(syms, l, r, m)
+    }
+
+  /** Tokenize the corpus under trained BPE rules: (doc_id, n_words,
+    * n_bpe_tokens). The imperative encoder runs on DISTINCT WORD TYPES
+    * (the same vocabulary-collapse trick training uses — at 100 TB the
+    * corpus is touched once for type counts and once for the final
+    * per-doc reduction; the rule loop, the only non-declarative part,
+    * runs over |vocab| rows and rides mapPartitions because Catalyst
+    * has no rank-ordered-merge equivalent). The per-type token counts
+    * re-enter as a broadcast join. Rule lists are bounded model state
+    * (10k-100k in production) — task-closure size, not data. */
+  def bpeTokenCounts(docs: DataFrame, rules: Seq[(String, String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dtc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 1)
+      .groupBy("doc_id", "wd").agg(count(lit(1)).as("cdw"))
+      .localCheckpoint(true) // type frame + per-doc reduction both consume it
+    val types = dtc.select("wd").distinct().as[String]
+      .mapPartitions(_.map(wd => (wd, encodeWord(wd, rules).length.toLong)))
+      .toDF("wd", "n_tok")
+    dtc.join(broadcast(types), Seq("wd"))
+      .groupBy("doc_id")
+      .agg(sum("cdw").as("n_words"),
+        sum(col("cdw") * col("n_tok")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
   val catalog: Seq[Q] = Seq(
     // L28 — passage-level duplication (sub-document dedup): split each
     // doc into consecutive 5-word passages, count how many of a doc's
@@ -710,6 +763,21 @@ object Corpus {
     // independent sequential reference implementation.
     Q.rowsOnly("tx29_bpe_train") { (s, d) =>
       trainBpe(Tables.documents(s, d), 12).orderBy("rank")
+    },
+
+    // L61 — BPE corpus encoding (the tokenizer's APPLY half): token
+    // counts per document under the 12 rules tx29 trains, via
+    // [[bpeTokenCounts]] (type-collapsed imperative encode, broadcast
+    // re-join). Train + encode in one entry keeps the pair
+    // deterministic; not SQL-expressible (rank-ordered greedy merges)
+    // → rows-only; BpeSpec pins the encoder against the training
+    // fold's own final segmentation and a hand-computed case.
+    Q.rowsOnly("tx31_bpe_encode") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val rules = trainBpe(docs, 12).orderBy("rank")
+        .select("left", "right", "merged").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      bpeTokenCounts(docs, rules)
     },
 
     // L60 — DSIR-style importance weights (data selection for language

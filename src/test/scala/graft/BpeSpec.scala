@@ -93,4 +93,50 @@ class BpeSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(trained(docs.select("text"), 10) == referenceBpe(words, 10))
   }
+
+  test("encodeWord: greedy rank-ordered merges on a hand-checked case") {
+    // rules: (a,b)->ab then (ab,c)->abc; "ababc" -> [ab, abc]... walk:
+    // chars a b a b c; rule1 L-to-R: [ab, ab, c]; rule2: first ab+c? the
+    // SECOND ab pairs with c -> [ab, abc]
+    val rules = Seq(("a", "b", "ab"), ("ab", "c", "abc"))
+    assert(Corpus.encodeWord("ababc", rules).toSeq === Seq("ab", "abc"))
+    // a rule never re-fires across a merge it just produced
+    assert(Corpus.encodeWord("aab", Seq(("a", "b", "ab"))).toSeq
+      === Seq("a", "ab"))
+    assert(Corpus.encodeWord("x", rules).toSeq === Seq("x"))
+  }
+
+  test("encoding the training corpus reproduces the training fold's segmentation") {
+    val docs = Tables.documents(spark, sf0001)
+    val rules = trained(docs.select("text"), 12)
+      .map { case (_, l, r, m, _) => (l, r, m) }.toSeq
+    // independent check: per word type, the imperative encoder's token
+    // count equals the sequential reference fold applied rule by rule
+    val words = docs.select(explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 1).distinct()
+      .collect().map(_.getString(0))
+    for (w <- words) {
+      val ref = rules.foldLeft(w.map(_.toString).toVector) { case (syms, (l, r, m)) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (s <- syms) {
+          if (acc.nonEmpty && acc.last == l && s == r) { acc.remove(acc.length - 1); acc += m }
+          else acc += s
+        }
+        acc.toVector
+      }
+      assert(Corpus.encodeWord(w, rules).toSeq === ref.toSeq, s"word $w")
+    }
+    // and the distributed per-doc counts agree with a direct recompute
+    val got = Corpus.bpeTokenCounts(docs, rules).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val enc = words.map(w => w -> Corpus.encodeWord(w, rules).length.toLong).toMap
+    import spark.implicits._
+    val expect = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 1)
+      .as[(Long, String)].collect()
+      .groupBy(_._1).map { case (id, ws) =>
+        (id, ws.length.toLong, ws.map(t => enc(t._2)).sum)
+      }.toSeq.sortBy(_._1)
+    assert(got.toSeq === expect)
+  }
 }
