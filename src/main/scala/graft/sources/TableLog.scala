@@ -57,7 +57,8 @@ object TableLog {
   final case class Manifest(version: Long, op: String, schemaJson: String,
                             dirs: Seq[String],
                             stats: Seq[(String, String, Long, Long)] = Seq.empty,
-                            dvs: Seq[Dv] = Seq.empty)
+                            dvs: Seq[Dv] = Seq.empty,
+                            blooms: Seq[(String, String, String)] = Seq.empty)
 
   /** One deletion vector: `dataDir` holds the deleted KEYS (`keyCols`
     * projection), and it applies to exactly the first `coversDirs`
@@ -96,7 +97,8 @@ object TableLog {
     (Seq(s"version=${m.version}", s"op=${m.op}", s"schema=${m.schemaJson}") ++
       m.dirs.map(d => s"dir=$d") ++
       m.stats.map { case (d, c, lo, hi) => s"stats=$d;$c;$lo;$hi" } ++
-      m.dvs.map(v => s"dv=${v.dataDir};${v.keyCols.mkString(",")};${v.coversDirs}") )
+      m.dvs.map(v => s"dv=${v.dataDir};${v.keyCols.mkString(",")};${v.coversDirs}") ++
+      m.blooms.map { case (d, c, b64) => s"bloom=$d;$c;$b64" })
       .mkString("", "\n", "\n")
 
   def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
@@ -119,6 +121,10 @@ object TableLog {
       lines.filter(_.startsWith("dv=")).map { l =>
         val Array(d, ks, n) = l.drop(3).split(";")
         Dv(d, ks.split(",").toSeq, n.toInt)
+      },
+      lines.filter(_.startsWith("bloom=")).map { l =>
+        val Array(d, c, b64) = l.drop(6).split(";")
+        (d, c, b64)
       })
   }
 
@@ -175,23 +181,50 @@ object TableLog {
       }
     }
 
+  /** Commit-level Bloom membership sketch for the WRITTEN dir: one
+    * fixed-size (`numBits`) filter per column over `xxhash64(col)`,
+    * base64 in the manifest. Works for ANY column type (zone maps need
+    * ordered longs; blooms answer equality on strings/ids), O(numBits)
+    * per commit regardless of row count. False positives only — a
+    * commit the bloom can't rule out is read and the residual filter
+    * decides, so skipping never changes answers. */
+  private def bloomsFor(spark: SparkSession, d: String,
+                        bloomCols: Seq[String],
+                        numBits: Long = 8192L): Seq[(String, String, String)] =
+    bloomCols.map { c =>
+      val bytes = spark.read.parquet(d)
+        .agg(expr(s"bloom_agg(xxhash64($c), ${numBits / 8}L, ${numBits}L)"))
+        .head().getAs[Array[Byte]](0)
+      (d, c, java.util.Base64.getEncoder.encodeToString(bytes))
+    }
+
+  /** `xxhash64(lit(value))` folded on the driver — same seed (42) and
+    * type semantics as the executor-side expression the blooms hashed. */
+  private def hashLiteral(value: Any): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(value)), 42L)
+      .eval(null).asInstanceOf[Long]
+
   /** Create the table at `dir` as version 0. Fails loudly if any
     * version already exists. `statsCols` (LONG columns) adds commit
     * zone maps for [[readRange]] skipping. */
   def create(spark: SparkSession, df: DataFrame, dir: String,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             bloomCols: Seq[String] = Seq.empty): Long = {
     require(latestVersion(spark, dir).isEmpty,
       s"table $dir already exists — use append/overwrite")
     val d = writeData(df, dir, 0L)
     publish(spark, dir, Manifest(0L, "create", df.schema.json, Seq(d),
-      statsFor(spark, d, statsCols)))
+      statsFor(spark, d, statsCols),
+      blooms = bloomsFor(spark, d, bloomCols)))
     0L
   }
 
   /** Append `df` as the next version (previous dirs stay live); prior
     * commits' zone maps carry forward untouched. */
   def append(spark: SparkSession, df: DataFrame, dir: String,
-             statsCols: Seq[String] = Seq.empty): Long = {
+             statsCols: Seq[String] = Seq.empty,
+             bloomCols: Seq[String] = Seq.empty): Long = {
     val prevV = latestVersion(spark, dir)
       .getOrElse(sys.error(s"table $dir does not exist — create first"))
     val prev = readManifest(spark, dir, prevV)
@@ -199,7 +232,8 @@ object TableLog {
     val v = prevV + 1
     val d = writeData(df, dir, v)
     publish(spark, dir, Manifest(v, "append", prev.schemaJson, prev.dirs :+ d,
-      prev.stats ++ statsFor(spark, d, statsCols), prev.dvs))
+      prev.stats ++ statsFor(spark, d, statsCols), prev.dvs,
+      prev.blooms ++ bloomsFor(spark, d, bloomCols)))
     v
   }
 
@@ -227,7 +261,8 @@ object TableLog {
     // one layout (readers match by name; this is for humans + scanners)
     val d = writeData(df.select(evolved.fieldNames.map(col).toSeq: _*), dir, v)
     publish(spark, dir, Manifest(v, "evolve-append", evolved.json,
-      prev.dirs :+ d, prev.stats ++ statsFor(spark, d, statsCols), prev.dvs))
+      prev.dirs :+ d, prev.stats ++ statsFor(spark, d, statsCols), prev.dvs,
+      prev.blooms))
     v
   }
 
@@ -251,6 +286,33 @@ object TableLog {
     // DV-deleted rows can only SHRINK a commit's true min/max, so the
     // stored zone maps over-include, never skip a live row — the
     // anti-join inside the DV scan stays correct under skipping
+    if (keep.isEmpty) scanWithDvs(spark, m, m.dirs, _.filter(pred)).limit(0)
+    else scanWithDvs(spark, m, keep, _.filter(pred))
+  }
+
+  /** Point lookup with Bloom commit skipping: only data dirs whose
+    * membership sketch MIGHT contain `value` enter the scan — the
+    * equality sibling of [[readRange]]'s zone maps, and the one that
+    * works for strings and other unordered keys ("find this doc_id /
+    * user hash in years of commits"). False positives cost a read that
+    * the residual pushed filter then empties; false negatives are
+    * impossible (the bloom hashed every row the commit wrote), so
+    * skipping never changes answers; bloom-less dirs are always read.
+    * DV subtraction stays correct: DVs only remove rows, so a sketch
+    * built at write time can only over-include. */
+  def readPoint(spark: SparkSession, dir: String, column: String,
+                value: Any): DataFrame = {
+    val m = readManifest(spark, dir,
+      latestVersion(spark, dir).getOrElse(sys.error(s"table $dir does not exist")))
+    val byDir = m.blooms.filter(_._2 == column).map(b => b._1 -> b._3).toMap
+    val h = hashLiteral(value)
+    val keep = m.dirs.filter(d => byDir.get(d).forall { b64 =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+        .mightContainLong(h)
+    })
+    val pred = col(column) === lit(value)
     if (keep.isEmpty) scanWithDvs(spark, m, m.dirs, _.filter(pred)).limit(0)
     else scanWithDvs(spark, m, keep, _.filter(pred))
   }

@@ -281,6 +281,32 @@ class TableLogSpec extends SparkSpecBase {
       === Array(1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("bloom commit skipping: point lookup plans only commits that might hold the key") {
+    val dir = freshDir()
+    // disjoint string keyspaces per commit so the blooms can separate them
+    def b(tag: String, ids: Range) =
+      ids.map(i => (i.toLong, s"$tag$i")).toDF("id", "s")
+    TableLog.create(spark, b("alpha", 0 until 400), dir, bloomCols = Seq("s"))
+    TableLog.append(spark, b("beta", 0 until 400), dir, bloomCols = Seq("s"))
+    TableLog.append(spark, b("gamma", 0 until 400), dir, bloomCols = Seq("s"))
+    val m = TableLog.readManifest(spark, dir, 2L)
+    assert(m.blooms.size === 3 && m.blooms.forall(_._2 == "s"))
+    val hit = TableLog.readPoint(spark, dir, "s", "beta7")
+    assert(hit.collect().map(_.getLong(0)).toSeq === Seq(7L))
+    // planning-time skipping: only the beta commit's dir is in the scan
+    // inputFiles are file: URIs; manifest dirs are plain paths
+    val scanned = hit.inputFiles.map(f => m.dirs.indexWhere(f.contains)).toSet
+    assert(scanned === Set(1), s"expected only commit 1 scanned, got $scanned")
+    // absent key: every bloom says no -> empty plan, zero dirs
+    val miss = TableLog.readPoint(spark, dir, "s", "delta1")
+    assert(miss.count() === 0 && miss.inputFiles.isEmpty)
+    // bloom-less column: all dirs read, answers still right
+    assert(TableLog.readPoint(spark, dir, "id", 3L).count() === 3)
+    // DV interplay: delete the key, the lookup honors it
+    TableLog.deleteByKey(spark, Seq("beta7").toDF("s"), dir, Seq("s"))
+    assert(TableLog.readPoint(spark, dir, "s", "beta7").count() === 0)
+  }
+
   test("merge upserts: matched keys replaced, unmatched inserted, history intact") {
     val dir = freshDir()
     TableLog.create(spark, batch(0 until 6), dir)
