@@ -780,6 +780,50 @@ object Corpus {
       bpeTokenCounts(docs, rules)
     },
 
+    // L62 — n-gram novelty per document (memorization/duplication risk
+    // in ingestion order): the share of a doc's distinct sliding word
+    // 4-grams whose FIRST corpus occurrence (min doc_id) is this doc.
+    // Low novelty = the doc mostly restates earlier text — the signal a
+    // dedup-aware sampler downweights and a memorization audit flags.
+    // Grams are md5-hashed in the scan projection (dd8 discipline: text
+    // never shuffles — fixed-width hashes do); one (gram → min doc)
+    // aggregate + one gram-key join + one per-doc reduction; the
+    // permille is exact-integer DIV.
+    Q(
+      "tx32_ngram_novelty",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 4),
+        |g AS (SELECT DISTINCT doc_id,
+        |        md5(array_to_string(l[i : i+3], ' ')) AS gh
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(l) - 2)) AS i) s),
+        |fo AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_grams,
+        |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000 // CAST(count(*) AS BIGINT) AS novelty_permille
+        |FROM g JOIN fo USING (gh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("l"))
+        .filter(size(col("l")) >= 4)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(l) - 3), " +
+            "i -> md5(array_join(slice(l, i, 4), ' ')))")).as("gh"))
+        .distinct()
+        .localCheckpoint(true) // first-occurrence agg + join both consume it
+      val fo = g.groupBy("gh").agg(min("doc_id").as("first_doc"))
+      g.join(fo, Seq("gh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("novel_grams"))
+        .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+          expr("novel_grams * 1000 DIV n_grams").as("novelty_permille"))
+        .orderBy("doc_id")
+    },
+
     // L60 — DSIR-style importance weights (data selection for language
     // models, Xie et al. 2023): score every document by how much more
     // likely its tokens are under the TARGET domain's unigram model
