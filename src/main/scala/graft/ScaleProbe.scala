@@ -332,6 +332,49 @@ object ScaleProbe {
           .count()
       }
     }
+    // r4: hypothesis tests — the rank/ECDF algebra runs on distinct
+    // VALUE CELLS, so rep× more events grows only the one cell
+    // aggregate (scan-shaped); the window pass is constant-size. The
+    // printed row count IS the window input (cells), proving it.
+    locally {
+      val ev = replicate(Tables.events(spark, d), Seq("event_id", "user_id"),
+        100000000L).localCheckpoint(true)
+      time("mannwhitney_cells") {
+        val q = ev.filter(col("event_type").isin("purchase", "click", "view"))
+          .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+        val a = q.filter(col("event_type") === "purchase")
+          .groupBy("v").agg(count(lit(1)).as("ca"))
+        val b = q.filter(col("event_type") =!= "purchase")
+          .groupBy(col("event_type").as("grp"), col("v")).agg(count(lit(1)).as("cb"))
+        a.crossJoin(broadcast(b.select("grp").distinct()))
+          .select(col("grp"), col("v"), col("ca"), lit(0L).as("cb"))
+          .unionByName(b.select(col("grp"), col("v"), lit(0L).as("ca"), col("cb")))
+          .groupBy("grp", "v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+          .count() // the cell frame: window input size, constant in rep
+      }
+    }
+    // r4: merge-on-read delete — the DV commit writes only the deleted
+    // keys (flat in table size); the CoW delete rewrites the table
+    // (grows with rep). Same log, same predicate economics.
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("dv_probe").toString
+      val t1 = s"$root/dv"; val t2 = s"$root/cow"
+      val snap = or.select("o_orderkey", "o_orderpriority", "o_totalprice")
+      graft.sources.TableLog.create(spark, snap, t1)
+      graft.sources.TableLog.create(spark, snap, t2)
+      val doomed = Tables.orders(spark, d).select("o_orderkey").limit(1000)
+        .localCheckpoint(true)
+      time("delete_dv_commit") {
+        graft.sources.TableLog.deleteByKey(spark, doomed, t1, Seq("o_orderkey"))
+      }
+      time("delete_cow_commit") {
+        graft.sources.TableLog.delete(spark, t2,
+          col("o_orderkey").isin(doomed.collect().map(_.getLong(0)).toSeq: _*))
+      }
+      time("read_after_dv") {
+        graft.sources.TableLog.read(spark, t1).count()
+      }
+    }
     // MV rewrite: the base aggregate scans rep× the data; the MV-served
     // plan scans the |dims|-row summary — constant in rep.
     locally {
