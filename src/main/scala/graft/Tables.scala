@@ -24,13 +24,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and floor-divide to micros —
-    * identical to DuckDB's ns→µs truncation, so oracles line up.
+  /** The driver-generated events.parquet has shipped `ts` in two
+    * encodings across rounds: TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read nanos as long via the legacy conf and
+    * floor-divide to micros, identical to DuckDB's ns→µs truncation) and
+    * TIMESTAMP(MICROS) isAdjustedToUTC=false (which Spark reads as
+    * TIMESTAMP_NTZ). Branch on the footer type and normalize both to
+    * session-local TimestampType — the session runs in UTC everywhere
+    * (builder conf), so the NTZ→LTZ cast is wall-time-preserving and the
+    * values match DuckDB's TIMESTAMP exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () } // already set via builder
-    table(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

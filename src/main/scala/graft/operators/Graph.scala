@@ -5,10 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph traversal — recursive-query semantics (WITH RECURSIVE)
-  * that Spark has no built-in for, expressed as a frontier-expansion loop
-  * of hash joins. Like [[Dedup.connectedComponents]], the driver loop
-  * iterates HOPS, never rows, and each round localCheckpoints to keep
-  * plan depth constant.
+  * expressed as a frontier-expansion loop of hash joins. Like
+  * [[Dedup.connectedComponents]], the driver loop iterates HOPS, never
+  * rows, and each round localCheckpoints to keep plan depth constant.
+  * Spark 4 additionally executes UNION ALL recursive CTEs natively
+  * (UnionLoop) — `gr13_recursive_cte` runs the SAME statement text on
+  * both engines; the iterative forms remain the scale path (UNION-dedup
+  * recursion, per-round convergence checks, lineage truncation).
   */
 object Graph {
 
@@ -264,6 +267,27 @@ object Graph {
         "raise maxIter; returning a non-fixpoint would violate the degree->=k contract")
     sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
+
+
+  /** Shared statement text for `gr13_recursive_cte` — one string, two
+    * engines, so the Spark side and the oracle cannot drift.
+    */
+  val recursiveCteSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT doc_id AS src,
+      |         (doc_id * 7 + 13) % (SELECT count(*) FROM documents) AS dst
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id AS seed, doc_id AS node, CAST(0 AS BIGINT) AS dist
+      |  FROM documents WHERE doc_id < 8
+      |  UNION ALL
+      |  SELECT r.seed, e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node
+      |  WHERE r.dist < 6),
+      |m AS (SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist
+      |      FROM r GROUP BY 1, 2)
+      |SELECT seed, CAST(count(*) AS BIGINT) AS reached,
+      |       CAST(sum(dist) AS BIGINT) AS total_dist
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
   val catalog: Seq[Q] = Seq(
     // Reachability over a deterministic functional graph on doc ids,
@@ -679,6 +703,21 @@ object Graph {
         .filter(col("src") =!= col("dst"))
       hits(e, nIter = 8)
         .orderBy(desc("auth_e9"), desc("hub_e9"), col("node")).limit(20)
+    },
+
+    // R36c — NATIVE recursive CTE execution: Spark 4's UnionLoop runs
+    // the WITH RECURSIVE statement itself (no driver loop), and the
+    // IDENTICAL text runs on DuckDB — per-seed 6-hop reachability over
+    // the deterministic functional graph, walks deduped to min-dist
+    // before the rollup. UNION ALL recursion on an out-degree-1 graph
+    // is bounded (seeds × (hops+1) rows), well under the engine's
+    // recursion limits; the iterative [[bfs]] stays the 100 TB path —
+    // it dedups per round, while UNION ALL recursion re-expands every
+    // walk and a high-fan-out graph needs the UNION-dedup form Spark
+    // doesn't execute natively yet.
+    Q("gr13_recursive_cte", Graph.recursiveCteSql) { (s, d) =>
+      graft.Views.sql(s, d, Graph.recursiveCteSql)
     }
   )
+
 }

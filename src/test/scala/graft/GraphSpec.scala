@@ -177,4 +177,25 @@ class GraphSpec extends SparkSpecBase {
       .orderBy("node").as[(Long, Long, Long)].collect()
     assert(a.sameElements(b))
   }
+
+  // R36c — Spark's NATIVE recursive CTE (UnionLoop) must agree with the
+  // iterative frontier-expansion bfs on the same graph: for each seed,
+  // (reached count, Σ min-dist) within 6 hops. Two independent
+  // executions of the recursion — declarative engine loop vs driver
+  // loop — pinned equal.
+  test("native recursive CTE agrees with the iterative bfs per seed") {
+    val sqlRows = Views.sql(spark, sf0001, Graph.recursiveCteSql)
+      .as[(Long, Long, Long)].collect().toSeq
+    val docs = Tables.documents(spark, sf0001).select(col("doc_id"))
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 13) % n).as("dst"))
+    val fromBfs = (0L until 8L).map { seed =>
+      val r = Graph.bfs(edges, Seq(seed).toDF("node"), maxHops = 6)
+        .agg(count(lit(1)), sum(col("dist")))
+        .as[(Long, Long)].head()
+      (seed, r._1, r._2)
+    }
+    assert(sqlRows === fromBfs)
+  }
 }
