@@ -567,6 +567,20 @@ object TableLog {
   def streamSink(dir: String): (DataFrame, Long) => Unit =
     (df, batchId) => { appendBatch(df.sparkSession, df, dir, batchId); () }
 
+  /** Streaming READ of the table — commits become micro-batches, offsets
+    * are manifest versions (see [[graft.sources.TableLogStreamProvider]]
+    * for the contract: append-only ranges, frozen schema, exactly-once
+    * under checkpointing). */
+  def readStream(spark: SparkSession, dir: String,
+                 startingVersion: String = "0",
+                 ignoreDeletes: Boolean = false): DataFrame =
+    spark.readStream
+      .format(classOf[TableLogStreamProvider].getName)
+      .option("path", dir)
+      .option("startingVersion", startingVersion)
+      .option("ignoreDeletes", ignoreDeletes.toString)
+      .load()
+
   /** S22 catalog proof: orders lands in three append commits, the query
     * TIME-TRAVELS to version 1 (the first two batches) and aggregates —
     * the DuckDB oracle recomputes the same snapshot from the mod-3

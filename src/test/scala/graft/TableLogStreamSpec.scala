@@ -1,0 +1,142 @@
+package graft
+
+import graft.sources.TableLog
+import org.apache.spark.sql.functions._
+
+/** T35 — streaming SOURCE over the TableLog: commits are micro-batches,
+  * offsets are manifest versions, checkpoint restart is exactly-once,
+  * rewrite/delete commits refuse loudly (append-only stream contract).
+  */
+class TableLogStreamSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/t"
+
+  private def rows(ids: Range): org.apache.spark.sql.DataFrame =
+    ids.map(i => (i.toLong, s"r$i")).toDF("id", "s")
+
+  test("catches up the full history then follows new commits") {
+    val dir = freshDir("tlsrc")
+    TableLog.create(spark, rows(0 until 3), dir)
+    TableLog.append(spark, rows(3 until 5), dir)
+
+    val q = TableLog.readStream(spark, dir)
+      .writeStream.format("memory").queryName("tl_follow")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("tl_follow").as[(Long, String)].collect().sorted.toSeq
+      === (0 until 5).map(i => (i.toLong, s"r$i")))
+
+    TableLog.append(spark, rows(5 until 9), dir)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("tl_follow").count() === 9)
+    // stream contents ≡ snapshot read: no dup, no loss
+    assert(spark.table("tl_follow").as[(Long, String)].collect().sorted.toSeq
+      === TableLog.read(spark, dir).as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("startingVersion=latest emits only post-start commits") {
+    val dir = freshDir("tllatest")
+    TableLog.create(spark, rows(0 until 4), dir)
+    TableLog.append(spark, rows(4 until 6), dir)
+    val q = TableLog.readStream(spark, dir, startingVersion = "latest")
+      .writeStream.format("memory").queryName("tl_latest")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    assert(spark.table("tl_latest").count() === 0)
+    TableLog.append(spark, rows(6 until 8), dir)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("tl_latest").as[(Long, String)].collect().sorted.toSeq
+      === Seq((6L, "r6"), (7L, "r7")))
+  }
+
+  test("checkpoint restart resumes at the committed version — no dup, no loss") {
+    val dir = freshDir("tlckpt")
+    val ckpt = java.nio.file.Files.createTempDirectory("tlckptdir").toString
+    val out = freshDir("tlout")
+    TableLog.create(spark, rows(0 until 3), dir)
+
+    def run(): Unit = {
+      val q = TableLog.readStream(spark, dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(TableLog.streamSink(out))
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    TableLog.append(spark, rows(3 until 7), dir)
+    TableLog.append(spark, rows(7 until 8), dir)
+    run() // restart: only versions past the checkpointed offset replay
+    assert(TableLog.read(spark, out).as[(Long, String)].collect().sorted.toSeq
+      === (0 until 8).map(i => (i.toLong, s"r$i")))
+    // sink-side manifests: one batch before restart, ≥1 after — and the
+    // source-side replay guard means re-running AGAIN moves nothing
+    val vBefore = TableLog.latestVersion(spark, out)
+    run()
+    assert(TableLog.latestVersion(spark, out) === vBefore,
+      "an idle restart must commit nothing (exactly-once)")
+  }
+
+  test("a rewrite commit in the stream range refuses loudly") {
+    val dir = freshDir("tlrewrite")
+    TableLog.create(spark, rows(0 until 3), dir)
+    val q = TableLog.readStream(spark, dir)
+      .writeStream.format("memory").queryName("tl_rw")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    TableLog.append(spark, rows(3 until 5), dir)
+    TableLog.compact(spark, dir, parts = 1) // rewrites history
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(e.getMessage.contains("rewrite existing data")
+      || Option(e.getCause).exists(_.getMessage.contains("rewrite existing data")))
+  }
+
+  test("deletion-vector commits refuse by default, stream on with ignoreDeletes") {
+    val dir = freshDir("tldv")
+    TableLog.create(spark, rows(0 until 4), dir)
+
+    val strict = TableLog.readStream(spark, dir)
+      .writeStream.format("memory").queryName("tl_dv_strict")
+      .outputMode("append").start()
+    strict.processAllAvailable()
+    TableLog.deleteByKey(spark, Seq(1L).toDF("id"), dir, Seq("id"))
+    TableLog.append(spark, rows(4 until 6), dir)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      strict.processAllAvailable()
+    }
+    strict.stop()
+    assert(e.getMessage.contains("deletion-vector")
+      || Option(e.getCause).exists(_.getMessage.contains("deletion-vector")))
+
+    // ignoreDeletes: appends keep flowing, deletions are not retracted
+    val loose = TableLog.readStream(spark, dir, ignoreDeletes = true)
+      .writeStream.format("memory").queryName("tl_dv_loose")
+      .outputMode("append").start()
+    loose.processAllAvailable(); loose.stop()
+    // full history INCLUDING the deleted key (appends-only semantics)
+    assert(spark.table("tl_dv_loose").count() === 6)
+  }
+
+  test("schema is frozen at start: evolve-append mid-stream keeps flowing") {
+    val dir = freshDir("tlevolve")
+    TableLog.create(spark, rows(0 until 2), dir)
+    val q = TableLog.readStream(spark, dir)
+      .writeStream.format("memory").queryName("tl_evo")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    TableLog.evolveAppend(spark,
+      Seq((2L, "r2", 99L)).toDF("id", "s", "extra"), dir)
+    q.processAllAvailable()
+    q.stop()
+    // new commit arrives through the frozen 2-column schema
+    assert(spark.table("tl_evo").columns.toSeq === Seq("id", "s"))
+    assert(spark.table("tl_evo").as[(Long, String)].collect().sorted.toSeq
+      === Seq((0L, "r0"), (1L, "r1"), (2L, "r2")))
+  }
+}
