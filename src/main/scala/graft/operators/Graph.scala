@@ -268,6 +268,106 @@ object Graph {
     sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Strongly connected components (directed) by forward-backward
+    * coloring — the standard data-parallel SCC (Orzan / FW-BW family;
+    * Tarjan's stack walk is inherently sequential and cannot shard):
+    *
+    * per outer round, over the REMAINING graph:
+    *  1. isolated nodes (no remaining edges) leave as singleton SCCs;
+    *  2. color every node with its minimum ancestor id (min-label
+    *     frontier propagation along edges to fixpoint — each inner step
+    *     joins only the nodes that just improved, the bfs shape);
+    *  3. a color whose root r (lab(r) = r) lies inside the class marks
+    *     SCC(r) = nodes of color r that reach r backward WITHIN color r
+    *     (members of one SCC share their whole ancestor closure, so the
+    *     entire SCC carries one color, and every v→r path stays inside
+    *     the SCC — the class-restricted backward reach is exactly the
+    *     SCC, with r provably its minimum member);
+    *  4. extracted SCCs leave the graph; everything else re-colors next
+    *     round (its min ancestor is now gone).
+    *
+    * Every round extracts at least the SCC of the smallest remaining id
+    * (its label is itself), so the loop terminates in ≤ #SCC outer
+    * rounds — typically a handful on hash-shaped graphs, O(n) on an
+    * adversarial chain, hence the loud `maxOuter` budget (the kCore
+    * license: never a silent non-fixpoint). All frames stay node-sized,
+    * localCheckpoint'd; min-aggregations over longs keep the result
+    * bit-identical across partitionings. Returns `(node, scc_id)` with
+    * `scc_id` = the component's minimum node id (canonical).
+    */
+  def scc(edges: DataFrame, maxOuter: Int = 64, maxInner: Int = 256): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // self-loops never change strong connectivity — drop them, but keep
+    // their endpoints in the node universe (they may be otherwise isolated)
+    var rem = e0.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (nodes.limit(1).count() > 0) {
+      outer += 1
+      require(outer <= maxOuter,
+        s"scc: not converged after $maxOuter outer rounds — adversarial " +
+          "SCC-chain depth; raise maxOuter rather than accept a partial labeling")
+      // 1. singleton exits: nodes no remaining edge touches
+      val touched = rem.select(col("src").as("node"))
+        .union(rem.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+      val isolated = nodes.join(touched, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("scc_id")).localCheckpoint(true)
+      done += isolated
+      nodes = touched
+      if (nodes.limit(1).count() > 0) {
+        // 2. min-ancestor coloring to fixpoint (frontier propagation)
+        var lab = nodes.select(col("node"), col("node").as("lab")).localCheckpoint(true)
+        var improved = lab
+        var inner = 0
+        while (improved.limit(1).count() > 0) {
+          inner += 1
+          require(inner <= maxInner,
+            s"scc: coloring not converged after $maxInner hops — graph diameter " +
+              "exceeds the budget; raise maxInner")
+          val cand = rem
+            .join(improved.select(col("node").as("src"), col("lab")), Seq("src"))
+            .groupBy(col("dst").as("node")).agg(min(col("lab")).as("cand"))
+          val joined = lab.join(cand, Seq("node"), "left").localCheckpoint(true)
+          improved = joined.filter(col("cand") < col("lab"))
+            .select(col("node"), col("cand").as("lab")).localCheckpoint(true)
+          lab = joined
+            .select(col("node"), least(col("lab"), col("cand")).as("lab"))
+            .localCheckpoint(true)
+        }
+        // 3. class-restricted backward reach from the in-class roots
+        val labEdges = rem
+          .join(lab.select(col("node").as("src"), col("lab").as("slab")), Seq("src"))
+          .join(lab.select(col("node").as("dst"), col("lab").as("dlab")), Seq("dst"))
+          .filter(col("slab") === col("dlab"))
+          .select(col("src"), col("dst"), col("slab").as("lab"))
+          .localCheckpoint(true)
+        var mark = lab.filter(col("node") === col("lab")).localCheckpoint(true)
+        var frontier = mark
+        while (frontier.limit(1).count() > 0) {
+          val next = labEdges
+            .join(frontier.select(col("node").as("dst"), col("lab")), Seq("dst", "lab"))
+            .select(col("src").as("node"), col("lab")).distinct()
+            .join(mark, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          mark = mark.union(next).localCheckpoint(true)
+          frontier = next
+        }
+        done += mark.select(col("node"), col("lab").as("scc_id"))
+        // 4. shrink to the survivors
+        nodes = nodes.join(mark, Seq("node"), "left_anti").localCheckpoint(true)
+        rem = rem
+          .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src"), col("dst")).localCheckpoint(true)
+      }
+    }
+    if (done.isEmpty) e0.select(col("src").as("node"), col("src").as("scc_id")).limit(0)
+    else done.reduce(_ union _)
+  }
+
 
   /** Shared statement text for `gr13_recursive_cte` — one string, two
     * engines, so the Spark side and the oracle cannot drift.
@@ -717,6 +817,28 @@ object Graph {
     // doesn't execute natively yet.
     Q("gr13_recursive_cte", Graph.recursiveCteSql) { (s, d) =>
       graft.Views.sql(s, d, Graph.recursiveCteSql)
+    },
+
+    // R80 — strongly connected components over the directed 2-out
+    // formula graph (the cycle structure of the functional links —
+    // which doc-reference rings exist and how big they are). Rows-only:
+    // SCC has no portable recursive-SQL form (mutual reachability needs
+    // two nested closures); SccSpec pins the partition against a
+    // sequential Tarjan reference on adversarial graphs plus this exact
+    // shape at spec scale, and the determinism audit covers layout.
+    // Output: component-size histogram + smallest component ids —
+    // bounded rows at any graph size.
+    Q.rowsOnly("gr14_scc") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5))
+      scc(e)
+        .groupBy("scc_id").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"),
+          min(col("scc_id")).as("min_scc_id"))
+        .orderBy(desc("size"), col("min_scc_id"))
     }
   )
 

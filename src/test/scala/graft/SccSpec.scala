@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** R80 — strongly connected components. The distributed FW-BW coloring
+  * must reproduce the exact partition a sequential Tarjan computes,
+  * canonicalized as scc_id = min member id, on graphs chosen to stress
+  * each phase: cycles feeding cycles (multi-round extraction), tails
+  * (singletons), disconnected pieces, self-loops, and a long chain
+  * (worst-case outer-round depth).
+  */
+class SccSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Sequential Tarjan, iterative (explicit stack), scc_id = min member. */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    // iterative DFS: frames of (node, iterator position)
+    def strongConnect(v0: Long): Unit = {
+      val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((v0, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.last
+        if (pi == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        val succs = adj.getOrElse(v, Seq.empty)
+        var advanced = false
+        var i = pi
+        while (i < succs.length && !advanced) {
+          val w = succs(i)
+          if (!index.contains(w)) {
+            work(work.length - 1) = (v, i + 1)
+            work += ((w, 0))
+            advanced = true
+          } else {
+            if (onStack(w)) low(v) = math.min(low(v), index(w))
+            i += 1
+          }
+        }
+        if (!advanced) {
+          if (i >= succs.length) {
+            if (low(v) == index(v)) {
+              val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var w = -1L
+              while ({ w = stack.remove(stack.length - 1); onStack -= w
+                       comp += w; w != v }) ()
+              val id = comp.min
+              comp.foreach(out(_) = id)
+            }
+            work.remove(work.length - 1)
+            if (work.nonEmpty) {
+              val (p, _) = work.last
+              low(p) = math.min(low(p), low(v))
+            }
+          }
+        }
+      }
+    }
+    nodes.foreach(v => if (!index.contains(v)) strongConnect(v))
+    out.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.scc(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("two cycles joined by a bridge, plus a tail") {
+    // cycle {0,1,2} → bridge → cycle {5,6}, tail 9 → 0, and 2 → 7 (sink)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 5L), (5L, 6L), (6L, 5L),
+      (9L, 0L), (2L, 7L))
+    assert(run(e) === tarjan(e))
+    assert(run(e) === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L,
+      9L -> 9L, 7L -> 7L))
+  }
+
+  test("nested/overlapping cycles collapse to one component") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 2L), (3L, 5L), (5L, 3L))
+    assert(run(e) === tarjan(e))
+    assert(run(e).values.toSet === Set(1L))
+  }
+
+  test("a pure DAG is all singletons (including a diamond)") {
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+    assert(run(e) === tarjan(e))
+    assert(run(e) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("self-loops and disconnected pieces") {
+    val e = Seq((0L, 0L), (1L, 2L), (2L, 1L), (7L, 8L))
+    assert(run(e) === tarjan(e))
+    assert(run(e) === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("a chain of cycles extracts over multiple outer rounds") {
+    // {10,11} → {20,21} → {30,31}: condensation is a 3-deep chain with
+    // ids ordered so only the head's SCC roots in round 1
+    val e = Seq((10L, 11L), (11L, 10L), (11L, 20L),
+      (20L, 21L), (21L, 20L), (21L, 30L), (30L, 31L), (31L, 30L))
+    assert(run(e) === tarjan(e))
+    assert(run(e) === Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("reverse-ordered condensation chain (adversarial round order)") {
+    // ids DECREASE along the condensation: {30,31} → {20,21} → {10,11};
+    // min-ancestor coloring floods 20/10 classes with smaller upstream
+    // ids, forcing the waiting-room path
+    val e = Seq((30L, 31L), (31L, 30L), (31L, 20L),
+      (20L, 21L), (21L, 20L), (21L, 10L), (10L, 11L), (11L, 10L))
+    assert(run(e) === tarjan(e))
+  }
+
+  test("random functional graph matches Tarjan exactly") {
+    val n = 200L
+    val e = (0L until n).flatMap(i => Seq((i, (i * 7 + 13) % n), (i, (i * 3 + 5) % n)))
+    assert(run(e) === tarjan(e))
+  }
+
+  test("empty and edgeless inputs") {
+    assert(run(Seq.empty) === Map.empty)
+  }
+
+  test("scc is bit-identical across partition layouts") {
+    val n = 120L
+    val e = (0L until n).flatMap(i => Seq((i, (i * 7 + 13) % n), (i, (i * 3 + 5) % n)))
+    val a = Graph.scc(e.toDF("src", "dst").repartition(1))
+      .orderBy("node").as[(Long, Long)].collect()
+    val b = Graph.scc(e.toDF("src", "dst").repartition(13))
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+}
