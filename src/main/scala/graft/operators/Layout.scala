@@ -87,6 +87,114 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
 
+  /** Hilbert curve position for 2-D bucket ids `(x, y)` in a
+    * 2^bits × 2^bits grid: the classic per-level xy2d walk (examine one
+    * bit of each coordinate, add the quadrant's offset, reflect+swap
+    * into the next level's frame) UNROLLED at expression-build time into
+    * `bits` levels of pure when/bitwise Column arithmetic — no UDF, the
+    * whole tree whole-stage codegens like [[mortonExpr]].
+    *
+    * Why offer it next to Morton: consecutive Hilbert cells are always
+    * grid-ADJACENT (unit Manhattan steps — LayoutSpec proves it over the
+    * full grid), while the Z-curve teleports at every power-of-two seam;
+    * range-partitioned files therefore cover tighter rectangles and
+    * range predicates touch fewer files.
+    *
+    * NOTE: the single-Column form re-nests both coordinate subtrees per
+    * level — tree size is exponential in `bits`. Fine for spec-scale
+    * grids over plain columns (≤ 6 bits, enforced); the write path
+    * ([[withHvalue]]) builds the same walk as a linear projection chain
+    * instead. */
+  def hilbertIndex(xCol: Column, yCol: Column, bits: Int): Column = {
+    require(bits <= 6,
+      s"hilbertIndex: expression form is exponential in bits ($bits > 6) — " +
+        "use withHvalue's projection chain")
+    var x = xCol.cast("long")
+    var y = yCol.cast("long")
+    var d: Column = lit(0L)
+    ((bits - 1) to 0 by -1).foreach { level =>
+      val s = 1L << level
+      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      d = d + lit(s * s) * (rx * 3L).bitwiseXOR(ry)
+      // frame rotation for the next level: reflect when rx=1∧ry=0, then
+      // swap axes when ry=0 (faithful port of the sequential algorithm)
+      val xr = when(ry === 0L && rx === 1L, lit(s - 1) - x).otherwise(x)
+      val yr = when(ry === 0L && rx === 1L, lit(s - 1) - y).otherwise(y)
+      val nx = when(ry === 0L, yr).otherwise(xr)
+      val ny = when(ry === 0L, xr).otherwise(yr)
+      x = nx
+      y = ny
+    }
+    d
+  }
+
+  /** `df` plus a Hilbert position column `out` over exactly two numeric
+    * columns — same equal-frequency quantile bucketing as [[zvalue]]
+    * (skew cannot collapse the curve), then the per-level walk built as
+    * a PROJECTION CHAIN: one `withColumn` layer per curve level, each
+    * referencing the previous level's named columns. The single-Column
+    * form ([[hilbertIndex]]) re-nests both coordinate subtrees at every
+    * level — exponential tree growth that OOMs expression conversion
+    * once quantile when-chains sit at the leaves — while the chained
+    * projections stay linear (Catalyst keeps multi-referenced non-cheap
+    * aliases as projection boundaries instead of inlining them). */
+  def withHvalue(df: DataFrame, cols: Seq[String], bits: Int = 6,
+                 out: String = "__h"): DataFrame = {
+    require(cols.size == 2,
+      s"hilbert: exactly 2 clustered columns supported, got ${cols.size} " +
+        "(use zorderWrite for higher dimensions)")
+    require(2 * bits <= 62, s"hilbert: $bits bits per dim overflows the long code")
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val doubled = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__hq_$c", col(c).cast("double")))
+    val bounds = doubled.stat.approxQuantile(
+      cols.map(c => s"__hq_$c").toArray, probs, 0.01)
+    val Seq(bx, by) = cols.zip(bounds).map { case (name, bs) =>
+      bucketExpr(bs, col(name).cast("double")).cast("long")
+    }
+    hilbertWalk(df.withColumn("__hx", bx).withColumn("__hy", by), bits, out)
+      .drop("__hx", "__hy")
+  }
+
+  /** The projection-chain xy2d walk over existing integer cell columns
+    * `__hx`/`__hy` (each in 0..2^bits−1) — one `withColumn` layer per
+    * level, linear plan growth. Shared by [[withHvalue]] and pinned
+    * against the sequential reference (and [[hilbertIndex]]) in
+    * LayoutSpec, so the write path and the spec'd curve cannot drift. */
+  private[graft] def hilbertWalk(df0: DataFrame, bits: Int, out: String): DataFrame = {
+    var acc = df0.withColumn(out, lit(0L))
+    ((bits - 1) to 0 by -1).foreach { level =>
+      val s = 1L << level
+      acc = acc
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn(out,
+          col(out) + lit(s * s) * (col("__rx") * 3L).bitwiseXOR(col("__ry")))
+        .withColumn("__xr", when(col("__ry") === 0L && col("__rx") === 1L,
+          lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+        .withColumn("__yr", when(col("__ry") === 0L && col("__rx") === 1L,
+          lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+        .withColumn("__hx", when(col("__ry") === 0L, col("__yr")).otherwise(col("__xr")))
+        .withColumn("__hy", when(col("__ry") === 0L, col("__xr")).otherwise(col("__yr")))
+    }
+    acc.drop("__rx", "__ry", "__xr", "__yr")
+  }
+
+  /** [[zorderWrite]]'s Hilbert twin: cluster `df` on two columns by
+    * Hilbert curve position. Identical cost shape — one range shuffle,
+    * one in-partition sort. */
+  def hilbertWrite(df: DataFrame, cols: Seq[String], outDir: String,
+                   nFiles: Int, bits: Int = 6): Unit =
+    withHvalue(df, cols, bits, "__h")
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode("overwrite").parquet(outDir)
+
   /** Per-file min/max of `cols` for a parquet directory — the exact
     * stats a reader's pruning consults, reconstructed relationally so
     * specs (and operators) can measure a layout's selectivity: for a

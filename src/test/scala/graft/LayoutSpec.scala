@@ -158,4 +158,84 @@ class LayoutSpec extends SparkSpecBase {
     assert(distinct6 > distinct1,
       s"36-bit morton must separate more than one dim alone ($distinct6 vs $distinct1)")
   }
+
+  /** Sequential xy2d reference — the exact per-level walk hilbertIndex
+    * unrolls, kept independent so the Column port can't self-confirm. */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertIndex is the sequential curve: bijective with UNIT grid steps") {
+    import spark.implicits._
+    val bits = 5
+    val n = 1 << bits
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertIndex(col("x"), col("y"), bits).as("h"))
+      .as[(Long, Long, Long)].collect()
+    // matches the sequential reference cell by cell
+    got.foreach { case (x, y, h) =>
+      assert(h === hilbertRef(bits, x, y), s"($x,$y)")
+    }
+    // bijection onto 0..n*n-1
+    assert(got.map(_._3).sorted.toSeq === (0L until n.toLong * n).toSeq)
+    // the property Morton lacks: SUCCESSIVE curve cells are grid-adjacent
+    val byH = got.sortBy(_._3)
+    byH.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"curve jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // the write path's projection-chain walk computes the SAME curve
+    val walked = Layout.hilbertWalk(
+      grid.toDF("x", "y")
+        .withColumn("__hx", col("x")).withColumn("__hy", col("y")),
+      bits, "h")
+      .select("x", "y", "h").as[(Long, Long, Long)].collect()
+    walked.foreach { case (x, y, h) =>
+      assert(h === hilbertRef(bits, x, y), s"walk ($x,$y)")
+    }
+    // the contrast: the Z-curve over the same grid jumps at seams —
+    // sequential morton interleave, max successive Manhattan step > 1
+    def morton(x: Long, y: Long): Long =
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).reduce(_ | _)
+    val byZ = grid.map { case (x, y) => (x, y, morton(x, y)) }.sortBy(_._3)
+    val maxZStep = byZ.sliding(2).map { case Seq((x1, y1, _), (x2, y2, _)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }.max
+    assert(maxZStep > 1L, "morton should jump at power-of-two seams")
+  }
+
+  test("hilbertWrite prunes point lookups on BOTH dimensions like z-order") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val nFiles = 16
+    val hDir = tmp("hilbert")
+    Layout.hilbertWrite(li, Seq("l_partkey", "l_suppkey"), hDir, nFiles)
+    // identical content
+    assert(spark.read.parquet(hDir).count() === li.count())
+    assert(spark.read.parquet(hDir).exceptAll(li).isEmpty
+      && li.exceptAll(spark.read.parquet(hDir)).isEmpty)
+    def avgFrac(dir: String, c: String, vs: Seq[Double]): Double =
+      vs.map(Layout.pruneFraction(spark, dir, c, _)).sum / vs.length
+    val probes = Seq(5.0, 42.0, 99.0, 150.0)
+    val hPart = avgFrac(hDir, "l_partkey", probes)
+    val hSupp = avgFrac(hDir, "l_suppkey", probes)
+    info(f"hilbert avg files read: part=$hPart%.2f supp=$hSupp%.2f")
+    assert(hPart < 0.7, s"hilbert must prune dim 1, got $hPart")
+    assert(hSupp < 0.7, s"hilbert must prune dim 2, got $hSupp")
+  }
 }
