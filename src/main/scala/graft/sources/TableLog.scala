@@ -664,6 +664,49 @@ object TableLog {
           sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_legacy"),
           sum(col("o_custkey")).as("custkey_sum"))
         .orderBy("o_orderpriority")
+    },
+
+    // T35 proof: the full lakehouse streaming LOOP hash-checked end to
+    // end — orders lands in a source table over four commits (two of
+    // them WHILE the stream runs), a streaming query reads the log
+    // incrementally ([[TableLogStreamProvider]]), filters high-value
+    // orders row-level in flight, and lands in a second table through
+    // the exactly-once sink; the query aggregates the SINK table. The
+    // oracle recomputes the filtered aggregate from the base table, so
+    // a dropped commit, a double-delivered batch, or a stream that
+    // missed mid-flight appends all hash-mismatch.
+    graft.Q(
+      "src5_stream_pipeline",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_totalprice > 250000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("txstream").toString
+      val src = s"$root/orders"
+      val out = s"$root/high_value"
+      val orders = graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      def slice(k: Int) = orders.filter(col("o_orderkey") % 4 === k)
+      create(s, slice(0), src)
+      append(s, slice(1), src)
+      val q = readStream(s, src)
+        .filter(col("o_totalprice") > 250000)
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch(streamSink(out))
+        .start()
+      try {
+        q.processAllAvailable()
+        append(s, slice(2), src) // mid-stream commits must flow through
+        append(s, slice(3), src)
+        q.processAllAvailable()
+      } finally q.stop() // never leak a polling stream into the session
+      read(s, out)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .orderBy("o_orderpriority")
     }
   )
 
