@@ -368,6 +368,85 @@ object Graph {
     else done.reduce(_ union _)
   }
 
+  /** Betweenness centrality (Brandes) from a pivot source set, in the
+    * repo's exact fixed-point discipline: how often a node sits on
+    * shortest paths between others — the brokerage readout PageRank's
+    * endorsement mass misses. Directed, unweighted.
+    *
+    *  - Phase 1 runs the layered BFS for ALL sources at once: frames
+    *    keyed (source, node), one join+agg shuffle per depth, σ = path
+    *    counts summed exactly (decimal - they multiply later).
+    *  - Phase 2 walks the layers backward: δ(s,v) = Σ_w σ(s,v)·(1e9 +
+    *    δ(s,w)) DIV σ(s,w) over shortest-path-DAG successors w — the
+    *    textbook recurrence scaled to 1e-9 units with integral DIV, so
+    *    every sum is a long sum: results are bit-identical across
+    *    partitionings where float Brandes is not. Each DIV floors ≤1
+    *    unit; the accumulated error is < depth·maxσ·1e-9 — ranking-
+    *    irrelevant, and the spec's sequential reference applies the
+    *    IDENTICAL floors so equality is exact, not approximate.
+    *  - Exact betweenness is `sources` = all nodes; a k-pivot subset is
+    *    the standard estimator at scale (cost k·O(E) total, the same
+    *    per-depth shuffles regardless of k).
+    *
+    * Returns (node, btw_e9) = Σ over pivots s≠v of δ(s,v), 1e-9 units.
+    */
+  def betweenness(edges: DataFrame, sources: DataFrame,
+                  maxDepth: Int = 64): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    // layer 0: each source reaches itself by the one empty path
+    val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var frontier = sources.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node").as("s"), col("node").as("v"),
+        lit(BigDecimal(1)).cast("decimal(38,0)").as("sigma"))
+      .localCheckpoint(true)
+    layers += frontier
+    def seen: DataFrame = layers.reduce(_ union _).select(col("s"), col("v"))
+    var depth = 0
+    while (frontier.limit(1).count() > 0 && depth < maxDepth) {
+      depth += 1
+      val next = e
+        .join(frontier.select(col("s"), col("v").as("src"), col("sigma")), Seq("src"))
+        .groupBy(col("s"), col("dst").as("v")).agg(sum(col("sigma")).as("sigma"))
+        .join(seen, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      layers += next
+      frontier = next
+    }
+    require(frontier.limit(1).count() == 0,
+      s"betweenness: BFS still expanding at depth $maxDepth — raise maxDepth")
+    // backward accumulation, deepest layer first (its δ is 0)
+    val Scale = 1000000000L
+    var deltaNext = layers.last.select(col("s"), col("v"), col("sigma"))
+      .withColumn("delta", lit(0L)).localCheckpoint(true)
+    val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    contribs += deltaNext.select(col("v"), col("delta"))
+    ((layers.size - 2) to 0 by -1).foreach { d =>
+      val terms = e
+        .join(layers(d).select(col("s"), col("v").as("src"),
+          col("sigma").as("sigma_v")), Seq("src"))
+        .join(deltaNext.select(col("s"), col("v").as("dst"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w")),
+          Seq("s", "dst"))
+        // σ_v·(Scale + δ_w) DIV σ_w — integral division on decimals
+        // (the hits normalization shape), every downstream sum a long sum
+        .select(col("s"), col("src").as("v"),
+          expr(s"CAST(sigma_v * (${Scale}L + delta_w) AS DECIMAL(38,0)) " +
+            "DIV sigma_w").as("term"))
+        .groupBy("s", "v").agg(sum(col("term")).as("delta"))
+      deltaNext = layers(d)
+        .join(terms, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      if (d >= 1) contribs += deltaNext.select(col("v"), col("delta"))
+    }
+    contribs.reduce(_ union _)
+      .groupBy(col("v").as("node")).agg(sum(col("delta")).as("btw_e9"))
+  }
+
 
   /** Shared statement text for `gr13_recursive_cte` — one string, two
     * engines, so the Spark side and the oracle cannot drift.
@@ -839,6 +918,24 @@ object Graph {
         .groupBy("size").agg(count(lit(1)).as("n_components"),
           min(col("scc_id")).as("min_scc_id"))
         .orderBy(desc("size"), col("min_scc_id"))
+    },
+
+    // R81 — betweenness centrality from a 12-pivot sample over the
+    // 2-out formula graph: the brokerage top-20 (which docs sit on the
+    // most shortest reference chains). Rows-only (nested shortest-path
+    // DAG recurrences have no portable SQL); BetweennessSpec pins the
+    // distributed result against a sequential reference running the
+    // IDENTICAL fixed-point floors, plus analytic values on path/star
+    // shapes; determinism audit covers layout invariance.
+    Q.rowsOnly("gr15_betweenness") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5))
+      val pivots = docs.filter(col("doc_id") < 12).select(col("doc_id").as("node"))
+      betweenness(e, pivots)
+        .orderBy(desc("btw_e9"), col("node")).limit(20)
     }
   )
 
