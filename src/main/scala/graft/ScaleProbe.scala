@@ -389,6 +389,78 @@ object ScaleProbe {
       graft.plans.MvCatalog.clear()
       time("mv_base_aggregate") { agg() }
     }
+    // r4: iterative graph ops on a rep×-sized 2-out formula graph —
+    // rounds should grow ~log(rep) (diameter), per-round cost ~linearly.
+    locally {
+      val docs = replicate(Tables.documents(spark, d).select(col("doc_id")),
+        Seq("doc_id"), 10000000L).localCheckpoint(true)
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"), ((col("doc_id") * 7 + 13) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 3 + 5) % n).as("dst")))
+        .localCheckpoint(true)
+      time("scc_partition") {
+        graft.operators.Graph.scc(e).count()
+      }
+      time("betweenness_12pivots") {
+        graft.operators.Graph.betweenness(e,
+          docs.filter(col("doc_id") < 12).select(col("doc_id").as("node"))).count()
+      }
+    }
+    // r4: streaming-source batch planning must be O(manifest), flat in
+    // TABLE size — compare first-catchup wall on a 1-commit vs
+    // many-commit table of identical content.
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("tls_probe").toString
+      val snap = or.select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val t = s"$root/t"
+      graft.sources.TableLog.create(spark,
+        snap.filter(col("o_orderkey") % 16 === 0), t)
+      (1 until 16).foreach(k => graft.sources.TableLog.append(spark,
+        snap.filter(col("o_orderkey") % 16 === k), t))
+      time("stream_catchup_16commits") {
+        val out = s"$root/out"
+        val q = graft.sources.TableLog.readStream(spark, t)
+          .writeStream.option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch(graft.sources.TableLog.streamSink(out)).start()
+        try q.processAllAvailable() finally q.stop()
+        graft.sources.TableLog.read(spark, out).count()
+      }
+      time("stream_follow_1commit") {
+        graft.sources.TableLog.append(spark,
+          snap.filter(col("o_orderkey") % 16 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 1000000000L), t)
+        val out = s"$root/out"
+        val q = graft.sources.TableLog.readStream(spark, t)
+          .writeStream.option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch(graft.sources.TableLog.streamSink(out)).start()
+        try q.processAllAvailable() finally q.stop()
+        graft.sources.TableLog.read(spark, out).count()
+      }
+    }
+    // r4: hilbert vs zorder — same write cost class, measured prune
+    // fraction on both dims for point lookups.
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("hilbert_probe").toString
+      val liSlim = li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      time("zorder_write") {
+        graft.operators.Layout.zorderWrite(liSlim,
+          Seq("l_partkey", "l_suppkey"), s"$root/z", 32); 0L
+      }
+      time("hilbert_write") {
+        graft.operators.Layout.hilbertWrite(liSlim,
+          Seq("l_partkey", "l_suppkey"), s"$root/h", 32); 0L
+      }
+      Seq("z" -> "zorder", "h" -> "hilbert").foreach { case (sub, label) =>
+        val pf = Seq(50.0, 500.0, 1500.0).map(v =>
+          graft.operators.Layout.pruneFraction(spark, s"$root/$sub", "l_partkey", v))
+          .sum / 3
+        val sf2 = Seq(50.0, 500.0, 1500.0).map(v =>
+          graft.operators.Layout.pruneFraction(spark, s"$root/$sub", "l_suppkey", v))
+          .sum / 3
+        println(f"SCALE ${label}_prune part=$pf%.3f supp=$sf2%.3f")
+      }
+    }
     spark.stop()
   }
 }

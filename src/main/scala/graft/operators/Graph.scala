@@ -318,7 +318,10 @@ object Graph {
       done += isolated
       nodes = touched
       if (nodes.limit(1).count() > 0) {
-        // 2. min-ancestor coloring to fixpoint (frontier propagation)
+        // 2. min-ancestor coloring to fixpoint (frontier propagation);
+        // `joined` is the one checkpoint per hop — `lab`/`improved` are
+        // single-projection derivations of it, so lineage stays depth-1
+        // without paying two extra materializations per round
         var lab = nodes.select(col("node"), col("node").as("lab")).localCheckpoint(true)
         var improved = lab
         var inner = 0
@@ -332,10 +335,9 @@ object Graph {
             .groupBy(col("dst").as("node")).agg(min(col("lab")).as("cand"))
           val joined = lab.join(cand, Seq("node"), "left").localCheckpoint(true)
           improved = joined.filter(col("cand") < col("lab"))
-            .select(col("node"), col("cand").as("lab")).localCheckpoint(true)
+            .select(col("node"), col("cand").as("lab"))
           lab = joined
             .select(col("node"), least(col("lab"), col("cand")).as("lab"))
-            .localCheckpoint(true)
         }
         // 3. class-restricted backward reach from the in-class roots
         val labEdges = rem
@@ -344,15 +346,20 @@ object Graph {
           .filter(col("slab") === col("dlab"))
           .select(col("src"), col("dst"), col("slab").as("lab"))
           .localCheckpoint(true)
-        var mark = lab.filter(col("node") === col("lab")).localCheckpoint(true)
-        var frontier = mark
+        // accumulate marked levels bfs-style (each level checkpointed
+        // once, the union is plan-only) instead of re-materializing the
+        // growing mark set every round
+        val markLevels = scala.collection.mutable.ArrayBuffer(
+          lab.filter(col("node") === col("lab")).localCheckpoint(true))
+        def mark: DataFrame = markLevels.reduce(_ union _)
+        var frontier = markLevels.head
         while (frontier.limit(1).count() > 0) {
           val next = labEdges
             .join(frontier.select(col("node").as("dst"), col("lab")), Seq("dst", "lab"))
             .select(col("src").as("node"), col("lab")).distinct()
             .join(mark, Seq("node"), "left_anti")
             .localCheckpoint(true)
-          mark = mark.union(next).localCheckpoint(true)
+          markLevels += next
           frontier = next
         }
         done += mark.select(col("node"), col("lab").as("scc_id"))
