@@ -389,16 +389,21 @@ object ScaleProbe {
       graft.plans.MvCatalog.clear()
       time("mv_base_aggregate") { agg() }
     }
-    // r4: iterative graph ops on a rep×-sized 2-out formula graph —
-    // rounds should grow ~log(rep) (diameter), per-round cost ~linearly.
+    // r4: iterative graph ops at rep× — BLOCK-LOCAL replication (each
+    // replica is the ORIGINAL formula graph under a shifted id range),
+    // so the structure per block is identical at every rep: scc must
+    // extract rep× the components in the SAME number of rounds (colors
+    // process in parallel), and a fixed 12-pivot betweenness traverses
+    // the same subgraph while every per-round join scans rep× the edges.
     locally {
+      val blockN = Tables.documents(spark, d).count()
       val docs = replicate(Tables.documents(spark, d).select(col("doc_id")),
         Seq("doc_id"), 10000000L).localCheckpoint(true)
-      val n = docs.count()
-      val e = docs.select(col("doc_id").as("src"), ((col("doc_id") * 7 + 13) % n).as("dst"))
-        .unionByName(docs.select(col("doc_id").as("src"),
-          ((col("doc_id") * 3 + 5) % n).as("dst")))
-        .localCheckpoint(true)
+      val block = (col("doc_id") - (col("doc_id") % 10000000L))
+      val local = col("doc_id") % 10000000L
+      def es(m: Int, a: Int) = docs.select(col("doc_id").as("src"),
+        (block + (local * m + a) % blockN).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).localCheckpoint(true)
       time("scc_partition") {
         graft.operators.Graph.scc(e).count()
       }
