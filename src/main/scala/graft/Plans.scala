@@ -24,7 +24,13 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b — dump just those plans (same contract as
+    // Verify/Bench); unset = full catalog
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         val formatted = df.queryExecution.explainString(

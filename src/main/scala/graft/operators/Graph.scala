@@ -417,6 +417,12 @@ object Graph {
       val next = e
         .join(frontier.select(col("s"), col("v").as("src"), col("sigma")), Seq("src"))
         .groupBy(col("s"), col("dst").as("v")).agg(sum(col("sigma")).as("sigma"))
+        // decimal(38,0) overflow yields NULL under non-ANSI sum — turn it
+        // into a loud failure, never silently dropped path counts
+        .select(col("s"), col("v"), when(col("sigma").isNotNull, col("sigma"))
+          .otherwise(raise_error(lit(
+            "betweenness: path-count sum overflowed decimal(38,0) — " +
+              "graph too path-dense for the exact form"))).as("sigma"))
         .join(seen, Seq("s", "v"), "left_anti")
         .localCheckpoint(true)
       layers += next
@@ -438,10 +444,17 @@ object Graph {
           col("sigma").as("sigma_w"), col("delta").as("delta_w")),
           Seq("s", "dst"))
         // σ_v·(Scale + δ_w) DIV σ_w — integral division on decimals
-        // (the hits normalization shape), every downstream sum a long sum
+        // (the hits normalization shape), every downstream sum a long
+        // sum; the product overflowing decimal(38,0) NULLs under
+        // non-ANSI arithmetic, which would silently DROP the term from
+        // the sum — raise instead (the repo's no-silent-non-fixpoint rule)
         .select(col("s"), col("src").as("v"),
           expr(s"CAST(sigma_v * (${Scale}L + delta_w) AS DECIMAL(38,0)) " +
             "DIV sigma_w").as("term"))
+        .select(col("s"), col("v"), when(col("term").isNotNull, col("term"))
+          .otherwise(raise_error(lit(
+            "betweenness: sigma*(1e9+delta) overflowed decimal(38,0) — " +
+              "graph too path-dense for the exact form"))).as("term"))
         .groupBy("s", "v").agg(sum(col("term")).as("delta"))
       deltaNext = layers(d)
         .join(terms, Seq("s", "v"), "left")

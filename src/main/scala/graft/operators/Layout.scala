@@ -57,22 +57,27 @@ object Layout {
   /** Z-value column for `df` over numeric `cols` (cast to double for the
     * quantile boundaries; ordering is all that matters). Exposed for
     * specs; [[zorderWrite]] is the user entry point. */
+  /** Equal-frequency bucket ids (0..2^bits−1) for each of `cols` — ONE
+    * multi-column quantile pass (the per-column overload would re-scan
+    * the input once per clustered dimension), shared by the Morton and
+    * Hilbert curves so their bucketing can never drift apart. */
+  private def bucketCols(df: DataFrame, cols: Seq[String], bits: Int): Seq[Column] = {
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val doubled = cols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__bq_$c", col(c).cast("double")))
+    val bounds = doubled.stat.approxQuantile(
+      cols.map(c => s"__bq_$c").toArray, probs, 0.01)
+    cols.zip(bounds).map { case (name, bs) =>
+      bucketExpr(bs, col(name).cast("double"))
+    }
+  }
+
   def zvalue(df: DataFrame, cols: Seq[String], bits: Int = 6): Column = {
     require(bits * cols.size <= 63,
       s"zorder: $bits bits x ${cols.size} dims = ${bits * cols.size} " +
         "interleaved bits > 63 — lower bits or cluster fewer columns")
-    val nBuckets = 1 << bits
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    // ONE multi-column quantile pass — the per-column overload would
-    // re-scan the input once per clustered dimension
-    val doubled = cols.foldLeft(df)((d, c) =>
-      d.withColumn(s"__zq_$c", col(c).cast("double")))
-    val bounds = doubled.stat.approxQuantile(
-      cols.map(c => s"__zq_$c").toArray, probs, 0.01)
-    val bucketCols = cols.zip(bounds).map { case (name, bs) =>
-      bucketExpr(bs, col(name).cast("double"))
-    }
-    mortonExpr(bucketCols, bits)
+    mortonExpr(bucketCols(df, cols, bits), bits)
   }
 
   /** Write `df` to `outDir` clustered on `cols` into `nFiles` files.
@@ -145,15 +150,7 @@ object Layout {
       s"hilbert: exactly 2 clustered columns supported, got ${cols.size} " +
         "(use zorderWrite for higher dimensions)")
     require(2 * bits <= 62, s"hilbert: $bits bits per dim overflows the long code")
-    val nBuckets = 1 << bits
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val doubled = cols.foldLeft(df)((d, c) =>
-      d.withColumn(s"__hq_$c", col(c).cast("double")))
-    val bounds = doubled.stat.approxQuantile(
-      cols.map(c => s"__hq_$c").toArray, probs, 0.01)
-    val Seq(bx, by) = cols.zip(bounds).map { case (name, bs) =>
-      bucketExpr(bs, col(name).cast("double")).cast("long")
-    }
+    val Seq(bx, by) = bucketCols(df, cols, bits).map(_.cast("long"))
     hilbertWalk(df.withColumn("__hx", bx).withColumn("__hy", by), bits, out)
       .drop("__hx", "__hy")
   }
@@ -165,23 +162,29 @@ object Layout {
     * LayoutSpec, so the write path and the spec'd curve cannot drift. */
   private[graft] def hilbertWalk(df0: DataFrame, bits: Int, out: String): DataFrame = {
     var acc = df0.withColumn(out, lit(0L))
+    // `out` must be excluded too: an input that already carries a column
+    // of that name is REPLACED by the withColumn above, and keeping it in
+    // the pass-through list would emit a duplicate name whose reference
+    // turns ambiguous at the next level
+    val keep = df0.columns.filterNot(c => c == "__hx" || c == "__hy" || c == out).toSeq
     ((bits - 1) to 0 by -1).foreach { level =>
       val s = 1L << level
-      acc = acc
-        .withColumn("__rx",
-          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn("__ry",
-          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
-        .withColumn(out,
-          col(out) + lit(s * s) * (col("__rx") * 3L).bitwiseXOR(col("__ry")))
-        .withColumn("__xr", when(col("__ry") === 0L && col("__rx") === 1L,
-          lit(s - 1) - col("__hx")).otherwise(col("__hx")))
-        .withColumn("__yr", when(col("__ry") === 0L && col("__rx") === 1L,
-          lit(s - 1) - col("__hy")).otherwise(col("__hy")))
-        .withColumn("__hx", when(col("__ry") === 0L, col("__yr")).otherwise(col("__xr")))
-        .withColumn("__hy", when(col("__ry") === 0L, col("__xr")).otherwise(col("__yr")))
+      // ONE projection per level: rx/ry are cheap bit tests inlined into
+      // the three outputs, and hx'/hy'/d reference the PREVIOUS level's
+      // attributes — constant-size expressions per level, `bits` Project
+      // nodes total (the 7-withColumn form compiled 7·bits layers, which
+      // overflowed whole-stage codegen into interpreted evaluation)
+      val rx = when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val cols = keep.map(col) ++ Seq(
+        (col(out) + lit(s * s) * (rx * 3L).bitwiseXOR(ry)).as(out),
+        when(ry === 0L, when(rx === 1L, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")).as("__hx"),
+        when(ry === 0L, when(rx === 1L, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")).as("__hy"))
+      acc = acc.select(cols: _*)
     }
-    acc.drop("__rx", "__ry", "__xr", "__yr")
+    acc
   }
 
   /** [[zorderWrite]]'s Hilbert twin: cluster `df` on two columns by

@@ -112,10 +112,15 @@ private[sources] class TableLogSource(spark: SparkSession, dir: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endV = versionOf(end)
     val fromV = start.map(versionOf).getOrElse(startVersion - 1)
-    val to = TableLog.readManifest(spark, dir, endV)
-    val prevDirs: Set[String] =
-      if (fromV < 0) Set.empty
-      else {
+    val df =
+      if (fromV < 0) {
+        // initial snapshot: the table AS OF endV — deletion vectors
+        // APPLY here (readVersion's scan), exactly like a batch read;
+        // the DV refusal below only concerns deletes that happen
+        // mid-stream, where emitting-without-retracting would lie
+        TableLog.readVersion(spark, dir, endV)
+      } else {
+        val to = TableLog.readManifest(spark, dir, endV)
         val from = TableLog.readManifest(spark, dir, fromV)
         val removed = from.dirs.toSet -- to.dirs.toSet
         require(removed.isEmpty,
@@ -126,15 +131,13 @@ private[sources] class TableLogSource(spark: SparkSession, dir: String,
           s"graft-tablelog stream on $dir: versions ${fromV + 1}..$endV " +
             "contain a deletion-vector commit; the stream cannot retract " +
             "rows — set ignoreDeletes=true to keep streaming appends only")
-        from.dirs.toSet
+        val added = to.dirs.filterNot(from.dirs.toSet)
+        // frozen schema: evolve-append dirs' extra columns are ignored,
+        // missing columns surface as NULL (parquet standard semantics)
+        if (added.isEmpty)
+          spark.read.schema(streamSchema).parquet(to.dirs: _*).limit(0)
+        else spark.read.schema(streamSchema).parquet(added: _*)
       }
-    val added = to.dirs.filterNot(prevDirs)
-    // frozen schema: evolve-append dirs' extra columns are ignored,
-    // missing columns surface as NULL (parquet standard semantics)
-    val df =
-      if (added.isEmpty)
-        spark.read.schema(streamSchema).parquet(to.dirs: _*).limit(0)
-      else spark.read.schema(streamSchema).parquet(added: _*)
     org.apache.spark.sql.graft.StreamingDataFrame.asStreaming(
       df.select(streamSchema.fieldNames.map(col).toIndexedSeq: _*))
   }

@@ -97,6 +97,21 @@ class TableLogStreamSpec extends SparkSpecBase {
       || Option(e.getCause).exists(_.getMessage.contains("rewrite existing data")))
   }
 
+  test("a deletion vector committed BEFORE stream start applies to the initial snapshot") {
+    val dir = freshDir("tldvpre")
+    TableLog.create(spark, rows(0 until 5), dir)
+    TableLog.deleteByKey(spark, Seq(2L).toDF("id"), dir, Seq("id"))
+    val q = TableLog.readStream(spark, dir)
+      .writeStream.format("memory").queryName("tl_dv_pre")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // the stream's catch-up batch is the CURRENT snapshot — the deleted
+    // key must be hidden exactly as TableLog.read hides it
+    assert(spark.table("tl_dv_pre").as[(Long, String)].collect().sorted.toSeq
+      === TableLog.read(spark, dir).as[(Long, String)].collect().sorted.toSeq)
+    assert(spark.table("tl_dv_pre").where(col("id") === 2L).count() === 0L)
+  }
+
   test("deletion-vector commits refuse by default, stream on with ignoreDeletes") {
     val dir = freshDir("tldv")
     TableLog.create(spark, rows(0 until 4), dir)
@@ -114,13 +129,22 @@ class TableLogStreamSpec extends SparkSpecBase {
     assert(e.getMessage.contains("deletion-vector")
       || Option(e.getCause).exists(_.getMessage.contains("deletion-vector")))
 
-    // ignoreDeletes: appends keep flowing, deletions are not retracted
+    // ignoreDeletes: the INITIAL snapshot still applies DVs (it is a
+    // batch read of the current state), and mid-stream deletes are then
+    // simply not retracted — appends keep flowing
     val loose = TableLog.readStream(spark, dir, ignoreDeletes = true)
       .writeStream.format("memory").queryName("tl_dv_loose")
       .outputMode("append").start()
+    loose.processAllAvailable()
+    assert(spark.table("tl_dv_loose").count() === 5, // 6 appended − 1 deleted
+      "initial snapshot must hide the pre-start deletion")
+    TableLog.deleteByKey(spark, Seq(2L).toDF("id"), dir, Seq("id"))
+    TableLog.append(spark, rows(6 until 8), dir)
     loose.processAllAvailable(); loose.stop()
-    // full history INCLUDING the deleted key (appends-only semantics)
-    assert(spark.table("tl_dv_loose").count() === 6)
+    // the mid-stream delete of id=2 is NOT retracted from the sink; the
+    // append after it flows through
+    assert(spark.table("tl_dv_loose").count() === 7)
+    assert(spark.table("tl_dv_loose").where(col("id") === 2L).count() === 1L)
   }
 
   // T35 × L39: an incrementally-maintained aggregate DRIVEN BY the log
