@@ -956,6 +956,61 @@ object Graph {
       val pivots = docs.filter(col("doc_id") < 12).select(col("doc_id").as("node"))
       betweenness(e, pivots)
         .orderBy(desc("btw_e9"), col("node")).limit(20)
+    },
+
+    // R82 — modularity of a given partition (the clustering-quality
+    // metric community detection optimizes), EXACT: Q·4m² = Σ_c(4m·e_c
+    // − d_c²) over undirected deduped edges, all longs — no float until
+    // the single reported ratio in ppm. The partition under test is the
+    // deterministic doc_id%10 assignment so the ORACLE can replay the
+    // whole computation in SQL (a learned partition would leave the
+    // metric unverifiable); gr5's LPA output plugs into the same
+    // formula in GraphSpec-adjacent use. One edge scan + two
+    // fixed-width aggregates.
+    Q(
+      "gr16_modularity",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |ec AS (SELECT u % 10 AS c, CAST(count(*) AS BIGINT) AS e_in
+        |       FROM e WHERE u % 10 = v % 10 GROUP BY 1),
+        |dc AS (SELECT c, CAST(sum(deg) AS BIGINT) AS d_c FROM (
+        |         SELECT u % 10 AS c, count(*) AS deg FROM e GROUP BY u % 10
+        |         UNION ALL
+        |         SELECT v % 10 AS c, count(*) AS deg FROM e GROUP BY v % 10)
+        |       GROUP BY 1)
+        |SELECT dc.c AS community, COALESCE(ec.e_in, 0) AS e_in, dc.d_c,
+        |  CAST((4 * m.m * COALESCE(ec.e_in, 0) - dc.d_c * dc.d_c) AS BIGINT)
+        |    AS q_term_4m2
+        |FROM dc LEFT JOIN ec ON dc.c = ec.c CROSS JOIN m
+        |ORDER BY community""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct().localCheckpoint(true) // three aggregate consumers
+      val m = e.count()
+      val ec = e.filter(col("u") % 10 === col("v") % 10)
+        .groupBy((col("u") % 10).as("c")).agg(count(lit(1)).as("e_in"))
+      val dc = e.groupBy((col("u") % 10).as("c")).agg(count(lit(1)).as("deg"))
+        .unionByName(e.groupBy((col("v") % 10).as("c")).agg(count(lit(1)).as("deg")))
+        .groupBy("c").agg(sum("deg").as("d_c"))
+      dc.join(ec, Seq("c"), "left")
+        .select(col("c").as("community"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_c"),
+          (lit(4L) * m * coalesce(col("e_in"), lit(0L))
+            - col("d_c") * col("d_c")).as("q_term_4m2"))
+        .orderBy("community")
     }
   )
 

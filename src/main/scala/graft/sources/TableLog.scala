@@ -567,6 +567,27 @@ object TableLog {
   def streamSink(dir: String): (DataFrame, Long) => Unit =
     (df, batchId) => { appendBatch(df.sparkSession, df, dir, batchId); () }
 
+  /** Rebase-and-retry around the optimistic version-slot race: run
+    * `attempt` (any single commit op — append/merge/delete/...), and on
+    * [[ConcurrentCommitException]] re-run it against the newly-current
+    * snapshot, up to `maxRetries` times. This is the standard OCC write
+    * loop every log-structured format ships: append-shaped commits
+    * always rebase cleanly (the loser re-reads the new tip and re-lands
+    * on the next slot); semantic conflicts are the CALLER's attempt
+    * function re-deriving its batch from the current state. Fails loudly
+    * when contention outlasts the budget — never a silent drop. */
+  def commitWithRetry(attempt: () => Long, maxRetries: Int = 5): Long = {
+    var tries = 0
+    while (true) {
+      try return attempt()
+      catch { case e: ConcurrentCommitException =>
+        tries += 1
+        if (tries > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Streaming READ of the table — commits become micro-batches, offsets
     * are manifest versions (see [[graft.sources.TableLogStreamProvider]]
     * for the contract: append-only ranges, frozen schema, exactly-once

@@ -404,4 +404,53 @@ class TableLogSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,150)"),
       s"pushdown lost through the log:\n$plan")
   }
+
+  // OCC write loop: eight writers race on version slots concurrently;
+  // every loser must rebase and re-land — the final table holds every
+  // writer's batch exactly once and the log is a contiguous version
+  // chain. (The publish rename makes the race loud; commitWithRetry
+  // makes it survivable.)
+  test("concurrent appenders all land exactly once under commitWithRetry") {
+    val dir = java.nio.file.Files.createTempDirectory("txrace").toString + "/t"
+    TableLog.create(spark, Seq((-1L, -1L)).toDF("w", "i"), dir)
+    val writers = 8
+    val perWriter = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val tasks = (0 until writers).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val batch = (0 until perWriter).map(i => (w.toLong, i.toLong))
+              .toDF("w", "i")
+            TableLog.commitWithRetry(
+              () => TableLog.append(spark, batch, dir), maxRetries = 50)
+            ()
+          }
+        })
+      }
+      tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val rows = TableLog.read(spark, dir).as[(Long, Long)].collect().toSeq
+    val want = ((-1L, -1L) +:
+      (for (w <- 0 until writers; i <- 0 until perWriter)
+        yield (w.toLong, i.toLong))).sorted
+    assert(rows.sorted === want, "every writer's batch exactly once")
+    // contiguous version chain: create + one commit per writer
+    assert(TableLog.versions(spark, dir) === (0L to writers.toLong))
+  }
+
+  test("commitWithRetry surfaces the conflict once the budget is exhausted") {
+    val dir = java.nio.file.Files.createTempDirectory("txretry").toString + "/t"
+    TableLog.create(spark, Seq((0L, 0L)).toDF("w", "i"), dir)
+    // an attempt that ALWAYS loses: commit the next version out from
+    // under itself before publishing
+    val e = intercept[TableLog.ConcurrentCommitException] {
+      TableLog.commitWithRetry({ () =>
+        val v = TableLog.latestVersion(spark, dir).get + 1
+        TableLog.append(spark, Seq((9L, v)).toDF("w", "i"), dir) // takes the slot
+        throw new TableLog.ConcurrentCommitException(v, dir)     // simulate loss
+      }, maxRetries = 3)
+    }
+    assert(e.getMessage.contains("rebase and retry"))
+  }
 }
