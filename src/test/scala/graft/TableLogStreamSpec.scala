@@ -187,6 +187,38 @@ class TableLogStreamSpec extends SparkSpecBase {
       === want)
   }
 
+  // the batch-job-with-streaming-semantics trigger: process exactly the
+  // commits present at start, then terminate on its own — the nightly
+  // catch-up shape (incremental, checkpointed, no long-running query)
+  test("Trigger.AvailableNow drains the present commits and stops") {
+    val dir = freshDir("tlavnow")
+    val out = freshDir("tlavnowout")
+    val ckpt = java.nio.file.Files.createTempDirectory("tlavnowck").toString
+    TableLog.create(spark, rows(0 until 4), dir)
+    TableLog.append(spark, rows(4 until 6), dir)
+    def drain(): Unit = {
+      val q = TableLog.readStream(spark, dir)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(TableLog.streamSink(out))
+        .start()
+      assert(q.awaitTermination(60000), "AvailableNow query should self-terminate")
+    }
+    drain()
+    assert(TableLog.read(spark, out).count() === 6)
+    // a later append is NOT picked up by the terminated query; the next
+    // AvailableNow run resumes from the checkpoint and drains just it
+    TableLog.append(spark, rows(6 until 9), dir)
+    assert(TableLog.read(spark, out).count() === 6)
+    val vBefore = TableLog.latestVersion(spark, out)
+    drain()
+    assert(TableLog.read(spark, out).as[(Long, String)].collect().sorted.toSeq
+      === (0 until 9).map(i => (i.toLong, s"r$i")))
+    // exactly one sink commit for the one pending source commit
+    assert(TableLog.latestVersion(spark, out) === vBefore.map(_ + 1))
+  }
+
   test("schema is frozen at start: evolve-append mid-stream keeps flowing") {
     val dir = freshDir("tlevolve")
     TableLog.create(spark, rows(0 until 2), dir)
