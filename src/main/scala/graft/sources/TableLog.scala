@@ -129,11 +129,20 @@ object TableLog {
   }
 
   /** Publish `m` as the one committed manifest for its version: write a
-    * hidden temp file, then rename into the version slot. Hadoop's
-    * rename refuses an existing destination, so of two racing writers
-    * exactly one wins; the loser's temp file is removed and the race
-    * surfaces as [[ConcurrentCommitException]] — never a silent
-    * overwrite of someone else's commit. */
+    * hidden temp file, then CLAIM the version slot atomically so of two
+    * racing writers exactly one wins; the loser's temp file is removed
+    * and the race surfaces as [[ConcurrentCommitException]] — never a
+    * silent overwrite of someone else's commit.
+    *
+    * The claim primitive matters: on HDFS, rename-to-existing returns
+    * false, but POSIX rename(2) — what RawLocalFileSystem does —
+    * REPLACES an existing destination, and an `exists` pre-check only
+    * narrows the window (two same-slot publishers can both pass it and
+    * the second rename silently swallows the first commit; the
+    * concurrent-appender spec caught exactly this). Locally the claim
+    * is therefore `link(2)` (hard-link tmp into the slot), which POSIX
+    * guarantees fails with EEXIST atomically; on an object store the
+    * same slot would be a conditional put (If-None-Match). */
   private def publish(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val dst = manifestPath(dir, m.version)
     val fs = fsFor(spark, dst)
@@ -142,10 +151,21 @@ object TableLog {
       s".tmp-${m.version}-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(render(m).getBytes("UTF-8")) finally out.close()
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new ConcurrentCommitException(m.version, dir)
-    }
+    val claimed =
+      if (fs.getScheme == "file") {
+        // atomic create-exclusive via hard link; tmp (and its checksum
+        // sidecar) cleaned up either way
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dst) && fs.rename(tmp, dst)
+    if (fs.getScheme == "file" || !claimed) fs.delete(tmp, false)
+    if (!claimed) throw new ConcurrentCommitException(m.version, dir)
   }
 
   /** Write `df` as a new data dir for version `v` — data is INVISIBLE
