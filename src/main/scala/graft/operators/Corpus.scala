@@ -138,6 +138,49 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** dd14's engine — sliding duplicated-`n`-gram span coverage over a
+    * `(doc_id, text)` frame (see the catalog entry's Scaladoc for the
+    * algorithm and scale shape). Factored out so specs can drive it
+    * with constructed corpora. */
+  private[graft] def dupSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= n)
+      .select(col("doc_id"), size(col("l")).cast("long").as("n_words"),
+        col("l"))
+      .localCheckpoint(true) // gram explode + final report both consume it
+    val g = base.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(l) - $n), " +
+          s"i -> struct(i, md5(array_join(slice(l, i+1, $n), ' ')) AS ph))"))
+        .as("gp"))
+      .select(col("doc_id"), col("gp.i").as("i"), col("gp.ph").as("ph"))
+      .localCheckpoint(true) // occurrence count + dup join both consume it
+    val pc = g.groupBy("ph").agg(count(lit(1)).as("occ"))
+    val dup = g.join(pc, Seq("ph")).filter(col("occ") >= 2)
+      .select(col("doc_id"), col("i"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val isl = dup
+      .withColumn("pm", max(col("i") + n)
+        .over(wDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isle", sum(
+        when(col("pm").isNull || col("i") > col("pm"), 1L).otherwise(0L))
+        .over(wDoc))
+    val cov = isl.groupBy("doc_id", "isle")
+      .agg((max(col("i") + n) - min(col("i"))).as("ce"))
+      .groupBy("doc_id")
+      .agg(sum("ce").cast("long").as("covered_words"))
+    val dupN = dup.groupBy("doc_id").agg(count(lit(1)).as("dup_ngrams"))
+    base.select(col("doc_id"), col("n_words"))
+      .join(dupN, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("dup_ngrams"), lit(0L)).as("dup_ngrams"),
+        coalesce(col("covered_words"), lit(0L)).as("covered_words"),
+        expr("(coalesce(covered_words, 0L) * 1000) DIV n_words")
+          .as("covered_permille"))
+      .orderBy("doc_id")
+  }
+
   val catalog: Seq[Q] = Seq(
     // L28 — passage-level duplication (sub-document dedup): split each
     // doc into consecutive 5-word passages, count how many of a doc's
@@ -891,6 +934,142 @@ object Corpus {
           (sum(col("cdw") * col("llr_micro")).cast("double")
             / (lit(1000000) * sum("cdw").cast("double"))).as("llr_per_token"))
         .orderBy("doc_id")
+    },
+
+    // L48 — duplicated-span coverage (sliding-window exact substring
+    // dedup, the "Deduplicating Training Data Makes Language Models
+    // Better" shape): every word 8-gram of every doc, hashed; an 8-gram
+    // occurring ≥2 times ANYWHERE in the corpus (other docs or a repeat
+    // within the same doc) is a duplicated span [i, i+8); a doc's
+    // duplication is the INTERVAL-MERGED word coverage of its duplicated
+    // spans (overlapping spans never double-count — ev11's
+    // gaps-and-islands algebra on word offsets). Differs from dd8
+    // (disjoint 5-word chunks, cross-doc only): sliding windows catch
+    // duplicated passages at ANY alignment, which is why the paper uses
+    // them. All integer: positions, island sums, permille by DIV.
+    // Scale shape: the gram explode is scan-local and only 16-byte
+    // hashes + integer offsets shuffle (text never leaves the scan);
+    // the occurrence count is one map-side-combined aggregate; the
+    // island window partitions by doc_id (per-doc rows bounded by doc
+    // length). Docs with zero duplicated spans stay in the report via
+    // the final left join (coverage 0).
+    Q(
+      "dd14_dup_span_coverage",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT doc_id, i,
+        |        md5(array_to_string(l[i+1 : i+8], ' ')) AS ph
+        |      FROM t, LATERAL (SELECT unnest(range(0, len(l) - 7)) AS i) s),
+        |pc AS (SELECT ph, count(*) AS occ FROM g GROUP BY 1),
+        |dup AS (SELECT doc_id, i FROM g JOIN pc USING (ph) WHERE occ >= 2),
+        |m AS (SELECT doc_id, i,
+        |        max(i + 8) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM dup),
+        |isl AS (SELECT doc_id, i,
+        |          sum(CASE WHEN pm IS NULL OR i > pm THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY i) AS isle
+        |        FROM m),
+        |cov AS (SELECT doc_id, CAST(sum(ng) AS BIGINT) AS dup_ngrams,
+        |          CAST(sum(ce) AS BIGINT) AS covered_words
+        |        FROM (SELECT doc_id, isle, max(i + 8) - min(i) AS ce,
+        |                count(*) AS ng
+        |              FROM isl GROUP BY 1, 2) GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_words,
+        |  coalesce(dup_ngrams, 0) AS dup_ngrams,
+        |  coalesce(covered_words, 0) AS covered_words,
+        |  (coalesce(covered_words, 0) * 1000) // CAST(len(t.l) AS BIGINT)
+        |    AS covered_permille
+        |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+    ) { (s, d) => dupSpanCoverage(Tables.documents(s, d)) },
+
+    // L49 — importance-weighted corpus SELECTION: the sampling step that
+    // consumes tx30's per-doc DSIR log-likelihood-ratio — each doc's
+    // per-token LLR (micro-bits, an exact integer) maps through a
+    // saturating integer ramp to an inclusion probability
+    // weight6 = clamp[0,10^6](500000 + llr_sum_micro DIV (2·n_tokens)),
+    // so target-like docs (positive LLR) keep more mass and
+    // anti-target docs thin out — the "make the crawl look like the
+    // curated set" resample, DSIR's second half. The coin is the doc's
+    // salted md5 16-bit prefix tested against an INTEGER threshold
+    // (weight6·65536 DIV 10^6) — deterministic, retry-stable,
+    // replayable; the salt keeps the decision independent of tx9's
+    // split and tx12's stratified sample, which hash the same ids. The
+    // only floats are tx30's per-WORD micro-quantized log terms (the
+    // tx19 discipline — order-invariant by construction); every per-doc
+    // and per-threshold step is integer. Scale shape: identical to tx30
+    // (one (doc,word) aggregate + vocabulary broadcast) plus a
+    // scan-local filter and the per-source audit aggregate.
+    Q(
+      "tx34_weighted_sample",
+      """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |dtc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS cdw
+        |        FROM tok WHERE length(w) >= 1 GROUP BY 1, 2),
+        |cnt AS (SELECT w,
+        |    CAST(sum(CASE WHEN source IN ('src1', 'src2', 'src3') THEN 1
+        |             ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN source IN ('src1', 'src2', 'src3') THEN 0
+        |             ELSE 1 END) AS BIGINT) AS cr
+        |  FROM tok WHERE length(w) >= 1 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr,
+        |          CAST(count(*) AS BIGINT) AS v FROM cnt),
+        |model AS (SELECT w,
+        |    CAST(round(1000000 * log2(
+        |      ((CAST(ct AS DOUBLE) + 1) / (nt + v))
+        |      / ((CAST(cr AS DOUBLE) + 1) / (nr + v)))) AS BIGINT) AS llr_micro
+        |  FROM cnt CROSS JOIN tot),
+        |score AS (SELECT doc_id, CAST(sum(cdw) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cdw * llr_micro) AS BIGINT) AS llr_sum_micro
+        |  FROM dtc JOIN model USING (w) GROUP BY 1),
+        |wgt AS (SELECT doc_id,
+        |    least(1000000, greatest(0,
+        |      500000 + llr_sum_micro // (2 * n_tokens))) AS weight6
+        |  FROM score),
+        |sel AS (SELECT d.doc_id, d.source, d.n_chars
+        |        FROM documents d JOIN wgt USING (doc_id)
+        |        WHERE CAST(('0x' || substring(
+        |            md5(CAST(d.doc_id AS VARCHAR) || '#wsample'), 1, 4)) AS INTEGER)
+        |          < (wgt.weight6 * 65536) // 1000000)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val targetSrcs = Seq("src1", "src2", "src3")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .localCheckpoint(true) // model counts + per-doc counts both consume it
+      val dtc = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("cdw"))
+      val isT = col("source").isin(targetSrcs: _*)
+      val cnt = tok.groupBy("w")
+        .agg(sum(when(isT, 1L).otherwise(0L)).as("ct"),
+          sum(when(isT, 0L).otherwise(1L)).as("cr"))
+      val tot = cnt.agg(sum("ct").as("nt"), sum("cr").as("nr"),
+        count(lit(1)).as("v"))
+      val model = cnt.crossJoin(broadcast(tot))
+        .select(col("w"), round(lit(1000000) * log2(
+          ((col("ct").cast("double") + 1) / (col("nt") + col("v")))
+            / ((col("cr").cast("double") + 1) / (col("nr") + col("v")))))
+          .cast("long").as("llr_micro"))
+      val wgt = dtc.join(broadcast(model), Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum("cdw").as("n_tokens"),
+          sum(col("cdw") * col("llr_micro")).as("llr_sum_micro"))
+        .select(col("doc_id"),
+          expr("least(1000000L, greatest(0L, " +
+            "500000L + llr_sum_micro DIV (2 * n_tokens)))").as("weight6"))
+      Tables.documents(s, d).join(wgt, Seq("doc_id"))
+        .filter(
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit("#wsample")).cast("binary")), 1, 4), 16, 10).cast("long")
+            < expr("(weight6 * 65536) DIV 1000000"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("n_chars").as("chars_sampled"))
+        .orderBy("source")
     }
   )
 }

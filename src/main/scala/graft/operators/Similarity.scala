@@ -430,6 +430,157 @@ object Similarity {
         (col("pos") + 1).cast("long").as("rk"))
       .orderBy("q_id", "rk")
 
+  /** Exact integer covariance moments of the embedding matrix: values
+    * micro-quantized to 1e6-unit BIGINTs (sim9's discipline), pairwise
+    * products summed as exact longs — order-invariant, so the covariance
+    * doubles derived from them are bit-stable under ANY partitioning
+    * (the property the Jacobi eigensolve below needs to be
+    * deterministic). The d·(d+1)/2 pair explode is scan-local and
+    * map-side-combines down to one row per (i,j) ≤ 2080 keys before the
+    * only shuffle; magnitudes are safe: |v6| ≤ ~5e6, so a product is
+    * ≤ 2.5e13 and 3·10^5 rows of slack remain under Long.MaxValue even
+    * at 10^5 vectors per partial sum. Returns (dim_i ≤ dim_j, n, cov).
+    */
+  def covarianceMatrix(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+        .as("qv"))
+      .localCheckpoint(true) // pair-product agg + per-dim means both consume it
+    val pp = q.select(explode(expr(
+        "flatten(transform(sequence(0, size(qv) - 1), i -> " +
+          "transform(sequence(i, size(qv) - 1), j -> " +
+          "struct(i, j, qv[i] * qv[j] AS p))))")).as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum("p").as("ss"), count(lit(1)).as("n"))
+    val m = q.select(posexplode(col("qv")).as(Seq("i", "v6")))
+      .groupBy("i").agg(sum("v6").as("s"))
+    pp.join(broadcast(m.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(m.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
+        ((col("ss").cast("double") - col("si").cast("double") * col("sj") / col("n"))
+          / col("n") / lit(1.0e12)).as("cov"))
+      .orderBy("dim_i", "dim_j")
+  }
+
+  /** Cyclic Jacobi eigensolver for the collected d×d covariance —
+    * driver-side on d² scalars (the kmeans-centroid precedent: model
+    * state, not data). Deterministic: fixed sweep order (p<q row-major),
+    * fixed convergence threshold on the off-diagonal Frobenius mass, no
+    * RNG. Returns eigenvalues descending (ties broken by original
+    * index) with their eigenvectors sign-fixed so each vector's
+    * largest-|component| entry (first on ties) is positive — the
+    * remaining ±w ambiguity of an eigenbasis pinned down for
+    * replay-stable projections.
+    */
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
+                                 maxSweeps: Int = 30): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var done = false
+    while (sweep < maxSweeps && !done) {
+      var off = 0.0
+      var p = 0
+      while (p < d) { var q = p + 1; while (q < d) { off += a(p)(q) * a(p)(q); q += 1 }; p += 1 }
+      if (off < 1e-24) done = true
+      else {
+        p = 0
+        while (p < d - 1) {
+          var q = p + 1
+          while (q < d) {
+            val apq = a(p)(q)
+            if (math.abs(apq) > 0.0) {
+              val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+              val t =
+                if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                else 1.0 / (theta - math.sqrt(theta * theta + 1.0))
+              val c = 1.0 / math.sqrt(t * t + 1.0)
+              val sn = t * c
+              var k = 0
+              while (k < d) {
+                val akp = a(k)(p); val akq = a(k)(q)
+                a(k)(p) = c * akp - sn * akq
+                a(k)(q) = sn * akp + c * akq
+                k += 1
+              }
+              k = 0
+              while (k < d) {
+                val apk = a(p)(k); val aqk = a(q)(k)
+                a(p)(k) = c * apk - sn * aqk
+                a(q)(k) = sn * apk + c * aqk
+                k += 1
+              }
+              k = 0
+              while (k < d) {
+                val vkp = v(k)(p); val vkq = v(k)(q)
+                v(k)(p) = c * vkp - sn * vkq
+                v(k)(q) = sn * vkp + c * vkq
+                k += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+    }
+    val order = (0 until d).sortBy(k => (-a(k)(k), k))
+    val evals = order.map(k => a(k)(k)).toArray
+    val evecs = order.map { k =>
+      val w = Array.tabulate(d)(i => v(i)(k))
+      var best = 0
+      var i = 1
+      while (i < d) { if (math.abs(w(i)) > math.abs(w(best))) best = i; i += 1 }
+      if (w(best) < 0) w.map(x => -x) else w
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** PCA projection of every embedding onto the top-k principal
+    * components of the corpus covariance (the whitening/compaction step
+    * SemDeDup-style pipelines run before clustering). Fit = ONE exact
+    * integer covariance pass ([[covarianceMatrix]]) + a driver-side
+    * Jacobi solve on the d×d matrix; transform = one scan-local pass
+    * (centered dot products against literal component vectors — no
+    * shuffle, no model closure). Deterministic end to end: exact
+    * moments, fixed-order Jacobi, sign-pinned components.
+    */
+  def pcaProject(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    val cov = covarianceMatrix(s, d)
+    val rows = cov.select("dim_i", "dim_j", "cov").collect()
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val mat = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      mat(i)(j) = c; mat(j)(i) = c
+    }
+    val (_, evecs) = jacobiEigen(mat)
+    // per-dim means for centering: exact integer sums → one double each
+    val m = Tables.embeddings(s, d)
+      .select(posexplode(expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .as(Seq("i", "v6")))
+      .groupBy("i").agg(sum("v6").as("s"), count(lit(1)).as("n"))
+      .select(col("i"), (col("s").cast("double") / col("n") / 1e6).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mu = Array.tabulate(dim)(m(_))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val projCols = (0 until k).map { c =>
+      val w = evecs(c)
+      val muDot = (0 until dim).map(i => mu(i) * w(i)).sum
+      (graft.functions.Vectors.dotNative(col("v"), typedlit(w.toSeq)) - lit(muDot))
+        .as(s"pc${c + 1}")
+    }
+    e.select(col("vec_id") +: col("label") +: projCols: _*)
+      .orderBy("vec_id")
+  }
+
   val catalog: Seq[Q] = Seq(
     // L6 — brute-force cosine top-k: corpus × broadcast(query set).
     Q(
@@ -677,6 +828,40 @@ object Similarity {
           (col("mn").cast("double") / lit(1000000)).as("min_v"),
           (col("mx").cast("double") / lit(1000000)).as("max_v"))
         .orderBy("dim")
-    }
+    },
+
+    // L50a — exact embedding covariance matrix (the PCA/whitening fit
+    // pass): micro-quantized values, integer pair-product moments, one
+    // 2080-key shuffle (see [[covarianceMatrix]]). The cov doubles are
+    // single final trees over exact integers — bit-portable, so this is
+    // a full hash-match oracle, which in turn certifies the input the
+    // sim11 eigensolve consumes.
+    Q(
+      "sim10_covariance",
+      """WITH t AS (SELECT list_transform(embedding,
+        |             x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+        |           FROM embeddings),
+        |p AS (SELECT i, j, qv[i+1] * qv[j+1] AS p
+        |      FROM t, LATERAL (SELECT unnest(range(0, len(qv))) AS i) a,
+        |              LATERAL (SELECT unnest(range(i, len(qv))) AS j) b),
+        |pp AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS ss,
+        |         CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |m AS (SELECT i, CAST(sum(qv[i+1]) AS BIGINT) AS s
+        |      FROM t, LATERAL (SELECT unnest(range(0, len(qv))) AS i) a GROUP BY 1)
+        |SELECT pp.i AS dim_i, pp.j AS dim_j, pp.n,
+        |  (CAST(ss AS DOUBLE) - CAST(mi.s AS DOUBLE) * mj.s / pp.n) / pp.n
+        |    / 1000000000000.0 AS cov
+        |FROM pp JOIN m mi ON pp.i = mi.i JOIN m mj ON pp.j = mj.i
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, d) => covarianceMatrix(s, d) },
+
+    // L50b — PCA projection onto the top-4 principal components
+    // (SemDeDup-style embedding compaction). The eigensolve has no SQL
+    // equivalent → rows-only here; what CAN be checked exactly is
+    // checked elsewhere: sim10's oracle certifies the covariance the
+    // solve consumes, and PcaSpec pins orthonormality, the eigen
+    // residual ‖Av−λv‖, descending eigenvalues, projection variance ≡ λ,
+    // and thread-count determinism.
+    Q.rowsOnly("sim11_pca_project") { (s, d) => pcaProject(s, d, 4) }
   )
 }
