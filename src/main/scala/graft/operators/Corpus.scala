@@ -1070,6 +1070,72 @@ object Corpus {
         .agg(count(lit(1)).as("n_sampled"),
           sum("n_chars").as("chars_sampled"))
         .orderBy("source")
+    },
+
+    // L51 — blocked sorted-neighborhood record linkage: the classic
+    // entity-resolution BLOCKING strategy the LSH family doesn't cover —
+    // sort records on a domain key inside each block, compare each
+    // record only to its next `w`=2 neighbors in that order, score the
+    // bounded candidate pairs (token-set Jaccard, integer permille).
+    // Candidates are O(n·w) — never block², never corpus² — and every
+    // window is PARTITIONED by the block key (lang, first word), so no
+    // global sort and no single-partition window; block granularity is
+    // the documented scale knob (finer key → smaller blocks → same
+    // O(n·w) with shorter sorts). Deterministic: total order inside a
+    // block is (second word, doc_id). Pairs only look FORWARD (lead), so
+    // (a,b) appears once and never as (b,a). All-integer scoring.
+    Q(
+      "dd15_sorted_neighborhood",
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(text, ' ')) AS ts,
+        |    string_split(text, ' ')[1] AS w1,
+        |    string_split(text, ' ')[2] AS w2
+        |  FROM documents),
+        |n AS (SELECT doc_id, ts,
+        |    lead(doc_id, 1) OVER wd AS id1, lead(ts, 1) OVER wd AS ts1,
+        |    lead(doc_id, 2) OVER wd AS id2, lead(ts, 2) OVER wd AS ts2
+        |  FROM t WINDOW wd AS (PARTITION BY lang, w1 ORDER BY w2, doc_id)),
+        |pairs AS (
+        |  SELECT doc_id AS id_a, id1 AS id_b, ts, ts1 AS tsb
+        |  FROM n WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, id2, ts, ts2 FROM n WHERE id2 IS NOT NULL)
+        |SELECT id_a, id_b,
+        |  (CAST(len(list_intersect(ts, tsb)) AS BIGINT) * 1000) //
+        |    CAST(len(ts) + len(tsb) - len(list_intersect(ts, tsb)) AS BIGINT)
+        |    AS jac_permille
+        |FROM pairs
+        |WHERE (CAST(len(list_intersect(ts, tsb)) AS BIGINT) * 1000) //
+        |    CAST(len(ts) + len(tsb) - len(list_intersect(ts, tsb)) AS BIGINT)
+        |    >= 400
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(split(col("text"), " ")).as("ts"),
+          element_at(split(col("text"), " "), 1).as("w1"),
+          element_at(split(col("text"), " "), 2).as("w2"))
+      val wd = Window.partitionBy("lang", "w1").orderBy("w2", "doc_id")
+      val n = t.select(col("doc_id"), col("ts"),
+        lead(col("doc_id"), 1).over(wd).as("id1"),
+        lead(col("ts"), 1).over(wd).as("ts1"),
+        lead(col("doc_id"), 2).over(wd).as("id2"),
+        lead(col("ts"), 2).over(wd).as("ts2"))
+        .localCheckpoint(true) // both pair-offset branches consume it
+      val pairs = n.filter(col("id1").isNotNull)
+        .select(col("doc_id").as("id_a"), col("id1").as("id_b"),
+          col("ts"), col("ts1").as("tsb"))
+        .unionByName(n.filter(col("id2").isNotNull)
+          .select(col("doc_id").as("id_a"), col("id2").as("id_b"),
+            col("ts"), col("ts2").as("tsb")))
+      val inter = size(array_intersect(col("ts"), col("tsb"))).cast("long")
+      pairs
+        .select(col("id_a"), col("id_b"), inter.as("it"),
+          (size(col("ts")).cast("long") + size(col("tsb")) - inter).as("un"))
+        .select(col("id_a"), col("id_b"),
+          expr("(it * 1000) DIV un").as("jac_permille"))
+        .filter(col("jac_permille") >= 400)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -441,7 +441,11 @@ object Similarity {
     * ≤ 2.5e13 and 3·10^5 rows of slack remain under Long.MaxValue even
     * at 10^5 vectors per partial sum. Returns (dim_i ≤ dim_j, n, cov).
     */
-  def covarianceMatrix(s: SparkSession, d: String): DataFrame = {
+  /** Shared fit-pass frames: the pair-product moment frame (i≤j, ss, n)
+    * and the per-dim sum frame (i, s), both derived from ONE
+    * localCheckpoint'd quantized scan so a consumer needing covariance
+    * AND means (pcaProject) costs a single corpus pass. */
+  private def covMoments(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val q = Tables.embeddings(s, d)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
@@ -455,7 +459,12 @@ object Similarity {
       .groupBy("i", "j")
       .agg(sum("p").as("ss"), count(lit(1)).as("n"))
     val m = q.select(posexplode(col("qv")).as(Seq("i", "v6")))
-      .groupBy("i").agg(sum("v6").as("s"))
+      .groupBy("i").agg(sum("v6").as("s"), count(lit(1)).as("n"))
+    (pp, m)
+  }
+
+  def covarianceMatrix(s: SparkSession, d: String): DataFrame = {
+    val (pp, m) = covMoments(s, d)
     pp.join(broadcast(m.select(col("i"), col("s").as("si"))), Seq("i"))
       .join(broadcast(m.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
       .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
@@ -550,24 +559,25 @@ object Similarity {
     * moments, fixed-order Jacobi, sign-pinned components.
     */
   def pcaProject(s: SparkSession, d: String, k: Int = 4): DataFrame = {
-    val cov = covarianceMatrix(s, d)
-    val rows = cov.select("dim_i", "dim_j", "cov").collect()
-    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val (pp, mDf) = covMoments(s, d)
+    val mRows = mDf
+      .select(col("i"), (col("s").cast("double") / col("n") / 1e6).as("mu"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val rows = pp
+      .join(broadcast(mDf.select(col("i"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(mDf.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        ((col("ss").cast("double") - col("si").cast("double") * col("sj") / col("n"))
+          / col("n") / lit(1.0e12)).as("cov"))
+      .collect()
+    val dim = mRows.size
     val mat = Array.ofDim[Double](dim, dim)
     rows.foreach { r =>
       val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
       mat(i)(j) = c; mat(j)(i) = c
     }
     val (_, evecs) = jacobiEigen(mat)
-    // per-dim means for centering: exact integer sums → one double each
-    val m = Tables.embeddings(s, d)
-      .select(posexplode(expr(
-        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
-        .as(Seq("i", "v6")))
-      .groupBy("i").agg(sum("v6").as("s"), count(lit(1)).as("n"))
-      .select(col("i"), (col("s").cast("double") / col("n") / 1e6).as("mu"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val mu = Array.tabulate(dim)(m(_))
+    val mu = Array.tabulate(dim)(mRows(_))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
