@@ -466,6 +466,31 @@ object ScaleProbe {
         println(f"SCALE ${label}_prune part=$pf%.3f supp=$sf2%.3f")
       }
     }
+    // r4 session 4: dd14 sliding-gram span coverage. Replicas are exact
+    // text duplicates of each other, so EVERY interior gram is
+    // duplicated corpus-wide — the dup frame saturates to ≈ the whole
+    // gram frame. That is deliberately the op's WORST case (maximum
+    // join fan-through + maximum island-window input); real corpora sit
+    // far below it, so linear-ish growth here bounds the field cost.
+    locally {
+      val docsR = replicate(
+        Tables.documents(spark, d).select(col("doc_id"), col("text")),
+        Seq("doc_id"), 10000000L).localCheckpoint(true)
+      time("dup_span_saturated") {
+        graft.operators.Corpus.dupSpanCoverage(docsR).count()
+      }
+    }
+    // r4 session 4: sim10 covariance fit — the pair-product explode is
+    // d(d+1)/2 per row map-side-combined to ≤2080 keys; wall should
+    // track the scan (rows), never the shuffle (fixed key count).
+    locally {
+      val eR = replicate(
+        Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
+        Seq("vec_id"), 10000000L).localCheckpoint(true)
+      time("pca_covariance_fit") {
+        graft.operators.Similarity.covarianceMatrixOf(eR).count()
+      }
+    }
     spark.stop()
   }
 }

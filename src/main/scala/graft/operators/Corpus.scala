@@ -158,6 +158,7 @@ object Corpus {
     val pc = g.groupBy("ph").agg(count(lit(1)).as("occ"))
     val dup = g.join(pc, Seq("ph")).filter(col("occ") >= 2)
       .select(col("doc_id"), col("i"))
+      .localCheckpoint(true) // island window + dup count both consume it
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
     val isl = dup
       .withColumn("pm", max(col("i") + n)

@@ -445,8 +445,8 @@ object Similarity {
     * and the per-dim sum frame (i, s), both derived from ONE
     * localCheckpoint'd quantized scan so a consumer needing covariance
     * AND means (pcaProject) costs a single corpus pass. */
-  private def covMoments(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val q = Tables.embeddings(s, d)
+  private[graft] def covMoments(e: DataFrame): (DataFrame, DataFrame) = {
+    val q = e
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
         .as("qv"))
@@ -463,8 +463,11 @@ object Similarity {
     (pp, m)
   }
 
-  def covarianceMatrix(s: SparkSession, d: String): DataFrame = {
-    val (pp, m) = covMoments(s, d)
+  def covarianceMatrix(s: SparkSession, d: String): DataFrame =
+    covarianceMatrixOf(Tables.embeddings(s, d))
+
+  private[graft] def covarianceMatrixOf(e: DataFrame): DataFrame = {
+    val (pp, m) = covMoments(e)
     pp.join(broadcast(m.select(col("i"), col("s").as("si"))), Seq("i"))
       .join(broadcast(m.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
       .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
@@ -559,7 +562,7 @@ object Similarity {
     * moments, fixed-order Jacobi, sign-pinned components.
     */
   def pcaProject(s: SparkSession, d: String, k: Int = 4): DataFrame = {
-    val (pp, mDf) = covMoments(s, d)
+    val (pp, mDf) = covMoments(Tables.embeddings(s, d))
     val mRows = mDf
       .select(col("i"), (col("s").cast("double") / col("n") / 1e6).as("mu"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
