@@ -468,13 +468,19 @@ object Similarity {
 
   private[graft] def covarianceMatrixOf(e: DataFrame): DataFrame = {
     val (pp, m) = covMoments(e)
+    covFromMoments(pp, m)
+  }
+
+  /** The covariance double tree over exact moment frames — ONE shared
+    * expression for the inline fit and [[PcaIndex]]'s stored-moment
+    * path, so incremental ≡ one-shot is bit-exact by construction. */
+  private[graft] def covFromMoments(pp: DataFrame, m: DataFrame): DataFrame =
     pp.join(broadcast(m.select(col("i"), col("s").as("si"))), Seq("i"))
       .join(broadcast(m.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
       .select(col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
         ((col("ss").cast("double") - col("si").cast("double") * col("sj") / col("n"))
           / col("n") / lit(1.0e12)).as("cov"))
       .orderBy("dim_i", "dim_j")
-  }
 
   /** Cyclic Jacobi eigensolver for the collected d×d covariance —
     * driver-side on d² scalars (the kmeans-centroid precedent: model
@@ -561,18 +567,15 @@ object Similarity {
     * shuffle, no model closure). Deterministic end to end: exact
     * moments, fixed-order Jacobi, sign-pinned components.
     */
-  def pcaProject(s: SparkSession, d: String, k: Int = 4): DataFrame = {
-    val (pp, mDf) = covMoments(Tables.embeddings(s, d))
-    val mRows = mDf
+  /** Collect the moment frames and solve: returns (eigenvectors rows
+    * descending by eigenvalue, mean vector). Shared by the inline fit
+    * and the stored-moment index — identical inputs give identical
+    * components because every step below the collect is exact. */
+  private[graft] def fitFromMoments(pp: DataFrame, m: DataFrame): (Array[Array[Double]], Array[Double]) = {
+    val mRows = m
       .select(col("i"), (col("s").cast("double") / col("n") / 1e6).as("mu"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val rows = pp
-      .join(broadcast(mDf.select(col("i"), col("s").as("si"))), Seq("i"))
-      .join(broadcast(mDf.select(col("i").as("j"), col("s").as("sj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        ((col("ss").cast("double") - col("si").cast("double") * col("sj") / col("n"))
-          / col("n") / lit(1.0e12)).as("cov"))
-      .collect()
+    val rows = covFromMoments(pp, m).select("dim_i", "dim_j", "cov").collect()
     val dim = mRows.size
     val mat = Array.ofDim[Double](dim, dim)
     rows.foreach { r =>
@@ -580,18 +583,29 @@ object Similarity {
       mat(i)(j) = c; mat(j)(i) = c
     }
     val (_, evecs) = jacobiEigen(mat)
-    val mu = Array.tabulate(dim)(mRows(_))
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+    (evecs, Array.tabulate(dim)(mRows(_)))
+  }
+
+  /** Scan-local projection of `(vec_id, label, embedding)` rows onto
+    * literal fitted components — no shuffle, no model closure. */
+  private[graft] def projectWith(e: DataFrame, evecs: Array[Array[Double]],
+                                 mu: Array[Double], k: Int): DataFrame = {
+    val base = e.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
     val projCols = (0 until k).map { c =>
       val w = evecs(c)
-      val muDot = (0 until dim).map(i => mu(i) * w(i)).sum
+      val muDot = mu.indices.map(i => mu(i) * w(i)).sum
       (graft.functions.Vectors.dotNative(col("v"), typedlit(w.toSeq)) - lit(muDot))
         .as(s"pc${c + 1}")
     }
-    e.select(col("vec_id") +: col("label") +: projCols: _*)
+    base.select(col("vec_id") +: col("label") +: projCols: _*)
       .orderBy("vec_id")
+  }
+
+  def pcaProject(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    val (pp, mDf) = covMoments(Tables.embeddings(s, d))
+    val (evecs, mu) = fitFromMoments(pp, mDf)
+    projectWith(Tables.embeddings(s, d), evecs, mu, k)
   }
 
   val catalog: Seq[Q] = Seq(
