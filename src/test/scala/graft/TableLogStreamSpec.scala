@@ -235,4 +235,42 @@ class TableLogStreamSpec extends SparkSpecBase {
     assert(spark.table("tl_evo").as[(Long, String)].collect().sorted.toSeq
       === Seq((0L, "r0"), (1L, "r1"), (2L, "r2")))
   }
+
+  // the PCA twin of the stream-maintained aggregate above: embedding
+  // ingests flow through the log stream into the exact moment index, so
+  // the fit refreshes per-commit at O(batch + d²) — and because the
+  // moments are exact integers, the streamed state equals the one-shot
+  // fit BIT FOR BIT after catch-up AND across a checkpoint restart
+  // (source offsets + batch-id guard, both exactly-once layers active).
+  test("stream-maintained PCA moment index equals the one-shot fit") {
+    val dir = freshDir("tlpca")
+    val state = java.nio.file.Files.createTempDirectory("tlpcastate").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("tlpcack").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding")
+    TableLog.create(spark, emb.filter(col("vec_id") % 2 === 0), dir)
+
+    def run(): Unit = {
+      val q = TableLog.readStream(spark, dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) => {
+          graft.operators.PcaIndex.update(df.sparkSession, state, df, bid); ()
+        })
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    TableLog.append(spark, emb.filter(col("vec_id") % 2 === 1), dir)
+    run() // restart from checkpoint; only the new commit merges
+    val got = graft.operators.PcaIndex.covariance(spark, state)
+      .collect().map(_.toString).sorted
+    val want = graft.operators.Similarity
+      .covarianceMatrixOf(TableLog.read(spark, dir))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+    // an idle restart replays nothing through either dedup layer
+    run()
+    assert(graft.operators.PcaIndex.covariance(spark, state)
+      .collect().map(_.toString).sorted.sameElements(want))
+  }
 }
