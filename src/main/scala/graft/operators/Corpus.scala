@@ -142,23 +142,33 @@ object Corpus {
     * `(doc_id, text)` frame (see the catalog entry's Scaladoc for the
     * algorithm and scale shape). Factored out so specs can drive it
     * with constructed corpora. */
-  private[graft] def dupSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
-    val base = docs
-      .select(col("doc_id"), split(col("text"), " ").as("l"))
-      .filter(size(col("l")) >= n)
-      .select(col("doc_id"), size(col("l")).cast("long").as("n_words"),
-        col("l"))
-      .localCheckpoint(true) // gram explode + final report both consume it
-    val g = base.select(col("doc_id"), explode(expr(
+  /** `(doc_id, n_words, l)` for docs long enough to carry an n-gram,
+    * checkpointed because the gram explode and the final report both
+    * consume it. */
+  private[graft] def gramBase(docs: DataFrame, n: Int): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("l"))
+    .filter(size(col("l")) >= n)
+    .select(col("doc_id"), size(col("l")).cast("long").as("n_words"),
+      col("l"))
+    .localCheckpoint(true)
+
+  /** Scan-local sliding-gram explode of a [[gramBase]] frame:
+    * `(doc_id, i, ph)` — word offset + 16-byte gram hash; text never
+    * leaves the scan. */
+  private[graft] def gramFrame(base: DataFrame, n: Int): DataFrame =
+    base.select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(l) - $n), " +
           s"i -> struct(i, md5(array_join(slice(l, i+1, $n), ' ')) AS ph))"))
         .as("gp"))
       .select(col("doc_id"), col("gp.i").as("i"), col("gp.ph").as("ph"))
-      .localCheckpoint(true) // occurrence count + dup join both consume it
-    val pc = g.groupBy("ph").agg(count(lit(1)).as("occ"))
-    val dup = g.join(pc, Seq("ph")).filter(col("occ") >= 2)
-      .select(col("doc_id"), col("i"))
-      .localCheckpoint(true) // island window + dup count both consume it
+
+  /** The island/coverage half of dd14: given duplicated positions
+    * `(doc_id, i)` and the [[gramBase]] frame, interval-merge the spans
+    * and report per-doc coverage. Shared by the one-shot operator and
+    * [[DupSpanIndex]]'s per-ingest report. */
+  private[graft] def coverageFromDup(dup0: DataFrame, base: DataFrame,
+                                     n: Int): DataFrame = {
+    val dup = dup0.localCheckpoint(true) // island window + dup count both consume it
     val wDoc = Window.partitionBy("doc_id").orderBy("i")
     val isl = dup
       .withColumn("pm", max(col("i") + n)
@@ -180,6 +190,16 @@ object Corpus {
         expr("(coalesce(covered_words, 0L) * 1000) DIV n_words")
           .as("covered_permille"))
       .orderBy("doc_id")
+  }
+
+  private[graft] def dupSpanCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+    val base = gramBase(docs, n)
+    val g = gramFrame(base, n)
+      .localCheckpoint(true) // occurrence count + dup join both consume it
+    val pc = g.groupBy("ph").agg(count(lit(1)).as("occ"))
+    val dup = g.join(pc, Seq("ph")).filter(col("occ") >= 2)
+      .select(col("doc_id"), col("i"))
+    coverageFromDup(dup, base, n)
   }
 
   val catalog: Seq[Q] = Seq(
