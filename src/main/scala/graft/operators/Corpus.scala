@@ -1131,32 +1131,41 @@ object Corpus {
         |    >= 400
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          array_distinct(split(col("text"), " ")).as("ts"),
-          element_at(split(col("text"), " "), 1).as("w1"),
-          element_at(split(col("text"), " "), 2).as("w2"))
-      val wd = Window.partitionBy("lang", "w1").orderBy("w2", "doc_id")
-      val n = t.select(col("doc_id"), col("ts"),
-        lead(col("doc_id"), 1).over(wd).as("id1"),
-        lead(col("ts"), 1).over(wd).as("ts1"),
-        lead(col("doc_id"), 2).over(wd).as("id2"),
-        lead(col("ts"), 2).over(wd).as("ts2"))
-        .localCheckpoint(true) // both pair-offset branches consume it
-      val pairs = n.filter(col("id1").isNotNull)
-        .select(col("doc_id").as("id_a"), col("id1").as("id_b"),
-          col("ts"), col("ts1").as("tsb"))
-        .unionByName(n.filter(col("id2").isNotNull)
-          .select(col("doc_id").as("id_a"), col("id2").as("id_b"),
-            col("ts"), col("ts2").as("tsb")))
-      val inter = size(array_intersect(col("ts"), col("tsb"))).cast("long")
-      pairs
-        .select(col("id_a"), col("id_b"), inter.as("it"),
-          (size(col("ts")).cast("long") + size(col("tsb")) - inter).as("un"))
-        .select(col("id_a"), col("id_b"),
-          expr("(it * 1000) DIV un").as("jac_permille"))
-        .filter(col("jac_permille") >= 400)
+      sortedNeighborhoodPairs(Tables.documents(s, d))
         .orderBy("id_a", "id_b")
     }
   )
+
+  /** dd15's engine — blocked sorted-neighborhood candidate pairs with
+    * integer Jaccard scores (see the catalog entry's Scaladoc). Kept
+    * reusable: gr17's seed expansion consumes these pairs as its
+    * similarity edges. */
+  private[graft] def sortedNeighborhoodPairs(docs: DataFrame,
+                                             minPermille: Long = 400L): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("ts"),
+        element_at(split(col("text"), " "), 1).as("w1"),
+        element_at(split(col("text"), " "), 2).as("w2"))
+    val wd = Window.partitionBy("lang", "w1").orderBy("w2", "doc_id")
+    val n = t.select(col("doc_id"), col("ts"),
+      lead(col("doc_id"), 1).over(wd).as("id1"),
+      lead(col("ts"), 1).over(wd).as("ts1"),
+      lead(col("doc_id"), 2).over(wd).as("id2"),
+      lead(col("ts"), 2).over(wd).as("ts2"))
+      .localCheckpoint(true) // both pair-offset branches consume it
+    val pairs = n.filter(col("id1").isNotNull)
+      .select(col("doc_id").as("id_a"), col("id1").as("id_b"),
+        col("ts"), col("ts1").as("tsb"))
+      .unionByName(n.filter(col("id2").isNotNull)
+        .select(col("doc_id").as("id_a"), col("id2").as("id_b"),
+          col("ts"), col("ts2").as("tsb")))
+    val inter = size(array_intersect(col("ts"), col("tsb"))).cast("long")
+    pairs
+      .select(col("id_a"), col("id_b"), inter.as("it"),
+        (size(col("ts")).cast("long") + size(col("tsb")) - inter).as("un"))
+      .select(col("id_a"), col("id_b"),
+        expr("(it * 1000) DIV un").as("jac_permille"))
+      .filter(col("jac_permille") >= minPermille)
+  }
 }

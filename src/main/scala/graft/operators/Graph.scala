@@ -103,6 +103,68 @@ object Graph {
     ranks.withColumnRenamed("r", "rank_e12")
   }
 
+  /** Personalized PageRank: teleport (and dangling mass) flow to the
+    * SEED set only, so rank concentrates around the seeds — the
+    * seed-expansion primitive ("find more like the curated set")
+    * behind gr17. Same exact fixed-point integer algebra as
+    * [[pageRank]]: with seeds = all nodes the two are identical BIT FOR
+    * BIT (spec'd), because base and dangling shares then divide by the
+    * same n. Nodes outside the seed component provably hold rank 0 —
+    * integer arithmetic makes that an exact statement, not an epsilon
+    * one. Seeds are a bounded curated set → broadcast join; per
+    * iteration the shuffle shape is pageRank's (edges ⨝ ranks + one
+    * dst aggregation).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, nIter: Int = 8,
+                           dampingPpm: Long = 850000L): DataFrame = {
+    val Scale = 1000000000000L
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val sd = seeds.select(col("node")).distinct()
+      .join(nodes, Seq("node")) // seeds constrained to graph nodes
+      .localCheckpoint(true)
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+    val isSeed = sd.withColumn("seed", lit(true))
+    val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // all teleport mass starts (and stays anchored) at the seeds
+    var ranks = nodes.join(broadcast(isSeed), Seq("node"), "left")
+      .withColumn("r", when(col("seed"), lit(Scale / nSeeds)).otherwise(lit(0L)))
+      .select("node", "r").localCheckpoint(true)
+    (1 to nIter).foreach { _ =>
+      val withDeg = ranks.join(outDeg, Seq("node"), "left")
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("s"))
+        .head().getLong(0)
+      val contribs = e
+        .join(withDeg.filter(col("deg").isNotNull)
+          .select(col("node").as("src"), col("r"), col("deg")), Seq("src"))
+        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inflow"))
+      val base = (Scale * (1000000L - dampingPpm) / 1000000L) / nSeeds
+      val danglingShare = dangling / nSeeds
+      // seeds get base + the one-division damped (inflow + dangling)
+      // term — the EXACT expression pageRank uses, so seeds = all nodes
+      // reproduces pageRank bit for bit; non-seeds damp inflow only
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .join(broadcast(isSeed), Seq("node"), "left")
+        .select(col("node"),
+          when(col("seed"),
+            expr(s"${base}L + ($dampingPpm" + "L * (coalesce(inflow, 0L) + " +
+              s"${danglingShare}L)) DIV 1000000L"))
+            .otherwise(
+              expr(s"($dampingPpm" + "L * coalesce(inflow, 0L)) DIV 1000000L"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.withColumnRenamed("r", "rank_e12")
+  }
+
   /** HITS hubs & authorities (Kleinberg) in exact fixed-point integers:
     * authority = Σ hub over in-edges, hub = Σ authority over out-edges,
     * each vector max-normalized to `Scale` units per iteration with
@@ -528,6 +590,31 @@ object Graph {
         ((col("doc_id") * 7 + 13) % n).as("dst"))
       pageRank(edges, nIter = 8)
         .orderBy(desc("rank_e12"), col("node")).limit(50)
+    },
+
+    // R83 — seed-expansion corpus discovery: "find more docs like the
+    // curated set" as personalized PageRank over the similarity graph.
+    // Edges = dd15's blocked sorted-neighborhood pairs (bounded O(n·w)
+    // candidates, never corpus²) made undirected; seeds = the curated
+    // source's docs; teleport anchors all mass at the seeds, so rank
+    // measures multi-hop similarity flow and unreachable docs hold
+    // EXACTLY 0 (integer fixed point). Output: top non-seed docs — the
+    // expansion candidates a curation pipeline would human-review.
+    // Rows-only (iterative fixed point has no SQL oracle); GraphSpec
+    // pins seeds=all ≡ pageRank bit-for-bit, component isolation, and
+    // seed-anchored mass.
+    Q.rowsOnly("gr17_seed_expansion") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = graft.operators.Corpus.sortedNeighborhoodPairs(docs)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val seeds = docs.filter(col("source") === "src1")
+        .select(col("doc_id").as("node"))
+      personalizedPageRank(edges, seeds, nIter = 8)
+        .join(seeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
+        .filter(col("is_seed").isNull)
+        .select(col("node"), col("rank_e12"))
+        .orderBy(desc("rank_e12"), col("node")).limit(30)
     },
 
     // R60 — triangle enumeration (graph-analytics staple): undirected

@@ -198,4 +198,46 @@ class GraphSpec extends SparkSpecBase {
     }
     assert(sqlRows === fromBfs)
   }
+
+  test("personalized PageRank with seeds = all nodes IS pageRank, bit for bit") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 2L), (5L, 1L))
+      .toDF("src", "dst")
+    val allNodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val pr = Graph.pageRank(edges, nIter = 8)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val ppr = Graph.personalizedPageRank(edges, allNodes, nIter = 8)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(ppr === pr)
+  }
+
+  test("personalized PageRank holds EXACTLY zero outside the seed component") {
+    // two disconnected cycles; seeds live only in the first
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), nIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(r(10L) === 0L && r(11L) === 0L)
+    assert(r(1L) > 0L && r(2L) > 0L)
+    // mass is conserved up to documented floor losses (< nIter·|E| units)
+    assert(r.values.sum <= Scale)
+    assert(r.values.sum > Scale - 8L * 4L - 8L)
+  }
+
+  test("personalized PageRank concentrates rank near the seed") {
+    // star: hub 0 ↔ leaves 1..6; seed = one leaf — the seed must outrank
+    // every other leaf (it alone receives teleport mass)
+    val edges = (1L to 6L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), nIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert((2L to 6L).forall(l => r(1L) > r(l)),
+      s"seed leaf must outrank non-seed leaves: $r")
+  }
+
+  test("personalizedPageRank refuses seeds absent from the graph") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq(99L).toDF("node"))
+    }
+    assert(ex.getMessage.contains("no seed"))
+  }
 }
