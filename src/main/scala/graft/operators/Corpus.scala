@@ -142,15 +142,20 @@ object Corpus {
     * `(doc_id, text)` frame (see the catalog entry's Scaladoc for the
     * algorithm and scale shape). Factored out so specs can drive it
     * with constructed corpora. */
-  /** `(doc_id, n_words, l)` for docs long enough to carry an n-gram,
-    * checkpointed because the gram explode and the final report both
-    * consume it. */
-  private[graft] def gramBase(docs: DataFrame, n: Int): DataFrame = docs
-    .select(col("doc_id"), split(col("text"), " ").as("l"))
-    .filter(size(col("l")) >= n)
-    .select(col("doc_id"), size(col("l")).cast("long").as("n_words"),
-      col("l"))
-    .localCheckpoint(true)
+  /** `(doc_id, n_words, l)` for docs long enough to carry an n-gram.
+    * Checkpoint only when BOTH the gram explode and the final report
+    * will consume it — [[DupSpanIndex.append]] reads it exactly once,
+    * and eagerly caching a whole tokenized ingest batch for a single
+    * pass is pure memory pressure. */
+  private[graft] def gramBase(docs: DataFrame, n: Int,
+                              checkpoint: Boolean = true): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("l"))
+      .filter(size(col("l")) >= n)
+      .select(col("doc_id"), size(col("l")).cast("long").as("n_words"),
+        col("l"))
+    if (checkpoint) base.localCheckpoint(true) else base
+  }
 
   /** Scan-local sliding-gram explode of a [[gramBase]] frame:
     * `(doc_id, i, ph)` — word offset + 16-byte gram hash; text never
@@ -1111,7 +1116,8 @@ object Corpus {
         |    list_distinct(string_split(text, ' ')) AS ts,
         |    string_split(text, ' ')[1] AS w1,
         |    string_split(text, ' ')[2] AS w2
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
         |n AS (SELECT doc_id, ts,
         |    lead(doc_id, 1) OVER wd AS id1, lead(ts, 1) OVER wd AS ts1,
         |    lead(doc_id, 2) OVER wd AS id2, lead(ts, 2) OVER wd AS ts2
@@ -1142,7 +1148,12 @@ object Corpus {
     * similarity edges. */
   private[graft] def sortedNeighborhoodPairs(docs: DataFrame,
                                              minPermille: Long = 400L): DataFrame = {
+    // docs under 2 words are excluded BEFORE element_at: under ANSI mode
+    // (Spark 4 default) a too-short array would throw, and a null w2
+    // would also sort NULLS FIRST here vs DuckDB's NULLS LAST — the
+    // guard removes both divergences (a 1-word doc has no block key)
     val t = docs
+      .filter(size(split(col("text"), " ")) >= 2)
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("ts"),
         element_at(split(col("text"), " "), 1).as("w1"),

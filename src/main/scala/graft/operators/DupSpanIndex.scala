@@ -40,14 +40,10 @@ object DupSpanIndex {
 
   /** Recovery-first (every entry point): a crash between compaction's
     * publish renames can leave the backup as the only copy. */
-  private def recover(hfs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(deltaRoot(dir))
-    val backup = new org.apache.hadoop.fs.Path(dir + "/.delta_backup")
-    if (hfs.exists(backup) && !hfs.exists(root)) {
-      if (!hfs.rename(backup, root))
-        throw new java.io.IOException(s"dup-span index: cannot restore $backup")
-    } else if (hfs.exists(root)) hfs.delete(backup, true)
-  }
+  private def recover(hfs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    graft.streaming.EventStream.recoverFirst(hfs,
+      new org.apache.hadoop.fs.Path(deltaRoot(dir)),
+      new org.apache.hadoop.fs.Path(dir + "/.delta_backup"))
 
   /** Append `batchDocs`' gram partial counts as one delta commit.
     * Returns true iff the batch was applied (false = replay no-op). */
@@ -64,7 +60,7 @@ object DupSpanIndex {
         .foreach(st => hfs.delete(st.getPath, true))
     } else hfs.mkdirs(root)
     val staging = new org.apache.hadoop.fs.Path(s"${deltaRoot(dir)}/.tmp-$batchId")
-    Corpus.gramFrame(Corpus.gramBase(batchDocs, n), n)
+    Corpus.gramFrame(Corpus.gramBase(batchDocs, n, checkpoint = false), n)
       .groupBy("ph").agg(count(lit(1)).as("cnt"))
       .write.parquet(staging.toString)
     if (!hfs.rename(staging, committed))

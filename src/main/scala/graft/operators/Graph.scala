@@ -114,6 +114,12 @@ object Graph {
     * one. Seeds are a bounded curated set → broadcast join; per
     * iteration the shuffle shape is pageRank's (edges ⨝ ranks + one
     * dst aggregation).
+    *
+    * Seed semantics: seeds are intersected with the graph's nodes —
+    * a seed with no edges cannot receive or route mass, so off-graph
+    * seeds are DROPPED (spec-pinned; gr17 relies on it: curated docs
+    * that never matched a similarity pair simply don't anchor mass).
+    * Only the degenerate all-seeds-off-graph case refuses loudly.
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, nIter: Int = 8,
                            dampingPpm: Long = 850000L): DataFrame = {

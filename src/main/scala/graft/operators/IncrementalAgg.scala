@@ -64,10 +64,7 @@ object IncrementalAgg {
     val staging = new org.apache.hadoop.fs.Path(stateDir + ".__staging")
     // recovery first: a crash between the publish renames leaves the
     // backup as the only copy — restore before reading anything
-    if (hfs.exists(backup) && !hfs.exists(main)) {
-      if (!hfs.rename(backup, main))
-        throw new java.io.IOException(s"incremental agg: cannot restore $backup")
-    } else hfs.delete(backup, true)
+    graft.streaming.EventStream.recoverFirst(hfs, main, backup)
     hfs.delete(staging, true)
 
     val exists = hfs.exists(main)

@@ -242,10 +242,7 @@ object Layout {
     // recovery first: crash between the two publish renames leaves the
     // backup as the ONLY copy — restore it; a backup next to a live dir
     // is a completed publish's debris — drop it
-    if (fs.exists(backup) && !fs.exists(path)) {
-      if (!fs.rename(backup, path))
-        throw new java.io.IOException(s"compact: cannot restore $backup to $dir")
-    } else fs.delete(backup, true)
+    graft.streaming.EventStream.recoverFirst(fs, path, backup)
     fs.delete(staging, true)
     val entries = fs.listStatus(path)
     val dataFiles = entries.filter(f => f.getPath.getName.endsWith(".parquet"))

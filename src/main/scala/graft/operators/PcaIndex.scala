@@ -35,6 +35,13 @@ object PcaIndex {
   /** Merge an embedding batch `(vec_id, embedding)` into the moment
     * state at `stateDir`, creating it if absent. Replayed batch ids are
     * no-ops. Returns true iff the batch was applied. */
+  /** Recovery-first, on EVERY entry point (reads included): a crash
+    * inside the publish can leave the backup as the only copy. */
+  private def recover(spark: SparkSession, stateDir: String): Unit =
+    graft.streaming.EventStream.recoverFirst(fs(spark, stateDir),
+      new org.apache.hadoop.fs.Path(stateDir),
+      new org.apache.hadoop.fs.Path(stateDir + ".__backup"))
+
   def update(spark: SparkSession, stateDir: String, batch: DataFrame,
              batchId: Long): Boolean = {
     import spark.implicits._
@@ -42,10 +49,7 @@ object PcaIndex {
     val main = new org.apache.hadoop.fs.Path(stateDir)
     val backup = new org.apache.hadoop.fs.Path(stateDir + ".__backup")
     val staging = new org.apache.hadoop.fs.Path(stateDir + ".__staging")
-    if (hfs.exists(backup) && !hfs.exists(main)) {
-      if (!hfs.rename(backup, main))
-        throw new java.io.IOException(s"pca index: cannot restore $backup")
-    } else hfs.delete(backup, true)
+    recover(spark, stateDir)
     hfs.delete(staging, true)
 
     val exists = hfs.exists(main)
@@ -75,15 +79,18 @@ object PcaIndex {
 
   /** Covariance derived from the stored moments — same expression tree
     * as the inline fit ([[Similarity.covFromMoments]]). */
-  def covariance(spark: SparkSession, stateDir: String): DataFrame =
+  def covariance(spark: SparkSession, stateDir: String): DataFrame = {
+    recover(spark, stateDir)
     Similarity.covFromMoments(
       spark.read.parquet(s"$stateDir/pair"),
       spark.read.parquet(s"$stateDir/dim"))
+  }
 
   /** Project `(vec_id, label, embedding)` rows onto the top-k components
     * of the STORED fit — one scan-local pass, no corpus re-fit. */
   def project(spark: SparkSession, stateDir: String, e: DataFrame,
               k: Int = 4): DataFrame = {
+    recover(spark, stateDir)
     val (evecs, mu) = Similarity.fitFromMoments(
       spark.read.parquet(s"$stateDir/pair"),
       spark.read.parquet(s"$stateDir/dim"))

@@ -432,14 +432,18 @@ object Similarity {
 
   /** Exact integer covariance moments of the embedding matrix: values
     * micro-quantized to 1e6-unit BIGINTs (sim9's discipline), pairwise
-    * products summed as exact longs — order-invariant, so the covariance
+    * products summed EXACTLY — order-invariant, so the covariance
     * doubles derived from them are bit-stable under ANY partitioning
     * (the property the Jacobi eigensolve below needs to be
     * deterministic). The d·(d+1)/2 pair explode is scan-local and
     * map-side-combines down to one row per (i,j) ≤ 2080 keys before the
-    * only shuffle; magnitudes are safe: |v6| ≤ ~5e6, so a product is
-    * ≤ 2.5e13 and 3·10^5 rows of slack remain under Long.MaxValue even
-    * at 10^5 vectors per partial sum. Returns (dim_i ≤ dim_j, n, cov).
+    * only shuffle. The pair-product sum rides decimal(38,0) (DuckDB
+    * HUGEINT): a product is ≤ 2.5e13 with |v6| ≤ 5e6, so a LONG sum
+    * would overflow from ~3.7e5 vectors — a real corpus size, and fatal
+    * for [[PcaIndex]] whose stored sums grow with TOTAL ingested volume;
+    * decimal keeps exactness to 10^38 (q73's wide-moment discipline).
+    * Per-dim value sums stay long (5e15 per 10^9 rows — ample).
+    * Returns (dim_i ≤ dim_j, n, cov).
     */
   /** Shared fit-pass frames: the pair-product moment frame (i≤j, ss, n)
     * and the per-dim sum frame (i, s), both derived from ONE
@@ -455,7 +459,8 @@ object Similarity {
         "flatten(transform(sequence(0, size(qv) - 1), i -> " +
           "transform(sequence(i, size(qv) - 1), j -> " +
           "struct(i, j, qv[i] * qv[j] AS p))))")).as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+      .select(col("e.i").as("i"), col("e.j").as("j"),
+        col("e.p").cast("decimal(38,0)").as("p"))
       .groupBy("i", "j")
       .agg(sum("p").as("ss"), count(lit(1)).as("n"))
     val m = q.select(posexplode(col("qv")).as(Seq("i", "v6")))
@@ -871,7 +876,7 @@ object Similarity {
         |p AS (SELECT i, j, qv[i+1] * qv[j+1] AS p
         |      FROM t, LATERAL (SELECT unnest(range(0, len(qv))) AS i) a,
         |              LATERAL (SELECT unnest(range(i, len(qv))) AS j) b),
-        |pp AS (SELECT i, j, CAST(sum(p) AS BIGINT) AS ss,
+        |pp AS (SELECT i, j, sum(p) AS ss,
         |         CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
         |m AS (SELECT i, CAST(sum(qv[i+1]) AS BIGINT) AS s
         |      FROM t, LATERAL (SELECT unnest(range(0, len(qv))) AS i) a GROUP BY 1)

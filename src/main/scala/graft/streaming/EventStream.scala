@@ -257,6 +257,20 @@ object EventStream {
     fs.delete(bak, true)
   }
 
+  /** The recovery-first half of [[publishWithBackup]]'s contract, as
+    * ONE shared copy: restore `bak` when `main` is missing (the crash
+    * window between the two renames above), else drop a stale backup.
+    * EVERY entry point of a backup-rename-published state — reads
+    * included — must call this before touching the state. */
+  private[graft] def recoverFirst(fs: org.apache.hadoop.fs.FileSystem,
+                                  main: org.apache.hadoop.fs.Path,
+                                  bak: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(bak) && !fs.exists(main)) {
+      if (!fs.rename(bak, main))
+        throw new java.io.IOException(s"recovery: cannot restore $bak to $main")
+    } else if (fs.exists(main)) fs.delete(bak, true)
+  }
+
   /** T7b — incremental bucketed upsert sink: the O(touched-buckets)
     * refinement of [[upsertSink]], whose whole-table rewrite is
     * O(table size) per micro-batch. State is laid out as a

@@ -240,4 +240,13 @@ class GraphSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("no seed"))
   }
+
+  test("off-graph seeds are dropped: mixed seed set equals the on-graph subset") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val mixed = Graph.personalizedPageRank(edges, Seq(1L, 99L).toDF("node"), nIter = 6)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val clean = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), nIter = 6)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(mixed === clean)
+  }
 }
