@@ -67,4 +67,30 @@ class CcIndexSpec extends SparkSpecBase {
   test("snapshot before any update is empty, not an error") {
     assert(CcIndex.snapshot(spark, tmp()).count() === 0L)
   }
+
+  // the END-TO-END incremental dedup pipeline: per ingest, L2b finds the
+  // batch's near-dup pairs against the stored signature index and L4e
+  // folds them into the cluster labels — after all ingests the labels
+  // must equal the one-shot pipeline (full minhashLsh pairs → full CC)
+  // exactly, because each pair is reported exactly once (when its later
+  // member ingests) and label merging is order-independent
+  test("incremental minhash pairs + incremental components equal the one-shot pipeline") {
+    val dir = tmp()
+    val allDocs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
+    var storedSigs = Dedup.signatureFrame(allDocs.limit(0), k = 16)
+      .localCheckpoint(true)
+    (0 until 3).foreach { b =>
+      val batch = allDocs.filter(col("doc_id") % 3 === b)
+      val (pairs, freshSigs) =
+        Dedup.minhashLshIncremental(batch, storedSigs, allDocs)
+      CcIndex.update(spark, dir, pairs.select("id_a", "id_b"), b.toLong,
+        numBuckets = 8)
+      storedSigs = storedSigs.unionByName(freshSigs).localCheckpoint(true)
+    }
+    val oneShot = Dedup.connectedComponents(
+      Dedup.minhashLsh(spark, sf0001).select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(labelsOf(dir) === oneShot)
+    assert(oneShot.nonEmpty, "the synthetic corpus must contain near-dup clusters")
+  }
 }
