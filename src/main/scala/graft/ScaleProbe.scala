@@ -491,6 +491,24 @@ object ScaleProbe {
         graft.operators.Similarity.covarianceMatrixOf(eR).count()
       }
     }
+    // r4 session 5: incremental CC — a SMALL merge batch against a label
+    // state `rep`× bigger must cost ~flat wall (the O(batch + touched
+    // members) claim): state = rep× disjoint 2-node components built in
+    // one bulk update, then ONE batch bridging 50 pairs is timed.
+    locally {
+      val root = java.nio.file.Files.createTempDirectory("ccidx_probe").toString + "/idx"
+      import spark.implicits._
+      val nPairs = 50000 * rep
+      val bulk = (0 until nPairs)
+        .map(i => (i.toLong * 4, i.toLong * 4 + 1)).toDF("id_a", "id_b")
+      graft.operators.CcIndex.update(spark, root, bulk, 0, numBuckets = 64)
+      val bridges = (0 until 50)
+        .map(i => (i.toLong * 4 + 1, i.toLong * 4 + 4)).toDF("id_a", "id_b")
+      time("ccindex_small_batch_vs_big_state") {
+        graft.operators.CcIndex.update(spark, root, bridges, 1, numBuckets = 64)
+        graft.operators.CcIndex.snapshot(spark, root).count()
+      }
+    }
     spark.stop()
   }
 }
