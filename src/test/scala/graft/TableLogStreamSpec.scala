@@ -273,4 +273,71 @@ class TableLogStreamSpec extends SparkSpecBase {
     assert(graft.operators.PcaIndex.covariance(spark, state)
       .collect().map(_.toString).sorted.sameElements(want))
   }
+
+  // document ingests flow through the log stream into the
+  // log-structured gram-count index; after catch-up + restart the
+  // merged counts equal a one-shot count over the whole corpus (the
+  // delta commits are batch partials; sums are order-independent)
+  test("stream-maintained dup-span gram index equals one-shot counts") {
+    val dir = freshDir("tldsp")
+    val idx = java.nio.file.Files.createTempDirectory("tldspidx").toString + "/i"
+    val ckpt = java.nio.file.Files.createTempDirectory("tldspck").toString
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "text")
+    TableLog.create(spark, docs.filter(col("doc_id") % 2 === 0), dir)
+
+    def run(): Unit = {
+      val q = TableLog.readStream(spark, dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) => {
+          graft.operators.DupSpanIndex.append(df.sparkSession, idx, df, bid); ()
+        })
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    TableLog.append(spark, docs.filter(col("doc_id") % 2 === 1), dir)
+    run()
+    val got = graft.operators.DupSpanIndex.occCounts(spark, idx)
+      .collect().map(_.toString).sorted
+    val base = graft.operators.Corpus.gramBase(TableLog.read(spark, dir), 8)
+    val want = graft.operators.Corpus.gramFrame(base, 8)
+      .groupBy("ph").agg(count(lit(1)).cast("long").as("occ"))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+    run() // idle restart: no new commit, no new delta
+    assert(graft.operators.DupSpanIndex.occCounts(spark, idx)
+      .collect().map(_.toString).sorted.sameElements(want))
+  }
+
+  // near-dup PAIRS flow through the log stream into the incremental
+  // component index; labels equal the one-shot CC over the full pair
+  // log after catch-up and a checkpoint restart
+  test("stream-maintained component labels equal the one-shot components") {
+    val dir = freshDir("tlcc")
+    val idx = java.nio.file.Files.createTempDirectory("tlccidx").toString + "/i"
+    val ckpt = java.nio.file.Files.createTempDirectory("tlccck").toString
+    val p0 = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val p1 = Seq((3L, 10L), (20L, 21L)).toDF("id_a", "id_b") // late bridge
+    TableLog.create(spark, p0, dir)
+
+    def run(): Unit = {
+      val q = TableLog.readStream(spark, dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) => {
+          graft.operators.CcIndex.update(df.sparkSession, idx, df, bid,
+            numBuckets = 8); ()
+        })
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    TableLog.append(spark, p1, dir)
+    run()
+    val got = graft.operators.CcIndex.snapshot(spark, idx)
+      .as[(Long, Long)].collect().toMap
+    val want = graft.operators.Dedup.connectedComponents(TableLog.read(spark, dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got(11L) === 1L, "late bridge must fold both chains to root 1")
+  }
 }
