@@ -592,6 +592,38 @@ object Dedup {
     ) { (s, d) =>
       containmentPairs(Tables.documents(s, d), thresholdPm = 500)
         .orderBy("id_a", "id_b")
+    },
+
+    // L52 — cross-corpus linkage (curated ↔ crawl alignment): near-dup
+    // pairs BETWEEN the curated sources (src1-3) and the rest of the
+    // corpus, via the dd10 inverted-shingle economics restricted to
+    // cross-side pairs — the "which crawl docs duplicate our curated
+    // set" report (and, run between two crawl snapshots, the
+    // snapshot-overlap report). Sides are disjoint so the equi-join
+    // emits each pair once; symmetric Jaccard, all-integer, exact.
+    Q(
+      "dd16_cross_links",
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, source IN ('src1','src2','src3') AS cur,
+        |         list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sg
+        |       FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, cur, unnest(sg) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(sg) AS n FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM e a JOIN e b ON a.g = b.g AND a.cur AND NOT b.cur
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        |  CAST((inter * 1000) // (sa.n + sb.n - inter) AS BIGINT) AS jac_pm
+        |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE (inter * 1000) // (sa.n + sb.n - inter) >= 500
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cur = col("source").isin("src1", "src2", "src3")
+      crossCorpusLinks(docs.filter(cur), docs.filter(!cur), thresholdPm = 500)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -631,5 +663,43 @@ object Dedup {
       .withColumn("cont_pm", expr("(inter * 1000) DIV least(size_a, size_b)"))
       .filter(col("cont_pm") >= thresholdPm)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "cont_pm")
+  }
+
+  /** Cross-corpus linkage (L52, `dd16_cross_links`' engine): near-dup
+    * pairs BETWEEN two corpora (curated ↔ crawl, two crawl snapshots,
+    * vendor A ↔ vendor B) — the alignment job dd2/dd10's self-joins
+    * don't express. Same inverted-index economics as
+    * [[containmentPairs]]: distinct (doc, shingle) rows per side, pair
+    * intersections from ONE shingle-keyed equi-join restricted to
+    * cross-side pairs (sides are disjoint, so no orientation filter is
+    * needed and |pairs| is bounded by shared-shingle co-occurrence,
+    * never |A|×|B|), sizes joined onto the pair-sized frame; symmetric
+    * Jaccard in integer permille. `maxDf` is the same documented
+    * df-cap scale knob (lower-bounds `inter`, never fabricates). */
+  def crossCorpusLinks(docsA: DataFrame, docsB: DataFrame, thresholdPm: Int,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    def side(docs: DataFrame) = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sg"))
+      .localCheckpoint(true) // inverted index + sizes share one shingling
+    val (sa, sb) = (side(docsA), side(docsB))
+    def inv(sh: DataFrame, idName: String) = {
+      val e = sh.select(col("doc_id").as(idName), explode(col("sg")).as("g"))
+      if (maxDf == Int.MaxValue) e
+      else {
+        val hot = e.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select("g")
+        e.join(hot, Seq("g"), "left_anti")
+      }
+    }
+    val pairs = inv(sa, "id_a").join(inv(sb, "id_b"), Seq("g"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sa.select(col("doc_id").as("id_a"), size(col("sg")).cast("long").as("size_a")), Seq("id_a"))
+      .join(sb.select(col("doc_id").as("id_b"), size(col("sg")).cast("long").as("size_b")), Seq("id_b"))
+      .withColumn("jac_pm", expr("(inter * 1000) DIV (size_a + size_b - inter)"))
+      .filter(col("jac_pm") >= thresholdPm)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jac_pm")
   }
 }
