@@ -1139,6 +1139,51 @@ object Corpus {
     ) { (s, d) =>
       sortedNeighborhoodPairs(Tables.documents(s, d))
         .orderBy("id_a", "id_b")
+    },
+
+    // L52 — pairwise source-vocabulary overlap: the mixture-design
+    // readout BESIDE tx19's entropy/KL (those compare source SIZES,
+    // this compares source CONTENT) — "which corpus components say the
+    // same words". Distinct (source, term) frame, self-joined on term
+    // with s1 < s2: fan-out per term is (#sources containing it)² ≤
+    // |sources|² — bounded by the source-catalog size, LINEAR in
+    // vocabulary, never corpus². Jaccard in exact integer permille
+    // (inter · 1000 DIV union). |sources|²/2 output rows.
+    Q(
+      "tx35_source_overlap",
+      """WITH tk AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |sz AS (SELECT source, count(*) AS v FROM tk GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
+        |  FROM tk a JOIN tk b ON a.term = b.term AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT s1, s2, inter,
+        |  (inter * 1000) // (z1.v + z2.v - inter) AS jac_permille
+        |FROM pr JOIN sz z1 ON s1 = z1.source JOIN sz z2 ON s2 = z2.source
+        |ORDER BY s1, s2""".stripMargin
+    ) { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+        // consumed by the size aggregate and both self-join sides
+        .localCheckpoint(true)
+      val sz = tk.groupBy("source").agg(count(lit(1)).as("v"))
+      val pr = tk.as("a")
+        .join(tk.as("b"),
+          col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("inter"))
+      pr.join(broadcast(sz.select(col("source").as("s1"), col("v").as("v1"))),
+          Seq("s1"))
+        .join(broadcast(sz.select(col("source").as("s2"), col("v").as("v2"))),
+          Seq("s2"))
+        .select(col("s1"), col("s2"), col("inter"),
+          expr("(inter * 1000) DIV (v1 + v2 - inter)").as("jac_permille"))
+        .orderBy("s1", "s2")
     }
   )
 

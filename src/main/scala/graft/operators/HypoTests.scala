@@ -153,6 +153,73 @@ object HypoTests {
           (max(gap).cast("double")
             / (max("n1").cast("double") * max("n2").cast("double"))).as("d"))
         .orderBy("grp")
+    },
+
+    // T36 — Welch's unequal-variance t-test: the parametric sibling of
+    // ev26/ev27 over the same cell frame. All five moments per side are
+    // EXACT (counts, Σc·v as long, Σc·v² through decimal(38,0)/HUGEINT —
+    // a long overflows at lake-scale event counts); means, variances, t
+    // and the Welch–Satterthwaite df are ONE fixed double tree evaluated
+    // with the identical association order on both engines (squares as
+    // explicit x·x, never pow — IEEE divide/sqrt/multiply are correctly
+    // rounded, pow is not). Shuffle shape: everything runs on the
+    // bounded cell aggregate.
+    Q(
+      "ev28_welch_t",
+      s"""$cellsSql,
+        |m AS (SELECT grp,
+        |    CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    CAST(sum(ca * v) AS BIGINT) AS sa, CAST(sum(cb * v) AS BIGINT) AS sb,
+        |    sum(CAST(ca AS HUGEINT) * v * v) AS ssa,
+        |    sum(CAST(cb AS HUGEINT) * v * v) AS ssb
+        |  FROM cells GROUP BY 1),
+        |dbl AS (SELECT grp, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(ssa AS DOUBLE)
+        |       - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+        |      / (CAST(na AS DOUBLE) - 1) AS va,
+        |    (CAST(ssb AS DOUBLE)
+        |       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / (CAST(nb AS DOUBLE) - 1) AS vb
+        |  FROM m),
+        |se AS (SELECT grp, na, nb, ma, mb,
+        |    va / CAST(na AS DOUBLE) AS s2a, vb / CAST(nb AS DOUBLE) AS s2b
+        |  FROM dbl)
+        |SELECT grp, na AS n1, nb AS n2, ma AS mean1, mb AS mean2,
+        |  (ma - mb) / sqrt(s2a + s2b) AS t,
+        |  ((s2a + s2b) * (s2a + s2b))
+        |    / (s2a * s2a / (CAST(na AS DOUBLE) - 1)
+        |       + s2b * s2b / (CAST(nb AS DOUBLE) - 1)) AS df
+        |FROM se ORDER BY grp""".stripMargin
+    ) { (s, d) =>
+      val m = cells(s, d).groupBy("grp")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"),
+          sum(col("ca") * col("v")).as("sa"),
+          sum(col("cb") * col("v")).as("sb"),
+          sum(col("ca").cast("decimal(38,0)") * col("v") * col("v")).as("ssa"),
+          sum(col("cb").cast("decimal(38,0)") * col("v") * col("v")).as("ssb"))
+      val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+      val dbl = m.select(col("grp"), col("na"), col("nb"),
+        (col("sa").cast("double") / naD).as("ma"),
+        (col("sb").cast("double") / nbD).as("mb"),
+        ((col("ssa").cast("double")
+          - col("sa").cast("double") * col("sa").cast("double") / naD)
+          / (naD - 1)).as("va"),
+        ((col("ssb").cast("double")
+          - col("sb").cast("double") * col("sb").cast("double") / nbD)
+          / (nbD - 1)).as("vb"))
+      val se = dbl.select(col("grp"), col("na"), col("nb"), col("ma"), col("mb"),
+        (col("va") / col("na").cast("double")).as("s2a"),
+        (col("vb") / col("nb").cast("double")).as("s2b"))
+      se.select(col("grp"), col("na").as("n1"), col("nb").as("n2"),
+          col("ma").as("mean1"), col("mb").as("mean2"),
+          ((col("ma") - col("mb")) / sqrt(col("s2a") + col("s2b"))).as("t"),
+          (((col("s2a") + col("s2b")) * (col("s2a") + col("s2b")))
+            / (col("s2a") * col("s2a") / (col("na").cast("double") - 1)
+              + col("s2b") * col("s2b") / (col("nb").cast("double") - 1)))
+            .as("df"))
+        .orderBy("grp")
     }
   )
 }

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer-lifecycle and market-structure readouts (r4, session 6):
+  * frequent-itemset association rules, Kaplan–Meier survival, and the
+  * join-key skew report — three analytic families the earlier catalogs
+  * (TPC-H staples, concentration indices, hypothesis tests) did not yet
+  * cover.
+  *
+  * Float discipline per SURVEY.md §5: supports/confidences/lifts are
+  * integral permille/ppm via DIV; the KM survival estimate is the one
+  * float in the file and is built from correctly-rounded IEEE division
+  * plus a FIXED-ORDER left-fold product, so even it hash-matches
+  * bit-for-bit (no rounding needed — see q93's comment).
+  *
+  * Reference intent: dias-hbp-sp8/Distributed-Query-Engine exposes
+  * declarative SQL over warehouse sources (DistributedQueryEngine.diff,
+  * RDBMSPushdown hunk); these are the standard beyond-TPC-H analyst
+  * queries over that same relational surface.
+  */
+object Insights {
+
+  val catalog: Seq[Q] = Seq(
+    // R100 — market-basket association rules with A-priori pruning.
+    // Baskets = orders, items = part brands (lineitem ⨝ broadcast part).
+    // The scale design IS A-priori: items below min-support are pruned
+    // BEFORE the pair self-join (support is anti-monotone — no pair of
+    // infrequent items can be frequent), so the join fans out only on
+    // frequent items; fan-out per basket is (items/basket choose 2),
+    // bounded by basket width, never corpus². Metrics are exact
+    // integers: support/confidence permille by DIV, lift in ppm through
+    // decimal(38,0) (np·nb products overflow long at lake-scale basket
+    // counts; DuckDB HUGEINT twin).
+    Q(
+      "q92_basket_rules",
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT ok) AS nb FROM it),
+        |cnt AS (SELECT item, count(*) AS n FROM it GROUP BY 1),
+        |freq AS (SELECT item, n FROM cnt, nb WHERE n * 50 >= nb),
+        |fit AS (SELECT ok, item FROM it WHERE item IN (SELECT item FROM freq)),
+        |pr AS (
+        |  SELECT a.item AS b1, b.item AS b2, count(*) AS np
+        |  FROM fit a JOIN fit b ON a.ok = b.ok AND a.item < b.item
+        |  GROUP BY 1, 2)
+        |SELECT b1, b2, np,
+        |  (np * 1000) // nb.nb AS support_permille,
+        |  (np * 1000) // f1.n AS conf_permille,
+        |  CAST((CAST(np AS HUGEINT) * 1000000 * nb.nb)
+        |       // (CAST(f1.n AS HUGEINT) * f2.n) AS BIGINT) AS lift_ppm
+        |FROM pr
+        |  JOIN freq f1 ON pr.b1 = f1.item
+        |  JOIN freq f2 ON pr.b2 = f2.item, nb
+        |WHERE (np * 1000) // nb.nb >= 5
+        |ORDER BY b1, b2""".stripMargin
+    ) { (s, d) =>
+      val it = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+        .distinct()
+        // consumed by the basket count, the item counts, and BOTH sides
+        // of the pair self-join — without the pin the scan+join+distinct
+        // subtree runs four times
+        .localCheckpoint(true)
+      val nb = it.agg(countDistinct("ok").as("nb"))
+      val cnt = it.groupBy("item").agg(count(lit(1)).as("n"))
+      // A-priori prune: integral min-support test (n/nb >= 2%)
+      val freq = cnt.crossJoin(broadcast(nb)).filter(col("n") * 50 >= col("nb"))
+        .select("item", "n").localCheckpoint(true)
+      val fit = it.join(broadcast(freq.select("item")), Seq("item"))
+      val pr = fit.as("a")
+        .join(fit.as("b"),
+          col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("b1"), col("b.item").as("b2"))
+        .agg(count(lit(1)).as("np"))
+      pr.join(broadcast(freq.withColumnRenamed("item", "b1")
+            .withColumnRenamed("n", "n1")), Seq("b1"))
+        .join(broadcast(freq.withColumnRenamed("item", "b2")
+            .withColumnRenamed("n", "n2")), Seq("b2"))
+        .crossJoin(broadcast(nb))
+        .select(col("b1"), col("b2"), col("np"),
+          expr("(np * 1000) DIV nb").as("support_permille"),
+          expr("(np * 1000) DIV n1").as("conf_permille"),
+          // integral DIV on decimals (truncating, like DuckDB's // on
+          // HUGEINT) — a decimal `/` would HALF_UP-round to scale 6
+          // first, which can land one above the floor at edge quotients
+          expr("""(CAST(np AS DECIMAL(38,0)) * 1000000 * nb)
+                 | DIV (CAST(n1 AS DECIMAL(38,0)) * n2)""".stripMargin)
+            .as("lift_ppm"))
+        .filter(col("support_permille") >= 5)
+        .orderBy("b1", "b2")
+    },
+
+    // R101 — Kaplan–Meier survival over customer inter-order gaps, per
+    // market segment. Observations: each consecutive-order gap is an
+    // EVENT ("next order after t days"); each customer's last order is
+    // CENSORED at the global observation end (max order date). S(t) =
+    // Π_{u≤t, events} (n_u − d_u)/n_u with n_u = at-risk count (dur ≥ u).
+    // EXACT despite being float-valued: every ratio is one IEEE
+    // correctly-rounded division of exact longs, and the product is a
+    // FIXED-ORDER left fold over the t-ascending ratio list (Spark
+    // `aggregate` HOF / DuckDB `list_reduce`, both seeded so the first
+    // step is exact) — sequential correctly-rounded multiplies are
+    // bit-identical across engines, unlike a reassociating float SUM of
+    // logs. Shuffle shape: one custkey window pass over ORDERS (never
+    // the fact), then all windows run on the per-(segment, dur)
+    // aggregate — |distinct durations| rows, bounded by the date domain
+    // regardless of order count.
+    Q(
+      "q93_kaplan_meier",
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mend FROM orders),
+        |seq AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+        |    lead(CAST(o_orderdate AS DATE)) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nxt
+        |  FROM orders),
+        |obs AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CASE WHEN nxt IS NULL THEN date_diff('day', od, mend)
+        |         ELSE date_diff('day', od, nxt) END AS dur,
+        |    CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+        |  FROM seq JOIN customer ON ck = c_custkey, mx),
+        |cell AS (
+        |  SELECT seg, dur, CAST(sum(ev) AS BIGINT) AS d,
+        |    count(*) AS call FROM obs GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT seg, dur, d,
+        |    CAST(sum(call) OVER (PARTITION BY seg ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        |  FROM cell),
+        |km AS (
+        |  SELECT seg, dur, d, n,
+        |    CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE) AS ratio
+        |  FROM risk WHERE d > 0),
+        |fold AS (
+        |  SELECT seg, dur, d, n,
+        |    list(ratio) OVER (PARTITION BY seg ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        |  FROM km)
+        |SELECT seg, dur AS t, d, n,
+        |  list_reduce(rs, (acc, x) -> acc * x) AS survival
+        |FROM fold ORDER BY seg, t""".stripMargin
+    ) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"))
+      val mend = orders.agg(max("od").as("mend"))
+      val wSeq = Window.partitionBy("ck").orderBy(col("od"), col("o_orderkey"))
+      val obs = orders
+        .withColumn("nxt", lead("od", 1).over(wSeq))
+        .crossJoin(broadcast(mend))
+        // honest key shuffle for customer (q53's lesson: the customer
+        // dimension does NOT broadcast at 100 TB)
+        .join(Tables.customer(s, d), col("ck") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          when(col("nxt").isNull, datediff(col("mend"), col("od")))
+            .otherwise(datediff(col("nxt"), col("od"))).cast("long").as("dur"),
+          when(col("nxt").isNull, 0L).otherwise(1L).as("ev"))
+      val cell = obs.groupBy("seg", "dur")
+        .agg(sum("ev").as("d"), count(lit(1)).as("call"))
+      val wRisk = Window.partitionBy("seg").orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val km = cell
+        .withColumn("n", sum("call").over(wRisk))
+        .filter(col("d") > 0)
+        .withColumn("ratio",
+          (col("n") - col("d")).cast("double") / col("n").cast("double"))
+      val wFold = Window.partitionBy("seg").orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      km.withColumn("rs", collect_list("ratio").over(wFold))
+        .select(col("seg"), col("dur").as("t"), col("d"), col("n"),
+          expr("aggregate(rs, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)")
+            .as("survival"))
+        .orderBy("seg", "t")
+    },
+
+    // R102 — join-key skew report: the diagnostic an engineer runs
+    // BEFORE choosing between AQE skew split (R33b) and explicit
+    // salting (R33). One fixed-width key aggregate, then a bounded
+    // TakeOrdered top-10 (tie-broken by key for determinism) and a
+    // 1-row summary: hottest-key multiple of the uniform share (ppm)
+    // and top-10 concentration (permille) — all integral.
+    Q(
+      "q94_key_skew",
+      """WITH kc AS (
+        |  SELECT l_orderkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |top AS (SELECT cnt FROM kc ORDER BY cnt DESC, k LIMIT 10),
+        |agg AS (
+        |  SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |    max(cnt) AS max_cnt
+        |  FROM kc)
+        |SELECT n_keys, n_rows, max_cnt,
+        |  CAST((CAST(max_cnt AS HUGEINT) * n_keys * 1000000) // n_rows
+        |    AS BIGINT) AS hot_vs_uniform_ppm,
+        |  ((SELECT CAST(sum(cnt) AS BIGINT) FROM top) * 1000) // n_rows
+        |    AS top10_share_permille
+        |FROM agg""".stripMargin
+    ) { (s, d) =>
+      val kc = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("cnt"))
+        // consumed by the top-10 and the summary aggregate
+        .localCheckpoint(true)
+      val top = kc.orderBy(col("cnt").desc, col("k")).limit(10)
+        .agg(sum("cnt").as("top10"))
+      kc.agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"))
+        .crossJoin(broadcast(top))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"),
+          expr("(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000) DIV n_rows")
+            .as("hot_vs_uniform_ppm"),
+          expr("(top10 * 1000) DIV n_rows").as("top10_share_permille"))
+    }
+  )
+}

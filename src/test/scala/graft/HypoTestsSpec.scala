@@ -63,10 +63,36 @@ class HypoTestsSpec extends SparkSpecBase {
     }
   }
 
-  test("both tests emit one row per comparison group, deterministically") {
+  test("ev28: Welch t and Satterthwaite df match the sequential moments") {
+    val a = byType("purchase")
+    for (row <- results("ev28_welch_t")) {
+      val grp = row.getString(0)
+      val b = byType(grp)
+      def stats(xs: Array[Long]): (Double, Double) = {
+        val n = xs.length.toDouble
+        val s = xs.sum.toDouble
+        val ss = xs.map(x => BigInt(x) * x).sum.toDouble
+        val m = s / n
+        (m, (ss - s * s / n) / (n - 1)) // same association order as the entry
+      }
+      val (ma, va) = stats(a); val (mb, vb) = stats(b)
+      val s2a = va / a.length; val s2b = vb / b.length
+      assert(row.getLong(1) === a.length.toLong, s"$grp n1")
+      assert(row.getLong(2) === b.length.toLong, s"$grp n2")
+      assert(row.getDouble(3) === ma, s"$grp mean1")
+      assert(row.getDouble(4) === mb, s"$grp mean2")
+      assert(row.getDouble(5) === (ma - mb) / math.sqrt(s2a + s2b), s"$grp t")
+      assert(row.getDouble(6) === ((s2a + s2b) * (s2a + s2b))
+        / (s2a * s2a / (a.length - 1) + s2b * s2b / (b.length - 1)), s"$grp df")
+    }
+  }
+
+  test("all tests emit one row per comparison group, deterministically") {
     assert(results("ev26_mannwhitney").map(_.getString(0)).toSeq
       === Seq("click", "view"))
     assert(results("ev27_ks_test").map(_.getString(0)).toSeq
+      === Seq("click", "view"))
+    assert(results("ev28_welch_t").map(_.getString(0)).toSeq
       === Seq("click", "view"))
   }
 }

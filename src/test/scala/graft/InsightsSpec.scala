@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.Insights
+import org.apache.spark.sql.functions._
+
+/** Pins the R100–R102 insights catalog (basket rules, Kaplan–Meier,
+  * key-skew report) against brute-force sequential references on
+  * sf0.001 — independent of both engines' SQL paths.
+  */
+class InsightsSpec extends SparkSpecBase {
+
+  private lazy val results =
+    Insights.catalog.map(q => q.name -> q.run(spark, sf0001).collect()).toMap
+
+  // ------------------------------------------------------------ q92
+
+  private lazy val baskets: Map[Long, Set[String]] = {
+    import spark.implicits._
+    Tables.lineitem(spark, sf0001)
+      .join(Tables.part(spark, sf0001), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").as[(Long, String)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+  }
+
+  test("q92: pair counts, support, confidence and lift match the brute force") {
+    val nb = baskets.size.toLong
+    val itemN: Map[String, Long] = baskets.values.flatten
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    // brute-force pair counts over every basket
+    val pairN = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (items <- baskets.values; a <- items; b <- items if a < b)
+      pairN((a, b)) = pairN.getOrElse((a, b), 0L) + 1L
+    val rows = results("q92_basket_rules")
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val key = (r.getString(0), r.getString(1)) // b1 < b2 by construction
+      val np = r.getLong(2)
+      assert(np === pairN(key), s"pair count $key")
+      assert(r.getLong(3) === np * 1000 / nb, s"support $key")
+      val n1 = itemN(key._1); val n2 = itemN(key._2)
+      assert(r.getLong(4) === np * 1000 / n1, s"confidence $key")
+      assert(r.getLong(5) ===
+        (BigInt(np) * 1000000 * nb / (BigInt(n1) * n2)).toLong, s"lift $key")
+    }
+    // every brute-force pair above the support threshold is present
+    val present = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    val expected = pairN.filter { case (_, np) => np * 1000 / nb >= 5 }.keySet
+    assert(present === expected)
+  }
+
+  test("q92: the A-priori prune only ever removes items below min-support") {
+    val nb = baskets.size.toLong
+    val itemN = baskets.values.flatten.groupBy(identity)
+      .map { case (k, vs) => k -> vs.size.toLong }
+    // on this corpus all brands are frequent — the prefilter must be a
+    // no-op here (the mechanism is exercised by construction: the filter
+    // is in the plan); guard that the fixture stays meaningful
+    assert(itemN.values.forall(_ * 50 >= nb),
+      "fixture drift: some brand fell below min-support — revisit the spec")
+  }
+
+  // ------------------------------------------------------------ q93
+
+  test("q93: Kaplan–Meier matches a sequential reference, survival bit-for-bit") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf0001)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate".cast("date"))
+      .as[(Long, Long, java.sql.Date)].collect()
+    val custSeg = Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_mktsegment").as[(Long, String)].collect().toMap
+    val mend = orders.map(_._3.toLocalDate).max
+    // observations: consecutive gaps (events) + last-to-end (censored)
+    val obs = orders.groupBy(_._1).toSeq.flatMap { case (ck, os) =>
+      val ds = os.sortBy(o => (o._3.toLocalDate.toEpochDay, o._2)).map(_._3.toLocalDate)
+      val seg = custSeg(ck)
+      val gaps = ds.sliding(2).collect { case Array(a, b) =>
+        (seg, b.toEpochDay - a.toEpochDay, 1L) }.toSeq
+      gaps :+ ((seg, mend.toEpochDay - ds.last.toEpochDay, 0L))
+    }
+    val ref = obs.groupBy(_._1).flatMap { case (seg, o) =>
+      val durs = o.map(x => (x._2, x._3))
+      val ts = durs.filter(_._2 == 1L).map(_._1).distinct.sorted
+      var surv = 1.0
+      ts.map { t =>
+        val n = durs.count(_._1 >= t).toLong
+        val d = durs.count(x => x._1 == t && x._2 == 1L).toLong
+        surv *= (n - d).toDouble / n.toDouble // same fold order as the entry
+        (seg, t, d, n, surv)
+      }
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = results("q93_kaplan_meier")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === ref) // exact Double equality — the fixed-order fold claim
+  }
+
+  // ------------------------------------------------------------ q94
+
+  test("q94: skew report matches brute-force key counts") {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey").as[Long].collect()
+      .groupBy(identity).map { case (k, vs) => (k, vs.size.toLong) }.toSeq
+    val nKeys = counts.size.toLong
+    val nRows = counts.map(_._2).sum
+    val maxCnt = counts.map(_._2).max
+    val top10 = counts.sortBy { case (k, c) => (-c, k) }.take(10).map(_._2).sum
+    val r = results("q94_key_skew").head
+    assert(r.getLong(0) === nKeys)
+    assert(r.getLong(1) === nRows)
+    assert(r.getLong(2) === maxCnt)
+    assert(r.getLong(3) === (BigInt(maxCnt) * nKeys * 1000000 / nRows).toLong)
+    assert(r.getLong(4) === top10 * 1000 / nRows)
+  }
+
+  // ------------------------------------------------------- tx35 (Corpus L52)
+
+  test("tx35: pairwise source-vocabulary Jaccard matches brute-force sets") {
+    import spark.implicits._
+    val vocab: Map[String, Set[String]] = Tables.documents(spark, sf0001)
+      .select($"source", $"text").as[(String, String)].collect()
+      .groupBy(_._1)
+      .map { case (s, ds) =>
+        s -> ds.flatMap(_._2.split(" ")).filter(_.nonEmpty).toSet }
+    val got = graft.operators.Corpus.catalog
+      .find(_.name == "tx35_source_overlap").get
+      .run(spark, sf0001).collect()
+    val srcs = vocab.keys.toSeq.sorted
+    val expected = for {
+      s1 <- srcs; s2 <- srcs if s1 < s2
+      inter = (vocab(s1) & vocab(s2)).size.toLong
+    } yield (s1, s2, inter,
+      inter * 1000 / (vocab(s1).size + vocab(s2).size - inter))
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq.sorted === expected.sorted)
+  }
+
+  // ------------------------------------------------------------ sanity
+
+  test("insights entries are deterministic across shuffle layouts") {
+    for (q <- Insights.catalog) {
+      val a = q.run(spark, sf0001).collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val b = try q.run(spark, sf0001).collect().map(_.toString).sorted
+        finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+      assert(a === b, q.name)
+    }
+  }
+}
