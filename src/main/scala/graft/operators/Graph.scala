@@ -286,6 +286,82 @@ object Graph {
     labels
   }
 
+  /** Louvain-style modularity-greedy refinement (one node-move level)
+    * over an initial community assignment — the quality upgrade on
+    * [[labelPropagation]]'s frequency-greedy labels (LPA can glue two
+    * dense regions a single frequent label leaks across; the modularity
+    * gain test un-glues them).
+    *
+    * Each round, every ELIGIBLE node evaluates moving to each
+    * neighboring community c with the standard gain comparison
+    *   g(c) = 2m·k_{i,c} − k_i·Σtot'(c)        (Σtot' excludes i when
+    * c is i's own community) and adopts the argmax iff it strictly
+    * beats staying, ties to the SMALLEST community id. Determinism over
+    * the canonical sequential Louvain (whose result depends on visit
+    * order — irreproducible across partitionings): moves are SYNCHRONOUS
+    * and gated by node/round PARITY ((node+round) % 2), which kills the
+    * two-node swap oscillation synchronous updates are prone to; the
+    * result is a pure function of the graph. The tradeoff is documented:
+    * without a global visit order, per-round monotone modularity ascent
+    * is not guaranteed in theory (concurrent same-parity moves interact
+    * through Σtot), so LouvainSpec PINS the improvement on adversarial
+    * fixtures instead of assuming it. Gains are EXACT — all-long inputs
+    * with the products through decimal(38,0), so the argmax can't be
+    * float-perturbed (2m·k and k_i·Σtot overflow long at lake-scale
+    * edge counts).
+    *
+    * Shape per round: one join shuffle (adjacency ⨝ labels on the
+    * neighbor key), one (node, community) count, one per-community
+    * degree sum (|C|-sized, broadcast back), one per-node argmax —
+    * all fixed-width; `localCheckpoint` pins plan depth like [[bfs]].
+    * Driver loop iterates ROUNDS, never rows.
+    */
+  def louvainRefine(edges: DataFrame, initial: DataFrame,
+                    rounds: Int = 4): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val adj = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("ki"))
+      .localCheckpoint(true)
+    // 2m = Σ deg — every undirected edge counted in both directions
+    val m2 = deg.agg(sum("ki")).head.getLong(0)
+    var labels = initial.select(col("node"), col("c"))
+      .join(deg.select("node"), Seq("node"), "left_semi") // graph nodes only
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val sigma = labels.join(deg, Seq("node"))
+        .groupBy("c").agg(sum("ki").as("sigma"))
+      val kic = adj
+        .join(labels.select(col("node").as("dst"), col("c")), Seq("dst"))
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(count(lit(1)).as("kic"))
+      // the stay option must exist even with zero in-community neighbors
+      val cand = kic
+        .unionByName(labels.select(col("node"), col("c"), lit(0L).as("kic")))
+        .groupBy("node", "c").agg(sum("kic").as("kic"))
+      val scored = cand
+        .join(labels.select(col("node"), col("c").as("ci")), Seq("node"))
+        .join(deg, Seq("node"))
+        .join(broadcast(sigma), Seq("c"))
+        .withColumn("g",
+          lit(m2).cast("decimal(38,0)") * col("kic")
+            - col("ki").cast("decimal(38,0)")
+              * (col("sigma") - when(col("c") === col("ci"), col("ki"))
+                  .otherwise(lit(0L))))
+      val best = scored.groupBy("node")
+        .agg(min(struct((col("g") * -1).as("neg"), col("c"))).as("best"),
+          max(when(col("c") === col("ci"), col("g"))).as("gstay"),
+          first("ci").as("ci"))
+      labels = best.select(col("node"),
+          when((col("node") + r) % 2 === 0 && col("best.neg") * -1 > col("gstay"),
+            col("best.c")).otherwise(col("ci")).as("c"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** k-core decomposition (iterative peel): repeatedly delete nodes of
     * degree < k until none remain; survivors are the k-core — the
     * standard "dense region" prefilter before expensive per-cluster work
@@ -1104,6 +1180,28 @@ object Graph {
           (lit(4L) * m * coalesce(col("e_in"), lit(0L))
             - col("d_c") * col("d_c")).as("q_term_4m2"))
         .orderBy("community")
+    },
+
+    // R103 — Louvain-style modularity refinement seeded by gr5's LPA
+    // labels over the same 3-out functional graph. Rows-only: the
+    // iterated gain argmax has no portable recursive CTE; LouvainSpec
+    // pins the synchronous parity rule against a sequential reference,
+    // the clique-glue fixture where LPA under-splits, and the measured
+    // exact-modularity improvement. Output is the community summary
+    // (deterministic — the whole gain algebra is integer/decimal).
+    Q.rowsOnly("gr18_louvain") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+      val seed = labelPropagation(e, nIter = 5)
+        .select(col("node"), col("lbl").as("c"))
+      louvainRefine(e, seed, rounds = 4)
+        .groupBy(col("c").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
+        .orderBy(desc("n_members"), col("community"))
+        .limit(50)
     }
   )
 

@@ -220,6 +220,63 @@ object HypoTests {
               + col("s2b") * col("s2b") / (col("nb").cast("double") - 1)))
             .as("df"))
         .orderBy("grp")
+    },
+
+    // T37 — two-proportion z-test on conversion (the funnel-rate
+    // significance readout beside T36's value test): users split into
+    // deterministic pseudo-arms by user_id parity, converted = had ≥1
+    // BIG-TICKET purchase (value > 150 — every synthetic user has SOME
+    // purchase, so plain any-purchase is degenerate p=1 with pooled
+    // variance 0). Counts are exact (one user-key aggregate, then a
+    // 4-long 1-row frame); rates and the pooled z are ONE fixed double
+    // tree over the exact counts — the same discipline as ev28.
+    // Degenerate pools (all or none converted) yield z = 0 by explicit
+    // CASE on the INTEGER counts: ANSI Spark throws on the 0/0 where
+    // DuckDB emits NaN, so the guard is part of the portable contract.
+    Q(
+      "ev29_prop_ztest",
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 150
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x2
+        |  FROM u),
+        |r AS (SELECT n1, x1, n2, x2,
+        |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |    CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |    CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) AS p
+        |  FROM m)
+        |SELECT n1, x1, n2, x2, p1, p2,
+        |  CASE WHEN x1 + x2 = 0 OR x1 + x2 = n1 + n2 THEN CAST(0 AS DOUBLE)
+        |       ELSE (p1 - p2) / sqrt(p * (1 - p)
+        |         * (1 / CAST(n1 AS DOUBLE) + 1 / CAST(n2 AS DOUBLE))) END AS z
+        |FROM r""".stripMargin
+    ) { (s, d) =>
+      val u = graft.Tables.events(s, d)
+        .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+          1L).otherwise(0L)).as("conv"))
+      val m = u.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x1"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x2"))
+      val r = m.select(col("n1"), col("x1"), col("n2"), col("x2"),
+        (col("x1").cast("double") / col("n1").cast("double")).as("p1"),
+        (col("x2").cast("double") / col("n2").cast("double")).as("p2"),
+        ((col("x1") + col("x2")).cast("double")
+          / (col("n1") + col("n2")).cast("double")).as("p"))
+      r.select(col("n1"), col("x1"), col("n2"), col("x2"), col("p1"), col("p2"),
+        when(col("x1") + col("x2") === 0
+            || col("x1") + col("x2") === col("n1") + col("n2"), lit(0.0))
+          .otherwise((col("p1") - col("p2")) / sqrt(col("p") * (lit(1) - col("p"))
+            * (lit(1) / col("n1").cast("double")
+              + lit(1) / col("n2").cast("double")))).as("z"))
     }
   )
 }

@@ -180,6 +180,44 @@ object Insights {
         .orderBy("seg", "t")
     },
 
+    // R103b — cohort lifetime-value matrix: the acquisition-month ×
+    // account-age revenue triangle (ev7's retention counts, upgraded to
+    // money). Cohort = month of the customer's FIRST order (one custkey
+    // aggregate over ORDERS), joined back by an honest custkey shuffle;
+    // ages and cohorts are INTEGER month indices (y·12+m — identical
+    // arithmetic both engines, no interval types), revenue in exact
+    // cents. Output is cohortsxages cells, bounded by the calendar, not
+    // the order count.
+    Q(
+      "q95_cohort_ltv",
+      """WITH fo AS (
+        |  SELECT o_custkey AS ck,
+        |    min(year(o_orderdate) * 12 + month(o_orderdate)) AS cm
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT cm,
+        |    (year(o_orderdate) * 12 + month(o_orderdate)) - cm AS age,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_custkey
+        |  FROM orders JOIN fo ON o_custkey = ck)
+        |SELECT cm AS cohort_month, age,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_active
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val mcol = year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey"), mcol.as("om"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val fo = orders.groupBy(col("o_custkey").as("ck"))
+        .agg(min("om").as("cm"))
+      orders.join(fo, col("o_custkey") === col("ck"))
+        .groupBy(col("cm").as("cohort_month"), (col("om") - col("cm")).as("age"))
+        .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_orders"),
+          countDistinct("o_custkey").as("n_active"))
+        .orderBy("cohort_month", "age")
+    },
+
     // R102 — join-key skew report: the diagnostic an engineer runs
     // BEFORE choosing between AQE skew split (R33b) and explicit
     // salting (R33). One fixed-width key aggregate, then a bounded

@@ -87,6 +87,29 @@ class HypoTestsSpec extends SparkSpecBase {
     }
   }
 
+  test("ev29: two-proportion z matches sequential user-level conversion") {
+    import spark.implicits._
+    val users = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect()
+      .groupBy(_._1).toSeq
+      .map { case (u, es) =>
+        (u % 2, es.exists(e => e._2 == "purchase" && e._3 > 150)) }
+    val n1 = users.count(_._1 == 0L).toLong
+    val x1 = users.count(u => u._1 == 0L && u._2).toLong
+    val n2 = users.count(_._1 == 1L).toLong
+    val x2 = users.count(u => u._1 == 1L && u._2).toLong
+    val p1 = x1.toDouble / n1; val p2 = x2.toDouble / n2
+    val p = (x1 + x2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(p * (1 - p) * (1.0 / n1 + 1.0 / n2))
+    val r = results("ev29_prop_ztest").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      === ((n1, x1, n2, x2)))
+    assert(r.getDouble(4) === p1)
+    assert(r.getDouble(5) === p2)
+    assert(r.getDouble(6) === z)
+  }
+
   test("all tests emit one row per comparison group, deterministically") {
     assert(results("ev26_mannwhitney").map(_.getString(0)).toSeq
       === Seq("click", "view"))

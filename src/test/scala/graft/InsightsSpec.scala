@@ -113,6 +113,25 @@ class InsightsSpec extends SparkSpecBase {
     assert(r.getLong(4) === top10 * 1000 / nRows)
   }
 
+  // ------------------------------------------------------------ q95
+
+  test("q95: cohort LTV matrix matches a sequential reference") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf0001)
+      .select($"o_custkey", year($"o_orderdate") * 12 + month($"o_orderdate"),
+        round($"o_totalprice" * 100).cast("long"))
+      .as[(Long, Int, Long)].collect()
+    val cohort = orders.groupBy(_._1).map { case (ck, os) => ck -> os.map(_._2).min }
+    val ref = orders.groupBy(o => (cohort(o._1), o._2 - cohort(o._1)))
+      .map { case ((cm, age), os) =>
+        (cm, age, os.map(_._3).sum, os.length.toLong,
+          os.map(_._1).distinct.length.toLong) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    val got = results("q95_cohort_ltv").map(r => (r.getInt(0), r.getInt(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === ref)
+  }
+
   // ------------------------------------------------------- tx35 (Corpus L52)
 
   test("tx35: pairwise source-vocabulary Jaccard matches brute-force sets") {
