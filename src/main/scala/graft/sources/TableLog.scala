@@ -177,11 +177,22 @@ object TableLog {
   }
 
   private def requireSameSchema(df: DataFrame, prev: Manifest, dir: String): Unit = {
-    val now = df.schema.json
-    require(now == prev.schemaJson,
+    val table = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // nullability NARROWING is always sound: a non-nullable batch column
+    // (SQL literals, aggregates) writes into a nullable table column
+    // without any reader-visible change — the manifest schema stays the
+    // contract. Everything else (names, order, types, nullable table
+    // column asked to accept a wider batch) stays a loud refusal.
+    val ok = df.schema.length == table.length &&
+      df.schema.fields.zip(table.fields).forall { case (b, t) =>
+        b.name == t.name && b.dataType == t.dataType &&
+          (b.nullable == t.nullable || (!b.nullable && t.nullable))
+      }
+    require(ok,
       s"append to $dir: schema mismatch vs version ${prev.version} — " +
-        s"table has ${prev.schemaJson}, batch has $now; evolve explicitly " +
-        "(SchemaDrift gates additive drift), never by silent union")
+        s"table has ${prev.schemaJson}, batch has ${df.schema.json}; evolve " +
+        "explicitly (SchemaDrift gates additive drift), never by silent union")
   }
 
   /** Commit-level zone map for the WRITTEN dir: min/max of each LONG
@@ -627,7 +638,44 @@ object TableLog {
     * the DuckDB oracle recomputes the same snapshot from the mod-3
     * batch rule directly, so the hash match certifies that the log
     * replays to exactly the right snapshot (not just "some rows"). */
+  private val sqlCatSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   val catalog: Seq[graft.Q] = Seq(
+    // S24 proof: the ENTIRE flow runs through the V2 catalog plugin's
+    // SQL surface (graft.sources.v2.TableLogCatalog) — CREATE NAMESPACE,
+    // CTAS (create + append commit), INSERT INTO (append commit), then
+    // the aggregate SELECT with a pushed filter — and the oracle
+    // recomputes the same slices from the base table, so a lost commit,
+    // misaligned schema, or broken pushdown all hash-mismatch. Each
+    // invocation registers a FRESH catalog name: Spark caches catalog
+    // plugins per name at first use, so a reused name would pin the
+    // first run's temp root.
+    graft.Q(
+      "src6_sql_catalog",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 3 <= 1 AND o_orderkey >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val cat = s"graftsql_src6_${sqlCatSeq.incrementAndGet()}"
+      val root = java.nio.file.Files.createTempDirectory("sqlcat").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.TableLogCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("src6_orders")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+      s.sql(s"""CREATE TABLE $cat.ns.orders AS
+               |SELECT * FROM src6_orders WHERE o_orderkey % 3 = 0""".stripMargin)
+      s.sql(s"""INSERT INTO $cat.ns.orders
+               |SELECT * FROM src6_orders WHERE o_orderkey % 3 = 1""".stripMargin)
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+               |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               |    AS cents
+               |FROM $cat.ns.orders WHERE o_orderkey >= 10
+               |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
     graft.Q(
       "src2_timetravel",
       """SELECT o_orderpriority, count(*) AS n_orders,
