@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.SupportsDelete
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -197,7 +198,7 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces {
   * V1Scan bridge (pushdown/pruning applied inside the snapshot plan),
   * V1_BATCH_WRITE + TRUNCATE via [[TableLog.append]]/[[TableLog.overwrite]]. */
 private[v2] class GraftLogTable(dir: String, version: Long)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private def spark = SparkSession.active
   private lazy val manifest = TableLog.readManifest(spark, dir, version)
@@ -208,6 +209,20 @@ private[v2] class GraftLogTable(dir: String, version: Long)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** SQL `DELETE FROM … WHERE …` → [[TableLog.delete]] (a copy-on-write
+    * commit; history stays readable until vacuum — the documented
+    * erasure boundary). Only fully-translatable predicates are accepted
+    * (`canDeleteWhere`), so a shape the bridge can't express fails the
+    * STATEMENT loudly instead of deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterTranslation.toColumn(_).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val pred = filters.flatMap(FilterTranslation.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TableLog.delete(spark, dir, pred)
+    ()
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LogScanBuilder(dir, version, schema())
@@ -221,14 +236,10 @@ private[v2] class GraftLogTable(dir: String, version: Long)
   * the parquet scan as PushedFilters); unhandled shapes are returned to
   * Spark as residuals — pushdown here can narrow IO but never change
   * answers. */
-private[v2] class LogScanBuilder(dir: String, version: Long, full: StructType)
-    extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
-
-  private var required: StructType = full
-  private var pushed: Array[Filter] = Array.empty
-
-  private def toColumn(f: Filter): Option[Column] = f match {
+private[v2] object FilterTranslation {
+  /** v1 `Filter` → `Column`, for the shapes the bridge handles; `None`
+    * means the caller must treat the filter as a residual. */
+  def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))
     case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
@@ -245,6 +256,15 @@ private[v2] class LogScanBuilder(dir: String, version: Long, full: StructType)
     case Not(c) => toColumn(c).map(!_)
     case _ => None // EqualNullSafe, string contains, … — residual
   }
+}
+
+private[v2] class LogScanBuilder(dir: String, version: Long, full: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  import FilterTranslation.toColumn
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (handled, residual) = filters.partition(toColumn(_).isDefined)

@@ -101,6 +101,24 @@ class TableLogCatalogSpec extends SparkSpecBase {
     assert(ren.getMessage.contains("CTAS"))
   }
 
+  test("DELETE FROM commits a copy-on-write delete; untranslatable predicates refuse") {
+    sql("CREATE TABLE graftsql.ns.d (k BIGINT, s STRING)")
+    sql("INSERT INTO graftsql.ns.d SELECT id AS k, CAST(id % 3 AS STRING) AS s FROM range(30)")
+    val vBefore = graft.sources.TableLog.versions(spark, s"$root/ns/d").max
+    sql("DELETE FROM graftsql.ns.d WHERE k >= 20 OR s = '1'")
+    val left = sql("SELECT k FROM graftsql.ns.d ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left === (0L until 20L).filter(_ % 3 != 1))
+    // one new commit, prior snapshot still time-travelable
+    assert(graft.sources.TableLog.versions(spark, s"$root/ns/d").max === vBefore + 1)
+    assert(sql(s"SELECT count(*) AS n FROM graftsql.ns.d VERSION AS OF $vBefore")
+      .head.getLong(0) === 30L)
+    // contains() doesn't translate → the statement must fail, not misdelete
+    intercept[Exception](sql("DELETE FROM graftsql.ns.d WHERE contains(s, '2')"))
+    assert(sql("SELECT count(*) AS n FROM graftsql.ns.d").head.getLong(0)
+      === left.size.toLong)
+  }
+
   test("native API and SQL surface see the same table") {
     // SQL-written table, native read (and vice versa write)
     val native = graft.sources.TableLog.read(spark, s"$root/ns/t")
