@@ -509,6 +509,61 @@ object ScaleProbe {
         graft.operators.CcIndex.snapshot(spark, root).count()
       }
     }
+    // r4 session 6: basket-rule pair join — replicated orderkeys mean
+    // rep× BASKETS with constant per-basket width, so the A-priori pair
+    // join must scale with the basket count (linear), never baskets².
+    locally {
+      val part = Tables.part(spark, d)
+      val it = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
+        .distinct().localCheckpoint(true)
+      time("basket_pair_join") {
+        val fit = it
+        fit.as("a").join(fit.as("b"),
+            col("a.ok") === col("b.ok") && col("a.item") < col("b.item"))
+          .groupBy(col("a.item"), col("b.item")).agg(count(lit(1))).count()
+      }
+    }
+    // source-overlap self-join under rep× SOURCES (suffixed per replica):
+    // per-term fan-out grows with the squared number of sources holding
+    // the term — the probe makes that quadratic-in-|sources| (linear in
+    // vocabulary) cost visible, as documented in the entry.
+    locally {
+      val docsR = (0 until rep).map { i =>
+        Tables.documents(spark, d)
+          .select(concat(col("source"), lit(s"_$i")).as("source"), col("text"))
+      }.reduce(_ union _)
+      val tk = docsR
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "").distinct().localCheckpoint(true)
+      time("source_overlap_pairs") {
+        tk.as("a").join(tk.as("b"),
+            col("a.term") === col("b.term") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source"), col("b.source")).agg(count(lit(1))).count()
+      }
+    }
+    // Kaplan-Meier at rep× orders: the custkey window pass scales with
+    // the fact; everything after runs on the (segment, duration)
+    // aggregate whose size is CALENDAR-bounded and identical at any rep.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val ordersR = replicate(
+        Tables.orders(spark, d).select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od")),
+        Seq("o_custkey", "o_orderkey"), 10000000L).localCheckpoint(true)
+      time("kaplan_meier_cells") {
+        val mend = ordersR.agg(max("od").as("mend"))
+        val w = Window.partitionBy("o_custkey").orderBy(col("od"), col("o_orderkey"))
+        val obs = ordersR.withColumn("nxt", lead("od", 1).over(w))
+          .crossJoin(broadcast(mend))
+          .select((col("o_custkey") % 5).as("seg"),
+            when(col("nxt").isNull, datediff(col("mend"), col("od")))
+              .otherwise(datediff(col("nxt"), col("od"))).cast("long").as("dur"),
+            when(col("nxt").isNull, 0L).otherwise(1L).as("ev"))
+        obs.groupBy("seg", "dur")
+          .agg(sum("ev").as("d"), count(lit(1)).as("call")).count()
+      }
+    }
     spark.stop()
   }
 }

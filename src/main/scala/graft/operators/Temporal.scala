@@ -136,6 +136,35 @@ object Temporal {
           sum(least(col("e"), col("we")) - greatest(col("s"), col("ws")))
             .as("overlap_us"))
         .orderBy("user_id")
+    },
+
+    // T38 — forward fill / LOCF (last observation carried forward): the
+    // time-series staple T22's spine INTERPOLATION deliberately isn't —
+    // every event carries the user's latest purchase value AT OR BEFORE
+    // it, nulls until the first observation. Declarative on both
+    // engines as `last_value(x IGNORE NULLS)` over the (user, time)
+    // window — one user-key shuffle, no self-join, no explode; carried
+    // values are RAW doubles copied (never recomputed), so equality is
+    // exact. Deterministic total order: (ts, event_id) — same-timestamp
+    // events fill in event-id order on both engines.
+    Q(
+      "ev30_forward_fill",
+      """SELECT event_id, user_id,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |             IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          last(when(col("event_type") === "purchase", col("value")),
+            ignoreNulls = true).over(w).as("last_purchase_value"))
+        .orderBy("event_id")
     }
   )
 }
