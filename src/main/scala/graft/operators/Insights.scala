@@ -218,6 +218,82 @@ object Insights {
         .orderBy("cohort_month", "age")
     },
 
+    // R104 — deterministic Poisson-bootstrap confidence intervals: the
+    // uncertainty-quantification readout none of the point-estimate
+    // entries carry. B=32 resample replicates in ONE scan — each row's
+    // per-replicate weight is Poisson(1) drawn by inverting the CDF on
+    // a 16-bit md5 hash slice (the repo's cross-engine salted-hash
+    // idiom), so the "randomness" is a pure function of (orderkey,
+    // replicate): retry-stable, layout-invariant, identical on both
+    // engines. The CDF ladder is EIGHT fixed hex-string thresholds
+    // (lowercase-hex string order = numeric order — no conv()/float
+    // anywhere); replicate sums are exact cents map-side-combined to
+    // B×|groups| cells, and the 90% CI is an order statistic (2nd and
+    // 31st of 32) — integer row_number, no percentile interpolation.
+    // The B× row fan-out is aggregate INPUT (one pass, map-side
+    // combine), never a shuffle multiplier — the standard one-pass
+    // Poisson bootstrap at lake scale.
+    Q(
+      "q96_bootstrap_ci",
+      """WITH w AS (
+        |  SELECT o_orderpriority AS grp, b,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    (CASE WHEN h >= '5e2d' THEN 1 ELSE 0 END +
+        |     CASE WHEN h >= 'bc5b' THEN 1 ELSE 0 END +
+        |     CASE WHEN h >= 'eb71' THEN 1 ELSE 0 END +
+        |     CASE WHEN h >= 'fb23' THEN 1 ELSE 0 END +
+        |     CASE WHEN h >= 'ff10' THEN 1 ELSE 0 END +
+        |     CASE WHEN h >= 'ffd9' THEN 1 ELSE 0 END +
+        |     CASE WHEN h >= 'fffa' THEN 1 ELSE 0 END +
+        |     CASE WHEN h >= 'ffff' THEN 1 ELSE 0 END) AS wt
+        |  FROM (
+        |    SELECT o_orderpriority, o_totalprice, b,
+        |      substring(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+        |                    CAST(b AS VARCHAR) || ':boot'), 1, 4) AS h
+        |    FROM orders CROSS JOIN (SELECT unnest(range(32)) AS b))),
+        |reps AS (
+        |  SELECT grp, b, CAST(sum(wt * cents) AS BIGINT) AS stat
+        |  FROM w GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT grp, stat,
+        |    row_number() OVER (PARTITION BY grp ORDER BY stat, b) AS rn
+        |  FROM reps),
+        |base AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS point_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT base.grp, point_cents,
+        |  max(CASE WHEN rn = 2 THEN stat END) AS ci_lo_cents,
+        |  max(CASE WHEN rn = 31 THEN stat END) AS ci_hi_cents
+        |FROM base JOIN ranked ON base.grp = ranked.grp
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val thresholds = Seq("5e2d", "bc5b", "eb71", "fb23",
+        "ff10", "ffd9", "fffa", "ffff")
+      val exploded = orders
+        .withColumn("b", explode(sequence(lit(0), lit(31))))
+        .withColumn("h", substring(md5(concat(
+          col("o_orderkey").cast("string"), lit(":"),
+          col("b").cast("string"), lit(":boot")).cast("binary")), 1, 4))
+      val wt = thresholds
+        .map(t => when(col("h") >= t, 1L).otherwise(0L))
+        .reduce(_ + _)
+      val reps = exploded.withColumn("wt", wt)
+        .groupBy("grp", "b").agg(sum(col("wt") * col("cents")).as("stat"))
+      val wRank = Window.partitionBy("grp").orderBy(col("stat"), col("b"))
+      val ranked = reps.withColumn("rn", row_number().over(wRank))
+      val base = orders.groupBy("grp").agg(sum("cents").as("point_cents"))
+      base.join(ranked, Seq("grp"))
+        .groupBy("grp", "point_cents")
+        .agg(max(when(col("rn") === 2, col("stat"))).as("ci_lo_cents"),
+          max(when(col("rn") === 31, col("stat"))).as("ci_hi_cents"))
+        .orderBy("grp")
+    },
+
     // R102 — join-key skew report: the diagnostic an engineer runs
     // BEFORE choosing between AQE skew split (R33b) and explicit
     // salting (R33). One fixed-width key aggregate, then a bounded

@@ -132,6 +132,41 @@ class InsightsSpec extends SparkSpecBase {
     assert(got === ref)
   }
 
+  // ------------------------------------------------------------ q96
+
+  test("q96: bootstrap CI equals a brute-force Poisson-weight walk; weights mean ≈ 1") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val thresholds = Seq("5e2d", "bc5b", "eb71", "fb23", "ff10", "ffd9", "fffa", "ffff")
+    def weight(ok: Long, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$ok:$b:boot".getBytes("UTF-8"))
+      val h = md.map("%02x".format(_)).mkString.substring(0, 4)
+      thresholds.count(t => h >= t).toLong
+    }
+    // Poisson(1) sanity: the empirical mean weight over all (row, b)
+    // draws must sit near 1 (the resample preserves expected mass)
+    val allW = for (o <- orders; b <- 0 until 32) yield weight(o._1, b)
+    val mean = allW.sum.toDouble / allW.size
+    assert(mean > 0.93 && mean < 1.07, s"weight mean $mean drifted from 1")
+    val ref = orders.groupBy(_._2).toSeq.map { case (grp, os) =>
+      val stats = (0 until 32).map { b =>
+        (os.map(o => weight(o._1, b) * o._3).sum, b)
+      }.sorted
+      (grp, os.map(_._3).sum, stats(1)._1, stats(30)._1)
+    }.sortBy(_._1)
+    val got = results("q96_bootstrap_ci")
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === ref)
+    // the interval is real: strictly positive width bracketing nothing
+    // degenerate (the point estimate may legitimately sit outside a
+    // percentile CI, but lo < hi must always hold)
+    for ((_, _, lo, hi) <- got) assert(lo < hi)
+  }
+
   // ------------------------------------------------------- tx35 (Corpus L52)
 
   test("tx35: pairwise source-vocabulary Jaccard matches brute-force sets") {
