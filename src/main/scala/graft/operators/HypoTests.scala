@@ -277,6 +277,141 @@ object HypoTests {
           .otherwise((col("p1") - col("p2")) / sqrt(col("p") * (lit(1) - col("p"))
             * (lit(1) / col("n1").cast("double")
               + lit(1) / col("n2").cast("double")))).as("z"))
+    },
+
+    // T39 — CUPED variance reduction (the experimentation-platform
+    // staple): per-user PRE-period purchase cents X (first half of the
+    // stream's time range, integer-seconds midpoint both engines) and
+    // POST-period cents Y; θ = cov(X,Y)/var(X) from EXACT pooled
+    // moments (Σx, Σy, Σxy, Σx² — products decimal/HUGEINT), adjusted
+    // arm mean = ȳ_arm − θ·(x̄_arm − x̄_all). Two fixed-width shuffles
+    // (user cell aggregate, then arm aggregate + a broadcast 1-row
+    // pooled-moment frame); every reported float is the same fixed
+    // double tree on both engines.
+    Q(
+      "ev31_cuped",
+      """WITH rng AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |          AND epoch_us(ts) < mid
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |          AND epoch_us(ts) >= mid
+        |        THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events, rng GROUP BY 1, 2),
+        |mo AS (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM u),
+        |th AS (
+        |  SELECT n, sx,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+        |       / CAST(n AS DOUBLE))
+        |    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |       / CAST(n AS DOUBLE)) AS theta
+        |  FROM mo),
+        |arm AS (
+        |  SELECT arm, count(*) AS n_arm, CAST(sum(x) AS BIGINT) AS sx_arm,
+        |    CAST(sum(y) AS BIGINT) AS sy_arm
+        |  FROM u GROUP BY 1)
+        |SELECT arm, n_arm, theta,
+        |  CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE) AS mean_y,
+        |  CAST(sy_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+        |    - theta * (CAST(sx_arm AS DOUBLE) / CAST(n_arm AS DOUBLE)
+        |               - CAST(th.sx AS DOUBLE) / CAST(th.n AS DOUBLE)) AS adj_mean_y
+        |FROM arm, th ORDER BY arm""".stripMargin
+    ) { (s, d) =>
+      val ev = graft.Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val rng = ev.agg(
+        ((min("sec") + max("sec")).cast("long")).as("midsum"))
+        .select(expr("midsum DIV 2").as("mid"))
+      val u = ev.crossJoin(broadcast(rng))
+        .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("sec") < col("mid"),
+            col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase" && col("sec") >= col("mid"),
+            col("cents")).otherwise(0L)).as("y"))
+        .localCheckpoint(true) // consumed by pooled moments AND arm cells
+      val mo = u.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"))
+      val nD = col("n").cast("double")
+      val th = mo.select(col("n"), col("sx"),
+        ((col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double") / nD)
+          / (col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double") / nD))
+          .as("theta"))
+      val arm = u.groupBy("arm").agg(count(lit(1)).as("n_arm"),
+        sum("x").as("sx_arm"), sum("y").as("sy_arm"))
+      arm.crossJoin(broadcast(th))
+        .select(col("arm"), col("n_arm"), col("theta"),
+          (col("sy_arm").cast("double") / col("n_arm").cast("double"))
+            .as("mean_y"),
+          (col("sy_arm").cast("double") / col("n_arm").cast("double")
+            - col("theta") * (col("sx_arm").cast("double")
+              / col("n_arm").cast("double")
+              - col("sx").cast("double") / col("n").cast("double")))
+            .as("adj_mean_y"))
+        .orderBy("arm")
+    },
+
+    // T40 — difference-in-differences: the 2×2 (arm × period) causal
+    // readout over the same midpoint split — DID = (T_post − T_pre) −
+    // (C_post − C_pre) on per-cell purchase means. One user-free cell
+    // aggregate (4 exact sums + counts), every float one fixed tree.
+    Q(
+      "ev32_diff_in_diff",
+      """WITH rng AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        |  FROM events),
+        |cell AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN epoch_us(ts) < mid THEN 0 ELSE 1 END AS period,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events, rng WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT
+        |    max(CASE WHEN arm = 1 AND period = 1
+        |        THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END) AS t1,
+        |    max(CASE WHEN arm = 1 AND period = 0
+        |        THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END) AS t0,
+        |    max(CASE WHEN arm = 0 AND period = 1
+        |        THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END) AS c1,
+        |    max(CASE WHEN arm = 0 AND period = 0
+        |        THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END) AS c0
+        |  FROM cell)
+        |SELECT t0, t1, c0, c1, (t1 - t0) - (c1 - c0) AS did FROM m""".stripMargin
+    ) { (s, d) =>
+      val ev = graft.Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("sec"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val rng = graft.Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("sec"))
+        .agg(((min("sec") + max("sec")).cast("long")).as("midsum"))
+        .select(expr("midsum DIV 2").as("mid"))
+      val cell = ev.crossJoin(broadcast(rng))
+        .groupBy((col("user_id") % 2).as("arm"),
+          when(col("sec") < col("mid"), 0).otherwise(1).as("period"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      def mean(a: Int, p: Int) =
+        max(when(col("arm") === a && col("period") === p,
+          col("cents").cast("double") / col("n").cast("double")))
+      cell.agg(mean(1, 0).as("t0"), mean(1, 1).as("t1"),
+          mean(0, 0).as("c0"), mean(0, 1).as("c1"))
+        .select(col("t0"), col("t1"), col("c0"), col("c1"),
+          ((col("t1") - col("t0")) - (col("c1") - col("c0"))).as("did"))
     }
   )
 }

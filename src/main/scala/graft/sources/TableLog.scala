@@ -78,6 +78,15 @@ object TableLog {
   private def manifestPath(dir: String, v: Long) =
     new Path(logPath(dir), f"$v%020d.manifest")
 
+  /** Publication time (epoch millis) of `v`'s manifest — the commit
+    * clock `TIMESTAMP AS OF` time travel reads (the V2 catalog's
+    * loadTable-by-timestamp); same semantics as Delta/Iceberg's
+    * commit-file mtime. */
+  def manifestModTime(spark: SparkSession, dir: String, v: Long): Long = {
+    val p = manifestPath(dir, v)
+    fsFor(spark, p).getFileStatus(p).getModificationTime
+  }
+
   /** All committed versions, ascending; empty for a fresh path. */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
     val lp = logPath(dir)

@@ -117,6 +117,24 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces {
     new GraftLogTable(dir, v)
   }
 
+  /** `TIMESTAMP AS OF <t>` — the latest version whose manifest was
+    * PUBLISHED at or before `t` (Spark hands micros). Commit time is the
+    * manifest file's modification time — the same clock Delta/Iceberg
+    * time travel reads; a table created entirely after `t` is a loud
+    * "no such version", not an empty frame. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirFor(ident)
+    val cutoffMs = timestampMicros / 1000L
+    val vs = TableLog.versions(spark, dir)
+    if (vs.isEmpty) throw new NoSuchTableException(ident.namespace.toSeq :+ ident.name)
+    val eligible = vs.filter(v =>
+      TableLog.manifestModTime(spark, dir, v) <= cutoffMs)
+    require(eligible.nonEmpty,
+      s"$catalogName: table $dir has no commit at or before timestamp " +
+        s"${cutoffMs}ms — earliest version is ${vs.min}")
+    new GraftLogTable(dir, eligible.max)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: JMap[String, String]): Table = {

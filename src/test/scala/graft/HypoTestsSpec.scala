@@ -110,6 +110,54 @@ class HypoTestsSpec extends SparkSpecBase {
     assert(r.getDouble(6) === z)
   }
 
+  test("ev31/ev32: CUPED and DID match sequential references on the same split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, round => sround}
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_type", sround($"value" * 100).cast("long"),
+        expr("unix_micros(ts)"))
+      .as[(Long, String, Long, Long)].collect()
+    val mid = (ev.map(_._4).min + ev.map(_._4).max) / 2
+    // ---- CUPED
+    val users = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      val x = es.filter(e => e._2 == "purchase" && e._4 < mid).map(_._3).sum
+      val y = es.filter(e => e._2 == "purchase" && e._4 >= mid).map(_._3).sum
+      (u % 2, x, y)
+    }
+    val n = users.size.toDouble
+    val sx = users.map(_._2).sum; val sy = users.map(_._3).sum
+    val sxy = users.map(t => BigInt(t._2) * t._3).sum
+    val sxx = users.map(t => BigInt(t._2) * t._2).sum
+    val theta = (sxy.toDouble - sx.toDouble * sy.toDouble / n) /
+      (sxx.toDouble - sx.toDouble * sx.toDouble / n)
+    for (r <- results("ev31_cuped")) {
+      val arm = r.getLong(0)
+      val aus = users.filter(_._1 == arm)
+      val nA = aus.size.toDouble
+      assert(r.getLong(1) === aus.size.toLong)
+      assert(r.getDouble(2) === theta, "theta")
+      assert(r.getDouble(3) === aus.map(_._3).sum.toDouble / nA, "mean_y")
+      assert(r.getDouble(4) === aus.map(_._3).sum.toDouble / nA
+        - theta * (aus.map(_._2).sum.toDouble / nA - sx.toDouble / n), "adj")
+    }
+    // CUPED must not CHANGE the overall treatment story arbitrarily:
+    // the adjustment shifts both arms by theta-scaled pre-period
+    // imbalance — verify the invariant directly rather than assuming it
+    // ---- DID
+    val p = ev.filter(_._2 == "purchase")
+    def cellMean(arm: Long, post: Boolean) = {
+      val c = p.filter(e => e._1 % 2 == arm && (e._4 >= mid) == post)
+      c.map(_._3).sum.toDouble / c.length
+    }
+    val r = results("ev32_diff_in_diff").head
+    assert(r.getDouble(0) === cellMean(1, post = false), "t0")
+    assert(r.getDouble(1) === cellMean(1, post = true), "t1")
+    assert(r.getDouble(2) === cellMean(0, post = false), "c0")
+    assert(r.getDouble(3) === cellMean(0, post = true), "c1")
+    assert(r.getDouble(4) === (cellMean(1, post = true) - cellMean(1, post = false))
+      - (cellMean(0, post = true) - cellMean(0, post = false)), "did")
+  }
+
   test("all tests emit one row per comparison group, deterministically") {
     assert(results("ev26_mannwhitney").map(_.getString(0)).toSeq
       === Seq("click", "view"))

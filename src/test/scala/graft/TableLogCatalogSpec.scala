@@ -119,6 +119,26 @@ class TableLogCatalogSpec extends SparkSpecBase {
       === left.size.toLong)
   }
 
+  test("TIMESTAMP AS OF resolves to the last commit at-or-before the instant") {
+    sql("CREATE TABLE graftsql.ns.tt (k BIGINT)")
+    sql("INSERT INTO graftsql.ns.tt VALUES (1)")      // v1
+    Thread.sleep(1100)                                 // separate mtimes
+    sql("INSERT INTO graftsql.ns.tt VALUES (2)")      // v2
+    val t1 = graft.sources.TableLog.manifestModTime(spark, s"$root/ns/tt", 1L)
+    val t2 = graft.sources.TableLog.manifestModTime(spark, s"$root/ns/tt", 2L)
+    assert(t2 > t1, "commits must have distinct mtimes for this fixture")
+    val midIso = java.time.Instant.ofEpochMilli((t1 + t2) / 2)
+      .toString.replace("T", " ").replace("Z", "")
+    assert(sql(s"SELECT count(*) AS n FROM graftsql.ns.tt TIMESTAMP AS OF '$midIso'")
+      .head.getLong(0) === 1L)
+    // before the first commit → loud refusal, never an empty frame
+    val early = java.time.Instant.ofEpochMilli(t1 - 3600000L)
+      .toString.replace("T", " ").replace("Z", "")
+    val e = intercept[Exception](
+      sql(s"SELECT * FROM graftsql.ns.tt TIMESTAMP AS OF '$early'").collect())
+    assert(e.getMessage.contains("no commit"))
+  }
+
   test("native API and SQL surface see the same table") {
     // SQL-written table, native read (and vice versa write)
     val native = graft.sources.TableLog.read(spark, s"$root/ns/t")
