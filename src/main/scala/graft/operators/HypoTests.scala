@@ -365,6 +365,113 @@ object HypoTests {
         .orderBy("arm")
     },
 
+    // T41 — one-way ANOVA F (k-group mean comparison, the >2-arm
+    // sibling of T36): purchase cents across ALL five event types. The
+    // sums of squares are EXACT integers end to end — SSB·1e6 = Σ_g
+    // (s_g²·1e6 DIV n_g) − (S²·1e6 DIV n) with the squares in
+    // decimal(38,0)/HUGEINT and each per-group term an integral DIV
+    // (never a float sum over groups, whose ORDER differs between
+    // engines); SST from Σv² directly; F is the one final double tree.
+    // One event-type aggregate, then k-row algebra.
+    Q(
+      "ev33_anova",
+      """WITH g AS (
+        |  SELECT event_type AS grp, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+        |    sum(CAST(round(value * 100) AS HUGEINT)
+        |        * CAST(round(value * 100) AS BIGINT)) AS ss
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+        |    CAST(sum(ss) AS HUGEINT) AS ss, count(*) AS k,
+        |    CAST(sum((CAST(s AS HUGEINT) * s * 1000000) // n) AS HUGEINT) AS bterm
+        |  FROM g),
+        |q AS (
+        |  SELECT n, k,
+        |    bterm - (CAST(s AS HUGEINT) * s * 1000000) // n AS ssb_e6,
+        |    ss * 1000000 - bterm AS ssw_e6
+        |  FROM tot)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(ssb_e6 AS DOUBLE) / 1000000 AS ssb,
+        |  CAST(ssw_e6 AS DOUBLE) / 1000000 AS ssw,
+        |  (CAST(ssb_e6 AS DOUBLE) / (CAST(k AS DOUBLE) - 1))
+        |    / (CAST(ssw_e6 AS DOUBLE) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |    AS f
+        |FROM q""".stripMargin
+    ) { (s, d) =>
+      val cents = round(col("value") * 100).cast("long")
+      val g = graft.Tables.events(s, d)
+        .select(col("event_type").as("grp"), cents.as("v"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
+      val tot = g.agg(sum("n").as("n"), sum("s").as("s"),
+        sum("ss").as("ss"), count(lit(1)).as("k"),
+        sum(expr("(CAST(s AS DECIMAL(38,0)) * s * 1000000) DIV n")
+          .cast("decimal(38,0)")).as("bterm"))
+      val q = tot.select(col("n"), col("k"),
+        (col("bterm") - expr("(CAST(s AS DECIMAL(38,0)) * s * 1000000) DIV n"))
+          .as("ssb_e6"),
+        (col("ss") * 1000000 - col("bterm")).as("ssw_e6"))
+      q.select(col("n"), col("k").cast("long").as("k"),
+        (col("ssb_e6").cast("double") / 1000000).as("ssb"),
+        (col("ssw_e6").cast("double") / 1000000).as("ssw"),
+        ((col("ssb_e6").cast("double") / (col("k").cast("double") - 1))
+          / (col("ssw_e6").cast("double")
+            / (col("n").cast("double") - col("k").cast("double")))).as("f"))
+    },
+
+    // T42 — chi-square test of INDEPENDENCE (event_type × 6-hour
+    // day-part contingency table; ev24 tests one margin against
+    // uniform, this tests two margins against each other). Exact all
+    // the way to the statistic: per-cell term_e6 = ((o·T − r·c)² ·
+    // 1e6) DIV (r·c·T) is an integral DIV of decimal products, so
+    // chi²_e6 is an ORDER-INVARIANT integer sum — no float cell sum
+    // whose accumulation order could differ between engines. One fact
+    // aggregate to the |types|×4 cell frame; margins re-enter as
+    // broadcast joins on the cell frame.
+    Q(
+      "ev34_chisq_indep",
+      """WITH cell AS (
+        |  SELECT event_type AS grp, (hour(ts) // 6) AS part, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT grp, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+        |cm AS (SELECT part, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM cell),
+        |terms AS (
+        |  SELECT cell.grp, cell.part,
+        |    ((CAST(o AS HUGEINT) * tt - CAST(r AS HUGEINT) * c)
+        |     * (CAST(o AS HUGEINT) * tt - CAST(r AS HUGEINT) * c) * 1000000)
+        |    // (CAST(r AS HUGEINT) * c * tt) AS term_e6
+        |  FROM cell JOIN rm ON cell.grp = rm.grp
+        |    JOIN cm ON cell.part = cm.part, t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(term_e6) AS BIGINT) AS chi2_e6,
+        |  CAST(CAST(sum(term_e6) AS DOUBLE) / 1000000 AS DOUBLE) AS chi2
+        |FROM terms""".stripMargin
+    ) { (s, d) =>
+      val cell = graft.Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"),
+          expr("hour(ts) DIV 6").as("part"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // margins + terms all consume it
+      val rm = cell.groupBy("grp").agg(sum("o").as("r"))
+      val cm = cell.groupBy("part").agg(sum("o").as("c"))
+      val t = cell.agg(sum("o").as("tt"))
+      cell.join(broadcast(rm), Seq("grp"))
+        .join(broadcast(cm), Seq("part"))
+        .crossJoin(broadcast(t))
+        .select(expr(
+          """((CAST(o AS DECIMAL(38,0)) * tt - CAST(r AS DECIMAL(38,0)) * c)
+            | * (CAST(o AS DECIMAL(38,0)) * tt - CAST(r AS DECIMAL(38,0)) * c)
+            | * 1000000)
+            | DIV (CAST(r AS DECIMAL(38,0)) * c * tt)""".stripMargin)
+          .as("term_e6"))
+        .agg(count(lit(1)).as("n_cells"), sum("term_e6").as("chi2_e6"))
+        .select(col("n_cells"), col("chi2_e6").cast("long").as("chi2_e6"),
+          (col("chi2_e6").cast("double") / 1000000).as("chi2"))
+    },
+
     // T40 — difference-in-differences: the 2×2 (arm × period) causal
     // readout over the same midpoint split — DID = (T_post − T_pre) −
     // (C_post − C_pre) on per-cell purchase means. One user-free cell

@@ -158,6 +158,45 @@ class HypoTestsSpec extends SparkSpecBase {
       - (cellMean(0, post = true) - cellMean(0, post = false)), "did")
   }
 
+  test("ev33/ev34: ANOVA and chi-square independence match exact sequential algebra") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr => sexpr, round => sr}
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_type", sr($"value" * 100).cast("long"),
+        sexpr("CAST(hour(ts) DIV 6 AS INT)"))
+      .as[(String, Long, Int)].collect()
+    // ---- ANOVA in BigInt, mirroring the e6 integral algebra
+    val byG = ev.groupBy(_._1).toSeq
+    val bterm = byG.map { case (_, es) =>
+      val sG = BigInt(es.map(_._2).sum)
+      sG * sG * 1000000 / es.length
+    }.sum
+    val n = ev.length; val k = byG.size
+    val sAll = BigInt(ev.map(_._2).sum)
+    val ssAll = ev.map(e => BigInt(e._2) * e._2).sum
+    val ssbE6 = bterm - sAll * sAll * 1000000 / n
+    val sswE6 = ssAll * 1000000 - bterm
+    val ra = results("ev33_anova").head
+    assert(ra.getLong(0) === n.toLong && ra.getLong(1) === k.toLong)
+    assert(ra.getDouble(2) === ssbE6.toDouble / 1000000, "ssb")
+    assert(ra.getDouble(3) === sswE6.toDouble / 1000000, "ssw")
+    assert(ra.getDouble(4) ===
+      (ssbE6.toDouble / 1000000 / (k - 1)) / (sswE6.toDouble / 1000000 / (n - k)), "f")
+    // ---- chi-square independence
+    val cells = ev.groupBy(e => (e._1, e._3)).map { case (kk, es) => kk -> es.length.toLong }
+    val rm = cells.groupBy(_._1._1).map { case (g, cs) => g -> cs.values.sum }
+    val cm = cells.groupBy(_._1._2).map { case (p, cs) => p -> cs.values.sum }
+    val tt = cells.values.sum
+    val chi2E6 = cells.map { case ((g, p), o) =>
+      val num = BigInt(o) * tt - BigInt(rm(g)) * cm(p)
+      num * num * 1000000 / (BigInt(rm(g)) * cm(p) * tt)
+    }.sum
+    val rc = results("ev34_chisq_indep").head
+    assert(rc.getLong(0) === cells.size.toLong)
+    assert(rc.getLong(1) === chi2E6.toLong)
+    assert(rc.getDouble(2) === chi2E6.toLong.toDouble / 1000000)
+  }
+
   test("all tests emit one row per comparison group, deterministically") {
     assert(results("ev26_mannwhitney").map(_.getString(0)).toSeq
       === Seq("click", "view"))
