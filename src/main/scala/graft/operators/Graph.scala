@@ -286,6 +286,57 @@ object Graph {
     labels
   }
 
+  /** Harmonic centrality from `sources` (k-pivot estimator; exact when
+    * pivots = all nodes): H(v) = Σ_{s≠v} 1/d(s,v) over UNDIRECTED
+    * shortest-path distances, held in 1e9 fixed point — each term is
+    * the integral `1e9 DIV d`, so the accumulation is a long sum,
+    * bit-identical across partitionings (float harmonic is not). The
+    * closeness-family readout beside [[betweenness]]: closeness proper
+    * is undefined on disconnected graphs, harmonic just drops the
+    * unreachable terms — which is why it's the form that scales.
+    *
+    * Shape: multi-source frontier BFS keyed (s, v) — one join shuffle +
+    * anti-join dedup per depth (layers are node×pivot bounded), then a
+    * single per-node aggregate of `1e9 DIV depth`; `localCheckpoint`
+    * pins plan depth per round. Driver loop iterates DEPTHS. A frontier
+    * still expanding at `maxDepth` raises — never a silently truncated
+    * centrality. */
+  def harmonic(edges: DataFrame, sources: DataFrame,
+               maxDepth: Int = 64, truncate: Boolean = false): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    val e = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var frontier = sources.select(col("node")).filter(col("node").isNotNull)
+      .distinct()
+      .select(col("node").as("s"), col("node").as("v"))
+      .localCheckpoint(true)
+    var seen = frontier
+    val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var depth = 0
+    while (frontier.limit(1).count() > 0 && depth < maxDepth) {
+      depth += 1
+      val next = e
+        .join(frontier.select(col("s"), col("v").as("src")), Seq("src"))
+        .select(col("s"), col("dst").as("v")).distinct()
+        .join(seen, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      terms += next.select(col("v"), lit(1000000000L / depth).as("h"))
+      seen = seen.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    // truncate=true is the HOP-BOUNDED variant (contributions only from
+    // the ≤maxDepth neighborhood — a deliberate, documented semantic,
+    // and the oracle-expressible one); truncate=false means maxDepth is
+    // a budget and running out of it is an error, never silent.
+    require(truncate || frontier.limit(1).count() == 0,
+      s"harmonic: BFS still expanding at depth $maxDepth — raise maxDepth")
+    if (terms.isEmpty)
+      e.sparkSession.range(0).select(col("id").as("node"), col("id").as("harm_e9"))
+    else terms.reduce(_ unionByName _)
+      .groupBy(col("v").as("node")).agg(sum("h").as("harm_e9"))
+  }
+
   /** Louvain-style modularity-greedy refinement (one node-move level)
     * over an initial community assignment — the quality upgrade on
     * [[labelPropagation]]'s frequency-greedy labels (LPA can glue two
@@ -1180,6 +1231,44 @@ object Graph {
           (lit(4L) * m * coalesce(col("e_in"), lit(0L))
             - col("d_c") * col("d_c")).as("q_term_4m2"))
         .orderBy("community")
+    },
+
+    // R105 — hop-bounded harmonic centrality from 12 pivots over the
+    // UNDIRECTED 2-out functional graph, fully oracle-checked: the
+    // DuckDB recursive CTE replays the bounded multi-source BFS,
+    // min-distance per (pivot, node), and the same integral `1e9 DIV d`
+    // terms — so the fixed-point arithmetic claim is certified
+    // cross-engine, not just spec-pinned. Top-20 under a total order.
+    Q(
+      "gr19_harmonic",
+      """WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT n FROM n) AS b FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT n FROM n) FROM documents),
+        |e AS (
+        |  SELECT a AS src, b AS dst FROM raw WHERE a <> b
+        |  UNION
+        |  SELECT b, a FROM raw WHERE a <> b),
+        |r AS (
+        |  SELECT doc_id AS s, doc_id AS v, CAST(0 AS BIGINT) AS d
+        |  FROM documents WHERE doc_id < 12
+        |  UNION
+        |  SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v
+        |  WHERE r.d < 8),
+        |md AS (SELECT s, v, min(d) AS d FROM r GROUP BY 1, 2)
+        |SELECT v AS node, CAST(sum(1000000000 // d) AS BIGINT) AS harm_e9
+        |FROM md WHERE d > 0 GROUP BY 1
+        |ORDER BY harm_e9 DESC, node LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5))
+      val pivots = docs.filter(col("doc_id") < 12).select(col("doc_id").as("node"))
+      harmonic(e, pivots, maxDepth = 8, truncate = true)
+        .orderBy(desc("harm_e9"), col("node")).limit(20)
     },
 
     // R103 — Louvain-style modularity refinement seeded by gr5's LPA

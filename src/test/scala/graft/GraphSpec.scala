@@ -249,4 +249,57 @@ class GraphSpec extends SparkSpecBase {
       .as[(Long, Long)].collect().sorted.toSeq
     assert(mixed === clean)
   }
+
+  // ---------------------------------------------------- R105 harmonic
+
+  private def harmonicRef(edges: Seq[(Long, Long)], pivots: Seq[Long],
+                          bound: Int): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+      .distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+    for (s <- pivots.distinct if adj.contains(s)) {
+      var frontier = Set(s); var seen = Set(s); var d = 0
+      while (frontier.nonEmpty && d < bound) {
+        d += 1
+        val next = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- seen
+        for (v <- next) acc(v) = acc.getOrElse(v, 0L) + 1000000000L / d
+        seen ++= next; frontier = next
+      }
+    }
+    acc.toMap
+  }
+
+  test("harmonic: star and path analytic values, full run equals sequential BFS") {
+    // star: center 0, leaves 1..6; pivots = all
+    val star = (1L to 6L).map(l => (0L, l))
+    val nodes = 0L to 6L
+    val got = Graph.harmonic(star.toDF("src", "dst"),
+        nodes.toDF("node"), maxDepth = 8)
+      .as[(Long, Long)].collect().toMap
+    // center: 6 pivots at distance 1 → 6e9; each leaf: center at 1,
+    // five peers at 2 → 1e9 + 5·5e8
+    assert(got(0L) === 6L * 1000000000L)
+    for (l <- 1L to 6L) assert(got(l) === 1000000000L + 5L * 500000000L)
+    assert(got === harmonicRef(star, nodes, bound = 8))
+    // path 0-1-2-3-4: integral DIV terms (1e9/3 truncates)
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val pn = 0L to 4L
+    val gotP = Graph.harmonic(path.toDF("src", "dst"),
+        pn.toDF("node"), maxDepth = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(gotP === harmonicRef(path, pn, bound = 8))
+    assert(gotP(0L) === 1000000000L + 500000000L + 333333333L + 250000000L)
+  }
+
+  test("harmonic: truncation is hop-bounded semantics; budget overrun raises") {
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val trunc = Graph.harmonic(path.toDF("src", "dst"),
+        Seq(0L).toDF("node"), maxDepth = 2, truncate = true)
+      .as[(Long, Long)].collect().toMap
+    assert(trunc === Map(1L -> 1000000000L, 2L -> 500000000L))
+    val e = intercept[Exception](
+      Graph.harmonic(path.toDF("src", "dst"), Seq(0L).toDF("node"),
+        maxDepth = 2).collect())
+    assert(e.getMessage.contains("still expanding"))
+  }
 }
