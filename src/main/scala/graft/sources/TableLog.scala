@@ -58,7 +58,8 @@ object TableLog {
                             dirs: Seq[String],
                             stats: Seq[(String, String, Long, Long)] = Seq.empty,
                             dvs: Seq[Dv] = Seq.empty,
-                            blooms: Seq[(String, String, String)] = Seq.empty)
+                            blooms: Seq[(String, String, String)] = Seq.empty,
+                            constraints: Seq[(String, String)] = Seq.empty)
 
   /** One deletion vector: `dataDir` holds the deleted KEYS (`keyCols`
     * projection), and it applies to exactly the first `coversDirs`
@@ -107,7 +108,10 @@ object TableLog {
       m.dirs.map(d => s"dir=$d") ++
       m.stats.map { case (d, c, lo, hi) => s"stats=$d;$c;$lo;$hi" } ++
       m.dvs.map(v => s"dv=${v.dataDir};${v.keyCols.mkString(",")};${v.coversDirs}") ++
-      m.blooms.map { case (d, c, b64) => s"bloom=$d;$c;$b64" })
+      m.blooms.map { case (d, c, b64) => s"bloom=$d;$c;$b64" } ++
+      // expression base64'd: constraint SQL may contain ';' or newlines
+      m.constraints.map { case (n, e) => s"check=$n;" +
+        java.util.Base64.getEncoder.encodeToString(e.getBytes("UTF-8")) })
       .mkString("", "\n", "\n")
 
   def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
@@ -134,6 +138,10 @@ object TableLog {
       lines.filter(_.startsWith("bloom=")).map { l =>
         val Array(d, c, b64) = l.drop(6).split(";")
         (d, c, b64)
+      },
+      lines.filter(_.startsWith("check=")).map { l =>
+        val Array(n, b64) = l.drop(6).split(";", 2)
+        (n, new String(java.util.Base64.getDecoder.decode(b64), "UTF-8"))
       })
   }
 
@@ -245,6 +253,63 @@ object TableLog {
       org.apache.spark.sql.catalyst.expressions.Literal.create(value)), 42L)
       .eval(null).asInstanceOf[Long]
 
+  /** Enforce every table CHECK constraint on `df` BEFORE anything is
+    * written — ONE aggregate pass counting violations per constraint
+    * (SQL-standard semantics: a row violates only when the expression
+    * is explicitly FALSE; NULL passes). A violation names the
+    * constraint and its count — the batch never lands. */
+  private def requireConstraints(df: DataFrame,
+                                 constraints: Seq[(String, String)],
+                                 dir: String, context: String): Unit =
+    if (constraints.nonEmpty) {
+      val counts = df.agg(
+        count(lit(1)).as("__n"),
+        constraints.map { case (n, e) =>
+          sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+        }: _*).head
+      val bad = constraints.zipWithIndex
+        .map { case ((n, e), i) => (n, e, counts.getLong(i + 1)) }
+        .filter(_._3 > 0)
+      require(bad.isEmpty,
+        s"$context to $dir violates CHECK constraint(s): " +
+          bad.map { case (n, e, c) => s"$n [$e] on $c row(s)" }.mkString("; "))
+    }
+
+  /** Register a named CHECK constraint: the CURRENT snapshot must
+    * already satisfy it (full validation scan — the same contract as
+    * Delta's ALTER TABLE ADD CONSTRAINT), then it rides in the manifest
+    * and every subsequent append/merge/overwrite batch is gated by it. */
+  def addConstraint(spark: SparkSession, dir: String,
+                    name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty && !name.contains(";") && !name.contains("="),
+      s"addConstraint: '$name' — names must be simple identifiers")
+    val prevV = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist"))
+    val prev = readManifest(spark, dir, prevV)
+    require(!prev.constraints.exists(_._1 == name),
+      s"constraint $name already exists on $dir")
+    requireConstraints(readVersion(spark, dir, prevV), Seq(name -> sqlExpr),
+      dir, "addConstraint: existing snapshot")
+    val v = prevV + 1
+    publish(spark, dir, prev.copy(version = v, op = s"add-check:$name",
+      constraints = prev.constraints :+ (name -> sqlExpr)))
+    v
+  }
+
+  /** Drop a named constraint (loud if absent — a typo'd drop that
+    * silently "succeeds" would leave the gate everyone assumes gone). */
+  def dropConstraint(spark: SparkSession, dir: String, name: String): Long = {
+    val prevV = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist"))
+    val prev = readManifest(spark, dir, prevV)
+    require(prev.constraints.exists(_._1 == name),
+      s"constraint $name does not exist on $dir")
+    val v = prevV + 1
+    publish(spark, dir, prev.copy(version = v, op = s"drop-check:$name",
+      constraints = prev.constraints.filterNot(_._1 == name)))
+    v
+  }
+
   /** Create the table at `dir` as version 0. Fails loudly if any
     * version already exists. `statsCols` (LONG columns) adds commit
     * zone maps for [[readRange]] skipping. */
@@ -269,11 +334,12 @@ object TableLog {
       .getOrElse(sys.error(s"table $dir does not exist — create first"))
     val prev = readManifest(spark, dir, prevV)
     requireSameSchema(df, prev, dir)
+    requireConstraints(df, prev.constraints, dir, "append")
     val v = prevV + 1
     val d = writeData(df, dir, v)
     publish(spark, dir, Manifest(v, "append", prev.schemaJson, prev.dirs :+ d,
       prev.stats ++ statsFor(spark, d, statsCols), prev.dvs,
-      prev.blooms ++ bloomsFor(spark, d, bloomCols)))
+      prev.blooms ++ bloomsFor(spark, d, bloomCols), prev.constraints))
     v
   }
 
@@ -296,13 +362,14 @@ object TableLog {
       .fromJson(prev.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val evolved = SchemaDrift.gateAdditive(registered, df.schema)
+    requireConstraints(df, prev.constraints, dir, "evolve-append")
     val v = prevV + 1
     // write in the evolved column ORDER so all post-evolution dirs share
     // one layout (readers match by name; this is for humans + scanners)
     val d = writeData(df.select(evolved.fieldNames.map(col).toSeq: _*), dir, v)
     publish(spark, dir, Manifest(v, "evolve-append", evolved.json,
       prev.dirs :+ d, prev.stats ++ statsFor(spark, d, statsCols), prev.dvs,
-      prev.blooms))
+      prev.blooms, prev.constraints))
     v
   }
 
@@ -361,9 +428,16 @@ object TableLog {
     * remain readable until vacuumed. The new schema WINS (overwrite is
     * the sanctioned full-rewrite evolution path). */
   def overwrite(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    val v = latestVersion(spark, dir).map(_ + 1).getOrElse(0L)
+    val prevOpt = latestVersion(spark, dir)
+    // an overwrite replaces DATA, not table identity: registered
+    // constraints survive and gate the replacement rows too
+    val cons = prevOpt.map(readManifest(spark, dir, _).constraints)
+      .getOrElse(Seq.empty)
+    requireConstraints(df, cons, dir, "overwrite")
+    val v = prevOpt.map(_ + 1).getOrElse(0L)
     val d = writeData(df, dir, v)
-    publish(spark, dir, Manifest(v, "overwrite", df.schema.json, Seq(d)))
+    publish(spark, dir, Manifest(v, "overwrite", df.schema.json, Seq(d),
+      constraints = cons))
     v
   }
 
@@ -459,7 +533,8 @@ object TableLog {
     // snapshot read (DVs applied) → the rewrite MATERIALIZES pending
     // deletes; the new manifest carries no deletion vectors
     readVersion(spark, dir, prevV).repartition(parts).write.parquet(d)
-    publish(spark, dir, Manifest(v, "compact", prev.schemaJson, Seq(d)))
+    publish(spark, dir, Manifest(v, "compact", prev.schemaJson, Seq(d),
+      constraints = prev.constraints))
     v
   }
 
@@ -491,7 +566,7 @@ object TableLog {
       .drop("__z")
       .write.parquet(d)
     publish(spark, dir, Manifest(v, "zorder", prev.schemaJson, Seq(d),
-      statsFor(spark, d, statCols)))
+      statsFor(spark, d, statCols), constraints = prev.constraints))
     v
   }
 
@@ -513,12 +588,14 @@ object TableLog {
       .getOrElse(sys.error(s"table $dir does not exist"))
     val prev = readManifest(spark, dir, prevV)
     requireSameSchema(updates, prev, dir)
+    requireConstraints(updates, prev.constraints, dir, "merge")
     val next = readVersion(spark, dir, prevV)
       .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates)
     val v = prevV + 1
     val d = writeData(next, dir, v)
-    publish(spark, dir, Manifest(v, "merge", prev.schemaJson, Seq(d)))
+    publish(spark, dir, Manifest(v, "merge", prev.schemaJson, Seq(d),
+      constraints = prev.constraints))
     v
   }
 
@@ -533,7 +610,8 @@ object TableLog {
     val next = readVersion(spark, dir, prevV).filter(!predicate)
     val v = prevV + 1
     val d = writeData(next, dir, v)
-    publish(spark, dir, Manifest(v, "delete", prev.schemaJson, Seq(d)))
+    publish(spark, dir, Manifest(v, "delete", prev.schemaJson, Seq(d),
+      constraints = prev.constraints))
     v
   }
 
@@ -561,7 +639,8 @@ object TableLog {
     val d = s"$dir/data/v$v-dv-${java.util.UUID.randomUUID()}"
     keys.select(keyCols.map(col): _*).distinct().write.parquet(d)
     publish(spark, dir, Manifest(v, "delete-dv", prev.schemaJson, prev.dirs,
-      prev.stats, prev.dvs :+ Dv(d, keyCols, prev.dirs.size)))
+      prev.stats, prev.dvs :+ Dv(d, keyCols, prev.dirs.size),
+      constraints = prev.constraints))
     v
   }
 
@@ -592,12 +671,15 @@ object TableLog {
       val v = prevOpt.map(_ + 1).getOrElse(0L)
       val prevM = prevOpt.map(readManifest(spark, dir, _))
       prevM.foreach(m => requireSameSchema(df, m, dir))
+      prevM.foreach(m =>
+        requireConstraints(df, m.constraints, dir, s"append:batch=$batchId"))
       val prevDirs = prevM.map(_.dirs).getOrElse(Seq.empty)
       val d = writeData(df, dir, v)
       publish(spark, dir,
         Manifest(v, s"append:batch=$batchId", df.schema.json, prevDirs :+ d,
           prevM.map(_.stats).getOrElse(Seq.empty),
-          prevM.map(_.dvs).getOrElse(Seq.empty)))
+          prevM.map(_.dvs).getOrElse(Seq.empty),
+          constraints = prevM.map(_.constraints).getOrElse(Seq.empty)))
       Some(v)
     }
   }
