@@ -16,6 +16,78 @@ import org.apache.spark.sql.functions._
   */
 object DataChecks {
 
+  /** 256-bin midpoint quantile table of Laplace(0, b=1) — the shared
+    * noise source for [[dq2]]'s deterministic DP release. Literal
+    * doubles: decimal→binary parse is correctly rounded on BOTH engines
+    * (Scala and DuckDB), so indexing this table is bit-identical
+    * cross-engine. Single source of truth — the oracle SQL's list
+    * literal is GENERATED from this array. */
+  private[graft] val laplace256: Array[Double] = Array(
+    -5.545177444479562, -4.446565155811453, -3.9357395320454622, -3.5992672954242493,
+    -3.347952867143343, -3.147282171681192, -2.9802280870180256, -2.8371272433773522,
+    -2.7119641004233466, -2.600738465313122, -2.5006550067561393, -2.4096832285504126,
+    -2.3263016196113617, -2.2493405784752336, -2.1778816144930886, -2.111190239994416,
+    -2.048669883013082, -1.9898293829901488, -1.934259531835338, -1.881615798349916,
+    -1.8316053777752546, -1.7839773287860001, -1.7385149547092427, -1.6950298427695039,
+    -1.6533571463689358, -1.6133518117552368, -1.5748855309274405, -1.5378442592470916,
+    -1.5021261766450122, -1.467640000573843, -1.4343035803062512, -1.4020427180880297,
+    -1.3707901745839253, -1.3404848250885963, -1.311070939882303, -1.282497567438247,
+    -1.2547180033311713, -1.227689330943252, -1.2013720226258786, -1.175729592012541,
+    -1.1507282898071236, -1.1263368366829645, -1.102526187989246, -1.0792693258249788,
+    -1.0565410747474226, -1.0343179379627125, -1.0125779513263065, -0.9913005528790216,
+    -0.9704664659761797, -0.9500575943449725, -0.930056927638303, -0.9104484562499267,
+    -0.8912170943220391, -0.8723486100176563, -0.8538295622504187, -0.8356472431672284,
+    -0.8177896257672219, -0.8002453161163124, -0.7830035096818063, -0.7660539513680331,
+    -0.7493868988828214, -0.732993089107145, -0.7168637071772613, -0.7009903580209712,
+    -0.6853650401178903, -0.6699801212784109, -0.6548283162578087, -0.639902666041133,
+    -0.6251965186514375, -0.6107035113488707, -0.5964175541013942, -0.5823328142196552,
+    -0.5684437020589881, -0.5547448577008262, -0.5412311385341033, -0.5278976076646381,
+    -0.514739523087127, -0.5017523275603158, -0.4889316391312544, -0.47627324225933093,
+    -0.4637730794950995, -0.4514272436728001, -0.4392319705789819, -0.42718363206280735,
+    -0.415278729556489, -0.40351388797690263, -0.39188584998178355, -0.38039147055604844,
+    -0.36902771190573336, -0.3577916386388075, -0.3466804132137367, -0.33569129163814154,
+    -0.32482161940123766, -0.31406882762497584, -0.3034304294199201, -0.2929040164329326,
+    -0.2824872555746769, -0.27217788591581565, -0.26197371574157396, -0.2518726197550701,
+    -0.24187253642048673, -0.23197146543777514, -0.2221674653411543, -0.2124586512141934,
+    -0.20284319251475147, -0.19331931100349597, -0.18388527877013736, -0.17453941635189968,
+    -0.16528009093910292, -0.15610571466306167, -0.14701474296180966, -0.13800567301944372,
+    -0.12907704227514236, -0.1202274269981598, -0.11145544092532282, -0.10275973395776894,
+    -0.09413899091386191, -0.08559193033540351, -0.07711730334443129, -0.06871389254805181,
+    -0.06038051098890748, -0.05211600113901402, -0.04391923393483549, -0.03578910785158528,
+    -0.027724548014854862, -0.01972450534777859, -0.01178795575204224, -0.003913899321136329,
+    0.003913899321136329, 0.01178795575204224, 0.01972450534777859, 0.027724548014854862,
+    0.03578910785158528, 0.04391923393483549, 0.05211600113901402, 0.06038051098890748,
+    0.06871389254805181, 0.07711730334443129, 0.08559193033540351, 0.09413899091386191,
+    0.10275973395776894, 0.11145544092532282, 0.1202274269981598, 0.12907704227514236,
+    0.13800567301944372, 0.14701474296180966, 0.15610571466306167, 0.16528009093910292,
+    0.17453941635189968, 0.18388527877013736, 0.19331931100349597, 0.20284319251475147,
+    0.2124586512141934, 0.2221674653411543, 0.23197146543777514, 0.24187253642048673,
+    0.2518726197550701, 0.26197371574157396, 0.27217788591581565, 0.2824872555746769,
+    0.2929040164329326, 0.3034304294199201, 0.31406882762497584, 0.32482161940123766,
+    0.33569129163814154, 0.3466804132137367, 0.3577916386388075, 0.36902771190573336,
+    0.38039147055604844, 0.39188584998178355, 0.40351388797690263, 0.415278729556489,
+    0.42718363206280735, 0.4392319705789819, 0.4514272436728001, 0.4637730794950995,
+    0.47627324225933093, 0.4889316391312544, 0.5017523275603158, 0.514739523087127,
+    0.5278976076646381, 0.5412311385341033, 0.5547448577008262, 0.5684437020589881,
+    0.5823328142196552, 0.5964175541013942, 0.6107035113488707, 0.6251965186514375,
+    0.639902666041133, 0.6548283162578087, 0.6699801212784109, 0.6853650401178903,
+    0.7009903580209712, 0.7168637071772613, 0.732993089107145, 0.7493868988828214,
+    0.7660539513680331, 0.7830035096818063, 0.8002453161163124, 0.8177896257672219,
+    0.8356472431672284, 0.8538295622504187, 0.8723486100176563, 0.8912170943220391,
+    0.9104484562499267, 0.930056927638303, 0.9500575943449725, 0.9704664659761797,
+    0.9913005528790216, 1.0125779513263065, 1.0343179379627125, 1.0565410747474226,
+    1.0792693258249788, 1.102526187989246, 1.1263368366829645, 1.1507282898071236,
+    1.175729592012541, 1.2013720226258786, 1.227689330943252, 1.2547180033311713,
+    1.282497567438247, 1.311070939882303, 1.3404848250885963, 1.3707901745839253,
+    1.4020427180880297, 1.4343035803062512, 1.467640000573843, 1.5021261766450122,
+    1.5378442592470916, 1.5748855309274405, 1.6133518117552368, 1.6533571463689358,
+    1.6950298427695039, 1.7385149547092427, 1.7839773287860001, 1.8316053777752546,
+    1.881615798349916, 1.934259531835338, 1.9898293829901488, 2.048669883013082,
+    2.111190239994416, 2.1778816144930886, 2.2493405784752336, 2.3263016196113617,
+    2.4096832285504126, 2.5006550067561393, 2.600738465313122, 2.7119641004233466,
+    2.8371272433773522, 2.9802280870180256, 3.147282171681192, 3.347952867143343,
+    3.5992672954242493, 3.9357395320454622, 4.446565155811453, 5.545177444479562)
+
   sealed trait Check { def name: String; def column: String }
   /** violations = rows where `col` is null; pass iff ≤ maxViolations. */
   final case class NotNull(column: String, maxViolations: Long = 0L) extends Check {
@@ -123,6 +195,42 @@ object DataChecks {
         InRange("o_totalprice", 1000L, 200000L)))
         .drop("passed") // booleans formatted engine-specifically; the
                         // integer metrics ARE the check (passed = v<=max)
+    },
+
+    // R106 — deterministic differentially-private count release (the
+    // governance sibling of k-anonymity R97 / pseudonymization L45):
+    // per-group order counts released with Laplace(1/ε) noise,
+    // sensitivity 1, ε = 1. The "randomness" is the q96 salted-md5
+    // idiom: a group's noise draw indexes the SHARED 256-bin Laplace
+    // quantile table ([[laplace256]] — the oracle's list literal is
+    // generated from the same array), so the release is retry-stable
+    // and layout-invariant, and the oracle hash-match certifies the
+    // whole mechanism. Deliberately a DEMO of the release shape: a
+    // production ε-budget ledger decides WHEN a release may happen;
+    // per-release noise being a pure function of (group, salt) means
+    // REPEATED releases reuse the same draw — i.e. re-release costs no
+    // extra budget, the documented tradeoff of deterministic noise.
+    // The true count never leaves this query's internals.
+    Q(
+      "dq2_dp_release",
+      s"""WITH c AS (
+        |  SELECT o_orderpriority AS grp, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT grp, 1000 AS epsilon_permille,
+        |  CAST(n AS DOUBLE) +
+        |    ([${laplace256.map(_.toString + "e0").mkString(", ")}])[
+        |      CAST(concat('0x', substring(md5(grp || ':dp1'), 1, 2)) AS INT) + 1]
+        |    AS noisy_count
+        |FROM c ORDER BY grp""".stripMargin
+    ) { (s, d) =>
+      val lap = array(laplace256.map(lit).toIndexedSeq: _*)
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("grp")).agg(count(lit(1)).as("n"))
+        .select(col("grp"), lit(1000).as("epsilon_permille"),
+          (col("n").cast("double") +
+            element_at(lap,
+              expr("CAST(conv(substring(md5(CAST(concat(grp, ':dp1') AS BINARY)), 1, 2), 16, 10) AS INT)") + 1))
+            .as("noisy_count"))
+        .orderBy("grp")
     }
   )
 }

@@ -927,6 +927,86 @@ object EventOps {
         .agg(count(lit(1)).as("n_hours"),
           (sum("dv").cast("double") / count(lit(1)).cast("double")).as("seasonal"))
         .orderBy("event_type", "hh")
+    },
+
+    // T43 — Holt double-exponential-smoothing forecast (level + trend),
+    // the first FORECASTING entry: per event type, daily zero-filled
+    // counts (ev5's spine) fold through the Holt recurrence l' =
+    // α·x + (1−α)(l+t), t' = β(l'−l) + (1−β)t with DYADIC α=1/2,
+    // β=1/4, then project h = 1..7 days ahead. Cross-engine EXACT like
+    // q93: the fold is a FIXED-ORDER left fold (Spark `aggregate` ≡
+    // DuckDB `list_transform`+`list_reduce`, seeded {x₀, 0}) of
+    // correctly-rounded IEEE ops written as the IDENTICAL expression
+    // tree on both engines — no rounding, hash-equal doubles. The per-
+    // type series is CALENDAR-bounded, so the fold arrays are tiny at
+    // any corpus scale; the only fact-sized work is the day aggregate.
+    Q(
+      "ev35_holt_forecast",
+      """WITH bounds AS (
+        |  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+        |  FROM events),
+        |spine AS (
+        |  SELECT g.g AS dy, t.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+        |                                      (SELECT d1 FROM bounds),
+        |                                      INTERVAL 1 DAY)) AS g) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |actual AS (
+        |  SELECT date_trunc('day', ts) AS dy, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT s.event_type, s.dy, CAST(coalesce(a.n, 0) AS DOUBLE) AS x
+        |  FROM spine s LEFT JOIN actual a
+        |    ON s.dy = a.dy AND s.event_type = a.event_type),
+        |arrs AS (
+        |  SELECT event_type, list(x ORDER BY dy) AS xs FROM series GROUP BY 1),
+        |fit AS (
+        |  -- state rides a 2-LIST [l, t], NOT a struct: DuckDB's
+        |  -- struct_pack inside a reduce lambda REBINDS acc.<field> to
+        |  -- the newly computed field mid-struct (sequential-assignment
+        |  -- semantics), silently corrupting any recurrence that reads
+        |  -- the old value — found numerically during bring-up; list
+        |  -- construction evaluates both elements against the OLD acc
+        |  SELECT event_type,
+        |    list_reduce(list_transform(xs, v -> [v, 0.0e0]),
+        |      (acc, x) -> [
+        |        0.5e0 * x[1] + 0.5e0 * (acc[1] + acc[2]),
+        |        0.25e0 * ((0.5e0 * x[1] + 0.5e0 * (acc[1] + acc[2])) - acc[1])
+        |             + 0.75e0 * acc[2]]) AS st
+        |  FROM arrs)
+        |SELECT event_type, h.h AS h,
+        |  st[1] + CAST(h.h AS DOUBLE) * st[2] AS forecast
+        |FROM fit CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+        |ORDER BY event_type, h""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(date_trunc("day", min("ts")).as("d0"),
+        date_trunc("day", max("ts")).as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("dy"))
+        .crossJoin(ev.select("event_type").distinct())
+      val actual = ev.groupBy(date_trunc("day", col("ts")).as("dy"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val series = spine.join(actual, Seq("dy", "event_type"), "left")
+        .select(col("event_type"), col("dy"),
+          coalesce(col("n"), lit(0L)).cast("double").as("x"))
+      val arrs = series.groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(dy, x))), s -> s.x)")
+          .as("xs"))
+      val fit = arrs.select(col("event_type"), expr(
+        """aggregate(slice(xs, 2, size(xs) - 1),
+          |  named_struct('l', element_at(xs, 1), 't', CAST(0.0 AS DOUBLE)),
+          |  (acc, v) -> named_struct(
+          |    'l', 0.5D * v + 0.5D * (acc.l + acc.t),
+          |    't', 0.25D * ((0.5D * v + 0.5D * (acc.l + acc.t)) - acc.l)
+          |         + 0.75D * acc.t))""".stripMargin).as("st"))
+      fit.crossJoin(spark_range_h(s))
+        .select(col("event_type"), col("h"),
+          (col("st.l") + col("h").cast("double") * col("st.t")).as("forecast"))
+        .orderBy("event_type", "h")
     }
   )
+
+  private def spark_range_h(s: org.apache.spark.sql.SparkSession) =
+    s.range(1, 8).select(col("id").as("h"))
 }
