@@ -217,6 +217,15 @@ class TableLogCatalog extends TableCatalog with SupportsNamespaces {
   * V1_BATCH_WRITE + TRUNCATE via [[TableLog.append]]/[[TableLog.overwrite]]. */
 private[v2] class GraftLogTable(dir: String, version: Long)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  // NOT SupportsRowLevelOperations: SQL UPDATE / MERGE INTO ride the
+  // group-based rewrite framework, whose ReplaceData plan requires a
+  // NATIVE V2 Batch scan (BatchScanExec calls Scan.toBatch — verified
+  // empirically; the V1Scan bridge is not honored there). Providing one
+  // would mean re-implementing parquet reading + DV subtraction inside
+  // a connector scan for no semantic gain — UPDATE/MERGE stay on the
+  // native API (TableLog.merge / delete / deleteByKey), and wiring the
+  // interface anyway would silently BREAK the SupportsDelete fast path
+  // (the rewrite is preferred over it when both exist).
 
   private def spark = SparkSession.active
   private lazy val manifest = TableLog.readManifest(spark, dir, version)
