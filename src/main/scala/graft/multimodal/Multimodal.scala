@@ -289,6 +289,159 @@ object Multimodal {
       } catch { case _: Exception => None }
   }
 
+  /** ---- REAL image EXIF metadata (JPEG APP1 / TIFF IFD) --------------
+    * The metadata side of the image path: orientation, camera
+    * make/model, capture datetime and the declared pixel dimensions
+    * live in the JPEG's APP1 segment as a little TIFF file — a plain
+    * byte-level walk, no codec needed (the [[VideoContainer]] move for
+    * stills). Handles both byte orders ("II"/"MM"), inline vs
+    * offset-stored ASCII values, SHORT and LONG dimension types, and
+    * truncated/corrupt payloads (None — callers fall back, never
+    * abort). A 100 TB image catalog (rotation fix-up, per-camera
+    * counts, capture-time partitioning) is buildable from this without
+    * decoding a single pixel.
+    */
+  object ExifParser {
+    case class ExifMeta(orientation: Int, make: String, model: String,
+                        dateTime: String, pxWidth: Int, pxHeight: Int)
+
+    def parseJpegExif(b: Array[Byte]): Option[ExifMeta] =
+      try {
+        if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+          return None
+        // walk JPEG segments for APP1 "Exif\0\0"
+        var o = 2
+        var tiff = -1
+        var tiffEnd = -1
+        while (tiff < 0 && o + 4 <= b.length && (b(o) & 0xff) == 0xff) {
+          val marker = b(o + 1) & 0xff
+          if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no EXIF
+          val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+          if (len < 2 || o + 2 + len > b.length) return None
+          if (marker == 0xe1 && len >= 8 &&
+              new String(b, o + 4, 4, "ISO-8859-1") == "Exif") {
+            tiff = o + 10; tiffEnd = o + 2 + len
+          }
+          o += 2 + len
+        }
+        if (tiff < 0) return None
+        parseTiff(b, tiff, tiffEnd)
+      } catch { case _: Exception => None }
+
+    /** Parse the TIFF blob at [base, end): IFD0 tags + the EXIF sub-IFD
+      * dimension tags. */
+    def parseTiff(b: Array[Byte], base: Int, end: Int): Option[ExifMeta] =
+      try {
+        val little = b(base) == 'I'.toByte && b(base + 1) == 'I'.toByte
+        val big = b(base) == 'M'.toByte && b(base + 1) == 'M'.toByte
+        if (!little && !big) return None
+        def u16(o: Int): Int =
+          if (little) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+          else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        def u32(o: Int): Long =
+          if (little) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+          else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+            ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+        if (u16(base + 2) != 42) return None
+        var orientation = 0; var make = ""; var model = ""; var dt = ""
+        var w = 0; var h = 0
+        def ascii(count: Int, valOff: Int): String = {
+          val start = if (count <= 4) valOff else (base + u32(valOff)).toInt
+          if (start + count > end) "" else
+            new String(b, start, count, "ISO-8859-1").takeWhile(_ != '\u0000')
+        }
+        def numeric(tpe: Int, valOff: Int): Int =
+          if (tpe == 3) u16(valOff) else u32(valOff).toInt // SHORT vs LONG
+        def walk(ifdOff: Int, inExif: Boolean): Unit = {
+          if (ifdOff + 2 > end) return
+          val n = u16(ifdOff)
+          for (i <- 0 until n) {
+            val e = ifdOff + 2 + i * 12
+            if (e + 12 <= end) {
+              // entry layout: tag(2) type(2) count(4) value-or-offset(4)
+              val tag = u16(e); val tpe = u16(e + 2)
+              val count = u32(e + 4).toInt
+              val valOff = e + 8
+              tag match {
+                case 0x0112 if !inExif => orientation = numeric(tpe, valOff)
+                case 0x010f if !inExif => make = ascii(count, valOff)
+                case 0x0110 if !inExif => model = ascii(count, valOff)
+                case 0x0132 if !inExif => dt = ascii(count, valOff)
+                case 0x8769 if !inExif => walk((base + u32(valOff)).toInt, inExif = true)
+                case 0xa002 if inExif => w = numeric(tpe, valOff)
+                case 0xa003 if inExif => h = numeric(tpe, valOff)
+                case _ => ()
+              }
+            }
+          }
+        }
+        walk((base + u32(base + 4)).toInt, inExif = false)
+        if (orientation == 0 && make.isEmpty && dt.isEmpty && w == 0) None
+        else Some(ExifMeta(orientation, make, model, dt, w, h))
+      } catch { case _: Exception => None }
+
+    // ---- deterministic EXIF writer (fixtures + the mm6 entry) --------
+
+    /** Little-endian TIFF blob with IFD0 {orientation, make, datetime,
+      * →ExifIFD} and ExifIFD {pixel dims as LONGs}. */
+    def buildTiffExif(orientation: Int, make: String, dateTime: String,
+                      pxW: Int, pxH: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+      val makeB = (make + "\u0000").getBytes("ISO-8859-1")
+      val dtB = (dateTime + "\u0000").getBytes("ISO-8859-1")
+      // TIFF value rule: payloads ≤ 4 bytes live INLINE in the value
+      // field (padded), longer ones at an offset — the parser honors
+      // the rule, so the builder must too (a 3-char make is inline)
+      def asciiEntry(tag: Int, bytes: Array[Byte], off: Int): Unit = {
+        w16(tag); w16(2); w32(bytes.length)
+        if (bytes.length <= 4) {
+          bytes.foreach(x => out.write(x & 0xff))
+          (bytes.length until 4).foreach(_ => out.write(0))
+        } else w32(off)
+      }
+      def tailLen(bytes: Array[Byte]): Int = if (bytes.length <= 4) 0 else bytes.length
+      // layout: hdr(8) IFD0(2+4*12+4) exifIFD(2+2*12+4) [make] [dt]
+      val ifd0 = 8
+      val exifIfd = ifd0 + 2 + 4 * 12 + 4
+      val makeOff = exifIfd + 2 + 2 * 12 + 4
+      val dtOff = makeOff + tailLen(makeB)
+      out.write('I'); out.write('I'); w16(42); w32(ifd0)
+      w16(4) // IFD0 entries
+      w16(0x0112); w16(3); w32(1); w16(orientation); w16(0)
+      asciiEntry(0x010f, makeB, makeOff)
+      asciiEntry(0x0132, dtB, dtOff)
+      w16(0x8769); w16(4); w32(1); w32(exifIfd)
+      w32(0) // next IFD
+      w16(2) // Exif IFD entries
+      w16(0xa002); w16(4); w32(1); w32(pxW)
+      w16(0xa003); w16(4); w32(1); w32(pxH)
+      w32(0)
+      if (makeB.length > 4) out.write(makeB)
+      if (dtB.length > 4) out.write(dtB)
+      out.toByteArray
+    }
+
+    /** Wrap `tiff` in a JPEG APP1 segment spliced after `jpeg`'s SOI —
+      * the output still decodes wherever `jpeg` did (decoders skip
+      * unknown APP segments). */
+    def spliceExifApp1(jpeg: Array[Byte], tiff: Array[Byte]): Array[Byte] = {
+      require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff
+        && (jpeg(1) & 0xff) == 0xd8, "not a JPEG")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0xff); out.write(0xd8)
+      out.write(0xff); out.write(0xe1)
+      val len = 2 + 6 + tiff.length
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write("Exif".getBytes("ISO-8859-1")); out.write(0); out.write(0)
+      out.write(tiff)
+      out.write(jpeg, 2, jpeg.length - 2)
+      out.toByteArray
+    }
+  }
+
   /** ---- STUB CODEC (video FRAMES only) -------------------------------
     * Deterministic fake decode: byte statistics standing in for
     * video-frame decode. Images ([[ImageCodec]]) and WAV/AIFF/AU audio

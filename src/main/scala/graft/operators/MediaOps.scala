@@ -66,6 +66,39 @@ object MediaOps {
     // shuffle; after the hash pass everything is 8 bytes/asset. The
     // expected pair set (exactly the 20 original↔edit pairs) is pinned
     // by MultimodalSpec; rows-only here (no DuckDB image decode).
+    // L64 — REAL EXIF metadata extraction over a JPEG lake: ten
+    // generated JPEGs (real ImageIO encode) each get a spliced APP1/TIFF
+    // EXIF segment, land on disk, ingest through the binaryFile lake
+    // path, and the byte-level TIFF-IFD parser recovers orientation/
+    // make/datetime/declared dims WITHOUT decoding a pixel — the stills
+    // analogue of the MP4 box parser, and the rotation-fixup/capture-
+    // time-partitioning input a 100 TB image catalog needs. Output keys
+    // on the EXIF fields themselves (asset ids hash the temp path —
+    // unstable across runs by design). Rows-only; ExifSpec pins the
+    // parser on round-trip, golden big-endian bytes, interop (spliced
+    // files still decode), and corrupt fallbacks.
+    Q.rowsOnly("mm6_exif_metadata") { (s, d) =>
+      import s.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("exif_lake")
+      for (i <- 0 until 10) {
+        val img = Multimodal.ImageCodec.syntheticPattern(i.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val bytes = Multimodal.ExifParser.spliceExifApp1(bos.toByteArray,
+          Multimodal.ExifParser.buildTiffExif(i % 8 + 1, "graftcam",
+            f"2026:08:${i + 1}%02d 00:00:00", 640 + i, 480 + i))
+        java.nio.file.Files.write(dir.resolve(f"img$i%02d.jpg"), bytes)
+      }
+      Multimodal.ingestBinaryDir(s, dir.toString, "*.jpg")
+        .mapPartitions(_.flatMap(a =>
+          Multimodal.ExifParser.parseJpegExif(a.payload)))
+        .toDF()
+        .select(col("make"), col("orientation").cast("long").as("orientation"),
+          col("pxWidth").cast("long").as("px_w"),
+          col("pxHeight").cast("long").as("px_h"), col("dateTime").as("taken"))
+        .orderBy("px_w")
+    },
+
     Q.rowsOnly("mm5_image_neardup") { (s, d) =>
       import s.implicits._
       val assets: org.apache.spark.sql.Dataset[Multimodal.Asset] =
