@@ -491,6 +491,43 @@ object TableLog {
       latestVersion(spark, dir)
         .getOrElse(sys.error(s"table $dir does not exist")))
 
+  /** Snapshot row count WITHOUT scanning data: parquet footers carry
+    * exact per-file record counts, so COUNT(*) is an O(files)
+    * metadata read (executed as a tiny distributed job over the file
+    * list — at lake scale footer reads parallelize like any scan, but
+    * move no row data). Tables with pending deletion vectors fall back
+    * to the real snapshot count (the DV subtraction is an anti-join —
+    * a metadata count would overcount deleted rows); the fast path
+    * resumes after any rewrite commit materializes the DVs. A
+    * production format caches these counts in the manifest at commit
+    * time; reading footers keeps every PRE-EXISTING table eligible
+    * with zero manifest migration. */
+  def fastCount(spark: SparkSession, dir: String): Long = {
+    val v = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist"))
+    val m = readManifest(spark, dir, v)
+    if (m.dvs.nonEmpty) readVersion(spark, dir, v).count()
+    else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val files = m.dirs.flatMap { d =>
+        val p = new Path(d)
+        val fs = fsFor(spark, p)
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      }
+      if (files.isEmpty) 0L
+      else spark.sparkContext.parallelize(files, math.min(files.size, 32))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf.value)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum().toLong
+    }
+  }
+
   /** Rows added between `fromVersion` (exclusive) and `toVersion`
     * (inclusive): the set-diff of the two manifests' dir lists, read as
     * one scan. O(manifest) planning — the CDC feed for downstream

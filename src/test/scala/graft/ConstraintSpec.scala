@@ -79,6 +79,27 @@ class ConstraintSpec extends SparkSpecBase {
     assert(TableLog.read(spark, dir).count() === 2)
   }
 
+  test("fastCount: footer counts equal the scan count across the commit lifecycle") {
+    import spark.implicits._
+    val dir = tmp()
+    TableLog.create(spark, (0L until 100L).map(i => (i, i % 7)).toDF("k", "v"), dir)
+    assert(TableLog.fastCount(spark, dir) === 100L)
+    TableLog.append(spark, (100L until 130L).map(i => (i, i % 7)).toDF("k", "v"), dir)
+    assert(TableLog.fastCount(spark, dir) === 130L)
+    // merge-on-read DV: the fast path must NOT overcount — fallback
+    TableLog.deleteByKey(spark, Seq(1L, 2L, 3L).toDF("k"), dir, Seq("k"))
+    assert(TableLog.fastCount(spark, dir) === 127L)
+    assert(TableLog.fastCount(spark, dir) === TableLog.read(spark, dir).count())
+    // a rewrite commit materializes the DVs → footer path again
+    TableLog.compact(spark, dir)
+    assert(TableLog.readManifest(spark, dir,
+      TableLog.latestVersion(spark, dir).get).dvs.isEmpty)
+    assert(TableLog.fastCount(spark, dir) === 127L)
+    // copy-on-write delete keeps the fast path
+    TableLog.delete(spark, dir, org.apache.spark.sql.functions.col("k") < 10)
+    assert(TableLog.fastCount(spark, dir) === TableLog.read(spark, dir).count())
+  }
+
   test("multiple constraints enforce in ONE aggregate pass and all report") {
     val dir = tmp()
     TableLog.create(spark, Seq((1L, 10L, "a")).toDF("k", "v", "s"), dir)
