@@ -286,6 +286,54 @@ object Graph {
     labels
   }
 
+  /** k-truss decomposition (edge analogue of [[kCore]]): repeatedly
+    * delete edges supported by fewer than k−2 triangles until a fixed
+    * point — the surviving subgraph is the k-truss, a strictly denser
+    * community signal than k-core (every edge sits in ≥ k−2 triangles
+    * of the SURVIVING graph, so cascades prune bridge edges k-core
+    * keeps). Per round: one gr3-style two-join triangle enumeration
+    * (u<v<w orientation, each triangle counted once, fan-out Σd(v)² —
+    * never node×node) + a 3-way edge-support explode + one semi-join
+    * prune; frames localCheckpoint'd. Rounds = peel depth; running out
+    * of `maxIter` raises — never a silent non-fixpoint. Returns
+    * surviving `(u, v, support)`. */
+  def kTruss(edges: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    require(k >= 3, s"kTruss: k must be >= 3, got $k")
+    var e = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint(true)
+    var n = e.count()
+    var it = 0
+    var result: DataFrame = null
+    while (result == null) {
+      it += 1
+      require(it <= maxIter,
+        s"kTruss: still peeling after $maxIter rounds — raise maxIter")
+      // triangles u<v<w: (u,v) ⨝ (v,w) ⨝ (u,w)
+      val tri = e.as("ab")
+        .join(e.select(col("u").as("v"), col("v").as("w")).as("bc"), Seq("v"))
+        .join(e.select(col("u"), col("v").as("w")).as("ac"), Seq("u", "w"))
+        .select(col("u"), col("v"), col("w"))
+      val support = tri.select(
+          explode(array(
+            struct(col("u").as("a"), col("v").as("b")),
+            struct(col("u").as("a"), col("w").as("b")),
+            struct(col("v").as("a"), col("w").as("b")))).as("e"))
+        .groupBy(col("e.a").as("u"), col("e.b").as("v"))
+        .agg(count(lit(1)).as("support"))
+      val kept = e.join(support, Seq("u", "v"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .localCheckpoint(true)
+      val n2 = kept.select("u", "v").count()
+      if (n2 == n) result = kept.select(col("u"), col("v"),
+        coalesce(col("support"), lit(0L)).as("support"))
+      else { e = kept.select("u", "v").localCheckpoint(true); n = n2 }
+    }
+    result
+  }
+
   /** Harmonic centrality from `sources` (k-pivot estimator; exact when
     * pivots = all nodes): H(v) = Σ_{s≠v} 1/d(s,v) over UNDIRECTED
     * shortest-path distances, held in 1e9 fixed point — each term is
@@ -1269,6 +1317,23 @@ object Graph {
       val pivots = docs.filter(col("doc_id") < 12).select(col("doc_id").as("node"))
       harmonic(e, pivots, maxDepth = 8, truncate = true)
         .orderBy(desc("harm_e9"), col("node")).limit(20)
+    },
+
+    // R107 — 3-truss over the 3-out functional graph (edge-level dense
+    // cores beside gr6's node-level k-core): the edges that survive in
+    // at least one triangle OF THE SURVIVING GRAPH — sparse functional
+    // graphs have few overlapping triangles, so higher k empties here
+    // (the cascade fixtures in KTrussSpec exercise k=4..6 on cliques).
+    // Rows-only: fixpoint edge peeling has no portable recursive CTE;
+    // KTrussSpec pins cascade semantics (shared-edge collapse, clique
+    // preservation) against a sequential same-rule reference.
+    Q.rowsOnly("gr20_ktruss") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+      kTruss(e, k = 3).orderBy("u", "v")
     },
 
     // R103 — Louvain-style modularity refinement seeded by gr5's LPA
