@@ -430,6 +430,9 @@ object Multimodal {
     def spliceExifApp1(jpeg: Array[Byte], tiff: Array[Byte]): Array[Byte] = {
       require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff
         && (jpeg(1) & 0xff) == 0xd8, "not a JPEG")
+      require(tiff.length <= 65527,
+        s"EXIF TIFF blob ${tiff.length} B exceeds the 16-bit APP1 segment " +
+          "limit (65527) — a wrapped length would emit a corrupt JPEG")
       val out = new java.io.ByteArrayOutputStream()
       out.write(0xff); out.write(0xd8)
       out.write(0xff); out.write(0xe1)

@@ -1159,10 +1159,17 @@ object Corpus {
         |pr AS (
         |  SELECT a.source AS s1, b.source AS s2, count(*) AS inter
         |  FROM tk a JOIN tk b ON a.term = b.term AND a.source < b.source
-        |  GROUP BY 1, 2)
-        |SELECT s1, s2, inter,
-        |  (inter * 1000) // (z1.v + z2.v - inter) AS jac_permille
-        |FROM pr JOIN sz z1 ON s1 = z1.source JOIN sz z2 ON s2 = z2.source
+        |  GROUP BY 1, 2),
+        |-- every s1<s2 pair appears, DISJOINT ones included (inter 0) —
+        |-- "these components share no words" is the most extreme readout
+        |-- and must not vanish from the report
+        |allp AS (
+        |  SELECT z1.source AS s1, z1.v AS v1, z2.source AS s2, z2.v AS v2
+        |  FROM sz z1 JOIN sz z2 ON z1.source < z2.source)
+        |SELECT s1, s2, coalesce(inter, 0) AS inter,
+        |  (coalesce(inter, 0) * 1000) // (v1 + v2 - coalesce(inter, 0))
+        |    AS jac_permille
+        |FROM allp LEFT JOIN pr USING (s1, s2)
         |ORDER BY s1, s2""".stripMargin
     ) { (s, d) =>
       val tk = Tables.documents(s, d)
@@ -1177,12 +1184,16 @@ object Corpus {
           col("a.term") === col("b.term") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
         .agg(count(lit(1)).as("inter"))
-      pr.join(broadcast(sz.select(col("source").as("s1"), col("v").as("v1"))),
-          Seq("s1"))
-        .join(broadcast(sz.select(col("source").as("s2"), col("v").as("v2"))),
-          Seq("s2"))
-        .select(col("s1"), col("s2"), col("inter"),
-          expr("(inter * 1000) DIV (v1 + v2 - inter)").as("jac_permille"))
+      // all s1<s2 pairs (|sources|² tiny frame) so DISJOINT pairs report
+      // inter = 0 instead of silently vanishing from the matrix
+      val allp = sz.select(col("source").as("s1"), col("v").as("v1"))
+        .join(sz.select(col("source").as("s2"), col("v").as("v2")),
+          col("s1") < col("s2"))
+      allp.join(broadcast(pr), Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"),
+          coalesce(col("inter"), lit(0L)).as("inter"),
+          expr("(coalesce(inter, 0) * 1000) DIV (v1 + v2 - coalesce(inter, 0))")
+            .as("jac_permille"))
         .orderBy("s1", "s2")
     }
   )

@@ -329,7 +329,7 @@ object Graph {
       val n2 = kept.select("u", "v").count()
       if (n2 == n) result = kept.select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))
-      else { e = kept.select("u", "v").localCheckpoint(true); n = n2 }
+      else { e = kept.select("u", "v"); n = n2 } // kept is already pinned
     }
     result
   }

@@ -284,7 +284,8 @@ object HypoTests {
     // stream's time range, integer-seconds midpoint both engines) and
     // POST-period cents Y; θ = cov(X,Y)/var(X) from EXACT pooled
     // moments (Σx, Σy, Σxy, Σx² — products decimal/HUGEINT), adjusted
-    // arm mean = ȳ_arm − θ·(x̄_arm − x̄_all). Two fixed-width shuffles
+    // arm mean = ȳ_arm − θ·(x̄_arm − x̄_all). The split instant is in
+    // integer MICROseconds on both engines. Two fixed-width shuffles
     // (user cell aggregate, then arm aggregate + a broadcast 1-row
     // pooled-moment frame); every reported float is the same fixed
     // double tree on both engines.
@@ -328,17 +329,17 @@ object HypoTests {
     ) { (s, d) =>
       val ev = graft.Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("sec"),
+          unix_micros(col("ts")).as("us"),
           round(col("value") * 100).cast("long").as("cents"))
       val rng = ev.agg(
-        ((min("sec") + max("sec")).cast("long")).as("midsum"))
+        ((min("us") + max("us")).cast("long")).as("midsum"))
         .select(expr("midsum DIV 2").as("mid"))
       val u = ev.crossJoin(broadcast(rng))
         .groupBy(col("user_id"), (col("user_id") % 2).as("arm"))
         .agg(
-          sum(when(col("event_type") === "purchase" && col("sec") < col("mid"),
+          sum(when(col("event_type") === "purchase" && col("us") < col("mid"),
             col("cents")).otherwise(0L)).as("x"),
-          sum(when(col("event_type") === "purchase" && col("sec") >= col("mid"),
+          sum(when(col("event_type") === "purchase" && col("us") >= col("mid"),
             col("cents")).otherwise(0L)).as("y"))
         .localCheckpoint(true) // consumed by pooled moments AND arm cells
       val mo = u.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
@@ -502,15 +503,15 @@ object HypoTests {
     ) { (s, d) =>
       val ev = graft.Tables.events(s, d)
         .filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("sec"),
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
           round(col("value") * 100).cast("long").as("cents"))
       val rng = graft.Tables.events(s, d)
-        .select(unix_micros(col("ts")).as("sec"))
-        .agg(((min("sec") + max("sec")).cast("long")).as("midsum"))
+        .select(unix_micros(col("ts")).as("us"))
+        .agg(((min("us") + max("us")).cast("long")).as("midsum"))
         .select(expr("midsum DIV 2").as("mid"))
       val cell = ev.crossJoin(broadcast(rng))
         .groupBy((col("user_id") % 2).as("arm"),
-          when(col("sec") < col("mid"), 0).otherwise(1).as("period"))
+          when(col("us") < col("mid"), 0).otherwise(1).as("period"))
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
       def mean(a: Int, p: Int) =
         max(when(col("arm") === a && col("period") === p,

@@ -262,10 +262,13 @@ object TableLog {
                                  constraints: Seq[(String, String)],
                                  dir: String, context: String): Unit =
     if (constraints.nonEmpty) {
+      // coalesce: sum() over an EMPTY batch is NULL — an empty append/
+      // micro-batch/snapshot violates nothing and must pass, not NPE
       val counts = df.agg(
         count(lit(1)).as("__n"),
         constraints.map { case (n, e) =>
-          sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n)
+          coalesce(sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)),
+            lit(0L)).as(n)
         }: _*).head
       val bad = constraints.zipWithIndex
         .map { case ((n, e), i) => (n, e, counts.getLong(i + 1)) }
@@ -281,8 +284,9 @@ object TableLog {
     * and every subsequent append/merge/overwrite batch is gated by it. */
   def addConstraint(spark: SparkSession, dir: String,
                     name: String, sqlExpr: String): Long = {
-    require(name.nonEmpty && !name.contains(";") && !name.contains("="),
-      s"addConstraint: '$name' — names must be simple identifiers")
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"addConstraint: '$name' — names must match [A-Za-z0-9_]+ (anything " +
+        "else, e.g. a newline, would corrupt the line-oriented manifest)")
     val prevV = latestVersion(spark, dir)
       .getOrElse(sys.error(s"table $dir does not exist"))
     val prev = readManifest(spark, dir, prevV)
@@ -513,8 +517,10 @@ object TableLog {
       val files = m.dirs.flatMap { d =>
         val p = new Path(d)
         val fs = fsFor(spark, p)
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq.map(_.getPath)
+        // loud like the scan path: a manifest-listed dir missing on disk
+        // is corruption — silently counting 0 would hide data loss
+        require(fs.exists(p), s"fastCount: data dir $d of $dir is missing")
+        fs.listStatus(p).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).map(_.toString)
       }
       if (files.isEmpty) 0L

@@ -68,6 +68,29 @@ class ConstraintSpec extends SparkSpecBase {
       TableLog.append(spark, Seq((3L, -3L)).toDF("k", "v"), dir))
   }
 
+  test("an EMPTY batch violates nothing — it must pass, not NPE") {
+    val dir = tmp()
+    TableLog.create(spark, Seq((1L, 10L)).toDF("k", "v"), dir)
+    TableLog.addConstraint(spark, dir, "v_pos", "v > 0")
+    TableLog.append(spark,
+      Seq.empty[(Long, Long)].toDF("k", "v"), dir) // sum() over 0 rows is NULL
+    assert(TableLog.read(spark, dir).count() === 1)
+    // and a table CREATED empty can take its first constraint
+    val dir2 = tmp()
+    TableLog.create(spark, Seq.empty[(Long, Long)].toDF("k", "v"), dir2)
+    TableLog.addConstraint(spark, dir2, "v_pos", "v > 0")
+  }
+
+  test("constraint names are whitelisted — a newline would corrupt the manifest") {
+    val dir = tmp()
+    TableLog.create(spark, Seq((1L, 10L)).toDF("k", "v"), dir)
+    for (bad <- Seq("a\nb", "a;b", "a=b", "", "a b"))
+      intercept[IllegalArgumentException](
+        TableLog.addConstraint(spark, dir, bad, "v > 0"))
+    // the table is still readable after every refusal
+    assert(TableLog.read(spark, dir).count() === 1)
+  }
+
   test("drop is loud on absent names and actually lifts the gate") {
     val dir = tmp()
     TableLog.create(spark, Seq((1L, 10L)).toDF("k", "v"), dir)

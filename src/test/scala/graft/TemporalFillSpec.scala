@@ -7,7 +7,7 @@ class TemporalFillSpec extends SparkSpecBase {
     import spark.implicits._
     val ev = Tables.events(spark, sf0001)
       .select($"event_id", $"user_id", $"event_type", $"value",
-        $"ts".cast("long").as("tsl"))
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("tsl"))
       .as[(Long, Long, String, Double, Long)].collect()
     val ref: Map[Long, Option[Double]] = ev.groupBy(_._2).iterator.flatMap {
       case (_, es) =>
