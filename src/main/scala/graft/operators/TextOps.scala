@@ -454,6 +454,63 @@ object TextOps {
         .select(col("doc_id"), col("chunk_idx"), col("chunk"))
         .withColumn("n_tok", size(split(col("chunk"), "\\s+")).cast("long"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // L65 — C4-style cleaning-rule report (the Raffel et al. 2020 web-
+    // text recipe, ADAPTED to this corpus so every rule discriminates —
+    // the synthetic docs carry no punctuation/braces, so C4's literal
+    // terminal-punctuation/brace/lorem rules are replaced by the
+    // recipe's other members: minimum length, must-contain-a-stopword,
+    // stopword-saturation, and word-shape sanity): per-rule violation
+    // counts plus the kept-set size in ONE scan — word counts, stopword
+    // counts (higher-order `filter`, no explode) and the DIV-integral
+    // mean word length are all scan-local codegen'd arithmetic. The
+    // REPORT form (violations per rule, not just a kept set) is what a
+    // pipeline owner tunes against; tx3/tx15 carry the Gopher-style
+    // numeric side. All-integer output.
+    Q(
+      "tx36_c4_filters",
+      """WITH t AS (SELECT string_split(text, ' ') AS a FROM documents),
+        |f AS (
+        |  SELECT len(a) AS w,
+        |    len(list_filter(a, x -> x = 'a' OR x = 'the')) AS stop,
+        |    (10 * len(array_to_string(a, ''))) // len(a) AS ml10
+        |  FROM t),
+        |r AS (
+        |  SELECT
+        |    CASE WHEN w < 30 THEN 1 ELSE 0 END AS too_short,
+        |    CASE WHEN stop = 0 THEN 1 ELSE 0 END AS no_stopword,
+        |    CASE WHEN 5 * stop > w THEN 1 ELSE 0 END AS stopword_heavy,
+        |    CASE WHEN ml10 BETWEEN 35 AND 45 THEN 0 ELSE 1 END AS odd_word_len
+        |  FROM f)
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(too_short) AS BIGINT) AS too_short,
+        |  CAST(sum(no_stopword) AS BIGINT) AS no_stopword,
+        |  CAST(sum(stopword_heavy) AS BIGINT) AS stopword_heavy,
+        |  CAST(sum(odd_word_len) AS BIGINT) AS odd_word_len,
+        |  CAST(sum(CASE WHEN too_short + no_stopword + stopword_heavy
+        |                     + odd_word_len = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM r""".stripMargin
+    ) { (s, d) =>
+      val f = Tables.documents(s, d).select(
+        size(split(col("text"), " ")).cast("long").as("w"),
+        expr("CAST(size(filter(split(text, ' '), x -> x = 'a' OR x = 'the')) AS BIGINT)")
+          .as("stop"),
+        expr("""(10 * length(array_join(split(text, ' '), '')))
+               | DIV size(split(text, ' '))""".stripMargin).as("ml10"))
+      val r = f.select(
+        when(col("w") < 30, 1L).otherwise(0L).as("too_short"),
+        when(col("stop") === 0, 1L).otherwise(0L).as("no_stopword"),
+        when(lit(5) * col("stop") > col("w"), 1L).otherwise(0L)
+          .as("stopword_heavy"),
+        when(col("ml10").between(35, 45), 0L).otherwise(1L).as("odd_word_len"))
+      r.agg(count(lit(1)).as("n_docs"),
+        sum("too_short").as("too_short"), sum("no_stopword").as("no_stopword"),
+        sum("stopword_heavy").as("stopword_heavy"),
+        sum("odd_word_len").as("odd_word_len"),
+        sum(when(col("too_short") + col("no_stopword") + col("stopword_heavy")
+          + col("odd_word_len") === 0, 1L).otherwise(0L)).as("n_kept"))
     }
   )
 }
