@@ -1,0 +1,266 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Geospatial operators (r4, session 7) — the one analytics family the
+  * catalog did not yet cover: k-nearest-neighbour against a query set,
+  * radius self-join, tile aggregation, rectangle containment join, and
+  * convex-polygon containment.
+  *
+  * Coordinates are synthetic-but-deterministic: each key is mapped to a
+  * point on a planar [0,360e6)×[0,180e6) micro-degree grid with pure
+  * integer arithmetic (no trig, no floats), so every query below is
+  * exact-integer end to end and hash-matches the DuckDB oracle bit for
+  * bit. A real haversine (meters, WGS-84 mean radius) is provided as a
+  * column builder and pinned by GeoSpec against known city pairs — it
+  * stays out of the oracle path because libm sin/cos are not guaranteed
+  * to round identically across engines.
+  *
+  * Scale design (the point of the family): NONE of the Spark plans is
+  * the naive all-pairs form the oracle uses.
+  *  - geo2 buckets points into radius-sized grid cells and equi-joins a
+  *    3×3 neighbourhood explosion against home cells — candidate count
+  *    is O(points × local density), never O(n²), and the join is a plain
+  *    hash/SMJ shuffle on the cell key that AQE can skew-split.
+  *  - geo4 explodes each rectangle over the grid cells it covers
+  *    (sequence()) and equi-joins on the cell — the standard spatial-
+  *    index emulation when the box side is too big to broadcast.
+  *  - geo1 broadcasts the (small) query set and takes per-query top-k
+  *    through a window the RewriteWindowTopK rule can collapse to a
+  *    bounded heap — one scan of the big side, no shuffle of raw points.
+  *
+  * Reference intent: dias-hbp-sp8/Distributed-Query-Engine exposes
+  * declarative SQL over warehouse sources (DistributedQueryEngine.diff,
+  * RDBMSPushdown hunk); spatial predicates are standard analyst surface
+  * over the same relational model.
+  */
+object Geo {
+
+  /** Haversine great-circle distance in meters (WGS-84 mean radius).
+    * Spec-pinned (GeoSpec) — not oracle-checked, see file comment. */
+  def haversineMeters(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val r = lit(6371008.8)
+    val p1 = radians(lat1); val p2 = radians(lat2)
+    val dp = radians(lat2 - lat1); val dl = radians(lon2 - lon1)
+    val a = pow(sin(dp / 2), 2) + cos(p1) * cos(p2) * pow(sin(dl / 2), 2)
+    lit(2) * r * asin(sqrt(a))
+  }
+
+  /** Deterministic planar points for customers: id, px ∈ [0,360e6),
+    * py ∈ [0,180e6) micro-degrees (kept non-negative so integer DIV
+    * truncation ≡ floor on both engines), exact cents. px is a
+    * multiplicative mix of the key; py is QUADRATIC in the key — a
+    * linear py would put every point on a rank-1 lattice (maximal
+    * pairwise spacing — the first bring-up produced ZERO radius pairs),
+    * the square term breaks the lattice into ordinary scatter. */
+  private def custPoints(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      ((col("c_custkey") * 2654435761L) % 360000001L).as("px"),
+      ((((col("c_custkey") * col("c_custkey")) % 179424673L) * 48271L)
+        % 180000001L).as("py"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"))
+
+  private val ptsSql =
+    """pts AS (SELECT c_custkey AS id,
+      |  (c_custkey * 2654435761) % 360000001 AS px,
+      |  (((c_custkey * c_custkey) % 179424673) * 48271) % 180000001 AS py,
+      |  CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer)""".stripMargin
+
+  /** All point pairs within planar distance `r`, exact (a_id < b_id,
+    * squared distance out). Input: (id, px, py) non-negative. The plan
+    * is the grid trick — cell size = r, left side exploded over its 3×3
+    * cell neighbourhood, equi-joined against right home cells (one
+    * candidate per true pair, total recall — a pair within r differs by
+    * ≤1 cell per axis), exact d2 filter after. Candidates are
+    * O(n × local density), never O(n²); the join shuffles on (jx, jy)
+    * and AQE can split a hot cell. */
+  def radiusJoin(pts: DataFrame, r: Long): DataFrame = {
+    val cells = pts
+      .withColumn("cx", expr(s"px DIV $r"))
+      .withColumn("cy", expr(s"py DIV $r"))
+    val left = cells
+      .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id").as("a_id"), col("px").as("ax"), col("py").as("ay"),
+        (col("cx") + col("ox")).as("jx"), (col("cy") + col("oy")).as("jy"))
+    val right = cells.select(col("id").as("b_id"), col("px").as("bx"),
+      col("py").as("by"), col("cx").as("jx"), col("cy").as("jy"))
+    left.join(right, Seq("jx", "jy"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("d2",
+        (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+        (col("ay") - col("by")) * (col("ay") - col("by")))
+      .filter(col("d2") <= r * r)
+      .select("a_id", "b_id", "d2")
+  }
+
+  val catalog: Seq[Q] = Seq(
+    // R107 — k-nearest-neighbour: 3 nearest customers per supplier query
+    // point, exact squared planar distance (BIGINT — max ~1.6e17, no
+    // overflow). The query set is tiny and broadcast; the big side is
+    // scanned ONCE and reduced per query point by a row_number window
+    // over ≤|qry| partitions — the plan a 100 TB knn against a handful
+    // of probes wants (and RewriteWindowTopK can heap-collapse).
+    Q(
+      "geo1_grid_knn",
+      s"""WITH $ptsSql,
+        |qry AS (SELECT s_suppkey AS qid,
+        |  (s_suppkey * 2654435761) % 360000001 AS qx,
+        |  (((s_suppkey * s_suppkey) % 179424673) * 48271) % 180000001 AS qy
+        |  FROM supplier WHERE s_suppkey <= 8),
+        |d AS (SELECT qid, id,
+        |  (px-qx)*(px-qx) + (py-qy)*(py-qy) AS d2 FROM qry, pts),
+        |r AS (SELECT qid, id, d2,
+        |  row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rk FROM d)
+        |SELECT qid, id, d2, rk FROM r WHERE rk <= 3
+        |ORDER BY qid, rk""".stripMargin
+    ) { (s, d) =>
+      val qry = Tables.supplier(s, d).filter(col("s_suppkey") <= 8)
+        .select(col("s_suppkey").as("qid"),
+          ((col("s_suppkey") * 2654435761L) % 360000001L).as("qx"),
+          ((((col("s_suppkey") * col("s_suppkey")) % 179424673L) * 48271L)
+            % 180000001L).as("qy"))
+      val dd = custPoints(s, d).crossJoin(broadcast(qry))
+        .withColumn("d2",
+          (col("px") - col("qx")) * (col("px") - col("qx")) +
+          (col("py") - col("qy")) * (col("py") - col("qy")))
+      dd.withColumn("rk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("d2"), col("id"))))
+        .filter(col("rk") <= 3)
+        .select(col("qid"), col("id"), col("d2"), col("rk"))
+        .orderBy("qid", "rk")
+    },
+
+    // R108 — radius self-join: all customer pairs within 2e6 µdeg. The
+    // oracle is the O(n²) all-pairs form; the Spark plan is the grid
+    // trick — cell size = radius, each left point exploded over its 3×3
+    // neighbourhood, equi-joined against right home cells, exact d2
+    // filter after. Any pair within R differs by ≤1 cell per axis, so
+    // recall is total; each pair is found exactly once (the right home
+    // cell occurs once in the left 3×3 set). Candidates are
+    // O(n × density), the join is a plain shuffle on (jx, jy).
+    Q(
+      "geo2_radius_join",
+      s"""WITH $ptsSql,
+        |d AS (SELECT a.id AS a_id, b.id AS b_id,
+        |  (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) AS d2
+        |  FROM pts a JOIN pts b ON a.id < b.id)
+        |SELECT a_id, b_id, d2 FROM d WHERE d2 <= 4000000000000
+        |ORDER BY a_id, b_id""".stripMargin
+    ) { (s, d) =>
+      radiusJoin(custPoints(s, d), 2000000L).orderBy("a_id", "b_id")
+    },
+
+    // R109 — tile aggregation: 15°×15° grid, exact count + cents per
+    // tile. One scan, one shuffle on the tile key, map-side combine —
+    // the heatmap query at any scale.
+    Q(
+      "geo3_tile_agg",
+      s"""WITH $ptsSql
+        |SELECT px // 15000000 AS tx, py // 15000000 AS ty,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM pts GROUP BY 1, 2 ORDER BY tx, ty""".stripMargin
+    ) { (s, d) =>
+      custPoints(s, d)
+        .groupBy(expr("px DIV 15000000").as("tx"),
+          expr("py DIV 15000000").as("ty"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("tx", "ty")
+    },
+
+    // R110 — rectangle containment join: 25 nation-derived boxes
+    // (24°×18°, half-open [x0,x1)×[y0,y1)), customers inside each.
+    // Spark path: each box exploded over the 12°×6° grid cells it
+    // covers (sequence()), points keyed by home cell, equi-join on the
+    // cell, exact containment after — the spatial-index emulation for
+    // when the box side is too large to broadcast (25 boxes would
+    // broadcast; the plan is the one that still works at 25 million).
+    // A matching pair is produced exactly once: the point's home cell
+    // appears once in the box's cover.
+    Q(
+      "geo4_bbox_join",
+      s"""WITH $ptsSql,
+        |box AS (SELECT n_nationkey,
+        |  ((n_nationkey * 97) % 29) * 12000000 AS x0,
+        |  ((n_nationkey * 53) % 27) * 6000000 AS y0 FROM nation)
+        |SELECT n_nationkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM box JOIN pts
+        |  ON px >= x0 AND px < x0 + 24000000
+        | AND py >= y0 AND py < y0 + 18000000
+        |GROUP BY 1 ORDER BY n_nationkey""".stripMargin
+    ) { (s, d) =>
+      val boxes = Tables.nation(s, d).select(col("n_nationkey"),
+          (((col("n_nationkey") * 97) % 29) * 12000000L).as("x0"),
+          (((col("n_nationkey") * 53) % 27) * 6000000L).as("y0"))
+        .withColumn("gx", explode(expr(
+          "sequence(x0 DIV 12000000, (x0 + 23999999) DIV 12000000)")))
+        .withColumn("gy", explode(expr(
+          "sequence(y0 DIV 6000000, (y0 + 17999999) DIV 6000000)")))
+      val p = custPoints(s, d)
+        .withColumn("gx", expr("px DIV 12000000"))
+        .withColumn("gy", expr("py DIV 6000000"))
+      boxes.join(p, Seq("gx", "gy"))
+        .filter(col("px") >= col("x0") && col("px") < col("x0") + 24000000L &&
+                col("py") >= col("y0") && col("py") < col("y0") + 18000000L)
+        .groupBy("n_nationkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("n_nationkey")
+    },
+
+    // R111 — convex-polygon containment: 5 region-centered hexagons
+    // (fixed CCW offset ring, e6 units), a point is inside iff every
+    // edge cross-product is ≥ 0 — exact integer geometry, evaluated on
+    // the Spark side with higher-order functions over a real
+    // array<struct> polygon column (zip_with against the rotated ring +
+    // forall), entirely inside whole-stage codegen. The oracle states
+    // the same test as NOT EXISTS over an unnested edge list.
+    Q(
+      "geo5_polygon_contains",
+      s"""WITH $ptsSql,
+        |reg AS (SELECT r_regionkey,
+        |  ((r_regionkey * 71) % 300 + 30) * 1000000 AS cx,
+        |  ((r_regionkey * 31) % 120 + 30) * 1000000 AS cy FROM region),
+        |edges AS (SELECT * FROM (VALUES
+        |  (12000000, 0, 6000000, 10000000),
+        |  (6000000, 10000000, -6000000, 10000000),
+        |  (-6000000, 10000000, -12000000, 0),
+        |  (-12000000, 0, -6000000, -10000000),
+        |  (-6000000, -10000000, 6000000, -10000000),
+        |  (6000000, -10000000, 12000000, 0)) e(ax, ay, bx, by))
+        |SELECT r_regionkey, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM reg, pts
+        |WHERE NOT EXISTS (SELECT 1 FROM edges
+        |  WHERE (bx-ax) * ((py-cy)-ay) - (by-ay) * ((px-cx)-ax) < 0)
+        |GROUP BY 1 ORDER BY r_regionkey""".stripMargin
+    ) { (s, d) =>
+      val reg = Tables.region(s, d).select(col("r_regionkey"),
+        (((col("r_regionkey") * 71) % 300 + 30) * 1000000L).as("cx"),
+        (((col("r_regionkey") * 31) % 120 + 30) * 1000000L).as("cy"))
+      // polygon as a first-class array<struct<x,y>> column: the fixed
+      // CCW hexagon ring translated to the region center
+      val poly = expr(
+        """transform(array(
+          |  named_struct('ox', 12000000, 'oy', 0),
+          |  named_struct('ox', 6000000, 'oy', 10000000),
+          |  named_struct('ox', -6000000, 'oy', 10000000),
+          |  named_struct('ox', -12000000, 'oy', 0),
+          |  named_struct('ox', -6000000, 'oy', -10000000),
+          |  named_struct('ox', 6000000, 'oy', -10000000)),
+          | o -> named_struct('x', cx + CAST(o.ox AS BIGINT),
+          |                   'y', cy + CAST(o.oy AS BIGINT)))""".stripMargin)
+      custPoints(s, d).crossJoin(broadcast(reg.withColumn("poly", poly)))
+        .filter(expr(
+          """forall(zip_with(poly,
+            |  concat(slice(poly, 2, size(poly) - 1), slice(poly, 1, 1)),
+            |  (a, b) -> (b.x - a.x) * (py - a.y)
+            |          - (b.y - a.y) * (px - a.x) >= 0), t -> t)""".stripMargin))
+        .groupBy("r_regionkey")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("r_regionkey")
+    }
+  )
+}
