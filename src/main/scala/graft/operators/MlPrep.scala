@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** ML feature-preparation operators — the encodings a training pipeline
+  * applies to relational features before a model sees them: smoothed
+  * target encoding, weight-of-evidence + information value, the hashing
+  * trick, and feature-pair mutual information (feature selection).
+  *
+  * Float discipline: ml1 is pure integer algebra (the smoothed mean is
+  * computed over a common denominator with a truncating DECIMAL DIV —
+  * no float ever materializes). ml2/ml4 need ln(); the argument is
+  * always ONE correctly-rounded division of exact integers, the result
+  * rounded to 6 dp (the q47 precedent: libm vs JVM ln may differ in the
+  * last ulp, a 6-dp round makes cross-engine collision overwhelmingly
+  * likely but not guaranteed — documented, accepted). ml3 is exact
+  * integers over the engine-portable md5 hash (see Sketches).
+  *
+  * Scale: every entry is scan → (broadcastable dim join) → one
+  * aggregation on a low-cardinality key with map-side combine; ml3
+  * explodes tokens but aggregates immediately on (key, bucket) — the
+  * hashing trick's whole point is the FIXED output width (32 buckets)
+  * regardless of vocabulary size, so no pivot/collect ever happens.
+  */
+object MlPrep {
+
+  private def segOrders(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).join(
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+      col("o_custkey") === col("c_custkey"))
+
+  val catalog: Seq[Q] = Seq(
+    // R113 — smoothed mean target encoding of market segment against
+    // order value, integral cents end to end: enc = (Σ_cat + m·μ)/(n_cat
+    // + m) evaluated over the common denominator g_n·(n_cat+m) so the
+    // only division is one truncating DECIMAL(38,0) DIV (HUGEINT //).
+    Q(
+      "ml1_target_encoding",
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cat AS (SELECT seg, count(*) AS n, sum(cents) AS s FROM j GROUP BY 1),
+        |g AS (SELECT count(*) AS gn, sum(cents) AS gs FROM j)
+        |SELECT seg, n,
+        |  CAST((CAST(s AS HUGEINT) * gn + 50 * CAST(gs AS HUGEINT))
+        |       // (CAST(gn AS HUGEINT) * (n + 50)) AS BIGINT) AS enc_cents
+        |FROM cat, g ORDER BY seg""".stripMargin
+    ) { (s, d) =>
+      val j = segOrders(s, d).select(col("c_mktsegment").as("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint(true)
+      val cat = j.groupBy("seg").agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      val g = j.agg(count(lit(1)).as("gn"), sum("cents").as("gs"))
+      cat.crossJoin(broadcast(g))
+        .select(col("seg"), col("n"),
+          expr("""CAST((CAST(s AS DECIMAL(38,0)) * gn + 50 * CAST(gs AS DECIMAL(38,0)))
+                 | DIV (CAST(gn AS DECIMAL(38,0)) * (n + 50)) AS BIGINT)""".stripMargin)
+            .as("enc_cents"))
+        .orderBy("seg")
+    },
+
+    // R114 — weight of evidence + information value of market segment
+    // for predicting urgent orders. The ln argument is one division of
+    // exact integer products (good·bt)/(bad·gt); woe/iv_term rounded to
+    // 6 dp (see file comment on cross-engine ln).
+    Q(
+      "ml2_woe_iv",
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS t
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cat AS (SELECT seg, sum(t) AS good, sum(1 - t) AS bad FROM j GROUP BY 1),
+        |g AS (SELECT sum(t) AS gt, sum(1 - t) AS bt FROM j)
+        |SELECT seg, CAST(good AS BIGINT) AS good, CAST(bad AS BIGINT) AS bad,
+        |  round(ln(CAST(good * bt AS DOUBLE) / (bad * gt)), 6) AS woe,
+        |  round((CAST(good * bt - bad * gt AS DOUBLE) / (CAST(gt AS DOUBLE) * bt))
+        |        * ln(CAST(good * bt AS DOUBLE) / (bad * gt)), 6) AS iv_term
+        |FROM cat, g ORDER BY seg""".stripMargin
+    ) { (s, d) =>
+      val j = segOrders(s, d).select(col("c_mktsegment").as("seg"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("t"))
+        .localCheckpoint(true)
+      val cat = j.groupBy("seg").agg(sum("t").as("good"), sum(lit(1) - col("t")).as("bad"))
+      val g = j.agg(sum("t").as("gt"), sum(lit(1) - col("t")).as("bt"))
+      cat.crossJoin(broadcast(g))
+        .select(col("seg"), col("good"), col("bad"),
+          expr("round(ln(CAST(good * bt AS DOUBLE) / (bad * gt)), 6)").as("woe"),
+          expr("""round((CAST(good * bt - bad * gt AS DOUBLE) / (CAST(gt AS DOUBLE) * bt))
+                 | * ln(CAST(good * bt AS DOUBLE) / (bad * gt)), 6)""".stripMargin)
+            .as("iv_term"))
+        .orderBy("seg")
+    },
+
+    // R115 — the hashing trick: part-name tokens hashed into 32 signed
+    // buckets (bucket = h mod 32, sign from the next hash bit), sparse
+    // (key, bucket, weight) out. Output width is FIXED at ≤32 per key
+    // whatever the vocabulary — the property that lets a 100 TB corpus
+    // featurize without a vocabulary broadcast or pivot.
+    Q(
+      "ml3_feature_hash",
+      """WITH tok AS (
+        |  SELECT p_partkey, unnest(string_split(p_name, ' ')) AS w
+        |  FROM part WHERE p_partkey < 1000),
+        |h AS (SELECT p_partkey,
+        |  CAST('0x'||substr(md5(w),1,15) AS BIGINT) AS h FROM tok)
+        |SELECT p_partkey, h % 32 AS bucket,
+        |  CAST(sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS wt
+        |FROM h GROUP BY 1, 2 ORDER BY p_partkey, bucket""".stripMargin
+    ) { (s, d) =>
+      Tables.part(s, d).filter(col("p_partkey") < 1000)
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("w"))
+        .select(col("p_partkey"),
+          expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .groupBy(col("p_partkey"), (col("h") % 32).as("bucket"))
+        .agg(sum(when((expr("h DIV 32") % 2) === 0, 1L).otherwise(-1L)).as("wt"))
+        .orderBy("p_partkey", "bucket")
+    },
+
+    // R116 — mutual information cells between market segment and order
+    // priority (feature selection): exact integer counts, one ln per
+    // cell with an exact-integer-ratio argument, 6-dp round. The MI of
+    // the pair is the sum of mi_term — left to the reader of the cells
+    // so no cross-engine sum-of-rounded drift enters the checked output.
+    Q(
+      "ml4_mutual_info",
+      """WITH j AS (
+        |  SELECT c_mktsegment AS seg, o_orderpriority AS pri
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cell AS (SELECT seg, pri, count(*) AS nxy FROM j GROUP BY 1, 2),
+        |mx AS (SELECT seg, count(*) AS nx FROM j GROUP BY 1),
+        |my AS (SELECT pri, count(*) AS ny FROM j GROUP BY 1),
+        |g AS (SELECT count(*) AS n FROM j)
+        |SELECT cell.seg, cell.pri, nxy,
+        |  round((CAST(nxy AS DOUBLE) / n)
+        |        * ln(CAST(nxy * n AS DOUBLE) / (CAST(nx AS DOUBLE) * ny)), 6)
+        |    AS mi_term
+        |FROM cell JOIN mx ON cell.seg = mx.seg
+        |  JOIN my ON cell.pri = my.pri, g
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val j = segOrders(s, d).select(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri")).localCheckpoint(true)
+      val cell = j.groupBy("seg", "pri").agg(count(lit(1)).as("nxy"))
+      val mx = j.groupBy("seg").agg(count(lit(1)).as("nx"))
+      val my = j.groupBy("pri").agg(count(lit(1)).as("ny"))
+      val g = j.agg(count(lit(1)).as("n"))
+      cell.join(broadcast(mx), Seq("seg"))
+        .join(broadcast(my), Seq("pri"))
+        .crossJoin(broadcast(g))
+        .select(col("seg"), col("pri"), col("nxy"),
+          expr("""round((CAST(nxy AS DOUBLE) / n)
+                 | * ln(CAST(nxy * n AS DOUBLE) / (CAST(nx AS DOUBLE) * ny)), 6)""".stripMargin)
+            .as("mi_term"))
+        .orderBy("seg", "pri")
+    }
+  )
+}
