@@ -1004,6 +1004,44 @@ object EventOps {
         .select(col("event_type"), col("h"),
           (col("st.l") + col("h").cast("double") * col("st.t")).as("forecast"))
         .orderBy("event_type", "h")
+    },
+
+    // T44 — clamped running balance: per user, fold the signed event
+    // deltas in (ts, event_id) order with balance = max(0, balance + δ)
+    // — a stateful recurrence NO window frame can express (the clamp
+    // makes it non-linear), evaluated as a higher-order aggregate()
+    // fold over the per-user event list. Per-user lists are bounded by
+    // per-user event counts (≤86 at sf0.01; an unbounded key would need
+    // the flatMapGroupsWithState path instead — documented tradeoff).
+    // Exact integer cents; DuckDB folds the same list via list_reduce
+    // with a prepended 0 seed (its list_reduce has no init parameter).
+    Q(
+      "ev36_clamped_balance",
+      """WITH e AS (SELECT user_id, ts, event_id,
+        |  CASE WHEN event_type IN ('purchase','signup')
+        |       THEN CAST(round(value*100) AS BIGINT)
+        |       ELSE -CAST(round(value*100) AS BIGINT) END AS delta
+        |  FROM events),
+        |l AS (SELECT user_id, count(*) AS n_events,
+        |  list(delta ORDER BY ts, event_id) AS ds FROM e GROUP BY 1)
+        |SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(list_reduce(list_prepend(0, ds),
+        |       (a, x) -> greatest(a + x, 0)) AS BIGINT) AS balance_cents
+        |FROM l ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type").isin("purchase", "signup"),
+            round(col("value") * 100).cast("long"))
+            .otherwise(-round(col("value") * 100).cast("long")).as("delta"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("transform(array_sort(collect_list(struct(ts, event_id, delta))), x -> x.delta)")
+            .as("ds"))
+        .select(col("user_id"), col("n_events"),
+          expr("aggregate(ds, 0L, (a, x) -> greatest(a + x, 0L))")
+            .as("balance_cents"))
+        .orderBy("user_id")
     }
   )
 

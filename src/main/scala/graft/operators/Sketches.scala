@@ -107,6 +107,92 @@ object Sketches {
             .as("est_intersect"),
           (col("na") + col("nb") - col("ni")).as("exact_union"),
           col("ni").as("exact_intersect"))
+    },
+
+    // R117 — Count-Min sketch (Cormode–Muthukrishnan): 4×8192 counters
+    // over the portable hash, probe estimates = min over the 4 rows,
+    // emitted next to the exact counts (CMS never underestimates —
+    // pinned in SketchesSpec). Build is one explode(4) + groupBy on
+    // (row, bucket) with map-side combine to ≤32k partials per task;
+    // probes join the ≤32k-row sketch — constant-size state however
+    // large the fact table.
+    Q(
+      "sk2_countmin",
+      """WITH rws AS (SELECT unnest(generate_series(1, 4)) AS i),
+        |cnt AS (SELECT i,
+        |    CAST('0x'||substr(md5(i||'_'||l_partkey),1,15) AS BIGINT) % 8192 AS b,
+        |    count(*) AS c
+        |  FROM lineitem, rws GROUP BY 1, 2),
+        |probes AS (SELECT unnest(generate_series(1, 20)) AS k),
+        |pc AS (SELECT k, i,
+        |    CAST('0x'||substr(md5(i||'_'||k),1,15) AS BIGINT) % 8192 AS b
+        |  FROM probes, rws),
+        |est AS (SELECT k, min(coalesce(c, 0)) AS est
+        |  FROM pc LEFT JOIN cnt USING (i, b) GROUP BY 1),
+        |ex AS (SELECT l_partkey AS k, count(*) AS exact FROM lineitem GROUP BY 1)
+        |SELECT k, CAST(est AS BIGINT) AS est,
+        |  CAST(coalesce(exact, 0) AS BIGINT) AS exact
+        |FROM est LEFT JOIN ex USING (k) ORDER BY k""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_partkey")
+      val cnt = li
+        .withColumn("i", explode(expr("sequence(1, 4)")))
+        .groupBy(col("i"), expr(
+          "CAST(conv(substr(md5(concat(CAST(i AS STRING),'_',CAST(l_partkey AS STRING))),1,15),16,10) AS BIGINT) % 8192")
+          .as("b"))
+        .agg(count(lit(1)).as("c"))
+      val pc = s.range(1, 21).select(col("id").as("k"))
+        .withColumn("i", explode(expr("sequence(1, 4)")))
+        .withColumn("b", expr(
+          "CAST(conv(substr(md5(concat(CAST(i AS STRING),'_',CAST(k AS STRING))),1,15),16,10) AS BIGINT) % 8192"))
+      val est = pc.join(cnt, Seq("i", "b"), "left")
+        .groupBy("k").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+      val ex = li.groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(ex, Seq("k"), "left")
+        .select(col("k"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"))
+        .orderBy("k")
+    },
+
+    // R118 — AMS F2 sketch (Alon–Matias–Szegedy): the second frequency
+    // moment (= self-join size) of l_partkey estimated as the lower median of 8 group-means of 8 estimators (Σ ±1 per key)² each, ±1 from the portable
+    // hash's low bit. Each estimator is ONE map-side-combined sum — the
+    // whole sketch state is 16 longs. Exact F2 alongside for the
+    // checked error.
+    Q(
+      "sk3_ams_f2",
+      """WITH ests AS (SELECT j, s * s AS e2 FROM (
+        |  SELECT j, sum(CASE WHEN
+        |      CAST('0x'||substr(md5(j||'#'||l_partkey),1,15) AS BIGINT) % 2 = 0
+        |    THEN 1 ELSE -1 END) AS s
+        |  FROM lineitem, (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1)),
+        |grp AS (SELECT (j - 1) // 8 AS g, sum(e2) // 8 AS m
+        |  FROM ests GROUP BY 1),
+        |med AS (SELECT m FROM grp ORDER BY m LIMIT 4),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM
+        |  (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
+        |SELECT CAST(max(m) AS BIGINT) AS f2_est, max(f2_exact) AS f2_exact
+        |FROM med, ex""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_partkey")
+      val ests = li
+        .withColumn("j", explode(expr("sequence(1, 64)")))
+        .groupBy("j")
+        .agg(sum(expr(
+          "CASE WHEN CAST(conv(substr(md5(concat(CAST(j AS STRING),'#',CAST(l_partkey AS STRING))),1,15),16,10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"))
+          .as("s"))
+        .select(col("j"), (col("s") * col("s")).as("e2"))
+      // canonical AMS median-of-means: a single (Σ±1)² estimator is
+      // χ²₁-shaped (median ≈ 0.46·mean — the raw median underestimated
+      // 4× in bring-up); averaging groups of 4 re-centers it
+      val grp = ests.groupBy(expr("(j - 1) DIV 8").as("g"))
+        .agg(expr("sum(e2) DIV 8").as("m"))
+      val med = grp.orderBy("m").limit(4)
+      val ex = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c") * col("c")).as("f2_exact"))
+      med.agg(max("m").as("f2_est")).crossJoin(broadcast(ex))
+        .select(col("f2_est"), col("f2_exact"))
     }
   )
 }

@@ -37,6 +37,43 @@ class SketchesSpec extends SparkSpecBase {
     assert(direct.size == k && direct == merged)
   }
 
+  test("sk2 count-min never underestimates and stays within the CMS error bound") {
+    val rows = SparkEntry.queries("sk2_countmin")(spark, "/root/testdata/sf0.01")
+      .collect()
+    val n = Tables.lineitem(spark, "/root/testdata/sf0.01").count()
+    // ε = e/w; P(est > exact + εN) ≤ e^-d — use 3εN as a hard ceiling
+    val bound = 3.0 * math.E * n / 8192
+    rows.foreach { r =>
+      val (est, exact) = (r.getAs[Long]("est"), r.getAs[Long]("exact"))
+      assert(est >= exact, s"CMS underestimated: $r")
+      assert(est - exact <= bound, s"CMS error ${est - exact} > $bound: $r")
+    }
+  }
+
+  test("sk3 AMS F2 estimate is within 3x of the exact self-join size") {
+    val r = SparkEntry.queries("sk3_ams_f2")(spark, "/root/testdata/sf0.01")
+      .collect().head
+    val (est, exact) = (r.getAs[Long]("f2_est").toDouble, r.getAs[Long]("f2_exact").toDouble)
+    assert(est > exact / 3 && est < exact * 3, s"est=$est exact=$exact")
+  }
+
+  test("ev36 clamped balance equals a sequential per-user fold") {
+    val got = SparkEntry.queries("ev36_clamped_balance")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val events = Tables.events(spark, sf0001)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val expect = events.groupBy(_._1).map { case (u, es) =>
+      val deltas = es.sortBy(e => (e._2.getTime, e._3)).map { e =>
+        val cents = math.round(e._5 * 100)
+        if (e._4 == "purchase" || e._4 == "signup") cents else -cents
+      }
+      u -> (es.length.toLong, deltas.foldLeft(0L)((a, x) => math.max(a + x, 0L)))
+    }
+    assert(got == expect)
+  }
+
   test("kmvSketch plans as a bounded heap (TakeOrdered), not a global sort") {
     val df = Sketches.kmvSketch(
       Tables.orders(spark, sf0001).select(col("o_custkey").as("k")), "k", 128)
