@@ -1042,6 +1042,53 @@ object EventOps {
           expr("aggregate(ds, 0L, (a, x) -> greatest(a + x, 0L))")
             .as("balance_cents"))
         .orderBy("user_id")
+    },
+
+    // T45 — max concurrency (sweep line): each event opens a 30-min
+    // interval; +1/-1 boundary deltas, running sum, global peak + first
+    // time it is reached. The oracle uses ONE global-order window; the
+    // Spark plan is the DISTRIBUTED prefix sum — within-day running
+    // sums partitioned by day, plus a carry of prior days' total deltas
+    // (a days-sized frame, broadcast back) — no single-partition window
+    // ever touches the fact table. Tie order (t, +1 before −1,
+    // event_id) makes the sweep deterministic and intervals inclusive.
+    Q(
+      "ev37_max_concurrency",
+      """WITH iv AS (SELECT event_id, ts AS s,
+        |    ts + INTERVAL 30 MINUTE AS e FROM events),
+        |pts AS (SELECT s AS t, 1 AS d, event_id FROM iv
+        |  UNION ALL SELECT e AS t, -1 AS d, event_id FROM iv),
+        |r AS (SELECT t, sum(d) OVER (ORDER BY t, d DESC, event_id) AS c
+        |  FROM pts),
+        |m AS (SELECT max(c) AS peak FROM r)
+        |SELECT CAST(peak AS BIGINT) AS peak,
+        |  (SELECT min(t) FROM r WHERE c = (SELECT peak FROM m)) AS at_ts
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val pts = ev.select(col("ts").as("t"), lit(1L).as("dl"), col("event_id"))
+        .unionByName(ev.select(
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as("t"),
+          lit(-1L).as("dl"), col("event_id")))
+        .withColumn("day", date_trunc("day", col("t")))
+      val within = pts.withColumn("run", sum("dl").over(
+        Window.partitionBy("day")
+          .orderBy(col("t"), col("dl").desc, col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // carry-in per day: cumulative total delta of all PRIOR days —
+      // a days-sized frame, window cost trivial, broadcast back
+      val carry = pts.groupBy("day").agg(sum("dl").as("dtot"))
+        .withColumn("carry", coalesce(sum("dtot").over(
+          Window.orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("day", "carry")
+      val r = within.join(broadcast(carry), Seq("day"))
+        .select(col("t"), (col("carry") + col("run")).as("c"))
+        .localCheckpoint(true)
+      val m = r.agg(max("c").as("peak"))
+      r.join(broadcast(m), col("c") === col("peak"))
+        .agg(max("peak").as("peak"), min("t").as("at_ts"))
     }
   )
 

@@ -135,7 +135,7 @@ object Geo {
         .orderBy("qid", "rk")
     },
 
-    // R108 — radius self-join: all customer pairs within 2e6 µdeg. The
+    // R108 — radius self-join: all customer pairs within 3e6 µdeg. The
     // oracle is the O(n²) all-pairs form; the Spark plan is the grid
     // trick — cell size = radius, each left point exploded over its 3×3
     // neighbourhood, equi-joined against right home cells, exact d2
@@ -149,10 +149,10 @@ object Geo {
         |d AS (SELECT a.id AS a_id, b.id AS b_id,
         |  (a.px-b.px)*(a.px-b.px) + (a.py-b.py)*(a.py-b.py) AS d2
         |  FROM pts a JOIN pts b ON a.id < b.id)
-        |SELECT a_id, b_id, d2 FROM d WHERE d2 <= 4000000000000
+        |SELECT a_id, b_id, d2 FROM d WHERE d2 <= 9000000000000
         |ORDER BY a_id, b_id""".stripMargin
     ) { (s, d) =>
-      radiusJoin(custPoints(s, d), 2000000L).orderBy("a_id", "b_id")
+      radiusJoin(custPoints(s, d), 3000000L).orderBy("a_id", "b_id")
     },
 
     // R109 — tile aggregation: 15°×15° grid, exact count + cents per

@@ -329,6 +329,83 @@ object Insights {
           expr("(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000) DIV n_rows")
             .as("hot_vs_uniform_ppm"),
           expr("(top10 * 1000) DIV n_rows").as("top10_share_permille"))
+    },
+
+    // R119 — largest-remainder proration: allocate each order's total
+    // cents across its lineitems proportionally to quantity so that
+    // Σ alloc = total EXACTLY (floor shares + distribute the remainder
+    // to the largest fractional parts) — the financial-allocation
+    // primitive naive rounding gets wrong by ±n cents. All integer;
+    // two windows per order key, one shuffle. The synthetic lineitem
+    // has duplicate (orderkey, linenumber) rows: full-duplicate ties in
+    // the remainder rank land inside the same output group either way,
+    // so the per-(ok, ln) SUM is deterministic (and the spec pins the
+    // Σ alloc = total invariant).
+    Q(
+      "q97_allocation",
+      """WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(l_quantity AS BIGINT) AS q, l_extendedprice AS ep
+        |  FROM lineitem WHERE l_orderkey < 400),
+        |o AS (SELECT o_orderkey AS ok,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS total
+        |  FROM orders WHERE o_orderkey < 400),
+        |x AS (SELECT li.ok, ln, q, ep, total,
+        |    sum(q) OVER (PARTITION BY li.ok) AS sq
+        |  FROM li JOIN o ON li.ok = o.ok),
+        |y AS (SELECT ok, ln, q, ep, total, sq,
+        |    (total * q) // sq AS base, (total * q) % sq AS frac FROM x),
+        |z AS (SELECT *,
+        |    row_number() OVER (PARTITION BY ok
+        |      ORDER BY frac DESC, ln, q, ep) AS rk,
+        |    total - sum(base) OVER (PARTITION BY ok) AS rem FROM y)
+        |SELECT ok, ln,
+        |  CAST(sum(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS alloc_cents
+        |FROM z GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 400)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_quantity").cast("long").as("q"), col("l_extendedprice").as("ep"))
+      val o = Tables.orders(s, d).filter(col("o_orderkey") < 400)
+        .select(col("o_orderkey").as("ok"),
+          round(col("o_totalprice") * 100).cast("long").as("total"))
+      val byOk = Window.partitionBy("ok")
+      val x = li.join(o, "ok").withColumn("sq", sum("q").over(byOk))
+      val y = x.withColumn("base", expr("(total * q) DIV sq"))
+        .withColumn("frac", expr("(total * q) % sq"))
+      val z = y.withColumn("rk", row_number().over(
+          byOk.orderBy(col("frac").desc, col("ln"), col("q"), col("ep"))))
+        .withColumn("rem", col("total") - sum("base").over(byOk))
+      z.groupBy("ok", "ln")
+        .agg(sum(col("base") + when(col("rk") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc_cents"))
+        .orderBy("ok", "ln")
+    },
+
+    // R120 — top-N + Other rollup: the BI report shape (top 5 brands by
+    // exact-cent revenue, everything else folded into one row). The
+    // global window runs over the ~25-row brand AGGREGATE, never the
+    // fact table.
+    Q(
+      "q98_top5_other",
+      """WITH rev AS (SELECT p_brand,
+        |    sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |rk AS (SELECT p_brand, cents,
+        |    row_number() OVER (ORDER BY cents DESC, p_brand) AS r FROM rev)
+        |SELECT CASE WHEN r <= 5 THEN p_brand ELSE 'Other' END AS brand,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM rk GROUP BY 1 ORDER BY cents DESC, brand""".stripMargin
+    ) { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      rev.withColumn("r", row_number().over(
+          Window.orderBy(col("cents").desc, col("p_brand"))))
+        .groupBy(when(col("r") <= 5, col("p_brand")).otherwise("Other").as("brand"))
+        .agg(sum("cents").as("cents"))
+        .orderBy(col("cents").desc, col("brand"))
     }
   )
 }
