@@ -37,12 +37,15 @@ object SketchIndex {
       new org.apache.hadoop.fs.Path(stateDir),
       new org.apache.hadoop.fs.Path(stateDir + ".__backup"))
 
-  /** CMS counters (i ∈ [1,Depth], b, c) of a batch's `key` column. */
+  /** CMS counters (i ∈ [1,Depth], b, c) of a batch's `key` column.
+    * The Depth row hashes are disjoint 8-hex-char slices of ONE md5
+    * (same rationale as sk2: per-row-salted digests cost Depth× the
+    * hashing for no independence gain). */
   def cmsOf(batch: DataFrame, key: String): DataFrame =
-    batch.select(col(key).cast("string").as("k"))
+    batch.select(md5(col(key).cast("string")).as("dg"))
       .withColumn("i", explode(expr(s"sequence(1, $Depth)")))
       .groupBy(col("i"), expr(
-        s"CAST(conv(substr(md5(concat(CAST(i AS STRING),'_',k)),1,15),16,10) AS BIGINT) % $Width")
+        s"CAST(conv(substr(dg, 1+(i-1)*8, 8),16,10) AS BIGINT) % $Width")
         .as("b"))
       .agg(count(lit(1)).as("c"))
 
@@ -99,9 +102,10 @@ object SketchIndex {
     recover(spark, stateDir)
     val cnt = spark.read.parquet(s"$stateDir/cms")
     probes.select(col("k").cast("string").as("k"))
+      .withColumn("dg", md5(col("k")))
       .withColumn("i", explode(expr(s"sequence(1, $Depth)")))
       .withColumn("b", expr(
-        s"CAST(conv(substr(md5(concat(CAST(i AS STRING),'_',k)),1,15),16,10) AS BIGINT) % $Width"))
+        s"CAST(conv(substr(dg, 1+(i-1)*8, 8),16,10) AS BIGINT) % $Width"))
       .join(cnt, Seq("i", "b"), "left")
       .groupBy("k").agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }

@@ -109,23 +109,27 @@ object Sketches {
           col("ni").as("exact_intersect"))
     },
 
-    // R117 — Count-Min sketch (Cormode–Muthukrishnan): 4×8192 counters
-    // over the portable hash, probe estimates = min over the 4 rows,
-    // emitted next to the exact counts (CMS never underestimates —
-    // pinned in SketchesSpec). Build is one explode(4) + groupBy on
-    // (row, bucket) with map-side combine to ≤32k partials per task;
-    // probes join the ≤32k-row sketch — constant-size state however
-    // large the fact table.
+    // R117 — Count-Min sketch (Cormode–Muthukrishnan): 4×8192 counters,
+    // probe estimates = min over the 4 rows, emitted next to the exact
+    // counts (CMS never underestimates — pinned in SketchesSpec). The 4
+    // row-hash functions are 4 disjoint 8-hex-char SLICES of ONE md5 —
+    // the first bring-up salted the key per row (4 md5 per fact row)
+    // and md5 dominated the bench at 5.9 s/sf0.1; slicing one digest is
+    // 4× cheaper and the slices are independent bits of a PRF. Build is
+    // explode(4) + groupBy with map-side combine to ≤32k partials —
+    // constant-size state however large the fact table.
     Q(
       "sk2_countmin",
       """WITH rws AS (SELECT unnest(generate_series(1, 4)) AS i),
         |cnt AS (SELECT i,
-        |    CAST('0x'||substr(md5(i||'_'||l_partkey),1,15) AS BIGINT) % 8192 AS b,
+        |    CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)), 1+(i-1)*8, 8)
+        |         AS BIGINT) % 8192 AS b,
         |    count(*) AS c
         |  FROM lineitem, rws GROUP BY 1, 2),
         |probes AS (SELECT unnest(generate_series(1, 20)) AS k),
         |pc AS (SELECT k, i,
-        |    CAST('0x'||substr(md5(i||'_'||k),1,15) AS BIGINT) % 8192 AS b
+        |    CAST('0x'||substr(md5(CAST(k AS VARCHAR)), 1+(i-1)*8, 8)
+        |         AS BIGINT) % 8192 AS b
         |  FROM probes, rws),
         |est AS (SELECT k, min(coalesce(c, 0)) AS est
         |  FROM pc LEFT JOIN cnt USING (i, b) GROUP BY 1),
@@ -136,15 +140,17 @@ object Sketches {
     ) { (s, d) =>
       val li = Tables.lineitem(s, d).select("l_partkey")
       val cnt = li
+        .withColumn("dg", md5(col("l_partkey").cast("string")))
         .withColumn("i", explode(expr("sequence(1, 4)")))
         .groupBy(col("i"), expr(
-          "CAST(conv(substr(md5(concat(CAST(i AS STRING),'_',CAST(l_partkey AS STRING))),1,15),16,10) AS BIGINT) % 8192")
+          "CAST(conv(substr(dg, 1+(i-1)*8, 8),16,10) AS BIGINT) % 8192")
           .as("b"))
         .agg(count(lit(1)).as("c"))
       val pc = s.range(1, 21).select(col("id").as("k"))
+        .withColumn("dg", md5(col("k").cast("string")))
         .withColumn("i", explode(expr("sequence(1, 4)")))
         .withColumn("b", expr(
-          "CAST(conv(substr(md5(concat(CAST(i AS STRING),'_',CAST(k AS STRING))),1,15),16,10) AS BIGINT) % 8192"))
+          "CAST(conv(substr(dg, 1+(i-1)*8, 8),16,10) AS BIGINT) % 8192"))
       val est = pc.join(cnt, Seq("i", "b"), "left")
         .groupBy("k").agg(min(coalesce(col("c"), lit(0L))).as("est"))
       val ex = li.groupBy(col("l_partkey").as("k"))
@@ -156,19 +162,26 @@ object Sketches {
     },
 
     // R118 — AMS F2 sketch (Alon–Matias–Szegedy): the second frequency
-    // moment (= self-join size) of l_partkey estimated as the lower median of 8 group-means of 8 estimators (Σ ±1 per key)² each, ±1 from the portable
-    // hash's low bit. Each estimator is ONE map-side-combined sum — the
-    // whole sketch state is 16 longs. Exact F2 alongside for the
-    // checked error.
+    // moment (= self-join size) of l_partkey, lower median of 8
+    // group-means of 8 (Σ±1)² estimators. Two bring-up lessons are
+    // baked in: (a) a raw median of squared sign-sums is χ²₁-shaped
+    // (median ≈ 0.46·mean) and underestimated 4× — median-of-MEANS
+    // re-centers it; (b) 64 per-row salted md5 calls cost 30 s/sf0.1 —
+    // the 64 signs are now 64 BITS of one md5 (h1/h2 = two 60-bit
+    // slices), and the 64 estimators are 64 conditional sums in ONE
+    // map-side-combined aggregate (the dd3 SimHash pattern): no row
+    // explosion, no shuffle, sketch state = 64 longs.
     Q(
       "sk3_ams_f2",
-      """WITH ests AS (SELECT j, s * s AS e2 FROM (
-        |  SELECT j, sum(CASE WHEN
-        |      CAST('0x'||substr(md5(j||'#'||l_partkey),1,15) AS BIGINT) % 2 = 0
-        |    THEN 1 ELSE -1 END) AS s
-        |  FROM lineitem, (SELECT unnest(generate_series(1, 64)) AS j) GROUP BY 1)),
-        |grp AS (SELECT (j - 1) // 8 AS g, sum(e2) // 8 AS m
-        |  FROM ests GROUP BY 1),
+      s"""WITH h AS (SELECT
+        |    CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),1,15) AS BIGINT) AS h1,
+        |    CAST('0x'||substr(md5(CAST(l_partkey AS VARCHAR)),16,15) AS BIGINT) AS h2
+        |  FROM lineitem),
+        |sums AS (SELECT ${amsSumsSql("//")} FROM h),
+        |ests AS (SELECT unnest(generate_series(0, 63)) AS pos,
+        |  unnest([${(1 to 64).map("s" + _).mkString(",")}]) AS sgn FROM sums),
+        |grp AS (SELECT pos // 8 AS g,
+        |  sum(CAST(sgn AS BIGINT) * sgn) // 8 AS m FROM ests GROUP BY 1),
         |med AS (SELECT m FROM grp ORDER BY m LIMIT 4),
         |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM
         |  (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey))
@@ -176,18 +189,15 @@ object Sketches {
         |FROM med, ex""".stripMargin
     ) { (s, d) =>
       val li = Tables.lineitem(s, d).select("l_partkey")
-      val ests = li
-        .withColumn("j", explode(expr("sequence(1, 64)")))
-        .groupBy("j")
-        .agg(sum(expr(
-          "CASE WHEN CAST(conv(substr(md5(concat(CAST(j AS STRING),'#',CAST(l_partkey AS STRING))),1,15),16,10) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"))
-          .as("s"))
-        .select(col("j"), (col("s") * col("s")).as("e2"))
-      // canonical AMS median-of-means: a single (Σ±1)² estimator is
-      // χ²₁-shaped (median ≈ 0.46·mean — the raw median underestimated
-      // 4× in bring-up); averaging groups of 4 re-centers it
-      val grp = ests.groupBy(expr("(j - 1) DIV 8").as("g"))
-        .agg(expr("sum(e2) DIV 8").as("m"))
+      val h = li.select(
+        expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)),1,15),16,10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substr(md5(CAST(l_partkey AS STRING)),16,15),16,10) AS BIGINT)").as("h2"))
+      val aggs = (1 to 64).map { j => amsSign(j, "DIV").as(s"s$j") }
+      val sums = h.agg(aggs.head, aggs.tail: _*)
+      val ests = sums.select(posexplode(
+        array((1 to 64).map(j => col(s"s$j")): _*)).as(Seq("pos", "sgn")))
+      val grp = ests.groupBy(expr("pos DIV 8").as("g"))
+        .agg(expr("sum(sgn * sgn) DIV 8").as("m"))
       val med = grp.orderBy("m").limit(4)
       val ex = li.groupBy("l_partkey").agg(count(lit(1)).as("c"))
         .agg(sum(col("c") * col("c")).as("f2_exact"))
@@ -195,4 +205,19 @@ object Sketches {
         .select(col("f2_est"), col("f2_exact"))
     }
   )
+
+  /** Estimator j's ±1 sign from bit (j−1) of h1 (j ≤ 32) or bit (j−33)
+    * of h2 — one md5 per row feeds all 64 AMS estimators. */
+  private def amsSign(j: Int, div: String): Column = {
+    val (src, bit) = if (j <= 32) ("h1", j - 1) else ("h2", j - 33)
+    sum(expr(s"CASE WHEN (($src $div ${1L << bit}) % 2) = 0 THEN 1 ELSE -1 END"))
+  }
+
+  /** The 64 AMS sign-sum columns as oracle SQL (generated — single
+    * source of truth with [[amsSign]]'s bit layout). */
+  private def amsSumsSql(div: String): String =
+    (1 to 64).map { j =>
+      val (src, bit) = if (j <= 32) ("h1", j - 1) else ("h2", j - 33)
+      s"sum(CASE WHEN (($src $div ${1L << bit}) % 2) = 0 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
 }
