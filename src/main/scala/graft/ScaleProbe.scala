@@ -564,6 +564,25 @@ object ScaleProbe {
           .agg(sum("ev").as("d"), count(lit(1)).as("call")).count()
       }
     }
+    // r4 session 7: geo radius join must stay linear when the DOMAIN
+    // grows with the data (copies tiled side by side with a gap wider
+    // than the radius, so density — and with it output-per-point — is
+    // constant; growing density instead would grow the OUTPUT
+    // quadratically, which is the answer's size, not the plan's cost).
+    locally {
+      val pts0 = Tables.customer(spark, d).select(
+        col("c_custkey").as("id"),
+        ((col("c_custkey") * 2654435761L) % 360000001L).as("px"),
+        ((((col("c_custkey") * col("c_custkey")) % 179424673L) * 48271L)
+          % 180000001L).as("py"))
+      val pts = (0 until rep).map(i => pts0
+          .withColumn("id", col("id") + lit(i * 10000000L))
+          .withColumn("px", col("px") + lit(i * 364000000L)))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      time("geo_radius_join_tiled") {
+        graft.operators.Geo.radiusJoin(pts, 3000000L).count()
+      }
+    }
     spark.stop()
   }
 }

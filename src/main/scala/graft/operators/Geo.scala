@@ -128,7 +128,18 @@ object Geo {
         .withColumn("d2",
           (col("px") - col("qx")) * (col("px") - col("qx")) +
           (col("py") - col("qy")) * (col("py") - col("qy")))
-      dd.withColumn("rk", row_number().over(
+      // two-level top-k: a single window partitioned by qid would pull
+      // EVERY point into |qry| reducers — salt the first pass 64 ways
+      // (global top-3 ⊆ union of per-salt top-3, so answers are
+      // identical), then rank the ≤192 survivors per query point.
+      // RewriteWindowTopK can't take this (ascending LONG score + rank
+      // in the output are outside its proven envelope) — the salt does
+      // the same job declaratively.
+      val salted = dd.withColumn("salt", col("id") % 64)
+        .withColumn("rk1", row_number().over(
+          Window.partitionBy("qid", "salt").orderBy(col("d2"), col("id"))))
+        .filter(col("rk1") <= 3)
+      salted.withColumn("rk", row_number().over(
           Window.partitionBy("qid").orderBy(col("d2"), col("id"))))
         .filter(col("rk") <= 3)
         .select(col("qid"), col("id"), col("d2"), col("rk"))
