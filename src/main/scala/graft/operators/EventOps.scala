@@ -1089,6 +1089,114 @@ object EventOps {
       val m = r.agg(max("c").as("peak"))
       r.join(broadcast(m), col("c") === col("peak"))
         .agg(max("peak").as("peak"), min("t").as("at_ts"))
+    },
+
+    // T46 — rolling 7-day active users (WAU curve): each distinct
+    // (day, user) activity cell is EXPLODED to the 7 window-ends it
+    // participates in (a fixed 7× fan-out of the deduped day-user
+    // frame — linear, no range join, no re-scan per window), then
+    // distinct-counted per window end. The spine join caps windows at
+    // the observed range so the curve has no trailing pad.
+    Q(
+      "ev38_rolling_wau",
+      """WITH act AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS dy,
+        |    user_id FROM events),
+        |mx AS (SELECT max(dy) AS md FROM act),
+        |sp AS (SELECT dy + CAST(o AS INTEGER) AS wend, user_id
+        |  FROM act, (SELECT unnest(generate_series(0, 6)) AS o) q),
+        |w AS (SELECT wend, count(DISTINCT user_id) AS wau
+        |  FROM sp, mx WHERE wend <= md GROUP BY 1)
+        |SELECT wend, CAST(wau AS BIGINT) AS wau FROM w ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val act = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).cast("date").as("dy"), col("user_id"))
+        .distinct()
+      val mx = act.agg(max("dy").as("md"))
+      act.withColumn("o", explode(expr("sequence(0, 6)")))
+        .select(expr("date_add(dy, o)").as("wend"), col("user_id"))
+        .crossJoin(broadcast(mx))
+        .filter(col("wend") <= col("md"))
+        .groupBy("wend").agg(countDistinct("user_id").as("wau"))
+        .orderBy("wend")
+    },
+
+    // T47 — weekly growth accounting (new / retained / resurrected /
+    // churned): the standard DAU-accounting identity over per-user week
+    // activity. One (user, week) dedup, lag + first-week windows on the
+    // user key, churn as an anti-join against the next week — every
+    // step a single key shuffle; output bounded by the calendar.
+    Q(
+      "ev39_growth_accounting",
+      """WITH wk AS (SELECT DISTINCT date_trunc('week', ts) AS w, user_id
+        |  FROM events),
+        |x AS (SELECT user_id, w,
+        |    min(w) OVER (PARTITION BY user_id) AS firstw,
+        |    lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prevw FROM wk),
+        |mx AS (SELECT max(w) AS mw FROM wk),
+        |stat AS (SELECT w,
+        |    sum(CASE WHEN w = firstw THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN prevw = w - INTERVAL 7 DAY THEN 1 ELSE 0 END)
+        |      AS n_retained,
+        |    sum(CASE WHEN w <> firstw
+        |             AND (prevw IS NULL OR prevw <> w - INTERVAL 7 DAY)
+        |        THEN 1 ELSE 0 END) AS n_resurrected
+        |  FROM x GROUP BY 1),
+        |nxt AS (SELECT a.w + INTERVAL 7 DAY AS w, count(*) AS n_churned
+        |  FROM x a, mx
+        |  WHERE a.w + INTERVAL 7 DAY <= mw AND NOT EXISTS (
+        |    SELECT 1 FROM wk b WHERE b.user_id = a.user_id
+        |      AND b.w = a.w + INTERVAL 7 DAY)
+        |  GROUP BY 1)
+        |SELECT stat.w, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(n_retained AS BIGINT) AS n_retained,
+        |  CAST(n_resurrected AS BIGINT) AS n_resurrected,
+        |  CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+        |FROM stat LEFT JOIN nxt ON stat.w = nxt.w ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val wk = Tables.events(s, d)
+        .select(date_trunc("week", col("ts")).as("w"), col("user_id"))
+        .distinct().localCheckpoint(true)
+      val uw = Window.partitionBy("user_id")
+      val x = wk
+        .withColumn("firstw", min("w").over(uw))
+        .withColumn("prevw", lag("w", 1).over(uw.orderBy("w")))
+        .localCheckpoint(true)
+      val mx = wk.agg(max("w").as("mw"))
+      val stat = x.groupBy("w").agg(
+        sum(when(col("w") === col("firstw"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prevw") === col("w") - expr("INTERVAL 7 DAY"), 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("w") =!= col("firstw") &&
+            (col("prevw").isNull ||
+             col("prevw") =!= col("w") - expr("INTERVAL 7 DAY")), 1L)
+          .otherwise(0L)).as("n_resurrected"))
+      val nxt = x.crossJoin(broadcast(mx))
+        .filter(col("w") + expr("INTERVAL 7 DAY") <= col("mw"))
+        .select(col("user_id"), (col("w") + expr("INTERVAL 7 DAY")).as("w"))
+        .join(wk, Seq("user_id", "w"), "left_anti")
+        .groupBy("w").agg(count(lit(1)).as("n_churned"))
+      stat.join(nxt, Seq("w"), "left")
+        .select(col("w"), col("n_new"), col("n_retained"), col("n_resurrected"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy("w")
+    },
+
+    // T48 — power-user curve: per month, the distribution of users by
+    // active-day count (the L-curve product analytics reads engagement
+    // from). Two nested exact aggregations, both map-side combined.
+    Q(
+      "ev41_power_curve",
+      """WITH ad AS (SELECT date_trunc('month', ts) AS m, user_id,
+        |    count(DISTINCT date_trunc('day', ts)) AS days
+        |  FROM events GROUP BY 1, 2)
+        |SELECT m, CAST(days AS BIGINT) AS days, count(*) AS users
+        |FROM ad GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("month", col("ts")).as("m"), col("user_id"))
+        .agg(countDistinct(date_trunc("day", col("ts"))).as("days"))
+        .groupBy("m", "days").agg(count(lit(1)).as("users"))
+        .orderBy("m", "days")
     }
   )
 

@@ -272,6 +272,42 @@ object Geo {
         .groupBy("r_regionkey")
         .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
         .orderBy("r_regionkey")
+    },
+
+    // R121 — per-user trajectory statistics: event positions derived
+    // like custPoints, consecutive-hop MANHATTAN lengths (|dx|+|dy| —
+    // exact longs; Euclidean would put a √ in the checked output) via
+    // lag windows on the user key, aggregated to path length / hop
+    // count / longest hop. One user-key shuffle, window state O(1).
+    Q(
+      "geo6_trajectory",
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    (event_id * 2654435761) % 360000001 AS ex,
+        |    (((event_id * event_id) % 179424673) * 48271) % 180000001 AS ey
+        |  FROM events),
+        |h AS (SELECT user_id,
+        |    abs(ex - lag(ex) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |    + abs(ey - lag(ey) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      AS hop
+        |  FROM p)
+        |SELECT user_id, CAST(count(hop) AS BIGINT) AS n_hops,
+        |  CAST(coalesce(sum(hop), 0) AS BIGINT) AS path_len,
+        |  CAST(coalesce(max(hop), 0) AS BIGINT) AS max_hop
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val p = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        ((col("event_id") * 2654435761L) % 360000001L).as("ex"),
+        ((((col("event_id") * col("event_id")) % 179424673L) * 48271L)
+          % 180000001L).as("ey"))
+      p.withColumn("hop",
+          abs(col("ex") - lag("ex", 1).over(w)) +
+          abs(col("ey") - lag("ey", 1).over(w)))
+        .groupBy("user_id")
+        .agg(count("hop").as("n_hops"),
+          coalesce(sum("hop"), lit(0L)).as("path_len"),
+          coalesce(max("hop"), lit(0L)).as("max_hop"))
+        .orderBy("user_id")
     }
   )
 }
