@@ -340,4 +340,45 @@ class TableLogStreamSpec extends SparkSpecBase {
     assert(got === want)
     assert(got(11L) === 1L, "late bridge must fold both chains to root 1")
   }
+
+  // the sketch twin: key ingests flow through the log stream into the
+  // CMS+KMV sketch state; both sketches merge EXACTLY (addition /
+  // k-min-of-union), so after catch-up, a checkpoint restart over a
+  // late commit, and an idle replay, the streamed state equals the
+  // one-shot sketch of the whole table bit for bit.
+  test("stream-maintained sketch index equals the one-shot sketch") {
+    val dir = freshDir("tlsk")
+    val state = java.nio.file.Files.createTempDirectory("tlskstate").toString + "/s"
+    val ckpt = java.nio.file.Files.createTempDirectory("tlskck").toString
+    val li = Tables.lineitem(spark, sf0001).select("l_partkey")
+    TableLog.create(spark, li.filter(col("l_partkey") % 2 === 0), dir)
+
+    def run(): Unit = {
+      val q = TableLog.readStream(spark, dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, bid: Long) => {
+          graft.operators.SketchIndex.update(
+            df.sparkSession, state, df, "l_partkey", bid); ()
+        })
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    TableLog.append(spark, li.filter(col("l_partkey") % 2 === 1), dir)
+    run() // restart from checkpoint; only the new commit merges
+    def cms() = spark.read.parquet(s"$state/cms").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def kmv() = spark.read.parquet(s"$state/kmv").collect()
+      .map(_.getLong(0)).toSet
+    val full = TableLog.read(spark, dir)
+    val wantCms = graft.operators.SketchIndex.cmsOf(full, "l_partkey")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val wantKmv = graft.operators.SketchIndex.kmvOf(full, "l_partkey")
+      .collect().map(_.getLong(0)).toSet
+    assert(cms() == wantCms)
+    assert(kmv() == wantKmv)
+    // an idle restart replays nothing through either dedup layer
+    run()
+    assert(cms() == wantCms && kmv() == wantKmv)
+  }
 }
