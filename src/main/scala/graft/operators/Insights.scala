@@ -406,6 +406,61 @@ object Insights {
         .groupBy(when(col("r") <= 5, col("p_brand")).otherwise("Other").as("brand"))
         .agg(sum("cents").as("cents"))
         .orderBy(col("cents").desc, col("brand"))
+    },
+
+    // R122 — FIFO cost of goods sold via cumulative-interval matching:
+    // per part, supply lots (non-returned lineitems in ship order)
+    // consume aggregate returned-demand first-in-first-out. The
+    // sequential "walk the lots until demand is filled" becomes pure
+    // window algebra: lot i fills clamp(demand − cum_{i−1}, 0, q_i)
+    // units — ONE running-sum window + greatest/least, no iteration,
+    // no per-row state. Exact integer cents (truncating unit cost).
+    // Duplicate fact rows are order-ambiguous between themselves but
+    // contribute identical (q, unit_c), so every aggregate is
+    // order-invariant — spec pins equality with a sequential fold.
+    Q(
+      "q99_fifo_cogs",
+      """WITH lots AS (SELECT l_partkey AS pk, CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice*100) AS BIGINT)
+        |      // CAST(l_quantity AS BIGINT) AS unit_c,
+        |    l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_returnflag <> 'R'),
+        |dem AS (SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS demand
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        |c AS (SELECT pk, q, unit_c,
+        |    sum(q) OVER (PARTITION BY pk
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, unit_c
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM lots),
+        |j AS (SELECT c.pk, demand,
+        |    greatest(least(q, demand - (cum - q)), 0) AS used, unit_c
+        |  FROM c JOIN dem ON c.pk = dem.pk)
+        |SELECT pk, CAST(max(demand) AS BIGINT) AS demand,
+        |  CAST(sum(used) AS BIGINT) AS filled_qty,
+        |  CAST(sum(used * unit_c) AS BIGINT) AS cogs_cents
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val lots = li.filter(col("l_returnflag") =!= "R")
+        .select(col("l_partkey").as("pk"),
+          col("l_quantity").cast("long").as("q"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)")
+            .as("unit_c"),
+          col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val dem = li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("demand"))
+      val c = lots.withColumn("cum", sum("q").over(
+        Window.partitionBy("pk")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "unit_c")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      c.join(dem, "pk")
+        .withColumn("used",
+          greatest(least(col("q"), col("demand") - (col("cum") - col("q"))), lit(0L)))
+        .groupBy("pk")
+        .agg(max("demand").as("demand"), sum("used").as("filled_qty"),
+          sum(col("used") * col("unit_c")).as("cogs_cents"))
+        .orderBy("pk")
     }
   )
 }

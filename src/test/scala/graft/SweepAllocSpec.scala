@@ -43,6 +43,34 @@ class SweepAllocSpec extends SparkSpecBase {
     assert(pts.agg(sum("dl")).head().getLong(0) == 0L)
   }
 
+  test("q99 FIFO window algebra equals a sequential per-part walk") {
+    val got = SparkEntry.queries("q99_fifo_cogs")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val li = Tables.lineitem(spark, sf0001).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_returnflag",
+        "l_shipdate", "l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getDouble(1).toLong,
+        math.round(r.getDouble(2) * 100) / r.getDouble(1).toLong,
+        // shipdate may surface as Timestamp or LocalDateTime depending
+        // on the parquet annotation — the ISO string sorts identically
+        r.getString(3), String.valueOf(r.get(4)), r.getLong(5), r.getInt(6)))
+    val demand = li.filter(_._4 == "R").groupBy(_._1)
+      .map { case (pk, rs) => pk -> rs.map(_._2).sum }
+    val expect = li.filter(_._4 != "R").groupBy(_._1).collect {
+      case (pk, lots) if demand.contains(pk) =>
+        var rem = demand(pk); var filled = 0L; var cogs = 0L
+        lots.sortBy(l => (l._5, l._6, l._7, l._3)).foreach { l =>
+          val used = math.max(0L, math.min(l._2, rem))
+          rem -= used; filled += used; cogs += used * l._3
+        }
+        pk -> (demand(pk), filled, cogs)
+    }
+    val diff = (got.keySet ++ expect.keySet)
+      .filter(k => got.get(k) != expect.get(k)).take(3)
+      .map(k => s"$k: got=${got.get(k)} want=${expect.get(k)}")
+    assert(expect.nonEmpty && got == expect, diff.mkString("; "))
+  }
+
   test("q98 Other row complements the top five exactly") {
     val rows = SparkEntry.queries("q98_top5_other")(spark, sf0001).collect()
     assert(rows.length == 6, rows.mkString(","))
