@@ -583,6 +583,42 @@ object ScaleProbe {
         graft.operators.Geo.radiusJoin(pts, 3000000L).count()
       }
     }
+    // r4 session 7: WAU explode (7× deduped day-user cells) and FIFO
+    // window algebra must scale with the fact, not the calendar.
+    locally {
+      val ev = replicate(Tables.events(spark, d).select("user_id", "ts"),
+        Seq("user_id"), 10000000L).localCheckpoint(true)
+      time("rolling_wau_7x_explode") {
+        val act = ev.select(date_trunc("day", col("ts")).cast("date").as("dy"),
+          col("user_id")).distinct()
+        act.withColumn("o", explode(expr("sequence(0, 6)")))
+          .select(expr("date_add(dy, o)").as("wend"), col("user_id"))
+          .groupBy("wend").agg(countDistinct("user_id")).count()
+      }
+      val liF = replicate(Tables.lineitem(spark, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_returnflag",
+            "l_shipdate", "l_orderkey", "l_linenumber"),
+        Seq("l_partkey", "l_orderkey"), 10000000L).localCheckpoint(true)
+      time("fifo_window_algebra") {
+        import org.apache.spark.sql.expressions.Window
+        val lots = liF.filter(col("l_returnflag") =!= "R")
+          .select(col("l_partkey").as("pk"),
+            col("l_quantity").cast("long").as("q"),
+            expr("CAST(round(l_extendedprice*100) AS BIGINT) DIV CAST(l_quantity AS BIGINT)").as("unit_c"),
+            col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val dem = liF.filter(col("l_returnflag") === "R")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity").cast("long")).as("demand"))
+        lots.withColumn("cum", sum("q").over(
+            Window.partitionBy("pk")
+              .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "unit_c")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .join(dem, "pk")
+          .withColumn("used", greatest(least(col("q"),
+            col("demand") - (col("cum") - col("q"))), lit(0L)))
+          .groupBy("pk").agg(sum(col("used") * col("unit_c"))).count()
+      }
+    }
     spark.stop()
   }
 }
