@@ -461,6 +461,35 @@ object Insights {
         .agg(max("demand").as("demand"), sum("used").as("filled_qty"),
           sum(col("used") * col("unit_c")).as("cogs_cents"))
         .orderBy("pk")
+    },
+
+    // R123 — business-day latency histogram: order→ship latency in
+    // Mon–Fri days via pure epoch arithmetic. Engine DOW conventions
+    // differ (DuckDB Sunday=0, Spark Sunday=1) — instead f(d) counts
+    // business days from a fixed MONDAY anchor (1969-12-29) in closed
+    // form, (n÷7)·5 + min(n mod 7, 5), and the latency is f(ship) −
+    // f(order): exact integers, no dow() call, identical everywhere.
+    Q(
+      "q100_business_latency",
+      """WITH j AS (SELECT
+        |    date_diff('day', DATE '1969-12-29', CAST(o_orderdate AS DATE)) AS a,
+        |    date_diff('day', DATE '1969-12-29', CAST(l_shipdate AS DATE)) AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |f AS (SELECT ((b // 7) * 5 + least(b % 7, 5))
+        |           - ((a // 7) * 5 + least(a % 7, 5)) AS bd FROM j)
+        |SELECT bd, count(*) AS n FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          datediff(col("o_orderdate").cast("date"), lit("1969-12-29").cast("date"))
+            .cast("long").as("a"),
+          datediff(col("l_shipdate").cast("date"), lit("1969-12-29").cast("date"))
+            .cast("long").as("b"))
+      j.select((expr("(b DIV 7) * 5 + least(b % 7, 5)")
+          - expr("(a DIV 7) * 5 + least(a % 7, 5)")).as("bd"))
+        .groupBy("bd").agg(count(lit(1)).as("n"))
+        .orderBy("bd")
     }
   )
 }

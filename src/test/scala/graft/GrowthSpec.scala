@@ -52,6 +52,22 @@ class GrowthSpec extends SparkSpecBase {
     }
   }
 
+  test("q100: closed-form business-day count equals a weekday walk") {
+    import java.time.{DayOfWeek, LocalDate}
+    val anchor = LocalDate.of(1969, 12, 29) // a Monday
+    def closedForm(d: LocalDate): Long = {
+      val n = java.time.temporal.ChronoUnit.DAYS.between(anchor, d)
+      (n / 7) * 5 + math.min(n % 7, 5)
+    }
+    def walk(d: LocalDate): Long =
+      Iterator.iterate(anchor)(_.plusDays(1)).takeWhile(_.isBefore(d)).count(x =>
+        x.getDayOfWeek != DayOfWeek.SATURDAY && x.getDayOfWeek != DayOfWeek.SUNDAY)
+    // every weekday phase plus a leap boundary
+    val samples = (0 until 21).map(LocalDate.of(1995, 2, 20).plusDays(_)) ++
+      Seq(LocalDate.of(2000, 2, 28), LocalDate.of(2000, 3, 1), LocalDate.of(1970, 1, 1))
+    samples.foreach(d => assert(closedForm(d) == walk(d), d.toString))
+  }
+
   test("geo6: hop count is events-per-user minus one") {
     val tr = SparkEntry.queries("geo6_trajectory")(spark, sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
