@@ -58,23 +58,37 @@ class GeoIndexSpec extends SparkSpecBase {
     assert(selected < total, s"$selected of $total cells scanned")
   }
 
-  test("append skips already-indexed ids (replay no-op)") {
+  test("append commits by marker: replay no-op, crashed partials invisible") {
     val dir = tmp()
     val p = pts()
     GeoIndex.build(spark, p.filter(col("id") % 2 === 0), dir, cell = 10000000L)
-    GeoIndex.append(spark, dir, p.filter(col("id") % 2 === 1))
-    val n1 = spark.read.parquet(s"$dir/pts").count()
-    GeoIndex.append(spark, dir, p.filter(col("id") % 2 === 1)) // replay
-    val n2 = spark.read.parquet(s"$dir/pts").count()
-    assert(n1 == p.count() && n2 == n1)
+    assert(GeoIndex.append(spark, dir, p.filter(col("id") % 2 === 1), batchId = 1))
+    val n1 = GeoIndex.points(spark, dir).count()
+    assert(!GeoIndex.append(spark, dir, p.filter(col("id") % 2 === 1), batchId = 1))
+    assert(n1 == p.count() && GeoIndex.points(spark, dir).count() == n1)
     // incremental content equals a one-shot build
-    val inc = spark.read.parquet(s"$dir/pts")
+    val inc = GeoIndex.points(spark, dir)
       .select("id", "px", "py").collect().map(_.toSeq).toSet
     val dir2 = tmp()
     GeoIndex.build(spark, p, dir2, cell = 10000000L)
-    val full = spark.read.parquet(s"$dir2/pts")
+    val full = GeoIndex.points(spark, dir2)
       .select("id", "px", "py").collect().map(_.toSeq).toSet
     assert(inc == full)
+    // crash simulation: a partial batch dir WITHOUT its marker must be
+    // invisible to queries, and the retry must overwrite + commit it.
+    // Batches are DELTAS (fresh ids) by producer contract — replaying a
+    // batchId is safe, resubmitting a point under a new id is not.
+    val fresh = p.select((col("id") + 1000000L).as("id"), col("px"), col("py"))
+    fresh.withColumn("cx", expr("px DIV 10000000"))
+      .withColumn("cy", expr("py DIV 10000000"))
+      .limit(5).write.partitionBy("cx", "cy").parquet(s"$dir/pts/batch=2")
+    assert(GeoIndex.points(spark, dir).count() == n1, "unmarked batch leaked")
+    assert(GeoIndex.append(spark, dir, fresh, batchId = 2))
+    // multiset check: every id exactly once, no partial-file double-count
+    val afterRetry = GeoIndex.points(spark, dir).groupBy("id").count()
+      .filter(col("count") =!= 1).count()
+    assert(afterRetry == 0, "duplicate ids after crashed-retry commit")
+    assert(GeoIndex.points(spark, dir).count() == n1 + fresh.count())
   }
 
   test("querying a dir without a marker is loud") {
