@@ -308,6 +308,30 @@ object Geo {
           coalesce(sum("hop"), lit(0L)).as("path_len"),
           coalesce(max("hop"), lit(0L)).as("max_hop"))
         .orderBy("user_id")
+    },
+
+    // R124 — the durable grid index end to end under the oracle: build
+    // [[GeoIndex]] from the customer points in a fresh temp dir (the
+    // src6 lifecycle precedent), then answer a radius probe through
+    // the partition-pruned path; the oracle is the direct brute-force
+    // filter. Same answers, wildly different I/O: the index touches
+    // the covered cx/cy directories only.
+    Q(
+      "geo7_indexed_radius",
+      s"""WITH $ptsSql
+        |SELECT id, px, py,
+        |  (px - 180000000) * (px - 180000000)
+        |  + (py - 90000000) * (py - 90000000) AS d2
+        |FROM pts
+        |WHERE (px - 180000000) * (px - 180000000)
+        |    + (py - 90000000) * (py - 90000000) <= 3600000000000000
+        |ORDER BY id""".stripMargin
+    ) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("geoidx7").toString + "/idx"
+      GeoIndex.build(s, custPoints(s, d).select("id", "px", "py"), idx,
+        cell = 30000000L)
+      GeoIndex.queryRadius(s, idx, 180000000L, 90000000L, 60000000L)
+        .orderBy("id")
     }
   )
 }
