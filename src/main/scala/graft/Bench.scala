@@ -33,26 +33,47 @@ object Bench {
     // those (isolated-regression runs); unset = full sweep
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // per-query shuffle accounting: a listener sums task-level shuffle
+    // read/write bytes; the per-query delta goes to target/bench.json
+    // (NOT the bounded stdout line) so plan-discipline claims ("this
+    // query never shuffles the fact table") are checkable numbers.
+    val shufRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufWrite = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
+      val (r0, w0) = (shufRead.get(), shufWrite.get())
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
                catch { case _: Throwable => false }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // listener events drain asynchronously — flush before the delta
+      org.apache.spark.GraftSparkAccess.flushListeners(spark.sparkContext)
+      val shufMb = (shufRead.get() - r0 + shufWrite.get() - w0) / 1048576.0
       // untimed: prompt the ContextCleaner to release storage blocks pinned
       // by this query's localCheckpoint'd frames (dd2/dd3/sim5) so they
       // don't pressure later-alphabetical queries' timed sections
       System.gc()
-      name -> sec
+      (name, sec, shufMb)
     }
     def jsonMap(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val timings = results.map(r => r._1 -> r._2)
+    val total = timings.map(_._2).filter(_ >= 0).sum
     // classic OLAP shapes most comparable to a reference-engine baseline
     val headline = Set("q01_agg", "q02_filter_project", "q03_join_agg",
       "q04_semi_join", "q06_broadcast_join", "q07_star_join",
       "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
-    val headlineTotal = results.filter(r => headline(r._1)).map(_._2).filter(_ >= 0).sum
+    val headlineTotal = timings.filter(r => headline(r._1)).map(_._2).filter(_ >= 0).sum
     // The FULL per-query map goes to target/bench.json. The stdout line
     // carries only the 10 headline queries: the driver keeps just the
     // last 2000 chars of stdout (BENCH_r01/r02 "tail"), and the full
@@ -64,11 +85,12 @@ object Bench {
     // stdout line matching '"metric"'.
     def emit(qs: String, extra: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal$extra}"""
-    val full = emit(jsonMap(results), "")
+    val shuffleMap = jsonMap(results.map(r => r._1 -> (math.rint(r._3 * 1000) / 1000)))
+    val full = emit(jsonMap(timings), s""","shuffle_mb":$shuffleMap""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
-    println(emit(jsonMap(results.filter(r => headline(r._1))),
+    println(emit(jsonMap(timings.filter(r => headline(r._1))),
       s""","n_queries":${results.size},"all_queries_file":"target/bench.json""""))
     spark.stop()
   }
