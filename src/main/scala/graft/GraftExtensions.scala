@@ -74,5 +74,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         graft.plans.AsOfMatch(children.head, children(1), children(2), children(3))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // Record-linkage scorer: runs inside the blocked candidate join's
+    // generated code (see graft.functions.StringSim).
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinklerExpr].getName, null,
+        "jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0,1] (prefix boost 0.1/4, threshold 0.7)",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.JaroWinklerExpr(children.head, children(1))))
+    // Compression-ratio quality signal (see graft.functions.Compress).
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[graft.functions.DeflatedLenExpr].getName, null,
+        "deflate_len",
+        "deflate_len(s) - DEFLATE(level 6, raw) byte length of the UTF-8 bytes of s",
+        ""),
+      (children: Seq[Expression]) =>
+        graft.functions.DeflatedLenExpr(children.head)))
   }
 }

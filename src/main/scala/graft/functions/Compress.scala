@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Compressibility signal (SURVEY §2 L55): `deflate_len(text)` — the
+  * DEFLATE-compressed byte length of a string, evaluated inside
+  * whole-stage codegen. `deflate_len(t) / octet_length(t)` is the
+  * compression-ratio quality filter of the Gopher/C4 lineage: highly
+  * repetitive machine-generated text compresses far below the ~0.4–0.7
+  * band natural language occupies, and boilerplate/spam sits at the
+  * extremes. A pure function of the bytes (zlib level 6, raw stream),
+  * so it is deterministic, partitioning-invariant, and needs no state.
+  */
+object Compress {
+
+  /** Deflated size of `bytes` at level 6 (raw, no zlib header). */
+  def deflatedLen(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
+
+  def deflatedLenUtf8(s: UTF8String): Long = deflatedLen(s.getBytes)
+}
+
+/** `deflate_len(str)` — registered via [[graft.GraftExtensions]]. */
+case class DeflatedLenExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"deflate_len needs string, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(v: Any): Any =
+    Compress.deflatedLenUtf8(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Compress.deflatedLenUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflatedLenExpr =
+    copy(child = newChild)
+}

@@ -624,6 +624,40 @@ object Dedup {
       val cur = col("source").isin("src1", "src2", "src3")
       crossCorpusLinks(docs.filter(cur), docs.filter(!cur), thresholdPm = 500)
         .orderBy("id_a", "id_b")
+    },
+
+    // L54 — Jaro-Winkler name linkage: DISTINCT name space, blocked on
+    // the head noun (linkage never scores the full cross product), the
+    // native codegen'd `jaro_winkler` scoring inside the candidate
+    // join. The DuckDB oracle runs ITS OWN jaro_winkler_similarity —
+    // the 6-dp hash match certifies the two independent implementations
+    // agree on the standard definition, the strongest check a scorer
+    // can get.
+    Q(
+      "dd17_jaro_linkage",
+      """WITH names AS (
+        |  SELECT DISTINCT p_name AS name, string_split(p_name, ' ')[2] AS noun
+        |  FROM part
+        |)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+        |WHERE jaro_winkler_similarity(a.name, b.name) >= 0.8
+        |ORDER BY name_a, name_b""".stripMargin
+    ) { (s, d) =>
+      val names = Tables.part(s, d)
+        .select(col("p_name").as("name"),
+          element_at(split(col("p_name"), " "), 2).as("noun"))
+        .distinct()
+      val a = names.select(col("name").as("name_a"), col("noun"))
+      val b = names.select(col("name").as("name_b"), col("noun"))
+      a.join(b, Seq("noun"))
+        .filter(col("name_a") < col("name_b"))
+        .withColumn("jw_raw",
+          call_function("jaro_winkler", col("name_a"), col("name_b")))
+        .filter(col("jw_raw") >= 0.8)
+        .select(col("name_a"), col("name_b"), round(col("jw_raw"), 6).as("jw"))
+        .orderBy("name_a", "name_b")
     }
   )
 

@@ -69,6 +69,38 @@ object MaterializedView {
         // return would silently re-optimize against the base table
         out.localCheckpoint(true)
       } finally MvCatalog.clear() // never leak the MV into other entries
+    },
+
+    // R96 — semantic result cache: the SAME aggregate is pushed through
+    // [[graft.plans.ResultCache]] twice; the second pass must be served
+    // from the digest-addressed store (asserted in-entry via the scanned
+    // files), and the DuckDB oracle recomputes from the base table — the
+    // hash match certifies the cache returned the answer, not a stale or
+    // corrupted copy.
+    Q(
+      "mv2_result_cache",
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM documents WHERE n_chars >= 200
+        |GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val cacheRoot =
+        java.nio.file.Files.createTempDirectory("result-cache").toString
+      def query = Tables.documents(s, d)
+        .filter(col("n_chars") >= 200)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source")
+      val (_, firstHit) = graft.plans.ResultCache.through(query, cacheRoot)
+      val (cached, secondHit) = graft.plans.ResultCache.through(query, cacheRoot)
+      require(!firstHit && secondHit,
+        s"result cache: expected miss-then-hit, got $firstHit/$secondHit")
+      val files = cached.inputFiles
+      require(files.nonEmpty && files.forall(_.contains("result-cache")),
+        s"result-cache hit is not scanning the cache: ${files.take(3).mkString(",")}")
+      cached
     }
   )
 }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation aggregates (SURVEY §2 L51–L53): the metrics a
+  * training-data pipeline runs over scored eval sets — ROC AUC,
+  * calibration bins, NDCG. The reference's surface stops at relational
+  * aggregation; these follow the same oracle discipline as MlPrep
+  * (reference: DistributedQueryEngine.diff aggregation hunks): every
+  * metric is exact integer algebra as far as the math allows, any
+  * transcendental term is micro-quantized ONCE to a 1e6-unit BIGINT so
+  * sums are order-invariant and engine-exact, and final doubles are a
+  * single division (+ 6-dp round where a transcendental entered).
+  *
+  * Scale: all three are one or two keyed shuffles over the scored set —
+  * no driver-side math, no per-group collect. AUC's rank windows
+  * partition by the group key (bounded groups at any corpus size);
+  * NDCG's windows partition by customer (top-k rows per key survive).
+  */
+object MlEval {
+
+  val catalog: Seq[Q] = Seq(
+
+    // L51 — ROC AUC per group from the rank-sum (Mann-Whitney U)
+    // identity: AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻), with average
+    // ranks for ties. Doubled ranks keep the tie-average integral:
+    // 2·avgrank = 2·minrank + ties − 1. The checked auc column is ONE
+    // exact-integer division evaluated identically by both engines.
+    Q(
+      "ml5_auc",
+      """WITH scored AS (
+        |  SELECT o_orderpriority AS grp,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders
+        |), ranked AS (
+        |  SELECT grp, label,
+        |         2*rank() OVER (PARTITION BY grp ORDER BY cents)
+        |           + count(*) OVER (PARTITION BY grp, cents) - 1 AS dubrank
+        |  FROM scored
+        |)
+        |SELECT grp,
+        |  CAST(sum(label) AS BIGINT) AS n_pos,
+        |  CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+        |  CAST(sum(CASE WHEN label = 1 THEN dubrank ELSE 0 END)
+        |       - sum(label)*(sum(label)+1) AS BIGINT) AS auc_num,
+        |  CAST(2*sum(label)*(count(*)-sum(label)) AS BIGINT) AS auc_den,
+        |  CAST(sum(CASE WHEN label = 1 THEN dubrank ELSE 0 END)
+        |       - sum(label)*(sum(label)+1) AS DOUBLE)
+        |    / (2*sum(label)*(count(*)-sum(label))) AS auc
+        |FROM ranked GROUP BY grp ORDER BY grp""".stripMargin
+    ) { (s, d) =>
+      val scored = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("label"))
+      val ranked = scored.select(col("grp"), col("label"),
+        (lit(2) * rank().over(Window.partitionBy("grp").orderBy("cents"))
+          + count(lit(1)).over(Window.partitionBy("grp", "cents")) - 1)
+          .cast("long").as("dubrank"))
+      ranked.groupBy("grp")
+        .agg(
+          sum("label").as("n_pos"),
+          (count(lit(1)) - sum("label")).as("n_neg"),
+          (sum(when(col("label") === 1, col("dubrank")).otherwise(0L))
+            - sum("label") * (sum("label") + 1)).as("auc_num"),
+          (lit(2) * sum("label") * (count(lit(1)) - sum("label"))).as("auc_den"))
+        .select(col("grp"), col("n_pos"), col("n_neg"), col("auc_num"),
+          col("auc_den"),
+          (col("auc_num").cast("double") / col("auc_den")).as("auc"))
+        .orderBy("grp")
+    },
+
+    // L52 — calibration table: scores normalized against the global max
+    // into 10 equal-width bins by pure integer floor-division (cents*10
+    // DIV max — no float boundary anywhere), per-bin counts + exact
+    // cent sums; observed rate and mean predicted score are single
+    // exact-integer divisions.
+    Q(
+      "ml6_calibration",
+      """WITH scored AS (
+        |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders
+        |), mx AS (SELECT max(cents) AS max_cents FROM scored)
+        |SELECT
+        |  CAST(CASE WHEN cents = max_cents THEN 9
+        |            ELSE (cents*10) // max_cents END AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(label) AS BIGINT) AS n_pos,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(label) AS DOUBLE) / count(*) AS frac_pos,
+        |  CAST(sum(cents) AS DOUBLE) / (CAST(count(*) AS BIGINT) * max_cents)
+        |    AS mean_score
+        |FROM scored, mx
+        |GROUP BY 1, max_cents ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val scored = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("label"))
+      val mx = scored.agg(max("cents").as("max_cents"))
+      scored.crossJoin(broadcast(mx))
+        .withColumn("bin",
+          when(col("cents") === col("max_cents"), lit(9L))
+            .otherwise(expr("(cents*10) DIV max_cents")).cast("long"))
+        .groupBy("bin", "max_cents")
+        .agg(count(lit(1)).as("n"), sum("label").as("n_pos"),
+          sum("cents").as("sum_cents"))
+        .select(col("bin"), col("n"), col("n_pos"), col("sum_cents"),
+          (col("n_pos").cast("double") / col("n")).as("frac_pos"),
+          (col("sum_cents").cast("double") / (col("n") * col("max_cents")))
+            .as("mean_score"))
+        .orderBy("bin")
+    },
+
+    // L53 — NDCG@5 per customer: ranking = top-5 orders by price
+    // (orderkey tiebreak), graded relevance 6−priority digit (1..5, so
+    // IDCG can never be zero). Each rel/log2(pos+1) term is
+    // micro-quantized to a 1e6-unit BIGINT (tx19 discipline — the sum
+    // is order-invariant and engine-exact); ndcg is one division of the
+    // two exact sums, 6-dp rounded (q47 precedent for the single
+    // transcendental that entered each term).
+    Q(
+      "ml7_ndcg",
+      """WITH scored AS (
+        |  SELECT o_custkey,
+        |         CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |         o_orderkey,
+        |         6 - CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS rel
+        |  FROM orders
+        |), top5 AS (
+        |  SELECT o_custkey, cents, o_orderkey, rel,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY cents DESC, o_orderkey) AS pos
+        |  FROM scored
+        |  QUALIFY pos <= 5
+        |), ideal AS (
+        |  SELECT o_custkey, rel, pos,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY rel DESC, cents DESC, o_orderkey)
+        |           AS ipos
+        |  FROM top5
+        |)
+        |SELECT o_custkey,
+        |  CAST(sum(CAST(round(1e6 * rel / log2(pos + 1)) AS BIGINT))
+        |       AS BIGINT) AS dcg_micro,
+        |  CAST(sum(CAST(round(1e6 * rel / log2(ipos + 1)) AS BIGINT))
+        |       AS BIGINT) AS idcg_micro,
+        |  round(CAST(sum(CAST(round(1e6 * rel / log2(pos + 1)) AS BIGINT))
+        |             AS DOUBLE)
+        |        / sum(CAST(round(1e6 * rel / log2(ipos + 1)) AS BIGINT)), 6)
+        |    AS ndcg
+        |FROM ideal GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+    ) { (s, d) =>
+      val scored = Tables.orders(s, d).select(
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"),
+        (lit(6) - substring(col("o_orderpriority"), 1, 1).cast("long"))
+          .as("rel"))
+      val top5 = scored
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("cents").desc, col("o_orderkey"))))
+        .filter(col("pos") <= 5)
+      val ideal = top5.withColumn("ipos", row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("rel").desc, col("cents").desc, col("o_orderkey"))))
+      ideal.groupBy("o_custkey")
+        .agg(
+          sum(expr("CAST(round(1e6 * rel / log2(pos + 1)) AS BIGINT)"))
+            .as("dcg_micro"),
+          sum(expr("CAST(round(1e6 * rel / log2(ipos + 1)) AS BIGINT)"))
+            .as("idcg_micro"))
+        .select(col("o_custkey"), col("dcg_micro"), col("idcg_micro"),
+          expr("round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6)").as("ndcg"))
+        .orderBy("o_custkey")
+    },
+  )
+}

@@ -511,6 +511,27 @@ object TextOps {
         sum("odd_word_len").as("odd_word_len"),
         sum(when(col("too_short") + col("no_stopword") + col("stopword_heavy")
           + col("odd_word_len") === 0, 1L).otherwise(0L)).as("n_kept"))
+    },
+
+    // L55 — compression-ratio quality report (Gopher/C4 lineage): the
+    // native `deflate_len` expression scores every doc scan-side; the
+    // per-mille ratio is pure integer algebra, so the per-source report
+    // is order-invariant and thread-deterministic. rows-only: DuckDB
+    // has no DEFLATE surface (the expression itself is pinned by
+    // CompressSpec fixtures instead).
+    Q.rowsOnly("tx37_compressibility") { (s, d) =>
+      val f = Tables.documents(s, d).select(col("source"),
+        call_function("deflate_len", col("text")).as("dl"),
+        octet_length(col("text")).cast("long").as("ol"))
+      f.filter(col("ol") > 0)
+        .select(col("source"), expr("(1000 * dl) DIV ol").as("rpm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(rpm) DIV count(*)").as("avg_rpm"),
+          min("rpm").as("min_rpm"), max("rpm").as("max_rpm"),
+          sum(when(col("rpm") < 300, 1L).otherwise(0L)).as("n_repetitive"),
+          sum(when(col("rpm") > 900, 1L).otherwise(0L)).as("n_incompressible"))
+        .orderBy("source")
     }
   )
 }
