@@ -586,6 +586,61 @@ object Analytics {
           expr("percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity)").as("p50"),
           expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)").as("p75"))
         .orderBy("l_returnflag")
+    },
+
+    // R77 — Theil-Sen robust trend: per user, the slope of daily spend
+    // vs calendar day as the LOWER MEDIAN of all pairwise slopes —
+    // the estimator that shrugs off the outlier days OLS (q60's regr_)
+    // chases. Slopes are ONE fixed IEEE division of exact integers
+    // (cents delta / day delta), so the multiset is engine-identical
+    // and the positional median needs no quantization. Scale: the
+    // pair join is per-user O(d²) with d CALENDAR-bounded (days in
+    // range), never corpus-bounded — the same bound ev35's fold rides.
+    Q(
+      "q101_theilsen",
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS dy,
+        |         sum(CAST(round(value*100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT user_id, CAST(cents AS BIGINT) AS cents,
+        |         CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', dy)
+        |              AS BIGINT) AS di
+        |  FROM daily),
+        |pairs AS (
+        |  SELECT a.user_id,
+        |         CAST(b.cents - a.cents AS DOUBLE) / (b.di - a.di) AS slope
+        |  FROM idx a JOIN idx b
+        |    ON a.user_id = b.user_id AND b.di > a.di),
+        |ranked AS (
+        |  SELECT user_id, slope,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM pairs)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS n_pairs, slope AS theil_sen
+        |FROM ranked WHERE rn = (cnt + 1) // 2
+        |ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("dy"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("user_id"), col("cents"),
+          datediff(col("dy"), lit("2024-01-01 00:00:00").cast("timestamp"))
+            .cast("long").as("di"))
+      val a = daily.select(col("user_id"), col("cents").as("ca"), col("di").as("da"))
+      val b = daily.select(col("user_id"), col("cents").as("cb"), col("di").as("db"))
+      val pairs = a.join(b, Seq("user_id")).filter(col("db") > col("da"))
+        .select(col("user_id"),
+          ((col("cb") - col("ca")).cast("double") / (col("db") - col("da")))
+            .as("slope"))
+      val w = Window.partitionBy("user_id")
+      pairs
+        .withColumn("rn", row_number().over(w.orderBy("slope")))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter(col("rn") === expr("(cnt + 1) DIV 2"))
+        .select(col("user_id"), col("cnt").as("n_pairs"),
+          col("slope").as("theil_sen"))
+        .orderBy("user_id")
     }
   )
 }

@@ -1006,6 +1006,103 @@ object EventOps {
         .orderBy("event_type", "h")
     },
 
+    // T45 — Holt-Winters ADDITIVE SEASONAL forecast (level + trend +
+    // weekly seasonality), completing ev35's Holt: the state is a flat
+    // 9-list [l, t, s₁..s₇] whose seasonal block ROTATES one slot per
+    // step — s₁ is always the active season, so the fold needs no
+    // mutable indexed write (neither engine's lambda can express one).
+    // Seed: l₀ = mean of week 1 (fixed-order sum), t₀ = 0, sᵢ = xᵢ−l₀.
+    // Dyadic α=1/2, β=1/4, γ=1/2 keep every op a correctly-rounded
+    // IEEE primitive of the IDENTICAL expression tree on both engines —
+    // hash-equal doubles, no rounding (ev35/q93 discipline). DuckDB's
+    // list_reduce has no seed parameter: the seed 9-list is PREPENDED
+    // and each x is padded to a 9-list (ev36 precedent). Forecast
+    // x̂(h) = l + h·t + s_h for h = 1..7.
+    Q(
+      "ev43_holt_winters",
+      """WITH bounds AS (
+        |  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+        |  FROM events),
+        |spine AS (
+        |  SELECT g.g AS dy, t.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT d0 FROM bounds),
+        |                                      (SELECT d1 FROM bounds),
+        |                                      INTERVAL 1 DAY)) AS g) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |actual AS (
+        |  SELECT date_trunc('day', ts) AS dy, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT s.event_type, s.dy, CAST(coalesce(a.n, 0) AS DOUBLE) AS x
+        |  FROM spine s LEFT JOIN actual a
+        |    ON s.dy = a.dy AND s.event_type = a.event_type),
+        |arrs AS (
+        |  SELECT event_type, list(x ORDER BY dy) AS xs FROM series GROUP BY 1),
+        |seeded AS (
+        |  SELECT event_type, xs,
+        |    (xs[1]+xs[2]+xs[3]+xs[4]+xs[5]+xs[6]+xs[7]) / 7.0e0 AS l0
+        |  FROM arrs),
+        |fit AS (
+        |  SELECT event_type,
+        |    list_reduce(
+        |      list_concat(
+        |        [[l0, 0.0e0, xs[1]-l0, xs[2]-l0, xs[3]-l0, xs[4]-l0,
+        |          xs[5]-l0, xs[6]-l0, xs[7]-l0]],
+        |        list_transform(xs[8:], v -> [v, 0.0e0, 0.0e0, 0.0e0, 0.0e0,
+        |                                     0.0e0, 0.0e0, 0.0e0, 0.0e0])),
+        |      -- DuckDB's list_concat is strictly binary -> nested calls
+        |      (acc, x) -> list_concat(list_concat(
+        |        [0.5e0*(x[1] - acc[3]) + 0.5e0*(acc[1] + acc[2]),
+        |         0.25e0*((0.5e0*(x[1] - acc[3]) + 0.5e0*(acc[1] + acc[2]))
+        |                 - acc[1]) + 0.75e0*acc[2]],
+        |        acc[4:9]),
+        |        [0.5e0*(x[1] - (0.5e0*(x[1] - acc[3])
+        |                        + 0.5e0*(acc[1] + acc[2]))) + 0.5e0*acc[3]]))
+        |      AS st
+        |  FROM seeded)
+        |SELECT event_type, h.h AS h,
+        |  st[1] + CAST(h.h AS DOUBLE) * st[2] + st[2 + h.h] AS forecast
+        |FROM fit CROSS JOIN (SELECT unnest(range(1, 8)) AS h) h
+        |ORDER BY event_type, h""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(date_trunc("day", min("ts")).as("d0"),
+        date_trunc("day", max("ts")).as("d1"))
+      val spine = bounds
+        .select(explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("dy"))
+        .crossJoin(ev.select("event_type").distinct())
+      val actual = ev.groupBy(date_trunc("day", col("ts")).as("dy"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val series = spine.join(actual, Seq("dy", "event_type"), "left")
+        .select(col("event_type"), col("dy"),
+          coalesce(col("n"), lit(0L)).cast("double").as("x"))
+      val arrs = series.groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(dy, x))), s -> s.x)")
+          .as("xs"))
+        .withColumn("l0", expr(
+          """(element_at(xs,1)+element_at(xs,2)+element_at(xs,3)+element_at(xs,4)
+            |+element_at(xs,5)+element_at(xs,6)+element_at(xs,7)) / 7.0D""".stripMargin))
+      val fit = arrs.select(col("event_type"), expr(
+        """aggregate(
+          |  slice(xs, 8, size(xs) - 7),
+          |  concat(array(l0, CAST(0.0 AS DOUBLE)),
+          |         transform(slice(xs, 1, 7), v -> v - l0)),
+          |  (acc, x) -> concat(
+          |    array(
+          |      0.5D*(x - element_at(acc,3)) + 0.5D*(element_at(acc,1) + element_at(acc,2)),
+          |      0.25D*((0.5D*(x - element_at(acc,3)) + 0.5D*(element_at(acc,1) + element_at(acc,2)))
+          |             - element_at(acc,1)) + 0.75D*element_at(acc,2)),
+          |    slice(acc, 4, 6),
+          |    array(0.5D*(x - (0.5D*(x - element_at(acc,3))
+          |                     + 0.5D*(element_at(acc,1) + element_at(acc,2))))
+          |          + 0.5D*element_at(acc,3))))""".stripMargin).as("st"))
+      fit.crossJoin(spark_range_h(s))
+        .select(col("event_type"), col("h"),
+          (element_at(col("st"), lit(1)) + col("h").cast("double") * element_at(col("st"), lit(2))
+            + element_at(col("st"), (lit(2) + col("h")).cast("int"))).as("forecast"))
+        .orderBy("event_type", "h")
+    },
+
     // T44 — clamped running balance: per user, fold the signed event
     // deltas in (ts, event_id) order with balance = max(0, balance + δ)
     // — a stateful recurrence NO window frame can express (the clamp

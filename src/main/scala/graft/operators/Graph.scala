@@ -1356,6 +1356,65 @@ object Graph {
         .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"))
         .orderBy(desc("n_members"), col("community"))
         .limit(50)
+    },
+
+    // R83 — deterministic random-walk sampling (the node2vec/DeepWalk
+    // corpus generator): from every seed, a 4-step walk over the
+    // indexed adjacency table, the step choice drawn from the
+    // engine-portable md5 stream keyed by (seed, node, step) — so the
+    // "random" walks are exactly reproducible, shardable, and
+    // ORACLE-CHECKABLE (DuckDB replays the identical walks through a
+    // recursive CTE). Each step is ONE equi-join of the frontier
+    // against the (src, idx) adjacency — walk count × depth joins of
+    // id-width rows, never a per-node driver loop; this is the shape
+    // that feeds a 100 TB embedding trainer its walk corpus.
+    Q(
+      "gr21_random_walks",
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, 1 AS idx,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, (doc_id*31 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3, (doc_id*101 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id AS seed, CAST(0 AS BIGINT) AS step, doc_id AS node
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT w.seed, w.step + 1, e.dst
+        |  FROM w JOIN e ON e.src = w.node AND e.idx = 1 +
+        |    CAST('0x' || substr(md5(CAST(w.seed AS VARCHAR) || ':' ||
+        |           CAST(w.node AS VARCHAR) || ':' || CAST(w.step AS VARCHAR)),
+        |         1, 8) AS BIGINT) % 3
+        |  WHERE w.step < 4)
+        |SELECT seed, step, node FROM w ORDER BY seed, step, node""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int, idx: Int) = docs.select(
+        col("doc_id").as("src"), lit(idx).as("idx"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13, 1).unionByName(es(31, 5, 2)).unionByName(es(101, 2, 3))
+        .localCheckpoint(true)
+      var cur = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("seed"), lit(0L).as("step"),
+          col("doc_id").as("node"))
+      val levels = scala.collection.mutable.ArrayBuffer(cur)
+      for (_ <- 1 to 4) {
+        cur = cur
+          .withColumn("pick", expr(
+            """1 + CAST(conv(substr(md5(concat(CAST(seed AS STRING), ':',
+              |  CAST(node AS STRING), ':', CAST(step AS STRING))), 1, 8),
+              |  16, 10) AS BIGINT) % 3""".stripMargin))
+          .join(e, col("node") === col("src") && col("idx") === col("pick"))
+          .select(col("seed"), (col("step") + 1).as("step"),
+            col("dst").as("node"))
+        levels += cur
+      }
+      levels.reduce(_ unionByName _).orderBy("seed", "step", "node")
     }
   )
 
