@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan linter (SURVEY §2 R97): the scale-antipattern audit this repo
+  * runs by hand on every new operator (PLANS.md discipline), packaged
+  * as an API — point it at any DataFrame and it walks the physical
+  * plan for the shapes that break at 100 TB:
+  *
+  *  - `cartesian-product`   O(n·m) join (CartesianProduct / unconditioned
+  *                          nested-loop) — warn
+  *  - `global-window`       WindowExec with an empty partitionSpec: every
+  *                          row through ONE reducer — warn
+  *  - `missed-broadcast`    shuffle join whose smaller input is under the
+  *                          broadcast threshold by the optimizer's own
+  *                          estimate — warn
+  *  - `unpushed-scan`       file scan that reports no pushed filters while
+  *                          a post-scan filter prunes its output — info
+  *                          (non-pushable predicates are legitimate)
+  *  - `exchange`            one per shuffle — info, the count IS the cost
+  *                          model
+  *
+  * Read-only: linting forces planning (and with AQE, the final adaptive
+  * plan) but executes nothing. The severity split keeps the warn set
+  * actionable — PlanLintSpec pins that every warn rule fires on a
+  * constructed offender and stays silent on the catalog's audited
+  * flagship shapes.
+  */
+object PlanLint {
+
+  final case class Finding(rule: String, severity: String, detail: String)
+
+  def lint(df: DataFrame): Seq[Finding] = {
+    val executed = df.queryExecution.executedPlan
+    val plan = executed match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val threshold = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .replaceAll("[bB]$", "").trim match {
+      case s if s.endsWith("k") || s.endsWith("K") => s.init.toLong * 1024
+      case s if s.endsWith("m") || s.endsWith("M") => s.init.toLong * 1024 * 1024
+      case s => s.toLong
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+
+    plan.foreach {
+      case c: CartesianProductExec =>
+        out += Finding("cartesian-product", "warn",
+          s"O(n*m) cartesian join: ${c.simpleStringWithNodeId()}")
+      case b: BroadcastNestedLoopJoinExec if b.condition.isEmpty =>
+        out += Finding("cartesian-product", "warn",
+          s"unconditioned nested-loop join: ${b.simpleStringWithNodeId()}")
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        out += Finding("global-window", "warn",
+          "window with no PARTITION BY funnels all rows into one task")
+      case j: SortMergeJoinExec =>
+        checkMissedBroadcast(j, j.left, j.right, threshold, out)
+      case j: ShuffledHashJoinExec =>
+        checkMissedBroadcast(j, j.left, j.right, threshold, out)
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        // a SUBSTANTIVE residual filter directly over a scan that pushed
+        // nothing substantive (null checks don't count — pushdown adds
+        // IsNotNull even for unpushable predicates): either the predicate
+        // isn't source-expressible (legitimate but worth knowing) or
+        // pushdown silently failed
+        scanBelow(f.child).foreach { s =>
+          val pushedReal = s.metadata.get("PushedFilters").getOrElse("[]")
+            .stripPrefix("[").stripSuffix("]").split(",").map(_.trim)
+            .exists(p => p.nonEmpty && !p.startsWith("IsNotNull(") &&
+              !p.startsWith("IsNull("))
+          val residualReal = conjuncts(f.condition).exists {
+            case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
+            case _ => true
+          }
+          if (residualReal && !pushedReal)
+            out += Finding("unpushed-scan", "info",
+              "substantive filter evaluated post-scan; scan pushed no substantive predicate")
+        }
+      case _: ShuffleExchangeExec =>
+        out += Finding("exchange", "info", "shuffle exchange")
+      case _ => ()
+    }
+    out.toSeq
+  }
+
+  /** Warn when a shuffle join's smaller side was, by the optimizer's own
+    * size estimate, under the broadcast threshold (threshold <= 0 means
+    * broadcasting is disabled on purpose — stay silent). */
+  private def checkMissedBroadcast(join: SparkPlan, left: SparkPlan,
+                                   right: SparkPlan, threshold: Long,
+                                   out: scala.collection.mutable.ArrayBuffer[Finding]): Unit = {
+    if (threshold > 0) {
+      val sizes = Seq(left, right).map(estimatedSize)
+      val minSize = sizes.flatten.reduceOption(_ min _)
+      minSize.filter(_ <= threshold).foreach { sz =>
+        out += Finding("missed-broadcast", "warn",
+          s"shuffle join but smaller side is estimated at $sz bytes " +
+            s"(<= threshold $threshold): ${join.nodeName}")
+      }
+    }
+  }
+
+  private def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The file scan under a chain of row-shape adapters (projection /
+    * columnar-to-row), if any — the "filter sits on the scan" test. */
+  private def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
+    case s: FileSourceScanExec => Some(s)
+    case u: org.apache.spark.sql.execution.ProjectExec => scanBelow(u.child)
+    case u: org.apache.spark.sql.execution.ColumnarToRowExec => scanBelow(u.child)
+    case u: org.apache.spark.sql.execution.InputAdapter => scanBelow(u.child)
+    case u: org.apache.spark.sql.execution.WholeStageCodegenExec => scanBelow(u.child)
+    case _ => None
+  }
+
+  private def estimatedSize(p: SparkPlan): Option[BigInt] =
+    p.logicalLink.map(_.stats.sizeInBytes)
+      .orElse(p.children.headOption.flatMap(estimatedSize))
+
+  /** True when no warn-severity finding fires — the CI-gate form. */
+  def clean(df: DataFrame): Boolean = lint(df).forall(_.severity != "warn")
+}

@@ -431,6 +431,64 @@ object EventStream {
         })
   }
 
+  case class CepState(inProgress: Boolean, startUs: Long, startId: Long,
+                      matchLen: Int)
+  case class CepMatch(user_id: Long, start_ts: java.sql.Timestamp,
+                      end_ts: java.sql.Timestamp, match_len: Int)
+
+  /** T24b — streaming CEP: the continuous twin of `ev42_pattern_match`,
+    * detecting the contiguous episode `view → (click|error)* → purchase`
+    * per user across micro-batch boundaries via one small
+    * flatMapGroupsWithState record (the Flink-CEP shape on Spark).
+    *
+    * Semantics proof (same argument as ev42's, now incremental): for
+    * `a X* b` with b ∉ X over alphabet Σ, a failed attempt can only
+    * fail on a char in Σ∖(X∪{b}); every char between the attempt's
+    * start and the failure is in X and can never START a match, so the
+    * textbook regex restart ("rescan from start+1") reduces to "start a
+    * new attempt iff the failing char is `a`" — exactly what the state
+    * machine does. StreamingSpec proves batch-boundary carry-over and
+    * per-user equality of (count, total length, max length) with the
+    * batch regex entry. Eviction mirrors `funnel` (idle timeout).
+    */
+  def patternMatchStream(events: Dataset[Event],
+                         timeoutMs: Long = 3600 * 1000L): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (user: Long, it: Iterator[Event], state: GroupState[CepState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(CepState(false, 0L, 0L, 0))
+            val hits = scala.collection.mutable.ArrayBuffer.empty[CepMatch]
+            it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              e.event_type match {
+                case "view" => // `a`: starts (or restarts) an attempt
+                  st = CepState(true, e.ts.getTime, e.event_id, 1)
+                case "click" | "error" if st.inProgress => // X: extends
+                  st = st.copy(matchLen = st.matchLen + 1)
+                case "purchase" if st.inProgress => // b: completes
+                  hits += CepMatch(user,
+                    new java.sql.Timestamp(st.startUs), e.ts, st.matchLen + 1)
+                  st = CepState(false, 0L, 0L, 0)
+                case _ => // failure char outside an attempt's language
+                  st = CepState(false, 0L, 0L, 0)
+              }
+            }
+            if (!st.inProgress) state.remove()
+            else {
+              state.update(st)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            }
+            hits.iterator
+          }
+        })
+  }
+
   /** T3b — the same funnel on Spark 4's state API v2
     * (`transformWithState`): state lives in NAMED typed handles
     * ([[org.apache.spark.sql.streaming.ValueState]]) with optional

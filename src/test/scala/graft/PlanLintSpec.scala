@@ -1,0 +1,73 @@
+package graft
+
+import graft.plans.PlanLint
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** PlanLint: every warn rule fires on a constructed offender and stays
+  * silent on audited catalog shapes. */
+class PlanLintSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+    PlanLint.lint(df).filter(_.severity == "warn").map(_.rule).toSet
+
+  test("cartesian product detected") {
+    val a = spark.range(1000).toDF("x")
+    val b = spark.range(1000).toDF("y")
+    // disable broadcast so the cross join plans as CartesianProduct
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(rules(a.crossJoin(b)).contains("cartesian-product"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("unconditioned broadcast nested loop detected") {
+    val a = spark.range(1000).toDF("x")
+    val b = spark.range(10).toDF("y")
+    assert(rules(a.crossJoin(b)).contains("cartesian-product"))
+  }
+
+  test("global window detected; keyed window clean") {
+    val df = Tables.documents(spark, sf0001)
+    val global = df.withColumn("rn",
+      row_number().over(Window.orderBy("doc_id")))
+    assert(rules(global).contains("global-window"))
+    val keyed = df.withColumn("rn",
+      row_number().over(Window.partitionBy("lang").orderBy("doc_id")))
+    assert(!rules(keyed).contains("global-window"))
+  }
+
+  test("missed broadcast: merge-hinted small join warns, plain join does not") {
+    val docs = Tables.documents(spark, sf0001)
+    val dim = Tables.documents(spark, sf0001)
+      .select("lang").distinct()
+    val hinted = docs.join(dim.hint("merge"), Seq("lang"))
+    assert(rules(hinted).contains("missed-broadcast"))
+    val plain = docs.join(dim, Seq("lang")) // optimizer broadcasts this
+    assert(!rules(plain).contains("missed-broadcast"))
+  }
+
+  test("unpushed scan is info, pushable filter is silent") {
+    val docs = Tables.documents(spark, sf0001)
+    val unpushed = docs.filter(length(col("text")) % 7 === 3)
+    val info = PlanLint.lint(unpushed).filter(_.severity == "info").map(_.rule)
+    assert(info.contains("unpushed-scan"))
+    val pushed = docs.filter(col("n_chars") > 100)
+    assert(!PlanLint.lint(pushed).map(_.rule).contains("unpushed-scan"))
+  }
+
+  test("exchange count reported as info") {
+    val df = Tables.documents(spark, sf0001).groupBy("lang").count()
+    val ex = PlanLint.lint(df).filter(_.rule == "exchange")
+    assert(ex.nonEmpty && ex.forall(_.severity == "info"))
+  }
+
+  test("audited catalog flagships lint clean") {
+    for (name <- Seq("q01_agg", "q03_join_agg", "q07_star_join", "dd1_exact")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      assert(PlanLint.clean(df), s"$name: ${PlanLint.lint(df)}")
+    }
+  }
+}

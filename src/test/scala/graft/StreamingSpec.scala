@@ -608,4 +608,71 @@ class StreamingSpec extends SparkSpecBase {
     val tiers = out.select("user_id", "tier").as[(Long, String)].collect().toMap
     assert(tiers === Map(1L -> "gold", 3L -> null))
   }
+
+  test("T24b CEP match carries state across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    val cep = EventStream.patternMatchStream(in.toDS(), timeoutMs = 0L).toDF()
+    val q = cep.writeStream.format("memory").queryName("t24b_carry")
+      .outputMode("append").start()
+    in.addData(EventStream.Event(1L, ts(0), 1L, "view", 0.0),
+               EventStream.Event(2L, ts(1), 1L, "click", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("t24b_carry").count() === 0, "no match before `b` arrives")
+    in.addData(EventStream.Event(3L, ts(2), 1L, "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val m = spark.table("t24b_carry")
+      .select("user_id", "match_len").as[(Long, Int)].collect().toSeq
+    assert(m === Seq((1L, 3)), "view+click in batch 1, purchase in batch 2")
+  }
+
+  test("T24b CEP restart semantics match the regex (VVP matches VP; S aborts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventStream.Event]
+    in.addData(
+      // user 1: V V P -> the regex matches "VP" (len 2), not "VVP"
+      EventStream.Event(1L, ts(0), 1L, "view", 0.0),
+      EventStream.Event(2L, ts(1), 1L, "view", 0.0),
+      EventStream.Event(3L, ts(2), 1L, "purchase", 0.0),
+      // user 2: V S P -> signup aborts the attempt, no match
+      EventStream.Event(4L, ts(0), 2L, "view", 0.0),
+      EventStream.Event(5L, ts(1), 2L, "signup", 0.0),
+      EventStream.Event(6L, ts(2), 2L, "purchase", 0.0))
+    val out = runStream("t24b_restart",
+      EventStream.patternMatchStream(in.toDS(), timeoutMs = 0L).toDF())
+    val m = out.select("user_id", "match_len").as[(Long, Int)].collect().toSeq
+    assert(m === Seq((1L, 2)))
+  }
+
+  test("T24b CEP over the real event table equals the ev42 batch regex") {
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStream.Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[EventStream.Event]
+    val cep = EventStream.patternMatchStream(in.toDS(), timeoutMs = 0L).toDF()
+    val q = cep.writeStream.format("memory").queryName("t24b_real")
+      .outputMode("append").start()
+    // three time-ordered micro-batches: matches must survive the seams
+    evs.grouped((evs.length + 2) / 3).foreach { chunk =>
+      in.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamAgg = spark.table("t24b_real").groupBy("user_id")
+      .agg(count(lit(1)).as("n_match"),
+        sum("match_len").as("total_len"),
+        max("match_len").as("max_len"))
+      .as[(Long, Long, Long, Int)].collect()
+      .map { case (u, n, t, mx) => u -> ((n, t, mx.toLong)) }.toMap
+    val batch = SparkEntry.queries("ev42_pattern_match")(spark, sf0001)
+      .filter(col("n_match") > 0)
+      .select("user_id", "n_match", "total_len", "max_len")
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (u, n, t, mx) => u -> ((n, t, mx)) }.toMap
+    assert(batch.nonEmpty, "fixture must contain at least one matching user")
+    assert(streamAgg === batch,
+      "streaming CEP must equal the batch regex per user")
+  }
 }
