@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Incremental corpus curation (SURVEY §2 L56) — the COMPOSITION the
+  * per-stage incremental indexes exist for: each arriving batch flows
+  * through quality gate → exact dedup → near-dup pair search → cluster
+  * labels, touching only O(batch + matched-state), never re-reading the
+  * corpus. Stages reuse the audited parts: [[Dedup.shingles]] for the
+  * pair search (exact shingle-Jaccard — no recall question inside a
+  * correctness-gated pipeline) and [[CcIndex]] for the durable labels
+  * (root-graph contraction per ingest).
+  *
+  * State layout under `stateDir`:
+  *  - `docs/__batch=N/`   accepted docs (doc_id, h, ng) per ingest
+  *  - `grams/__batch=N/`  shingle inverted index rows (doc_id, g)
+  *  - `cc/`               CcIndex bucketed label store
+  *  - `_batches/N`        completion marker, written LAST
+  *
+  * Replay safety: every stored read EXCLUDES the current batch's
+  * partition, so re-running an interrupted ingest recomputes the exact
+  * same accepted set and pair set no matter which writes landed before
+  * the crash; partition overwrites and the idempotent CcIndex merge
+  * then converge the state, and the marker makes a completed batch a
+  * pure no-op. Single writer, monotonic batch ids — the repo-wide
+  * convention. Dedup semantics are FIRST-ARRIVAL-WINS (an exact dup in
+  * a later batch is dropped even if its id is smaller — the only
+  * causality an unbounded stream can offer); near-dup CLUSTER labels
+  * stay arrival-independent (component = min member id, CcIndex's
+  * invariant), which pp4's oracle certifies end to end.
+  */
+object IncrementalCorpus {
+
+  private val ThresholdPm = 500
+
+  private def docsDir(stateDir: String) = s"$stateDir/docs"
+  private def gramsDir(stateDir: String) = s"$stateDir/grams"
+  private def ccDir(stateDir: String) = s"$stateDir/cc"
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("h", StringType),
+    StructField("ng", LongType), StructField("__batch", LongType)))
+  private val gramsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("g", StringType),
+    StructField("__batch", LongType)))
+
+  private def readPartitioned(spark: SparkSession, dir: String,
+                              schema: StructType): DataFrame = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasParts = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("__batch="))
+    if (!hasParts)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.parquet(dir).withColumn("__batch", col("__batch").cast("long"))
+  }
+
+  /** Stored accepted docs, excluding (a possibly partial) `batchId`. */
+  private def storedDocs(spark: SparkSession, stateDir: String,
+                         excludeBatch: Long): DataFrame =
+    readPartitioned(spark, docsDir(stateDir), docsSchema)
+      .filter(col("__batch") =!= excludeBatch)
+
+  private def storedGrams(spark: SparkSession, stateDir: String,
+                          excludeBatch: Long): DataFrame =
+    readPartitioned(spark, gramsDir(stateDir), gramsSchema)
+      .filter(col("__batch") =!= excludeBatch)
+
+  /** Ingest one batch of raw documents `(doc_id, text)`. Idempotent per
+    * `batchId`; work is O(batch + shingle-matched state). */
+  def ingest(spark: SparkSession, stateDir: String, batchId: Long,
+             batch: DataFrame): Unit = {
+    val marker = new Path(s"$stateDir/_batches/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // completed batch: replay is a no-op
+
+    // gate + within-batch exact dedup (min doc_id per content hash)
+    val gated = batch
+      .filter(size(split(trim(col("text")), "\\s+")) >= 30)
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .withColumn("h", md5(lower(col("t"))))
+    val fresh0 = gated
+      .withColumn("mn", min("doc_id").over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("mn")).drop("mn")
+    // cross-batch exact dedup: first arrival wins
+    val fresh = fresh0
+      .join(storedDocs(spark, stateDir, batchId).select("h").distinct(),
+        Seq("h"), "left_anti")
+      .localCheckpoint(true) // shingling + doc append consume it
+    val sg = fresh
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("t"))).as("sg"))
+      .localCheckpoint(true) // inverted index + sizes share one shingling
+    val grams = sg.select(col("doc_id"), explode(col("sg")).as("g"))
+    val sizes = sg.select(col("doc_id"), size(col("sg")).cast("long").as("ng"))
+
+    // near-dup pairs: within-batch self-join + batch-vs-stored join,
+    // both through the shingle-keyed inverted index (never all-pairs)
+    def jaccarded(p: DataFrame, szA: DataFrame, szB: DataFrame): DataFrame = p
+      .join(szA.select(col("doc_id").as("id_a"), col("ng").as("na")), Seq("id_a"))
+      .join(szB.select(col("doc_id").as("id_b"), col("ng").as("nb")), Seq("id_b"))
+      .filter(expr(s"(inter * 1000) DIV (na + nb - inter) >= $ThresholdPm"))
+      .select("id_a", "id_b")
+    val within = jaccarded(
+      grams.select(col("g"), col("doc_id").as("id_a"))
+        .join(grams.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter")),
+      sizes, sizes)
+    val stored = storedDocs(spark, stateDir, batchId)
+      .select(col("doc_id"), col("ng")).localCheckpoint(true)
+    val cross = jaccarded(
+      storedGrams(spark, stateDir, batchId)
+        .select(col("g"), col("doc_id").as("id_a"))
+        .join(grams.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter")),
+      stored, sizes)
+    val pairs = within.unionByName(cross).localCheckpoint(true)
+
+    // label merge BEFORE the appends: on any crash in between, the
+    // replay recomputes the identical pair set (stored reads exclude
+    // this batch) and CcIndex.update is a no-op on already-merged pairs
+    if (pairs.limit(1).count() > 0)
+      CcIndex.update(spark, ccDir(stateDir), pairs, batchId)
+
+    // partition OVERWRITES make the appends replay-identical too
+    sizes.join(fresh.select("doc_id", "h"), Seq("doc_id"))
+      .select("doc_id", "h", "ng")
+      .write.mode("overwrite").parquet(s"${docsDir(stateDir)}/__batch=$batchId")
+    grams.write.mode("overwrite")
+      .parquet(s"${gramsDir(stateDir)}/__batch=$batchId")
+    fs.mkdirs(marker.getParent)
+    fs.create(marker).close()
+  }
+
+  /** The curated corpus: every accepted doc with its near-dup cluster
+    * canonical (min member id; itself when unclustered). */
+  def canonical(spark: SparkSession, stateDir: String): DataFrame = {
+    val docs = readPartitioned(spark, docsDir(stateDir), docsSchema)
+    val labels = CcIndex.snapshot(spark, ccDir(stateDir))
+      .select(col("id").as("doc_id"), col("component"))
+    docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical"))
+      .withColumn("is_canon",
+        when(col("doc_id") === col("canonical"), 1L).otherwise(0L))
+  }
+
+  /** L56 — the pipeline's catalog proof: two interleaved-id batches
+    * ingested through the incremental machinery must equal the ONE-SHOT
+    * pipeline DuckDB computes declaratively (gate → first-arrival exact
+    * dedup → exact shingle-Jaccard pairs → transitive-closure labels).
+    * The recursive-CTE closure certifies CcIndex's incremental merges;
+    * the QUALIFY ordering (batch, doc_id) mirrors first-arrival-wins.
+    */
+  val catalog: Seq[Q] = Seq(
+    Q(
+      "pp4_incremental_corpus",
+      """WITH RECURSIVE
+        |gated AS (
+        |  SELECT doc_id, trim(text) AS t, doc_id % 2 AS b
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 30),
+        |hashed AS (SELECT doc_id, t, b, md5(lower(t)) AS h FROM gated),
+        |kept AS (
+        |  SELECT doc_id, t FROM hashed
+        |  QUALIFY row_number() OVER (PARTITION BY h ORDER BY b, doc_id) = 1),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |      ELSE list_transform(generate_series(1, len(ws) - 2),
+        |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS sg
+        |  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM kept)),
+        |e AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+        |sz AS (SELECT doc_id, len(sg) AS n FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pr AS (SELECT id_a, id_b
+        |       FROM p JOIN sz sa ON sa.doc_id = id_a
+        |              JOIN sz sb ON sb.doc_id = id_b
+        |       WHERE (inter * 1000) // (sa.n + sb.n - inter) >= 500),
+        |sym AS (SELECT id_a AS x, id_b AS y FROM pr
+        |        UNION ALL SELECT id_b, id_a FROM pr),
+        |reach AS (
+        |  SELECT doc_id AS a, doc_id AS bb FROM kept
+        |  UNION
+        |  SELECT r.a, s.y FROM reach r JOIN sym s ON r.bb = s.x),
+        |canon AS (SELECT a AS doc_id, min(bb) AS canonical FROM reach GROUP BY 1)
+        |SELECT doc_id, canonical,
+        |  CAST(CASE WHEN doc_id = canonical THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_canon
+        |FROM canon ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val state = java.nio.file.Files.createTempDirectory("pp4").toString
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      ingest(s, state, 0L, docs.filter(col("doc_id") % 2 === 0))
+      ingest(s, state, 1L, docs.filter(col("doc_id") % 2 === 1))
+      canonical(s, state).orderBy("doc_id")
+    }
+  )
+}
