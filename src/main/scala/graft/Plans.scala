@@ -28,6 +28,7 @@ object Plans {
     // Verify/Bench); unset = full catalog
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val lintReport = new StringBuilder
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
       .foreach { case (name, fn) =>
@@ -36,10 +37,21 @@ object Plans {
         val formatted = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), formatted)
+        // catalog-wide antipattern sweep: one line per entry, warn
+        // details inline — the PLANS.md audit, mechanized
+        val fs = graft.plans.PlanLint.lint(df)
+        val warns = fs.filter(_.severity == "warn")
+        val nEx = fs.count(_.rule == "exchange")
+        lintReport.append(
+          s"$name exchanges=$nEx warns=${warns.size}" +
+            (if (warns.isEmpty) ""
+             else warns.map(w => s" [${w.rule}: ${w.detail}]").mkString) + "\n")
       } catch { case e: Throwable =>
         Files.writeString(Paths.get(s"$outDir/$name.txt"), s"PLAN FAILED: $e")
+        lintReport.append(s"$name LINT FAILED: $e\n")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/lint.txt"), lintReport.toString)
     println(s"plans written to $outDir")
     spark.stop()
   }

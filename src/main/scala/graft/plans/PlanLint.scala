@@ -55,8 +55,18 @@ object PlanLint {
         out += Finding("cartesian-product", "warn",
           s"O(n*m) cartesian join: ${c.simpleStringWithNodeId()}")
       case b: BroadcastNestedLoopJoinExec if b.condition.isEmpty =>
-        out += Finding("cartesian-product", "warn",
-          s"unconditioned nested-loop join: ${b.simpleStringWithNodeId()}")
+        // the 1-row-scalar / bounded-domain broadcast idiom (global agg,
+        // small range, tiny literal frame) is the repo's blessed way to
+        // attach a scalar to every row — only an UNBOUNDED build side is
+        // a real cartesian hazard
+        val build = b.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+          case _ => b.right
+        }
+        if (!maxRowsOf(build).exists(_ <= 1000))
+          out += Finding("cartesian-product", "warn",
+            s"unconditioned nested-loop join with unbounded build side: " +
+              b.simpleStringWithNodeId())
       case w: WindowExec if w.partitionSpec.isEmpty =>
         out += Finding("global-window", "warn",
           "window with no PARTITION BY funnels all rows into one task")
@@ -128,6 +138,12 @@ object PlanLint {
   private def estimatedSize(p: SparkPlan): Option[BigInt] =
     p.logicalLink.map(_.stats.sizeInBytes)
       .orElse(p.children.headOption.flatMap(estimatedSize))
+
+  /** Static row bound of the subtree, via the linked logical plan
+    * (global aggregates report 1, ranges their length). */
+  private def maxRowsOf(p: SparkPlan): Option[Long] =
+    p.logicalLink.flatMap(_.maxRows)
+      .orElse(p.children.headOption.flatMap(maxRowsOf))
 
   /** True when no warn-severity finding fires — the CI-gate form. */
   def clean(df: DataFrame): Boolean = lint(df).forall(_.severity != "warn")

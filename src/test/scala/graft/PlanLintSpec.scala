@@ -23,10 +23,15 @@ class PlanLintSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("unconditioned broadcast nested loop detected") {
-    val a = spark.range(1000).toDF("x")
-    val b = spark.range(10).toDF("y")
-    assert(rules(a.crossJoin(b)).contains("cartesian-product"))
+  test("unconditioned broadcast nested loop: unbounded build side warns, " +
+    "bounded scalar broadcast stays silent") {
+    val docs = Tables.documents(spark, sf0001)
+    // build side is a parquet scan — no static row bound -> hazard
+    assert(rules(docs.crossJoin(docs.select("lang")))
+      .contains("cartesian-product"))
+    // the repo's scalar-attach idiom: global agg (maxRows = 1) broadcast
+    val mx = docs.agg(max("n_chars").as("mx"))
+    assert(!rules(docs.crossJoin(broadcast(mx))).contains("cartesian-product"))
   }
 
   test("global window detected; keyed window clean") {
