@@ -619,6 +619,38 @@ object ScaleProbe {
           .groupBy("pk").agg(sum(col("used") * col("unit_c"))).count()
       }
     }
+    // r4 session 8: Theil-Sen's per-user pair join is O(d²) with d
+    // calendar-bounded — replicating USERS must scale linearly (pairs
+    // per user constant); the CEP/regex string build is one groupBy
+    // whose per-key state is the same bounded event string.
+    locally {
+      val ev = replicate(Tables.events(spark, d)
+          .select("user_id", "ts", "event_id", "event_type", "value"),
+        Seq("user_id", "event_id"), 10000000L).localCheckpoint(true)
+      time("theilsen_pairs_8x_users") {
+        val daily = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("dy"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+          .select(col("user_id"), col("cents"),
+            datediff(col("dy"), lit("2024-01-01").cast("timestamp"))
+              .cast("long").as("di"))
+        val a = daily.select(col("user_id"), col("cents").as("ca"), col("di").as("da"))
+        val b = daily.select(col("user_id"), col("cents").as("cb"), col("di").as("db"))
+        a.join(b, Seq("user_id")).filter(col("db") > col("da"))
+          .groupBy("user_id").agg(count(lit(1))).count()
+      }
+      time("cep_string_match_8x_users") {
+        val enc = ev.select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            when(col("event_type") === "view", "V")
+              .when(col("event_type") === "purchase", "P")
+              .when(col("event_type") === "click", "C").otherwise("E").as("c"))
+            .as("e"))
+          .groupBy("user_id")
+          .agg(array_join(transform(array_sort(collect_list(col("e"))),
+            e => e.getField("c")), "").as("str"))
+        enc.select(size(expr("regexp_extract_all(str, 'V[CE]*P', 0)"))).count()
+      }
+    }
     spark.stop()
   }
 }

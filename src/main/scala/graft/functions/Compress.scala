@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Compressibility signal (SURVEY §2 L55): `deflate_len(text)` — the
+/** Compressibility signal (SURVEY §2 L70): `deflate_len(text)` — the
   * DEFLATE-compressed byte length of a string, evaluated inside
   * whole-stage codegen. `deflate_len(t) / octet_length(t)` is the
   * compression-ratio quality filter of the Gopher/C4 lineage: highly

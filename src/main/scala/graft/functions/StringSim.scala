@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Jaro-Winkler string similarity as a native codegen'd expression
-  * (SURVEY §2 L54) — the record-linkage scorer that runs INSIDE the
+  * (SURVEY §2 L69) — the record-linkage scorer that runs INSIDE the
   * blocked candidate join (dd15/dd17), so the hot loop is a static
   * method call in generated code, not a UDF round trip.
   *

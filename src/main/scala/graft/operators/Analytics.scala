@@ -588,7 +588,7 @@ object Analytics {
         .orderBy("l_returnflag")
     },
 
-    // R77 — Theil-Sen robust trend: per user, the slope of daily spend
+    // R125 — Theil-Sen robust trend: per user, the slope of daily spend
     // vs calendar day as the LOWER MEDIAN of all pairwise slopes —
     // the estimator that shrugs off the outlier days OLS (q60's regr_)
     // chases. Slopes are ONE fixed IEEE division of exact integers

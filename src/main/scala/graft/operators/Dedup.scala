@@ -626,7 +626,7 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
-    // L54 — Jaro-Winkler name linkage: DISTINCT name space, blocked on
+    // L69 — Jaro-Winkler name linkage: DISTINCT name space, blocked on
     // the head noun (linkage never scores the full cross product), the
     // native codegen'd `jaro_winkler` scoring inside the candidate
     // join. The DuckDB oracle runs ITS OWN jaro_winkler_similarity —

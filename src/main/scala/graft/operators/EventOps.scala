@@ -1006,7 +1006,7 @@ object EventOps {
         .orderBy("event_type", "h")
     },
 
-    // T45 — Holt-Winters ADDITIVE SEASONAL forecast (level + trend +
+    // T51 — Holt-Winters ADDITIVE SEASONAL forecast (level + trend +
     // weekly seasonality), completing ev35's Holt: the state is a flat
     // 9-list [l, t, s₁..s₇] whose seasonal block ROTATES one slot per
     // step — s₁ is always the active season, so the fold needs no

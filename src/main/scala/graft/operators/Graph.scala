@@ -1358,7 +1358,7 @@ object Graph {
         .limit(50)
     },
 
-    // R83 — deterministic random-walk sampling (the node2vec/DeepWalk
+    // R126 — deterministic random-walk sampling (the node2vec/DeepWalk
     // corpus generator): from every seed, a 4-step walk over the
     // indexed adjacency table, the step choice drawn from the
     // engine-portable md5 stream keyed by (seed, node, step) — so the

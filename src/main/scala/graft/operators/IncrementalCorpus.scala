@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
-/** Incremental corpus curation (SURVEY §2 L56) — the COMPOSITION the
+/** Incremental corpus curation (SURVEY §2 L71) — the COMPOSITION the
   * per-stage incremental indexes exist for: each arriving batch flows
   * through quality gate → exact dedup → near-dup pair search → cluster
   * labels, touching only O(batch + matched-state), never re-reading the
@@ -152,7 +152,7 @@ object IncrementalCorpus {
         when(col("doc_id") === col("canonical"), 1L).otherwise(0L))
   }
 
-  /** L56 — the pipeline's catalog proof: two interleaved-id batches
+  /** L71 — the pipeline's catalog proof: two interleaved-id batches
     * ingested through the incremental machinery must equal the ONE-SHOT
     * pipeline DuckDB computes declaratively (gate → first-arrival exact
     * dedup → exact shingle-Jaccard pairs → transitive-closure labels).

@@ -71,7 +71,7 @@ object MaterializedView {
       } finally MvCatalog.clear() // never leak the MV into other entries
     },
 
-    // R96 — semantic result cache: the SAME aggregate is pushed through
+    // R127 — semantic result cache: the SAME aggregate is pushed through
     // [[graft.plans.ResultCache]] twice; the second pass must be served
     // from the digest-addressed store (asserted in-entry via the scanned
     // files), and the DuckDB oracle recomputes from the base table — the

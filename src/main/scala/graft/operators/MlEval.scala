@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Model-evaluation aggregates (SURVEY §2 L51–L53): the metrics a
+/** Model-evaluation aggregates (SURVEY §2 L66–L68): the metrics a
   * training-data pipeline runs over scored eval sets — ROC AUC,
   * calibration bins, NDCG. The reference's surface stops at relational
   * aggregation; these follow the same oracle discipline as MlPrep
@@ -23,7 +23,7 @@ object MlEval {
 
   val catalog: Seq[Q] = Seq(
 
-    // L51 — ROC AUC per group from the rank-sum (Mann-Whitney U)
+    // L66 — ROC AUC per group from the rank-sum (Mann-Whitney U)
     // identity: AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻), with average
     // ranks for ties. Doubled ranks keep the tie-average integral:
     // 2·avgrank = 2·minrank + ties − 1. The checked auc column is ONE
@@ -73,7 +73,7 @@ object MlEval {
         .orderBy("grp")
     },
 
-    // L52 — calibration table: scores normalized against the global max
+    // L67 — calibration table: scores normalized against the global max
     // into 10 equal-width bins by pure integer floor-division (cents*10
     // DIV max — no float boundary anywhere), per-bin counts + exact
     // cent sums; observed rate and mean predicted score are single
@@ -115,7 +115,7 @@ object MlEval {
         .orderBy("bin")
     },
 
-    // L53 — NDCG@5 per customer: ranking = top-5 orders by price
+    // L68 — NDCG@5 per customer: ranking = top-5 orders by price
     // (orderkey tiebreak), graded relevance 6−priority digit (1..5, so
     // IDCG can never be zero). Each rel/log2(pos+1) term is
     // micro-quantized to a 1e6-unit BIGINT (tx19 discipline — the sum

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
-/** Event-sequence pattern matching (SURVEY §2 T24) — the
+/** Event-sequence pattern matching (SURVEY §2 T49) — the
   * MATCH_RECOGNIZE shape: per user, the time-ordered event stream is
   * encoded as a one-char-per-event string and a regex over that
   * alphabet finds non-overlapping behavioral episodes (here

@@ -513,7 +513,7 @@ object TextOps {
           + col("odd_word_len") === 0, 1L).otherwise(0L)).as("n_kept"))
     },
 
-    // L55 — compression-ratio quality report (Gopher/C4 lineage): the
+    // L70 — compression-ratio quality report (Gopher/C4 lineage): the
     // native `deflate_len` expression scores every doc scan-side; the
     // per-mille ratio is pure integer algebra, so the per-source report
     // is order-invariant and thread-deterministic. rows-only: DuckDB

@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
-/** Plan linter (SURVEY §2 R97): the scale-antipattern audit this repo
+/** Plan linter (SURVEY §2 R128): the scale-antipattern audit this repo
   * runs by hand on every new operator (PLANS.md discipline), packaged
   * as an API — point it at any DataFrame and it walks the physical
   * plan for the shapes that break at 100 TB:

@@ -7,7 +7,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** Semantic result cache (SURVEY §2 R96): re-running a query whose
+/** Semantic result cache (SURVEY §2 R127): re-running a query whose
   * PLAN and INPUTS are unchanged re-reads the stored answer instead of
   * recomputing it — the engine-side memo a dashboard fleet hammers at
   * 100 TB, where the same daily aggregate is replanned thousands of

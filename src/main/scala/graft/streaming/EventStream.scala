@@ -436,7 +436,7 @@ object EventStream {
   case class CepMatch(user_id: Long, start_ts: java.sql.Timestamp,
                       end_ts: java.sql.Timestamp, match_len: Int)
 
-  /** T24b — streaming CEP: the continuous twin of `ev42_pattern_match`,
+  /** T50 — streaming CEP: the continuous twin of `ev42_pattern_match`,
     * detecting the contiguous episode `view → (click|error)* → purchase`
     * per user across micro-batch boundaries via one small
     * flatMapGroupsWithState record (the Flink-CEP shape on Spark).

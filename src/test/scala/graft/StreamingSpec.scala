@@ -609,7 +609,7 @@ class StreamingSpec extends SparkSpecBase {
     assert(tiers === Map(1L -> "gold", 3L -> null))
   }
 
-  test("T24b CEP match carries state across micro-batch boundaries") {
+  test("T50 CEP match carries state across micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
     val cep = EventStream.patternMatchStream(in.toDS(), timeoutMs = 0L).toDF()
@@ -626,7 +626,7 @@ class StreamingSpec extends SparkSpecBase {
     assert(m === Seq((1L, 3)), "view+click in batch 1, purchase in batch 2")
   }
 
-  test("T24b CEP restart semantics match the regex (VVP matches VP; S aborts)") {
+  test("T50 CEP restart semantics match the regex (VVP matches VP; S aborts)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[EventStream.Event]
     in.addData(
@@ -644,7 +644,7 @@ class StreamingSpec extends SparkSpecBase {
     assert(m === Seq((1L, 2)))
   }
 
-  test("T24b CEP over the real event table equals the ev42 batch regex") {
+  test("T50 CEP over the real event table equals the ev42 batch regex") {
     implicit val sqlCtx = spark.sqlContext
     val evs = Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
