@@ -38,17 +38,22 @@ object Plans {
           org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(s"$outDir/$name.txt"), formatted)
         // catalog-wide antipattern sweep: one line per entry, warn
-        // details inline — the PLANS.md audit, mechanized
-        val fs = graft.plans.PlanLint.lint(df)
-        val warns = fs.filter(_.severity == "warn")
-        val nEx = fs.count(_.rule == "exchange")
-        lintReport.append(
-          s"$name exchanges=$nEx warns=${warns.size}" +
-            (if (warns.isEmpty) ""
-             else warns.map(w => s" [${w.rule}: ${w.detail}]").mkString) + "\n")
+        // details inline — the PLANS.md audit, mechanized. Linting gets
+        // its own try: a lint bug must not clobber the valid plan dump.
+        try {
+          val fs = graft.plans.PlanLint.lint(df)
+          val warns = fs.filter(_.severity == "warn")
+          val nEx = fs.count(_.rule == "exchange")
+          lintReport.append(
+            s"$name exchanges=$nEx warns=${warns.size}" +
+              (if (warns.isEmpty) ""
+               else warns.map(w => s" [${w.rule}: ${w.detail}]").mkString) + "\n")
+        } catch { case e: Throwable =>
+          lintReport.append(s"$name LINT FAILED: $e\n")
+        }
       } catch { case e: Throwable =>
         Files.writeString(Paths.get(s"$outDir/$name.txt"), s"PLAN FAILED: $e")
-        lintReport.append(s"$name LINT FAILED: $e\n")
+        lintReport.append(s"$name PLAN FAILED: $e\n")
       }
     }
     Files.writeString(Paths.get(s"$outDir/lint.txt"), lintReport.toString)

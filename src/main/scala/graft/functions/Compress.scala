@@ -17,17 +17,26 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Compress {
 
+  // one native zlib state per executor thread, reset() between rows —
+  // allocating/ending a Deflater per row would dominate short strings
+  // and churn native memory in the codegen hot loop
+  private val deflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue() = new java.util.zip.Deflater(6, true)
+  }
+  private val buf = new ThreadLocal[Array[Byte]] {
+    override def initialValue() = new Array[Byte](8192)
+  }
+
   /** Deflated size of `bytes` at level 6 (raw, no zlib header). */
   def deflatedLen(bytes: Array[Byte]): Long = {
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflater.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val b = buf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(b)
+    total
   }
 
   def deflatedLenUtf8(s: UTF8String): Long = deflatedLen(s.getBytes)

@@ -632,7 +632,10 @@ object Dedup {
     // join. The DuckDB oracle runs ITS OWN jaro_winkler_similarity —
     // the 6-dp hash match certifies the two independent implementations
     // agree on the standard definition, the strongest check a scorer
-    // can get.
+    // can get. The 0.8 threshold compares each engine's raw double: a
+    // pair within an ulp of the boundary could in principle split the
+    // engines (q47-precedent probabilistic parity, accepted); in
+    // practice both produce identical doubles on the whole candidate set.
     Q(
       "dd17_jaro_linkage",
       """WITH names AS (

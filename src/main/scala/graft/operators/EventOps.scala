@@ -1084,7 +1084,7 @@ object EventOps {
             |+element_at(xs,5)+element_at(xs,6)+element_at(xs,7)) / 7.0D""".stripMargin))
       val fit = arrs.select(col("event_type"), expr(
         """aggregate(
-          |  slice(xs, 8, size(xs) - 7),
+          |  slice(xs, 8, greatest(size(xs) - 7, 0)),
           |  concat(array(l0, CAST(0.0 AS DOUBLE)),
           |         transform(slice(xs, 1, 7), v -> v - l0)),
           |  (acc, x) -> concat(

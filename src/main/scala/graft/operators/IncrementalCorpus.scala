@@ -89,10 +89,13 @@ object IncrementalCorpus {
     val fresh0 = gated
       .withColumn("mn", min("doc_id").over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("mn")).drop("mn")
+    // ONE read of the stored docs state serves both the dedup anti-join
+    // and the cross-pair sizes below
+    val stored = storedDocs(spark, stateDir, batchId)
+      .select(col("doc_id"), col("h"), col("ng")).localCheckpoint(true)
     // cross-batch exact dedup: first arrival wins
     val fresh = fresh0
-      .join(storedDocs(spark, stateDir, batchId).select("h").distinct(),
-        Seq("h"), "left_anti")
+      .join(stored.select("h").distinct(), Seq("h"), "left_anti")
       .localCheckpoint(true) // shingling + doc append consume it
     val sg = fresh
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("t"))).as("sg"))
@@ -113,8 +116,6 @@ object IncrementalCorpus {
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter")),
       sizes, sizes)
-    val stored = storedDocs(spark, stateDir, batchId)
-      .select(col("doc_id"), col("ng")).localCheckpoint(true)
     val cross = jaccarded(
       storedGrams(spark, stateDir, batchId)
         .select(col("g"), col("doc_id").as("id_a"))

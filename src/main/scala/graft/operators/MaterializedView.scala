@@ -100,7 +100,9 @@ object MaterializedView {
       val files = cached.inputFiles
       require(files.nonEmpty && files.forall(_.contains("result-cache")),
         s"result-cache hit is not scanning the cache: ${files.take(3).mkString(",")}")
-      cached
+      // the cache stores the RESULT SET, not its presentation order — a
+      // multi-file entry scans size-descending; re-apply the output order
+      cached.orderBy("source")
     }
   )
 }

@@ -47,9 +47,10 @@ object MlEval {
         |  CAST(sum(CASE WHEN label = 1 THEN dubrank ELSE 0 END)
         |       - sum(label)*(sum(label)+1) AS BIGINT) AS auc_num,
         |  CAST(2*sum(label)*(count(*)-sum(label)) AS BIGINT) AS auc_den,
-        |  CAST(sum(CASE WHEN label = 1 THEN dubrank ELSE 0 END)
-        |       - sum(label)*(sum(label)+1) AS DOUBLE)
-        |    / (2*sum(label)*(count(*)-sum(label))) AS auc
+        |  CASE WHEN 2*sum(label)*(count(*)-sum(label)) = 0 THEN NULL
+        |       ELSE CAST(sum(CASE WHEN label = 1 THEN dubrank ELSE 0 END)
+        |                 - sum(label)*(sum(label)+1) AS DOUBLE)
+        |            / (2*sum(label)*(count(*)-sum(label))) END AS auc
         |FROM ranked GROUP BY grp ORDER BY grp""".stripMargin
     ) { (s, d) =>
       val scored = Tables.orders(s, d).select(
@@ -69,7 +70,12 @@ object MlEval {
           (lit(2) * sum("label") * (count(lit(1)) - sum("label"))).as("auc_den"))
         .select(col("grp"), col("n_pos"), col("n_neg"), col("auc_num"),
           col("auc_den"),
-          (col("auc_num").cast("double") / col("auc_den")).as("auc"))
+          // all-positive / all-negative group: AUC undefined — NULL on
+          // BOTH engines (Spark's lazy divide returns NULL, DuckDB's
+          // double division would emit inf and break the compare)
+          when(col("auc_den") === 0, lit(null))
+            .otherwise(col("auc_num").cast("double") / col("auc_den"))
+            .as("auc"))
         .orderBy("grp")
     },
 

@@ -41,13 +41,16 @@ object PlanLint {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val threshold = df.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .replaceAll("[bB]$", "").trim match {
-      case s if s.endsWith("k") || s.endsWith("K") => s.init.toLong * 1024
-      case s if s.endsWith("m") || s.endsWith("M") => s.init.toLong * 1024 * 1024
-      case s => s.toLong
-    }
+    // Spark's own byte-string parser ("10MB", "1g", ...) — a hand-rolled
+    // suffix switch missed valid spellings and would crash the whole lint
+    // pass. Negative values ("-1" = disabled) are signed OUTSIDE the
+    // parser, exactly as Spark's ConfigHelpers.byteFromString does.
+    val rawThreshold = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760").trim
+    val threshold =
+      if (rawThreshold.startsWith("-"))
+        -org.apache.spark.network.util.JavaUtils.byteStringAsBytes(rawThreshold.substring(1))
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(rawThreshold)
     val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
 
     plan.foreach {
