@@ -231,6 +231,34 @@ object DataChecks {
               expr("CAST(conv(substring(md5(CAST(concat(grp, ':dp1') AS BINARY)), 1, 2), 16, 10) AS INT)") + 1))
             .as("noisy_count"))
         .orderBy("grp")
+    },
+
+    // L73 — masked data release (column masking + generalization + row
+    // policy): the governance shape between ev14's reversible-with-salt
+    // pseudonymization and dq2's noisy aggregates — direct identifiers
+    // become one-way tokens (md5 prefix), quantitative columns are
+    // GENERALIZED to buckets (floor(x/1000) on the IEEE double — DIV
+    // would disagree across engines on negative balances: DuckDB //
+    // floors, Spark DIV truncates), and a row policy drops a protected
+    // segment entirely. Pure projection + filter — scan-local at any
+    // scale; q89's k-anonymity audit is the release gate this feeds.
+    Q(
+      "dq3_masked_release",
+      """SELECT c_custkey,
+        |  substr(md5(c_name), 1, 8) AS name_token,
+        |  c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_bucket
+        |FROM customer
+        |WHERE c_mktsegment <> 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment") =!= "BUILDING")
+        .select(col("c_custkey"),
+          substring(md5(col("c_name")), 1, 8).as("name_token"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_bucket"))
+        .orderBy("c_custkey")
     }
   )
 }

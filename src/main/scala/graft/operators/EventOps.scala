@@ -1294,6 +1294,64 @@ object EventOps {
         .agg(countDistinct(date_trunc("day", col("ts"))).as("days"))
         .groupBy("m", "days").agg(count(lit(1)).as("users"))
         .orderBy("m", "days")
+    },
+
+    // T52 — multi-lag autocorrelation function (the ACF plot, completing
+    // ev22's lag-1): six lead columns off ONE window pass over the
+    // observed-hours frame, stacked to (type, lag) pairs; Pearson per
+    // (type, lag) with exact integer moments and ev22's fixed double
+    // tree. The stack is a 6-way union of the HOURS-sized frame, never
+    // the event frame — cost is the hourly reduction plus bounded
+    // window/aggregate work.
+    Q(
+      "ev44_acf",
+      """WITH hc AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |              count(*) AS c
+        |            FROM events GROUP BY 1, 2),
+        |ld AS (SELECT event_type, c,
+        |         lead(c, 1) OVER w AS l1, lead(c, 2) OVER w AS l2,
+        |         lead(c, 3) OVER w AS l3, lead(c, 4) OVER w AS l4,
+        |         lead(c, 5) OVER w AS l5, lead(c, 6) OVER w AS l6
+        |       FROM hc WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+        |p AS (
+        |  SELECT event_type, 1 AS lag, c AS a, l1 AS b FROM ld UNION ALL
+        |  SELECT event_type, 2, c, l2 FROM ld UNION ALL
+        |  SELECT event_type, 3, c, l3 FROM ld UNION ALL
+        |  SELECT event_type, 4, c, l4 FROM ld UNION ALL
+        |  SELECT event_type, 5, c, l5 FROM ld UNION ALL
+        |  SELECT event_type, 6, c, l6 FROM ld),
+        |m AS (SELECT event_type, CAST(lag AS BIGINT) AS lag, count(*) AS n,
+        |        CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+        |        CAST(sum(a*a) AS BIGINT) AS saa, CAST(sum(b*b) AS BIGINT) AS sbb,
+        |        CAST(sum(a*b) AS BIGINT) AS sab
+        |      FROM p WHERE b IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, lag, n,
+        |  CAST(n*sab - sa*sb AS DOUBLE)
+        |    / (sqrt(CAST(n*saa - sa*sa AS DOUBLE))
+        |       * sqrt(CAST(n*sbb - sb*sb AS DOUBLE))) AS acf
+        |FROM m ORDER BY event_type, lag""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("hr")
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val ld = hc.select(col("event_type") +: col("c") +:
+        (1 to 6).map(k => lead("c", k).over(w).as(s"l$k")): _*)
+      val p = (1 to 6).map(k =>
+          ld.select(col("event_type"), lit(k.toLong).as("lag"),
+            col("c").as("a"), col(s"l$k").as("b")))
+        .reduce(_ unionByName _)
+        .filter(col("b").isNotNull)
+      p.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n"), sum("a").as("sa"), sum("b").as("sb"),
+          sum(col("a") * col("a")).as("saa"), sum(col("b") * col("b")).as("sbb"),
+          sum(col("a") * col("b")).as("sab"))
+        .select(col("event_type"), col("lag"), col("n"),
+          ((col("n") * col("sab") - col("sa") * col("sb")).cast("double")
+            / (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double"))
+              * sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
+            .as("acf"))
+        .orderBy("event_type", "lag")
     }
   )
 

@@ -184,5 +184,85 @@ object MlEval {
           expr("round(CAST(dcg_micro AS DOUBLE) / idcg_micro, 6)").as("ndcg"))
         .orderBy("o_custkey")
     },
+
+    // L72 — two-feature OLS via closed-form normal equations (Cramer's
+    // rule), completing the regression family (q60's regr_ is single-
+    // feature): per priority group, order cents regressed on (lineitem
+    // count, total quantity). Every moment is an exact integer; the
+    // n-scaled centered forms and the 2×2 determinant algebra ride
+    // decimal(38,0)/HUGEINT (q73/q88 overflow precedent) so b1/b2/b0
+    // are each ONE double division of exact integers, 6-dp rounded.
+    // Two fixed-width shuffles (per-order reduce, per-group moments);
+    // the solve itself is O(|groups|).
+    Q(
+      "ml8_ols2",
+      """WITH feat AS (
+        |  SELECT o.o_orderpriority AS grp,
+        |    CAST(round(o.o_totalprice*100) AS BIGINT) AS y,
+        |    f.x1, f.x2
+        |  FROM orders o JOIN (
+        |    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x1,
+        |      CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS x2
+        |    FROM lineitem GROUP BY 1) f ON f.l_orderkey = o.o_orderkey),
+        |m AS (
+        |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x1*x1) AS BIGINT) AS s11, CAST(sum(x2*x2) AS BIGINT) AS s22,
+        |    CAST(sum(x1*x2) AS BIGINT) AS s12,
+        |    CAST(sum(x1*y) AS BIGINT) AS s1y, CAST(sum(x2*y) AS BIGINT) AS s2y
+        |  FROM feat GROUP BY 1),
+        |c AS (
+        |  SELECT grp, n, s1, s2, sy,
+        |    CAST(n AS HUGEINT)*s11 - CAST(s1 AS HUGEINT)*s1 AS a,
+        |    CAST(n AS HUGEINT)*s12 - CAST(s1 AS HUGEINT)*s2 AS b,
+        |    CAST(n AS HUGEINT)*s22 - CAST(s2 AS HUGEINT)*s2 AS cc,
+        |    CAST(n AS HUGEINT)*s1y - CAST(s1 AS HUGEINT)*sy AS d1,
+        |    CAST(n AS HUGEINT)*s2y - CAST(s2 AS HUGEINT)*sy AS d2
+        |  FROM m),
+        |k AS (SELECT grp, n, s1, s2, sy, a*cc - b*b AS det,
+        |        cc*d1 - b*d2 AS n1, a*d2 - b*d1 AS n2
+        |      FROM c)
+        |SELECT grp, n,
+        |  round(CAST(CAST(sy AS HUGEINT)*det - n1*s1 - n2*s2 AS DOUBLE)
+        |        / CAST(CAST(n AS HUGEINT)*det AS DOUBLE), 6) AS b0,
+        |  round(CAST(n1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b1,
+        |  round(CAST(n2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS b2
+        |FROM k ORDER BY grp""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val f = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(count(lit(1)).as("x1"),
+          sum(round(col("l_quantity")).cast("long")).as("x2"))
+      val feat = Tables.orders(s, d)
+        .join(f, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("grp"),
+          round(col("o_totalprice") * 100).cast("long").as("y"),
+          col("x1"), col("x2"))
+      val m = feat.groupBy("grp").agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+      val c = m.select(col("grp"), col("n"), col("s1"), col("s2"), col("sy"),
+        (dec(col("n")) * col("s11") - dec(col("s1")) * col("s1")).as("a"),
+        (dec(col("n")) * col("s12") - dec(col("s1")) * col("s2")).as("b"),
+        (dec(col("n")) * col("s22") - dec(col("s2")) * col("s2")).as("cc"),
+        (dec(col("n")) * col("s1y") - dec(col("s1")) * col("sy")).as("d1"),
+        (dec(col("n")) * col("s2y") - dec(col("s2")) * col("sy")).as("d2"))
+      val k = c.select(col("grp"), col("n"), col("s1"), col("s2"), col("sy"),
+        (col("a") * col("cc") - col("b") * col("b")).as("det"),
+        (col("cc") * col("d1") - col("b") * col("d2")).as("n1"),
+        (col("a") * col("d2") - col("b") * col("d1")).as("n2"))
+      k.select(col("grp"), col("n"),
+          round((dec(col("sy")) * col("det") - col("n1") * col("s1")
+            - col("n2") * col("s2")).cast("double")
+            / (dec(col("n")) * col("det")).cast("double"), 6).as("b0"),
+          round(col("n1").cast("double") / col("det").cast("double"), 6).as("b1"),
+          round(col("n2").cast("double") / col("det").cast("double"), 6).as("b2"))
+        .orderBy("grp")
+    },
   )
 }

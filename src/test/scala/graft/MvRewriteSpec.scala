@@ -115,4 +115,46 @@ class MvRewriteSpec extends SparkSpecBase with BeforeAndAfterEach {
       .as[(String, String, Long, Long)].collect().toSet
     assert(out === truth)
   }
+
+  test("MV stays serveable across INCREMENTAL refreshes: a growing base, " +
+    "an IncrementalAgg-maintained summary, the rewrite serving each epoch") {
+    import graft.operators.IncrementalAgg
+    val root = java.nio.file.Files.createTempDirectory("mvinc").toString
+    val (base, mv, state) = (s"$root/base", s"$root/mv", s"$root/state")
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "n_chars")
+
+    def epoch(batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      // the base table grows by the batch...
+      batch.write.mode("append").parquet(base)
+      // ...and the summary FOLLOWS it incrementally: merge cost is
+      // O(batch + |langs|), never a base re-scan
+      IncrementalAgg.update(spark, state, batch, id, key = "lang",
+        value = "n_chars")
+      IncrementalAgg.snapshot(spark, state)
+        .select(col("k").as("lang"), col("cnt").as("__cnt"),
+          col("sm").as("__sum_n_chars"))
+        .write.mode("overwrite").parquet(mv)
+      MvCatalog.register(MvCatalog.MvDef(base, mv, Seq("lang"), Seq("n_chars")))
+    }
+
+    def check(): Unit = {
+      MvCatalog.clear() // truth must come from the base, not a stale MV
+      val truth = spark.read.parquet(base).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+        .as[(String, Long, Long)].collect().toSet
+      MvCatalog.register(MvCatalog.MvDef(base, mv, Seq("lang"), Seq("n_chars")))
+      val q = spark.read.parquet(base).groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      assert(scansMv(q), s"rewrite did not fire: ${q.inputFiles.take(2).toSeq}")
+      assert(q.as[(String, Long, Long)].collect().toSet === truth)
+    }
+
+    epoch(docs.filter($"doc_id" % 2 === 0), 0L); check()
+    epoch(docs.filter($"doc_id" % 2 === 1), 1L); check()
+    // replayed batch: the summary must not double-count, the MV answer
+    // must stay equal to the (unchanged) base
+    IncrementalAgg.update(spark, state, docs.filter($"doc_id" % 2 === 1), 1L,
+      key = "lang", value = "n_chars")
+    check()
+  }
 }

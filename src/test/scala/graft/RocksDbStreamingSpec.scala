@@ -164,4 +164,24 @@ class RocksDbStreamingSpec extends SparkSpecBase {
       assert(!rows.exists(_._4 >= 100.0), "late event must be dropped after restart")
     }
   }
+
+  test("T50 streaming CEP carries pattern state across batches on RocksDB") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[EventStream.Event]
+      val q = EventStream.patternMatchStream(in.toDS(), timeoutMs = 0L).toDF()
+        .writeStream.format("memory").queryName("rocks_cep")
+        .outputMode("append").start()
+      in.addData(EventStream.Event(1L, ts(0), 7L, "view", 0.0),
+                 EventStream.Event(2L, ts(1), 7L, "error", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("rocks_cep").count() === 0)
+      in.addData(EventStream.Event(3L, ts(2), 7L, "purchase", 0.0))
+      q.processAllAvailable(); q.stop()
+      val m = spark.table("rocks_cep")
+        .select("user_id", "match_len").as[(Long, Int)].collect().toSeq
+      assert(m === Seq((7L, 3)),
+        "the in-progress attempt must survive the batch seam in RocksDB state")
+    }
+  }
 }

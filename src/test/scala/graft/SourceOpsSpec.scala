@@ -93,4 +93,35 @@ class SourceOpsSpec extends SparkSpecBase {
     val back = spark.read.parquet(dir).as[(Long, String)].collect().toSet
     assert(back === Set((10L, "p1")), s"static overwrite must replace the whole table, got $back")
   }
+
+  test("S25: landing-zone ingestion options — recursiveFileLookup walks nested " +
+    "dirs, pathGlobFilter selects by name, modifiedAfter by mtime") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("s25").toString
+    // a landing zone: date-nested dirs, mixed file kinds
+    Seq(1L).toDF("id").write.parquet(s"$root/2024/01/a.parquet")
+    Seq(2L).toDF("id").write.parquet(s"$root/2024/02/b.parquet")
+    Seq(3L).toDF("id").write.json(s"$root/2024/02/c.json")
+    // recursive walk + glob: only the parquet part-files, all depths.
+    // (nested dirs are NOT hive partitions here, hence recursive mode)
+    val pq = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(root)
+    assert(pq.as[Long].collect().toSet === Set(1L, 2L))
+    // mtime gate: age one file far into the past; modifiedAfter must
+    // then serve only the fresh one — the "ingest what landed since the
+    // last run" primitive when no transaction log exists
+    val old = Files.walk(Paths.get(s"$root/2024/01")).iterator()
+    old.forEachRemaining { p =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(1000L * 1000))
+    }
+    val fresh = spark.read
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .option("modifiedAfter", "2000-01-01T00:00:00")
+      .parquet(root)
+    assert(fresh.as[Long].collect().toSet === Set(2L))
+  }
 }
