@@ -76,7 +76,7 @@ object IncrementalCorpus {
   /** Ingest one batch of raw documents `(doc_id, text)`. Idempotent per
     * `batchId`; work is O(batch + shingle-matched state). */
   def ingest(spark: SparkSession, stateDir: String, batchId: Long,
-             batch: DataFrame): Unit = {
+             batch: DataFrame, numBuckets: Int = 64): Unit = {
     val marker = new Path(s"$stateDir/_batches/$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return // completed batch: replay is a no-op
@@ -128,7 +128,7 @@ object IncrementalCorpus {
     // replay recomputes the identical pair set (stored reads exclude
     // this batch) and CcIndex.update is a no-op on already-merged pairs
     if (pairs.limit(1).count() > 0)
-      CcIndex.update(spark, ccDir(stateDir), pairs, batchId)
+      CcIndex.update(spark, ccDir(stateDir), pairs, batchId, numBuckets)
 
     // partition OVERWRITES make the appends replay-identical too
     sizes.join(fresh.select("doc_id", "h"), Seq("doc_id"))
@@ -201,8 +201,11 @@ object IncrementalCorpus {
     ) { (s, d) =>
       val state = java.nio.file.Files.createTempDirectory("pp4").toString
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      ingest(s, state, 0L, docs.filter(col("doc_id") % 2 === 0))
-      ingest(s, state, 1L, docs.filter(col("doc_id") % 2 === 1))
+      // label-store buckets sized to the TEST corpus (the 64 default is
+      // the at-scale layout; at sf<=0.1 it is 64 near-empty dirs of
+      // pure filesystem latency per ingest)
+      ingest(s, state, 0L, docs.filter(col("doc_id") % 2 === 0), numBuckets = 8)
+      ingest(s, state, 1L, docs.filter(col("doc_id") % 2 === 1), numBuckets = 8)
       canonical(s, state).orderBy("doc_id")
     }
   )
