@@ -519,6 +519,81 @@ object TextOps {
     // is order-invariant and thread-deterministic. rows-only: DuckDB
     // has no DEFLATE surface (the expression itself is pinned by
     // CompressSpec fixtures instead).
+    // L74 — PII scan (span-level detector battery): per source, counts
+    // of email / dashed-phone / SSN-shaped / IPv4 / card-number spans,
+    // card candidates validated by the FULL Luhn checksum — digit
+    // folding as a higher-order aggregate over the reversed digit
+    // string, exact integers end to end, so the oracle hash-matches the
+    // whole report. Patterns avoid lookaround so java.util.regex and
+    // RE2 agree (the \b{13,16}\b span is provably identical under
+    // greedy and leftmost-longest — the boundary kills every shorter
+    // backtrack). The synthetic corpus is PII-free — the report's zero
+    // counts ARE the assertion; PiiSpec drives fixtures with known
+    // spans and Luhn-valid/invalid PANs through the same columns.
+    Q(
+      "tx38_pii_scan",
+      """WITH f AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(text,
+        |        '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}')) AS emails,
+        |    len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS phones,
+        |    len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS ssns,
+        |    len(regexp_extract_all(text,
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ips,
+        |    regexp_extract_all(text, '\b\d{13,16}\b') AS cards
+        |  FROM documents),
+        |lv AS (
+        |  SELECT source, emails, phones, ssns, ips, len(cards) AS card_cands,
+        |    coalesce(list_sum(list_transform(cards, c -> CASE WHEN
+        |      list_sum(list_transform(range(1, length(c) + 1), i -> CASE
+        |        WHEN i % 2 = 1 THEN ascii(substr(reverse(c), i, 1)) - 48
+        |        ELSE 2*(ascii(substr(reverse(c), i, 1)) - 48)
+        |             - 9*((2*(ascii(substr(reverse(c), i, 1)) - 48)) // 10)
+        |        END)) % 10 = 0 THEN 1 ELSE 0 END)), 0) AS cards_valid
+        |  FROM f)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(emails) AS BIGINT) AS emails,
+        |  CAST(sum(phones) AS BIGINT) AS phones,
+        |  CAST(sum(ssns) AS BIGINT) AS ssns,
+        |  CAST(sum(ips) AS BIGINT) AS ips,
+        |  CAST(sum(card_cands) AS BIGINT) AS card_cands,
+        |  CAST(sum(cards_valid) AS BIGINT) AS cards_valid
+        |FROM lv GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val f = Tables.documents(s, d).select(col("source"),
+        expr("""size(regexp_extract_all(text,
+               |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}', 0))""".stripMargin)
+          .as("emails"),
+        expr("size(regexp_extract_all(text, '\\\\b\\\\d{3}-\\\\d{3}-\\\\d{4}\\\\b', 0))")
+          .as("phones"),
+        expr("size(regexp_extract_all(text, '\\\\b\\\\d{3}-\\\\d{2}-\\\\d{4}\\\\b', 0))")
+          .as("ssns"),
+        expr("""size(regexp_extract_all(text,
+               |  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', 0))""".stripMargin)
+          .as("ips"),
+        expr("regexp_extract_all(text, '\\\\b\\\\d{13,16}\\\\b', 0)").as("cards"))
+      val lv = f.select(col("source"), col("emails"), col("phones"),
+        col("ssns"), col("ips"), size(col("cards")).as("card_cands"),
+        coalesce(expr(
+          """aggregate(transform(cards, c -> CASE WHEN
+            |  aggregate(transform(sequence(1, length(c)), i -> CASE
+            |    WHEN i % 2 = 1 THEN ascii(substr(reverse(c), i, 1)) - 48
+            |    ELSE 2*(ascii(substr(reverse(c), i, 1)) - 48)
+            |         - 9*((2*(ascii(substr(reverse(c), i, 1)) - 48)) DIV 10)
+            |    END), CAST(0 AS BIGINT), (a, x) -> a + x) % 10 = 0
+            |  THEN 1 ELSE 0 END),
+            |  0, (a, x) -> a + x)""".stripMargin), lit(0)).as("cards_valid"))
+      lv.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("emails").cast("long").as("emails"),
+          sum("phones").cast("long").as("phones"),
+          sum("ssns").cast("long").as("ssns"),
+          sum("ips").cast("long").as("ips"),
+          sum("card_cands").cast("long").as("card_cands"),
+          sum("cards_valid").cast("long").as("cards_valid"))
+        .orderBy("source")
+    },
+
     Q.rowsOnly("tx37_compressibility") { (s, d) =>
       val f = Tables.documents(s, d).select(col("source"),
         call_function("deflate_len", col("text")).as("dl"),
