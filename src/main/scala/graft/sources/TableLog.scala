@@ -938,6 +938,33 @@ object TableLog {
     * returns the deleted data dirs. Time travel keeps working for
     * retained versions — vacuum is the ONLY operation that destroys
     * history, and it never touches a dir the retained window references. */
+  /** S27 — zero-copy shallow clone: a NEW table whose v0 manifest
+    * references the SOURCE's data dirs verbatim — no bytes move, the
+    * clone materializes in O(manifest). Snapshot state (schema, stats,
+    * blooms, DVs, constraints) carries over, so the clone reads exactly
+    * the source's current snapshot; from then on the two logs diverge
+    * independently (every mutation writes under its OWN `data/` root).
+    *
+    * The shared-file contract is Delta's shallow-clone contract:
+    * `vacuum` is TABLE-LOCAL (it only ever deletes dirs under its own
+    * `data/` root, so vacuuming a CLONE can never touch source bytes),
+    * but vacuuming the SOURCE after it rewrites away from the shared
+    * dirs CAN delete files a clone still references — the clone then
+    * fails LOUDLY at scan time (file-not-found), never silently wrong.
+    * Production lineage between clones needs a shared file refcount or
+    * catalog-level lease, out of scope here and spec-documented.
+    */
+  def shallowClone(spark: SparkSession, srcDir: String, dstDir: String): Long = {
+    require(latestVersion(spark, dstDir).isEmpty,
+      s"clone target $dstDir already exists")
+    val srcV = latestVersion(spark, srcDir)
+      .getOrElse(sys.error(s"table $srcDir does not exist"))
+    val m = readManifest(spark, srcDir, srcV)
+    publish(spark, dstDir,
+      m.copy(version = 0L, op = s"clone src=$srcDir v=$srcV"))
+    0L
+  }
+
   def vacuum(spark: SparkSession, dir: String, retainLast: Int = 2): Seq[String] = {
     require(retainLast >= 1, "vacuum: must retain at least the latest version")
     val vs = versions(spark, dir)
