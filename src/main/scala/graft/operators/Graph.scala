@@ -1392,30 +1392,84 @@ object Graph {
         |  WHERE w.step < 4)
         |SELECT seed, step, node FROM w ORDER BY seed, step, node""".stripMargin
     ) { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"))
-      val n = docs.count()
-      def es(mult: Int, add: Int, idx: Int) = docs.select(
-        col("doc_id").as("src"), lit(idx).as("idx"),
-        ((col("doc_id") * mult + add) % n).as("dst"))
-      val e = es(7, 13, 1).unionByName(es(31, 5, 2)).unionByName(es(101, 2, 3))
-        .localCheckpoint(true)
-      var cur = docs.filter(col("doc_id") < 50)
-        .select(col("doc_id").as("seed"), lit(0L).as("step"),
-          col("doc_id").as("node"))
-      val levels = scala.collection.mutable.ArrayBuffer(cur)
-      for (_ <- 1 to 4) {
-        cur = cur
-          .withColumn("pick", expr(
-            """1 + CAST(conv(substr(md5(concat(CAST(seed AS STRING), ':',
-              |  CAST(node AS STRING), ':', CAST(step AS STRING))), 1, 8),
-              |  16, 10) AS BIGINT) % 3""".stripMargin))
-          .join(e, col("node") === col("src") && col("idx") === col("pick"))
-          .select(col("seed"), (col("step") + 1).as("step"),
-            col("dst").as("node"))
-        levels += cur
-      }
-      levels.reduce(_ unionByName _).orderBy("seed", "step", "node")
+      deterministicWalks(s, d).orderBy("seed", "step", "node")
+    },
+
+    // R126b — skip-gram co-occurrence from the walk corpus (DeepWalk's
+    // next stage): window-±2 (center, context) pair counts along each
+    // walk — the positive-example matrix an embedding trainer consumes.
+    // One self-join of the walks frame on (seed, step distance), counts
+    // exact; the walks being md5-deterministic makes even THIS stage
+    // fully oracle-checkable.
+    Q(
+      "gr22_walk_cooccurrence",
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src, 1 AS idx,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, (doc_id*31 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3, (doc_id*101 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id AS seed, CAST(0 AS BIGINT) AS step, doc_id AS node
+        |  FROM documents WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT w.seed, w.step + 1, e.dst
+        |  FROM w JOIN e ON e.src = w.node AND e.idx = 1 +
+        |    CAST('0x' || substr(md5(CAST(w.seed AS VARCHAR) || ':' ||
+        |           CAST(w.node AS VARCHAR) || ':' || CAST(w.step AS VARCHAR)),
+        |         1, 8) AS BIGINT) % 3
+        |  WHERE w.step < 4)
+        |SELECT a.node AS center, b.node AS context,
+        |  CAST(b.step - a.step AS BIGINT) AS dist,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM w a JOIN w b
+        |  ON a.seed = b.seed AND b.step - a.step BETWEEN 1 AND 2
+        |GROUP BY 1, 2, 3
+        |ORDER BY cnt DESC, center, context, dist LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val w = deterministicWalks(s, d).localCheckpoint(true)
+      val a = w.select(col("seed"), col("step").as("sa"), col("node").as("center"))
+      val b = w.select(col("seed"), col("step").as("sb"), col("node").as("context"))
+      a.join(b, Seq("seed"))
+        .filter((col("sb") - col("sa")).between(1, 2))
+        .groupBy(col("center"), col("context"),
+          (col("sb") - col("sa")).as("dist"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("center"), col("context"), col("dist"))
+        .limit(50)
     }
   )
 
+  /** R126's walk generator: 4-step deterministic walks from seeds
+    * doc_id < 50 over the indexed 3-out adjacency, step choice from the
+    * engine-portable md5 stream keyed by (seed, node, step). */
+  private def deterministicWalks(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.count()
+    def es(mult: Int, add: Int, idx: Int) = docs.select(
+      col("doc_id").as("src"), lit(idx).as("idx"),
+      ((col("doc_id") * mult + add) % n).as("dst"))
+    val e = es(7, 13, 1).unionByName(es(31, 5, 2)).unionByName(es(101, 2, 3))
+      .localCheckpoint(true)
+    var cur = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("seed"), lit(0L).as("step"),
+        col("doc_id").as("node"))
+    val levels = scala.collection.mutable.ArrayBuffer(cur)
+    for (_ <- 1 to 4) {
+      cur = cur
+        .withColumn("pick", expr(
+          """1 + CAST(conv(substr(md5(concat(CAST(seed AS STRING), ':',
+            |  CAST(node AS STRING), ':', CAST(step AS STRING))), 1, 8),
+            |  16, 10) AS BIGINT) % 3""".stripMargin))
+        .join(e, col("node") === col("src") && col("idx") === col("pick"))
+        .select(col("seed"), (col("step") + 1).as("step"),
+          col("dst").as("node"))
+      levels += cur
+    }
+    levels.reduce(_ unionByName _)
+  }
 }
