@@ -1352,6 +1352,105 @@ object EventOps {
               * sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))))
             .as("acf"))
         .orderBy("event_type", "lag")
+    },
+
+    // T53 — seasonally-adjusted anomaly detection, closing the
+    // time-series family (trend ev25, forecast ev35/ev43, ACF ev44):
+    // residual = series − centered-24h trend − hour-of-day seasonal
+    // mean, z-scored. The per-row residual takes ONE division
+    // (seasonal mean) and is micro-quantized to a 1e6-grid BIGINT
+    // (tx19 discipline) so the z moments are exact integers — squares
+    // ride decimal/HUGEINT (r² sums pass 2^63 at sf≥0.1) — and
+    // z = (r·n − Σr)/√(n·Σr² − (Σr)²) is ONE double tree over them.
+    // ev9 z-scores raw hour-of-day counts; this one removes trend AND
+    // seasonality first, which is what makes the flag "anomalous for
+    // a Tuesday 3pm", not just "busy".
+    Q(
+      "ev45_seasonal_anomaly",
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events),
+        |spine AS (
+        |  SELECT g.g AS hr, t.event_type
+        |  FROM (SELECT unnest(generate_series((SELECT h0 FROM bounds),
+        |                                      (SELECT h1 FROM bounds),
+        |                                      INTERVAL 1 HOUR)) AS g) g
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+        |actual AS (
+        |  SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |series AS (
+        |  SELECT s.event_type, s.hr, coalesce(a.n, 0) AS c
+        |  FROM spine s LEFT JOIN actual a
+        |    ON s.hr = a.hr AND s.event_type = a.event_type),
+        |tr AS (
+        |  SELECT event_type, hr, c,
+        |    sum(c) OVER (PARTITION BY event_type ORDER BY hr
+        |                 ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS wsum,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY hr
+        |                   ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS wn
+        |  FROM series),
+        |det AS (
+        |  SELECT event_type, hr, CAST(hour(hr) AS BIGINT) AS hh,
+        |    c - (wsum // 24) AS dv
+        |  FROM tr WHERE wn = 24),
+        |sea AS (SELECT event_type, hh, CAST(sum(dv) AS BIGINT) AS sdv,
+        |          CAST(count(*) AS BIGINT) AS ndv
+        |        FROM det GROUP BY 1, 2),
+        |resid AS (
+        |  SELECT d.event_type, d.hr, d.dv,
+        |    CAST(round(1e6 * (d.dv - CAST(sdv AS DOUBLE) / ndv)) AS BIGINT) AS r
+        |  FROM det d JOIN sea ON sea.event_type = d.event_type AND sea.hh = d.hh),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(r) AS BIGINT) AS sr,
+        |        CAST(sum(CAST(r AS HUGEINT) * r) AS HUGEINT) AS srr
+        |      FROM resid GROUP BY 1)
+        |SELECT event_type, hr, CAST(dv AS BIGINT) AS detrended,
+        |  r AS resid_micro,
+        |  round(CAST(r * n - sr AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * srr
+        |                    - CAST(sr AS HUGEINT) * sr AS DOUBLE)), 6) AS z
+        |FROM resid JOIN m USING (event_type)
+        |ORDER BY abs(round(CAST(r * n - sr AS DOUBLE)
+        |        / sqrt(CAST(CAST(n AS HUGEINT) * srr
+        |                    - CAST(sr AS HUGEINT) * sr AS DOUBLE)), 6)) DESC,
+        |  event_type, hr LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(date_trunc("hour", min("ts")).as("h0"),
+        date_trunc("hour", max("ts")).as("h1"))
+      val spine = bounds
+        .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hr"))
+        .crossJoin(ev.select("event_type").distinct())
+      val actual = ev.groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val series = spine.join(actual, Seq("hr", "event_type"), "left")
+        .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-12, 11)
+      val det = series
+        .withColumn("wsum", sum("c").over(w))
+        .withColumn("wn", count(lit(1)).over(w))
+        .filter(col("wn") === 24)
+        .select(col("event_type"), col("hr"), hour(col("hr")).cast("long").as("hh"),
+          (col("c") - expr("wsum DIV 24")).as("dv"))
+      val sea = det.groupBy("event_type", "hh")
+        .agg(sum("dv").as("sdv"), count(lit(1)).as("ndv"))
+      val resid = det.join(sea, Seq("event_type", "hh"))
+        .select(col("event_type"), col("hr"), col("dv"),
+          expr("CAST(round(1e6 * (dv - CAST(sdv AS DOUBLE) / ndv)) AS BIGINT)")
+            .as("r"))
+      val m = resid.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("r").as("sr"),
+          sum(dec(col("r")) * col("r")).as("srr"))
+      val z = (col("r") * col("n") - col("sr")).cast("double") /
+        sqrt((dec(col("n")) * col("srr") - dec(col("sr")) * col("sr"))
+          .cast("double"))
+      resid.join(m, Seq("event_type"))
+        .select(col("event_type"), col("hr"), col("dv").cast("long").as("detrended"),
+          col("r").as("resid_micro"), round(z, 6).as("z"))
+        .orderBy(abs(col("z")).desc, col("event_type"), col("hr"))
+        .limit(20)
     }
   )
 
