@@ -1188,14 +1188,40 @@ object Graph {
 
     // R80 — strongly connected components over the directed 2-out
     // formula graph (the cycle structure of the functional links —
-    // which doc-reference rings exist and how big they are). Rows-only:
-    // SCC has no portable recursive-SQL form (mutual reachability needs
-    // two nested closures); SccSpec pins the partition against a
-    // sequential Tarjan reference on adversarial graphs plus this exact
-    // shape at spec scale, and the determinism audit covers layout.
-    // Output: component-size histogram + smallest component ids —
-    // bounded rows at any graph size.
-    Q.rowsOnly("gr14_scc") { (s, d) =>
+    // which doc-reference rings exist and how big they are). ORACLE
+    // upgraded in r4 session 8: mutual reachability IS portable SQL —
+    // ONE transitive closure, then a swapped self-join (r(a,b) ∧
+    // r(b,a)) — the O(n²)-pair oracle is fine at oracle scale while
+    // the Spark side runs the FW-BW coloring that survives real
+    // graphs; SccSpec additionally pins the partition against a
+    // sequential Tarjan reference on adversarial graphs. Output:
+    // component-size histogram + smallest component ids — bounded rows
+    // at any graph size.
+    Q(
+      "gr14_scc",
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |r AS (
+        |  SELECT src AS a, dst AS b FROM e WHERE src <> dst
+        |  UNION
+        |  SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),
+        |m AS (
+        |  SELECT r1.a, r1.b FROM r r1 JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a
+        |  UNION ALL
+        |  SELECT doc_id, doc_id FROM documents),
+        |scc AS (SELECT a AS node, min(b) AS scc_id FROM m GROUP BY 1),
+        |hist AS (SELECT scc_id, count(*) AS size FROM scc GROUP BY 1)
+        |SELECT CAST(size AS BIGINT) AS size,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(min(scc_id) AS BIGINT) AS min_scc_id
+        |FROM hist GROUP BY size
+        |ORDER BY size DESC, min_scc_id""".stripMargin
+    ) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
