@@ -882,12 +882,14 @@ object Graph {
     },
 
     // R72 — label-propagation communities over the 3-out functional
-    // graph. Rows-only: synchronous LPA isn't expressible as a portable
-    // recursive CTE (aggregation per iteration); GraphSpec pins the
-    // planted two-community case and cross-partitioning determinism.
-    // Output is the community summary (label, size, sample member) —
-    // node→community assignments are the operator's full frame.
-    Q.rowsOnly("gr5_lpa_communities") { (s, d) =>
+    // graph. ORACLE upgrade (r4 session 8): synchronous LPA has no
+    // portable RECURSIVE form (aggregation per iteration), but the
+    // catalog entry runs a FIXED 5 rounds — and a fixed unroll is just
+    // five chained plain CTEs. The oracle text is GENERATED by the same
+    // loop bound the Spark side iterates, so the two can't drift; tie
+    // rule (max count, then min label) is row_number-total on both.
+    // GraphSpec still pins the planted two-community case.
+    Q("gr5_lpa_communities", lpaUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -1469,6 +1471,43 @@ object Graph {
         .limit(50)
     }
   )
+
+  /** gr5's oracle: synchronous mode-vote LPA unrolled to the entry's
+    * fixed 5 rounds as plain chained CTEs (generated, so the round
+    * count and tie rule cannot drift from the Spark loop). */
+  // lazy: referenced by the `catalog` val ABOVE its declaration — a
+  // strict val would still be null during catalog construction
+  private[graft] lazy val lpaUnrolledOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""v$i AS (SELECT a.s AS node, l.lbl FROM adj a JOIN l${i - 1} l ON l.node = a.t
+         |      UNION ALL SELECT node, lbl FROM l${i - 1}),
+         |c$i AS (SELECT node, lbl, count(*) AS cnt FROM v$i GROUP BY 1, 2),
+         |l$i AS (SELECT node, lbl FROM (
+         |        SELECT node, lbl, row_number() OVER (PARTITION BY node
+         |                 ORDER BY cnt DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT doc_id AS s,
+       |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS t
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+       |  FROM documents),
+       |adj AS (SELECT DISTINCT s, t FROM (
+       |  SELECT s, t FROM e WHERE s <> t
+       |  UNION ALL SELECT t, s FROM e WHERE s <> t)),
+       |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM adj),
+       |$rounds
+       |SELECT CAST(lbl AS BIGINT) AS community,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(min(node) AS BIGINT) AS min_node
+       |FROM l5 GROUP BY 1
+       |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
+  }
 
   /** R126's walk generator: 4-step deterministic walks from seeds
     * doc_id < 50 over the indexed 3-out adjacency, step choice from the
