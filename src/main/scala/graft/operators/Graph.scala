@@ -1160,10 +1160,14 @@ object Graph {
     // R93 — HITS hubs & authorities over the directed formula graph:
     // the link-analysis complement of gr2's PageRank (endorsement mass
     // vs the hub/authority duality). Exact fixed-point integers — see
-    // [[hits]]; rows-only (iterative mutual recursion has no portable
-    // recursive CTE), pinned by HitsSpec's BigInt sequential reference
-    // on adversarial small graphs + the determinism audit.
-    Q.rowsOnly("gr12_hits") { (s, d) =>
+    // [[hits]]. ORACLE upgrade (r4 session 8, gr5's precedent): the
+    // mutual recursion has no portable RECURSIVE form, but the entry's
+    // FIXED 8 rounds unroll into generated plain CTEs — every product
+    // rides HUGEINT and every normalize is a floor division of
+    // non-negatives (Spark decimal DIV trunc ≡ DuckDB // floor there),
+    // so the unroll is bit-exact. HitsSpec's BigInt sequential
+    // reference still pins adversarial small graphs.
+    Q("gr12_hits", hitsUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -1478,11 +1482,15 @@ object Graph {
   // lazy: referenced by the `catalog` val ABOVE its declaration — a
   // strict val would still be null during catalog construction
   private[graft] lazy val lpaUnrolledOracle: String = {
+    // MATERIALIZED per round: l_{i-1} is referenced twice (neighbor
+    // join + self vote) — inlining would re-evaluate the upstream chain
+    // 2^rounds times (the gr12 bring-up lesson)
     val rounds = (1 to 5).map { i =>
-      s"""v$i AS (SELECT a.s AS node, l.lbl FROM adj a JOIN l${i - 1} l ON l.node = a.t
+      s"""v$i AS MATERIALIZED (
+         |      SELECT a.s AS node, l.lbl FROM adj a JOIN l${i - 1} l ON l.node = a.t
          |      UNION ALL SELECT node, lbl FROM l${i - 1}),
          |c$i AS (SELECT node, lbl, count(*) AS cnt FROM v$i GROUP BY 1, 2),
-         |l$i AS (SELECT node, lbl FROM (
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
          |        SELECT node, lbl, row_number() OVER (PARTITION BY node
          |                 ORDER BY cnt DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
         .stripMargin
@@ -1497,16 +1505,69 @@ object Graph {
        |  UNION ALL
        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
        |  FROM documents),
-       |adj AS (SELECT DISTINCT s, t FROM (
+       |adj AS MATERIALIZED (SELECT DISTINCT s, t FROM (
        |  SELECT s, t FROM e WHERE s <> t
        |  UNION ALL SELECT t, s FROM e WHERE s <> t)),
-       |l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM adj),
+       |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM adj),
        |$rounds
        |SELECT CAST(lbl AS BIGINT) AS community,
        |  CAST(count(*) AS BIGINT) AS n_members,
        |  CAST(min(node) AS BIGINT) AS min_node
        |FROM l5 GROUP BY 1
        |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
+  }
+
+  /** gr12's oracle: the 8 fixed HITS rounds unrolled as generated plain
+    * CTEs (HUGEINT products, floor division of non-negatives — exactly
+    * [[hits]]' integer algebra, so the texts cannot drift). */
+  private[graft] lazy val hitsUnrolledOracle: String = {
+    val S = 1000000000L
+    // every per-round CTE is MATERIALIZED: ar/hr are each referenced
+    // twice (score join + max), so inlining doubles the re-evaluated
+    // upstream chain PER ROUND — a 2^rounds blowup measured in CPU-
+    // minutes at bring-up; materialization makes the unroll linear
+    val rounds = (1 to 8).map { i =>
+      s"""ar$i AS MATERIALIZED (
+         |       SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) AS raw
+         |       FROM e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |am$i AS MATERIALIZED (SELECT CAST(max(raw) AS HUGEINT) AS mx FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT n.node,
+         |         CAST(CAST(coalesce(ar.raw, 0) AS HUGEINT) * $S
+         |              // am.mx AS BIGINT) AS auth
+         |       FROM nodes n LEFT JOIN ar$i ar ON ar.node = n.node
+         |       CROSS JOIN am$i am),
+         |hr$i AS MATERIALIZED (
+         |       SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) AS raw
+         |       FROM e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |hm$i AS MATERIALIZED (SELECT CAST(max(raw) AS HUGEINT) AS mx FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT n.node,
+         |         CAST(CAST(coalesce(hr.raw, 0) AS HUGEINT) * $S
+         |              // hm.mx AS BIGINT) AS hub
+         |       FROM nodes n LEFT JOIN hr$i hr ON hr.node = n.node
+         |       CROSS JOIN hm$i hm)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT doc_id AS src,
+       |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+       |  FROM documents),
+       |-- MATERIALIZED: 16 unrolled rounds reference e/nodes — inlining
+       |-- would re-open the parquet scan per reference (EMFILE in DuckDB)
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |h0 AS (SELECT node, CAST($S AS BIGINT) AS hub FROM nodes),
+       |$rounds
+       |SELECT a8.node, CAST(a8.auth AS BIGINT) AS auth_e9,
+       |  CAST(h8.hub AS BIGINT) AS hub_e9
+       |FROM a8 JOIN h8 ON h8.node = a8.node
+       |ORDER BY auth_e9 DESC, hub_e9 DESC, a8.node LIMIT 20""".stripMargin
   }
 
   /** R126's walk generator: 4-step deterministic walks from seeds
