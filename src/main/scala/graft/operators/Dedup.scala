@@ -626,6 +626,49 @@ object Dedup {
         .orderBy("id_a", "id_b")
     },
 
+    // L75 — dedup yield curve (duplicate-rate saturation): as the
+    // corpus is consumed in doc_id order, what fraction of each decile
+    // is an exact duplicate of anything EARLIER — the "is more crawl
+    // still adding new content" readout that sizes collection budgets
+    // next to tx22's vocabulary-growth curve. First-occurrence per
+    // content hash is one aggregate; slices come from the integer
+    // decile of the id range; all counts exact.
+    Q(
+      "dd18_dup_rate_curve",
+      """WITH h AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS hh FROM documents),
+        |firsts AS (SELECT hh, min(doc_id) AS first_id FROM h GROUP BY 1),
+        |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |sl AS (
+        |  SELECT (h.doc_id * 10) // (SELECT m FROM mx) AS slice,
+        |    CASE WHEN h.doc_id > f.first_id THEN 1 ELSE 0 END AS is_dup
+        |  FROM h JOIN firsts f ON f.hh = h.hh)
+        |SELECT CAST(slice AS BIGINT) AS slice,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(is_dup) AS BIGINT) AS n_dups,
+        |  CAST(sum(sum(is_dup)) OVER (ORDER BY slice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_dups
+        |FROM sl GROUP BY slice ORDER BY slice""".stripMargin
+    ) { (s, d) =>
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"), md5(lower(trim(col("text")))).as("hh"))
+      val firsts = h.groupBy("hh").agg(min("doc_id").as("first_id"))
+      val mx = Tables.documents(s, d).agg((max("doc_id") + 1).as("m"))
+      val sl = h.join(firsts, Seq("hh"))
+        .crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) DIV m").as("slice"),
+          when(col("doc_id") > col("first_id"), 1L).otherwise(0L).as("is_dup"))
+      sl.groupBy("slice")
+        .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+        .withColumn("cum_dups",
+          sum("n_dups").over(org.apache.spark.sql.expressions.Window
+            .orderBy("slice")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .orderBy("slice")
+    },
+
     // L69 — Jaro-Winkler name linkage: DISTINCT name space, blocked on
     // the head noun (linkage never scores the full cross product), the
     // native codegen'd `jaro_winkler` scoring inside the candidate
