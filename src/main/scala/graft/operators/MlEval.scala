@@ -57,8 +57,11 @@ object MlEval {
         col("o_orderpriority").as("grp"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("label"))
+      // rank() is IntegerType — cast to long BEFORE the multiply, or
+      // groups past ~1.07B rows silently wrap under non-ANSI arithmetic
+      // (DuckDB's rank() is BIGINT, so the oracle would diverge).
       val ranked = scored.select(col("grp"), col("label"),
-        (lit(2) * rank().over(Window.partitionBy("grp").orderBy("cents"))
+        (lit(2L) * rank().over(Window.partitionBy("grp").orderBy("cents")).cast("long")
           + count(lit(1)).over(Window.partitionBy("grp", "cents")) - 1)
           .cast("long").as("dubrank"))
       ranked.groupBy("grp")

@@ -71,8 +71,12 @@ object MvAdvisor {
           case _ => false
         }
         if (!conforming) None
-        else scanOf(child, Set.empty).map { case (path, filterCols) =>
-          (path, dims.toSet ++ filterCols, sums.toSet)
+        else scanOf(child, Set.empty).flatMap { case (path, filterCols) =>
+          val allDims = dims.toSet ++ filterCols
+          // A global aggregate (no GROUP BY, no filter) leaves allDims
+          // empty — a dimension-less MV is just a 1-row cache, and the
+          // countDistinct in analyze() needs at least one column.
+          if (allDims.isEmpty) None else Some((path, allDims, sums.toSet))
         }
       case _ => None
     }

@@ -74,9 +74,9 @@ object PlanLint {
         out += Finding("global-window", "warn",
           "window with no PARTITION BY funnels all rows into one task")
       case j: SortMergeJoinExec =>
-        checkMissedBroadcast(j, j.left, j.right, threshold, out)
+        checkMissedBroadcast(j, j.joinType, j.left, j.right, threshold, out)
       case j: ShuffledHashJoinExec =>
-        checkMissedBroadcast(j, j.left, j.right, threshold, out)
+        checkMissedBroadcast(j, j.joinType, j.left, j.right, threshold, out)
       case f: org.apache.spark.sql.execution.FilterExec =>
         // a SUBSTANTIVE residual filter directly over a scan that pushed
         // nothing substantive (null checks don't count — pushdown adds
@@ -105,16 +105,31 @@ object PlanLint {
 
   /** Warn when a shuffle join's smaller side was, by the optimizer's own
     * size estimate, under the broadcast threshold (threshold <= 0 means
-    * broadcasting is disabled on purpose — stay silent). */
-  private def checkMissedBroadcast(join: SparkPlan, left: SparkPlan,
-                                   right: SparkPlan, threshold: Long,
+    * broadcasting is disabled on purpose — stay silent). Only sides that
+    * are a LEGAL broadcast build side for the join type count — a full
+    * outer SMJ, or the stream side of an outer/semi join, can never be
+    * broadcast, so flagging them would pollute the warn set with
+    * unactionable findings (mirrors JoinSelection's canBuildLeft/Right). */
+  private def checkMissedBroadcast(join: SparkPlan,
+                                   joinType: org.apache.spark.sql.catalyst.plans.JoinType,
+                                   left: SparkPlan, right: SparkPlan, threshold: Long,
                                    out: scala.collection.mutable.ArrayBuffer[Finding]): Unit = {
+    import org.apache.spark.sql.catalyst.plans._
     if (threshold > 0) {
-      val sizes = Seq(left, right).map(estimatedSize)
-      val minSize = sizes.flatten.reduceOption(_ min _)
-      minSize.filter(_ <= threshold).foreach { sz =>
+      val canBuildLeft = joinType match {
+        case _: InnerLike | RightOuter => true
+        case _ => false
+      }
+      val canBuildRight = joinType match {
+        case _: InnerLike | LeftOuter | LeftSemi | LeftAnti | _: ExistenceJoin => true
+        case _ => false
+      }
+      val candidates =
+        (if (canBuildLeft) estimatedSize(left) else None) ++
+        (if (canBuildRight) estimatedSize(right) else None)
+      candidates.reduceOption(_ min _).filter(_ <= threshold).foreach { sz =>
         out += Finding("missed-broadcast", "warn",
-          s"shuffle join but smaller side is estimated at $sz bytes " +
+          s"shuffle join but a broadcastable side is estimated at $sz bytes " +
             s"(<= threshold $threshold): ${join.nodeName}")
       }
     }

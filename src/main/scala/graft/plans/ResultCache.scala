@@ -75,14 +75,31 @@ object ResultCache {
       val out = fs.create(new Path(staging, MARKER))
       out.write(df.schema.json.getBytes(StandardCharsets.UTF_8))
       out.close()
-      if (!fs.rename(staging, entry)) {
-        // lost the publish race (or a previous run published first):
-        // the winner's entry is complete — drop ours and read theirs.
+      // Re-check before publishing: a concurrent writer may have won
+      // since the miss-check. On a local FS, rename into an EXISTING
+      // destination dir can "succeed" by moving the staging dir INSIDE
+      // the entry (POSIX move-into-dir fallback) — hidden from Spark
+      // reads by the dot prefix, but permanently out of sweepStaging's
+      // reach. Treating a published entry as a hit avoids that path.
+      if (fs.exists(marker)) {
         fs.delete(staging, true)
-        require(fs.exists(marker),
-          s"result cache: rename to $entry failed but no published entry exists")
+        (readEntry(spark, fs, entry, marker), true)
+      } else {
+        if (!fs.rename(staging, entry)) {
+          // lost the publish race (or a previous run published first):
+          // the winner's entry is complete — drop ours and read theirs.
+          fs.delete(staging, true)
+          require(fs.exists(marker),
+            s"result cache: rename to $entry failed but no published entry exists")
+        } else {
+          // Belt-and-braces for the remaining race window: if the rename
+          // landed our staging dir NESTED inside a concurrently-published
+          // entry, remove the embedded junk dir.
+          val nested = new Path(entry, staging.getName)
+          if (fs.exists(nested)) fs.delete(nested, true)
+        }
+        (readEntry(spark, fs, entry, marker), false)
       }
-      (readEntry(spark, fs, entry, marker), false)
     }
   }
 

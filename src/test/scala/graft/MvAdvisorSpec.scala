@@ -30,6 +30,14 @@ class MvAdvisorSpec extends SparkSpecBase with BeforeAndAfterEach {
     assert(shapes.forall(_._1.contains("documents")))
   }
 
+  test("a global aggregate (no GROUP BY, no filter) is rejected, not crashed on") {
+    val global = docs.agg(count(lit(1)).as("n"))
+    assert(MvAdvisor.conformingShape(global).isEmpty)
+    // and a workload containing one doesn't take down the whole advisor call
+    val recs = MvAdvisor.analyze(spark, workload :+ global, minHits = 2)
+    assert(recs.size === 1)
+  }
+
   test("the advisor unions per-table shapes, counts hits, measures reduction") {
     val recs = MvAdvisor.analyze(spark, workload, minHits = 2)
     assert(recs.size === 1)

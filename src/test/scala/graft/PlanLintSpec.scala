@@ -54,6 +54,22 @@ class PlanLintSpec extends SparkSpecBase {
     assert(!rules(plain).contains("missed-broadcast"))
   }
 
+  test("missed broadcast is join-type aware: full outer can never broadcast") {
+    val docs = Tables.documents(spark, sf0001)
+    // the joined side must CARRY a column, or the optimizer eliminates
+    // the no-op outer join outright and there is nothing to lint
+    val dimWithCol = docs.groupBy("lang").agg(count(lit(1)).as("lang_cnt"))
+    // a full outer join has no legal broadcast build side — a small input
+    // must NOT produce an unactionable missed-broadcast warning
+    val fo = docs.join(dimWithCol, Seq("lang"), "full_outer")
+    assert(PlanLint.lint(fo).nonEmpty) // the join planned (exchanges exist)
+    assert(!rules(fo).contains("missed-broadcast"))
+    // a left outer with a small RIGHT side is broadcastable → still warns
+    // when hinted away from broadcast
+    val lo = docs.join(dimWithCol.hint("merge"), Seq("lang"), "left_outer")
+    assert(rules(lo).contains("missed-broadcast"))
+  }
+
   test("unpushed scan is info, pushable filter is silent") {
     val docs = Tables.documents(spark, sf0001)
     val unpushed = docs.filter(length(col("text")) % 7 === 3)
