@@ -761,10 +761,11 @@ object Graph {
     },
 
     // R36b — PageRank over the same deterministic functional graph.
-    // Rows-only: aggregation inside a recursive member isn't portable
-    // DuckDB SQL; GraphSpec pins the fixed-point values against an
-    // independent driver-side reference implementation.
-    Q.rowsOnly("gr2_pagerank") { (s, d) =>
+    // Oracle: the 8 fixed rounds unrolled as generated integer CTEs
+    // ([[pprUnrolledOracle]], the gr12 recipe) — the exact fixed-point
+    // algebra DuckDB can replay; GraphSpec additionally pins the values
+    // against an independent driver-side reference implementation.
+    Q("gr2_pagerank", pagerankUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       val edges = docs.select(col("doc_id").as("src"),
@@ -781,10 +782,12 @@ object Graph {
     // measures multi-hop similarity flow and unreachable docs hold
     // EXACTLY 0 (integer fixed point). Output: top non-seed docs — the
     // expansion candidates a curation pipeline would human-review.
-    // Rows-only (iterative fixed point has no SQL oracle); GraphSpec
-    // pins seeds=all ≡ pageRank bit-for-bit, component isolation, and
+    // Oracle: [[pprUnrolledOracle]] with dd15's pair generator as the
+    // edge prelude and the curated source as seeds — 8 personalized
+    // rounds in exact integer algebra; GraphSpec additionally pins
+    // seeds=all ≡ pageRank bit-for-bit, component isolation, and
     // seed-anchored mass.
-    Q.rowsOnly("gr17_seed_expansion") { (s, d) =>
+    Q("gr17_seed_expansion", seedExpansionUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d)
       val pairs = graft.operators.Corpus.sortedNeighborhoodPairs(docs)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -1569,6 +1572,120 @@ object Graph {
        |FROM a8 JOIN h8 ON h8.node = a8.node
        |ORDER BY auth_e9 DESC, hub_e9 DESC, a8.node LIMIT 20""".stripMargin
   }
+
+  /** Shared unrolled-round oracle generator for the PageRank family
+    * (gr2 / gr17) — the gr12 HITS recipe applied to [[pageRank]] /
+    * [[personalizedPageRank]]: the fixed `nIter` rounds of their EXACT
+    * integer algebra as generated plain CTEs, so DuckDB reproduces the
+    * fixed point bit for bit. One generator serves both because
+    * seeds = all nodes makes personalized PageRank identical to
+    * pageRank (GraphSpec pins that equivalence on the Spark side, this
+    * SQL encodes the same CASE collapse).
+    *
+    * `preludeCtes` (optional, trailing comma handled here) lets the
+    * edge set be built from its own CTE chain (gr17's dd15 pair
+    * generator); `edges0Sql` yields (src, dst); `seeds0Sql` yields
+    * (node); `finalSql` projects from r$nIter / seeds.
+    * MATERIALIZED per round: r_{i-1} feeds both the dangling sum and
+    * the inflow join — inlining would re-evaluate the upstream chain
+    * 2^rounds times (the gr12 bring-up lesson).
+    */
+  private[graft] def pprUnrolledOracle(preludeCtes: String, edges0Sql: String,
+                                       seeds0Sql: String, finalSql: String,
+                                       nIter: Int = 8,
+                                       dampingPpm: Long = 850000L): String = {
+    val Scale = 1000000000000L
+    // Scala-side truncating division mirrors pageRank's driver constants
+    val baseNum = Scale * (1000000L - dampingPpm) / 1000000L
+    val rounds = (1 to nIter).map { i =>
+      s"""dg$i AS MATERIALIZED (
+         |  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS s
+         |  FROM r${i - 1} r LEFT JOIN outdeg d ON d.node = r.node
+         |  WHERE d.deg IS NULL),
+         |inf$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(sum(r.r // d.deg) AS BIGINT) AS inflow
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src
+         |         JOIN outdeg d ON d.node = e.src
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CASE WHEN sd.node IS NOT NULL
+         |      THEN ($baseNum // sc.ns)
+         |           + ($dampingPpm * (coalesce(i.inflow, 0) + (dg.s // sc.ns))) // 1000000
+         |      ELSE ($dampingPpm * coalesce(i.inflow, 0)) // 1000000 END AS r
+         |  FROM nodes n
+         |  LEFT JOIN inf$i i ON i.node = n.node
+         |  LEFT JOIN seeds sd ON sd.node = n.node
+         |  CROSS JOIN dg$i dg CROSS JOIN scnt sc)""".stripMargin
+    }.mkString(",\n")
+    val prelude = if (preludeCtes.isEmpty) "" else preludeCtes + ",\n"
+    s"""WITH $prelude
+       |e0 AS ($edges0Sql),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |outdeg AS MATERIALIZED (
+       |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+       |seeds0 AS ($seeds0Sql),
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT s.node FROM seeds0 s JOIN nodes n ON n.node = s.node),
+       |scnt AS (SELECT count(*) AS ns FROM seeds),
+       |r0 AS MATERIALIZED (
+       |  SELECT n.node, CASE WHEN sd.node IS NOT NULL
+       |    THEN $Scale // sc.ns ELSE CAST(0 AS BIGINT) END AS r
+       |  FROM nodes n LEFT JOIN seeds sd ON sd.node = n.node CROSS JOIN scnt sc),
+       |$rounds
+       |$finalSql""".stripMargin
+  }
+
+  /** gr2's oracle: 8 pageRank rounds unrolled; seeds = all nodes makes
+    * the personalized CASE collapse to the plain update. */
+  private[graft] lazy val pagerankUnrolledOracle: String = pprUnrolledOracle(
+    preludeCtes = "",
+    edges0Sql =
+      """SELECT doc_id AS src,
+        |       (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents""".stripMargin,
+    seeds0Sql = "SELECT node FROM nodes",
+    finalSql =
+      """SELECT CAST(r.node AS BIGINT) AS node, CAST(r.r AS BIGINT) AS rank_e12
+        |FROM r8 r ORDER BY rank_e12 DESC, node LIMIT 50""".stripMargin)
+
+  /** gr17's oracle: dd15's sorted-neighborhood pairs as undirected
+    * edges, seeds = the curated source's docs, 8 personalized rounds,
+    * non-seed top-30. */
+  private[graft] lazy val seedExpansionUnrolledOracle: String = pprUnrolledOracle(
+    preludeCtes =
+      """t AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(text, ' ')) AS ts,
+        |    string_split(text, ' ')[1] AS w1,
+        |    string_split(text, ' ')[2] AS w2
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |nb AS (SELECT doc_id, ts,
+        |    lead(doc_id, 1) OVER wd AS id1, lead(ts, 1) OVER wd AS ts1,
+        |    lead(doc_id, 2) OVER wd AS id2, lead(ts, 2) OVER wd AS ts2
+        |  FROM t WINDOW wd AS (PARTITION BY lang, w1 ORDER BY w2, doc_id)),
+        |cand AS (
+        |  SELECT doc_id AS id_a, id1 AS id_b, ts, ts1 AS tsb
+        |  FROM nb WHERE id1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, id2, ts, ts2 FROM nb WHERE id2 IS NOT NULL),
+        |pr AS MATERIALIZED (
+        |  SELECT id_a, id_b FROM cand
+        |  WHERE (CAST(len(list_intersect(ts, tsb)) AS BIGINT) * 1000) //
+        |    CAST(len(ts) + len(tsb) - len(list_intersect(ts, tsb)) AS BIGINT)
+        |    >= 400)""".stripMargin,
+    edges0Sql =
+      """SELECT id_a AS src, id_b AS dst FROM pr
+        |  UNION ALL SELECT id_b, id_a FROM pr""".stripMargin,
+    seeds0Sql = "SELECT doc_id AS node FROM documents WHERE source = 'src1'",
+    finalSql =
+      """SELECT CAST(r.node AS BIGINT) AS node, CAST(r.r AS BIGINT) AS rank_e12
+        |FROM r8 r LEFT JOIN seeds sd ON sd.node = r.node
+        |WHERE sd.node IS NULL
+        |ORDER BY rank_e12 DESC, node LIMIT 30""".stripMargin)
 
   /** R126's walk generator: 4-step deterministic walks from seeds
     * doc_id < 50 over the indexed 3-out adjacency, step choice from the
