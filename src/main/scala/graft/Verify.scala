@@ -54,6 +54,46 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stability.json: an order-insensitive content hash of every dumped
+    // result + the rows-only reason taxonomy (VERDICT r4 items 3+6).
+    // Rows-only entries have no DuckDB oracle, so this is their only
+    // artifact-level content signal: the hash is comparable round over
+    // round, making silent content drift visible in the artifact diff.
+    // Hash = sum of per-row xxhash64 over name-sorted columns — row- and
+    // partition-order independent, computed from the parquet the driver
+    // reads (not a re-execution).
+    locally {
+      import org.apache.spark.sql.functions.{coalesce => cls, col, count, lit, struct, sum, to_json, xxhash64}
+      val entries = SparkEntry.all
+        .filter(qq => only.forall(_.contains(qq.name)))
+        .flatMap { qq =>
+          val dir = new java.io.File(s"$outDir/${qq.name}")
+          if (!dir.exists()) None
+          else try {
+            val df = spark.read.parquet(dir.toString)
+            val cols = df.columns.sorted.map(col)
+            // xxhash64 can't digest MapType — route those through to_json
+            val rowHash =
+              if (df.schema.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
+                xxhash64(to_json(struct(cols: _*)))
+              else xxhash64(cols: _*)
+            // decimal(38,0) sum: exact + order-insensitive and cannot
+            // overflow under ANSI mode (2^63 · rowcount ≪ 10^38)
+            val r = df.agg(
+              cls(sum(rowHash.cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+                lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h"),
+              count(lit(1)).as("n")).head()
+            Some(s"${q(qq.name)}: {\"rows\": ${r.getLong(1)}, " +
+              s"\"hash\": \"${r.getDecimal(0).toBigInteger.toString(16)}\", " +
+              s"\"rows_only_reason\": ${qq.rowsOnlyReason.map(q).getOrElse("null")}}")
+          } catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[verify] stability ${qq.name} failed: ${e.getMessage}")
+            None
+          }
+        }
+      Files.writeString(Paths.get(s"$outDir/stability.json"),
+        entries.mkString("{", ",\n", "}"))
+    }
     // recall alongside correctness (r3): approximate-operator recall vs
     // exact ground truth at the same sf, so a recall regression (a
     // silently-useless ANN/LSH config, like r1's 0.00-recall sim3) shows

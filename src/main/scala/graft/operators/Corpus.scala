@@ -830,7 +830,7 @@ object Corpus {
     // Not SQL-expressible (iterative with a data-dependent argmax per
     // round) → rows-only here; BpeSpec pins the rules against an
     // independent sequential reference implementation.
-    Q.rowsOnly("tx29_bpe_train") { (s, d) =>
+    Q.rowsOnly("tx29_bpe_train", "fixpoint") { (s, d) =>
       trainBpe(Tables.documents(s, d), 12).orderBy("rank")
     },
 
@@ -841,7 +841,7 @@ object Corpus {
     // deterministic; not SQL-expressible (rank-ordered greedy merges)
     // → rows-only; BpeSpec pins the encoder against the training
     // fold's own final segmentation and a hand-computed case.
-    Q.rowsOnly("tx31_bpe_encode") { (s, d) =>
+    Q.rowsOnly("tx31_bpe_encode", "fixpoint") { (s, d) =>
       val docs = Tables.documents(s, d)
       val rules = trainBpe(docs, 12).orderBy("rank")
         .select("left", "right", "merged").collect()

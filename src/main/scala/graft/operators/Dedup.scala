@@ -349,10 +349,10 @@ object Dedup {
 
     // L2+L4 — MinHash LSH with exact-Jaccard verify (rows-only: xxhash64
     // has no DuckDB twin; spec-tested against planted dups instead).
-    Q.rowsOnly("dd2_minhash_lsh")((s, d) => minhashLsh(s, d)),
+    Q.rowsOnly("dd2_minhash_lsh", "hash-based")((s, d) => minhashLsh(s, d)),
 
     // L3 — SimHash near-dup pairs (rows-only, spec-tested).
-    Q.rowsOnly("dd3_simhash")((s, d) => simhashPairs(s, d)),
+    Q.rowsOnly("dd3_simhash", "hash-based")((s, d) => simhashPairs(s, d)),
 
     // L4b — duplicate CLUSTERS: generic distributed connected components,
     // oracle-checked against ground truth. Pair doc i with i+1 when they

@@ -105,7 +105,7 @@ object EventOps {
     // streaming form is spec-tested with flatMapGroupsWithState).
     // Rows-only: the per-user ordered state machine isn't expressible as
     // portable DuckDB SQL; DedupSpec-style planted sequences pin it.
-    Q.rowsOnly("st1_funnel") { (s, d) =>
+    Q.rowsOnly("st1_funnel", "stateful") { (s, d) =>
       graft.streaming.EventStream
         .funnelBatch(s, Tables.events(s, d), Seq("view", "click", "purchase"))
         .orderBy("user_id", "completed_at")

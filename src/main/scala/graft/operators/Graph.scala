@@ -946,7 +946,7 @@ object Graph {
     // CTE (each round re-aggregates degrees); GraphSpec pins the planted
     // clique-vs-chain case and cross-partitioning determinism. Output is
     // exact, so the determinism audit covers it like gr2/gr5.
-    Q.rowsOnly("gr6_kcore") { (s, d) =>
+    Q.rowsOnly("gr6_kcore", "fixpoint") { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -1250,7 +1250,7 @@ object Graph {
     // distributed result against a sequential reference running the
     // IDENTICAL fixed-point floors, plus analytic values on path/star
     // shapes; determinism audit covers layout invariance.
-    Q.rowsOnly("gr15_betweenness") { (s, d) =>
+    Q.rowsOnly("gr15_betweenness", "fixpoint") { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -1362,7 +1362,7 @@ object Graph {
     // Rows-only: fixpoint edge peeling has no portable recursive CTE;
     // KTrussSpec pins cascade semantics (shared-edge collapse, clique
     // preservation) against a sequential same-rule reference.
-    Q.rowsOnly("gr20_ktruss") { (s, d) =>
+    Q.rowsOnly("gr20_ktruss", "fixpoint") { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -1378,7 +1378,7 @@ object Graph {
     // the clique-glue fixture where LPA under-splits, and the measured
     // exact-modularity improvement. Output is the community summary
     // (deterministic — the whole gain algebra is integer/decimal).
-    Q.rowsOnly("gr18_louvain") { (s, d) =>
+    Q.rowsOnly("gr18_louvain", "fixpoint") { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),

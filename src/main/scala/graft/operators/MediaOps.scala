@@ -14,7 +14,7 @@ object MediaOps {
 
   val catalog: Seq[Q] = Seq(
     // L13 — decode + feature extraction over binary payloads.
-    Q.rowsOnly("mm1_media_features") { (s, d) =>
+    Q.rowsOnly("mm1_media_features", "binary-codec") { (s, d) =>
       Multimodal.imageFeatures(Multimodal.assets(s, d)).toDF()
         .orderBy("asset_id")
     },
@@ -23,13 +23,13 @@ object MediaOps {
     // text bytes (not WAV), so every row exercises the declared fallback
     // path here; the REAL decode (generated PCM WAV → true rate/frames/
     // rms) is pinned by MultimodalSpec.
-    Q.rowsOnly("mm4_audio_features") { (s, d) =>
+    Q.rowsOnly("mm4_audio_features", "binary-codec") { (s, d) =>
       Multimodal.audioFeatures(Multimodal.assets(s, d)).toDF()
         .orderBy("asset_id")
     },
 
     // L13 — video frame sampling: bounded fan-out, scan-local.
-    Q.rowsOnly("mm2_frame_sample") { (s, d) =>
+    Q.rowsOnly("mm2_frame_sample", "binary-codec") { (s, d) =>
       Multimodal.sampleFrames(Multimodal.assets(s, d), everyMs = 5000L).toDF()
         .orderBy("asset_id", "frame_idx")
     },
@@ -77,7 +77,7 @@ object MediaOps {
     // unstable across runs by design). Rows-only; ExifSpec pins the
     // parser on round-trip, golden big-endian bytes, interop (spliced
     // files still decode), and corrupt fallbacks.
-    Q.rowsOnly("mm6_exif_metadata") { (s, d) =>
+    Q.rowsOnly("mm6_exif_metadata", "binary-codec") { (s, d) =>
       import s.implicits._
       val dir = java.nio.file.Files.createTempDirectory("exif_lake")
       for (i <- 0 until 10) {
@@ -99,7 +99,7 @@ object MediaOps {
         .orderBy("px_w")
     },
 
-    Q.rowsOnly("mm5_image_neardup") { (s, d) =>
+    Q.rowsOnly("mm5_image_neardup", "binary-codec") { (s, d) =>
       import s.implicits._
       val assets: org.apache.spark.sql.Dataset[Multimodal.Asset] =
         s.range(60).mapPartitions(_.map { i =>

@@ -748,7 +748,7 @@ object Relational {
     },
 
     // R3 — HLL++ approximate distinct (no DuckDB oracle: different sketch).
-    Q.rowsOnly("q28_approx_distinct") { (s, d) =>
+    Q.rowsOnly("q28_approx_distinct", "sketch") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey").as("approx_parts"),
@@ -764,7 +764,7 @@ object Relational {
     // is posexploded into one scalar row per (flag, quantile) so the
     // driver's rows-only compare can sort/hash the columns (r1 verdict:
     // array-typed output was uncheckable).
-    Q.rowsOnly("q29_approx_quantile") { (s, d) =>
+    Q.rowsOnly("q29_approx_quantile", "sketch") { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
@@ -784,7 +784,7 @@ object Relational {
     // distinct-count pattern (build once per partition/day, union at
     // query time) that replaces global re-scans at scale. Rows-only:
     // sketch binaries are engine-specific.
-    Q.rowsOnly("q30_hll_union") { (s, d) =>
+    Q.rowsOnly("q30_hll_union", "sketch") { (s, d) =>
       val perSeg = Tables.customer(s, d)
         .groupBy("c_mktsegment")
         .agg(hll_sketch_agg(col("c_nationkey")).as("sk"),

@@ -687,7 +687,7 @@ object Similarity {
     // shuffles only (table, bucket, id) triples — vectors are re-joined
     // for the candidate pairs alone, exactly like dd2's verify stage.
     // Rows-only: recall < 1 by construction; RecallProbe measures it.
-    Q.rowsOnly("sim3_lsh_ann") { (s, d) =>
+    Q.rowsOnly("sim3_lsh_ann", "hash-based") { (s, d) =>
       val nTables = 16; val bits = 3
       val e = prepared(s, d)
       def tabbed(idCol: String) = e
@@ -717,19 +717,19 @@ object Similarity {
     // the corpus is hash-partitioned by centroid id, and a query touches
     // nProbe/nCentroids of it instead of everything. Rows-only:
     // recall < 1 by construction; spec asserts structure + determinism.
-    Q.rowsOnly("sim5_ivf_ann")((s, d) => ivfAnn(s, d)),
+    Q.rowsOnly("sim5_ivf_ann", "hash-based")((s, d) => ivfAnn(s, d)),
 
     // L33 — IVF-PQ composed ANN (the production layout): coarse lists
     // probed, residual codes ADC-scored, exact rerank. Rows-only;
     // RecallProbe measures it and SimilaritySpec/PqSpec pin reductions.
-    Q.rowsOnly("sim8_ivfpq_ann")((s, d) => ivfPqAnn(s, d)),
+    Q.rowsOnly("sim8_ivfpq_ann", "hash-based")((s, d) => ivfPqAnn(s, d)),
 
     // L32 — product-quantization ANN (the third ANN scale path): corpus
     // compressed to 8 codes/vector, ADC scoring via broadcast per-query
     // lookup tables, exact-cosine rerank of the overfetched candidates.
     // Rows-only: recall < 1 by construction; RecallProbe measures it and
     // PqSpec proves full-overfetch ≡ brute force.
-    Q.rowsOnly("sim7_pq_ann")((s, d) => pqAnn(s, d)),
+    Q.rowsOnly("sim7_pq_ann", "hash-based")((s, d) => pqAnn(s, d)),
 
     // L37 — SemDeDup-style semantic dedup: k-means clusters bound the
     // pairwise near-dup search; lower-id-wins removal rule. Rows-only:
@@ -741,7 +741,7 @@ object Similarity {
     // with the auto-scaled k — the structureless synthetic corpus needs
     // the multi-assignment margin, exactly like sim5's high nProbe
     // (PLANS.md "r4 continuation").
-    Q.rowsOnly("dd9_semantic_dedup")((s, d) => semanticDedup(s, d)),
+    Q.rowsOnly("dd9_semantic_dedup", "fixpoint")((s, d) => semanticDedup(s, d)),
 
     // L8 — per-label norm statistics. avg over a micro-quantized exact
     // integer sum (norms are irrational, so the cents trick generalizes
@@ -894,6 +894,6 @@ object Similarity {
     // solve consumes, and PcaSpec pins orthonormality, the eigen
     // residual ‖Av−λv‖, descending eigenvalues, projection variance ≡ λ,
     // and thread-count determinism.
-    Q.rowsOnly("sim11_pca_project") { (s, d) => pcaProject(s, d, 4) }
+    Q.rowsOnly("sim11_pca_project", "fixpoint") { (s, d) => pcaProject(s, d, 4) }
   )
 }

@@ -594,7 +594,7 @@ object TextOps {
         .orderBy("source")
     },
 
-    Q.rowsOnly("tx37_compressibility") { (s, d) =>
+    Q.rowsOnly("tx37_compressibility", "deflate") { (s, d) =>
       val f = Tables.documents(s, d).select(col("source"),
         call_function("deflate_len", col("text")).as("dl"),
         octet_length(col("text")).cast("long").as("ol"))
