@@ -94,6 +94,55 @@ object IncrementalAgg {
     true
   }
 
+  /** MV-layout variant of [[update]]: state rows are
+    * `(dims..., __cnt, __sum_<c>...)` — the EXACT summary layout
+    * [[MaterializedView.build]] writes and [[graft.plans.RewriteToMv]]
+    * serves, so an advisor-recommended MV can be maintained per ingest
+    * batch instead of rebuilt (the [[graft.plans.MvAutoPilot]] loop).
+    * Same atomic staging/backup publish + replay guard as [[update]];
+    * merge cost is O(batch + |dim tuples|), never a base re-scan. */
+  def updateMv(spark: SparkSession, stateDir: String, batch: DataFrame,
+               batchId: Long, dims: Seq[String], sums: Seq[String]): Boolean = {
+    import spark.implicits._
+    require(dims.nonEmpty, "updateMv: at least one dimension")
+    val hfs = fs(spark, stateDir)
+    val main = new org.apache.hadoop.fs.Path(stateDir)
+    val backup = new org.apache.hadoop.fs.Path(stateDir + ".__backup")
+    val staging = new org.apache.hadoop.fs.Path(stateDir + ".__staging")
+    graft.streaming.EventStream.recoverFirst(hfs, main, backup)
+    hfs.delete(staging, true)
+
+    val exists = hfs.exists(main)
+    val appliedIds: Seq[Long] =
+      if (!exists) Seq.empty
+      else spark.read.parquet(s"$stateDir/batches").as[Long].collect().toSeq
+    if (appliedIds.contains(batchId)) return false
+    val aggCols = Seq(count(lit(1)).as("__cnt")) ++
+      sums.map(c => sum(col(c).cast("long")).as(s"__sum_$c"))
+    val newPart = batch.groupBy(dims.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val reAgg = Seq(sum("__cnt").as("__cnt")) ++
+      sums.map(c => sum(s"__sum_$c").as(s"__sum_$c"))
+    val merged =
+      if (!exists) newPart
+      else spark.read.parquet(s"$stateDir/agg").union(newPart)
+        .groupBy(dims.map(col): _*)
+        .agg(reAgg.head, reAgg.tail: _*)
+    val batches = (appliedIds :+ batchId).toDF("batch_id")
+    merged.write.parquet(s"$staging/agg")
+    batches.write.parquet(s"$staging/batches")
+    try graft.streaming.EventStream.publishWithBackup(hfs, staging, main, backup)
+    catch { case e: java.io.IOException =>
+      if (!hfs.exists(main) && hfs.exists(backup)) hfs.rename(backup, main)
+      throw e
+    }
+    true
+  }
+
+  /** The maintained MV summary, in the layout the rewrite serves. */
+  def snapshotMv(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/agg")
+
   /** The maintained aggregates: every algebraic aggregate the partials
     * derive — count, sum, min, max, and avg as the exact-integer
     * division (double of two exact longs, engine-portable). */
