@@ -98,7 +98,7 @@ object Similarity {
     * The durable form of this layout (lists persisted partitioned-by-cid,
     * appended per ingest) is [[AnnIndex.buildIvf]]/[[AnnIndex.appendIvf]].
     */
-  def ivfAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 12,
+  def ivfAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 14,
              topK: Int = 3): DataFrame = {
     val e = prepared(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = trainCentroids(e, nCentroids)
@@ -215,7 +215,7 @@ object Similarity {
     * partitionings (a float sum of shuffled parts is not).
     */
   def pqAnn(s: SparkSession, d: String, m: Int = 16, ks: Int = 32,
-            overfetch: Int = 48, topK: Int = 3): DataFrame = {
+            overfetch: Int = 192, topK: Int = 3): DataFrame = {
     val subDim = 64 / m
     val e = prepared(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = trainPqCodebooks(e, m, ks, subDim)
@@ -290,8 +290,8 @@ object Similarity {
     * quantized (bit-deterministic) like sim7; with nProbe = nCentroids
     * and full overfetch this reduces exactly to brute force (spec'd).
     */
-  def ivfPqAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 12,
-               m: Int = 16, ks: Int = 32, overfetch: Int = 48,
+  def ivfPqAnn(s: SparkSession, d: String, nCentroids: Int = 16, nProbe: Int = 14,
+               m: Int = 16, ks: Int = 32, overfetch: Int = 96,
                topK: Int = 3): DataFrame = {
     val subDim = 64 / m
     val e = prepared(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -688,7 +688,11 @@ object Similarity {
     // for the candidate pairs alone, exactly like dd2's verify stage.
     // Rows-only: recall < 1 by construction; RecallProbe measures it.
     Q.rowsOnly("sim3_lsh_ann", "hash-based") { (s, d) =>
-      val nTables = 16; val bits = 3
+      // nTables*bits ≤ 64 (axis-aligned sign planes draw from distinct
+      // dims); 21 tables is the capacity max and the measured r5 recall
+      // point: 16 tables missed 1/30 at sf0.1, 21 hits 30/30 at both
+      // probe SFs on the structureless corpus (RecallCurve)
+      val nTables = 21; val bits = 3
       val e = prepared(s, d)
       def tabbed(idCol: String) = e
         .select(col("vec_id").as(idCol),
