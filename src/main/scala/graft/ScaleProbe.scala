@@ -37,11 +37,16 @@ object ScaleProbe {
       .localCheckpoint(true)
     println(s"SCALE rep=$rep lineitem=${li.count()} orders=${or.count()}")
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE $label rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
+    // SCALE_ONLY=a,b restricts to named shapes (64× soak runs the slow
+    // structure-sensitive graph shapes alone; unset = all, the r≤4 mode)
+    val only = sys.env.get("SCALE_ONLY").map(_.split(",").map(_.trim).toSet)
+    def want(labels: String*): Boolean = only.forall(s => labels.exists(s.contains))
+    def time(label: String)(f: => Long): Unit =
+      if (only.forall(_.contains(label))) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"SCALE $label rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
 
     time("q1_agg_shape") {
       li.groupBy("l_returnflag", "l_linestatus")
@@ -311,7 +316,7 @@ object ScaleProbe {
     // the timer); the probe times (a) applying ONE sf-sized batch — work
     // should track the BATCH, not the history — vs (b) re-joining the
     // full history from scratch, which must grow with rep.
-    locally {
+    if (want("incjoin_apply_one_batch", "incjoin_full_recompute")) locally {
       val root = java.nio.file.Files.createTempDirectory("incjoin_probe").toString + "/j"
       val cust = Tables.customer(spark, d).select("c_custkey", "c_mktsegment")
       val histOrders = or.select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
@@ -336,7 +341,7 @@ object ScaleProbe {
     // VALUE CELLS, so rep× more events grows only the one cell
     // aggregate (scan-shaped); the window pass is constant-size. The
     // printed row count IS the window input (cells), proving it.
-    locally {
+    if (want("mannwhitney_cells")) locally {
       val ev = replicate(Tables.events(spark, d), Seq("event_id", "user_id"),
         100000000L).localCheckpoint(true)
       time("mannwhitney_cells") {
@@ -356,7 +361,7 @@ object ScaleProbe {
     // r4: merge-on-read delete — the DV commit writes only the deleted
     // keys (flat in table size); the CoW delete rewrites the table
     // (grows with rep). Same log, same predicate economics.
-    locally {
+    if (want("delete_dv_commit", "delete_cow_commit", "read_after_dv")) locally {
       val root = java.nio.file.Files.createTempDirectory("dv_probe").toString
       val t1 = s"$root/dv"; val t2 = s"$root/cow"
       val snap = or.select("o_orderkey", "o_orderpriority", "o_totalprice")
@@ -377,7 +382,7 @@ object ScaleProbe {
     }
     // MV rewrite: the base aggregate scans rep× the data; the MV-served
     // plan scans the |dims|-row summary — constant in rep.
-    locally {
+    if (want("mv_answered_aggregate", "mv_base_aggregate")) locally {
       val root = java.nio.file.Files.createTempDirectory("mv_probe").toString
       replicate(Tables.documents(spark, d), Seq("doc_id"), 10000000L)
         .write.parquet(s"$root/base")
@@ -395,7 +400,7 @@ object ScaleProbe {
     // extract rep× the components in the SAME number of rounds (colors
     // process in parallel), and a fixed 12-pivot betweenness traverses
     // the same subgraph while every per-round join scans rep× the edges.
-    locally {
+    if (want("scc_partition", "betweenness_12pivots")) locally {
       val blockN = Tables.documents(spark, d).count()
       val docs = replicate(Tables.documents(spark, d).select(col("doc_id")),
         Seq("doc_id"), 10000000L).localCheckpoint(true)
@@ -415,7 +420,7 @@ object ScaleProbe {
     // r4: streaming-source batch planning must be O(manifest), flat in
     // TABLE size — compare first-catchup wall on a 1-commit vs
     // many-commit table of identical content.
-    locally {
+    if (want("stream_catchup_16commits", "stream_follow_1commit")) locally {
       val root = java.nio.file.Files.createTempDirectory("tls_probe").toString
       val snap = or.select("o_orderkey", "o_orderpriority", "o_totalprice")
       val t = s"$root/t"
@@ -445,7 +450,7 @@ object ScaleProbe {
     }
     // r4: hilbert vs zorder — same write cost class, measured prune
     // fraction on both dims for point lookups.
-    locally {
+    if (want("zorder_write", "hilbert_write")) locally {
       val root = java.nio.file.Files.createTempDirectory("hilbert_probe").toString
       val liSlim = li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
       time("zorder_write") {
@@ -472,7 +477,7 @@ object ScaleProbe {
     // gram frame. That is deliberately the op's WORST case (maximum
     // join fan-through + maximum island-window input); real corpora sit
     // far below it, so linear-ish growth here bounds the field cost.
-    locally {
+    if (want("dup_span_saturated")) locally {
       val docsR = replicate(
         Tables.documents(spark, d).select(col("doc_id"), col("text")),
         Seq("doc_id"), 10000000L).localCheckpoint(true)
@@ -483,7 +488,7 @@ object ScaleProbe {
     // r4 session 4: sim10 covariance fit — the pair-product explode is
     // d(d+1)/2 per row map-side-combined to ≤2080 keys; wall should
     // track the scan (rows), never the shuffle (fixed key count).
-    locally {
+    if (want("pca_covariance_fit")) locally {
       val eR = replicate(
         Tables.embeddings(spark, d).select(col("vec_id"), col("embedding")),
         Seq("vec_id"), 10000000L).localCheckpoint(true)
@@ -495,7 +500,7 @@ object ScaleProbe {
     // state `rep`× bigger must cost ~flat wall (the O(batch + touched
     // members) claim): state = rep× disjoint 2-node components built in
     // one bulk update, then ONE batch bridging 50 pairs is timed.
-    locally {
+    if (want("ccindex_small_batch_vs_big_state")) locally {
       val root = java.nio.file.Files.createTempDirectory("ccidx_probe").toString + "/idx"
       import spark.implicits._
       val nPairs = 50000 * rep
@@ -512,7 +517,7 @@ object ScaleProbe {
     // r4 session 6: basket-rule pair join — replicated orderkeys mean
     // rep× BASKETS with constant per-basket width, so the A-priori pair
     // join must scale with the basket count (linear), never baskets².
-    locally {
+    if (want("basket_pair_join")) locally {
       val part = Tables.part(spark, d)
       val it = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
@@ -528,7 +533,7 @@ object ScaleProbe {
     // per-term fan-out grows with the squared number of sources holding
     // the term — the probe makes that quadratic-in-|sources| (linear in
     // vocabulary) cost visible, as documented in the entry.
-    locally {
+    if (want("source_overlap_pairs")) locally {
       val docsR = (0 until rep).map { i =>
         Tables.documents(spark, d)
           .select(concat(col("source"), lit(s"_$i")).as("source"), col("text"))
@@ -545,7 +550,7 @@ object ScaleProbe {
     // Kaplan-Meier at rep× orders: the custkey window pass scales with
     // the fact; everything after runs on the (segment, duration)
     // aggregate whose size is CALENDAR-bounded and identical at any rep.
-    locally {
+    if (want("kaplan_meier_cells")) locally {
       import org.apache.spark.sql.expressions.Window
       val ordersR = replicate(
         Tables.orders(spark, d).select(col("o_custkey"), col("o_orderkey"),
@@ -569,7 +574,7 @@ object ScaleProbe {
     // than the radius, so density — and with it output-per-point — is
     // constant; growing density instead would grow the OUTPUT
     // quadratically, which is the answer's size, not the plan's cost).
-    locally {
+    if (want("geo_radius_join_tiled")) locally {
       val pts0 = Tables.customer(spark, d).select(
         col("c_custkey").as("id"),
         ((col("c_custkey") * 2654435761L) % 360000001L).as("px"),
@@ -585,7 +590,7 @@ object ScaleProbe {
     }
     // r4 session 7: WAU explode (7× deduped day-user cells) and FIFO
     // window algebra must scale with the fact, not the calendar.
-    locally {
+    if (want("rolling_wau_7x_explode", "fifo_window_algebra")) locally {
       val ev = replicate(Tables.events(spark, d).select("user_id", "ts"),
         Seq("user_id"), 10000000L).localCheckpoint(true)
       time("rolling_wau_7x_explode") {
@@ -623,7 +628,7 @@ object ScaleProbe {
     // calendar-bounded — replicating USERS must scale linearly (pairs
     // per user constant); the CEP/regex string build is one groupBy
     // whose per-key state is the same bounded event string.
-    locally {
+    if (want("theilsen_pairs_8x_users", "cep_string_match_8x_users")) locally {
       val ev = replicate(Tables.events(spark, d)
           .select("user_id", "ts", "event_id", "event_type", "value"),
         Seq("user_id", "event_id"), 10000000L).localCheckpoint(true)
