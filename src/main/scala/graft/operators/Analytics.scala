@@ -641,6 +641,52 @@ object Analytics {
         .select(col("user_id"), col("cnt").as("n_pairs"),
           col("slope").as("theil_sen"))
         .orderBy("user_id")
+    },
+
+    // R137 — robust outlier counts (modified z-score): per group, flag
+    // values whose |deviation from the median| exceeds 3·1.4826·MAD —
+    // the robust fence that survives the heavy tails classic ±3σ
+    // (ev9's shape) is dragged by. Median and MAD via exact
+    // percentile_disc (no rounding license needed, unlike q80's
+    // averaged-median form); the fence comparison stays in integers
+    // (|c−med|·10000 > 44478·mad). Two group-aggregate passes with the
+    // per-group model broadcast back — never a self-join.
+    Q(
+      "q102_robust_outliers",
+      """WITH sc AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |med AS (SELECT grp,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS med
+        |  FROM sc GROUP BY 1),
+        |mad AS (SELECT sc.grp,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(cents - med)) AS mad
+        |  FROM sc JOIN med USING (grp) GROUP BY 1)
+        |SELECT sc.grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN abs(cents - med) * 10000 > 44478 * mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  (CAST(sum(CASE WHEN abs(cents - med) * 10000 > 44478 * mad
+        |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS outlier_permille
+        |FROM sc JOIN med USING (grp) JOIN mad USING (grp)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint(true) // median pass + MAD pass + fence pass
+      val med = sc.groupBy("grp").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("med"))
+      val mad = sc.join(broadcast(med), Seq("grp"))
+        .groupBy("grp").agg(expr(
+          "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(cents - med))").as("mad"))
+      val out = when(abs(col("cents") - col("med")) * 10000 > lit(44478L) * col("mad"),
+        1L).otherwise(0L)
+      sc.join(broadcast(med), Seq("grp")).join(broadcast(mad), Seq("grp"))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum(out).as("n_outliers"))
+        .select(col("grp"), col("n"), col("n_outliers"),
+          expr("(n_outliers * 1000) DIV n").as("outlier_permille"))
+        .orderBy("grp")
     }
   )
 }

@@ -1195,6 +1195,68 @@ object Corpus {
           expr("(coalesce(inter, 0) * 1000) DIV (v1 + v2 - coalesce(inter, 0))")
             .as("jac_permille"))
         .orderBy("s1", "s2")
+    },
+
+    // L85 — bigram cross-entropy per document: tx27's unigram surprisal
+    // upgraded to a conditional model — bits per bigram under add-one-
+    // smoothed P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V), the next-rung
+    // perplexity surrogate (catches wrong-ORDER text a unigram model
+    // scores as fluent). Denominator base is the LEFT-CONTEXT total
+    // (Σ over bigrams starting at w1), V = distinct continuations.
+    // tx19/tx27 discipline: per-bigram log term micro-quantized ONCE
+    // (1e6 BIGINT) × exact in-doc counts ⇒ order-invariant integer doc
+    // scores; one (doc,w1,w2) aggregate, bigram-vocabulary model frames
+    // re-enter as broadcast joins, the corpus is touched once.
+    Q(
+      "tx39_bigram_surprisal",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |b AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+        |      FROM t, LATERAL (SELECT unnest(range(1, len(a))) AS i) s
+        |      WHERE len(a) >= 2),
+        |db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS cdb
+        |       FROM b WHERE length(w1) >= 1 AND length(w2) >= 1 GROUP BY 1, 2, 3),
+        |bc AS (SELECT w1, w2, CAST(sum(cdb) AS BIGINT) AS cxy FROM db GROUP BY 1, 2),
+        |uc AS (SELECT w1 AS w, CAST(sum(cxy) AS BIGINT) AS cw FROM bc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM bc),
+        |term AS (
+        |  SELECT db.doc_id, db.cdb,
+        |    db.cdb * CAST(round(1000000 * log2(
+        |      (CAST(cw AS DOUBLE) + v) / (cxy + 1))) AS BIGINT) AS sq
+        |  FROM db JOIN bc USING (w1, w2) JOIN uc ON uc.w = db.w1 CROSS JOIN v)
+        |SELECT doc_id, CAST(sum(cdb) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(sq) AS DOUBLE) / (1000000 * CAST(sum(cdb) AS DOUBLE))
+        |    AS bits_per_bigram
+        |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val db = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        // Spark [] subscripts are 0-based (DuckDB's are 1-based) — the
+        // sequence runs 0..size-2 so ANSI mode can never see an
+        // out-of-bounds index
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS w1, a[i + 1] AS w2))"))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .filter(length(col("w1")) >= 1 && length(col("w2")) >= 1)
+        .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cdb"))
+        .localCheckpoint(true) // model build + per-doc scoring both consume it
+      val bc = db.groupBy("w1", "w2").agg(sum("cdb").as("cxy"))
+        .localCheckpoint(true) // left-context totals + vocab + join consume it
+      val uc = bc.groupBy(col("w1").as("w")).agg(sum("cxy").as("cw"))
+      val v = bc.agg(countDistinct("w2").as("v"))
+      db.join(bc, Seq("w1", "w2"))
+        .join(broadcast(uc), col("w") === col("w1"))
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("cdb"),
+          (col("cdb") * round(lit(1000000) * log2(
+            (col("cw").cast("double") + col("v")) / (col("cxy") + 1)))
+            .cast("long")).as("sq"))
+        .groupBy("doc_id")
+        .agg(sum("cdb").as("n_bigrams"),
+          (sum("sq").cast("double")
+            / (lit(1000000) * sum("cdb").cast("double"))).as("bits_per_bigram"))
+        .orderBy("doc_id")
     }
   )
 

@@ -1451,6 +1451,114 @@ object EventOps {
           col("r").as("resid_micro"), round(z, 6).as("z"))
         .orderBy(abs(col("z")).desc, col("event_type"), col("hr"))
         .limit(20)
+    },
+
+    // T54 — sequential pattern mining (PrefixSpan's contiguous-trigram
+    // cut): per user, consecutive event-type trigrams in (ts, event_id)
+    // order; support = how many DISTINCT users exhibit the pattern —
+    // the "what do people actually do, in order" readout behind ev12's
+    // single-step transition matrix. One keyed window (two leads), one
+    // distinct, one count — all partitioned by user; top-20 under a
+    // total order.
+    Q(
+      "ev46_trigram_patterns",
+      """WITH s AS (
+        |  SELECT user_id, event_type AS a,
+        |    lead(event_type, 1) OVER w AS b,
+        |    lead(event_type, 2) OVER w AS c
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (SELECT DISTINCT user_id, a || '>' || b || '>' || c AS pattern
+        |      FROM s WHERE b IS NOT NULL AND c IS NOT NULL)
+        |SELECT pattern, CAST(count(*) AS BIGINT) AS support
+        |FROM t GROUP BY 1 ORDER BY support DESC, pattern LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("a"),
+          lead("event_type", 1).over(w).as("b"),
+          lead("event_type", 2).over(w).as("c"))
+        .filter(col("b").isNotNull && col("c").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("a"), col("b"), col("c")).as("pattern"))
+        .distinct()
+        .groupBy("pattern").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("pattern"))
+        .limit(20)
+    },
+
+    // T55 — bounded-window funnel conversion: of the users who ever
+    // viewed, how many purchased within ONE HOUR of their FIRST view —
+    // the time-budgeted form of ev8's unbounded funnel (marketing SLAs
+    // are windowed; "eventually converted" is not the same metric).
+    // First-view is a per-user min; the purchase probe is a keyed join
+    // on user_id with the interval predicate evaluated post-join; one
+    // conditional max per user collapses multiplicity. Exact integer
+    // permille.
+    Q(
+      "ev47_timed_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS first_view
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT v.user_id,
+        |    max(CASE WHEN p.ts > v.first_view
+        |               AND p.ts <= v.first_view + INTERVAL 1 HOUR
+        |             THEN 1 ELSE 0 END) AS conv
+        |  FROM v LEFT JOIN events p
+        |    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS viewers,
+        |  CAST(sum(conv) AS BIGINT) AS converted_1h,
+        |  (CAST(sum(conv) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT)
+        |    AS conv_permille
+        |FROM c""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("first_view"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      v.join(p, Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(max(when(col("p_ts") > col("first_view") &&
+          col("p_ts") <= col("first_view") + expr("INTERVAL 1 HOUR"), 1L)
+          .otherwise(0L)).as("conv"))
+        .agg(count(lit(1)).as("viewers"), sum("conv").as("converted_1h"))
+        .select(col("viewers"), col("converted_1h"),
+          expr("(converted_1h * 1000) DIV viewers").as("conv_permille"))
+    },
+
+    // T56 — DAU/MAU stickiness per month: mean daily actives over
+    // monthly actives, the engagement-intensity readout beside T46's
+    // WAU curve and T47's growth accounting. Day-user dedup once, then
+    // calendar-bounded aggregates; exact integer permille
+    // ((Σ dau)·1000 DIV (days·mau)).
+    Q(
+      "ev48_stickiness",
+      """WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS dy,
+        |    user_id FROM events),
+        |dd AS (SELECT dy, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY 1),
+        |mo AS (SELECT CAST(date_trunc('month', dy) AS DATE) AS mon,
+        |    CAST(sum(dau) AS BIGINT) AS sdau, CAST(count(*) AS BIGINT) AS ndays
+        |  FROM dd GROUP BY 1),
+        |mm AS (SELECT CAST(date_trunc('month', dy) AS DATE) AS mon,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        |  FROM du GROUP BY 1)
+        |SELECT mon, ndays, sdau, mau,
+        |  (sdau * 1000) // (ndays * mau) AS stickiness_permille
+        |FROM mo JOIN mm USING (mon) ORDER BY mon""".stripMargin
+    ) { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).cast("date").as("dy"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true) // daily + monthly branches both consume it
+      val dd = du.groupBy("dy").agg(count(lit(1)).as("dau"))
+      val mo = dd.groupBy(date_trunc("month", col("dy")).cast("date").as("mon"))
+        .agg(sum("dau").as("sdau"), count(lit(1)).as("ndays"))
+      val mm = du.groupBy(date_trunc("month", col("dy")).cast("date").as("mon"))
+        .agg(countDistinct("user_id").as("mau"))
+      mo.join(mm, Seq("mon"))
+        .select(col("mon"), col("ndays"), col("sdau"), col("mau"),
+          expr("(sdau * 1000) DIV (ndays * mau)").as("stickiness_permille"))
+        .orderBy("mon")
     }
   )
 

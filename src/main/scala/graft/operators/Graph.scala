@@ -1476,6 +1476,60 @@ object Graph {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("center"), col("context"), col("dist"))
         .limit(50)
+    },
+
+    // R138 — hop-bounded eccentricity per seed: how DEEP each seed's
+    // reachable ball goes within 8 hops (max of min-distances) plus its
+    // size — the per-source diameter readout beside gr19's harmonic
+    // centrality (which sums the same distances). Seed-labeled BFS:
+    // the frontier carries (seed, node), dedup is an anti-join against
+    // the seen set PER SEED, one join+agg shuffle per hop — [[bfs]]'s
+    // plan with a composite key, so the 100 TB story is unchanged
+    // (frontier shrinks as nodes settle; hops, not rows, drive the
+    // driver loop). Oracle: the gr1 recursive-CTE shape with the seed
+    // column carried through the recursion.
+    Q(
+      "gr23_eccentricity",
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src,
+        |         (doc_id * 7 + 13) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id AS seed, doc_id AS node, CAST(0 AS BIGINT) AS dist
+        |  FROM documents WHERE doc_id < 5
+        |  UNION
+        |  SELECT r.seed, e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node
+        |  WHERE r.dist < 8),
+        |m AS (SELECT seed, node, CAST(min(dist) AS BIGINT) AS d
+        |      FROM r GROUP BY 1, 2)
+        |SELECT seed, CAST(max(d) AS BIGINT) AS ecc8,
+        |  CAST(count(*) AS BIGINT) AS n_reached
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * 7 + 13) % n).as("dst")).localCheckpoint(true)
+      var frontier = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("seed"), col("doc_id").as("node"),
+          lit(0L).as("dist")).localCheckpoint(true)
+      val levels = scala.collection.mutable.ArrayBuffer(frontier)
+      def seen: DataFrame = levels.reduce(_ union _)
+      var hop = 0
+      while (hop < 8 && frontier.limit(1).count() > 0) {
+        hop += 1
+        frontier = e
+          .join(frontier.withColumnRenamed("node", "src").drop("dist"), Seq("src"))
+          .select(col("seed"), col("dst").as("node")).distinct()
+          .join(seen.select(col("seed"), col("node")), Seq("seed", "node"),
+            "left_anti")
+          .withColumn("dist", lit(hop.toLong))
+          .localCheckpoint(true)
+        levels += frontier
+      }
+      seen.groupBy("seed")
+        .agg(max("dist").as("ecc8"), count(lit(1)).as("n_reached"))
+        .orderBy("seed")
     }
   )
 

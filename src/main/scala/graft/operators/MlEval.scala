@@ -267,5 +267,113 @@ object MlEval {
           round(col("n2").cast("double") / col("det").cast("double"), 6).as("b2"))
         .orderBy("grp")
     },
+
+    // L83 — confusion matrix + threshold metrics: the operating-point
+    // readout beside ml5's threshold-free AUC. Classifier = "cents
+    // above the corpus mean" (threshold from ONE exact integer
+    // aggregate, sum DIV count — no float boundary); label = order
+    // status F. Cells are one conditional aggregate over the scan;
+    // precision/recall/F1 in exact integer permille. Scale: a single
+    // map-side-combinable pass, threshold broadcast as a 1-row scalar.
+    Q(
+      "ml9_confusion",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |cm AS (SELECT
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM sc CROSS JOIN t)
+        |SELECT tp, fp, tn, fn,
+        |  (tp * 1000) // (tp + fp) AS precision_permille,
+        |  (tp * 1000) // (tp + fn) AS recall_permille,
+        |  (2 * tp * 1000) // (2 * tp + fp + fn) AS f1_permille
+        |FROM cm""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val t = sc.agg(expr("sum(cents) DIV count(*)").cast("long").as("thr"))
+      sc.crossJoin(broadcast(t))
+        .agg(
+          sum(when(col("cents") >= col("thr") && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("cents") >= col("thr") && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("cents") < col("thr") && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+          sum(when(col("cents") < col("thr") && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          expr("(tp * 1000) DIV (tp + fp)").as("precision_permille"),
+          expr("(tp * 1000) DIV (tp + fn)").as("recall_permille"),
+          expr("(2 * tp * 1000) DIV (2 * tp + fp + fn)").as("f1_permille"))
+    },
+
+    // L84 — cumulative gains by decile (the lift chart): deciles cut by
+    // NINE exact percentile_disc boundaries on the DESC-sorted score —
+    // a value-deterministic assignment (ties stay in the upper decile),
+    // NOT an ntile global window, so the fact is touched by one scan +
+    // one 10-group aggregate and nothing funnels through a single task.
+    // Cumulative share via a 10×10 self-join on the decile frame (no
+    // global window, lint-clean). The "top 20% of scored customers
+    // hold X% of the positives" targeting readout.
+    Q(
+      "ml10_gain",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |thr AS (SELECT
+        |    percentile_disc(0.1) WITHIN GROUP (ORDER BY cents DESC) AS t1,
+        |    percentile_disc(0.2) WITHIN GROUP (ORDER BY cents DESC) AS t2,
+        |    percentile_disc(0.3) WITHIN GROUP (ORDER BY cents DESC) AS t3,
+        |    percentile_disc(0.4) WITHIN GROUP (ORDER BY cents DESC) AS t4,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY cents DESC) AS t5,
+        |    percentile_disc(0.6) WITHIN GROUP (ORDER BY cents DESC) AS t6,
+        |    percentile_disc(0.7) WITHIN GROUP (ORDER BY cents DESC) AS t7,
+        |    percentile_disc(0.8) WITHIN GROUP (ORDER BY cents DESC) AS t8,
+        |    percentile_disc(0.9) WITHIN GROUP (ORDER BY cents DESC) AS t9
+        |  FROM sc),
+        |tagged AS (SELECT y,
+        |    1 + (CASE WHEN cents < t1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cents < t2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cents < t3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cents < t4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cents < t5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cents < t6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cents < t7 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cents < t8 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN cents < t9 THEN 1 ELSE 0 END) AS dc
+        |  FROM sc CROSS JOIN thr),
+        |g AS (SELECT CAST(dc AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS pos FROM tagged GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp FROM g)
+        |SELECT a.decile, a.n, a.pos,
+        |  (CAST(sum(b.pos) AS BIGINT) * 1000) // max(tot.tp) AS cum_gain_permille
+        |FROM g a JOIN g b ON b.decile <= a.decile CROSS JOIN tot
+        |GROUP BY a.decile, a.n, a.pos
+        |ORDER BY a.decile""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .localCheckpoint(true) // threshold agg + tagging pass both consume it
+      val thr = sc.agg(
+        (1 to 9).map(k => expr(
+          s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY cents DESC)").as(s"t$k")).head,
+        (2 to 9).map(k => expr(
+          s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY cents DESC)").as(s"t$k")): _*)
+      val dc = (1 to 9).map(k =>
+        when(col("cents") < col(s"t$k"), 1).otherwise(0)).reduce(_ + _) + 1
+      val g = sc.crossJoin(broadcast(thr))
+        .select(col("y"), dc.cast("long").as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        .localCheckpoint(true) // self-join + total both consume the 10-row frame
+      val tot = g.agg(sum("pos").as("tp"))
+      g.as("a").join(g.as("b"), col("b.decile") <= col("a.decile"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("a.decile").as("decile"), col("a.n").as("n"),
+          col("a.pos").as("pos"))
+        .agg(expr("(sum(b.pos) * 1000) DIV max(tp)").as("cum_gain_permille"))
+        .orderBy("decile")
+    },
   )
 }
