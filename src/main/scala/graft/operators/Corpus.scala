@@ -1257,6 +1257,90 @@ object Corpus {
           (sum("sq").cast("double")
             / (lit(1000000) * sum("cdb").cast("double"))).as("bits_per_bigram"))
         .orderBy("doc_id")
+    },
+
+    // L89 — pairwise Jensen-Shannon divergence between source token
+    // DISTRIBUTIONS: tx35 asks "do the sources share words", this asks
+    // "do they USE them at the same rates" — the symmetric, bounded
+    // [0,1]-bits mixture divergence (tx19's KL is vs the corpus and
+    // asymmetric). Per-term contribution ½(p·log2(2p/(p+q)) +
+    // q·log2(2q/(p+q))) is micro-quantized ONCE to a 1e6-unit BIGINT
+    // (the 500000 factor bakes the ½ in), zero-count sides contribute
+    // their side as 0 — absent terms are exactly the signal: a word one
+    // source never uses adds q·log2(2) to the divergence. Shuffle
+    // shape: one (source, term) count aggregate over the corpus; the
+    // |sources|²-row pair frame (with totals) re-enters BROADCAST, the
+    // fan-out is |vocab rows| × (S−1), bounded by the source count.
+    Q(
+      "tx40_jsd",
+      """WITH tk AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |       FROM tk GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+        |  FROM ns a JOIN ns b ON a.source < b.source),
+        |cells AS (
+        |  SELECT p.s1, p.s2, p.n1, p.n2, t.term,
+        |    CAST(sum(CASE WHEN t.source = p.s1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN t.source = p.s2 THEN c ELSE 0 END) AS BIGINT) AS c2
+        |  FROM pairs p JOIN tc t ON t.source = p.s1 OR t.source = p.s2
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |terms AS (
+        |  SELECT s1, s2,
+        |    CAST(round(500000 * (
+        |      (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |         * log2(2 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |             / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |                + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+        |         ELSE 0 END)
+        |      + (CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |         * log2(2 * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |             / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+        |                + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+        |         ELSE 0 END))) AS BIGINT) AS t_e6
+        |  FROM cells)
+        |SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(t_e6) AS BIGINT) AS jsd_e6,
+        |  CAST(sum(t_e6) AS DOUBLE) / 1000000 AS jsd_bits
+        |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // totals + the pair fan-out consume it
+      val ns = tc.groupBy("source").agg(sum("c").as("n"))
+      val pairs = ns.select(col("source").as("s1"), col("n").as("n1"))
+        .join(ns.select(col("source").as("s2"), col("n").as("n2")),
+          col("s1") < col("s2"))
+      val cells = tc
+        .join(broadcast(pairs),
+          col("source") === col("s1") || col("source") === col("s2"))
+        .groupBy("s1", "s2", "n1", "n2", "term")
+        .agg(sum(when(col("source") === col("s1"), col("c")).otherwise(0L)).as("c1"),
+          sum(when(col("source") === col("s2"), col("c")).otherwise(0L)).as("c2"))
+      cells
+        .select(col("s1"), col("s2"), expr(
+          """CAST(round(500000 * (
+            |  (CASE WHEN c1 > 0 THEN (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            |     * log2(2 * (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            |         / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            |            + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+            |     ELSE 0 END)
+            |  + (CASE WHEN c2 > 0 THEN (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            |     * log2(2 * (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+            |         / ((CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+            |            + (CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))))
+            |     ELSE 0 END))) AS BIGINT)""".stripMargin).as("t_e6"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("n_terms"), sum("t_e6").as("jsd_e6"))
+        .select(col("s1"), col("s2"), col("n_terms"), col("jsd_e6"),
+          (col("jsd_e6").cast("double") / 1000000).as("jsd_bits"))
+        .orderBy("s1", "s2")
     }
   )
 

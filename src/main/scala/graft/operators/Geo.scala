@@ -332,6 +332,75 @@ object Geo {
         cell = 30000000L)
       GeoIndex.queryRadius(s, idx, 180000000L, 90000000L, 60000000L)
         .orderBy("id")
+    },
+
+    // R141 — grid DBSCAN (density clustering at scale): the GriDBSCAN /
+    // cell-based family — bucket points into DENSITY-SCALED grid cells
+    // (side = √(area/N), so expected occupancy is ~1 point per cell and
+    // the operator keeps its structure at every SF instead of fusing
+    // into one blob as density grows), call a cell dense at ≥3 points,
+    // and cluster dense cells by 8-neighbour connectivity. The
+    // adjacency is geo2's 3×3-explode equi-join (candidates are
+    // O(dense × 9), never dense²), components come from the
+    // log-diameter pointer-jumping CC used for dd5 — no all-pairs
+    // distance anywhere, the fact is touched once for the cell
+    // aggregate. Cell side derives from ONE count via IEEE-exact
+    // √ and floor, identically on both engines; the oracle clusters
+    // the same dense cells by a recursive min-label closure.
+    Q(
+      "geo8_dbscan",
+      s"""WITH $ptsSql,
+        |nn AS (SELECT count(*) AS n FROM pts),
+        |cs AS (SELECT CAST(floor(sqrt(CAST(360000001 AS DOUBLE)
+        |              * CAST(180000001 AS DOUBLE) / n))
+        |              AS BIGINT) AS c FROM nn),
+        |cell AS (SELECT px // c AS cx, py // c AS cy,
+        |           CAST(count(*) AS BIGINT) AS np
+        |         FROM pts, cs GROUP BY 1, 2),
+        |dense AS (SELECT cx, cy, np, cx * 100000 + cy AS k
+        |          FROM cell WHERE np >= 3),
+        |adj AS (SELECT a.k AS ka, b.k AS kb FROM dense a JOIN dense b
+        |        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+        |reach AS (SELECT k AS src, k AS dst FROM dense
+        |          UNION
+        |          SELECT r.src, a.kb FROM reach r JOIN adj a ON a.ka = r.dst),
+        |comp AS (SELECT src AS k, min(dst) AS component FROM reach GROUP BY 1)
+        |SELECT CAST(component AS BIGINT) AS cluster_id,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(np) AS BIGINT) AS n_points
+        |FROM comp JOIN dense USING (k)
+        |GROUP BY 1 ORDER BY n_points DESC, cluster_id""".stripMargin
+        // DuckDB requires the RECURSIVE keyword on the WITH clause when
+        // any CTE (reach) self-references
+        .replaceFirst("^WITH ", "WITH RECURSIVE ")
+    ) { (s, d) =>
+      val pts = custPoints(s, d)
+      val n = pts.count()
+      // IEEE-exact on both engines: *, /, √, floor are all correctly
+      // rounded, so the JVM and DuckDB derive the SAME cell side
+      val c = math.floor(math.sqrt(360000001.0 * 180000001.0 / n)).toLong
+      val cell = pts
+        .groupBy(expr(s"px DIV $c").as("cx"), expr(s"py DIV $c").as("cy"))
+        .agg(count(lit(1)).as("np"))
+      val dense = cell.filter(col("np") >= 3)
+        .withColumn("k", col("cx") * 100000L + col("cy"))
+        .localCheckpoint(true) // neighbor explode + home side + final join
+      val left = dense
+        .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("k").as("id_a"),
+          (col("cx") + col("ox")).as("jx"), (col("cy") + col("oy")).as("jy"))
+      val pairs = left
+        .join(dense.select(col("k").as("id_b"), col("cx").as("jx"),
+          col("cy").as("jy")), Seq("jx", "jy"))
+        .filter(col("id_a") <= col("id_b")) // keeps the self-pair: every
+        .select("id_a", "id_b")             // dense cell enters the CC node set
+      Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "k")
+        .join(dense.select("k", "np"), Seq("k"))
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_cells"), sum("np").as("n_points"))
+        .orderBy(desc("n_points"), col("cluster_id"))
     }
   )
 }

@@ -1530,6 +1530,68 @@ object Graph {
       seen.groupBy("seed")
         .agg(max("dist").as("ecc8"), count(lit(1)).as("n_reached"))
         .orderBy("seed")
+    },
+
+    // R139 — Adamic-Adar link prediction: gr8's common-neighbor
+    // candidates reranked by Σ 1/ln(deg(w)) over the shared neighbors w
+    // — a rare bridge node is worth more evidence than a hub everyone
+    // touches. Same wedge join as gr8 (fan-out Σ d(v)², never n×n) with
+    // the degree frame broadcast onto the shared-neighbor key; each
+    // 1/ln(deg) weight is micro-quantized ONCE to a 1e6-unit BIGINT
+    // (tx19's discipline — a common neighbor has deg ≥ 2 by
+    // construction, so ln never sees 1) and the pair score is an EXACT
+    // integer sum. Top-30 non-adjacent pairs under a total order.
+    Q(
+      "gr24_adamic_adar",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT node AS nbr, CAST(count(*) AS BIGINT) AS dg
+        |        FROM adj GROUP BY 1),
+        |aa AS (SELECT a1.node AS a, a2.node AS b,
+        |         CAST(count(*) AS BIGINT) AS common,
+        |         CAST(sum(CAST(round(1000000 / ln(CAST(dg AS DOUBLE)))
+        |                  AS BIGINT)) AS BIGINT) AS aa_e6
+        |       FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+        |         JOIN deg ON deg.nbr = a1.nbr
+        |       GROUP BY 1, 2),
+        |nonadj AS (SELECT aa.a, aa.b, aa.common, aa.aa_e6 FROM aa
+        |           LEFT JOIN e ON aa.a = e.u AND aa.b = e.v
+        |           WHERE e.u IS NULL)
+        |SELECT a, b, common, aa_e6
+        |FROM nonadj ORDER BY aa_e6 DESC, a, b LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // adjacency (twice), degrees, anti-join
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+      val deg = adj.groupBy("nbr").agg(count(lit(1)).as("dg"))
+      val aa = adj.select(col("node").as("a"), col("nbr"))
+        .join(adj.select(col("node").as("b"), col("nbr")), "nbr")
+        .filter(col("a") < col("b"))
+        // deg is NODE-sized — an honest equi-join on the wedge's shuffle
+        // key (q53's no-broadcast lesson), never a broadcast
+        .join(deg, Seq("nbr"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("common"),
+          sum(round(lit(1000000) / log(col("dg").cast("double")))
+            .cast("long")).as("aa_e6"))
+      aa.join(e, aa("a") === e("u") && aa("b") === e("v"), "left_anti")
+        .orderBy(desc("aa_e6"), col("a"), col("b")).limit(30)
     }
   )
 

@@ -520,6 +520,143 @@ object HypoTests {
           mean(0, 0).as("c0"), mean(0, 1).as("c1"))
         .select(col("t0"), col("t1"), col("c0"), col("c1"),
           ((col("t1") - col("t0")) - (col("c1") - col("c0"))).as("did"))
+    },
+
+    // T57 — Wald SPRT conversion monitor (the SEQUENTIAL counterpart of
+    // ev29's fixed-horizon z-test: "stop the experiment the hour the
+    // evidence suffices"). Design H0: p=0.18 vs H1: p=0.22, α=β=0.05.
+    // The per-observation log-likelihood increments and the two Wald
+    // boundaries are HARDCODED 1e6-unit integers (ln(0.22/0.18)→200671,
+    // ln(0.78/0.82)→−50010, ln(19)→±2944439) so the cumulative LLR is
+    // EXACT integer algebra — no transcendental is evaluated by either
+    // engine at query time. Per arm, hourly (trials, conversions) roll
+    // up once from the fact; cumulative sums and the first boundary
+    // crossing run on the ~720-row hour spine (windows partition by
+    // arm over the spine, never the fact). Output: one decision row per
+    // arm — when the monitor would have stopped, on how many
+    // observations, and the terminal LLR.
+    Q(
+      "ev49_sprt",
+      """WITH hc AS (
+        |  SELECT user_id % 2 AS arm, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    count(*) AS n,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT arm, hr,
+        |    CAST(sum(n) OVER (PARTITION BY arm ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nc,
+        |    CAST(sum(x) OVER (PARTITION BY arm ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS xc
+        |  FROM hc),
+        |l AS (SELECT arm, hr, nc, xc,
+        |        xc * 200671 + (nc - xc) * (-50010) AS llr_e6 FROM w),
+        |c AS (SELECT arm, min(hr) AS cross_hr FROM l
+        |      WHERE llr_e6 >= 2944439 OR llr_e6 <= -2944439 GROUP BY arm),
+        |fin AS (SELECT arm, max(nc) AS n_total, max(xc) AS x_total,
+        |          max(CASE WHEN rn = 1 THEN llr_e6 END) AS final_llr_e6
+        |        FROM (SELECT arm, nc, xc, llr_e6,
+        |                row_number() OVER (PARTITION BY arm ORDER BY hr DESC) AS rn
+        |              FROM l) z GROUP BY arm)
+        |SELECT fin.arm, fin.n_total, fin.x_total, fin.final_llr_e6,
+        |  c.cross_hr, l.nc AS n_at_cross, l.llr_e6 AS llr_at_cross_e6,
+        |  CASE WHEN l.llr_e6 >= 2944439 THEN 'reject_h0'
+        |       WHEN l.llr_e6 <= -2944439 THEN 'accept_h0' END AS decision
+        |FROM fin LEFT JOIN c ON fin.arm = c.arm
+        |  LEFT JOIN l ON l.arm = c.arm AND l.hr = c.cross_hr
+        |ORDER BY fin.arm""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy((col("user_id") % 2).as("arm"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+      val byArm = Window.partitionBy("arm").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val l = hc
+        .withColumn("nc", sum("n").over(byArm))
+        .withColumn("xc", sum("x").over(byArm))
+        .select(col("arm"), col("hr"), col("nc"), col("xc"),
+          (col("xc") * 200671L + (col("nc") - col("xc")) * -50010L).as("llr_e6"))
+        .localCheckpoint(true) // crossing scan + final row + join consume it
+      val c = l.filter(col("llr_e6") >= 2944439L || col("llr_e6") <= -2944439L)
+        .groupBy("arm").agg(min("hr").as("cross_hr"))
+      val fin = l
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("arm").orderBy(col("hr").desc)))
+        .groupBy("arm")
+        .agg(max("nc").as("n_total"), max("xc").as("x_total"),
+          max(when(col("rn") === 1, col("llr_e6"))).as("final_llr_e6"))
+      fin.join(c, Seq("arm"), "left")
+        .join(l.select(col("arm"), col("hr").as("cross_hr"),
+            col("nc").as("n_at_cross"), col("llr_e6").as("llr_at_cross_e6")),
+          Seq("arm", "cross_hr"), "left")
+        .select(col("arm"), col("n_total"), col("x_total"), col("final_llr_e6"),
+          col("cross_hr"), col("n_at_cross"), col("llr_at_cross_e6"),
+          when(col("llr_at_cross_e6") >= 2944439L, lit("reject_h0"))
+            .when(col("llr_at_cross_e6") <= -2944439L, lit("accept_h0"))
+            .as("decision"))
+        .orderBy("arm")
+    },
+
+    // T58 — Cramér's V effect size on ev34's contingency table: the
+    // "is it LARGE, not just significant" companion every chi-square
+    // reading needs at warehouse row counts (with enough n everything
+    // is significant). chi2 rides ev34's exact 1e6-quantized HUGEINT
+    // terms; V = √(χ² / (n·min(r−1,c−1))) adds only IEEE-exact √ and
+    // division on top, so even the double is hash-portable. Margins are
+    // tiny broadcast frames; the fact is touched once.
+    Q(
+      "ev50_cramers_v",
+      """WITH cell AS (
+        |  SELECT event_type AS grp, (hour(ts) // 6) AS part, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT grp, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+        |cm AS (SELECT part, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM cell),
+        |dims AS (SELECT (SELECT count(*) FROM rm) AS nr,
+        |                (SELECT count(*) FROM cm) AS nc),
+        |terms AS (
+        |  SELECT ((CAST(o AS HUGEINT) * tt - CAST(r AS HUGEINT) * c)
+        |     * (CAST(o AS HUGEINT) * tt - CAST(r AS HUGEINT) * c) * 1000000)
+        |    // (CAST(r AS HUGEINT) * c * tt) AS term_e6
+        |  FROM cell JOIN rm ON cell.grp = rm.grp
+        |    JOIN cm ON cell.part = cm.part, t)
+        |SELECT CAST(nr AS BIGINT) AS n_rows, CAST(nc AS BIGINT) AS n_cols,
+        |  max(tt) AS n,
+        |  CAST(sum(term_e6) AS BIGINT) AS chi2_e6,
+        |  sqrt((CAST(sum(term_e6) AS DOUBLE) / 1000000)
+        |       / (CAST(max(tt) AS DOUBLE)
+        |          * (CASE WHEN nr < nc THEN nr ELSE nc END - 1))) AS cramers_v
+        |FROM terms CROSS JOIN t CROSS JOIN dims
+        |GROUP BY nr, nc""".stripMargin
+    ) { (s, d) =>
+      val cell = Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"), expr("hour(ts) DIV 6").as("part"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // margins + dims + terms all consume it
+      val rm = cell.groupBy("grp").agg(sum("o").as("r"))
+      val cm = cell.groupBy("part").agg(sum("o").as("c"))
+      val t = cell.agg(sum("o").as("tt"))
+      val dims = rm.agg(count(lit(1)).as("nr"))
+        .crossJoin(cm.agg(count(lit(1)).as("nc")))
+      cell.join(broadcast(rm), Seq("grp"))
+        .join(broadcast(cm), Seq("part"))
+        .crossJoin(broadcast(t))
+        .select(expr(
+          """((CAST(o AS DECIMAL(38,0)) * tt - CAST(r AS DECIMAL(38,0)) * c)
+            | * (CAST(o AS DECIMAL(38,0)) * tt - CAST(r AS DECIMAL(38,0)) * c)
+            | * 1000000)
+            | DIV (CAST(r AS DECIMAL(38,0)) * c * tt)""".stripMargin)
+          .as("term_e6"), col("tt"))
+        .crossJoin(broadcast(dims))
+        .groupBy("nr", "nc")
+        .agg(max("tt").as("n"), sum("term_e6").cast("long").as("chi2_e6"))
+        .select(col("nr").cast("long").as("n_rows"),
+          col("nc").cast("long").as("n_cols"), col("n"), col("chi2_e6"),
+          sqrt((col("chi2_e6").cast("double") / 1000000)
+            / (col("n").cast("double")
+              * (least(col("nr"), col("nc")) - 1))).as("cramers_v"))
     }
   )
 }

@@ -490,6 +490,83 @@ object Insights {
           - expr("(a DIV 7) * 5 + least(a % 7, 5)")).as("bd"))
         .groupBy("bd").agg(count(lit(1)).as("n"))
         .orderBy("bd")
+    },
+
+    // R140 — Nelson-Aalen cumulative hazard over q93's censored
+    // inter-order gaps: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, the additive twin of
+    // Kaplan-Meier's product (and the better-behaved estimator when
+    // risk sets get small). Same one-window + one-aggregate shape as
+    // q93 — gaps from a per-customer lead(), (seg, dur) cells, risk
+    // sets from a reverse cumulative sum over the CELL frame (bounded
+    // by distinct durations, never the order count). Each hazard
+    // increment is floor-quantized by pure integer DIV to a 1e6-unit
+    // BIGINT (no float boundary anywhere), so the cumulative sum is
+    // EXACT and the displayed hazard is one final division.
+    Q(
+      "q103_nelson_aalen",
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mend FROM orders),
+        |seq AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+        |    lead(CAST(o_orderdate AS DATE)) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nxt
+        |  FROM orders),
+        |obs AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CASE WHEN nxt IS NULL THEN date_diff('day', od, mend)
+        |         ELSE date_diff('day', od, nxt) END AS dur,
+        |    CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+        |  FROM seq JOIN customer ON ck = c_custkey, mx),
+        |cell AS (
+        |  SELECT seg, dur, CAST(sum(ev) AS BIGINT) AS d,
+        |    count(*) AS call FROM obs GROUP BY 1, 2),
+        |risk AS (
+        |  SELECT seg, dur, d,
+        |    CAST(sum(call) OVER (PARTITION BY seg ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        |  FROM cell),
+        |inc AS (
+        |  SELECT seg, dur, d, n, (1000000 * d) // n AS h_e6
+        |  FROM risk WHERE d > 0)
+        |SELECT seg, dur AS t, d, n,
+        |  CAST(sum(h_e6) OVER (PARTITION BY seg ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS chaz_e6,
+        |  CAST(sum(h_e6) OVER (PARTITION BY seg ORDER BY dur
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / 1000000 AS cum_hazard
+        |FROM inc ORDER BY seg, t""".stripMargin
+    ) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"))
+      val mend = orders.agg(max("od").as("mend"))
+      val wSeq = Window.partitionBy("ck").orderBy(col("od"), col("o_orderkey"))
+      val obs = orders
+        .withColumn("nxt", lead("od", 1).over(wSeq))
+        .crossJoin(broadcast(mend))
+        // honest key shuffle for customer (q53/q93: the customer
+        // dimension does NOT broadcast at 100 TB)
+        .join(Tables.customer(s, d), col("ck") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          when(col("nxt").isNull, datediff(col("mend"), col("od")))
+            .otherwise(datediff(col("nxt"), col("od"))).cast("long").as("dur"),
+          when(col("nxt").isNull, 0L).otherwise(1L).as("ev"))
+      val cell = obs.groupBy("seg", "dur")
+        .agg(sum("ev").as("d"), count(lit(1)).as("call"))
+      val wRisk = Window.partitionBy("seg").orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inc = cell
+        .withColumn("n", sum("call").over(wRisk))
+        .filter(col("d") > 0)
+        .withColumn("h_e6", expr("(1000000 * d) DIV n"))
+      val wCum = Window.partitionBy("seg").orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      inc.withColumn("chaz_e6", sum("h_e6").over(wCum))
+        .select(col("seg"), col("dur").as("t"), col("d"), col("n"),
+          col("chaz_e6"),
+          (col("chaz_e6").cast("double") / 1000000).as("cum_hazard"))
+        .orderBy("seg", "t")
     }
   )
 }

@@ -375,5 +375,155 @@ object MlEval {
         .agg(expr("(sum(b.pos) * 1000) DIV max(tp)").as("cum_gain_permille"))
         .orderBy("decile")
     },
+
+    // L86 — Brier score + skill: the PROPER-scoring sibling of ml6's
+    // calibration bins. Score p = cents / max-cents, so the per-row
+    // term (p − y)² = (cents − y·maxc)² / maxc² has an EXACT integer
+    // numerator; per-group Brier is one decimal(38,0)/HUGEINT sum
+    // (numerators reach ~3e15 each — a long sum overflows within
+    // thousands of rows) over a single scan with the 1-row max
+    // broadcast, and brier / the climatology reference / the skill
+    // score are a fixed double tree over exact integers (ml8's
+    // cast-to-double discipline). BSS = 1 − BS/BS_ref with BS_ref =
+    // base·(1−base); a one-class group has BS_ref = 0 → NULL skill on
+    // both engines (ml5's NULL-AUC precedent).
+    Q(
+      "ml11_brier",
+      """WITH sc AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |mx AS (SELECT max(cents) AS maxc FROM sc),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    sum((CAST(cents AS HUGEINT) - CAST(y AS HUGEINT)*maxc)
+        |        * (CAST(cents AS HUGEINT) - CAST(y AS HUGEINT)*maxc)) AS num,
+        |    max(maxc) AS maxc
+        |  FROM sc CROSS JOIN mx GROUP BY grp)
+        |SELECT grp, n, n_pos,
+        |  CAST(num AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT)*maxc*maxc AS DOUBLE) AS brier,
+        |  CASE WHEN n_pos = 0 OR n_pos = n THEN NULL
+        |       ELSE 1 - (CAST(num AS DOUBLE)
+        |                 / CAST(CAST(n AS HUGEINT)*maxc*maxc AS DOUBLE))
+        |               / (CAST(CAST(n_pos AS HUGEINT)*(n-n_pos) AS DOUBLE)
+        |                  / CAST(CAST(n AS HUGEINT)*n AS DOUBLE)) END AS skill
+        |FROM g ORDER BY grp""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sc = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val mx = sc.agg(max("cents").as("maxc"))
+      val g = sc.crossJoin(broadcast(mx))
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+          sum((dec(col("cents")) - dec(col("y")) * col("maxc"))
+            * (dec(col("cents")) - dec(col("y")) * col("maxc"))).as("num"),
+          max("maxc").as("maxc"))
+      g.select(col("grp"), col("n"), col("n_pos"),
+          (col("num").cast("double")
+            / (dec(col("n")) * col("maxc") * col("maxc")).cast("double"))
+            .as("brier"),
+          when(col("n_pos") === 0 || col("n_pos") === col("n"), lit(null))
+            .otherwise(lit(1) - (col("num").cast("double")
+                / (dec(col("n")) * col("maxc") * col("maxc")).cast("double"))
+              / ((dec(col("n_pos")) * (col("n") - col("n_pos"))).cast("double")
+                / (dec(col("n")) * col("n")).cast("double")))
+            .as("skill"))
+        .orderBy("grp")
+    },
+
+    // L87 — average precision (the area under the step-interpolated PR
+    // curve): AP = mean over positives of precision-at-their-rank,
+    // ml5's threshold-free discipline carried to the precision axis
+    // (AUC is insensitive to class skew; AP is the skew-honest twin).
+    // Rank = row_number on (cents DESC, orderkey) — fully deterministic;
+    // each P(k) = cumpos/k is floor-quantized to a 1e6-unit BIGINT by
+    // pure integer DIV (no float boundary anywhere), so the per-group
+    // sum is exact and ap is ONE double division. Windows partition by
+    // the group key exactly as ml5's rank does.
+    Q(
+      "ml12_avg_precision",
+      """WITH sc AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents, o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |rk AS (SELECT grp, y,
+        |    row_number() OVER (PARTITION BY grp ORDER BY cents DESC, o_orderkey)
+        |      AS k,
+        |    sum(y) OVER (PARTITION BY grp ORDER BY cents DESC, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos
+        |  FROM sc)
+        |SELECT grp, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y = 1
+        |        THEN (1000000 * cumpos) // k ELSE 0 END) AS BIGINT) AS ap_e6_sum,
+        |  CAST(sum(CASE WHEN y = 1
+        |        THEN (1000000 * cumpos) // k ELSE 0 END) AS DOUBLE)
+        |    / (CAST(sum(y) AS DOUBLE) * 1000000) AS ap
+        |FROM rk GROUP BY grp ORDER BY grp""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val w = Window.partitionBy("grp").orderBy(col("cents").desc, col("o_orderkey"))
+      val rk = sc.select(col("grp"), col("y"),
+        row_number().over(w).cast("long").as("k"),
+        sum("y").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cumpos"))
+      rk.groupBy("grp")
+        .agg(sum("y").as("n_pos"),
+          sum(when(col("y") === 1, expr("(1000000 * cumpos) DIV k"))
+            .otherwise(0L)).as("ap_e6_sum"))
+        .select(col("grp"), col("n_pos"), col("ap_e6_sum"),
+          (col("ap_e6_sum").cast("double")
+            / (col("n_pos").cast("double") * 1000000)).as("ap"))
+        .orderBy("grp")
+    },
+
+    // L88 — item-item cosine from behavioral co-occurrence (the
+    // neighborhood-model recommender primitive; ev15 counts same-context
+    // pairs, this normalizes them into a similarity): items = event
+    // types, users = the incidence dimension, sim(a,b) =
+    // |U_a ∩ U_b| / √(|U_a|·|U_b|) over DISTINCT (user, type). The
+    // pair join fans out per user by (types-per-user)² — bounded by the
+    // type vocabulary, never the event count — and the √ is IEEE
+    // correctly-rounded on both engines so even the raw double is
+    // hash-exact (the e6 quantization is belt and braces).
+    Q(
+      "ml13_item_cosine",
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+        |       FROM ut GROUP BY 1),
+        |co AS (SELECT a.event_type AS t1, b.event_type AS t2,
+        |         CAST(count(*) AS BIGINT) AS cou
+        |       FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |         AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT t1, t2, cou, s1.nu AS n1, s2.nu AS n2,
+        |  CAST(round(1000000 * CAST(cou AS DOUBLE)
+        |       / sqrt(CAST(s1.nu AS DOUBLE) * CAST(s2.nu AS DOUBLE)))
+        |    AS BIGINT) AS cosine_e6
+        |FROM co JOIN sz s1 ON co.t1 = s1.event_type
+        |        JOIN sz s2 ON co.t2 = s2.event_type
+        |ORDER BY t1, t2""".stripMargin
+    ) { (s, d) =>
+      val ut = Tables.events(s, d).select("user_id", "event_type").distinct()
+        .localCheckpoint(true) // sizes + both self-join sides consume it
+      val sz = ut.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val co = ut.as("a")
+        .join(ut.as("b"), col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("cou"))
+      co.join(broadcast(sz.select(col("event_type").as("t1"), col("nu").as("n1"))), Seq("t1"))
+        .join(broadcast(sz.select(col("event_type").as("t2"), col("nu").as("n2"))), Seq("t2"))
+        .select(col("t1"), col("t2"), col("cou"), col("n1"), col("n2"),
+          round(lit(1000000) * col("cou").cast("double")
+            / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+            .cast("long").as("cosine_e6"))
+        .orderBy("t1", "t2")
+    },
   )
 }
