@@ -687,6 +687,107 @@ object Analytics {
         .select(col("grp"), col("n"), col("n_outliers"),
           expr("(n_outliers * 1000) DIV n").as("outlier_permille"))
         .orderBy("grp")
+    },
+
+    // R143 — month-over-month / year-over-year growth: the first table
+    // on every revenue dashboard. Months are INTEGER indices (y·12+m —
+    // identical arithmetic both engines, no interval types, q95's
+    // precedent), revenue exact cents; MoM and YoY come from lag(1) /
+    // lag(12) over the CALENDAR-sized month spine (the fact is reduced
+    // by one aggregate first; the window never sees it). Ratios are
+    // single double divisions of exact integers — deltas can be
+    // NEGATIVE, and Spark's DIV truncates toward zero while DuckDB's //
+    // floors, so integer division is BANNED on signed deltas here.
+    Q(
+      "q104_growth_mom",
+      """WITH m AS (
+        |  SELECT year(CAST(o_orderdate AS DATE)) * 12
+        |           + month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |w AS (SELECT mi, rev,
+        |        lag(rev, 1) OVER (ORDER BY mi) AS prev_m,
+        |        lag(rev, 12) OVER (ORDER BY mi) AS prev_y
+        |      FROM m)
+        |SELECT mi // 12 AS yr, (mi % 12) + 1 AS mo, rev,
+        |  CASE WHEN prev_m IS NULL THEN NULL
+        |       ELSE CAST(rev - prev_m AS DOUBLE) / CAST(prev_m AS DOUBLE) END
+        |    AS mom_growth,
+        |  CASE WHEN prev_y IS NULL THEN NULL
+        |       ELSE CAST(rev - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE) END
+        |    AS yoy_growth
+        |FROM w ORDER BY yr, mo""".stripMargin
+    ) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate").cast("date")) * 12
+          + month(col("o_orderdate").cast("date")) - 1).as("mi"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      // the spine is calendar-bounded (≤ a few hundred rows at any SF):
+      // the one place an unpartitioned window is the RIGHT plan
+      val w = Window.orderBy("mi")
+      m.withColumn("prev_m", lag("rev", 1).over(w))
+        .withColumn("prev_y", lag("rev", 12).over(w))
+        .select(expr("mi DIV 12").as("yr"), (col("mi") % 12 + 1).as("mo"),
+          col("rev"),
+          when(col("prev_m").isNull, lit(null))
+            .otherwise((col("rev") - col("prev_m")).cast("double")
+              / col("prev_m").cast("double")).as("mom_growth"),
+          when(col("prev_y").isNull, lit(null))
+            .otherwise((col("rev") - col("prev_y")).cast("double")
+              / col("prev_y").cast("double")).as("yoy_growth"))
+        .orderBy("yr", "mo")
+    },
+
+    // R144 — ABC inventory classification (the assortment-planning
+    // workhorse next to q82's Pareto coverage): per brand, parts ranked
+    // by lineitem revenue, A = parts inside the first 80% of cumulative
+    // revenue, B = next 15%, C = tail. Same shape as q82 — one fact
+    // aggregate to the (brand, part) frame, windows partitioned by
+    // brand over PART-sized partitions (dimension-bounded, never the
+    // fact) — with exact-integer class boundaries: 5·cum ≤ 4·total and
+    // 20·cum ≤ 19·total (no percentage float anywhere). The prior-row
+    // cum (cum − rev) decides the class so the straddling part counts
+    // in the class it completes.
+    Q(
+      "q105_abc_class",
+      """WITH pr AS (
+        |  SELECT p_brand, l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT p_brand, rev,
+        |    sum(rev) OVER (PARTITION BY p_brand ORDER BY rev DESC, l_partkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev) OVER (PARTITION BY p_brand) AS total
+        |  FROM pr),
+        |cl AS (
+        |  SELECT p_brand, rev,
+        |    CASE WHEN 5 * (cum - rev) < 4 * total THEN 'A'
+        |         WHEN 20 * (cum - rev) < 19 * total THEN 'B'
+        |         ELSE 'C' END AS abc
+        |  FROM w)
+        |SELECT p_brand, abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(rev) AS BIGINT) AS class_cents
+        |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val pr = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+      val ord = Window.partitionBy("p_brand")
+        .orderBy(col("rev").desc, col("l_partkey"))
+      val w = pr
+        .withColumn("cum", sum("rev").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("rev").over(Window.partitionBy("p_brand")))
+      w.withColumn("abc",
+          when(lit(5) * (col("cum") - col("rev")) < lit(4) * col("total"), "A")
+            .when(lit(20) * (col("cum") - col("rev")) < lit(19) * col("total"), "B")
+            .otherwise("C"))
+        .groupBy("p_brand", "abc")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_cents"))
+        .orderBy("p_brand", "abc")
     }
   )
 }

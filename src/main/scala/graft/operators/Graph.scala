@@ -1592,6 +1592,66 @@ object Graph {
             .cast("long")).as("aa_e6"))
       aa.join(e, aa("a") === e("u") && aa("b") === e("v"), "left_anti")
         .orderBy(desc("aa_e6"), col("a"), col("b")).limit(30)
+    },
+
+    // R142 — neighborhood-Jaccard link prediction: the third member of
+    // the family (gr8 counts common neighbors, gr24 rarity-weights
+    // them, this NORMALIZES by the union: J = |N(a)∩N(b)| /
+    // (d(a)+d(b)−|∩|)) — a hub pair with 5 shared neighbors out of 200
+    // scores far below a niche pair sharing 5 of 8. Unlike gr24 there
+    // is NO transcendental anywhere: degrees join the pair frame on its
+    // own endpoint keys (node-sized frame, honest shuffles, never a
+    // broadcast) and the permille is exact integer DIV on positive
+    // integers. Top-30 non-adjacent pairs under a total order.
+    Q(
+      "gr25_jaccard_links",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+        |cn AS (SELECT a1.node AS a, a2.node AS b, CAST(count(*) AS BIGINT) AS common
+        |       FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT cn.a, cn.b, cn.common,
+        |         (cn.common * 1000) // (da.dg + db.dg - cn.common) AS jac_permille
+        |       FROM cn JOIN deg da ON da.node = cn.a
+        |         JOIN deg db ON db.node = cn.b),
+        |nonadj AS (SELECT sc.a, sc.b, sc.common, sc.jac_permille FROM sc
+        |           LEFT JOIN e ON sc.a = e.u AND sc.b = e.v
+        |           WHERE e.u IS NULL)
+        |SELECT a, b, common, jac_permille
+        |FROM nonadj ORDER BY jac_permille DESC, a, b LIMIT 30""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .localCheckpoint(true) // adjacency (twice), degrees, anti-join
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("dg"))
+      val cn = adj.select(col("node").as("a"), col("nbr"))
+        .join(adj.select(col("node").as("b"), col("nbr")), "nbr")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("common"))
+      val sc = cn
+        .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+        .select(col("a"), col("b"), col("common"),
+          expr("(common * 1000) DIV (da + db - common)").as("jac_permille"))
+      sc.join(e, sc("a") === e("u") && sc("b") === e("v"), "left_anti")
+        .orderBy(desc("jac_permille"), col("a"), col("b")).limit(30)
     }
   )
 

@@ -657,6 +657,70 @@ object HypoTests {
           sqrt((col("chi2_e6").cast("double") / 1000000)
             / (col("n").cast("double")
               * (least(col("nr"), col("nc")) - 1))).as("cramers_v"))
+    },
+
+    // T59 — odds ratio with Woolf confidence interval: the 2×2
+    // effect-size readout beside T37's significance test (an arm can be
+    // "significantly" better by 0.1% — the OR says whether it MATTERS).
+    // Users collapse to one (arm, outcome) row each (exact per-user
+    // share test), the 2×2 cells are one conditional aggregate, OR =
+    // (a·d)/(b·c) is a double of exact integers. ln(OR) and the Woolf
+    // SE √(1/a+1/b+1/c+1/d) are each micro-quantized ONCE to 1e6
+    // BIGINTs (tx19 discipline), and the 95% bounds stay EXACT integer
+    // algebra: ±(1959964·se_e6) DIV 1e6 — positive, so floor-DIV
+    // agrees across engines; no exp() is evaluated anywhere.
+    Q(
+      "ev51_odds_ratio",
+      """WITH u AS (
+        |  -- outcome = HEAVY purchaser (purchase share > 20%, exact
+        |  -- integer cross-multiply): nearly every user purchases at
+        |  -- least once, so any-purchase would leave b = 0 and an
+        |  -- undefined OR — the intensity margin is the real readout
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              > count(*) THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |cm AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM u),
+        |q AS (SELECT a, b, c, d,
+        |    CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) AS odds_ratio,
+        |    CAST(round(1000000 * ln(CAST(a AS DOUBLE) * d
+        |         / (CAST(b AS DOUBLE) * c))) AS BIGINT) AS ln_or_e6,
+        |    -- CAST(1 AS DOUBLE), not 1.0: DuckDB parses 1.0 as DECIMAL
+        |    CAST(round(1000000 * sqrt(CAST(1 AS DOUBLE)/a + CAST(1 AS DOUBLE)/b
+        |         + CAST(1 AS DOUBLE)/c + CAST(1 AS DOUBLE)/d))
+        |      AS BIGINT) AS se_e6
+        |  FROM cm)
+        |SELECT a, b, c, d, odds_ratio, ln_or_e6, se_e6,
+        |  ln_or_e6 - (1959964 * se_e6) // 1000000 AS ci_lo_e6,
+        |  ln_or_e6 + (1959964 * se_e6) // 1000000 AS ci_hi_e6
+        |FROM q""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(when(lit(5) * sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) > count(lit(1)), 1L).otherwise(0L).as("conv"))
+        .select((col("user_id") % 2).as("arm"), col("conv"))
+      val cm = u.agg(
+        sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+        sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+        sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+      val q = cm.select(col("a"), col("b"), col("c"), col("d"),
+        (col("a").cast("double") * col("d")
+          / (col("b").cast("double") * col("c"))).as("odds_ratio"),
+        round(lit(1000000) * log(col("a").cast("double") * col("d")
+          / (col("b").cast("double") * col("c")))).cast("long").as("ln_or_e6"),
+        round(lit(1000000) * sqrt(lit(1.0) / col("a") + lit(1.0) / col("b")
+          + lit(1.0) / col("c") + lit(1.0) / col("d"))).cast("long").as("se_e6"))
+      q.select(col("a"), col("b"), col("c"), col("d"), col("odds_ratio"),
+        col("ln_or_e6"), col("se_e6"),
+        (col("ln_or_e6") - expr("(1959964 * se_e6) DIV 1000000")).as("ci_lo_e6"),
+        (col("ln_or_e6") + expr("(1959964 * se_e6) DIV 1000000")).as("ci_hi_e6"))
     }
   )
 }

@@ -525,5 +525,55 @@ object MlEval {
             .cast("long").as("cosine_e6"))
         .orderBy("t1", "t2")
     },
+
+    // L90 — Cohen's kappa (chance-corrected agreement): ml9's confusion
+    // cells re-read as rater-vs-truth agreement — accuracy looks good
+    // on skewed labels by accident, kappa subtracts what agreement
+    // chance alone would produce. Fully EXACT rational algebra: kappa =
+    // (n·(tp+tn) − (p̂₁·p₁ + n̂₀·n₀)) / (n² − (p̂₁·p₁ + n̂₀·n₀)) where
+    // the marginal products ride HUGEINT/decimal(38,0) (n² passes 2^63
+    // within real warehouse row counts); the displayed kappa is ONE
+    // double division of the two exact integers. Same single
+    // map-side-combinable pass as ml9 with the mean threshold broadcast.
+    Q(
+      "ml14_kappa",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |cm AS (SELECT
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM sc CROSS JOIN t),
+        |k AS (SELECT tp, fp, tn, fn, tp + fp + tn + fn AS n,
+        |        CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |          + CAST(tn + fn AS HUGEINT) * (tn + fp) AS chance
+        |      FROM cm)
+        |SELECT tp, fp, tn, fn,
+        |  CAST(CAST(n AS HUGEINT) * (tp + tn) - chance AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * n - chance AS DOUBLE) AS kappa
+        |FROM k""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val t = sc.agg(expr("sum(cents) DIV count(*)").cast("long").as("thr"))
+      val cm = sc.crossJoin(broadcast(t))
+        .agg(
+          sum(when(col("cents") >= col("thr") && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("cents") >= col("thr") && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("cents") < col("thr") && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+          sum(when(col("cents") < col("thr") && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+      val k = cm
+        .withColumn("n", col("tp") + col("fp") + col("tn") + col("fn"))
+        .withColumn("chance",
+          dec(col("tp") + col("fp")) * (col("tp") + col("fn"))
+            + dec(col("tn") + col("fn")) * (col("tn") + col("fp")))
+      k.select(col("tp"), col("fp"), col("tn"), col("fn"),
+        ((dec(col("n")) * (col("tp") + col("tn")) - col("chance")).cast("double")
+          / (dec(col("n")) * col("n") - col("chance")).cast("double")).as("kappa"))
+    },
   )
 }

@@ -898,6 +898,57 @@ object Similarity {
     // solve consumes, and PcaSpec pins orthonormality, the eigen
     // residual ‖Av−λv‖, descending eigenvalues, projection variance ≡ λ,
     // and thread-count determinism.
-    Q.rowsOnly("sim11_pca_project", "fixpoint") { (s, d) => pcaProject(s, d, 4) }
+    Q.rowsOnly("sim11_pca_project", "fixpoint") { (s, d) => pcaProject(s, d, 4) },
+
+    // L91 — pairwise-cosine geometry histogram: the corpus-shape
+    // diagnostic behind every ANN/semantic-dedup threshold choice ("is
+    // 0.8 tight or loose HERE?"). Pairs are the three DETERMINISTIC id
+    // lags (vec_id, vec_id+1/+2/+3) — a LINEAR probe of the pairwise-
+    // cosine distribution, never the n² population (at 100 TB the lag
+    // probe is the only affordable estimator and is unbiased when ids
+    // are assignment-random). Each cosine comes from the codegen'd
+    // native dot (sim1 proved the left-to-right sum hash-matches
+    // DuckDB's list_dot_product), is micro-quantized ONCE to 1e6, and
+    // bins are pure integer arithmetic on the quantized value — the
+    // float never meets a bin boundary. Per-bin exact count + exact
+    // mean of the quantized cosines.
+    Q(
+      "sim12_cosine_histogram",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |lags AS (SELECT unnest([1, 2, 3]) AS lg),
+        |p AS (SELECT a.vec_id,
+        |        CAST(round(1000000 * list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+        |          AS BIGINT) AS cos_e6
+        |      FROM e a JOIN lags ON true
+        |        JOIN e b ON b.vec_id = a.vec_id + lags.lg),
+        |binned AS (SELECT ((cos_e6 + 1000000) * 10) // 2000001 AS bin, cos_e6
+        |           FROM p)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cos_e6) AS BIGINT) AS sum_cos_e6,
+        |  CAST(sum(cos_e6) AS DOUBLE) / (count(*) * 1000000) AS mean_cos
+        |FROM binned GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val e = prepared(s, d).select(col("vec_id"), col("v"), col("nrm"))
+        .localCheckpoint(true) // both sides of the lag join consume it
+      val lagged = e.select(col("vec_id"), explode(array(lit(1L), lit(2L), lit(3L))).as("lg"))
+        .select(col("vec_id"), (col("vec_id") + col("lg")).as("bid"))
+        .join(e.select(col("vec_id").as("bid_v"), col("v").as("bv"),
+          col("nrm").as("bn")), col("bid") === col("bid_v"))
+        .join(e, Seq("vec_id"))
+      val p = lagged.select(
+        round(lit(1000000) * cosineNative(col("v"), col("bv"), col("nrm"), col("bn")))
+          .cast("long").as("cos_e6"))
+      // bin boundaries on the QUANTIZED integer: [-1e6, 1e6] → 10 bins,
+      // +1e6 shifts to [0, 2e6] so DIV (floor for non-negatives) agrees
+      // across engines; 2000001 keeps cos = exactly +1 inside bin 9
+      p.select(expr("((cos_e6 + 1000000) * 10) DIV 2000001").as("bin"), col("cos_e6"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("cos_e6").as("sum_cos_e6"))
+        .select(col("bin"), col("n"), col("sum_cos_e6"),
+          (col("sum_cos_e6").cast("double") / (col("n") * 1000000)).as("mean_cos"))
+        .orderBy("bin")
+    }
   )
 }
