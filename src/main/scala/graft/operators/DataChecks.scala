@@ -259,6 +259,45 @@ object DataChecks {
           col("c_mktsegment"),
           floor(col("c_acctbal") / 1000.0).cast("long").as("acctbal_bucket"))
         .orderBy("c_custkey")
+    },
+
+    // R146 — l-diversity audit (the release gate k-anonymity alone
+    // can't give, q89's sibling): a group can be k-anonymous and still
+    // leak if every member shares one sensitive value. Quasi-identifier
+    // = (nation, segment); sensitive = account-balance decile computed
+    // by EXACT shifted-integer arithmetic (cents − min ≥ 0, so DIV
+    // floors identically on both engines — no float bucket boundary).
+    // One aggregate to the QI-group frame (bounded by the QI domain),
+    // distinct-sensitive per group is the l; at_risk flags l < 3. The
+    // fact is touched once; the min/max frame broadcasts.
+    Q(
+      "dq4_ldiversity",
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS cents FROM customer),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+        |s AS (SELECT c_nationkey, c_mktsegment,
+        |        ((cents - mn) * 10) // (mx - mn + 1) AS sens
+        |      FROM c CROSS JOIN b),
+        |g AS (SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |        count(DISTINCT sens) AS l
+        |      FROM s GROUP BY 1, 2)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+        |  CAST(n AS BIGINT) AS n, CAST(l AS BIGINT) AS l,
+        |  CASE WHEN l < 3 THEN 1 ELSE 0 END AS at_risk
+        |FROM g ORDER BY nation, segment""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val b = c.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val sens = c.crossJoin(broadcast(b))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("((cents - mn) * 10) DIV (mx - mn + 1)").as("sens"))
+      sens.groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"), countDistinct("sens").as("l"))
+        .select(col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("segment"), col("n"), col("l"),
+          when(col("l") < 3, 1L).otherwise(0L).as("at_risk"))
+        .orderBy("nation", "segment")
     }
   )
 }

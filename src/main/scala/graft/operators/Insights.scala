@@ -567,6 +567,114 @@ object Insights {
           col("chaz_e6"),
           (col("chaz_e6").cast("double") / 1000000).as("cum_hazard"))
         .orderBy("seg", "t")
+    },
+
+    // R145 — log-rank test (do two survival curves differ?): the
+    // hypothesis test q93's Kaplan-Meier and q103's Nelson-Aalen both
+    // beg for. Arms = retail segments (AUTOMOBILE/BUILDING) vs the
+    // rest, observations = q93's censored inter-order gaps. The
+    // statistic needs n₁(t) at EVERY death time — including times where
+    // arm 1 has no cell — so the (dur × arm) grid is completed first
+    // (distinct-durations × 2, bounded by the latency domain, never the
+    // order count) and risk sets are reverse-cumulative sums per arm
+    // over that CELL grid. Each E₁(t)=n₁d/n and V(t)=d(n₁/n)(n₂/n)(n−d)
+    // /(n−1) term is micro-quantized ONCE to a 1e6 BIGINT (tx19
+    // discipline) so the sums are order-invariant and exact; O₁ is an
+    // exact count; the chi-square is ONE double from the three exact
+    // totals.
+    Q(
+      "q106_logrank",
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mend FROM orders),
+        |seq AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+        |    lead(CAST(o_orderdate AS DATE)) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nxt
+        |  FROM orders),
+        |obs AS (
+        |  SELECT CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+        |              THEN 1 ELSE 0 END AS arm,
+        |    CASE WHEN nxt IS NULL THEN date_diff('day', od, mend)
+        |         ELSE date_diff('day', od, nxt) END AS dur,
+        |    CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS ev
+        |  FROM seq JOIN customer ON ck = c_custkey, mx),
+        |cell AS (SELECT arm, dur, CAST(sum(ev) AS BIGINT) AS d,
+        |           count(*) AS call FROM obs GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.dur, a.arm, coalesce(c.d, 0) AS d, coalesce(c.call, 0) AS call
+        |  FROM (SELECT DISTINCT dur FROM cell) g
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS arm) a
+        |  LEFT JOIN cell c ON c.dur = g.dur AND c.arm = a.arm),
+        |risk AS (
+        |  SELECT dur, arm, d,
+        |    CAST(sum(call) OVER (PARTITION BY arm ORDER BY dur DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        |  FROM grid),
+        |t AS (
+        |  SELECT a1.dur, a1.d AS d1, a1.n AS n1,
+        |    a1.d + a0.d AS d, a1.n + a0.n AS n
+        |  FROM risk a1 JOIN risk a0 ON a1.dur = a0.dur
+        |  WHERE a1.arm = 1 AND a0.arm = 0 AND a1.d + a0.d > 0 AND a1.n + a0.n > 1),
+        |terms AS (
+        |  SELECT d1,
+        |    CAST(round(1000000 * CAST(n1 AS DOUBLE) * d / n) AS BIGINT) AS e_e6,
+        |    CAST(round(1000000 * ((CAST(d AS DOUBLE) * n1 / n) * ((n - n1)::DOUBLE / n)
+        |      * ((n - d)::DOUBLE / (n - 1)))) AS BIGINT) AS v_e6
+        |  FROM t)
+        |SELECT CAST(sum(d1) AS BIGINT) AS o1,
+        |  CAST(sum(e_e6) AS BIGINT) AS e1_e6, CAST(sum(v_e6) AS BIGINT) AS v_e6,
+        |  CAST(sum(d1) * 1000000 - sum(e_e6) AS DOUBLE)
+        |    * CAST(sum(d1) * 1000000 - sum(e_e6) AS DOUBLE)
+        |    / (CAST(1000000 AS DOUBLE) * sum(v_e6)) AS chi2
+        |FROM terms""".stripMargin
+    ) { (s, d) =>
+      val orders = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"))
+      val mend = orders.agg(max("od").as("mend"))
+      val wSeq = Window.partitionBy("ck").orderBy(col("od"), col("o_orderkey"))
+      val obs = orders
+        .withColumn("nxt", lead("od", 1).over(wSeq))
+        .crossJoin(broadcast(mend))
+        .join(Tables.customer(s, d), col("ck") === col("c_custkey"))
+        .select(
+          when(col("c_mktsegment").isin("AUTOMOBILE", "BUILDING"), 1L)
+            .otherwise(0L).as("arm"),
+          when(col("nxt").isNull, datediff(col("mend"), col("od")))
+            .otherwise(datediff(col("nxt"), col("od"))).cast("long").as("dur"),
+          when(col("nxt").isNull, 0L).otherwise(1L).as("ev"))
+      val cell = obs.groupBy("arm", "dur")
+        .agg(sum("ev").as("d"), count(lit(1)).as("call"))
+        .localCheckpoint(true) // grid spine + both completed arms read it
+      val grid = cell.select("dur").distinct()
+        .crossJoin(s.range(0, 2).select(col("id").as("arm")))
+        .join(cell, Seq("dur", "arm"), "left")
+        .select(col("dur"), col("arm"),
+          coalesce(col("d"), lit(0L)).as("d"),
+          coalesce(col("call"), lit(0L)).as("call"))
+      val wRisk = Window.partitionBy("arm").orderBy(col("dur").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = grid.withColumn("n", sum("call").over(wRisk))
+      val a1 = risk.filter(col("arm") === 1)
+        .select(col("dur"), col("d").as("d1"), col("n").as("n1"))
+      val a0 = risk.filter(col("arm") === 0)
+        .select(col("dur"), col("d").as("d0"), col("n").as("n0"))
+      val t = a1.join(a0, "dur")
+        .select(col("d1"), col("n1"),
+          (col("d1") + col("d0")).as("d"), (col("n1") + col("n0")).as("n"))
+        .filter(col("d") > 0 && col("n") > 1)
+      val terms = t.select(col("d1"),
+        round(lit(1000000) * col("n1").cast("double") * col("d") / col("n"))
+          .cast("long").as("e_e6"),
+        round(lit(1000000) * ((col("d").cast("double") * col("n1") / col("n"))
+          * ((col("n") - col("n1")).cast("double") / col("n"))
+          * ((col("n") - col("d")).cast("double") / (col("n") - 1))))
+          .cast("long").as("v_e6"))
+      terms.agg(sum("d1").as("o1"), sum("e_e6").as("e1_e6"), sum("v_e6").as("v_e6"))
+        .select(col("o1"), col("e1_e6"), col("v_e6"),
+          ((col("o1") * 1000000 - col("e1_e6")).cast("double")
+            * (col("o1") * 1000000 - col("e1_e6")).cast("double")
+            / (lit(1000000).cast("double") * col("v_e6"))).as("chi2"))
     }
   )
 }

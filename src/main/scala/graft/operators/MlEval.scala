@@ -575,5 +575,137 @@ object MlEval {
         ((dec(col("n")) * (col("tp") + col("tn")) - col("chance")).cast("double")
           / (dec(col("n")) * col("n") - col("chance")).cast("double")).as("kappa"))
     },
+
+    // L92 — histogram split finder (the GBDT/decision-tree inner loop,
+    // XGBoost's "approximate greedy" in one SQL pass): feature binned
+    // into 32 equal-width buckets by EXACT integer arithmetic (shifted
+    // numerator is non-negative, so DIV floors identically on both
+    // engines), one aggregate to the 32-cell frame, cumulative
+    // left-child counts via a window over the CELL frame (bounded by
+    // the bin count, never the fact), and each candidate split's
+    // weighted Gini from the closed form n_L − (pos_L²+neg_L²)/n_L
+    // (+ right twin), all over n. Squares ride decimal(38,0)/HUGEINT —
+    // n² passes 2^63 at warehouse counts (ml14's discipline) — and the
+    // gini double comes from ONE identical expression tree of exact
+    // integers, micro-quantized to e6 for the artifact. The argmin is
+    // the consumer's one ORDER BY over ≤31 rows.
+    Q(
+      "ml15_best_split",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM sc),
+        |binned AS (SELECT ((cents - mn) * 32) // (mx - mn + 1) AS bin, y
+        |           FROM sc CROSS JOIN b),
+        |cells AS (SELECT bin, count(*) AS n_b,
+        |            CAST(sum(y) AS BIGINT) AS pos_b
+        |          FROM binned GROUP BY 1),
+        |cum AS (SELECT bin,
+        |          sum(n_b) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+        |          sum(pos_b) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+        |          sum(n_b) OVER () AS n, sum(pos_b) OVER () AS pos
+        |        FROM cells),
+        |cand AS (SELECT bin, nl, posl, n - nl AS nr, pos - posl AS posr, n
+        |         FROM cum WHERE nl > 0 AND n - nl > 0)
+        |SELECT CAST(bin AS BIGINT) AS split_bin, CAST(nl AS BIGINT) AS nl,
+        |  CAST(posl AS BIGINT) AS posl, CAST(nr AS BIGINT) AS nr,
+        |  CAST(posr AS BIGINT) AS posr,
+        |  CAST(round(1000000 * (
+        |    CAST(CAST(nl AS HUGEINT)*nl - CAST(posl AS HUGEINT)*posl
+        |         - CAST(nl-posl AS HUGEINT)*(nl-posl) AS DOUBLE) / nl
+        |    + CAST(CAST(nr AS HUGEINT)*nr - CAST(posr AS HUGEINT)*posr
+        |         - CAST(nr-posr AS HUGEINT)*(nr-posr) AS DOUBLE) / nr) / n)
+        |    AS BIGINT) AS gini_e6
+        |FROM cand ORDER BY split_bin""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val b = sc.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val cells = sc.crossJoin(broadcast(b))
+        .select(expr("((cents - mn) * 32) DIV (mx - mn + 1)").as("bin"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+      // the window runs over the 32-row CELL frame — bounded by the bin
+      // count at any SF, so the unpartitioned frame is the right plan
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy()
+      val cum = cells.select(col("bin"),
+        sum("n_b").over(wc).as("nl"), sum("pos_b").over(wc).as("posl"),
+        sum("n_b").over(wt).as("n"), sum("pos_b").over(wt).as("pos"))
+      val cand = cum
+        .select(col("bin"), col("nl"), col("posl"),
+          (col("n") - col("nl")).as("nr"), (col("pos") - col("posl")).as("posr"),
+          col("n"))
+        .filter(col("nl") > 0 && col("nr") > 0)
+      cand.select(col("bin").as("split_bin"), col("nl"), col("posl"),
+          col("nr"), col("posr"),
+          round(lit(1000000) * (
+            (dec(col("nl")) * col("nl") - dec(col("posl")) * col("posl")
+              - dec(col("nl") - col("posl")) * (col("nl") - col("posl")))
+              .cast("double") / col("nl")
+            + (dec(col("nr")) * col("nr") - dec(col("posr")) * col("posr")
+              - dec(col("nr") - col("posr")) * (col("nr") - col("posr")))
+              .cast("double") / col("nr")) / col("n"))
+            .cast("long").as("gini_e6"))
+        .orderBy("split_bin")
+    },
+
+    // L93 — multinomial naive-Bayes training (count-based, the one ML
+    // trainer that IS a SQL aggregate): class = document language,
+    // features = tx1's token alphabet. One (lang, token) aggregate over
+    // the corpus (the corpus is touched once; every later frame is
+    // vocabulary-sized), Laplace-smoothed log-likelihoods ln((ct+1)/
+    // (T_lang+V)) micro-quantized ONCE to e6, class priors as exact
+    // permille. Top-15 tokens per class under a total order keep the
+    // output stable; the window partitions by lang over
+    // vocabulary-sized partitions.
+    Q(
+      "ml16_naive_bayes",
+      """WITH tok AS (
+        |  SELECT lang, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |ct AS (SELECT lang, token, count(*) AS ct FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(sum(ct) AS BIGINT) AS t FROM ct GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM ct),
+        |pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+        |ptot AS (SELECT CAST(sum(nd) AS BIGINT) AS ndall FROM pri),
+        |scored AS (
+        |  SELECT ct.lang, ct.token, CAST(ct.ct AS BIGINT) AS ct,
+        |    CAST(round(1000000 * ln(CAST(ct.ct + 1 AS DOUBLE) / (t + v)))
+        |      AS BIGINT) AS logp_e6,
+        |    row_number() OVER (PARTITION BY ct.lang
+        |      ORDER BY ct.ct DESC, ct.token) AS rnk
+        |  FROM ct JOIN tot ON ct.lang = tot.lang CROSS JOIN v)
+        |SELECT s.lang, s.token, s.ct, s.logp_e6, CAST(s.rnk AS BIGINT) AS rnk,
+        |  (pri.nd * 1000) // ptot.ndall AS prior_permille
+        |FROM scored s JOIN pri ON s.lang = pri.lang CROSS JOIN ptot
+        |WHERE s.rnk <= 15 ORDER BY s.lang, s.rnk""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("lang"),
+        explode(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).as("token"))
+      val ct = tok.groupBy("lang", "token").agg(count(lit(1)).as("ct"))
+        .localCheckpoint(true) // totals, vocab, and the scored frame all read it
+      val tot = ct.groupBy("lang").agg(sum("ct").as("t"))
+      val v = ct.agg(countDistinct("token").as("v"))
+      val pri = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
+      val ptot = pri.agg(sum("nd").as("ndall"))
+      val scored = ct
+        .join(tot, "lang").crossJoin(broadcast(v))
+        .select(col("lang"), col("token"), col("ct"),
+          round(lit(1000000) * log((col("ct") + 1).cast("double")
+            / (col("t") + col("v")))).cast("long").as("logp_e6"),
+          row_number().over(Window.partitionBy("lang")
+            .orderBy(col("ct").desc, col("token"))).cast("long").as("rnk"))
+      scored.filter(col("rnk") <= 15)
+        .join(pri, "lang").crossJoin(broadcast(ptot))
+        .select(col("lang"), col("token"), col("ct"), col("logp_e6"), col("rnk"),
+          expr("(nd * 1000) DIV ndall").as("prior_permille"))
+        .orderBy("lang", "rnk")
+    },
   )
 }
