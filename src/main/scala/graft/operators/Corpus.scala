@@ -1341,7 +1341,52 @@ object Corpus {
         .select(col("s1"), col("s2"), col("n_terms"), col("jsd_e6"),
           (col("jsd_e6").cast("double") / 1000000).as("jsd_bits"))
         .orderBy("s1", "s2")
-    }
+    },
+
+    // L94 — BLEU-2 over lag-paired documents (see bleuLagPairs).
+    Q(
+      "tx41_bleu",
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks, len(toks) AS ln,
+        |    CASE WHEN len(toks) < 2 THEN []
+        |         ELSE list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1])
+        |    END AS bgs
+        |  FROM tk),
+        |u1 AS (SELECT doc_id, unnest(toks) AS g FROM bg),
+        |c1 AS (SELECT doc_id, g, count(*) AS c FROM u1 GROUP BY 1, 2),
+        |u2 AS (SELECT doc_id, unnest(bgs) AS g FROM bg),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM u2 GROUP BY 1, 2),
+        |m1 AS (SELECT h.doc_id, CAST(sum(least(h.c, r.c)) AS BIGINT) AS m
+        |       FROM c1 h JOIN c1 r ON r.doc_id = h.doc_id + 1 AND r.g = h.g
+        |       GROUP BY 1),
+        |m2 AS (SELECT h.doc_id, CAST(sum(least(h.c, r.c)) AS BIGINT) AS m
+        |       FROM c2 h JOIN c2 r ON r.doc_id = h.doc_id + 1 AND r.g = h.g
+        |       GROUP BY 1),
+        |pair AS (
+        |  SELECT h.doc_id, h.ln AS len_h, r.ln AS len_r,
+        |    coalesce(m1.m, 0) AS m1, coalesce(m2.m, 0) AS m2
+        |  FROM bg h JOIN bg r ON r.doc_id = h.doc_id + 1
+        |  LEFT JOIN m1 ON m1.doc_id = h.doc_id
+        |  LEFT JOIN m2 ON m2.doc_id = h.doc_id),
+        |q AS (
+        |  SELECT doc_id, len_h, len_r, m1, m2,
+        |    CASE WHEN len_h < 2 OR m1 = 0 OR m2 = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(round(1000000 * sqrt(
+        |        (CAST(m1 AS DOUBLE) / len_h)
+        |          * (CAST(m2 AS DOUBLE) / (len_h - 1)))) AS BIGINT) END AS gm_e6,
+        |    CASE WHEN len_h >= len_r THEN CAST(1000000 AS BIGINT)
+        |      ELSE CAST(round(1000000 * exp(CAST(1 AS DOUBLE)
+        |        - CAST(len_r AS DOUBLE) / len_h)) AS BIGINT) END AS bp_e6
+        |  FROM pair)
+        |SELECT doc_id, CAST(len_h AS BIGINT) AS len_h,
+        |  CAST(len_r AS BIGINT) AS len_r, m1, m2, gm_e6, bp_e6,
+        |  (gm_e6 * bp_e6) // 1000000 AS bleu_e6
+        |FROM q ORDER BY doc_id""".stripMargin
+    ) { (s, d) => bleuLagPairs(s, d) }
   )
 
   /** dd15's engine — blocked sorted-neighborhood candidate pairs with
@@ -1380,5 +1425,60 @@ object Corpus {
       .select(col("id_a"), col("id_b"),
         expr("(it * 1000) DIV un").as("jac_permille"))
       .filter(col("jac_permille") >= minPermille)
+  }
+
+  /** L94 — BLEU-2 between lag-paired documents (the n-gram-overlap
+    * metric every generation eval reports, run as a corpus SELF-
+    * similarity probe: doc i scored against doc i+1 — dd14's lag-pair
+    * discipline keeps it linear, never n²). Clipped modified precision
+    * per n-gram order (Σ min(count_hyp, count_ref)) is EXACT integer
+    * algebra from one (doc, gram) aggregate per order; the geometric
+    * mean √(p₁p₂) and the brevity penalty e^(1−r/c) are each
+    * micro-quantized ONCE to 1e6 BIGINTs (identical expression trees
+    * of exact integers on both engines), and the final BLEU is their
+    * pure-integer product DIV 1e6. Grams hash-shuffle by (doc, gram);
+    * the corpus is tokenized once. */
+  private[graft] def bleuLagPairs(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): DataFrame = {
+    val tk = Tables.documents(spark, dir).select(col("doc_id"),
+      expr("regexp_extract_all(text, '[a-z0-9]+', 0)").as("toks"))
+    val bg = tk.select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("ln"),
+        when(size(col("toks")) < 2, expr("CAST(array() AS ARRAY<STRING>)"))
+          .otherwise(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+              .stripMargin)).as("bgs"))
+      .localCheckpoint(true) // hypothesis and reference sides both read it
+    def clipped(col_grams: String): DataFrame = {
+      val c = bg.select(col("doc_id"), explode(col(col_grams)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      c.join(c.select((col("doc_id") - 1).as("doc_id"), col("g"),
+          col("c").as("cr")), Seq("doc_id", "g"))
+        .groupBy("doc_id").agg(sum(least(col("c"), col("cr"))).as("m"))
+    }
+    val m1 = clipped("toks").withColumnRenamed("m", "m1")
+    val m2 = clipped("bgs").withColumnRenamed("m", "m2")
+    val pair = bg.select(col("doc_id"), col("ln").as("len_h"))
+      .join(bg.select((col("doc_id") - 1).as("doc_id"), col("ln").as("len_r")),
+        "doc_id")
+      .join(m1, Seq("doc_id"), "left").join(m2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("len_h"), col("len_r"),
+        coalesce(col("m1"), lit(0L)).as("m1"),
+        coalesce(col("m2"), lit(0L)).as("m2"))
+    pair
+      .withColumn("gm_e6",
+        when(col("len_h") < 2 || col("m1") === 0 || col("m2") === 0, lit(0L))
+          .otherwise(round(lit(1000000) * sqrt(
+            (col("m1").cast("double") / col("len_h"))
+              * (col("m2").cast("double") / (col("len_h") - 1)))).cast("long")))
+      .withColumn("bp_e6",
+        when(col("len_h") >= col("len_r"), lit(1000000L))
+          .otherwise(round(lit(1000000) * exp(lit(1).cast("double")
+            - col("len_r").cast("double") / col("len_h"))).cast("long")))
+      .select(col("doc_id"), col("len_h"), col("len_r"), col("m1"), col("m2"),
+        col("gm_e6"), col("bp_e6"),
+        expr("(gm_e6 * bp_e6) DIV 1000000").as("bleu_e6"))
+      .orderBy("doc_id")
   }
 }

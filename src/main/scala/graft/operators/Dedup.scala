@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import graft.plans.Lineage
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -231,15 +232,19 @@ object Dedup {
     * component = min node id in the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // localCheckpoint (not persist): each round must TRUNCATE lineage, or
-    // the logical plan nests one join deeper per iteration and plan
-    // stringification/optimization blows up long before the data does.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    // Lineage.truncate (not plain localCheckpoint): each round must
+    // TRUNCATE lineage, or the logical plan nests one join deeper per
+    // iteration and plan stringification/optimization blows up long
+    // before the data does — AND it must reset the carried size
+    // estimates, or those COMPOUND across rounds until stats
+    // estimation multiplies million-digit BigInts on the driver
+    // (see graft.plans.Lineage).
+    val edges = Lineage.truncate(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = Lineage.truncate(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -253,13 +258,12 @@ object Dedup {
             .as("component"))
       // pointer jump: component <- component's component (labels are
       // monotonically non-increasing, so the parent lookup only shrinks)
-      val next = stepped
+      val next = Lineage.truncate(stepped
         .join(stepped.select(col("id").as("component"), col("component").as("parent")),
           Seq("component"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("parent"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
+            .as("component")))
       val changed = next
         .join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") < col("old")).count()

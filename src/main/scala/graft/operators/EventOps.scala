@@ -1559,6 +1559,135 @@ object EventOps {
         .select(col("mon"), col("ndays"), col("sdau"), col("mau"),
           expr("(sdau * 1000) DIV (ndays * mau)").as("stickiness_permille"))
         .orderBy("mon")
+    },
+
+    // T60 — EWMA control chart (the classic SPC smoother beside T26's
+    // CUSUM): per event type, the hourly count series smoothed by
+    // α = 1/5 in PURE INTEGER algebra — state rides 1e6-scaled BIGINTs,
+    // each step s' = (4s + 1e6·x) DIV 5 floors identically on both
+    // engines (everything non-negative), so the whole trajectory is
+    // EXACT, no float recurrence to drift. The per-row state comes from
+    // folding the window-prefix count list (q93's fold recipe; frames
+    // are calendar-bounded per type, never event-sized). Residual =
+    // 1e6·x − s_prev via lag on the computed state; the 3σ outlier flag
+    // is the exact integer cross-multiply (n·r − S)² > 9·(n·SS − S²)
+    // with squares in decimal(38,0)/HUGEINT — no variance division
+    // anywhere.
+    Q(
+      "ev52_ewma",
+      """WITH hc AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, hr, c,
+        |        list_reduce(
+        |          list_prepend(CAST(-1 AS BIGINT),
+        |            list(c) OVER (PARTITION BY event_type ORDER BY hr
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |          (acc, x) -> CASE WHEN acc < 0 THEN 1000000 * x
+        |                           ELSE (4 * acc + 1000000 * x) // 5 END)
+        |          AS ewma_e6
+        |      FROM hc),
+        |r AS (SELECT event_type, hr, c, ewma_e6,
+        |        coalesce(1000000 * c
+        |          - lag(ewma_e6) OVER (PARTITION BY event_type ORDER BY hr),
+        |          0) AS resid_e6
+        |      FROM f),
+        |st AS (SELECT event_type, count(*) AS n,
+        |         CAST(sum(resid_e6) AS HUGEINT) AS sr,
+        |         sum(CAST(resid_e6 AS HUGEINT) * resid_e6) AS ss
+        |       FROM r GROUP BY 1)
+        |SELECT r.event_type, r.hr, r.c, r.ewma_e6, r.resid_e6,
+        |  CASE WHEN (n * CAST(resid_e6 AS HUGEINT) - sr)
+        |              * (n * CAST(resid_e6 AS HUGEINT) - sr)
+        |            > 9 * (n * ss - sr * sr) THEN 1 ELSE 0 END AS outlier
+        |FROM r JOIN st ON r.event_type = st.event_type
+        |ORDER BY r.event_type, r.hr""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val ordered = Window.partitionBy("event_type").orderBy("hr")
+      val f = hc.withColumn("cs", collect_list("c").over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ewma_e6", expr(
+          """aggregate(cs, CAST(-1 AS BIGINT),
+            |  (acc, x) -> CASE WHEN acc < 0 THEN 1000000 * x
+            |                   ELSE (4 * acc + 1000000 * x) DIV 5 END)"""
+            .stripMargin))
+        .drop("cs")
+      val r = f.withColumn("resid_e6",
+          coalesce(lit(1000000) * col("c") - lag("ewma_e6", 1).over(ordered),
+            lit(0L)))
+        .localCheckpoint(true) // the stats aggregate and the flag both read it
+      val st = r.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec(col("resid_e6"))).as("sr"),
+          sum(dec(col("resid_e6")) * col("resid_e6")).as("ss"))
+      r.join(st, "event_type")
+        .select(col("event_type"), col("hr"), col("c"), col("ewma_e6"),
+          col("resid_e6"),
+          when((dec(col("n")) * col("resid_e6") - col("sr"))
+              * (dec(col("n")) * col("resid_e6") - col("sr"))
+              > lit(9) * (dec(col("n")) * col("ss") - col("sr") * col("sr")), 1L)
+            .otherwise(0L).as("outlier"))
+        .orderBy("event_type", "hr")
+    },
+
+    // T61 — Markov steady-state by fixed-round power iteration: ev12's
+    // transition matrix asked "where next"; this asks "where does the
+    // process SPEND ITS TIME". The row-stochastic matrix is quantized
+    // ONCE to exact 1e6-unit permicro entries ((cnt·1e6) DIV rowtotal),
+    // the uniform start vector likewise, and each of the 8 rounds is
+    // one exact integer mat-vec (Σ vᵢ·pᵢⱼ) DIV 1e6 — gr2 PageRank's
+    // unrolled-oracle recipe on the TYPE-VOCABULARY-sized matrix (the
+    // fact is touched once to count transitions; every round is
+    // |types|²). The oracle unrolls the identical 8 rounds as generated
+    // CTEs.
+    Q(
+      "ev53_markov_steady", {
+        val rounds = (1 to 8).map { i =>
+          s"""r$i AS (SELECT m.next AS state,
+             |  CAST(sum(r${i - 1}.v_e6 * m.p_e6) // 1000000 AS BIGINT) AS v_e6
+             |  FROM r${i - 1} JOIN m ON r${i - 1}.state = m.prev GROUP BY 1)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH seq AS (
+           |  SELECT event_type AS prev,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |      AS next
+           |  FROM events),
+           |t AS (SELECT prev, next, count(*) AS cnt FROM seq
+           |      WHERE next IS NOT NULL GROUP BY 1, 2),
+           |m AS (SELECT prev, next,
+           |        (cnt * 1000000) // sum(cnt) OVER (PARTITION BY prev) AS p_e6
+           |      FROM t),
+           |k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+           |r0 AS (SELECT event_type AS state,
+           |         CAST(1000000 // k AS BIGINT) AS v_e6
+           |       FROM (SELECT DISTINCT event_type FROM events), k),
+           |$rounds
+           |SELECT state, v_e6 FROM r8 ORDER BY state""".stripMargin
+      }
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val t = ev.select(col("event_type").as("prev"),
+          lead(col("event_type"), 1).over(byUser).as("next"))
+        .filter(col("next").isNotNull)
+        .groupBy("prev", "next").agg(count(lit(1)).as("cnt"))
+      val m = t.select(col("prev"), col("next"),
+          expr("(cnt * 1000000) DIV sum(cnt) OVER (PARTITION BY prev)").as("p_e6"))
+        .localCheckpoint(true) // read by all 8 rounds
+      val k = ev.agg(countDistinct("event_type").as("k"))
+      var v = ev.select("event_type").distinct()
+        .crossJoin(broadcast(k))
+        .select(col("event_type").as("state"), expr("1000000 DIV k").as("v_e6"))
+      for (_ <- 1 to 8) {
+        v = m.join(v, m("prev") === v("state"))
+          .groupBy(m("next").as("state"))
+          .agg(expr("CAST(sum(v_e6 * p_e6) DIV 1000000 AS BIGINT)").as("v_e6"))
+      }
+      v.orderBy("state")
     }
   )
 

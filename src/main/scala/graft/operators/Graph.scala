@@ -1652,6 +1652,30 @@ object Graph {
           expr("(common * 1000) DIV (da + db - common)").as("jac_permille"))
       sc.join(e, sc("a") === e("u") && sc("b") === e("v"), "left_anti")
         .orderBy(desc("jac_permille"), col("a"), col("b")).limit(30)
+    },
+
+    // R147 — Borůvka minimum spanning forest over the doc graph (see
+    // mstBoruvka). Weights are md5-derived 60-bit positive BIGINTs —
+    // distinct with overwhelming probability, so the forest is UNIQUE
+    // and the stability hash pins the exact edge set; the struct total
+    // order (w, u, v) settles any residual tie deterministically.
+    // Rows-only: the per-round argmin + contraction fixpoint has no
+    // bounded SQL unroll (data-dependent round count); MstSpec pins the
+    // algorithm against an in-test Kruskal on known graphs.
+    Q.rowsOnly("gr26_mst", "fixpoint") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .withColumn("w", expr(
+          """CAST(conv(substr(md5(concat(CAST(u AS STRING), ':',
+            |  CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)""".stripMargin))
+      mstBoruvka(e).orderBy("u", "v")
     }
   )
 
@@ -1890,5 +1914,59 @@ object Graph {
       levels += cur
     }
     levels.reduce(_ unionByName _)
+  }
+
+  /** R147 — Borůvka minimum spanning forest: THE distributed MST
+    * algorithm (GHS lineage) — every component picks its cheapest
+    * outgoing edge simultaneously, chosen edges contract, and the
+    * component count at least halves per round, so ≤ log₂(n) rounds
+    * regardless of graph size. Each round is two label joins + one
+    * min(struct) aggregate (map-side combinable; the struct's (w,u,v)
+    * field order IS the deterministic total order, so distinct weights
+    * make the forest unique); contraction reuses dd5's pointer-jumping
+    * CC on the CHOSEN-EDGE frame (component-count-sized, never the
+    * edge count). The driver loop iterates rounds, never rows;
+    * localCheckpoint truncates lineage per round (BFS/CC discipline).
+    *
+    * Input: (`u`, `v`, `w`) undirected weighted edges; output: the
+    * forest's (`u`, `v`, `w`) rows.
+    */
+  def mstBoruvka(edgesIn: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val edges = graft.plans.Lineage.truncate(
+      edgesIn.select(col("u"), col("v"), col("w")))
+    var labels = graft.plans.Lineage.truncate(
+      edges.select(col("u").as("id"))
+        .unionByName(edges.select(col("v").as("id")))
+        .distinct().withColumn("comp", col("id")))
+    var mst = graft.plans.Lineage.truncate(edges.filter(lit(false)))
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val ce = edges
+        .join(labels.select(col("id").as("u"), col("comp").as("cu")), "u")
+        .join(labels.select(col("id").as("v"), col("comp").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      def half(c: String) = ce.select(col(c).as("comp"),
+        struct(col("w"), col("u"), col("v"), col("cu"), col("cv")).as("e"))
+      val chosen = graft.plans.Lineage.truncate(
+        half("cu").unionByName(half("cv"))
+          .groupBy("comp").agg(min("e").as("e"))
+          .select(col("e.w").as("w"), col("e.u").as("u"), col("e.v").as("v"),
+            col("e.cu").as("cu"), col("e.cv").as("cv"))
+          .distinct()) // one edge can be the min for both of its components
+      if (chosen.isEmpty) done = true
+      else {
+        mst = graft.plans.Lineage.truncate(
+          mst.unionByName(chosen.select("u", "v", "w")))
+        val mapping = Dedup.connectedComponents(
+            chosen.select(col("cu").as("id_a"), col("cv").as("id_b")))
+          .select(col("id").as("comp"), col("component").as("newcomp"))
+        labels = graft.plans.Lineage.truncate(
+          labels.join(mapping, Seq("comp"), "left")
+            .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp")))
+      }
+      round += 1
+    }
+    mst
   }
 }
