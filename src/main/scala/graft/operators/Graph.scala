@@ -24,10 +24,10 @@ object Graph {
     // NULL) and re-enter forever — drop them up front
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var frontier = seeds.select(col("node")).filter(col("node").isNotNull)
-      .distinct().withColumn("dist", lit(0L)).localCheckpoint(true)
+      .distinct().withColumn("dist", lit(0L)).transform(graft.plans.Lineage.truncate)
     levels += frontier
     // seen-set as a plain union of the (few, checkpointed) levels: plan
     // depth stays O(hops) and each node is stored exactly once — no
@@ -41,7 +41,7 @@ object Graph {
         .join(seen.select(col("node").as("seenNode")),
           col("node") === col("seenNode"), "left_anti")
         .withColumn("dist", lit(hop.toLong))
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
       levels += next
       frontier = next
     }
@@ -49,7 +49,7 @@ object Graph {
     // (their blocks live at the RDD layer, not the CacheManager); the
     // level/edge blocks are reclaimed by the ContextCleaner once these
     // local references drop out of scope.
-    levels.reduce(_ union _).localCheckpoint(true)
+    levels.reduce(_ union _).transform(graft.plans.Lineage.truncate)
   }
 
   /** PageRank in FIXED-POINT integer arithmetic: ranks are longs in
@@ -71,15 +71,15 @@ object Graph {
     val Scale = 1000000000000L
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph (no non-null edges)")
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(Scale / n)).localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
+    var ranks = nodes.withColumn("r", lit(Scale / n)).transform(graft.plans.Lineage.truncate)
     (1 to nIter).foreach { _ =>
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       val dangling = withDeg.filter(col("deg").isNull)
@@ -98,7 +98,7 @@ object Graph {
         .select(col("node"),
           expr(s"${base}L + ($dampingPpm" + "L * (coalesce(inflow, 0L) + " +
             s"${danglingShare}L)) DIV 1000000L").as("r"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
     }
     ranks.withColumnRenamed("r", "rank_e12")
   }
@@ -126,22 +126,22 @@ object Graph {
     val Scale = 1000000000000L
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     val sd = seeds.select(col("node")).distinct()
       .join(nodes, Seq("node")) // seeds constrained to graph nodes
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     val nSeeds = sd.count()
     require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
     val isSeed = sd.withColumn("seed", lit(true))
     val outDeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     // all teleport mass starts (and stays anchored) at the seeds
     var ranks = nodes.join(broadcast(isSeed), Seq("node"), "left")
       .withColumn("r", when(col("seed"), lit(Scale / nSeeds)).otherwise(lit(0L)))
-      .select("node", "r").localCheckpoint(true)
+      .select("node", "r").transform(graft.plans.Lineage.truncate)
     (1 to nIter).foreach { _ =>
       val withDeg = ranks.join(outDeg, Seq("node"), "left")
       val dangling = withDeg.filter(col("deg").isNull)
@@ -166,7 +166,7 @@ object Graph {
             .otherwise(
               expr(s"($dampingPpm" + "L * coalesce(inflow, 0L)) DIV 1000000L"))
             .as("r"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
     }
     ranks.withColumnRenamed("r", "rank_e12")
   }
@@ -188,10 +188,10 @@ object Graph {
     val Scale = 1000000000L
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     require(!nodes.isEmpty, "hits: empty graph (no non-null edges)")
     // raw Σ then max-normalize: raw ≤ Scale·maxDegree fits a long; the
     // Scale·raw product goes through decimal(38,0) before the DIV
@@ -203,15 +203,15 @@ object Graph {
           expr(s"CAST(coalesce($scoreCol, 0L) AS DECIMAL(38,0)) * ${Scale}L" +
             " DIV CAST(mx AS DECIMAL(38,0))").cast("long").as(scoreCol))
     }
-    var hub = nodes.withColumn("hub", lit(Scale)).localCheckpoint(true)
+    var hub = nodes.withColumn("hub", lit(Scale)).transform(graft.plans.Lineage.truncate)
     var auth = hub.select(col("node"), col("hub").as("auth"))
     (1 to nIter).foreach { _ =>
       val authRaw = e.join(hub.select(col("node").as("src"), col("hub")), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum("hub").as("auth"))
-      auth = normalized(authRaw, "auth").localCheckpoint(true)
+      auth = normalized(authRaw, "auth").transform(graft.plans.Lineage.truncate)
       val hubRaw = e.join(auth.select(col("node").as("dst"), col("auth")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum("auth").as("hub"))
-      hub = normalized(hubRaw, "hub").localCheckpoint(true)
+      hub = normalized(hubRaw, "hub").transform(graft.plans.Lineage.truncate)
     }
     auth.join(hub, Seq("node"))
       .select(col("node"), col("auth").as("auth_e9"), col("hub").as("hub_e9"))
@@ -232,17 +232,17 @@ object Graph {
     val e = edges.select(col("src"), col("dst"), col("w"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .groupBy("src", "dst").agg(min("w").as("w")) // parallel edges: keep cheapest
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("d"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     (1 to rounds).foreach { _ =>
       val relaxed = e
         .join(dist.select(col("node").as("src"), col("d")), Seq("src"))
         .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min("d").as("d"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
     }
     dist
   }
@@ -268,9 +268,9 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     val adj = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     val nodes = adj.select(col("src").as("node")).distinct()
-    var labels = nodes.withColumn("lbl", col("node")).localCheckpoint(true)
+    var labels = nodes.withColumn("lbl", col("node")).transform(graft.plans.Lineage.truncate)
     for (_ <- 0 until nIter) {
       val neighborVotes = adj
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -281,7 +281,7 @@ object Graph {
         .groupBy("node")
         .agg(min(struct((-col("cnt")).as("neg"), col("lbl"))).as("best"))
         .select(col("node"), col("best.lbl").as("lbl"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
     }
     labels
   }
@@ -303,7 +303,7 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     var n = e.count()
     var it = 0
     var result: DataFrame = null
@@ -325,7 +325,7 @@ object Graph {
         .agg(count(lit(1)).as("support"))
       val kept = e.join(support, Seq("u", "v"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
       val n2 = kept.select("u", "v").count()
       if (n2 == n) result = kept.select(col("u"), col("v"),
         coalesce(col("support"), lit(0L)).as("support"))
@@ -354,11 +354,11 @@ object Graph {
     val und = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     val e = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     var frontier = sources.select(col("node")).filter(col("node").isNotNull)
       .distinct()
       .select(col("node").as("s"), col("node").as("v"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     var seen = frontier
     val terms = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var depth = 0
@@ -368,9 +368,9 @@ object Graph {
         .join(frontier.select(col("s"), col("v").as("src")), Seq("src"))
         .select(col("s"), col("dst").as("v")).distinct()
         .join(seen, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
       terms += next.select(col("v"), lit(1000000000L / depth).as("h"))
-      seen = seen.unionByName(next).localCheckpoint(true)
+      seen = seen.unionByName(next).transform(graft.plans.Lineage.truncate)
       frontier = next
     }
     // truncate=true is the HOP-BOUNDED variant (contributions only from
@@ -421,14 +421,14 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
     val adj = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("ki"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     // 2m = Σ deg — every undirected edge counted in both directions
     val m2 = deg.agg(sum("ki")).head.getLong(0)
     var labels = initial.select(col("node"), col("c"))
       .join(deg.select("node"), Seq("node"), "left_semi") // graph nodes only
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     for (r <- 1 to rounds) {
       val sigma = labels.join(deg, Seq("node"))
         .groupBy("c").agg(sum("ki").as("sigma"))
@@ -456,7 +456,7 @@ object Graph {
       labels = best.select(col("node"),
           when((col("node") + r) % 2 === 0 && col("best.neg") * -1 > col("gstay"),
             col("best.c")).otherwise(col("ci")).as("c"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
     }
     labels
   }
@@ -487,7 +487,7 @@ object Graph {
     // both directions, so degree is one groupBy on the source column
     var sym = canon.select(col("u").as("a"), col("v").as("b"))
       .unionByName(canon.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     var nEdges = sym.count()
     var it = 0
     var converged = nEdges == 0
@@ -498,7 +498,7 @@ object Graph {
         .join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select("a", "b")
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
       val n2 = pruned.count()
       converged = n2 == nEdges
       nEdges = n2
@@ -543,9 +543,9 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull)
     // self-loops never change strong connectivity — drop them, but keep
     // their endpoints in the node universe (they may be otherwise isolated)
-    var rem = e0.filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    var rem = e0.filter(col("src") =!= col("dst")).distinct().transform(graft.plans.Lineage.truncate)
     var nodes = e0.select(col("src").as("node"))
-      .union(e0.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+      .union(e0.select(col("dst").as("node"))).distinct().transform(graft.plans.Lineage.truncate)
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     while (nodes.limit(1).count() > 0) {
@@ -555,9 +555,9 @@ object Graph {
           "SCC-chain depth; raise maxOuter rather than accept a partial labeling")
       // 1. singleton exits: nodes no remaining edge touches
       val touched = rem.select(col("src").as("node"))
-        .union(rem.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+        .union(rem.select(col("dst").as("node"))).distinct().transform(graft.plans.Lineage.truncate)
       val isolated = nodes.join(touched, Seq("node"), "left_anti")
-        .select(col("node"), col("node").as("scc_id")).localCheckpoint(true)
+        .select(col("node"), col("node").as("scc_id")).transform(graft.plans.Lineage.truncate)
       done += isolated
       nodes = touched
       if (nodes.limit(1).count() > 0) {
@@ -565,7 +565,7 @@ object Graph {
         // `joined` is the one checkpoint per hop — `lab`/`improved` are
         // single-projection derivations of it, so lineage stays depth-1
         // without paying two extra materializations per round
-        var lab = nodes.select(col("node"), col("node").as("lab")).localCheckpoint(true)
+        var lab = nodes.select(col("node"), col("node").as("lab")).transform(graft.plans.Lineage.truncate)
         var improved = lab
         var inner = 0
         while (improved.limit(1).count() > 0) {
@@ -576,7 +576,7 @@ object Graph {
           val cand = rem
             .join(improved.select(col("node").as("src"), col("lab")), Seq("src"))
             .groupBy(col("dst").as("node")).agg(min(col("lab")).as("cand"))
-          val joined = lab.join(cand, Seq("node"), "left").localCheckpoint(true)
+          val joined = lab.join(cand, Seq("node"), "left").transform(graft.plans.Lineage.truncate)
           improved = joined.filter(col("cand") < col("lab"))
             .select(col("node"), col("cand").as("lab"))
           lab = joined
@@ -588,12 +588,12 @@ object Graph {
           .join(lab.select(col("node").as("dst"), col("lab").as("dlab")), Seq("dst"))
           .filter(col("slab") === col("dlab"))
           .select(col("src"), col("dst"), col("slab").as("lab"))
-          .localCheckpoint(true)
+          .transform(graft.plans.Lineage.truncate)
         // accumulate marked levels bfs-style (each level checkpointed
         // once, the union is plan-only) instead of re-materializing the
         // growing mark set every round
         val markLevels = scala.collection.mutable.ArrayBuffer(
-          lab.filter(col("node") === col("lab")).localCheckpoint(true))
+          lab.filter(col("node") === col("lab")).transform(graft.plans.Lineage.truncate))
         def mark: DataFrame = markLevels.reduce(_ union _)
         var frontier = markLevels.head
         while (frontier.limit(1).count() > 0) {
@@ -601,17 +601,17 @@ object Graph {
             .join(frontier.select(col("node").as("dst"), col("lab")), Seq("dst", "lab"))
             .select(col("src").as("node"), col("lab")).distinct()
             .join(mark, Seq("node"), "left_anti")
-            .localCheckpoint(true)
+            .transform(graft.plans.Lineage.truncate)
           markLevels += next
           frontier = next
         }
         done += mark.select(col("node"), col("lab").as("scc_id"))
         // 4. shrink to the survivors
-        nodes = nodes.join(mark, Seq("node"), "left_anti").localCheckpoint(true)
+        nodes = nodes.join(mark, Seq("node"), "left_anti").transform(graft.plans.Lineage.truncate)
         rem = rem
           .join(nodes.select(col("node").as("src")), Seq("src"), "left_semi")
           .join(nodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
-          .select(col("src"), col("dst")).localCheckpoint(true)
+          .select(col("src"), col("dst")).transform(graft.plans.Lineage.truncate)
       }
     }
     if (done.isEmpty) e0.select(col("src").as("node"), col("src").as("scc_id")).limit(0)
@@ -644,14 +644,14 @@ object Graph {
                   maxDepth: Int = 64): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().transform(graft.plans.Lineage.truncate)
     // layer 0: each source reaches itself by the one empty path
     val layers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var frontier = sources.select(col("node")).filter(col("node").isNotNull)
       .distinct()
       .select(col("node").as("s"), col("node").as("v"),
         lit(BigDecimal(1)).cast("decimal(38,0)").as("sigma"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     layers += frontier
     def seen: DataFrame = layers.reduce(_ union _).select(col("s"), col("v"))
     var depth = 0
@@ -667,7 +667,7 @@ object Graph {
             "betweenness: path-count sum overflowed decimal(38,0) — " +
               "graph too path-dense for the exact form"))).as("sigma"))
         .join(seen, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
       layers += next
       frontier = next
     }
@@ -676,7 +676,7 @@ object Graph {
     // backward accumulation, deepest layer first (its δ is 0)
     val Scale = 1000000000L
     var deltaNext = layers.last.select(col("s"), col("v"), col("sigma"))
-      .withColumn("delta", lit(0L)).localCheckpoint(true)
+      .withColumn("delta", lit(0L)).transform(graft.plans.Lineage.truncate)
     val contribs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     contribs += deltaNext.select(col("v"), col("delta"))
     ((layers.size - 2) to 0 by -1).foreach { d =>
@@ -703,7 +703,7 @@ object Graph {
         .join(terms, Seq("s", "v"), "left")
         .select(col("s"), col("v"), col("sigma"),
           coalesce(col("delta"), lit(0L)).as("delta"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
       if (d >= 1) contribs += deltaNext.select(col("v"), col("delta"))
     }
     contribs.reduce(_ union _)
@@ -835,7 +835,7 @@ object Graph {
       val e = raw.filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true) // three self-join consumers — dedup once
+        .transform(graft.plans.Lineage.truncate) // three self-join consumers — dedup once
       val wedges = e.select(col("u"), col("v"))
         .join(e.select(col("u").as("v"), col("v").as("w")), "v")
       wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
@@ -991,7 +991,7 @@ object Graph {
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true) // adjacency (twice) + anti-join consume it
+        .transform(graft.plans.Lineage.truncate) // adjacency (twice) + anti-join consume it
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
       val cn = adj.select(col("node").as("a"), col("nbr"))
@@ -1043,7 +1043,7 @@ object Graph {
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.truncate)
       val sym = e.select(col("u").as("node"), col("v").as("nbr"))
         .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
       val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1104,7 +1104,7 @@ object Graph {
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true) // triangle joins + degree agg consume it
+        .transform(graft.plans.Lineage.truncate) // triangle joins + degree agg consume it
       val wedges = e.select(col("u"), col("v"))
         .join(e.select(col("u").as("v"), col("v").as("w")), "v")
       val tri = wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
@@ -1151,7 +1151,7 @@ object Graph {
         ((col("doc_id") * mult + add) % n).as("b"))
       val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
         .filter(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true) // both counts + the reversed join consume it
+        .transform(graft.plans.Lineage.truncate) // both counts + the reversed join consume it
       val mutual = e.join(
         e.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"), "left_semi")
       e.agg(count(lit(1)).as("n_edges"))
@@ -1301,7 +1301,7 @@ object Graph {
       val e = es(7, 13).unionByName(es(3, 5))
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
-        .distinct().localCheckpoint(true) // three aggregate consumers
+        .distinct().transform(graft.plans.Lineage.truncate) // three aggregate consumers
       val m = e.count()
       val ec = e.filter(col("u") % 10 === col("v") % 10)
         .groupBy((col("u") % 10).as("c")).agg(count(lit(1)).as("e_in"))
@@ -1466,7 +1466,7 @@ object Graph {
         |GROUP BY 1, 2, 3
         |ORDER BY cnt DESC, center, context, dist LIMIT 50""".stripMargin
     ) { (s, d) =>
-      val w = deterministicWalks(s, d).localCheckpoint(true)
+      val w = deterministicWalks(s, d).transform(graft.plans.Lineage.truncate)
       val a = w.select(col("seed"), col("step").as("sa"), col("node").as("center"))
       val b = w.select(col("seed"), col("step").as("sb"), col("node").as("context"))
       a.join(b, Seq("seed"))
@@ -1509,10 +1509,10 @@ object Graph {
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       val e = docs.select(col("doc_id").as("src"),
-        ((col("doc_id") * 7 + 13) % n).as("dst")).localCheckpoint(true)
+        ((col("doc_id") * 7 + 13) % n).as("dst")).transform(graft.plans.Lineage.truncate)
       var frontier = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("seed"), col("doc_id").as("node"),
-          lit(0L).as("dist")).localCheckpoint(true)
+          lit(0L).as("dist")).transform(graft.plans.Lineage.truncate)
       val levels = scala.collection.mutable.ArrayBuffer(frontier)
       def seen: DataFrame = levels.reduce(_ union _)
       var hop = 0
@@ -1524,7 +1524,7 @@ object Graph {
           .join(seen.select(col("seed"), col("node")), Seq("seed", "node"),
             "left_anti")
           .withColumn("dist", lit(hop.toLong))
-          .localCheckpoint(true)
+          .transform(graft.plans.Lineage.truncate)
         levels += frontier
       }
       seen.groupBy("seed")
@@ -1576,7 +1576,7 @@ object Graph {
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true) // adjacency (twice), degrees, anti-join
+        .transform(graft.plans.Lineage.truncate) // adjacency (twice), degrees, anti-join
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
       val deg = adj.groupBy("nbr").agg(count(lit(1)).as("dg"))
@@ -1637,7 +1637,7 @@ object Graph {
         .filter(col("a") =!= col("b"))
         .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
         .distinct()
-        .localCheckpoint(true) // adjacency (twice), degrees, anti-join
+        .transform(graft.plans.Lineage.truncate) // adjacency (twice), degrees, anti-join
       val adj = e.select(col("u").as("node"), col("v").as("nbr"))
         .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
       val deg = adj.groupBy("node").agg(count(lit(1)).as("dg"))
@@ -1897,7 +1897,7 @@ object Graph {
       col("doc_id").as("src"), lit(idx).as("idx"),
       ((col("doc_id") * mult + add) % n).as("dst"))
     val e = es(7, 13, 1).unionByName(es(31, 5, 2)).unionByName(es(101, 2, 3))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.truncate)
     var cur = docs.filter(col("doc_id") < 50)
       .select(col("doc_id").as("seed"), lit(0L).as("step"),
         col("doc_id").as("node"))
