@@ -1688,6 +1688,49 @@ object EventOps {
           .agg(expr("CAST(sum(v_e6 * p_e6) DIV 1000000 AS BIGINT)").as("v_e6"))
       }
       v.orderBy("state")
+    },
+
+    // T62 — centered 7-day moving median of the daily event count: the
+    // ROBUST smoother next to T60's EWMA (one outage day cannot drag a
+    // median the way it drags any mean). The daily frame is
+    // calendar-bounded; the ±3-day neighborhood comes from ONE
+    // range-predicate self-join of that spine (≤7 rows per center), and
+    // the median is the exact lower-median rank pick — integer rank
+    // formulas shared by both engines, no quantile-definition drift
+    // (ev19 discipline). No window touches the fact; the fact is
+    // reduced to days once.
+    Q(
+      "ev54_moving_median",
+      """WITH dc AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1),
+        |nb AS (SELECT a.dy, b.c
+        |       FROM dc a JOIN dc b
+        |         ON b.dy BETWEEN a.dy - INTERVAL 3 DAY AND a.dy + INTERVAL 3 DAY),
+        |r AS (SELECT dy, c,
+        |        row_number() OVER (PARTITION BY dy ORDER BY c) AS rn,
+        |        count(*) OVER (PARTITION BY dy) AS n
+        |      FROM nb)
+        |SELECT dy, CAST(max(n) AS BIGINT) AS n_days,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med_count
+        |FROM r GROUP BY dy ORDER BY dy""".stripMargin
+    ) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // both sides of the spine self-join
+      val nb = dc.as("a").join(dc.select(col("dy").as("bdy"), col("c").as("bc")),
+        col("bdy").between(col("dy") - expr("INTERVAL 3 DAY"),
+          col("dy") + expr("INTERVAL 3 DAY")))
+        .select(col("dy"), col("bc").as("c"))
+      val w = Window.partitionBy("dy").orderBy("c")
+      val r = nb
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("dy")))
+      r.groupBy("dy")
+        .agg(max("n").as("n_days"),
+          max(when(col("rn") === expr("(n + 1) DIV 2"), col("c"))).as("med_count"))
+        .orderBy("dy")
     }
   )
 

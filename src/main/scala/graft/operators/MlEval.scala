@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -706,6 +707,152 @@ object MlEval {
         .select(col("lang"), col("token"), col("ct"), col("logp_e6"), col("rnk"),
           expr("(nd * 1000) DIV ndall").as("prior_permille"))
         .orderBy("lang", "rnk")
+    },
+
+    // L95 — k-means (Lloyd), 3 EXACT unrolled rounds: the canonical
+    // clustering trainer, made fully oracle-checkable by keeping every
+    // quantity integral — centroids ride 1e6-scaled BIGINTs, squared
+    // distances are decimal(38,0)/HUGEINT products of exact integer
+    // deltas (identical on both engines), the argmin's tie order is
+    // (distance, cid), and each update is (1e6·Σ) DIV n floor division.
+    // Deterministic init = the k lowest-id points. Spark assigns via a
+    // map-side-combinable min(struct) per (pid,x,y) group — NO window
+    // over the fact — with the k-row centroid frame BROADCAST; the fact
+    // is scanned once per round (Lloyd's floor). Empty clusters keep
+    // their previous centroid (left-join coalesce on both engines). The
+    // oracle unrolls the identical 3 rounds as generated CTEs (gr2's
+    // recipe).
+    Q(
+      "ml17_kmeans", {
+        val rounds = (1 to 3).map { i =>
+          s"""a$i AS (
+             |  SELECT pid, x, y, cid FROM (
+             |    SELECT p.pid, p.x, p.y, c.cid,
+             |      row_number() OVER (PARTITION BY p.pid ORDER BY
+             |        CAST(1000000*p.x - c.cx_e6 AS HUGEINT)*(1000000*p.x - c.cx_e6)
+             |        + CAST(1000000*p.y - c.cy_e6 AS HUGEINT)*(1000000*p.y - c.cy_e6),
+             |        c.cid) AS rn
+             |    FROM pts p CROSS JOIN c${i - 1} c) z WHERE rn = 1),
+             |u$i AS (
+             |  SELECT cid, count(*) AS n,
+             |    CAST((CAST(1000000 AS HUGEINT) * sum(x)) // count(*) AS BIGINT) AS ux,
+             |    CAST((CAST(1000000 AS HUGEINT) * sum(y)) // count(*) AS BIGINT) AS uy
+             |  FROM a$i GROUP BY 1),
+             |c$i AS (
+             |  SELECT c.cid, coalesce(u.ux, c.cx_e6) AS cx_e6,
+             |    coalesce(u.uy, c.cy_e6) AS cy_e6
+             |  FROM c${i - 1} c LEFT JOIN u$i u ON u.cid = c.cid)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH pts AS (SELECT p_partkey AS pid, CAST(p_size AS BIGINT) AS x,
+           |    CAST(round(p_retailprice*100) AS BIGINT) AS y FROM part),
+           |c0 AS (SELECT row_number() OVER (ORDER BY pid) AS cid,
+           |         1000000*x AS cx_e6, 1000000*y AS cy_e6
+           |       FROM (SELECT * FROM pts ORDER BY pid LIMIT 4)),
+           |$rounds
+           |SELECT c3.cid, coalesce(u3.n, 0) AS n, c3.cx_e6, c3.cy_e6
+           |FROM c3 LEFT JOIN u3 ON u3.cid = c3.cid ORDER BY c3.cid""".stripMargin
+      }
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val pts = Tables.part(s, d).select(col("p_partkey").as("pid"),
+          col("p_size").cast("long").as("x"),
+          round(col("p_retailprice") * 100).cast("long").as("y"))
+        .localCheckpoint(true) // scanned once per round
+      var c = pts.orderBy("pid").limit(4)
+        .select(row_number().over(Window.orderBy("pid")).cast("long").as("cid"),
+          (col("x") * 1000000).as("cx_e6"), (col("y") * 1000000).as("cy_e6"))
+      var u: DataFrame = null
+      for (_ <- 1 to 3) {
+        val dx = col("x") * 1000000 - col("cx_e6")
+        val dy = col("y") * 1000000 - col("cy_e6")
+        val a = pts.crossJoin(broadcast(c))
+          .select(col("pid"), col("x"), col("y"), col("cid"),
+            (dec(dx) * dx + dec(dy) * dy).as("dist"))
+          .groupBy("pid", "x", "y")
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("pid"), col("x"), col("y"), col("m.cid").as("cid"))
+        u = a.groupBy("cid")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
+          .select(col("cid"), col("n"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sx) DIV n AS BIGINT)")
+              .as("ux"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * sy) DIV n AS BIGINT)")
+              .as("uy"))
+        c = graft.plans.Lineage.truncate(
+          c.join(u, Seq("cid"), "left")
+            .select(col("cid"), coalesce(col("ux"), col("cx_e6")).as("cx_e6"),
+              coalesce(col("uy"), col("cy_e6")).as("cy_e6")))
+      }
+      c.join(u.select(col("cid"), col("n")), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("n"), lit(0L)).as("n"),
+          col("cx_e6"), col("cy_e6"))
+        .orderBy("cid")
+    },
+
+    // L96 — macro-F1 multiclass evaluation: per-class precision/recall
+    // collapse into F1 = 2tp/(2tp+fp+fn), which is PURE integer
+    // rational — f1_e6 = (2e6·tp) DIV (2tp+fp+fn) needs no float at
+    // all, and the macro average is one more integer DIV. Classes are
+    // the 5 order priorities; the "prediction" is the equal-width price
+    // bucket (ml15's scan-local shifted-integer binning — no global
+    // rank window over the fact). One conditional aggregate builds the
+    // whole confusion; per-class cells come off the 25-cell frame.
+    Q(
+      "ml18_macro_f1",
+      """WITH sc AS (SELECT
+        |    CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS actual,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM sc),
+        |p AS (SELECT actual, ((cents - mn) * 5) // (mx - mn + 1) + 1 AS pred
+        |      FROM sc CROSS JOIN b),
+        |cm AS (SELECT actual, pred, count(*) AS n FROM p GROUP BY 1, 2),
+        |cls AS (SELECT k.k AS class,
+        |    coalesce((SELECT sum(n) FROM cm WHERE actual = k.k AND pred = k.k), 0)
+        |      AS tp,
+        |    coalesce((SELECT sum(n) FROM cm WHERE pred = k.k AND actual <> k.k), 0)
+        |      AS fp,
+        |    coalesce((SELECT sum(n) FROM cm WHERE actual = k.k AND pred <> k.k), 0)
+        |      AS fn
+        |  FROM (SELECT DISTINCT actual AS k FROM sc) k),
+        |f AS (SELECT class, tp, fp, fn,
+        |        CASE WHEN 2*tp + fp + fn = 0 THEN 0
+        |             ELSE (2000000 * tp) // (2*tp + fp + fn) END AS f1_e6
+        |      FROM cls)
+        |SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(f1_e6 AS BIGINT) AS f1_e6,
+        |  CAST((SELECT sum(f1_e6) // count(*) FROM f) AS BIGINT) AS macro_f1_e6
+        |FROM f ORDER BY class""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("actual"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b = sc.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val p = sc.crossJoin(broadcast(b))
+        .select(col("actual"),
+          (expr("((cents - mn) * 5) DIV (mx - mn + 1)") + 1).as("pred"))
+      val cm = p.groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // read per class role
+      val ks = sc.select(col("actual").as("class")).distinct()
+      val tp = cm.filter(col("actual") === col("pred"))
+        .select(col("actual").as("class"), col("n").as("tp"))
+      val fp = cm.filter(col("actual") =!= col("pred"))
+        .groupBy(col("pred").as("class")).agg(sum("n").as("fp"))
+      val fn = cm.filter(col("actual") =!= col("pred"))
+        .groupBy(col("actual").as("class")).agg(sum("n").as("fn"))
+      val cls = ks.join(tp, Seq("class"), "left")
+        .join(fp, Seq("class"), "left").join(fn, Seq("class"), "left")
+        .select(col("class"), coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("fp"), lit(0L)).as("fp"),
+          coalesce(col("fn"), lit(0L)).as("fn"))
+      val f = cls.withColumn("f1_e6",
+        when(lit(2) * col("tp") + col("fp") + col("fn") === 0, lit(0L))
+          .otherwise(expr("(2000000 * tp) DIV (2*tp + fp + fn)")))
+      val macroF = f.agg(expr("sum(f1_e6) DIV count(*)").as("macro_f1_e6"))
+      f.crossJoin(broadcast(macroF))
+        .select(col("class"), col("tp"), col("fp"), col("fn"), col("f1_e6"),
+          col("macro_f1_e6"))
+        .orderBy("class")
     },
   )
 }

@@ -607,6 +607,40 @@ object TextOps {
           sum(when(col("rpm") < 300, 1L).otherwise(0L)).as("n_repetitive"),
           sum(when(col("rpm") > 900, 1L).otherwise(0L)).as("n_incompressible"))
         .orderBy("source")
+    },
+
+    // L97 — sentence-level structure profile: the quality-filter
+    // features C4/Gopher compute per document BEFORE any model sees it
+    // (too-few sentences, run-on sentences, and fragment storms are all
+    // ingestion-reject signals). Sentences split on [.!?]+ — the SAME
+    // regex on both engines — empties dropped after trim; words per
+    // sentence reuse tx1's token alphabet. Everything is exact integer
+    // counts + one permille DIV; the split is scan-local, the corpus is
+    // touched once, and the per-doc aggregate shuffles only doc keys.
+    Q(
+      "tx42_sentences",
+      """WITH sen AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s
+        |  FROM documents),
+        |ws AS (SELECT doc_id,
+        |         CAST(len(regexp_extract_all(s, '[a-z0-9]+')) AS BIGINT) AS w
+        |       FROM sen WHERE len(trim(s)) > 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sent,
+        |  CAST(sum(w) AS BIGINT) AS tot_words,
+        |  CAST((sum(w) * 1000) // count(*) AS BIGINT) AS words_per_sent_permille,
+        |  CAST(max(w) AS BIGINT) AS max_words
+        |FROM ws GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val sen = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "[.!?]+")).as("s"))
+      val ws = sen.filter(length(trim(col("s"))) > 0)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(s, '[a-z0-9]+', 0)")).cast("long").as("w"))
+      ws.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sent"), sum("w").as("tot_words"),
+          expr("(sum(w) * 1000) DIV count(*)").as("words_per_sent_permille"),
+          max("w").as("max_words"))
+        .orderBy("doc_id")
     }
   )
 }
