@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Q, Tables}
 import graft.functions.Stable
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1731,6 +1732,75 @@ object EventOps {
         .agg(max("n").as("n_days"),
           max(when(col("rn") === expr("(n + 1) DIV 2"), col("c"))).as("med_count"))
         .orderBy("dy")
+    },
+
+    // T63 — MAD-based robust anomaly summary: ev9 flags hours by ±2σ,
+    // which a single huge spike INFLATES until it hides its siblings;
+    // the median/MAD detector is immune (50% breakdown). Both medians
+    // are exact lower-median rank picks over per-type CELL frames
+    // (ev19/ev26 discipline — the windows run on distinct-count cells,
+    // never the fact), and the 3σ-equivalent threshold 3·1.4826·MAD is
+    // the pure integer cross-multiply 10000·|c−med| > 44478·MAD — the
+    // Gaussian consistency constant enters as a scaled integer, so no
+    // float touches the decision. MAD = 0 (over half the hours at the
+    // median) degrades to flagging any deviation.
+    Q(
+      "ev55_anomaly_mad",
+      """WITH hc AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |medc AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM hc),
+        |med AS (SELECT event_type,
+        |          max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med
+        |        FROM medc GROUP BY 1),
+        |ad AS (SELECT h.event_type, h.hr, h.c, m.med, abs(h.c - m.med) AS ad
+        |       FROM hc h JOIN med m ON h.event_type = m.event_type),
+        |madc AS (
+        |  SELECT event_type, ad,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ad),
+        |mad AS (SELECT event_type,
+        |          max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+        |        FROM madc GROUP BY 1)
+        |SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  max(a.med) AS med, max(m.mad) AS mad,
+        |  CAST(sum(CASE WHEN (m.mad = 0 AND a.ad > 0)
+        |                  OR 10000 * a.ad > 44478 * m.mad
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ad a JOIN mad m ON a.event_type = m.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // median pick + deviation join both read it
+      def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(valueCol)
+        df.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === expr("(n + 1) DIV 2"), col(valueCol)))
+            .as(out))
+      }
+      val med = lowerMedian(hc, "c", "med")
+      val ad = hc.join(med, "event_type")
+        .select(col("event_type"), col("hr"), col("c"), col("med"),
+          abs(col("c") - col("med")).as("ad"))
+        .localCheckpoint(true)
+      val mad = lowerMedian(ad, "ad", "mad")
+      ad.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), max("med").as("med"),
+          max("mad").as("mad"),
+          sum(when((col("mad") === 0 && col("ad") > 0)
+              || lit(10000) * col("ad") > lit(44478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy("event_type")
     }
   )
 

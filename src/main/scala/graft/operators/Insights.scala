@@ -675,6 +675,82 @@ object Insights {
           ((col("o1") * 1000000 - col("e1_e6")).cast("double")
             * (col("o1") * 1000000 - col("e1_e6")).cast("double")
             / (lit(1000000).cast("double") * col("v_e6"))).as("chi2"))
+    },
+
+    // R148 — revenue bridge / mix-shift decomposition: q104 says
+    // revenue moved month-over-month; THIS says which segment drove it
+    // and whether by VOLUME (order count) or RATE (average ticket).
+    // Between the last two months on the calendar: per segment,
+    // volume effect = Δn·avg₁ and rate effect = n₂·Δavg, with the
+    // average micro-quantized ONCE ((1e6·rev) DIV n — floor on
+    // non-negatives, identical both engines) so both effects are exact
+    // integer products in e6·cents; the residual column reconciles to
+    // the exact Δrev·1e6 (the bridge provably adds up — BI tools fudge
+    // this, the engine doesn't). Segments absent from a month enter
+    // with n=0 via the full grid. All frames are segment-sized.
+    Q(
+      "q107_mix_shift",
+      """WITH m AS (
+        |  SELECT c_mktsegment AS seg,
+        |    year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT max(mi) AS m2 FROM m),
+        |grid AS (
+        |  SELECT s.seg, x.mi,
+        |    coalesce(m.n, 0) AS n, coalesce(m.rev, 0) AS rev
+        |  FROM (SELECT DISTINCT seg FROM m) s
+        |  CROSS JOIN (SELECT unnest([(SELECT m2 - 1 FROM mx),
+        |                             (SELECT m2 FROM mx)]) AS mi) x
+        |  LEFT JOIN m ON m.seg = s.seg AND m.mi = x.mi),
+        |q AS (SELECT seg, mi, n, rev,
+        |        CASE WHEN n = 0 THEN 0 ELSE (1000000 * rev) // n END AS avg_e6
+        |      FROM grid),
+        |pair AS (
+        |  SELECT a.seg, a.n AS n1, a.rev AS rev1, a.avg_e6 AS avg1_e6,
+        |         b.n AS n2, b.rev AS rev2, b.avg_e6 AS avg2_e6
+        |  FROM q a JOIN q b ON a.seg = b.seg AND b.mi = a.mi + 1)
+        |SELECT seg, n1, n2, rev1, rev2,
+        |  CAST((n2 - n1) * avg1_e6 AS BIGINT) AS volume_effect_e6,
+        |  CAST(n2 * (avg2_e6 - avg1_e6) AS BIGINT) AS rate_effect_e6,
+        |  CAST((rev2 - rev1) * 1000000
+        |    - (n2 - n1) * avg1_e6 - n2 * (avg2_e6 - avg1_e6) AS BIGINT)
+        |    AS residual_e6
+        |FROM pair ORDER BY seg""".stripMargin
+    ) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          (year(col("o_orderdate").cast("date")) * 12
+            + month(col("o_orderdate").cast("date")) - 1).as("mi"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        .localCheckpoint(true) // grid spine + both month slices read it
+      val mx = m.agg(max("mi").as("m2"))
+      val grid = m.select("seg").distinct()
+        .crossJoin(broadcast(mx))
+        .select(col("seg"), explode(array(col("m2") - 1, col("m2"))).as("mi"))
+        .join(m, Seq("seg", "mi"), "left")
+        .select(col("seg"), col("mi"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("rev"), lit(0L)).as("rev"))
+      val q = grid.withColumn("avg_e6",
+        when(col("n") === 0, 0L).otherwise(expr("(1000000 * rev) DIV n")))
+      val a = q.select(col("seg"), col("mi"), col("n").as("n1"),
+        col("rev").as("rev1"), col("avg_e6").as("avg1_e6"))
+      val b = q.select(col("seg"), (col("mi") - 1).as("mi"), col("n").as("n2"),
+        col("rev").as("rev2"), col("avg_e6").as("avg2_e6"))
+      a.join(b, Seq("seg", "mi"))
+        .select(col("seg"), col("n1"), col("n2"), col("rev1"), col("rev2"),
+          ((col("n2") - col("n1")) * col("avg1_e6")).as("volume_effect_e6"),
+          (col("n2") * (col("avg2_e6") - col("avg1_e6"))).as("rate_effect_e6"),
+          ((col("rev2") - col("rev1")) * 1000000
+            - (col("n2") - col("n1")) * col("avg1_e6")
+            - col("n2") * (col("avg2_e6") - col("avg1_e6"))).as("residual_e6"))
+        .orderBy("seg")
     }
   )
 }

@@ -207,6 +207,49 @@ object Scd {
         key = "custkey", dateCol = "odate")
         .select(col("o_orderkey"), col("custkey"), col("status"), col("run"))
         .orderBy("o_orderkey")
+    },
+
+    // R51c — SCD Type 3 (previous-value column): the third dimension
+    // style beside scd1's full history and scd2's point-in-time lookup
+    // — keep only the CURRENT value and the one before it, the shape BI
+    // dims use when history depth of 1 suffices (old region vs new
+    // region). Current = last status under the (date, orderkey) total
+    // order; previous = last status of the most recent run that
+    // DIFFERS from it (null when the key never changed). One window
+    // pass per key partition, key-sized output.
+    Q(
+      "scd3_prev_column",
+      """WITH r AS (
+        |  SELECT o_custkey AS custkey, o_orderstatus AS status,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |cur AS (SELECT custkey, status AS cur_status FROM r WHERE rn = 1),
+        |prev AS (
+        |  SELECT r.custkey, min_by(r.status, r.rn) AS prev_status
+        |  FROM r JOIN cur ON r.custkey = cur.custkey
+        |  WHERE r.status <> cur.cur_status
+        |  GROUP BY 1)
+        |SELECT cur.custkey, cur.cur_status, prev.prev_status
+        |FROM cur LEFT JOIN prev ON cur.custkey = prev.custkey
+        |ORDER BY cur.custkey""".stripMargin
+    ) { (s, d) =>
+      val r = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          row_number().over(Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc))
+            .cast("long").as("rn"))
+        .localCheckpoint(true) // current pick + previous scan both read it
+      val cur = r.filter(col("rn") === 1)
+        .select(col("custkey"), col("status").as("cur_status"))
+      val prev = r.join(cur, "custkey")
+        .filter(col("status") =!= col("cur_status"))
+        .groupBy("custkey")
+        .agg(min(struct(col("rn"), col("status"))).as("m"))
+        .select(col("custkey"), col("m.status").as("prev_status"))
+      cur.join(prev, Seq("custkey"), "left")
+        .select(col("custkey"), col("cur_status"), col("prev_status"))
+        .orderBy("custkey")
     }
   )
 }

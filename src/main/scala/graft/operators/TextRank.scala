@@ -176,6 +176,70 @@ object TextRank {
       top.join(stats, Seq("doc_id"))
         .select("doc_id", "top_tri", "top_cnt", "n_tri", "tot_tri")
         .orderBy("doc_id")
+    },
+
+    // L98 — RAKE keyphrase extraction (Rapid Automatic Keyword
+    // Extraction): candidate phrases are the maximal runs between
+    // stopwords/punctuation (ONE scan-local regex split — the same
+    // pattern string on both engines), word score = degree/freq as an
+    // exact integer permille over the VOCABULARY-sized word frame,
+    // phrase score = Σ word scores of its token instances. The corpus
+    // is tokenized once; phrase re-scoring runs on DISTINCT phrase
+    // strings (vocabulary-sized, not corpus-sized). Top-20 under a
+    // total order (score desc, phrase asc).
+    Q(
+      "tx43_rake", {
+        val stopRe =
+          """\b(?:the|a|an|of|to|and|in|is|it|for|on|with|as|was|at|by|be|this|that|are|or|from)\b|[.!?,;:]"""
+        s"""WITH seg AS (
+           |  SELECT doc_id, trim(unnest(string_split_regex(text,
+           |    '$stopRe'))) AS p
+           |  FROM documents),
+           |ph AS (
+           |  SELECT doc_id, p, regexp_extract_all(p, '[a-z0-9]+') AS toks
+           |  FROM seg
+           |  WHERE len(regexp_extract_all(p, '[a-z0-9]+')) BETWEEN 1 AND 4),
+           |ws AS (SELECT unnest(toks) AS w, len(toks) AS l FROM ph),
+           |wstat AS (
+           |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+           |    CAST(sum(l) AS BIGINT) AS deg,
+           |    (CAST(sum(l) AS BIGINT) * 1000) // count(*) AS score_pm
+           |  FROM ws GROUP BY 1),
+           |occ AS (SELECT p, count(*) AS n_occ FROM ph GROUP BY 1),
+           |ptoks AS (
+           |  SELECT p, unnest(regexp_extract_all(p, '[a-z0-9]+')) AS w
+           |  FROM (SELECT DISTINCT p FROM ph)),
+           |score AS (
+           |  SELECT pt.p, CAST(sum(wstat.score_pm) AS BIGINT) AS score_pm
+           |  FROM ptoks pt JOIN wstat ON pt.w = wstat.w GROUP BY 1)
+           |SELECT s.p AS phrase, CAST(o.n_occ AS BIGINT) AS n_occ, s.score_pm
+           |FROM score s JOIN occ o ON s.p = o.p
+           |ORDER BY s.score_pm DESC, s.p LIMIT 20""".stripMargin
+      }
+    ) { (s, d) =>
+      val stopRe =
+        """\b(?:the|a|an|of|to|and|in|is|it|for|on|with|as|was|at|by|be|this|that|are|or|from)\b|[.!?,;:]"""
+      val seg = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), stopRe)).as("p0"))
+        .select(col("doc_id"), trim(col("p0")).as("p"))
+      val ph = seg
+        .withColumn("toks", expr("regexp_extract_all(p, '[a-z0-9]+', 0)"))
+        .filter(size(col("toks")).between(1, 4))
+        .localCheckpoint(true) // word stats, occurrences, and rescoring read it
+      val wstat = ph.select(explode(col("toks")).as("w"),
+          size(col("toks")).cast("long").as("l"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("l").as("deg"))
+        .withColumn("score_pm", expr("(deg * 1000) DIV freq"))
+      val occ = ph.groupBy("p").agg(count(lit(1)).as("n_occ"))
+      val score = ph.select("p").distinct()
+        .select(col("p"),
+          explode(expr("regexp_extract_all(p, '[a-z0-9]+', 0)")).as("w"))
+        .join(wstat.select("w", "score_pm"), "w")
+        .groupBy("p").agg(sum("score_pm").as("score_pm"))
+      score.join(occ, "p")
+        .select(col("p").as("phrase"), col("n_occ"), col("score_pm"))
+        .orderBy(desc("score_pm"), col("phrase")).limit(20)
     }
   )
 }
