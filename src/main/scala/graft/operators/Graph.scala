@@ -1932,13 +1932,36 @@ object Graph {
     * forest's (`u`, `v`, `w`) rows.
     */
   def mstBoruvka(edgesIn: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // The loop's frames are component-sized METADATA that halve every
+    // round; what dominates wall time is per-job planning latency, not
+    // data. AQE's stage-by-stage re-planning buys nothing on such
+    // frames and costs a pause per stage — run the loop with AQE off
+    // and a small fixed shuffle width (restored in finally). On a
+    // cluster the same setting is what AQE would coalesce to anyway;
+    // results are partition-count-invariant (hash/orderBy outputs).
+    val spark = edgesIn.sparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try mstBoruvkaLoop(edgesIn, maxRounds)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
+  }
+
+  private def mstBoruvkaLoop(edgesIn: DataFrame, maxRounds: Int): DataFrame = {
     val edges = graft.plans.Lineage.truncate(
       edgesIn.select(col("u"), col("v"), col("w")))
     var labels = graft.plans.Lineage.truncate(
       edges.select(col("u").as("id"))
         .unionByName(edges.select(col("v").as("id")))
         .distinct().withColumn("comp", col("id")))
-    var mst = graft.plans.Lineage.truncate(edges.filter(lit(false)))
+    // forest edges accumulate as plans over LEAF frames and union ONCE
+    // at the end — a per-round checkpoint of the growing forest would
+    // cost a job per round for a frame nothing reads until the return.
+    val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 0
     var done = false
     while (!done && round < maxRounds) {
@@ -1948,25 +1971,59 @@ object Graph {
         .filter(col("cu") =!= col("cv"))
       def half(c: String) = ce.select(col(c).as("comp"),
         struct(col("w"), col("u"), col("v"), col("cu"), col("cv")).as("e"))
-      val chosen = graft.plans.Lineage.truncate(
+      // one row per component: its cheapest outgoing edge (the argmin
+      // the struct total order makes deterministic)
+      val me = graft.plans.Lineage.truncate(
         half("cu").unionByName(half("cv"))
           .groupBy("comp").agg(min("e").as("e"))
-          .select(col("e.w").as("w"), col("e.u").as("u"), col("e.v").as("v"),
-            col("e.cu").as("cu"), col("e.cv").as("cv"))
-          .distinct()) // one edge can be the min for both of its components
-      if (chosen.isEmpty) done = true
+          .select(col("comp"), col("e.w").as("w"), col("e.u").as("u"),
+            col("e.v").as("v"), col("e.cu").as("cu"), col("e.cv").as("cv")))
+      if (me.isEmpty) done = true
       else {
-        mst = graft.plans.Lineage.truncate(
-          mst.unionByName(chosen.select("u", "v", "w")))
-        val mapping = Dedup.connectedComponents(
-            chosen.select(col("cu").as("id_a"), col("cv").as("id_b")))
-          .select(col("id").as("comp"), col("component").as("newcomp"))
+        forest += me.select("u", "v", "w").distinct()
+        // Contraction, specialized to Borůvka's structure: succ(c) =
+        // the other endpoint of c's argmin edge is a FUNCTIONAL map
+        // whose only cycles are mutual pairs (distinct weights — the
+        // classic lemma), so rooting each 2-cycle at its smaller id
+        // turns succ into a forest pointing rootward, and pure pointer
+        // COMPOSITION (p <- p∘p) flattens every chain in O(log chain)
+        // one-join rounds — leaner than the generic CC (no edge-frame
+        // rebuild, no neighbor-min aggregate per iteration).
+        val succ = me.select(col("comp"),
+          when(col("comp") === col("cu"), col("cv")).otherwise(col("cu"))
+            .as("s"))
+        val p0 = succ
+          .join(succ.select(col("comp").as("s"), col("s").as("ss")), Seq("s"))
+          .select(col("comp"),
+            when(col("ss") === col("comp") && col("comp") < col("s"),
+              col("comp")).otherwise(col("s")).as("p"))
+        // fuse the first composition into the same checkpoint: most
+        // rounds' chains are ≤2 long, so p1 = p0∘p0 is already flat and
+        // the loop below settles in one (job-cheap) check
+        var p = graft.plans.Lineage.truncate(
+          p0.join(p0.select(col("comp").as("p"), col("p").as("pp")), Seq("p"))
+            .select(col("comp"), col("pp").as("p")))
+        var flat = false
+        while (!flat) {
+          // compute the next composition UNCHECKPOINTED: when it proves
+          // flat (the usual case) it is discarded after one action
+          val next = p
+            .join(p.select(col("comp").as("p"), col("p").as("pp")), Seq("p"))
+            .select(col("comp"), col("pp").as("p"))
+          flat = next.join(p.withColumnRenamed("p", "old"), Seq("comp"))
+            .filter(col("p") =!= col("old")).isEmpty
+          if (!flat) p = graft.plans.Lineage.truncate(next)
+        }
         labels = graft.plans.Lineage.truncate(
-          labels.join(mapping, Seq("comp"), "left")
+          labels.join(p.select(col("comp"), col("p").as("newcomp")),
+              Seq("comp"), "left")
             .select(col("id"), coalesce(col("newcomp"), col("comp")).as("comp")))
       }
       round += 1
     }
-    mst
+    if (forest.isEmpty) edges.filter(lit(false))
+    else forest.reduce(_ unionByName _)
   }
+
+
 }
