@@ -788,6 +788,64 @@ object Analytics {
         .groupBy("p_brand", "abc")
         .agg(count(lit(1)).as("n_parts"), sum("rev").as("class_cents"))
         .orderBy("p_brand", "abc")
+    },
+
+    // R150 — XYZ demand-variability classification (q105's ABC ranks by
+    // VALUE; XYZ ranks by PREDICTABILITY — the two together drive every
+    // stocking policy). Per part, the coefficient of variation of its
+    // monthly demand — months the part didn't sell count as ZERO demand
+    // (n is the global month horizon, so absent cells need no grid: S
+    // and Σx² are unchanged by zeros). The CV thresholds 0.2/0.5 are
+    // EXACT integer cross-multiplies on the variance identity:
+    // CV² = (n·Σx² − S²)/S², so X ⟺ 25(n·Σx² − S²) ≤ S², Y ⟺ 4(...) ≤
+    // S², products in decimal(38,0)/HUGEINT. One fact aggregate to
+    // (part, month) cells; everything after is part-sized.
+    Q(
+      "q108_xyz_class",
+      """WITH pm AS (
+        |  SELECT l_partkey,
+        |    year(CAST(l_shipdate AS DATE)) * 12
+        |      + month(CAST(l_shipdate AS DATE)) - 1 AS mi,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS (SELECT count(DISTINCT mi) AS n FROM pm),
+        |ps AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s,
+        |         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS q2
+        |       FROM pm GROUP BY 1),
+        |cls AS (
+        |  SELECT l_partkey, s,
+        |    CASE WHEN 25 * (n * q2 - CAST(s AS HUGEINT) * s)
+        |              <= CAST(s AS HUGEINT) * s THEN 'X'
+        |         WHEN 4 * (n * q2 - CAST(s AS HUGEINT) * s)
+        |              <= CAST(s AS HUGEINT) * s THEN 'Y'
+        |         ELSE 'Z' END AS xyz
+        |  FROM ps CROSS JOIN h)
+        |SELECT p_brand, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(s) AS BIGINT) AS total_qty
+        |FROM cls JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val pm = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"),
+          (year(col("l_shipdate").cast("date")) * 12
+            + month(col("l_shipdate").cast("date")) - 1).as("mi"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+        .localCheckpoint(true) // horizon count + per-part stats read it
+      val h = pm.agg(countDistinct("mi").as("n"))
+      val ps = pm.groupBy("l_partkey")
+        .agg(sum("q").as("s"), sum(dec(col("q")) * col("q")).as("q2"))
+      val cls = ps.crossJoin(broadcast(h))
+        .select(col("l_partkey"), col("s"),
+          when(lit(25) * (dec(col("n")) * col("q2") - dec(col("s")) * col("s"))
+              <= dec(col("s")) * col("s"), "X")
+            .when(lit(4) * (dec(col("n")) * col("q2") - dec(col("s")) * col("s"))
+              <= dec(col("s")) * col("s"), "Y")
+            .otherwise("Z").as("xyz"))
+      cls.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "xyz")
+        .agg(count(lit(1)).as("n_parts"), sum("s").as("total_qty"))
+        .orderBy("p_brand", "xyz")
     }
   )
 }

@@ -1801,6 +1801,111 @@ object EventOps {
               || lit(10000) * col("ad") > lit(44478) * col("mad"), 1L)
             .otherwise(0L)).as("n_outliers"))
         .orderBy("event_type")
+    },
+
+    // T64 — heterogeneous treatment effect by engagement bucket: T37/T39
+    // report ONE average effect; the first segmentation every
+    // experimenter asks for is "does the effect differ by how engaged
+    // the user was". Users collapse to one (arm, engagement, converted)
+    // row; engagement buckets are ml15's scan-local shifted-integer
+    // bins (no quantile window over users); per (bucket, arm) exact
+    // counts, rates as floor permille, uplift = their exact integer
+    // difference. Everything after the one user aggregate is
+    // bucket-sized.
+    Q(
+      "ev56_hte_buckets",
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm, count(*) AS n_ev,
+        |    CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              > count(*) THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |b AS (SELECT min(n_ev) AS mn, max(n_ev) AS mx FROM u),
+        |bk AS (SELECT ((n_ev - mn) * 4) // (mx - mn + 1) AS bucket, arm, conv
+        |       FROM u CROSS JOIN b),
+        |cell AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0
+        |  FROM bk GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n1, c1, n0, c0,
+        |  CASE WHEN n1 = 0 THEN NULL ELSE (c1 * 1000) // n1 END AS p1_pm,
+        |  CASE WHEN n0 = 0 THEN NULL ELSE (c0 * 1000) // n0 END AS p0_pm,
+        |  CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+        |       ELSE (c1 * 1000) // n1 - (c0 * 1000) // n0 END AS uplift_pm
+        |FROM cell ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"),
+          when(lit(5) * sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) > count(lit(1)), 1L).otherwise(0L).as("conv"))
+        .select((col("user_id") % 2).as("arm"), col("n_ev"), col("conv"))
+      val b = u.agg(min("n_ev").as("mn"), max("n_ev").as("mx"))
+      val bk = u.crossJoin(broadcast(b))
+        .select(expr("((n_ev - mn) * 4) DIV (mx - mn + 1)").as("bucket"),
+          col("arm"), col("conv"))
+      bk.groupBy("bucket")
+        .agg(sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("c1"),
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("c0"))
+        .select(col("bucket"), col("n1"), col("c1"), col("n0"), col("c0"),
+          when(col("n1") === 0, lit(null))
+            .otherwise(expr("(c1 * 1000) DIV n1")).as("p1_pm"),
+          when(col("n0") === 0, lit(null))
+            .otherwise(expr("(c0 * 1000) DIV n0")).as("p0_pm"),
+          when(col("n1") === 0 || col("n0") === 0, lit(null))
+            .otherwise(expr("(c1 * 1000) DIV n1") - expr("(c0 * 1000) DIV n0"))
+            .as("uplift_pm"))
+        .orderBy("bucket")
+    },
+
+    // T65 — cumulative reach (distinct users ever seen, by day): the
+    // growth curve every launch dashboard opens with. Each user
+    // collapses to a FIRST-SEEN day (one min aggregate — the fact's
+    // only pass), then new-user counts ride the calendar-bounded day
+    // spine and the cumulative sum is a window over THAT spine, never
+    // the fact. Days with no new users appear with new_users = 0 so the
+    // curve has no gaps.
+    Q(
+      "ev57_cumulative_reach",
+      """WITH fs AS (
+        |  SELECT user_id, min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS d0
+        |  FROM events GROUP BY 1),
+        |nu AS (SELECT d0 AS dy, CAST(count(*) AS BIGINT) AS new_users
+        |       FROM fs GROUP BY 1),
+        |bounds AS (
+        |  SELECT min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS dmin,
+        |         max(date_trunc('day', CAST(ts AS TIMESTAMP))) AS dmax
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT dmin FROM bounds),
+        |                                (SELECT dmax FROM bounds),
+        |                                INTERVAL 1 DAY)) AS dy)
+        |SELECT s.dy, coalesce(nu.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY s.dy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM spine s LEFT JOIN nu ON s.dy = nu.dy
+        |ORDER BY s.dy""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fs = ev.groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("d0"))
+      val nu = fs.groupBy(col("d0").as("dy"))
+        .agg(count(lit(1)).as("new_users"))
+      val bounds = ev.agg(date_trunc("day", min("ts")).as("dmin"),
+        date_trunc("day", max("ts")).as("dmax"))
+      val spine = bounds.select(
+        explode(sequence(col("dmin"), col("dmax"), expr("INTERVAL 1 DAY")))
+          .as("dy"))
+      spine.join(nu, Seq("dy"), "left")
+        .select(col("dy"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users", sum("new_users").over(Window.orderBy("dy")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("dy")
     }
   )
 

@@ -1654,6 +1654,60 @@ object Graph {
         .orderBy(desc("jac_permille"), col("a"), col("b")).limit(30)
     },
 
+    // R149 — 4-cycle (square) census: the second motif beside gr3's
+    // triangles — bipartite-ish cores and co-citation structure show up
+    // as squares, not triangles. A square is determined by its two
+    // OPPOSITE-corner pairs, so #C4 = Σ_{a<b} C(w(a,b), 2) / 2 with
+    // w = common-neighbor counts — gr8's wedge join reused WITHOUT the
+    // adjacency filter, one integer aggregate on top, and the halving
+    // is provably exact (every square is counted by exactly two corner
+    // pairs). No enumeration of the squares themselves ever happens —
+    // the count comes off the wedge frame.
+    Q(
+      "gr27_squares",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |cn AS (SELECT a1.node AS a, a2.node AS b, CAST(count(*) AS BIGINT) AS w
+        |       FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+        |       GROUP BY 1, 2)
+        |SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST(count(*) AS BIGINT) AS n_corner_pairs,
+        |  CAST(sum((w * (w - 1)) // 2) AS BIGINT) AS sum_c2,
+        |  CAST(sum((w * (w - 1)) // 2) // 2 AS BIGINT) AS n_squares
+        |FROM cn""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .transform(graft.plans.Lineage.truncate) // adjacency twice + edge count
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+      val cn = adj.select(col("node").as("a"), col("nbr"))
+        .join(adj.select(col("node").as("b"), col("nbr")), "nbr")
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("w"))
+      val ne = e.agg(count(lit(1)).as("n_edges"))
+      cn.agg(count(lit(1)).as("n_corner_pairs"),
+          sum(expr("w * (w - 1) DIV 2")).as("sum_c2"))
+        .crossJoin(broadcast(ne))
+        .select(col("n_edges"), col("n_corner_pairs"), col("sum_c2"),
+          expr("sum_c2 DIV 2").as("n_squares"))
+    },
+
     // R147 — Borůvka minimum spanning forest over the doc graph (see
     // mstBoruvka). Weights are md5-derived 60-bit positive BIGINTs —
     // distinct with overwhelming probability, so the forest is UNIQUE
