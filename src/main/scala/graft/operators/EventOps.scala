@@ -1906,6 +1906,72 @@ object EventOps {
         .withColumn("cum_users", sum("new_users").over(Window.orderBy("dy")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("dy")
+    },
+
+    // T66 — absorption probability into 'purchase' within 8 steps:
+    // ev53 asks where the chain SETTLES; this asks how likely each
+    // starting behavior CONVERTS, per the fundamental-matrix recurrence
+    // a_{k+1}(i) = R(i) + Σⱼ Q(i,j)·a_k(j) truncated at 8 steps — Q/R
+    // quantized ONCE to exact 1e6-unit integers (ev53 discipline), one
+    // floor per (round, state), the whole 8-round unroll exact integer
+    // algebra on the TYPE-VOCABULARY-sized matrix. Oracle = generated
+    // unrolled CTEs.
+    Q(
+      "ev58_absorption", {
+        val rounds = (1 to 8).map { i =>
+          s"""s$i AS (SELECT q.prev AS state,
+             |    CAST(sum(q.p_e6 * a${i - 1}.v_e6) // 1000000 AS BIGINT) AS acc
+             |  FROM q JOIN a${i - 1} ON q.next = a${i - 1}.state GROUP BY 1),
+             |a$i AS (SELECT t.state,
+             |    CAST(coalesce(r.r_e6, 0) + coalesce(s$i.acc, 0) AS BIGINT) AS v_e6
+             |  FROM trans t LEFT JOIN r ON r.prev = t.state
+             |    LEFT JOIN s$i ON s$i.state = t.state)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH seq AS (
+           |  SELECT event_type AS prev,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |      AS next
+           |  FROM events),
+           |t AS (SELECT prev, next, count(*) AS cnt FROM seq
+           |      WHERE next IS NOT NULL AND prev <> 'purchase' GROUP BY 1, 2),
+           |m AS (SELECT prev, next,
+           |        (cnt * 1000000) // sum(cnt) OVER (PARTITION BY prev) AS p_e6
+           |      FROM t),
+           |q AS (SELECT prev, next, p_e6 FROM m WHERE next <> 'purchase'),
+           |r AS (SELECT prev, p_e6 AS r_e6 FROM m WHERE next = 'purchase'),
+           |trans AS (SELECT DISTINCT prev AS state FROM m),
+           |a0 AS (SELECT state, CAST(0 AS BIGINT) AS v_e6 FROM trans),
+           |$rounds
+           |SELECT state, v_e6 AS absorb8_e6 FROM a8 ORDER BY state""".stripMargin
+      }
+    ) { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val t = Tables.events(s, d)
+        .select(col("event_type").as("prev"),
+          lead(col("event_type"), 1).over(byUser).as("next"))
+        .filter(col("next").isNotNull && col("prev") =!= "purchase")
+        .groupBy("prev", "next").agg(count(lit(1)).as("cnt"))
+      val m = t.select(col("prev"), col("next"),
+          expr("(cnt * 1000000) DIV sum(cnt) OVER (PARTITION BY prev)").as("p_e6"))
+        .localCheckpoint(true) // Q, R, state list, and all 8 rounds read it
+      val q = m.filter(col("next") =!= "purchase")
+      val r = m.filter(col("next") === "purchase")
+        .select(col("prev"), col("p_e6").as("r_e6"))
+      val trans = m.select(col("prev").as("state")).distinct()
+      var a = trans.withColumn("v_e6", lit(0L))
+      for (_ <- 1 to 8) {
+        val step = q.join(a, q("next") === a("state"))
+          .groupBy(q("prev").as("state"))
+          .agg(expr("CAST(sum(p_e6 * v_e6) DIV 1000000 AS BIGINT)").as("acc"))
+        a = trans
+          .join(r.withColumnRenamed("prev", "state"), Seq("state"), "left")
+          .join(step, Seq("state"), "left")
+          .select(col("state"),
+            (coalesce(col("r_e6"), lit(0L)) + coalesce(col("acc"), lit(0L)))
+              .as("v_e6"))
+      }
+      a.select(col("state"), col("v_e6").as("absorb8_e6")).orderBy("state")
     }
   )
 

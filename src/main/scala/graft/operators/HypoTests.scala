@@ -721,6 +721,43 @@ object HypoTests {
         col("ln_or_e6"), col("se_e6"),
         (col("ln_or_e6") - expr("(1959964 * se_e6) DIV 1000000")).as("ci_lo_e6"),
         (col("ln_or_e6") + expr("(1959964 * se_e6) DIV 1000000")).as("ci_hi_e6"))
+    },
+
+    // T67 — Poisson event-rate normal-approximation CI per type: the
+    // "is this alert volume unusual" baseline every on-call dashboard
+    // carries. Exposure T = distinct active hours (identical count both
+    // engines); rate as exact floor permille per hour; the count CI
+    // n ± 1.96√n enters through ONE micro-quantized √n (IEEE-exact,
+    // identical trees) and pure positive-integer DIV — ev51's
+    // no-transcendental-at-decision discipline.
+    Q(
+      "ev59_rate_ci",
+      """WITH x AS (SELECT event_type,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr FROM events),
+        |t AS (SELECT count(DISTINCT hr) AS hours FROM x),
+        |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM x GROUP BY 1)
+        |SELECT event_type, n, (SELECT CAST(hours AS BIGINT) FROM t) AS hours,
+        |  (n * 1000) // (SELECT hours FROM t) AS rate_per_hour_pm,
+        |  1000000 * n - (1959964 * CAST(round(1000000 * sqrt(CAST(n AS DOUBLE)))
+        |    AS BIGINT)) // 1000000 AS count_lo_e6,
+        |  1000000 * n + (1959964 * CAST(round(1000000 * sqrt(CAST(n AS DOUBLE)))
+        |    AS BIGINT)) // 1000000 AS count_hi_e6
+        |FROM c ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val x = Tables.events(s, d).select(col("event_type"),
+        date_trunc("hour", col("ts")).as("hr"))
+      val t = x.agg(countDistinct("hr").as("hours"))
+      val c = x.groupBy("event_type").agg(count(lit(1)).as("n"))
+      c.crossJoin(broadcast(t))
+        .withColumn("sqn_e6",
+          round(lit(1000000) * sqrt(col("n").cast("double"))).cast("long"))
+        .select(col("event_type"), col("n"), col("hours"),
+          expr("(n * 1000) DIV hours").as("rate_per_hour_pm"),
+          (lit(1000000) * col("n") - expr("(1959964 * sqn_e6) DIV 1000000"))
+            .as("count_lo_e6"),
+          (lit(1000000) * col("n") + expr("(1959964 * sqn_e6) DIV 1000000"))
+            .as("count_hi_e6"))
+        .orderBy("event_type")
     }
   )
 }

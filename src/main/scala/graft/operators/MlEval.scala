@@ -854,5 +854,224 @@ object MlEval {
           col("macro_f1_e6"))
         .orderBy("class")
     },
+
+    // L99 — three-feature OLS via Cramer on the CENTERED normal
+    // equations (ml8's 2-feature closed form, one rank up): the scatter
+    // matrix S_ij = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ and vector b_i = n·Σxᵢy − Σxᵢ·Σy
+    // are EXACT BIGINTs from one map-side-combinable pass (bounded
+    // feature domains keep n·Σxᵢxⱼ under 2^63 at sf scales; at
+    // warehouse n the same pass rides decimal(38,0)). The 3×3
+    // determinants exceed any integer width, so they are evaluated in
+    // DOUBLE over the exact integers — the SAME cofactor expression
+    // tree on both engines is bit-identical IEEE arithmetic (sim1/q60
+    // precedent). Betas are det ratios; the intercept closes the means.
+    Q(
+      "ml19_ols3",
+      """WITH t AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS x1,
+        |    CAST(round(l_discount*1000) AS BIGINT) AS x2,
+        |    CAST(round(l_tax*1000) AS BIGINT) AS x3,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (SELECT count(*) AS n,
+        |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3, sum(y) AS sy,
+        |    sum(x1*x1) AS s11, sum(x1*x2) AS s12, sum(x1*x3) AS s13,
+        |    sum(x2*x2) AS s22, sum(x2*x3) AS s23, sum(x3*x3) AS s33,
+        |    sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(x3*y) AS s3y
+        |  FROM t),
+        |c AS (SELECT n,
+        |    CAST(n*s11 - s1*s1 AS DOUBLE) AS a11,
+        |    CAST(n*s12 - s1*s2 AS DOUBLE) AS a12,
+        |    CAST(n*s13 - s1*s3 AS DOUBLE) AS a13,
+        |    CAST(n*s22 - s2*s2 AS DOUBLE) AS a22,
+        |    CAST(n*s23 - s2*s3 AS DOUBLE) AS a23,
+        |    CAST(n*s33 - s3*s3 AS DOUBLE) AS a33,
+        |    CAST(n*s1y - s1*sy AS DOUBLE) AS b1,
+        |    CAST(n*s2y - s2*sy AS DOUBLE) AS b2,
+        |    CAST(n*s3y - s3*sy AS DOUBLE) AS b3,
+        |    CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+        |    CAST(s3 AS DOUBLE) AS d3, CAST(sy AS DOUBLE) AS dy
+        |  FROM m),
+        |dets AS (SELECT n, d1, d2, d3, dy,
+        |    a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+        |      + a13*(a12*a23 - a22*a13) AS det,
+        |    b1*(a22*a33 - a23*a23) - a12*(b2*a33 - a23*b3)
+        |      + a13*(b2*a23 - a22*b3) AS det1,
+        |    a11*(b2*a33 - b3*a23) - b1*(a12*a33 - a23*a13)
+        |      + a13*(a12*b3 - b2*a13) AS det2,
+        |    a11*(a22*b3 - a23*b2) - a12*(a12*b3 - b2*a13)
+        |      + b1*(a12*a23 - a22*a13) AS det3
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  det1/det AS beta_qty, det2/det AS beta_disc, det3/det AS beta_tax,
+        |  (dy - (det1/det)*d1 - (det2/det)*d2 - (det3/det)*d3) / n
+        |    AS intercept_cents
+        |FROM dets""".stripMargin
+    ) { (s, d) =>
+      val t = Tables.lineitem(s, d).select(
+        round(col("l_quantity")).cast("long").as("x1"),
+        round(col("l_discount") * 1000).cast("long").as("x2"),
+        round(col("l_tax") * 1000).cast("long").as("x3"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      val m = t.agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+        sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x1") * col("x3")).as("s13"), sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x2") * col("x3")).as("s23"), sum(col("x3") * col("x3")).as("s33"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"),
+        sum(col("x3") * col("y")).as("s3y"))
+      val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(38,0)")
+      // the b_i products pass 2^63 already at sf0.1 (Σxᵢ·Σy ~ 1e22) —
+      // every product rides decimal(38,0) before the one double cast
+      val c = m.select(col("n"),
+        (dec(col("n")) * col("s11") - dec(col("s1")) * col("s1")).cast("double").as("a11"),
+        (dec(col("n")) * col("s12") - dec(col("s1")) * col("s2")).cast("double").as("a12"),
+        (dec(col("n")) * col("s13") - dec(col("s1")) * col("s3")).cast("double").as("a13"),
+        (dec(col("n")) * col("s22") - dec(col("s2")) * col("s2")).cast("double").as("a22"),
+        (dec(col("n")) * col("s23") - dec(col("s2")) * col("s3")).cast("double").as("a23"),
+        (dec(col("n")) * col("s33") - dec(col("s3")) * col("s3")).cast("double").as("a33"),
+        (dec(col("n")) * col("s1y") - dec(col("s1")) * col("sy")).cast("double").as("b1"),
+        (dec(col("n")) * col("s2y") - dec(col("s2")) * col("sy")).cast("double").as("b2"),
+        (dec(col("n")) * col("s3y") - dec(col("s3")) * col("sy")).cast("double").as("b3"),
+        col("s1").cast("double").as("d1"), col("s2").cast("double").as("d2"),
+        col("s3").cast("double").as("d3"), col("sy").cast("double").as("dy"))
+      val dets = c.select(col("n"), col("d1"), col("d2"), col("d3"), col("dy"),
+        (col("a11") * (col("a22") * col("a33") - col("a23") * col("a23"))
+          - col("a12") * (col("a12") * col("a33") - col("a23") * col("a13"))
+          + col("a13") * (col("a12") * col("a23") - col("a22") * col("a13")))
+          .as("det"),
+        (col("b1") * (col("a22") * col("a33") - col("a23") * col("a23"))
+          - col("a12") * (col("b2") * col("a33") - col("a23") * col("b3"))
+          + col("a13") * (col("b2") * col("a23") - col("a22") * col("b3")))
+          .as("det1"),
+        (col("a11") * (col("b2") * col("a33") - col("b3") * col("a23"))
+          - col("b1") * (col("a12") * col("a33") - col("a23") * col("a13"))
+          + col("a13") * (col("a12") * col("b3") - col("b2") * col("a13")))
+          .as("det2"),
+        (col("a11") * (col("a22") * col("b3") - col("a23") * col("b2"))
+          - col("a12") * (col("a12") * col("b3") - col("b2") * col("a13"))
+          + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13")))
+          .as("det3"))
+      dets.select(col("n"),
+        (col("det1") / col("det")).as("beta_qty"),
+        (col("det2") / col("det")).as("beta_disc"),
+        (col("det3") / col("det")).as("beta_tax"),
+        ((col("dy") - (col("det1") / col("det")) * col("d1")
+          - (col("det2") / col("det")) * col("d2")
+          - (col("det3") / col("det")) * col("d3")) / col("n"))
+          .as("intercept_cents"))
+    },
+
+    // L100 — per-feature split-gain importance (the feature-ranking
+    // readout GBDT trainers print): ml15's histogram split finder run
+    // per candidate feature, each reporting its parent Gini, its best
+    // achievable weighted Gini, and the gain — the ranking says which
+    // feature a first tree would split on. One scan per feature (a real
+    // trainer fuses them; three scans keeps each plan ml15-identical),
+    // every number the same exact integer algebra as ml15, argmin under
+    // a total order (gini, bin) made explicit per feature.
+    Q(
+      "ml20_feature_importance", {
+        val feats = Seq(
+          ("cents", "CAST(round(o_totalprice*100) AS BIGINT)"),
+          ("dom", "CAST(day(CAST(o_orderdate AS DATE)) AS BIGINT)"),
+          ("mon", "CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT)"))
+        val per = feats.map { case (nm, ex) =>
+          s"""f_$nm AS (
+             |  WITH sc AS (SELECT $ex AS f,
+             |      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+             |    FROM orders),
+             |  b AS (SELECT min(f) AS mn, max(f) AS mx FROM sc),
+             |  cells AS (SELECT ((f - mn) * 16) // (mx - mn + 1) AS bin, count(*) AS n_b,
+             |              CAST(sum(y) AS BIGINT) AS pos_b
+             |            FROM sc CROSS JOIN b GROUP BY 1),
+             |  cum AS (SELECT bin,
+             |            sum(n_b) OVER (ORDER BY bin
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+             |            sum(pos_b) OVER (ORDER BY bin
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+             |            sum(n_b) OVER () AS n, sum(pos_b) OVER () AS pos
+             |          FROM cells),
+             |  cand AS (SELECT bin, nl, posl, n - nl AS nr, pos - posl AS posr, n, pos
+             |           FROM cum WHERE nl > 0 AND n - nl > 0),
+             |  scored AS (SELECT bin, n, pos,
+             |      CAST(round(1000000 * (
+             |        CAST(CAST(nl AS HUGEINT)*nl - CAST(posl AS HUGEINT)*posl
+             |             - CAST(nl-posl AS HUGEINT)*(nl-posl) AS DOUBLE) / nl
+             |        + CAST(CAST(nr AS HUGEINT)*nr - CAST(posr AS HUGEINT)*posr
+             |             - CAST(nr-posr AS HUGEINT)*(nr-posr) AS DOUBLE) / nr) / n)
+             |        AS BIGINT) AS gini_e6
+             |    FROM cand)
+             |  SELECT '$nm' AS feature,
+             |    CAST(round(1000000 * CAST(CAST(n AS HUGEINT)*n
+             |        - CAST(pos AS HUGEINT)*pos
+             |        - CAST(n-pos AS HUGEINT)*(n-pos) AS DOUBLE) / n / n)
+             |      AS BIGINT) AS gini0_e6,
+             |    min(gini_e6) AS best_gini_e6,
+             |    (SELECT min(bin) FROM scored s2
+             |     WHERE s2.gini_e6 = (SELECT min(gini_e6) FROM scored))
+             |      AS best_bin
+             |  FROM scored GROUP BY n, pos)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH
+           |$per
+           |SELECT feature, CAST(best_bin AS BIGINT) AS best_bin, gini0_e6,
+           |  best_gini_e6, gini0_e6 - best_gini_e6 AS gain_e6
+           |FROM (SELECT * FROM f_cents UNION ALL SELECT * FROM f_dom
+           |      UNION ALL SELECT * FROM f_mon)
+           |ORDER BY feature""".stripMargin
+      }
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      def oneFeature(nm: String, f: org.apache.spark.sql.Column): DataFrame = {
+        val sc = Tables.orders(s, d).select(f.as("f"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        val b = sc.agg(min("f").as("mn"), max("f").as("mx"))
+        val cells = sc.crossJoin(broadcast(b))
+          .select(expr("((f - mn) * 16) DIV (mx - mn + 1)").as("bin"), col("y"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+        val wc = Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = cells.select(col("bin"),
+          sum("n_b").over(wc).as("nl"), sum("pos_b").over(wc).as("posl"),
+          sum("n_b").over(Window.partitionBy()).as("n"),
+          sum("pos_b").over(Window.partitionBy()).as("pos"))
+        val cand = cum
+          .select(col("bin"), col("nl"), col("posl"),
+            (col("n") - col("nl")).as("nr"), (col("pos") - col("posl")).as("posr"),
+            col("n"), col("pos"))
+          .filter(col("nl") > 0 && col("nr") > 0)
+        val scored = cand.select(col("bin"), col("n"), col("pos"),
+          round(lit(1000000) * (
+            (dec(col("nl")) * col("nl") - dec(col("posl")) * col("posl")
+              - dec(col("nl") - col("posl")) * (col("nl") - col("posl")))
+              .cast("double") / col("nl")
+            + (dec(col("nr")) * col("nr") - dec(col("posr")) * col("posr")
+              - dec(col("nr") - col("posr")) * (col("nr") - col("posr")))
+              .cast("double") / col("nr")) / col("n"))
+            .cast("long").as("gini_e6"))
+        scored.groupBy("n", "pos")
+          .agg(min("gini_e6").as("best_gini_e6"),
+            min(struct(col("gini_e6"), col("bin"))).as("mb"))
+          .select(lit(nm).as("feature"),
+            round(lit(1000000) * (dec(col("n")) * col("n")
+              - dec(col("pos")) * col("pos")
+              - dec(col("n") - col("pos")) * (col("n") - col("pos")))
+              .cast("double") / col("n") / col("n")).cast("long").as("gini0_e6"),
+            col("best_gini_e6"), col("mb.bin").as("best_bin"))
+      }
+      oneFeature("cents", round(col("o_totalprice") * 100).cast("long"))
+        .unionByName(oneFeature("dom",
+          dayofmonth(col("o_orderdate").cast("date")).cast("long")))
+        .unionByName(oneFeature("mon",
+          month(col("o_orderdate").cast("date")).cast("long")))
+        .select(col("feature"), col("best_bin").cast("long").as("best_bin"),
+          col("gini0_e6"), col("best_gini_e6"),
+          (col("gini0_e6") - col("best_gini_e6")).as("gain_e6"))
+        .orderBy("feature")
+    },
   )
 }
