@@ -846,6 +846,47 @@ object Analytics {
         .groupBy("p_brand", "xyz")
         .agg(count(lit(1)).as("n_parts"), sum("s").as("total_qty"))
         .orderBy("p_brand", "xyz")
+    },
+
+    // R152 — classical monthly seasonal index (ratio-to-overall): the
+    // "is December really bigger" number, exact: index(m) =
+    // mean(month-m cell revenue) / mean(all cell revenue) =
+    // (rev_m · cells) / (n_m · rev_total) as ONE integer cross-multiply
+    // quantized to e6 by floor DIV — numerators pass 2^63, so the
+    // products ride decimal(38,0)/HUGEINT. One fact aggregate to the
+    // (year, month) cell frame; everything after is calendar-sized.
+    Q(
+      "q109_seasonal_index",
+      """WITH ym AS (
+        |  SELECT year(CAST(o_orderdate AS DATE)) AS yr,
+        |    month(CAST(o_orderdate AS DATE)) AS mo,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(rev) AS BIGINT) AS rev_all,
+        |          CAST(count(*) AS BIGINT) AS cells FROM ym),
+        |m AS (SELECT mo, CAST(sum(rev) AS BIGINT) AS rev_m,
+        |        CAST(count(*) AS BIGINT) AS n_m
+        |      FROM ym GROUP BY 1)
+        |SELECT CAST(mo AS BIGINT) AS mo, rev_m, n_m,
+        |  CAST((1000000 * CAST(rev_m AS HUGEINT) * (SELECT cells FROM tot))
+        |    // (CAST(n_m AS HUGEINT) * (SELECT rev_all FROM tot)) AS BIGINT)
+        |    AS index_e6
+        |FROM m ORDER BY mo""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val ym = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate").cast("date")).as("yr"),
+          month(col("o_orderdate").cast("date")).as("mo"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        .localCheckpoint(true) // totals + per-month both read it
+      val tot = ym.agg(sum("rev").as("rev_all"), count(lit(1)).as("cells"))
+      val m = ym.groupBy("mo")
+        .agg(sum("rev").as("rev_m"), count(lit(1)).as("n_m"))
+      m.crossJoin(broadcast(tot))
+        .select(col("mo").cast("long").as("mo"), col("rev_m"), col("n_m"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * rev_m * cells) DIV (CAST(n_m AS DECIMAL(38,0)) * rev_all) AS BIGINT)")
+            .as("index_e6"))
+        .orderBy("mo")
     }
   )
 }

@@ -401,6 +401,56 @@ object Geo {
         .groupBy(col("component").as("cluster_id"))
         .agg(count(lit(1)).as("n_cells"), sum("np").as("n_points"))
         .orderBy(desc("n_points"), col("cluster_id"))
+    },
+
+    // R151 — spatial hotspot detection (Getis-Ord flavor, exact): a
+    // tile is HOT when its 3×3 neighborhood's mean density exceeds 2×
+    // the global mean — the comparison is the pure integer
+    // cross-multiply s9·K > 2·k9·N (neighborhood sum s9 over k9
+    // present tiles vs global N points over K tiles), so no density
+    // float exists. Tile counts come from geo3's aggregate; the
+    // neighborhood sum is geo2's 3×3-explode equi-join ON THE TILE
+    // FRAME (grid-bounded, never the points). One fact pass total.
+    Q(
+      "geo9_hotspots",
+      s"""WITH $ptsSql,
+        |tiles AS (SELECT px // 8000000 AS tx, py // 8000000 AS ty,
+        |            CAST(count(*) AS BIGINT) AS n
+        |          FROM pts GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |          CAST(count(*) AS BIGINT) AS kk FROM tiles),
+        |nbr AS (
+        |  SELECT a.tx, a.ty, CAST(sum(b.n) AS BIGINT) AS s9,
+        |    CAST(count(*) AS BIGINT) AS k9
+        |  FROM tiles a JOIN tiles b
+        |    ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+        |   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+        |  GROUP BY 1, 2)
+        |SELECT n.tx, n.ty, t.n, n.s9, n.k9,
+        |  CASE WHEN n.s9 * (SELECT kk FROM tot)
+        |            > 2 * n.k9 * (SELECT nn FROM tot) THEN 1 ELSE 0 END AS hot
+        |FROM nbr n JOIN tiles t ON n.tx = t.tx AND n.ty = t.ty
+        |ORDER BY n.tx, n.ty""".stripMargin
+    ) { (s, d) =>
+      val tiles = custPoints(s, d)
+        .groupBy(expr("px DIV 8000000").as("tx"), expr("py DIV 8000000").as("ty"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // totals + both sides of the neighbor join
+      val tot = tiles.agg(sum("n").as("nn"), count(lit(1)).as("kk"))
+      val left = tiles
+        .withColumn("ox", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("oy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select((col("tx") + col("ox")).as("tx"), (col("ty") + col("oy")).as("ty"),
+          col("n").as("bn"))
+      val nbr = left.join(tiles.select("tx", "ty"), Seq("tx", "ty"))
+        .groupBy("tx", "ty")
+        .agg(sum("bn").as("s9"), count(lit(1)).as("k9"))
+      nbr.join(tiles, Seq("tx", "ty"))
+        .crossJoin(broadcast(tot))
+        .select(col("tx"), col("ty"), col("n"), col("s9"), col("k9"),
+          when(col("s9") * col("kk") > lit(2) * col("k9") * col("nn"), 1L)
+            .otherwise(0L).as("hot"))
+        .orderBy("tx", "ty")
     }
   )
 }

@@ -758,6 +758,65 @@ object HypoTests {
           (lit(1000000) * col("n") + expr("(1959964 * sqn_e6) DIV 1000000"))
             .as("count_hi_e6"))
         .orderBy("event_type")
+    },
+
+    // T68 — Cohen's d on per-user spend (the CONTINUOUS effect size
+    // beside T36's Welch significance and T59's binary odds ratio):
+    // d = (μ₁−μ₀)/s_pooled. Per-event values quantize to exact cents
+    // (a raw double sum would be partition-order-dependent — the
+    // repo-wide reason every money column is cents), users collapse
+    // once, group moments are exact integers, and d is doubles of
+    // identical trees micro-quantized ONCE at the end.
+    Q(
+      "ev60_cohens_d",
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT arm, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+        |        CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q2
+        |      FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |    max(CASE WHEN arm = 1 THEN s END) AS s1,
+        |    max(CASE WHEN arm = 1 THEN CAST(q2 AS DOUBLE) END) AS q1,
+        |    max(CASE WHEN arm = 0 THEN n END) AS n0,
+        |    max(CASE WHEN arm = 0 THEN s END) AS s0,
+        |    max(CASE WHEN arm = 0 THEN CAST(q2 AS DOUBLE) END) AS q0
+        |  FROM g)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+        |  CAST(round(1000000 * (
+        |    (CAST(s1 AS DOUBLE)/n1 - CAST(s0 AS DOUBLE)/n0)
+        |    / sqrt((
+        |        (q1 - CAST(s1 AS DOUBLE)*s1/n1)
+        |      + (q0 - CAST(s0 AS DOUBLE)*s0/n0)
+        |      ) / (n1 + n0 - 2)))) AS BIGINT) AS cohens_d_e6
+        |FROM w""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        .select((col("user_id") % 2).as("arm"), col("v"))
+      val g = u.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"),
+          sum(dec(col("v")) * col("v")).as("q2"))
+      val w = g.agg(
+        max(when(col("arm") === 1, col("n"))).as("n1"),
+        max(when(col("arm") === 1, col("s"))).as("s1"),
+        max(when(col("arm") === 1, col("q2").cast("double"))).as("q1"),
+        max(when(col("arm") === 0, col("n"))).as("n0"),
+        max(when(col("arm") === 0, col("s"))).as("s0"),
+        max(when(col("arm") === 0, col("q2").cast("double"))).as("q0"))
+      w.select(col("n1"), col("n0"),
+        round(lit(1000000) * (
+          (col("s1").cast("double") / col("n1")
+            - col("s0").cast("double") / col("n0"))
+          / sqrt((
+              (col("q1") - col("s1").cast("double") * col("s1") / col("n1"))
+            + (col("q0") - col("s0").cast("double") * col("s0") / col("n0"))
+            ) / (col("n1") + col("n0") - 2))))
+          .cast("long").as("cohens_d_e6"))
     }
   )
 }

@@ -1073,5 +1073,63 @@ object MlEval {
           (col("gini0_e6") - col("best_gini_e6")).as("gain_e6"))
         .orderBy("feature")
     },
+
+    // L101 — precision/recall curve at 19 score thresholds: ml12 gives
+    // the area; THIS gives the plot (and the operating-point table a
+    // deployment picks from). Thresholds are the equal-width bin
+    // boundaries (ml15's scan-local binning — no global rank window);
+    // TP/FP at each threshold come from ONE cumulative pass over the
+    // 20-cell frame, precision/recall as exact floor permille. The
+    // whole curve costs one fact scan.
+    Q(
+      "ml21_pr_curve",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM sc),
+        |cells AS (SELECT ((cents - mn) * 20) // (mx - mn + 1) AS bin,
+        |            count(*) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b
+        |          FROM sc CROSS JOIN b GROUP BY 1),
+        |cum AS (SELECT bin,
+        |          sum(n_b) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+        |          sum(pos_b) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+        |          sum(n_b) OVER () AS n, sum(pos_b) OVER () AS pos
+        |        FROM cells),
+        |th AS (SELECT bin + 1 AS t, pos - posl AS tp,
+        |         (n - pos) - (nl - posl) AS fp, pos
+        |       FROM cum WHERE bin < 19)
+        |SELECT CAST(t AS BIGINT) AS threshold_bin, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE CAST((tp * 1000) // (tp + fp) AS BIGINT) END AS precision_pm,
+        |  CAST((tp * 1000) // pos AS BIGINT) AS recall_pm
+        |FROM th ORDER BY threshold_bin""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val b = sc.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val cells = sc.crossJoin(broadcast(b))
+        .select(expr("((cents - mn) * 20) DIV (mx - mn + 1)").as("bin"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells.select(col("bin"),
+        sum("n_b").over(wc).as("nl"), sum("pos_b").over(wc).as("posl"),
+        sum("n_b").over(Window.partitionBy()).as("n"),
+        sum("pos_b").over(Window.partitionBy()).as("pos"))
+      cum.filter(col("bin") < 19)
+        .select((col("bin") + 1).as("threshold_bin"),
+          (col("pos") - col("posl")).as("tp"),
+          ((col("n") - col("pos")) - (col("nl") - col("posl"))).as("fp"),
+          col("pos"))
+        .select(col("threshold_bin"), col("tp"), col("fp"),
+          when(col("tp") + col("fp") === 0, lit(null))
+            .otherwise(expr("(tp * 1000) DIV (tp + fp)")).as("precision_pm"),
+          expr("(tp * 1000) DIV pos").as("recall_pm"))
+        .orderBy("threshold_bin")
+    },
   )
 }
