@@ -817,6 +817,59 @@ object HypoTests {
             + (col("q0") - col("s0").cast("double") * col("s0") / col("n0"))
             ) / (col("n1") + col("n0") - 2))))
           .cast("long").as("cohens_d_e6"))
+    },
+
+    // T69 — burstiness index per event type (CV of inter-arrival
+    // times): a Poisson process has CV = 1; CV > 1 is bursty traffic,
+    // CV < 1 a regular pulse — the single number that says which. Gaps
+    // are exact epoch-second diffs per (type, user-independent) global
+    // arrival order; CV classes use q108's EXACT variance-identity
+    // cross-multiplies (n·Σg² vs S² scaled), and cv_e6 itself is one
+    // quantized double of exact integers for the readout. The gap
+    // window partitions by type over per-type event-sized partitions.
+    Q(
+      "ev61_burstiness",
+      """WITH a AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS sec,
+        |    event_id
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |        lead(sec) OVER (PARTITION BY event_type ORDER BY sec, event_id)
+        |          - sec AS gap
+        |      FROM a),
+        |st AS (SELECT event_type, count(*) AS n, CAST(sum(gap) AS BIGINT) AS s,
+        |         CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q2
+        |       FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST(round(1000000 * sqrt(CAST(n * q2 - CAST(s AS HUGEINT) * s
+        |      AS DOUBLE)) / s) AS BIGINT) AS cv_e6,
+        |  CASE WHEN n * q2 > 2 * CAST(s AS HUGEINT) * s THEN 'bursty'
+        |       WHEN 2 * (n * q2 - CAST(s AS HUGEINT) * s)
+        |            < CAST(s AS HUGEINT) * s THEN 'regular'
+        |       ELSE 'poisson-like' END AS regime
+        |FROM st ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val a = Tables.events(s, d).select(col("event_type"),
+        unix_micros(col("ts")).as("sec"), col("event_id"))
+      val w = Window.partitionBy("event_type").orderBy(col("sec"), col("event_id"))
+      val g = a.select(col("event_type"),
+          (lead("sec", 1).over(w) - col("sec")).as("gap"))
+        .filter(col("gap").isNotNull)
+      val st = g.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("gap").as("s"),
+          sum(dec(col("gap")) * col("gap")).as("q2"))
+      st.select(col("event_type"), col("n").as("n_gaps"),
+        round(lit(1000000)
+          * sqrt((dec(col("n")) * col("q2") - dec(col("s")) * col("s"))
+            .cast("double")) / col("s")).cast("long").as("cv_e6"),
+        when(dec(col("n")) * col("q2") > lit(2) * dec(col("s")) * col("s"),
+          "bursty")
+          .when(lit(2) * (dec(col("n")) * col("q2") - dec(col("s")) * col("s"))
+            < dec(col("s")) * col("s"), "regular")
+          .otherwise("poisson-like").as("regime"))
+        .orderBy("event_type")
     }
   )
 }

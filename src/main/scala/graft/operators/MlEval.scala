@@ -1131,5 +1131,70 @@ object MlEval {
           expr("(tp * 1000) DIV pos").as("recall_pm"))
         .orderBy("threshold_bin")
     },
+
+    // L102 — cost-optimal decision threshold: the step that turns
+    // ml21's curve into a DECISION — with a false negative costing 5×
+    // a false positive, which threshold minimizes total cost? Pure
+    // integer cost per threshold off the same 20-cell cumulative
+    // frame, argmin under the explicit (cost, threshold) total order;
+    // the winner is marked so the oracle certifies the decision, not
+    // just the curve.
+    Q(
+      "ml22_cost_threshold",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM sc),
+        |cells AS (SELECT ((cents - mn) * 20) // (mx - mn + 1) AS bin,
+        |            count(*) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b
+        |          FROM sc CROSS JOIN b GROUP BY 1),
+        |cum AS (SELECT bin,
+        |          sum(n_b) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nl,
+        |          sum(pos_b) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS posl,
+        |          sum(n_b) OVER () AS n, sum(pos_b) OVER () AS pos
+        |        FROM cells),
+        |th AS (SELECT bin + 1 AS t,
+        |         CAST((n - pos) - (nl - posl) AS BIGINT) AS fp,
+        |         CAST(posl AS BIGINT) AS fn
+        |       FROM cum WHERE bin < 19),
+        |cost AS (SELECT t, fp, fn, fp + 5 * fn AS cost FROM th),
+        |best AS (SELECT min(cost) AS mc FROM cost)
+        |SELECT CAST(t AS BIGINT) AS threshold_bin, fp, fn,
+        |  CAST(cost AS BIGINT) AS cost,
+        |  CASE WHEN cost = (SELECT mc FROM best)
+        |        AND t = (SELECT min(t) FROM cost
+        |                 WHERE cost = (SELECT mc FROM best))
+        |       THEN 1 ELSE 0 END AS is_best
+        |FROM cost ORDER BY threshold_bin""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val b = sc.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val cells = sc.crossJoin(broadcast(b))
+        .select(expr("((cents - mn) * 20) DIV (mx - mn + 1)").as("bin"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells.select(col("bin"),
+        sum("n_b").over(wc).as("nl"), sum("pos_b").over(wc).as("posl"),
+        sum("n_b").over(Window.partitionBy()).as("n"),
+        sum("pos_b").over(Window.partitionBy()).as("pos"))
+      val cost = cum.filter(col("bin") < 19)
+        .select((col("bin") + 1).as("t"),
+          ((col("n") - col("pos")) - (col("nl") - col("posl"))).as("fp"),
+          col("posl").as("fn"))
+        .withColumn("cost", col("fp") + lit(5) * col("fn"))
+        .localCheckpoint(true) // argmin + output both read it
+      val best = cost.agg(min(struct(col("cost"), col("t"))).as("m"))
+        .select(col("m.cost").as("mc"), col("m.t").as("mt"))
+      cost.crossJoin(broadcast(best))
+        .select(col("t").as("threshold_bin"), col("fp"), col("fn"), col("cost"),
+          when(col("cost") === col("mc") && col("t") === col("mt"), 1L)
+            .otherwise(0L).as("is_best"))
+        .orderBy("threshold_bin")
+    },
   )
 }
