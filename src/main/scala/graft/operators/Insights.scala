@@ -751,6 +751,130 @@ object Insights {
             - (col("n2") - col("n1")) * col("avg1_e6")
             - col("n2") * (col("avg2_e6") - col("avg1_e6"))).as("residual_e6"))
         .orderBy("seg")
+    },
+
+    // R153 — customer value-segment migration matrix: between the first
+    // and second halves of the order history (split by the median month
+    // — an exact integer boundary), each customer lands in a spend
+    // bucket per half (ml15's scan-local shifted-integer bins over the
+    // half's customer spend), and the (from, to) matrix says who moved
+    // up, who churned to zero, who arrived. The "new"/"gone" fringe
+    // buckets are explicit (-1) so the matrix partitions ALL customers.
+    // Two customer-keyed aggregates + one bucket-sized matrix.
+    Q(
+      "q110_segment_migration",
+      """WITH o AS (SELECT o_custkey AS ck,
+        |    year(CAST(o_orderdate AS DATE)) * 12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS mi,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM orders),
+        |sp AS (SELECT min(mi) AS lo, max(mi) AS hi FROM o),
+        |hs AS (SELECT ck,
+        |    CASE WHEN 2 * (mi - lo) < hi - lo + 1 THEN 0 ELSE 1 END AS half,
+        |    cents FROM o CROSS JOIN sp),
+        |cu AS (SELECT ck, half, CAST(sum(cents) AS BIGINT) AS v
+        |       FROM hs GROUP BY 1, 2),
+        |b AS (SELECT half, min(v) AS mn, max(v) AS mx FROM cu GROUP BY 1),
+        |bk AS (SELECT cu.ck, cu.half,
+        |         ((cu.v - b.mn) * 3) // (b.mx - b.mn + 1) AS bucket
+        |       FROM cu JOIN b ON cu.half = b.half),
+        |f AS (SELECT ck, bucket FROM bk WHERE half = 0),
+        |t AS (SELECT ck, bucket FROM bk WHERE half = 1),
+        |m AS (SELECT coalesce(f.bucket, -1) AS from_bucket,
+        |        coalesce(t.bucket, -1) AS to_bucket
+        |      FROM f FULL OUTER JOIN t ON f.ck = t.ck)
+        |SELECT CAST(from_bucket AS BIGINT) AS from_bucket,
+        |  CAST(to_bucket AS BIGINT) AS to_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_custkey").as("ck"),
+        (year(col("o_orderdate").cast("date")) * 12
+          + month(col("o_orderdate").cast("date")) - 1).as("mi"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val sp = o.agg(min("mi").as("lo"), max("mi").as("hi"))
+      val cu = o.crossJoin(broadcast(sp))
+        .select(col("ck"),
+          when(lit(2) * (col("mi") - col("lo")) < col("hi") - col("lo") + 1, 0L)
+            .otherwise(1L).as("half"),
+          col("cents"))
+        .groupBy("ck", "half").agg(sum("cents").as("v"))
+        .localCheckpoint(true) // bucket bounds + both halves read it
+      val b = cu.groupBy("half").agg(min("v").as("mn"), max("v").as("mx"))
+      val bk = cu.join(b, "half")
+        .select(col("ck"), col("half"),
+          expr("((v - mn) * 3) DIV (mx - mn + 1)").as("bucket"))
+      val f = bk.filter(col("half") === 0).select(col("ck"), col("bucket").as("fb"))
+      val t = bk.filter(col("half") === 1).select(col("ck"), col("bucket").as("tb"))
+      f.join(t, Seq("ck"), "full_outer")
+        .select(coalesce(col("fb"), lit(-1L)).as("from_bucket"),
+          coalesce(col("tb"), lit(-1L)).as("to_bucket"))
+        .groupBy("from_bucket", "to_bucket")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("from_bucket", "to_bucket")
+    },
+
+    // R154 — repeat-purchase rate per segment (the retention KPI in its
+    // simplest form): share of customers with ≥2 orders, plus the
+    // median inter-order gap for those repeaters — the gap median is
+    // the exact lower-median rank pick over (segment, gap-day) CELLS
+    // (ev19 discipline), and the rate is exact floor permille. One
+    // order pass, one customer-keyed aggregate; windows only on cells.
+    Q(
+      "q111_repeat_rate",
+      """WITH seq AS (
+        |  SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS od,
+        |    lead(CAST(o_orderdate AS DATE)) OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS nxt
+        |  FROM orders),
+        |cs AS (SELECT c_mktsegment AS seg, ck, count(*) AS n_orders
+        |       FROM seq JOIN customer ON ck = c_custkey GROUP BY 1, 2),
+        |rate AS (SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_repeat
+        |  FROM cs GROUP BY 1),
+        |gaps AS (SELECT c_mktsegment AS seg, date_diff('day', od, nxt) AS gap
+        |         FROM seq JOIN customer ON ck = c_custkey
+        |         WHERE nxt IS NOT NULL),
+        |cells AS (SELECT seg, gap, count(*) AS cnt FROM gaps GROUP BY 1, 2),
+        |rk AS (SELECT seg, gap,
+        |    sum(cnt) OVER (PARTITION BY seg ORDER BY gap
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY seg) AS tot
+        |  FROM cells),
+        |med AS (SELECT seg, min(gap) AS med_gap_days FROM rk
+        |        WHERE cum >= (tot + 1) // 2 GROUP BY 1)
+        |SELECT r.seg, r.n_cust, r.n_repeat,
+        |  (r.n_repeat * 1000) // r.n_cust AS repeat_pm,
+        |  CAST(m.med_gap_days AS BIGINT) AS med_gap_days
+        |FROM rate r JOIN med m ON r.seg = m.seg ORDER BY r.seg""".stripMargin
+    ) { (s, d) =>
+      val wSeq = Window.partitionBy("ck").orderBy(col("od"), col("o_orderkey"))
+      val seq = Tables.orders(s, d)
+        .select(col("o_custkey").as("ck"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("od"))
+        .withColumn("nxt", lead("od", 1).over(wSeq))
+        .join(Tables.customer(s, d), col("ck") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("ck"), col("od"), col("nxt"))
+        .localCheckpoint(true) // rate aggregate + gap cells read it
+      val rate = seq.groupBy("seg", "ck").agg(count(lit(1)).as("n_orders"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_cust"),
+          sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"))
+      val cells = seq.filter(col("nxt").isNotNull)
+        .select(col("seg"), datediff(col("nxt"), col("od")).cast("long").as("gap"))
+        .groupBy("seg", "gap").agg(count(lit(1)).as("cnt"))
+      val rk = cells.select(col("seg"), col("gap"),
+        sum("cnt").over(Window.partitionBy("seg").orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum("cnt").over(Window.partitionBy("seg")).as("tot"))
+      val med = rk.filter(col("cum") >= expr("(tot + 1) DIV 2"))
+        .groupBy("seg").agg(min("gap").as("med_gap_days"))
+      rate.join(med, "seg")
+        .select(col("seg"), col("n_cust"), col("n_repeat"),
+          expr("(n_repeat * 1000) DIV n_cust").as("repeat_pm"),
+          col("med_gap_days"))
+        .orderBy("seg")
     }
   )
 }

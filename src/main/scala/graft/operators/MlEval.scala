@@ -1196,5 +1196,49 @@ object MlEval {
             .otherwise(0L).as("is_best"))
         .orderBy("threshold_bin")
     },
+
+    // L103 — regression evaluation metrics (MAE / RMSE / R²) for the
+    // simplest honest predictor (per-priority mean price, ml1's target
+    // encoding as the model): predictions are floor-quantized integer
+    // cents (one DIV per group), so every error is an EXACT integer,
+    // Σ|e| and Σe² exact (squares in decimal(38,0)/HUGEINT), and the
+    // three metrics are single double trees over exact integers. The
+    // group-mean "model" broadcasts; the fact is scored in one pass.
+    Q(
+      "ml23_reg_metrics",
+      """WITH sc AS (SELECT o_orderpriority AS grp,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS y FROM orders),
+        |mdl AS (SELECT grp, CAST(sum(y) // count(*) AS BIGINT) AS pred
+        |        FROM sc GROUP BY 1),
+        |er AS (SELECT sc.y, mdl.pred, sc.y - mdl.pred AS e
+        |       FROM sc JOIN mdl ON sc.grp = mdl.grp),
+        |st AS (SELECT count(*) AS n, CAST(sum(abs(e)) AS BIGINT) AS sae,
+        |         CAST(sum(CAST(e AS HUGEINT) * e) AS HUGEINT) AS sse,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        |       FROM er)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(sae AS DOUBLE) / n AS mae_cents,
+        |  sqrt(CAST(sse AS DOUBLE) / n) AS rmse_cents,
+        |  CAST(1 AS DOUBLE) - CAST(sse AS DOUBLE)
+        |    / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) AS r2
+        |FROM st""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sc = Tables.orders(s, d).select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("y"))
+      val mdl = sc.groupBy("grp").agg(expr("sum(y) DIV count(*)").as("pred"))
+      val er = sc.join(broadcast(mdl), "grp")
+        .select(col("y"), col("pred"), (col("y") - col("pred")).as("e"))
+      val st = er.agg(count(lit(1)).as("n"), sum(abs(col("e"))).as("sae"),
+        sum(dec(col("e")) * col("e")).as("sse"),
+        sum("y").as("sy"), sum(dec(col("y")) * col("y")).as("syy"))
+      st.select(col("n"),
+        (col("sae").cast("double") / col("n")).as("mae_cents"),
+        sqrt(col("sse").cast("double") / col("n")).as("rmse_cents"),
+        (lit(1).cast("double") - col("sse").cast("double")
+          / (col("syy").cast("double")
+            - col("sy").cast("double") * col("sy") / col("n"))).as("r2"))
+    },
   )
 }
