@@ -887,6 +887,56 @@ object Analytics {
           expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * rev_m * cells) DIV (CAST(n_m AS DECIMAL(38,0)) * rev_all) AS BIGINT)")
             .as("index_e6"))
         .orderBy("mo")
+    },
+
+    // R155 — log-log price elasticity of demand per brand: the number
+    // pricing teams actually move on, ε = d ln(qty)/d ln(price) as the
+    // per-brand OLS slope over line items. Each ln is micro-quantized
+    // ONCE to a 1e6 BIGINT at the row (tx19 discipline — qty ≥ 1 and
+    // price ≥ 1 cent keep ln non-negative), so the per-brand moment
+    // sums are EXACT integers under any partitioning, and the slope
+    // n·Σxy − ΣxΣy / (n·Σx² − (Σx)²) is one double tree of exact
+    // integers (products in decimal(38,0)/HUGEINT). One fact pass,
+    // brand-sized output.
+    Q(
+      "q112_elasticity",
+      """WITH r AS (
+        |  SELECT p_brand,
+        |    CAST(round(1000000 * ln(CAST(round(l_quantity) AS DOUBLE)))
+        |      AS BIGINT) AS lq_e6,
+        |    CAST(round(1000000 * ln(CAST(round(l_extendedprice
+        |      / l_quantity * 100) AS DOUBLE))) AS BIGINT) AS lp_e6
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, count(*) AS n,
+        |        CAST(sum(lp_e6) AS BIGINT) AS sx,
+        |        CAST(sum(lq_e6) AS BIGINT) AS sy,
+        |        CAST(sum(CAST(lp_e6 AS HUGEINT) * lp_e6) AS HUGEINT) AS sxx,
+        |        CAST(sum(CAST(lp_e6 AS HUGEINT) * lq_e6) AS HUGEINT) AS sxy
+        |      FROM r GROUP BY 1)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n,
+        |  CAST(round(1000000 * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT)
+        |    AS elasticity_e6
+        |FROM m ORDER BY p_brand""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val r = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(lit(1000000) * log(round(col("l_quantity")).cast("double")))
+            .cast("long").as("lq_e6"),
+          round(lit(1000000) * log(round(col("l_extendedprice")
+            / col("l_quantity") * 100).cast("double"))).cast("long").as("lp_e6"))
+      val m = r.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("lp_e6").as("sx"), sum("lq_e6").as("sy"),
+          sum(dec(col("lp_e6")) * col("lp_e6")).as("sxx"),
+          sum(dec(col("lp_e6")) * col("lq_e6")).as("sxy"))
+      m.select(col("p_brand"), col("n"),
+          round(lit(1000000)
+            * (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")).cast("double")
+            / (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
+              .cast("double")).cast("long").as("elasticity_e6"))
+        .orderBy("p_brand")
     }
   )
 }

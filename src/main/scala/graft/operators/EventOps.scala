@@ -1972,6 +1972,75 @@ object EventOps {
               .as("v_e6"))
       }
       a.select(col("state"), col("v_e6").as("absorb8_e6")).orderBy("state")
+    },
+
+    // T70 — weekly periodogram of the daily event series (DFT power at
+    // the period-7 fundamental and harmonics k = 1..3): ev44's ACF sees
+    // "some" periodicity, the periodogram says WHICH frequency carries
+    // it. Because the probe frequencies are fixed at the weekly grid,
+    // every angle is 2π·m/7 with m = (k·t) mod 7 — SEVEN constants —
+    // and cos/sin enter as HARDCODED 1e6-quantized integers (ev49
+    // SPRT's discipline: no query-time transcendental on either engine,
+    // so the whole spectrum is EXACT integer algebra; libm trig is
+    // banned from oracle paths because cross-engine ulp drift is real).
+    // Power = ((Σc·cos)² + (Σc·sin)²)/(n·1e12) with products in
+    // decimal(38,0)/HUGEINT. Series frame calendar-bounded.
+    Q(
+      "ev62_periodogram", {
+        val cos7 = (0 until 7).map(m =>
+          math.round(1e6 * math.cos(2 * math.Pi * m / 7)))
+        val sin7 = (0 until 7).map(m =>
+          math.round(1e6 * math.sin(2 * math.Pi * m / 7)))
+        val cosCase = (0 until 7).map(m => s"WHEN $m THEN ${cos7(m)}").mkString(" ")
+        val sinCase = (0 until 7).map(m => s"WHEN $m THEN ${sin7(m)}").mkString(" ")
+        s"""WITH dc AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+           |              CAST(count(*) AS BIGINT) AS c
+           |            FROM events GROUP BY 1),
+           |idx AS (SELECT c,
+           |          row_number() OVER (ORDER BY dy) - 1 AS t,
+           |          count(*) OVER () AS n
+           |        FROM dc),
+           |terms AS (
+           |  SELECT k.k, n,
+           |    c * (CASE (k.k * t) % 7 $cosCase END) AS ct_e6,
+           |    c * (CASE (k.k * t) % 7 $sinCase END) AS st_e6
+           |  FROM idx CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k),
+           |f AS (SELECT k, CAST(sum(ct_e6) AS BIGINT) AS sc,
+           |        CAST(sum(st_e6) AS BIGINT) AS ss, max(n) AS n
+           |      FROM terms GROUP BY 1)
+           |SELECT CAST(k AS BIGINT) AS k, sc AS sum_cos_e6, ss AS sum_sin_e6,
+           |  CAST((CAST(sc AS HUGEINT) * sc + CAST(ss AS HUGEINT) * ss)
+           |    // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS power_e6
+           |FROM f ORDER BY k""".stripMargin
+      }
+    ) { (s, d) =>
+      val cos7 = (0 until 7).map(m =>
+        math.round(1e6 * math.cos(2 * math.Pi * m / 7)))
+      val sin7 = (0 until 7).map(m =>
+        math.round(1e6 * math.sin(2 * math.Pi * m / 7)))
+      def pick(v: Seq[Long]) = {
+        val m = pmod(col("k") * col("t"), lit(7L))
+        (0 until 7).foldLeft(lit(0L)) { (acc, i) =>
+          when(m === i, lit(v(i))).otherwise(acc)
+        }
+      }
+      val dc = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("c"))
+      val idx = dc.select(col("c"),
+        (row_number().over(Window.orderBy("dy")) - 1).cast("long").as("t"),
+        count(lit(1)).over(Window.partitionBy()).as("n"))
+      val terms = idx.crossJoin(
+          s.range(1, 4).select(col("id").as("k")))
+        .select(col("k"), col("n"),
+          (col("c") * pick(cos7)).as("ct_e6"),
+          (col("c") * pick(sin7)).as("st_e6"))
+      terms.groupBy("k")
+        .agg(sum("ct_e6").as("sc"), sum("st_e6").as("ss"), max("n").as("n"))
+        .select(col("k"), col("sc").as("sum_cos_e6"), col("ss").as("sum_sin_e6"),
+          expr("CAST((CAST(sc AS DECIMAL(38,0)) * sc + CAST(ss AS DECIMAL(38,0)) * ss) DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+            .as("power_e6"))
+        .orderBy("k")
     }
   )
 

@@ -1708,6 +1708,80 @@ object Graph {
           expr("sum_c2 DIV 2").as("n_squares"))
     },
 
+    // R156 — rich-club coefficient: do the hubs form their own dense
+    // club? φ = 2·E_rich / (n_rich·(n_rich−1)) over the nodes above the
+    // 90th-percentile degree — the threshold is an exact rank pick on
+    // the DEGREE-CELL frame (ev19 discipline), membership is a
+    // node-sized semi-join, E_rich one edge pass against the member
+    // set, and φ is an exact integer permille. Everything after the
+    // degree aggregate is node- or club-sized.
+    Q(
+      "gr28_rich_club",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |cells AS (SELECT dg, count(*) AS cnt FROM deg GROUP BY 1),
+        |rk AS (SELECT dg,
+        |    sum(cnt) OVER (ORDER BY dg ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS tot
+        |  FROM cells),
+        |thr AS (SELECT min(dg) AS t FROM rk WHERE 10 * cum >= 9 * tot),
+        |rich AS (SELECT node FROM deg CROSS JOIN thr WHERE dg >= t),
+        |er AS (SELECT CAST(count(*) AS BIGINT) AS e_rich
+        |       FROM e JOIN rich r1 ON e.u = r1.node
+        |              JOIN rich r2 ON e.v = r2.node),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rich FROM rich)
+        |SELECT (SELECT t FROM thr) AS deg_threshold, n_rich, e_rich,
+        |  CASE WHEN n_rich < 2 THEN NULL
+        |       ELSE (2 * e_rich * 1000) // (n_rich * (n_rich - 1)) END
+        |    AS phi_permille
+        |FROM nr CROSS JOIN er""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .transform(graft.plans.Lineage.truncate) // degrees + both member joins
+      val deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+        .transform(graft.plans.Lineage.truncate) // cells + membership read it
+      val cells = deg.groupBy("dg").agg(count(lit(1)).as("cnt"))
+      import org.apache.spark.sql.expressions.Window
+      val rk = cells.select(col("dg"),
+        sum("cnt").over(Window.orderBy("dg")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum("cnt").over(Window.partitionBy()).as("tot"))
+      val thr = rk.filter(lit(10) * col("cum") >= lit(9) * col("tot"))
+        .agg(min("dg").as("t"))
+      val rich = deg.crossJoin(broadcast(thr)).filter(col("dg") >= col("t"))
+        .select("node")
+      val er = e.join(rich.select(col("node").as("u")), "u")
+        .join(rich.select(col("node").as("v")), "v")
+        .agg(count(lit(1)).as("e_rich"))
+      val nr = rich.agg(count(lit(1)).as("n_rich"))
+      nr.crossJoin(er).crossJoin(broadcast(thr))
+        .select(col("t").as("deg_threshold"), col("n_rich"), col("e_rich"),
+          when(col("n_rich") < 2, lit(null))
+            .otherwise(expr("(2 * e_rich * 1000) DIV (n_rich * (n_rich - 1))"))
+            .as("phi_permille"))
+    },
+
     // R147 — Borůvka minimum spanning forest over the doc graph (see
     // mstBoruvka). Weights are md5-derived 60-bit positive BIGINTs —
     // distinct with overwhelming probability, so the forest is UNIQUE

@@ -903,9 +903,11 @@ object MlEval {
         |      + b1*(a12*a23 - a22*a13) AS det3
         |  FROM c)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  det1/det AS beta_qty, det2/det AS beta_disc, det3/det AS beta_tax,
-        |  (dy - (det1/det)*d1 - (det2/det)*d2 - (det3/det)*d3) / n
-        |    AS intercept_cents
+        |  CAST(round(1000000 * det1/det) AS BIGINT) AS beta_qty_e6,
+        |  CAST(round(1000000 * det2/det) AS BIGINT) AS beta_disc_e6,
+        |  CAST(round(1000000 * det3/det) AS BIGINT) AS beta_tax_e6,
+        |  CAST(round((dy - (det1/det)*d1 - (det2/det)*d2 - (det3/det)*d3) / n)
+        |    AS BIGINT) AS intercept_cents
         |FROM dets""".stripMargin
     ) { (s, d) =>
       val t = Tables.lineitem(s, d).select(
@@ -954,13 +956,13 @@ object MlEval {
           + col("b1") * (col("a12") * col("a23") - col("a22") * col("a13")))
           .as("det3"))
       dets.select(col("n"),
-        (col("det1") / col("det")).as("beta_qty"),
-        (col("det2") / col("det")).as("beta_disc"),
-        (col("det3") / col("det")).as("beta_tax"),
-        ((col("dy") - (col("det1") / col("det")) * col("d1")
+        round(lit(1000000) * col("det1") / col("det")).cast("long").as("beta_qty_e6"),
+        round(lit(1000000) * col("det2") / col("det")).cast("long").as("beta_disc_e6"),
+        round(lit(1000000) * col("det3") / col("det")).cast("long").as("beta_tax_e6"),
+        round((col("dy") - (col("det1") / col("det")) * col("d1")
           - (col("det2") / col("det")) * col("d2")
           - (col("det3") / col("det")) * col("d3")) / col("n"))
-          .as("intercept_cents"))
+          .cast("long").as("intercept_cents"))
     },
 
     // L100 — per-feature split-gain importance (the feature-ranking
