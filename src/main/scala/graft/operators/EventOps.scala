@@ -2041,6 +2041,91 @@ object EventOps {
           expr("CAST((CAST(sc AS DECIMAL(38,0)) * sc + CAST(ss AS DECIMAL(38,0)) * ss) DIV (CAST(n AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
             .as("power_e6"))
         .orderBy("k")
+    },
+
+    // T71 — retention half-life (exponential-decay fit to the pooled
+    // weekly retention curve): "how many weeks until half the cohort is
+    // gone" — ONE number for T10's whole matrix. Pooled r_k = active
+    // user-weeks at age k over the cohorts OLD ENOUGH to show age k
+    // (right-censoring handled exactly in integers); each ln(r_k) is
+    // micro-quantized ONCE (tx19), the decay slope is ml8's closed-form
+    // OLS over the ≤|weeks| cell frame, and the half-life is one
+    // quantized double of exact integers. Everything after the user
+    // aggregate is calendar-sized.
+    Q(
+      "ev63_retention_halflife",
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01',
+        |      CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)) // 7
+        |      AS BIGINT) AS w
+        |  FROM events),
+        |fs AS (SELECT user_id, min(w) AS w0 FROM uw GROUP BY 1),
+        |mx AS (SELECT max(w) AS maxw FROM uw),
+        |act AS (SELECT uw.user_id, fs.w0, uw.w - fs.w0 AS k
+        |        FROM uw JOIN fs ON uw.user_id = fs.user_id),
+        |num AS (SELECT k, CAST(count(*) AS BIGINT) AS active FROM act
+        |        WHERE k >= 1 GROUP BY 1),
+        |den AS (SELECT g.k, CAST(count(*) AS BIGINT) AS eligible
+        |        FROM fs CROSS JOIN mx
+        |        JOIN (SELECT DISTINCT k FROM num) g
+        |          ON fs.w0 + g.k <= mx.maxw
+        |        GROUP BY 1),
+        |r AS (SELECT num.k, num.active, den.eligible,
+        |        CAST(round(1000000 * ln(CAST(num.active AS DOUBLE)
+        |          / den.eligible)) AS BIGINT) AS lr_e6
+        |      FROM num JOIN den ON num.k = den.k WHERE num.active > 0),
+        |m AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sx,
+        |        CAST(sum(lr_e6) AS BIGINT) AS sy,
+        |        CAST(sum(k*k) AS BIGINT) AS sxx,
+        |        CAST(sum(CAST(k AS HUGEINT) * lr_e6) AS HUGEINT) AS sxy
+        |      FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_ages,
+        |  CAST(round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS BIGINT)
+        |    AS slope_e6,
+        |  -- no measured decay (slope ≥ 0, e.g. perfect synthetic
+        |  -- retention) → half-life undefined, NULL on both engines
+        |  CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy >= 0 THEN NULL
+        |    ELSE CAST(round(-693147.1805599453
+        |      / (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |         / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) / 1000000))
+        |      AS BIGINT) END AS halflife_milliweeks
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(datediff(date_trunc("week", col("ts")),
+            lit("2024-01-01").cast("timestamp")) / 7).cast("long").as("w"))
+        .distinct()
+        .localCheckpoint(true) // first-seen, max, and activity all read it
+      val fs = uw.groupBy("user_id").agg(min("w").as("w0"))
+      val mx = uw.agg(max("w").as("maxw"))
+      val num = uw.join(fs, "user_id")
+        .select((col("w") - col("w0")).as("k"))
+        .filter(col("k") >= 1)
+        .groupBy("k").agg(count(lit(1)).as("active"))
+      val den = fs.crossJoin(broadcast(mx))
+        .crossJoin(broadcast(num.select("k").distinct()))
+        .filter(col("w0") + col("k") <= col("maxw"))
+        .groupBy("k").agg(count(lit(1)).as("eligible"))
+      val r = num.join(den, "k").filter(col("active") > 0)
+        .select(col("k"), col("active"), col("eligible"),
+          round(lit(1000000) * log(col("active").cast("double")
+            / col("eligible"))).cast("long").as("lr_e6"))
+      val m = r.agg(count(lit(1)).as("n"), sum("k").as("sx"),
+        sum("lr_e6").as("sy"), sum(col("k") * col("k")).as("sxx"),
+        sum(dec(col("k")) * col("lr_e6")).as("sxy"))
+      val slope = (dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy"))
+        .cast("double") /
+        (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")).cast("double")
+      m.select(col("n").as("n_ages"),
+        round(slope).cast("long").as("slope_e6"),
+        when(dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy") >= 0,
+          lit(null))
+          .otherwise(round(lit(-693147.1805599453) / (slope / 1000000))
+            .cast("long")).as("halflife_milliweeks"))
     }
   )
 

@@ -1782,6 +1782,71 @@ object Graph {
             .as("phi_permille"))
     },
 
+    // R157 — degree-distribution Gini (inequality of attention): gr7
+    // histograms the degrees, tx23 fits their Zipf slope, THIS gives
+    // the one-number concentration readout (0 = egalitarian mesh, →1 =
+    // hub-dominated). The rank-weighted sum runs on DEGREE CELLS: a
+    // value dg with count c occupying ranks R+1..R+c contributes
+    // dg·(c·R + c(c+1)/2) EXACTLY, so G = (2S − (n+1)T)/(nT) is one
+    // double of exact integers, e6-quantized. Windows only on the
+    // cell frame.
+    Q(
+      "gr29_degree_gini",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |cells AS (SELECT dg, CAST(count(*) AS BIGINT) AS c FROM deg GROUP BY 1),
+        |rk AS (SELECT dg, c,
+        |    coalesce(sum(c) OVER (ORDER BY dg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r
+        |  FROM cells),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(dg * c) AS BIGINT) AS t,
+        |        CAST(sum(CAST(dg AS HUGEINT) * (c * r + (c * (c + 1)) // 2))
+        |          AS HUGEINT) AS s
+        |      FROM rk)
+        |SELECT n, t AS sum_degrees,
+        |  CAST(round(1000000 * (2 * CAST(s AS DOUBLE) - CAST(n + 1 AS DOUBLE) * t)
+        |    / (CAST(n AS DOUBLE) * t)) AS BIGINT) AS gini_e6
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val deg = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val cells = deg.groupBy("dg").agg(count(lit(1)).as("c"))
+      import org.apache.spark.sql.expressions.Window
+      val rk = cells.withColumn("r",
+        coalesce(sum("c").over(Window.orderBy("dg")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val m = rk.agg(sum("c").as("n"), sum(col("dg") * col("c")).as("t"),
+        sum(dec(col("dg"))
+          * (col("c") * col("r") + expr("(c * (c + 1)) DIV 2"))).as("s"))
+      m.select(col("n"), col("t").as("sum_degrees"),
+        round(lit(1000000)
+          * (lit(2) * col("s").cast("double")
+            - (col("n") + 1).cast("double") * col("t"))
+          / (col("n").cast("double") * col("t"))).cast("long").as("gini_e6"))
+    },
+
     // R147 — Borůvka minimum spanning forest over the doc graph (see
     // mstBoruvka). Weights are md5-derived 60-bit positive BIGINTs —
     // distinct with overwhelming probability, so the forest is UNIQUE

@@ -1242,5 +1242,51 @@ object MlEval {
           / (col("syy").cast("double")
             - col("sy").cast("double") * col("sy") / col("n"))).as("r2"))
     },
+
+    // L104 — expected calibration error (ECE), FULLY exact: ml6's
+    // reliability table collapsed to the one number papers report.
+    // Per bin, |accuracy − confidence| = |pos·mx − sumc| / (n_b·mx)
+    // after cross-multiplying the two rationals onto a common
+    // denominator, so the bin-weighted sum needs NO floats at all:
+    // ece_e6 = (1e6·Σ_b |pos_b·mx − sumc_b|) DIV (n·mx), every term an
+    // exact integer (wide products in decimal(38,0)/HUGEINT). One fact
+    // pass into 10 bins.
+    Q(
+      "ml24_ece",
+      """WITH scored AS (
+        |  SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |mx AS (SELECT max(cents) AS m FROM scored),
+        |bins AS (
+        |  SELECT CASE WHEN cents = m THEN 9 ELSE (cents*10) // m END AS bin,
+        |    count(*) AS n_b, CAST(sum(label) AS BIGINT) AS pos_b,
+        |    CAST(sum(cents) AS BIGINT) AS sumc_b, max(m) AS m
+        |  FROM scored CROSS JOIN mx GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n, max(m) AS m,
+        |        CAST(sum(abs(CAST(pos_b AS HUGEINT) * m - sumc_b)) AS HUGEINT)
+        |          AS num
+        |      FROM bins)
+        |SELECT n, CAST(m AS BIGINT) AS max_cents,
+        |  CAST((1000000 * num) // (CAST(n AS HUGEINT) * m) AS BIGINT) AS ece_e6
+        |FROM t""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val scored = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("label"))
+      val mx = scored.agg(max("cents").as("m"))
+      val bins = scored.crossJoin(broadcast(mx))
+        .withColumn("bin", when(col("cents") === col("m"), lit(9L))
+          .otherwise(expr("(cents*10) DIV m")))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("label").as("pos_b"),
+          sum("cents").as("sumc_b"), max("m").as("m"))
+      val t = bins.agg(sum("n_b").as("n"), max("m").as("m"),
+        sum(abs(dec(col("pos_b")) * col("m") - col("sumc_b"))).as("num"))
+      t.select(col("n"), col("m").as("max_cents"),
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * num) DIV (CAST(n AS DECIMAL(38,0)) * m) AS BIGINT)")
+          .as("ece_e6"))
+    },
   )
 }
