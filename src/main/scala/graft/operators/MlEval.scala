@@ -1288,5 +1288,60 @@ object MlEval {
         expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * num) DIV (CAST(n AS DECIMAL(38,0)) * m) AS BIGINT)")
           .as("ece_e6"))
     },
+
+    // L105b — model-score KS statistic (the credit-scoring separation
+    // number): max over thresholds of |F_pos − F_neg|, held EXACT as
+    // max|cumpos·neg − cumneg·pos| over the 20-cell cumulative frame
+    // (cross-scaled ECDF numerators, ev27's discipline applied to a
+    // MODEL score instead of an A/B metric); ks_e6 is one floor DIV of
+    // exact integers. One fact pass into bins.
+    Q(
+      "ml25_ks_score",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM sc),
+        |cells AS (SELECT ((cents - mn) * 20) // (mx - mn + 1) AS bin,
+        |            count(*) AS n_b, CAST(sum(y) AS BIGINT) AS pos_b
+        |          FROM sc CROSS JOIN b GROUP BY 1),
+        |cum AS (SELECT bin,
+        |          sum(pos_b) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos,
+        |          sum(n_b - pos_b) OVER (ORDER BY bin
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumneg,
+        |          sum(pos_b) OVER () AS pos,
+        |          sum(n_b - pos_b) OVER () AS neg
+        |        FROM cells)
+        |SELECT CAST(max(pos) AS BIGINT) AS n_pos, CAST(max(neg) AS BIGINT) AS n_neg,
+        |  CAST(max(abs(CAST(cumpos AS HUGEINT) * neg
+        |    - CAST(cumneg AS HUGEINT) * pos)) AS BIGINT) AS d_num,
+        |  CAST((1000000 * max(abs(CAST(cumpos AS HUGEINT) * neg
+        |    - CAST(cumneg AS HUGEINT) * pos)))
+        |    // (CAST(max(pos) AS HUGEINT) * max(neg)) AS BIGINT) AS ks_e6
+        |FROM cum""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val b = sc.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val cells = sc.crossJoin(broadcast(b))
+        .select(expr("((cents - mn) * 20) DIV (mx - mn + 1)").as("bin"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_b"), sum("y").as("pos_b"))
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells.select(col("bin"),
+        sum("pos_b").over(wc).as("cumpos"),
+        sum(col("n_b") - col("pos_b")).over(wc).as("cumneg"),
+        sum("pos_b").over(Window.partitionBy()).as("pos"),
+        sum(col("n_b") - col("pos_b")).over(Window.partitionBy()).as("neg"))
+      val gap = abs(dec(col("cumpos")) * col("neg")
+        - dec(col("cumneg")) * col("pos"))
+      cum.agg(max("pos").as("n_pos"), max("neg").as("n_neg"),
+          max(gap).cast("long").as("d_num"))
+        .select(col("n_pos"), col("n_neg"), col("d_num"),
+          expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * d_num) DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
+            .as("ks_e6"))
+    },
   )
 }

@@ -949,6 +949,74 @@ object Similarity {
         .select(col("bin"), col("n"), col("sum_cos_e6"),
           (col("sum_cos_e6").cast("double") / (col("n") * 1000000)).as("mean_cos"))
         .orderBy("bin")
+    },
+
+    // L105 — leave-one-out 3-NN label accuracy (the classifier-eval
+    // reading of the ANN stack): does cosine neighborhood structure
+    // predict the label? Queries are a bounded deterministic probe set
+    // (vec_id < 100 — at 100 TB you evaluate on a sample, never
+    // all-pairs), candidates the full corpus minus self; ranking rides
+    // the codegen'd native cosine whose doubles sim1 proved hash-match
+    // (identical trees), so the top-3 sets are engine-identical; the
+    // vote is an exact argmax under the (count desc, label) total
+    // order; accuracy exact permille per true label.
+    Q(
+      "sim13_knn_eval",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label, c.label AS c_label,
+        |         list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos, c.vec_id AS c_id
+        |  FROM e q JOIN e c ON q.vec_id < 100 AND c.vec_id <> q.vec_id),
+        |top3 AS (
+        |  SELECT q_id, q_label, c_label FROM (
+        |    SELECT q_id, q_label, c_label,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+        |    FROM scored) z WHERE rk <= 3),
+        |votes AS (SELECT q_id, q_label, c_label, count(*) AS cnt
+        |          FROM top3 GROUP BY 1, 2, 3),
+        |pred AS (
+        |  SELECT q_id, q_label, c_label AS pred FROM (
+        |    SELECT q_id, q_label, c_label,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cnt DESC, c_label) AS rk
+        |    FROM votes) z WHERE rk = 1)
+        |SELECT CAST(q_label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST((sum(CASE WHEN pred = q_label THEN 1 ELSE 0 END) * 1000)
+        |    // count(*) AS BIGINT) AS acc_pm
+        |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val e = prepared(s, d).localCheckpoint(true) // query + candidate sides
+      val q = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("c_id"), col("label").as("c_label"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      val top3 = topkRerank(
+        c.crossJoin(broadcast(q.select("q_id", "qv", "qn")))
+          .filter(col("c_id") =!= col("q_id"))
+          .withColumn("cos", cosineNative(col("qv"), col("cv"), col("qn"), col("cn")))
+          .select("q_id", "c_id", "cos"),
+        k = 3)
+      val votes = top3
+        .join(e.select(col("vec_id").as("c_id"), col("label").as("c_label")), "c_id")
+        .groupBy("q_id", "c_label").agg(count(lit(1)).as("cnt"))
+      val pred = votes
+        .groupBy("q_id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("c_label").as("l"))).as("m"))
+        .select(col("q_id"), col("m.l").as("pred"))
+      pred.join(broadcast(q.select("q_id", "q_label")), "q_id")
+        .groupBy(col("q_label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("pred") === col("q_label"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("label"), col("n_queries"), col("n_correct"),
+          expr("(n_correct * 1000) DIV n_queries").as("acc_pm"))
+        .orderBy("label")
     }
   )
 }
