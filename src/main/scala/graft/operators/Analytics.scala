@@ -937,6 +937,45 @@ object Analytics {
             / (dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
               .cast("double")).cast("long").as("elasticity_e6"))
         .orderBy("p_brand")
+    },
+
+    // R158 — price waterfall / realization per brand: the revenue-
+    // management table between list price and invoice — gross, discount
+    // given, tax added, net realized, and the realization permille.
+    // Every component is an INDEPENDENT per-line round to exact cents
+    // (summing rounded components, never rounding sums — the repo-wide
+    // money rule), so the waterfall reconciles by construction and the
+    // permille is one floor DIV. One fact pass, brand-sized output.
+    Q(
+      "q113_price_waterfall",
+      """SELECT p_brand,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS gross_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))
+        |    AS BIGINT) AS discount_cents,
+        |  CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*l_tax*100)
+        |    AS BIGINT)) AS BIGINT) AS tax_cents,
+        |  CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT))
+        |    - sum(CAST(round(l_extendedprice*l_discount*100) AS BIGINT))) * 1000
+        |    // sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |    AS realization_pm
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("gross_cents"),
+          sum(round(col("l_extendedprice") * col("l_discount") * 100)
+            .cast("long")).as("discount_cents"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * col("l_tax") * 100).cast("long")).as("tax_cents"))
+        .select(col("p_brand"), col("gross_cents"), col("discount_cents"),
+          col("tax_cents"),
+          expr("((gross_cents - discount_cents) * 1000) DIV gross_cents")
+            .as("realization_pm"))
+        .orderBy("p_brand")
     }
   )
 }

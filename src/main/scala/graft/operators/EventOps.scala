@@ -2126,6 +2126,142 @@ object EventOps {
           lit(null))
           .otherwise(round(lit(-693147.1805599453) / (slope / 1000000))
             .cast("long")).as("halflife_milliweeks"))
+    },
+
+    // T72 — anomaly-detector CONSENSUS: ev9's 2σ rule, ev55's MAD rule,
+    // and ev52's EWMA-residual rule each fire alone on different
+    // pathologies (σ inflates under the spike it hunts, MAD goes blind
+    // when half the hours sit at the median, EWMA chases trends); the
+    // production alert is the VOTE — an hour flagged by ≥2 of 3. Every
+    // rule is the same exact integer cross-multiply it is in its own
+    // entry (squares in decimal(38,0)/HUGEINT, zero floats at any
+    // decision), composed over ONE shared per-type hourly frame — the
+    // fact is reduced once, every rule reads cells.
+    Q(
+      "ev64_anomaly_consensus",
+      """WITH hc AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |sg AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+        |       FROM hc GROUP BY 1),
+        |medc AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM hc),
+        |med AS (SELECT event_type,
+        |          max(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med
+        |        FROM medc GROUP BY 1),
+        |ad AS (SELECT h.event_type, h.hr, h.c, abs(h.c - m.med) AS ad
+        |       FROM hc h JOIN med m ON h.event_type = m.event_type),
+        |madc AS (SELECT event_type, ad,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM ad),
+        |mad AS (SELECT event_type,
+        |          max(CASE WHEN rn = (n + 1) // 2 THEN ad END) AS mad
+        |        FROM madc GROUP BY 1),
+        |ew AS (SELECT event_type, hr, c,
+        |        list_reduce(
+        |          list_prepend(CAST(-1 AS BIGINT),
+        |            list(c) OVER (PARTITION BY event_type ORDER BY hr
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |          (acc, x) -> CASE WHEN acc < 0 THEN 1000000 * x
+        |                           ELSE (4 * acc + 1000000 * x) // 5 END)
+        |          AS ewma_e6
+        |      FROM hc),
+        |er AS (SELECT event_type, hr, c,
+        |        coalesce(1000000 * c
+        |          - lag(ewma_e6) OVER (PARTITION BY event_type ORDER BY hr),
+        |          0) AS resid
+        |      FROM ew),
+        |est AS (SELECT event_type, count(*) AS n,
+        |          CAST(sum(resid) AS HUGEINT) AS sr,
+        |          sum(CAST(resid AS HUGEINT) * resid) AS ssr
+        |        FROM er GROUP BY 1),
+        |votes AS (
+        |  SELECT a.event_type, a.hr,
+        |    (CASE WHEN (sg.n * CAST(a.c AS HUGEINT) - sg.s)
+        |               * (sg.n * CAST(a.c AS HUGEINT) - sg.s)
+        |             > 4 * (sg.n * sg.ss - CAST(sg.s AS HUGEINT) * sg.s)
+        |          THEN 1 ELSE 0 END) AS f_sigma,
+        |    (CASE WHEN (md.mad = 0 AND a.ad > 0)
+        |            OR 10000 * a.ad > 44478 * md.mad THEN 1 ELSE 0 END) AS f_mad,
+        |    (CASE WHEN (est.n * CAST(er.resid AS HUGEINT) - est.sr)
+        |               * (est.n * CAST(er.resid AS HUGEINT) - est.sr)
+        |             > 9 * (est.n * est.ssr - est.sr * est.sr)
+        |          THEN 1 ELSE 0 END) AS f_ewma
+        |  FROM ad a
+        |  JOIN sg ON a.event_type = sg.event_type
+        |  JOIN mad md ON a.event_type = md.event_type
+        |  JOIN er ON a.event_type = er.event_type AND a.hr = er.hr
+        |  JOIN est ON a.event_type = est.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(f_sigma) AS BIGINT) AS n_sigma,
+        |  CAST(sum(f_mad) AS BIGINT) AS n_mad,
+        |  CAST(sum(f_ewma) AS BIGINT) AS n_ewma,
+        |  CAST(sum(CASE WHEN f_sigma + f_mad + f_ewma >= 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_consensus
+        |FROM votes GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val hc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // all three detectors read it
+      val sg = hc.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("c").as("s"),
+          sum(dec(col("c")) * col("c")).as("ss"))
+      def lowerMed(df: DataFrame, vcol: String, out: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy(vcol)
+        df.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("nn", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === expr("(nn + 1) DIV 2"), col(vcol))).as(out))
+      }
+      val med = lowerMed(hc, "c", "med")
+      val ad = hc.join(med, "event_type")
+        .select(col("event_type"), col("hr"), col("c"),
+          abs(col("c") - col("med")).as("ad"))
+        .localCheckpoint(true)
+      val mad = lowerMed(ad, "ad", "mad")
+      val ordered = Window.partitionBy("event_type").orderBy("hr")
+      val er = hc.withColumn("cs", collect_list("c").over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("ewma_e6", expr(
+          """aggregate(cs, CAST(-1 AS BIGINT),
+            |  (acc, x) -> CASE WHEN acc < 0 THEN 1000000 * x
+            |                   ELSE (4 * acc + 1000000 * x) DIV 5 END)"""
+            .stripMargin))
+        .withColumn("resid",
+          coalesce(lit(1000000) * col("c") - lag("ewma_e6", 1).over(ordered),
+            lit(0L)))
+        .select("event_type", "hr", "resid")
+        .localCheckpoint(true)
+      val est = er.groupBy("event_type")
+        .agg(count(lit(1)).as("en"), sum(dec(col("resid"))).as("sr"),
+          sum(dec(col("resid")) * col("resid")).as("ssr"))
+      val votes = ad
+        .join(sg, "event_type").join(mad, "event_type")
+        .join(er, Seq("event_type", "hr")).join(est, "event_type")
+        .select(col("event_type"),
+          when((dec(col("n")) * col("c") - col("s"))
+              * (dec(col("n")) * col("c") - col("s"))
+              > lit(4) * (dec(col("n")) * col("ss") - dec(col("s")) * col("s")),
+            1L).otherwise(0L).as("f_sigma"),
+          when((col("mad") === 0 && col("ad") > 0)
+              || lit(10000) * col("ad") > lit(44478) * col("mad"), 1L)
+            .otherwise(0L).as("f_mad"),
+          when((dec(col("en")) * col("resid") - col("sr"))
+              * (dec(col("en")) * col("resid") - col("sr"))
+              > lit(9) * (dec(col("en")) * col("ssr") - col("sr") * col("sr")),
+            1L).otherwise(0L).as("f_ewma"))
+      votes.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"), sum("f_sigma").as("n_sigma"),
+          sum("f_mad").as("n_mad"), sum("f_ewma").as("n_ewma"),
+          sum(when(col("f_sigma") + col("f_mad") + col("f_ewma") >= 2, 1L)
+            .otherwise(0L)).as("n_consensus"))
+        .orderBy("event_type")
     }
   )
 

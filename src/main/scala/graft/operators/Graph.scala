@@ -1847,6 +1847,75 @@ object Graph {
           / (col("n").cast("double") * col("t"))).cast("long").as("gini_e6"))
     },
 
+    // R158b — label-mixing (discrete) assortativity: gr10 asks whether
+    // HIGH-DEGREE nodes stick together, this asks whether SAME-LANGUAGE
+    // documents do — the homophily number. Edges doubled to ordered
+    // pairs (the standard symmetric treatment), e-matrix counts and
+    // marginals are exact integers, and Newman's r = (m·Σe_ii − Σrow²)
+    // / (m² − Σrow²) is one quantized double of exact integer
+    // cross-multiplies (wide products in decimal(38,0)/HUGEINT). All
+    // frames after the edge join are |langs|²-sized.
+    Q(
+      "gr30_label_mixing",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |lab AS (SELECT doc_id, lang FROM documents),
+        |de AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+        |le AS (SELECT la.lang AS lx, lb.lang AS ly
+        |       FROM de JOIN lab la ON de.x = la.doc_id
+        |               JOIN lab lb ON de.y = lb.doc_id),
+        |em AS (SELECT lx, ly, CAST(count(*) AS BIGINT) AS c FROM le GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS m2,
+        |        CAST(sum(CASE WHEN lx = ly THEN c ELSE 0 END) AS BIGINT) AS diag
+        |      FROM em),
+        |rows_ AS (SELECT lx, CAST(sum(c) AS BIGINT) AS rs FROM em GROUP BY 1),
+        |sq AS (SELECT CAST(sum(CAST(rs AS HUGEINT) * rs) AS HUGEINT) AS sumrow2
+        |       FROM rows_)
+        |SELECT m2, diag,
+        |  CAST(round(1000000
+        |    * (CAST(m2 AS DOUBLE) * diag - CAST(sumrow2 AS DOUBLE))
+        |    / (CAST(m2 AS DOUBLE) * m2 - CAST(sumrow2 AS DOUBLE))) AS BIGINT)
+        |    AS assortativity_e6
+        |FROM m CROSS JOIN sq""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      val de = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val em = de
+        .join(docs.select(col("doc_id").as("x"), col("lang").as("lx")), "x")
+        .join(docs.select(col("doc_id").as("y"), col("lang").as("ly")), "y")
+        .groupBy("lx", "ly").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // totals + marginals read it
+      val m = em.agg(sum("c").as("m2"),
+        sum(when(col("lx") === col("ly"), col("c")).otherwise(0L)).as("diag"))
+      val sq = em.groupBy("lx").agg(sum("c").as("rs"))
+        .agg(sum(dec(col("rs")) * col("rs")).as("sumrow2"))
+      m.crossJoin(sq)
+        .select(col("m2"), col("diag"),
+          round(lit(1000000)
+            * (col("m2").cast("double") * col("diag")
+              - col("sumrow2").cast("double"))
+            / (col("m2").cast("double") * col("m2")
+              - col("sumrow2").cast("double"))).cast("long")
+            .as("assortativity_e6"))
+    },
+
     // R147 — Borůvka minimum spanning forest over the doc graph (see
     // mstBoruvka). Weights are md5-derived 60-bit positive BIGINTs —
     // distinct with overwhelming probability, so the forest is UNIQUE
