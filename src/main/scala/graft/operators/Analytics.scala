@@ -976,6 +976,83 @@ object Analytics {
           expr("((gross_cents - discount_cents) * 1000) DIV gross_cents")
             .as("realization_pm"))
         .orderBy("p_brand")
+    },
+
+    // R159 — the ABC×XYZ policy matrix: q105 classifies parts by VALUE,
+    // q108 by PREDICTABILITY; the 9-cell cross of the two (computed
+    // GLOBALLY here) is the table stocking policy is actually read off
+    // (AX = automate, CZ = make-to-order). Both classifications reuse
+    // their entries' exact integer machinery — ABC via prior-row
+    // cumulative cross-multiplies over the PART-sized rank window
+    // (dimension-bounded), XYZ via the variance-identity
+    // cross-multiplies with absent months as exact zeros. One fact
+    // aggregate; every later frame part-sized.
+    Q(
+      "q114_abc_xyz_cross",
+      """WITH pm AS (
+        |  SELECT l_partkey,
+        |    year(CAST(l_shipdate AS DATE)) * 12
+        |      + month(CAST(l_shipdate AS DATE)) - 1 AS mi,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |h AS (SELECT count(DISTINCT mi) AS nm FROM pm),
+        |ps AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS s,
+        |         CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS q2,
+        |         CAST(sum(rev) AS BIGINT) AS rev
+        |       FROM pm GROUP BY 1),
+        |w AS (SELECT l_partkey, s, q2, rev,
+        |        sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(rev) OVER () AS total
+        |      FROM ps),
+        |cls AS (
+        |  SELECT l_partkey, rev,
+        |    CASE WHEN 5 * (cum - rev) < 4 * total THEN 'A'
+        |         WHEN 20 * (cum - rev) < 19 * total THEN 'B'
+        |         ELSE 'C' END AS abc,
+        |    CASE WHEN 25 * (nm * q2 - CAST(s AS HUGEINT) * s)
+        |              <= CAST(s AS HUGEINT) * s THEN 'X'
+        |         WHEN 4 * (nm * q2 - CAST(s AS HUGEINT) * s)
+        |              <= CAST(s AS HUGEINT) * s THEN 'Y'
+        |         ELSE 'Z' END AS xyz
+        |  FROM w CROSS JOIN h)
+        |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(rev) AS BIGINT) AS rev_cents
+        |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val pm = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"),
+          (year(col("l_shipdate").cast("date")) * 12
+            + month(col("l_shipdate").cast("date")) - 1).as("mi"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("q"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
+        .localCheckpoint(true) // horizon + per-part stats read it
+      val h = pm.agg(countDistinct("mi").as("nm"))
+      val ps = pm.groupBy("l_partkey")
+        .agg(sum("q").as("s"), sum(dec(col("q")) * col("q")).as("q2"),
+          sum("rev").as("rev"))
+      // the rank window runs on the PART frame — dimension-bounded
+      val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
+      val w = ps
+        .withColumn("cum", sum("rev").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("total", sum("rev").over(Window.partitionBy()))
+      w.crossJoin(broadcast(h))
+        .select(col("l_partkey"), col("rev"),
+          when(lit(5) * (col("cum") - col("rev")) < lit(4) * col("total"), "A")
+            .when(lit(20) * (col("cum") - col("rev")) < lit(19) * col("total"),
+              "B")
+            .otherwise("C").as("abc"),
+          when(lit(25) * (dec(col("nm")) * col("q2") - dec(col("s")) * col("s"))
+              <= dec(col("s")) * col("s"), "X")
+            .when(lit(4) * (dec(col("nm")) * col("q2") - dec(col("s")) * col("s"))
+              <= dec(col("s")) * col("s"), "Y")
+            .otherwise("Z").as("xyz"))
+        .groupBy("abc", "xyz")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"))
+        .orderBy("abc", "xyz")
     }
   )
 }

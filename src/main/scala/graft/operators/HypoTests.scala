@@ -870,6 +870,54 @@ object HypoTests {
             < dec(col("s")) * col("s"), "regular")
           .otherwise("poisson-like").as("regime"))
         .orderBy("event_type")
+    },
+
+    // T73 — Wilson score interval for conversion (per arm): the Wald
+    // interval T37/T67 use collapses near 0/1 and at small n; Wilson is
+    // what production dashboards should show. Users collapse once
+    // (ev51's heavy-purchaser margin), and the interval is a single
+    // double tree of exact integers with the z = 1.96 constants as
+    // exact decimal literals (parsed identically both engines),
+    // center/halfwidth each quantized ONCE to e6, bounds pure integer
+    // add/subtract.
+    Q(
+      "ev65_wilson_ci",
+      """WITH u AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |              > count(*) THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(conv) AS BIGINT) AS c
+        |      FROM u GROUP BY 1),
+        |w AS (SELECT arm, n, c,
+        |    CAST(round(1000000 * (c + 1.9208) / (n + 3.8416)) AS BIGINT)
+        |      AS center_e6,
+        |    CAST(round(1000000 * 1.96
+        |      * sqrt(CAST(c AS DOUBLE) * (n - c) / n + 0.9604)
+        |      / (n + 3.8416)) AS BIGINT) AS hw_e6
+        |  FROM g)
+        |SELECT CAST(arm AS BIGINT) AS arm, n, c, center_e6,
+        |  center_e6 - hw_e6 AS lo_e6, center_e6 + hw_e6 AS hi_e6
+        |FROM w ORDER BY arm""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(when(lit(5) * sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) > count(lit(1)), 1L).otherwise(0L).as("conv"))
+        .select((col("user_id") % 2).as("arm"), col("conv"))
+      val g = u.groupBy("arm").agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      g.select(col("arm"), col("n"), col("c"),
+          round(lit(1000000) * (col("c") + lit(1.9208))
+            / (col("n") + lit(3.8416))).cast("long").as("center_e6"),
+          round(lit(1000000) * lit(1.96)
+            * sqrt(col("c").cast("double") * (col("n") - col("c")) / col("n")
+              + lit(0.9604))
+            / (col("n") + lit(3.8416))).cast("long").as("hw_e6"))
+        .select(col("arm"), col("n"), col("c"), col("center_e6"),
+          (col("center_e6") - col("hw_e6")).as("lo_e6"),
+          (col("center_e6") + col("hw_e6")).as("hi_e6"))
+        .orderBy("arm")
     }
   )
 }
