@@ -2262,6 +2262,41 @@ object EventOps {
           sum(when(col("f_sigma") + col("f_mad") + col("f_ewma") >= 2, 1L)
             .otherwise(0L)).as("n_consensus"))
         .orderBy("event_type")
+    },
+
+    // T74 — day-of-week × hour-of-day activity heatmap: T31 tests the
+    // hour margin for uniformity, this is the full 7×24 surface every
+    // capacity planner reads — counts, exact value cents, and each
+    // cell's traffic share in permille of the whole (one floor DIV
+    // against the broadcast total). Day-of-week derives from the epoch
+    // DAY NUMBER mod 7 (1970-01-01 was a Thursday → shift 4), pure
+    // integer arithmetic identical on both engines — no locale-
+    // dependent dayofweek() anywhere near the oracle.
+    Q(
+      "ev66_dow_hour_heatmap",
+      """WITH x AS (
+        |  SELECT ((epoch_us(CAST(ts AS TIMESTAMp)) // 86400000000 + 4) % 7)
+        |      AS dow,
+        |    (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS hh,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM x)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hh AS BIGINT) AS hh,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST((count(*) * 1000) // (SELECT total FROM t) AS BIGINT) AS share_pm
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val x = Tables.events(s, d).select(
+        expr("(unix_micros(ts) DIV 86400000000 + 4) % 7").as("dow"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hh"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val t = x.agg(count(lit(1)).as("total"))
+      x.groupBy("dow", "hh")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .crossJoin(broadcast(t))
+        .select(col("dow"), col("hh"), col("n"), col("cents"),
+          expr("(n * 1000) DIV total").as("share_pm"))
+        .orderBy("dow", "hh")
     }
   )
 

@@ -1916,6 +1916,60 @@ object Graph {
             .as("assortativity_e6"))
     },
 
+    // R160 — two-hop reach (friend-of-friend audience size): the
+    // influence number a direct degree misses — a modest-degree node
+    // wired to hubs reaches more in two hops than a hub wired to
+    // leaves. DISTINCT 2-hop neighbors per node (self and directs
+    // excluded) via one wedge join + distinct on the wedge's own
+    // shuffle keys; top-20 under a total order. Candidate volume is
+    // O(Σdeg²)-bounded like gr8, never n².
+    Q(
+      "gr31_two_hop",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents) FROM documents),
+        |e AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+        |two AS (
+        |  SELECT DISTINCT a1.node, a2.nbr AS hop2
+        |  FROM adj a1 JOIN adj a2 ON a1.nbr = a2.node
+        |  WHERE a2.nbr <> a1.node),
+        |pure AS (
+        |  SELECT t.node, t.hop2 FROM two t
+        |  LEFT JOIN adj d ON t.node = d.node AND t.hop2 = d.nbr
+        |  WHERE d.node IS NULL),
+        |reach AS (SELECT node, CAST(count(*) AS BIGINT) AS reach2
+        |          FROM pure GROUP BY 1)
+        |SELECT node, reach2 FROM reach
+        |ORDER BY reach2 DESC, node LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .transform(graft.plans.Lineage.truncate) // wedge + direct anti-join
+      val adj = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("node"), col("u").as("nbr")))
+      val two = adj.select(col("node"), col("nbr").as("mid"))
+        .join(adj.select(col("node").as("mid"), col("nbr").as("hop2")), "mid")
+        .filter(col("hop2") =!= col("node"))
+        .select("node", "hop2").distinct()
+      val pure = two.join(adj.select(col("node"), col("nbr").as("hop2")),
+        Seq("node", "hop2"), "left_anti")
+      pure.groupBy("node").agg(count(lit(1)).as("reach2"))
+        .orderBy(desc("reach2"), col("node")).limit(20)
+    },
+
     // R147 — Borůvka minimum spanning forest over the doc graph (see
     // mstBoruvka). Weights are md5-derived 60-bit positive BIGINTs —
     // distinct with overwhelming probability, so the forest is UNIQUE
