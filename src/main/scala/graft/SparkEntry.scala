@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Corpus, DataChecks, Dedup, EventOps, Geo, Graph, HypoTests, IncrementalAgg, IncrementalCorpus, IncrementalJoin, Insights, MaterializedView, MediaOps, MlEval, MlPrep, Olap, Quant, Relational, Scd, SearchIndex, SeqPattern, Similarity, Sketches, Temporal, TextOps, TextRank}
+import graft.operators.{Analytics, Corpus, DataChecks, Dedup, EventOps, Geo, Graph, HypoTests, IncrementalAgg, IncrementalCorpus, IncrementalJoin, Insights, MaterializedView, MediaOps, MlEval, MlPrep, Olap, Quant, Relational, Scd, SearchIndex, SeqPattern, Similarity, Sketches, Temporal, TextOps, TextProfile, TextRank}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -17,7 +17,7 @@ object SparkEntry {
       Analytics.catalog ++ HypoTests.catalog ++ Insights.catalog ++
       Geo.catalog ++ Sketches.catalog ++ MlPrep.catalog ++
       MlEval.catalog ++ SeqPattern.catalog ++ IncrementalCorpus.catalog ++
-      Quant.catalog ++
+      Quant.catalog ++ TextProfile.catalog ++
       graft.sources.v2.SeqDataSource.catalog ++
       graft.sources.TableLog.catalog
 

@@ -298,6 +298,62 @@ object DataChecks {
           col("c_mktsegment").as("segment"), col("n"), col("l"),
           when(col("l") < 3, 1L).otherwise(0L).as("at_risk"))
         .orderBy("nation", "segment")
+    },
+
+    // R166 — functional-dependency audit (schema-discovery profiling):
+    // for each DECLARED candidate lhs→rhs, how many lhs groups exist,
+    // how many carry >1 distinct rhs (violations), the worst fan-out,
+    // and the holding share in permille. The discovery loop a warehouse
+    // runs before declaring constraints — dq1 enforces declared rules,
+    // this measures which rules the data would even support. Scale:
+    // each candidate is ONE partial-aggregated groupBy on its own
+    // table (countDistinct over the lhs key — map-side combinable);
+    // everything after is group-domain-sized; the 5 frames union'd are
+    // dimension-bounded. Adding a candidate is adding a row, not a scan
+    // of everything.
+    Q(
+      "dq5_fd_audit",
+      """WITH cand AS (
+        |  SELECT 'customer.c_nationkey->c_mktsegment' AS fd, c_nationkey::VARCHAR AS lhs, c_mktsegment AS rhs FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->l_suppkey', l_partkey::VARCHAR, l_suppkey::VARCHAR FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->o_orderpriority', o_custkey::VARCHAR, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'part.p_brand->p_type', p_brand, p_type FROM part
+        |  UNION ALL
+        |  SELECT 'part.p_name->p_brand', p_name, p_brand FROM part),
+        |g AS (SELECT fd, lhs, CAST(count(DISTINCT rhs) AS BIGINT) AS k
+        |      FROM cand GROUP BY 1, 2)
+        |SELECT fd,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  max(k) AS max_fanout,
+        |  (CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS holds_permille
+        |FROM g GROUP BY fd ORDER BY fd""".stripMargin
+    ) { (s, d) =>
+      def cand(fd: String, df: org.apache.spark.sql.DataFrame,
+               lhs: org.apache.spark.sql.Column, rhs: org.apache.spark.sql.Column) =
+        df.select(lit(fd).as("fd"), lhs.cast("string").as("lhs"), rhs.cast("string").as("rhs"))
+      val all = Seq(
+        cand("customer.c_nationkey->c_mktsegment", Tables.customer(s, d),
+          col("c_nationkey"), col("c_mktsegment")),
+        cand("lineitem.l_partkey->l_suppkey", Tables.lineitem(s, d),
+          col("l_partkey"), col("l_suppkey")),
+        cand("orders.o_custkey->o_orderpriority", Tables.orders(s, d),
+          col("o_custkey"), col("o_orderpriority")),
+        cand("part.p_brand->p_type", Tables.part(s, d), col("p_brand"), col("p_type")),
+        cand("part.p_name->p_brand", Tables.part(s, d), col("p_name"), col("p_brand"))
+      ).reduce(_ unionAll _)
+      val g = all.groupBy("fd", "lhs").agg(countDistinct("rhs").as("k"))
+      g.groupBy("fd").agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("k") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("k").as("max_fanout"),
+          expr("(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) * 1000) DIV count(*)")
+            .as("holds_permille"))
+        .orderBy("fd")
     }
   )
 }

@@ -1343,5 +1343,63 @@ object MlEval {
           expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * d_num) DIV (CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)")
             .as("ks_e6"))
     },
+
+    // R165 — Matthews correlation + balanced accuracy + Youden's J on
+    // ml9's confusion frame (same mean-threshold classifier, so the two
+    // entries certify each other). sqrt IS portable (IEEE-754 requires
+    // correct rounding, unlike trig/ln which stay banned): every factor
+    // is an exact count cast to double individually (< 2^53 even at
+    // lake scale — they're row counts), products associate in ONE fixed
+    // written order on both engines, and the final ratio is e6-rounded.
+    // Degenerate margins (a zero row/column) NULL out MCC identically
+    // on both engines. One fact pass; the confusion matrix is 1 row.
+    Q(
+      "ml26_mcc",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |cm AS (SELECT
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM sc CROSS JOIN t)
+        |SELECT tp, fp, tn, fn,
+        |  CASE WHEN tp+fp = 0 OR tp+fn = 0 OR tn+fp = 0 OR tn+fn = 0 THEN NULL
+        |    ELSE CAST(round(1000000 *
+        |      (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+        |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+        |      / sqrt((CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE))
+        |           * (CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE)))) AS BIGINT)
+        |  END AS mcc_e6,
+        |  CAST(round(500000 * (CAST(tp AS DOUBLE) / (tp+fn)
+        |    + CAST(tn AS DOUBLE) / (tn+fp))) AS BIGINT) AS bal_acc_e6,
+        |  CAST(round(1000000 * (CAST(tp AS DOUBLE) / (tp+fn)
+        |    + CAST(tn AS DOUBLE) / (tn+fp) - 1)) AS BIGINT) AS youden_e6
+        |FROM cm""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .localCheckpoint(true) // threshold + confusion both read it
+      val t = sc.agg(expr("sum(cents) DIV count(*)").as("thr"))
+      val cm = sc.crossJoin(broadcast(t)).agg(
+        sum(when(col("cents") >= col("thr") && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("cents") >= col("thr") && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("cents") < col("thr") && col("y") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("cents") < col("thr") && col("y") === 1, 1L).otherwise(0L)).as("fn"))
+      cm.select(col("tp"), col("fp"), col("tn"), col("fn"),
+        when(expr("tp+fp = 0 OR tp+fn = 0 OR tn+fp = 0 OR tn+fn = 0"), lit(null))
+          .otherwise(expr("""CAST(round(1000000 *
+            (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+              - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+            / sqrt((CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE))
+                 * (CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE)))) AS BIGINT)"""))
+          .as("mcc_e6"),
+        expr("""CAST(round(500000 * (CAST(tp AS DOUBLE) / (tp+fn)
+          + CAST(tn AS DOUBLE) / (tn+fp))) AS BIGINT)""").as("bal_acc_e6"),
+        expr("""CAST(round(1000000 * (CAST(tp AS DOUBLE) / (tp+fn)
+          + CAST(tn AS DOUBLE) / (tn+fp) - 1)) AS BIGINT)""").as("youden_e6"))
+    },
   )
 }

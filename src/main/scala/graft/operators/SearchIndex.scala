@@ -78,6 +78,41 @@ object SearchIndex {
         .groupBy("doc_id").agg(count(lit(1)).as("nt"))
         .filter(col("nt") === terms.size)
         .select("doc_id").orderBy("doc_id")
+    },
+
+    // R167 — PHRASE search via a positional index: tx21's conjunctive
+    // search finds docs containing both words anywhere; this finds the
+    // exact adjacent sequence "hash join" by joining the two terms'
+    // postings on (doc, pos+1). This is how every search engine and
+    // RAG retriever runs quoted queries — the positional index IS the
+    // operator; the occurrence count per doc falls out of the same
+    // join. Scale: the token explode is scan-local; only the two
+    // queried terms' postings leave the scan (term-selective filter
+    // BEFORE the shuffle), and the adjacency join shuffles on doc_id —
+    // posting-list-sized, never corpus-sized. The DuckDB oracle
+    // replays the same positional semantics via zipped unnest.
+    Q(
+      "tx45_phrase_search",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |a AS (SELECT doc_id, pos FROM toks WHERE w = 'hash'),
+        |b AS (SELECT doc_id, pos FROM toks WHERE w = 'join')
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+    ) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "w")
+      val a = toks.filter(col("w") === "hash").select(col("doc_id"), col("pos"))
+      val b = toks.filter(col("w") === "join")
+        .select(col("doc_id").as("bdoc"), col("pos").as("bpos"))
+      a.join(b, col("doc_id") === col("bdoc") && col("bpos") === col("pos") + 1)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        .orderBy("doc_id")
     }
   )
 }
