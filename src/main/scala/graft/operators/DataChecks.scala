@@ -354,6 +354,70 @@ object DataChecks {
           expr("(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) * 1000) DIV count(*)")
             .as("holds_permille"))
         .orderBy("fd")
+    },
+
+    // R171 — candidate-key uniqueness audit (dq5's FD sibling): for
+    // each declared key candidate, rows vs distinct values, an is_key
+    // verdict, and the uniqueness share. Deliberately includes
+    // (l_orderkey, l_linenumber) — NOT unique in this synthetic
+    // lineitem (the audit is the tool that CATCHES that assumption) —
+    // and the widened 4-column key that does hold. Composite keys
+    // enter as ':'-joined strings with doubles pre-quantized to exact
+    // integers (double→string rendering is not engine-portable; cents
+    // and rounded quantities are). Scale: one count+countDistinct
+    // aggregate per candidate on its own table, all map-side
+    // combinable, unions of 1-row frames.
+    Q(
+      "dq6_key_profile",
+      """WITH u AS (
+        |  SELECT 'customer.c_custkey' AS candidate, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey:l_linenumber', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey:l_linenumber:qty:cents', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR || ':'
+        |      || CAST(round(l_quantity) AS BIGINT)::VARCHAR || ':'
+        |      || CAST(round(l_extendedprice*100) AS BIGINT)::VARCHAR) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.o_orderkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'part.p_partkey', CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT p_partkey) AS BIGINT) FROM part)
+        |SELECT candidate, n_rows, n_distinct,
+        |  CASE WHEN n_rows = n_distinct THEN 1 ELSE 0 END AS is_key,
+        |  (n_distinct * 1000) // n_rows AS unique_permille
+        |FROM u ORDER BY candidate""".stripMargin
+    ) { (s, d) =>
+      def audit(name: String, df: org.apache.spark.sql.DataFrame,
+                key: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"), countDistinct(key).as("n_distinct"))
+          .select(lit(name).as("candidate"), col("n_rows"), col("n_distinct"))
+      val li = Tables.lineitem(s, d)
+      val or = Tables.orders(s, d)
+      val u = Seq(
+        audit("customer.c_custkey", Tables.customer(s, d), col("c_custkey")),
+        audit("lineitem.l_orderkey:l_linenumber", li,
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"))),
+        audit("lineitem.l_orderkey:l_linenumber:qty:cents", li,
+          concat_ws(":", col("l_orderkey"), col("l_linenumber"),
+            round(col("l_quantity")).cast("long"),
+            round(col("l_extendedprice") * 100).cast("long"))),
+        audit("orders.o_custkey", or, col("o_custkey")),
+        audit("orders.o_orderkey", or, col("o_orderkey")),
+        audit("part.p_partkey", Tables.part(s, d), col("p_partkey"))
+      ).reduce(_ unionAll _)
+      u.select(col("candidate"), col("n_rows"), col("n_distinct"),
+          when(col("n_rows") === col("n_distinct"), 1L).otherwise(0L).as("is_key"),
+          expr("(n_distinct * 1000) DIV n_rows").as("unique_permille"))
+        .orderBy("candidate")
     }
   )
 }

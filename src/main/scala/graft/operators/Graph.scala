@@ -1992,6 +1992,44 @@ object Graph {
           """CAST(conv(substr(md5(concat(CAST(u AS STRING), ':',
             |  CAST(v AS STRING))), 1, 15), 16, 10) AS BIGINT)""".stripMargin))
       mstBoruvka(e).orderBy("u", "v")
+    },
+
+    // R169 — Katz centrality, 6 unrolled rounds in EXACT integer
+    // algebra (the gr12/gr2 recipe applied to the third classic
+    // centrality): with α = 1/8 and X_t = 8^t·x_t, the recurrence
+    // x_{t+1} = 1 + α·Σ_in x_t becomes the all-integer
+    // X_{t+1}(v) = 8^{t+1} + Σ_{u→v} X_t(u) — no float ever appears,
+    // and the generated oracle unrolls the same six rounds as
+    // MATERIALIZED CTEs. Each round is ONE edges⨝scores join + one
+    // map-side-combinable sum, shuffling on the join key only;
+    // Lineage.truncate caps planner stats per round. In-degree ≤3 on
+    // the 3-map functional graph bounds X_6 well under 2^63 (and the
+    // α < 1/λ_max convergence condition is irrelevant at a fixed
+    // unroll depth). Top-20 under the (score, node) total order.
+    Q("gr32_katz", katzUnrolledOracle) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("src") =!= col("dst")).distinct()
+        .transform(graft.plans.Lineage.truncate) // read 6×2 times below
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+        .transform(graft.plans.Lineage.truncate)
+      var x = nodes.withColumn("katz", lit(1L))
+      var pow8 = 1L
+      for (_ <- 1 to 6) {
+        pow8 *= 8L
+        val inflow = e.join(x.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("nd")).agg(sum("katz").as("inflow"))
+        x = graft.plans.Lineage.truncate(
+          nodes.join(inflow, col("node") === col("nd"), "left")
+            .select(col("node"),
+              (coalesce(col("inflow"), lit(0L)) + lit(pow8)).as("katz")))
+      }
+      x.select(col("node"), col("katz").as("katz_scaled"))
+        .orderBy(desc("katz_scaled"), col("node")).limit(20)
     }
   )
 
@@ -2087,6 +2125,40 @@ object Graph {
        |  CAST(h8.hub AS BIGINT) AS hub_e9
        |FROM a8 JOIN h8 ON h8.node = a8.node
        |ORDER BY auth_e9 DESC, hub_e9 DESC, a8.node LIMIT 20""".stripMargin
+  }
+
+  /** Generated unrolled Katz oracle (gr32): six exact-integer rounds of
+    * X_{t+1}(v) = 8^{t+1} + Σ_{u→v} X_t(u) over the 3-map functional
+    * graph — the gr12 recipe (MATERIALIZED per round so the unroll
+    * stays linear, not 2^rounds). */
+  private[graft] lazy val katzUnrolledOracle: String = {
+    val rounds = (1 to 6).map { i =>
+      val pow8 = math.pow(8, i).toLong
+      s"""xr$i AS MATERIALIZED (
+         |       SELECT e.dst AS node, CAST(sum(x.katz) AS BIGINT) AS inflow
+         |       FROM e JOIN x${i - 1} x ON x.node = e.src GROUP BY 1),
+         |x$i AS MATERIALIZED (SELECT n.node,
+         |         CAST(coalesce(xr.inflow, 0) + $pow8 AS BIGINT) AS katz
+         |       FROM nodes n LEFT JOIN xr$i xr ON xr.node = n.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT doc_id AS src,
+       |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+       |  FROM documents),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |x0 AS (SELECT node, CAST(1 AS BIGINT) AS katz FROM nodes),
+       |$rounds
+       |SELECT node, katz AS katz_scaled FROM x6
+       |ORDER BY katz_scaled DESC, node LIMIT 20""".stripMargin
   }
 
   /** Shared unrolled-round oracle generator for the PageRank family

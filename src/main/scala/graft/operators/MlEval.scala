@@ -1401,5 +1401,76 @@ object MlEval {
         expr("""CAST(round(1000000 * (CAST(tp AS DOUBLE) / (tp+fn)
           + CAST(tn AS DOUBLE) / (tn+fp) - 1)) AS BIGINT)""").as("youden_e6"))
     },
+
+    // R170 — popularity-recommender hit-rate@25: the baseline every
+    // recommender must beat, evaluated with a leak-free TEMPORAL split
+    // (train = orders up to the exact lower-median epoch day via the
+    // ev19 rank-pick discipline, test = after). Top-25 parts by
+    // distinct TRAIN buyers under the (count, partkey) total order;
+    // hit = a test user bought any of them. Scale: the median comes
+    // off day CELLS (date-domain-bounded), the popularity frame is
+    // part-dimension-sized with a map-side-combinable distinct-count,
+    // the top-25 broadcasts into the test-side semi-probe — the fact
+    // is touched twice (train agg, test distinct), never self-joined.
+    Q(
+      "ml27_pop_recall",
+      """WITH od AS (SELECT o_orderkey, o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ed
+        |  FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM od),
+        |cells AS (SELECT ed, CAST(count(*) AS BIGINT) AS c FROM od GROUP BY 1),
+        |cum AS (SELECT ed, sum(c) OVER (ORDER BY ed) AS cumc FROM cells),
+        |med AS (SELECT min(ed) AS med FROM cum, n WHERE cumc >= (n.n + 1) // 2),
+        |tr AS (SELECT o_orderkey, o_custkey FROM od, med WHERE ed <= med),
+        |te AS (SELECT o_orderkey, o_custkey FROM od, med WHERE ed > med),
+        |pop AS (SELECT l_partkey AS pk, count(DISTINCT o_custkey) AS cnt
+        |        FROM lineitem JOIN tr ON l_orderkey = o_orderkey GROUP BY 1),
+        |topk AS (SELECT pk FROM (
+        |    SELECT pk, row_number() OVER (ORDER BY cnt DESC, pk) AS rn FROM pop)
+        |  WHERE rn <= 25),
+        |tu AS (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        |       FROM lineitem JOIN te ON l_orderkey = o_orderkey),
+        |users AS (SELECT ck,
+        |    max(CASE WHEN pk IN (SELECT pk FROM topk) THEN 1 ELSE 0 END) AS hit
+        |  FROM tu GROUP BY 1)
+        |SELECT CAST(25 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(hit) AS BIGINT) AS n_hit,
+        |  (CAST(sum(hit) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS hit_permille
+        |FROM users""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val od = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"))
+        .localCheckpoint(true) // median + both split sides read it
+      val n = od.agg(count(lit(1)).as("n"))
+      val cells = od.groupBy("ed").agg(count(lit(1)).as("c"))
+      // day-cell window: bounded by the date domain, not the fact
+      val cum = cells.withColumn("cumc",
+        sum("c").over(Window.orderBy("ed")))
+      val med = cum.crossJoin(broadcast(n))
+        .filter(col("cumc") >= expr("(n + 1) DIV 2"))
+        .agg(min("ed").as("med"))
+      val withMed = od.crossJoin(broadcast(med))
+      val tr = withMed.filter(col("ed") <= col("med"))
+        .select("o_orderkey", "o_custkey")
+      val te = withMed.filter(col("ed") > col("med"))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pop = li.join(tr, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(countDistinct("o_custkey").as("cnt"))
+      val topk = pop
+        .withColumn("rn", row_number().over(Window.orderBy(desc("cnt"), col("pk"))))
+        .filter(col("rn") <= 25).select("pk")
+      val tu = li.join(te, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_partkey").as("pk")).distinct()
+      val users = tu.join(broadcast(topk.withColumn("intop", lit(1))), Seq("pk"), "left")
+        .groupBy("ck").agg(max(coalesce(col("intop"), lit(0))).as("hit"))
+      users.agg(count(lit(1)).as("n_users"), sum("hit").cast("long").as("n_hit"))
+        .select(lit(25L).as("k"), col("n_users"), col("n_hit"),
+          expr("(n_hit * 1000) DIV n_users").as("hit_permille"))
+    },
   )
 }
