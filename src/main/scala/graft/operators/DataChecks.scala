@@ -418,6 +418,53 @@ object DataChecks {
           when(col("n_rows") === col("n_distinct"), 1L).otherwise(0L).as("is_key"),
           expr("(n_distinct * 1000) DIV n_rows").as("unique_permille"))
         .orderBy("candidate")
+    },
+
+    // R174 — surrogate-key gap audit (missing-range report): which id
+    // ranges are absent from the LIVE subset (status 'F') of a dense
+    // key sequence — the after-archive/purge reconciliation readout.
+    // Scale design is TWO-LEVEL, never a fact-sized global sort:
+    // local gaps come from a lead() window PARTITIONED by 4096-key
+    // block (each partition is ≤4096 rows), cross-block gaps from a
+    // lead() over the block-summary frame (N/4096 rows — itself
+    // re-blockable by another DIV level if the keyspace demands it;
+    // one level suffices for any realistic surrogate range). Gaps
+    // between adjacent present keys are exact; runs spanning empty
+    // blocks collapse into the summary-level gap because absent blocks
+    // simply have no summary row. Top-20 under the (len, start) total
+    // order. The oracle takes the direct global-lead form (fine at
+    // oracle scale) — both compute the identical gap set.
+    Q(
+      "q119_seq_gaps",
+      """WITH k AS (SELECT DISTINCT o_orderkey AS ok FROM orders
+        |           WHERE o_orderstatus = 'F'),
+        |g AS (SELECT ok, lead(ok) OVER (ORDER BY ok) AS nxt FROM k)
+        |SELECT ok + 1 AS gap_start, nxt - 1 AS gap_end,
+        |  nxt - ok - 1 AS gap_len
+        |FROM g WHERE nxt > ok + 1
+        |ORDER BY gap_len DESC, gap_start LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val k = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("ok")).distinct()
+        .withColumn("blk", expr("ok DIV 4096"))
+        .localCheckpoint(true) // local windows + block summary read it
+      // level 1: gaps between neighbours INSIDE a block (partitioned)
+      val wb = Window.partitionBy("blk").orderBy("ok")
+      val local = k.withColumn("nxt", lead("ok", 1).over(wb))
+        .filter(col("nxt") > col("ok") + 1)
+        .select((col("ok") + 1).as("gap_start"), (col("nxt") - 1).as("gap_end"))
+      // level 2: gaps across block boundaries via the summary frame
+      // (N/4096 rows; re-blockable by another DIV level if ever needed)
+      val summ = k.groupBy("blk").agg(min("ok").as("mn"), max("ok").as("mx"))
+      val ws = Window.orderBy("blk")
+      val cross = summ.withColumn("nxt_mn", lead("mn", 1).over(ws))
+        .filter(col("nxt_mn") > col("mx") + 1)
+        .select((col("mx") + 1).as("gap_start"), (col("nxt_mn") - 1).as("gap_end"))
+      local.unionByName(cross)
+        .select(col("gap_start"), col("gap_end"),
+          (col("gap_end") - col("gap_start") + 1).as("gap_len"))
+        .orderBy(desc("gap_len"), col("gap_start")).limit(20)
     }
   )
 }

@@ -2297,6 +2297,101 @@ object EventOps {
         .select(col("dow"), col("hh"), col("n"), col("cents"),
           expr("(n * 1000) DIV total").as("share_pm"))
         .orderBy("dow", "hh")
+    },
+
+    // R172 — session-depth histogram + bounce share. ev2 builds the
+    // sessions, ev23 reads how they OPEN — this is the engagement-depth
+    // distribution product teams actually chart, with the bounce rate
+    // (depth-1 share) falling out of the same frame. Same 30-min-gap
+    // session build as ev2 (per-user partitioned windows on the fact),
+    // then two fixed-width aggregates: (user, sid) → depth, depth →
+    // histogram; the share is one floor DIV vs the broadcast total.
+    Q(
+      "ev67_session_depth",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x),
+        |sess AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth
+        |         FROM y GROUP BY 1, 2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM sess)
+        |SELECT depth,
+        |  CAST(count(*) AS BIGINT) AS n_sessions,
+        |  (CAST(count(*) AS BIGINT) * 1000) // (SELECT total FROM t) AS share_permille,
+        |  CASE WHEN depth = 1 THEN 1 ELSE 0 END AS is_bounce
+        |FROM sess GROUP BY depth ORDER BY depth""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull
+            || unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid").agg(count(lit(1)).as("depth"))
+      val t = sess.agg(count(lit(1)).as("total"))
+      sess.groupBy("depth").agg(count(lit(1)).as("n_sessions"))
+        .crossJoin(broadcast(t))
+        .select(col("depth"), col("n_sessions"),
+          expr("(n_sessions * 1000) DIV total").as("share_permille"),
+          when(col("depth") === 1, 1L).otherwise(0L).as("is_bounce"))
+        .orderBy("depth")
+    },
+
+    // R173 — SLO burn rate: trailing-7-day error share vs a 180‰
+    // budget (the SRE error-budget readout — ev21 watches COUNT bursts,
+    // this watches the error RATIO drift). One fact pass to the day
+    // spine (errors, total per day), then trailing sums on the
+    // date-domain-bounded spine; rate and burn are floor DIVs of exact
+    // counts (burn_e2 = 100 means exactly on budget). Only complete
+    // 7-day windows are scored.
+    Q(
+      "ev68_slo_burn",
+      """WITH dc AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+        |    CAST(count(*) AS BIGINT) AS tot
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT dy,
+        |        sum(err) OVER w7 AS err7,
+        |        sum(tot) OVER w7 AS tot7,
+        |        count(*) OVER w7 AS nd
+        |      FROM dc
+        |      WINDOW w7 AS (ORDER BY dy ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT dy,
+        |  CAST(err7 AS BIGINT) AS err7, CAST(tot7 AS BIGINT) AS tot7,
+        |  CAST((err7 * 1000) // tot7 AS BIGINT) AS rate_permille,
+        |  CAST((err7 * 1000 * 100) // (tot7 * 180) AS BIGINT) AS burn_e2,
+        |  CASE WHEN err7 * 1000 > tot7 * 180 THEN 1 ELSE 0 END AS breach
+        |FROM t WHERE nd = 7 ORDER BY dy""".stripMargin
+    ) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("dy"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"),
+          count(lit(1)).as("tot"))
+      // day-spine window: bounded by the date domain, not the fact
+      val w7 = Window.orderBy("dy").rowsBetween(-6, 0)
+      dc.withColumn("err7", sum("err").over(w7))
+        .withColumn("tot7", sum("tot").over(w7))
+        .withColumn("nd", count(lit(1)).over(w7))
+        .filter(col("nd") === 7)
+        .select(col("dy"), col("err7"), col("tot7"),
+          expr("(err7 * 1000) DIV tot7").as("rate_permille"),
+          expr("(err7 * 1000 * 100) DIV (tot7 * 180)").as("burn_e2"),
+          when(col("err7") * 1000 > col("tot7") * 180, 1L).otherwise(0L).as("breach"))
+        .orderBy("dy")
     }
   )
 
