@@ -1472,5 +1472,76 @@ object MlEval {
         .select(lit(25L).as("k"), col("n_users"), col("n_hit"),
           expr("(n_hit * 1000) DIV n_users").as("hit_permille"))
     },
+
+    // R177 — group-fairness audit: demographic parity + equalized odds
+    // for ml9's mean-threshold classifier across customer market
+    // segments — the pre-deployment bias table (which group gets
+    // flagged more, and is the ERROR profile equal across groups).
+    // Per segment: selection rate, TPR, FPR in exact permille; the
+    // parity gap (max−min selection) and the equalized-odds gap
+    // (greatest of the TPR / FPR spreads) repeat on every row from a
+    // broadcast 1-row frame. Scale: orders⨝broadcast(customer-keyed
+    // segment) once, one aggregate to the |segments| frame, everything
+    // after segment-sized.
+    Q(
+      "ml28_fairness",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    c_mktsegment AS seg
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |g AS (SELECT seg,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN cents >= thr THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM sc CROSS JOIN t GROUP BY 1),
+        |r AS (SELECT seg, n,
+        |    (pos * 1000) // n AS sel_pm,
+        |    (tp * 1000) // (tp + fn) AS tpr_pm,
+        |    (fp * 1000) // (fp + tn) AS fpr_pm
+        |  FROM g),
+        |gaps AS (SELECT
+        |    max(sel_pm) - min(sel_pm) AS dp_gap_pm,
+        |    CASE WHEN max(tpr_pm) - min(tpr_pm) >= max(fpr_pm) - min(fpr_pm)
+        |         THEN max(tpr_pm) - min(tpr_pm)
+        |         ELSE max(fpr_pm) - min(fpr_pm) END AS eo_gap_pm
+        |  FROM r)
+        |SELECT r.seg, r.n, r.sel_pm, r.tpr_pm, r.fpr_pm,
+        |  gaps.dp_gap_pm, gaps.eo_gap_pm
+        |FROM r CROSS JOIN gaps ORDER BY r.seg""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(round(col("o_totalprice") * 100).cast("long").as("cents"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+          col("seg"))
+        .localCheckpoint(true) // threshold + per-group both read it
+      val t = sc.agg(expr("sum(cents) DIV count(*)").as("thr"))
+      val g = sc.crossJoin(broadcast(t)).groupBy("seg").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("cents") >= col("thr"), 1L).otherwise(0L)).as("pos"),
+        sum(when(col("cents") >= col("thr") && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("cents") < col("thr") && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("cents") >= col("thr") && col("y") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("cents") < col("thr") && col("y") === 0, 1L).otherwise(0L)).as("tn"))
+      val r = g.select(col("seg"), col("n"),
+        expr("(pos * 1000) DIV n").as("sel_pm"),
+        expr("(tp * 1000) DIV (tp + fn)").as("tpr_pm"),
+        expr("(fp * 1000) DIV (fp + tn)").as("fpr_pm"))
+        .localCheckpoint(true) // rows + gap summary both read it
+      val gaps = r.agg(
+        (max("sel_pm") - min("sel_pm")).as("dp_gap_pm"),
+        greatest(max("tpr_pm") - min("tpr_pm"),
+          max("fpr_pm") - min("fpr_pm")).as("eo_gap_pm"))
+      r.crossJoin(broadcast(gaps))
+        .select(col("seg"), col("n"), col("sel_pm"), col("tpr_pm"), col("fpr_pm"),
+          col("dp_gap_pm"), col("eo_gap_pm"))
+        .orderBy("seg")
+    },
   )
 }

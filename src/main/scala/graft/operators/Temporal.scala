@@ -165,6 +165,51 @@ object Temporal {
           last(when(col("event_type") === "purchase", col("value")),
             ignoreNulls = true).over(w).as("last_purchase_value"))
         .orderBy("event_id")
+    },
+
+    // R176 — as-of join with a TOLERANCE bound (pandas merge_asof's
+    // `tolerance`, QuestDB/kdb's windowed asof): attach the latest
+    // earlier view ONLY if it happened within 7 days, else no match.
+    // Implementation insight that keeps it one AsOfJoin pass: the
+    // latest-earlier match overall IS the latest-earlier match within
+    // tolerance whenever it falls inside the window, and if it falls
+    // outside then NO view is inside (anything inside would be later
+    // and would have won) — so tolerance is a post-asof NULL-out, not
+    // a different join. The oracle takes the explicit bounded-max
+    // form; both compute the identical match set.
+    Q(
+      "aj3_asof_tolerance",
+      """WITH v AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.event_id, c.user_id, c.ts, max(v.view_ts) AS view_ts
+        |      FROM c LEFT JOIN v
+        |        ON c.user_id = v.user_id AND v.view_ts <= c.ts
+        |       AND epoch_us(c.ts) - epoch_us(v.view_ts) <= 604800000000
+        |      GROUP BY 1, 2, 3)
+        |SELECT m.event_id, m.user_id, m.ts, m.view_ts, v.view_value,
+        |  CASE WHEN m.view_ts IS NULL THEN 0 ELSE 1 END AS matched
+        |FROM m LEFT JOIN v ON m.user_id = v.user_id AND m.view_ts = v.view_ts
+        |ORDER BY m.event_id""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("value").as("view_value"))
+        .withColumn("view_ts", col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val tolUs = 7L * 86400L * 1000000L
+      AsOfJoin.asof(purchases, views, Seq("user_id"), "ts",
+          Seq("view_ts", "view_value"), rightTiebreak = lit(0))
+        .withColumn("in_tol",
+          col("view_ts").isNotNull
+            && unix_micros(col("ts")) - unix_micros(col("view_ts")) <= tolUs)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("in_tol"), col("view_ts")).as("view_ts"),
+          when(col("in_tol"), col("view_value")).as("view_value"),
+          when(col("in_tol"), 1L).otherwise(0L).as("matched"))
+        .orderBy("event_id")
     }
   )
 }

@@ -641,6 +641,54 @@ object TextOps {
           expr("(sum(w) * 1000) DIV count(*)").as("words_per_sent_permille"),
           max("w").as("max_words"))
         .orderBy("doc_id")
+    },
+
+    // R175 — language-ID confusion matrix: tx2 PREDICTS, this entry
+    // EVALUATES it against the corpus's ground-truth lang label — the
+    // quality readout a pipeline checks before trusting the router
+    // (which languages leak into which buckets, and 'zh' with no
+    // stopword evidence shows exactly where the heuristic is blind).
+    // Same scan-local scoring as tx2, one (actual, pred) aggregate to
+    // a ≤|langs|² frame; recall permille one floor DIV vs the
+    // broadcast per-actual totals.
+    Q(
+      "tx46_langid_confusion",
+      s"""WITH p AS (
+         |  SELECT lang AS actual,
+         |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         |         WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+         |         WHEN s_de >= s_fr THEN 'de'
+         |         ELSE 'fr' END AS pred
+         |  FROM (SELECT lang,
+         |    CAST(len(regexp_extract_all(text,'$enRe')) AS BIGINT) AS s_en,
+         |    CAST(len(regexp_extract_all(text,'$esRe')) AS BIGINT) AS s_es,
+         |    CAST(len(regexp_extract_all(text,'$deRe')) AS BIGINT) AS s_de,
+         |    CAST(len(regexp_extract_all(text,'$frRe')) AS BIGINT) AS s_fr
+         |  FROM documents)),
+         |cm AS (SELECT actual, pred, CAST(count(*) AS BIGINT) AS n
+         |       FROM p GROUP BY 1, 2),
+         |tot AS (SELECT actual, CAST(sum(n) AS BIGINT) AS t FROM cm GROUP BY 1)
+         |SELECT cm.actual, cm.pred, cm.n,
+         |  (cm.n * 1000) // tot.t AS recall_permille
+         |FROM cm JOIN tot ON cm.actual = tot.actual
+         |ORDER BY cm.actual, cm.pred""".stripMargin
+    ) { (s, d) =>
+      val p = Tables.documents(s, d)
+        .select(col("lang").as("actual"),
+          hits(col("text"), enRe).as("s_en"), hits(col("text"), esRe).as("s_es"),
+          hits(col("text"), deRe).as("s_de"), hits(col("text"), frRe).as("s_fr"))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+      val cm = p.groupBy("actual", "pred").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // matrix + per-actual totals read it
+      val tot = cm.groupBy("actual").agg(sum("n").as("t"))
+      cm.join(broadcast(tot), "actual")
+        .select(col("actual"), col("pred"), col("n"),
+          expr("(n * 1000) DIV t").as("recall_permille"))
+        .orderBy("actual", "pred")
     }
   )
 }
