@@ -2392,6 +2392,73 @@ object EventOps {
           expr("(err7 * 1000 * 100) DIV (tot7 * 180)").as("burn_e2"),
           when(col("err7") * 1000 > col("tot7") * 180, 1L).otherwise(0L).as("breach"))
         .orderBy("dy")
+    },
+
+    // R181 — MTBF / MTTR per user (the reliability pair beside ev68's
+    // budget burn): mean time between consecutive 'error' events, and
+    // mean time from each error to the user's NEXT non-error event
+    // (recovery). The recovery lookup is the "next value ignoring
+    // nulls" window over ALL events — first_value(... IGNORE NULLS)
+    // over the 1-FOLLOWING..UNBOUNDED frame, per-user partitioned, so
+    // the fact is touched once for recoveries and once (filtered) for
+    // gaps; both means are floor DIVs of exact micros. Errors with no
+    // later non-error event stay unrecovered (counted, not averaged).
+    Q(
+      "ev69_mtbf",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events WHERE event_type = 'error'),
+        |r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS err_us,
+        |    first_value(CASE WHEN event_type <> 'error' THEN epoch_us(ts) END
+        |        IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS rec_us
+        |  FROM events),
+        |gb AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(gap_us) AS BIGINT) AS sum_gap
+        |       FROM g WHERE gap_us IS NOT NULL GROUP BY 1),
+        |rb AS (SELECT user_id,
+        |         CAST(count(*) AS BIGINT) AS n_errors,
+        |         CAST(count(rec_us) AS BIGINT) AS n_recovered,
+        |         CAST(sum(CASE WHEN rec_us IS NOT NULL
+        |                       THEN rec_us - err_us END) AS BIGINT) AS sum_rec
+        |       FROM r WHERE event_type = 'error' GROUP BY 1)
+        |SELECT rb.user_id, rb.n_errors,
+        |  CASE WHEN gb.n_gaps > 0 THEN gb.sum_gap // gb.n_gaps END AS mtbf_us,
+        |  rb.n_recovered,
+        |  CASE WHEN rb.n_recovered > 0 THEN rb.sum_rec // rb.n_recovered END AS mttr_us
+        |FROM rb LEFT JOIN gb ON rb.user_id = gb.user_id
+        |ORDER BY rb.user_id""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val g = ev.filter(col("event_type") === "error")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      val gb = g.filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap_us").as("sum_gap"))
+      val r = ev
+        .withColumn("rec_us",
+          first(when(col("event_type") =!= "error", unix_micros(col("ts"))),
+            ignoreNulls = true)
+            .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .filter(col("event_type") === "error")
+        .withColumn("err_us", unix_micros(col("ts")))
+      val rb = r.groupBy("user_id")
+        .agg(count(lit(1)).as("n_errors"),
+          count("rec_us").as("n_recovered"),
+          sum(when(col("rec_us").isNotNull, col("rec_us") - col("err_us")))
+            .as("sum_rec"))
+      rb.join(gb, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_errors"),
+          when(col("n_gaps") > 0, expr("sum_gap DIV n_gaps")).as("mtbf_us"),
+          col("n_recovered"),
+          when(col("n_recovered") > 0, expr("sum_rec DIV n_recovered")).as("mttr_us"))
+        .orderBy("user_id")
     }
   )
 

@@ -875,6 +875,144 @@ object Insights {
           expr("(n_repeat * 1000) DIV n_cust").as("repeat_pm"),
           col("med_gap_days"))
         .orderBy("seg")
+    },
+
+    // R178 — newsvendor order-up-to level per brand: with critical
+    // ratio cu/(cu+co) = 3/4, the optimal stock is the 75th-percentile
+    // of the monthly demand distribution — an exact ceil-rank pick
+    // (k = ⌈3n/4⌉ as (3n+3) DIV 4, no percentile interpolation, the
+    // ev19 discipline) over the brand × month demand GRID (absent
+    // months are real zero-demand observations and enter the quantile
+    // — dropping them would bias the stock level up). Scale: one fact
+    // pass to (brand, month) cells; the grid is |brands|×|months| from
+    // two broadcast dimension frames; rank windows partition by brand
+    // over month-sized partitions.
+    Q(
+      "q120_newsvendor",
+      """WITH dem AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |months AS (SELECT DISTINCT ym FROM dem),
+        |brands AS (SELECT DISTINCT p_brand AS brand FROM part),
+        |grid AS (SELECT b.brand, m.ym, coalesce(d.qty, 0) AS qty
+        |         FROM brands b CROSS JOIN months m
+        |         LEFT JOIN dem d ON d.brand = b.brand AND d.ym = m.ym),
+        |rk AS (SELECT brand, qty,
+        |         row_number() OVER (PARTITION BY brand ORDER BY qty, ym) AS rn,
+        |         count(*) OVER (PARTITION BY brand) AS n
+        |       FROM grid)
+        |SELECT brand, CAST(max(n) AS BIGINT) AS n_months,
+        |  CAST(max(CASE WHEN rn = (3*n + 3) // 4 THEN qty END) AS BIGINT) AS order_upto,
+        |  CAST(sum(qty) // max(n) AS BIGINT) AS mean_demand,
+        |  CAST(max(qty) AS BIGINT) AS max_demand
+        |FROM rk GROUP BY brand ORDER BY brand""".stripMargin
+    ) { (s, d) =>
+      val dem = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("ym"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+        .localCheckpoint(true) // month horizon + grid both read it
+      val months = dem.select("ym").distinct()
+      val brands = Tables.part(s, d).select(col("p_brand").as("brand")).distinct()
+      val grid = broadcast(brands).crossJoin(broadcast(months))
+        .join(dem, Seq("brand", "ym"), "left")
+        .select(col("brand"), col("ym"), coalesce(col("qty"), lit(0L)).as("qty"))
+      val wb = Window.partitionBy("brand").orderBy("qty", "ym")
+      val rk = grid
+        .withColumn("rn", row_number().over(wb).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("brand")))
+      rk.groupBy("brand")
+        .agg(max("n").as("n_months"),
+          max(when(col("rn") === expr("(3*n + 3) DIV 4"), col("qty"))).as("order_upto"),
+          expr("sum(qty) DIV max(n)").as("mean_demand"),
+          max("qty").as("max_demand"))
+        .orderBy("brand")
+    },
+
+    // R179 — Laspeyres / Paasche / Fisher price indices per month
+    // against the first-year base (the retail-economics inflation
+    // readout over the order history). Unit prices are micro-cents
+    // quantized ONCE per (part, period) — (10⁶·Σext_c) DIV Σqty — so
+    // every index is a ratio of exact integer Σp·q products over the
+    // MATCHED basket (parts present in both periods); products and the
+    // 10⁶-scaled quotients run in decimal(38,0)/HUGEINT (they pass
+    // 2⁶³ at lake scale). Fisher = √(L·P) is one portable IEEE sqrt of
+    // an exact sub-2⁵³ product, rounded to e6. Scale: one fact pass to
+    // (part, month) cells, base frame is part-dimension-sized and
+    // broadcast, everything after is dimension × calendar.
+    Q(
+      "q121_price_index",
+      """WITH pm AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS ext_c,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |y0 AS (SELECT min(yr) AS y0 FROM pm),
+        |base AS (
+        |  SELECT pk,
+        |    CAST((1000000 * CAST(sum(ext_c) AS HUGEINT)) // sum(qty) AS BIGINT) AS p0,
+        |    CAST(sum(qty) AS BIGINT) AS q0
+        |  FROM pm, y0 WHERE yr = y0 GROUP BY pk),
+        |cur AS (
+        |  SELECT pk, ym,
+        |    CAST((1000000 * CAST(ext_c AS HUGEINT)) // qty AS BIGINT) AS pt,
+        |    qty AS qt
+        |  FROM pm),
+        |m AS (
+        |  SELECT c.ym,
+        |    count(*) AS n_matched,
+        |    sum(CAST(c.pt AS HUGEINT) * b.q0) AS l_num,
+        |    sum(CAST(b.p0 AS HUGEINT) * b.q0) AS l_den,
+        |    sum(CAST(c.pt AS HUGEINT) * c.qt) AS p_num,
+        |    sum(CAST(b.p0 AS HUGEINT) * c.qt) AS p_den
+        |  FROM cur c JOIN base b ON c.pk = b.pk GROUP BY 1),
+        |idx AS (
+        |  SELECT ym, CAST(n_matched AS BIGINT) AS n_matched,
+        |    CAST((1000000 * l_num) // l_den AS BIGINT) AS laspeyres_e6,
+        |    CAST((1000000 * p_num) // p_den AS BIGINT) AS paasche_e6
+        |  FROM m)
+        |SELECT ym, n_matched, laspeyres_e6, paasche_e6,
+        |  CAST(round(sqrt(CAST(laspeyres_e6 AS DOUBLE)
+        |    * CAST(paasche_e6 AS DOUBLE))) AS BIGINT) AS fisher_e6
+        |FROM idx ORDER BY ym""".stripMargin
+    ) { (s, d) =>
+      val pm = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"),
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+            .cast("long").as("ym"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("ext_c"),
+          sum(round(col("l_quantity")).cast("long")).as("qty"))
+        .localCheckpoint(true) // base year + current periods read it
+      val y0 = pm.agg(min("yr").as("y0"))
+      val base = pm.crossJoin(broadcast(y0)).filter(col("yr") === col("y0"))
+        .groupBy("pk")
+        .agg(expr("CAST((1000000 * CAST(sum(ext_c) AS DECIMAL(38,0))) DIV sum(qty) AS BIGINT)").as("p0"),
+          sum("qty").as("q0"))
+      val cur = pm.select(col("pk"), col("ym"),
+        expr("CAST((1000000 * CAST(ext_c AS DECIMAL(38,0))) DIV qty AS BIGINT)").as("pt"),
+        col("qty").as("qt"))
+      val m = cur.join(broadcast(base), "pk")
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n_matched"),
+          sum(expr("CAST(pt AS DECIMAL(38,0)) * q0")).as("l_num"),
+          sum(expr("CAST(p0 AS DECIMAL(38,0)) * q0")).as("l_den"),
+          sum(expr("CAST(pt AS DECIMAL(38,0)) * qt")).as("p_num"),
+          sum(expr("CAST(p0 AS DECIMAL(38,0)) * qt")).as("p_den"))
+      m.select(col("ym"), col("n_matched"),
+          expr("CAST((1000000 * l_num) DIV l_den AS BIGINT)").as("laspeyres_e6"),
+          expr("CAST((1000000 * p_num) DIV p_den AS BIGINT)").as("paasche_e6"))
+        .withColumn("fisher_e6",
+          expr("""CAST(round(sqrt(CAST(laspeyres_e6 AS DOUBLE)
+            | * CAST(paasche_e6 AS DOUBLE))) AS BIGINT)""".stripMargin))
+        .orderBy("ym")
     }
   )
 }

@@ -1543,5 +1543,101 @@ object MlEval {
           col("dp_gap_pm"), col("eo_gap_pm"))
         .orderBy("seg")
     },
+
+    // R180 — learning curve: ml9's mean-threshold classifier re-fit on
+    // growing TEMPORAL prefixes (20/40/60/80% of history by exact
+    // ceil-rank day cuts) and each fit scored on the SAME held-out
+    // last-20% tail — the "is more data still buying accuracy" readout
+    // that decides whether to extend a training window. All exact
+    // integers: cuts are day-cell rank picks, thresholds floor DIVs,
+    // accuracy one conditional aggregate per prefix folded into a
+    // SINGLE test pass (4 thresholds broadcast as one row). Scale: the
+    // fact is touched twice (one pass computing all 4 prefix sums
+    // conditionally, one test pass), windows only on day cells.
+    Q(
+      "ml29_learning_curve",
+      """WITH od AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS ed
+        |  FROM orders),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM od),
+        |cells AS (SELECT ed, CAST(count(*) AS BIGINT) AS c FROM od GROUP BY 1),
+        |cum AS (SELECT ed, sum(c) OVER (ORDER BY ed) AS cum FROM cells),
+        |cuts AS (SELECT
+        |    min(CASE WHEN cum >= (n.n*20 + 99) // 100 THEN ed END) AS c20,
+        |    min(CASE WHEN cum >= (n.n*40 + 99) // 100 THEN ed END) AS c40,
+        |    min(CASE WHEN cum >= (n.n*60 + 99) // 100 THEN ed END) AS c60,
+        |    min(CASE WHEN cum >= (n.n*80 + 99) // 100 THEN ed END) AS c80
+        |  FROM cum, n),
+        |tr AS (SELECT
+        |    CAST(count(CASE WHEN ed <= c20 THEN 1 END) AS BIGINT) AS n20,
+        |    CAST(count(CASE WHEN ed <= c40 THEN 1 END) AS BIGINT) AS n40,
+        |    CAST(count(CASE WHEN ed <= c60 THEN 1 END) AS BIGINT) AS n60,
+        |    CAST(count(CASE WHEN ed <= c80 THEN 1 END) AS BIGINT) AS n80,
+        |    CAST(sum(CASE WHEN ed <= c20 THEN cents END)
+        |      // count(CASE WHEN ed <= c20 THEN 1 END) AS BIGINT) AS thr20,
+        |    CAST(sum(CASE WHEN ed <= c40 THEN cents END)
+        |      // count(CASE WHEN ed <= c40 THEN 1 END) AS BIGINT) AS thr40,
+        |    CAST(sum(CASE WHEN ed <= c60 THEN cents END)
+        |      // count(CASE WHEN ed <= c60 THEN 1 END) AS BIGINT) AS thr60,
+        |    CAST(sum(CASE WHEN ed <= c80 THEN cents END)
+        |      // count(CASE WHEN ed <= c80 THEN 1 END) AS BIGINT) AS thr80
+        |  FROM od, cuts),
+        |ev AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN (cents >= thr20) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS ok20,
+        |    CAST(sum(CASE WHEN (cents >= thr40) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS ok40,
+        |    CAST(sum(CASE WHEN (cents >= thr60) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS ok60,
+        |    CAST(sum(CASE WHEN (cents >= thr80) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS ok80
+        |  FROM od, cuts, tr WHERE ed > c80)
+        |SELECT * FROM (
+        |  SELECT CAST(20 AS BIGINT) AS train_pct, n20 AS n_train, thr20 AS thr,
+        |    n_test, (ok20 * 1000) // n_test AS acc_permille FROM tr, ev
+        |  UNION ALL
+        |  SELECT 40, n40, thr40, n_test, (ok40 * 1000) // n_test FROM tr, ev
+        |  UNION ALL
+        |  SELECT 60, n60, thr60, n_test, (ok60 * 1000) // n_test FROM tr, ev
+        |  UNION ALL
+        |  SELECT 80, n80, thr80, n_test, (ok80 * 1000) // n_test FROM tr, ev)
+        |ORDER BY train_pct""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val od = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"))
+        .localCheckpoint(true) // cuts + train sums + test pass read it
+      val n = od.agg(count(lit(1)).as("n"))
+      val cum = od.groupBy("ed").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy("ed")))
+      val cuts = cum.crossJoin(broadcast(n)).agg(
+        min(when(expr("cum >= (n*20 + 99) DIV 100"), col("ed"))).as("c20"),
+        min(when(expr("cum >= (n*40 + 99) DIV 100"), col("ed"))).as("c40"),
+        min(when(expr("cum >= (n*60 + 99) DIV 100"), col("ed"))).as("c60"),
+        min(when(expr("cum >= (n*80 + 99) DIV 100"), col("ed"))).as("c80"))
+      val tr = od.crossJoin(broadcast(cuts)).agg(
+        count(when(col("ed") <= col("c20"), 1)).as("n20"),
+        count(when(col("ed") <= col("c40"), 1)).as("n40"),
+        count(when(col("ed") <= col("c60"), 1)).as("n60"),
+        count(when(col("ed") <= col("c80"), 1)).as("n80"),
+        expr("sum(CASE WHEN ed <= c20 THEN cents END) DIV count(CASE WHEN ed <= c20 THEN 1 END)").as("thr20"),
+        expr("sum(CASE WHEN ed <= c40 THEN cents END) DIV count(CASE WHEN ed <= c40 THEN 1 END)").as("thr40"),
+        expr("sum(CASE WHEN ed <= c60 THEN cents END) DIV count(CASE WHEN ed <= c60 THEN 1 END)").as("thr60"),
+        expr("sum(CASE WHEN ed <= c80 THEN cents END) DIV count(CASE WHEN ed <= c80 THEN 1 END)").as("thr80"))
+      val ev = od.crossJoin(broadcast(cuts)).crossJoin(broadcast(tr))
+        .filter(col("ed") > col("c80"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(expr("(cents >= thr20) = (y = 1)"), 1L).otherwise(0L)).as("ok20"),
+          sum(when(expr("(cents >= thr40) = (y = 1)"), 1L).otherwise(0L)).as("ok40"),
+          sum(when(expr("(cents >= thr60) = (y = 1)"), 1L).otherwise(0L)).as("ok60"),
+          sum(when(expr("(cents >= thr80) = (y = 1)"), 1L).otherwise(0L)).as("ok80"))
+      val one = tr.crossJoin(ev).localCheckpoint(true) // 4 output rows read it
+      def row(p: Int) = one.select(lit(p.toLong).as("train_pct"),
+        col(s"n$p").as("n_train"), col(s"thr$p").as("thr"), col("n_test"),
+        expr(s"(ok$p * 1000) DIV n_test").as("acc_permille"))
+      row(20).unionByName(row(40)).unionByName(row(60)).unionByName(row(80))
+        .orderBy("train_pct")
+    },
   )
 }
