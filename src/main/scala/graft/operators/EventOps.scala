@@ -2459,6 +2459,65 @@ object EventOps {
           col("n_recovered"),
           when(col("n_recovered") > 0, expr("sum_rec DIV n_recovered")).as("mttr_us"))
         .orderBy("user_id")
+    },
+
+    // R183 — prominence-gated peak detection on the hourly series: a
+    // peak is an hour strictly above BOTH neighbours on each side
+    // (width-2 local maximum, boundary hours excluded by the non-null
+    // requirement) AND at or above the exact p90 of hourly counts
+    // (ceil-rank pick ⌈9n/10⌉ on count CELLS — the prominence gate
+    // that keeps noise maxima out). The capacity-planning readout
+    // beside ev21's rate-limit bursts and ev55's MAD outliers: WHICH
+    // hours are true local load peaks. One fact pass to the hour
+    // spine; every window after runs on the time-domain-bounded spine.
+    Q(
+      "ev70_peaks",
+      """WITH hc AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hc),
+        |rk AS (SELECT c,
+        |         row_number() OVER (ORDER BY c, hr) AS rn FROM hc),
+        |p90 AS (SELECT min(c) AS p90 FROM rk, n WHERE rn >= (9*n.n + 9) // 10),
+        |w AS (SELECT hr, c,
+        |        lag(c, 1)  OVER (ORDER BY hr) AS l1,
+        |        lag(c, 2)  OVER (ORDER BY hr) AS l2,
+        |        lead(c, 1) OVER (ORDER BY hr) AS r1,
+        |        lead(c, 2) OVER (ORDER BY hr) AS r2
+        |      FROM hc)
+        |SELECT w.hr, w.c, p90.p90
+        |FROM w, p90
+        |WHERE w.l1 IS NOT NULL AND w.l2 IS NOT NULL
+        |  AND w.r1 IS NOT NULL AND w.r2 IS NOT NULL
+        |  AND w.c > w.l1 AND w.c > w.l2 AND w.c > w.r1 AND w.c > w.r2
+        |  AND w.c >= p90.p90
+        |ORDER BY w.hr""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // rank pick + neighbour windows read it
+      val n = hc.agg(count(lit(1)).as("n"))
+      // hour-spine windows: bounded by the time domain, not the fact
+      val rk = hc.withColumn("rn",
+        row_number().over(Window.orderBy("c", "hr")).cast("long"))
+      val p90 = rk.crossJoin(broadcast(n))
+        .filter(col("rn") >= expr("(9*n + 9) DIV 10"))
+        .agg(min("c").as("p90"))
+      val wo = Window.orderBy("hr")
+      hc.withColumn("l1", lag("c", 1).over(wo))
+        .withColumn("l2", lag("c", 2).over(wo))
+        .withColumn("r1", lead("c", 1).over(wo))
+        .withColumn("r2", lead("c", 2).over(wo))
+        .crossJoin(broadcast(p90))
+        .filter(col("l1").isNotNull && col("l2").isNotNull
+          && col("r1").isNotNull && col("r2").isNotNull
+          && col("c") > col("l1") && col("c") > col("l2")
+          && col("c") > col("r1") && col("c") > col("r2")
+          && col("c") >= col("p90"))
+        .select(col("hr"), col("c"), col("p90"))
+        .orderBy("hr")
     }
   )
 

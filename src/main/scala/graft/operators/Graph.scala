@@ -2030,6 +2030,120 @@ object Graph {
       }
       x.select(col("node"), col("katz").as("katz_scaled"))
         .orderBy(desc("katz_scaled"), col("node")).limit(20)
+    },
+
+    // R184 — network robustness under targeted attack: remove the
+    // top-10 hubs (by undirected degree, total-ordered) and compare
+    // the component structure against the intact graph — the
+    // percolation readout (does the graph shatter or hold when its
+    // hubs go). Largest-CC share is THE robustness number in network
+    // science. Scale: hub pick is a distributed top-k (orderBy+limit,
+    // TakeOrderedAndProject — never a global rank window), removal is
+    // two broadcast anti-joins, components run dd5's pointer-jumping
+    // CC (O(log diameter) rounds); isolated survivors enter the
+    // component count as singletons without materializing them. The
+    // oracle replays both scenarios with recursive-CTE closures
+    // (gr14's pattern, fine at oracle scale).
+    Q(
+      "gr33_robustness",
+      """WITH RECURSIVE e0 AS (
+        |  SELECT doc_id AS a,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |eu AS MATERIALIZED (
+        |  SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |  FROM e0 WHERE a <> b),
+        |nodes AS MATERIALIZED (SELECT DISTINCT nd FROM (
+        |  SELECT u AS nd FROM eu UNION ALL SELECT v FROM eu)),
+        |deg AS (SELECT nd, count(*) AS dg FROM (
+        |  SELECT u AS nd FROM eu UNION ALL SELECT v AS nd FROM eu) GROUP BY 1),
+        |hubs AS MATERIALIZED (SELECT nd FROM deg ORDER BY dg DESC, nd LIMIT 10),
+        |symf AS MATERIALIZED (
+        |  SELECT u AS a, v AS b FROM eu UNION ALL SELECT v, u FROM eu),
+        |rf AS (SELECT a, b FROM symf
+        |       UNION
+        |       SELECT r.a, s.b FROM rf r JOIN symf s ON s.a = r.b),
+        |compf AS (SELECT a AS nd, min(b) AS comp FROM (
+        |  SELECT a, b FROM rf UNION ALL SELECT nd, nd FROM nodes) GROUP BY 1),
+        |szf AS (SELECT comp, count(*) AS sz FROM compf GROUP BY 1),
+        |ea AS MATERIALIZED (SELECT u, v FROM eu
+        |  WHERE u NOT IN (SELECT nd FROM hubs)
+        |    AND v NOT IN (SELECT nd FROM hubs)),
+        |rem AS MATERIALIZED (SELECT nd FROM nodes
+        |  WHERE nd NOT IN (SELECT nd FROM hubs)),
+        |syma AS MATERIALIZED (
+        |  SELECT u AS a, v AS b FROM ea UNION ALL SELECT v, u FROM ea),
+        |ra AS (SELECT a, b FROM syma
+        |       UNION
+        |       SELECT r.a, s.b FROM ra r JOIN syma s ON s.a = r.b),
+        |compa AS (SELECT a AS nd, min(b) AS comp FROM (
+        |  SELECT a, b FROM ra UNION ALL SELECT nd, nd FROM rem) GROUP BY 1),
+        |sza AS (SELECT comp, count(*) AS sz FROM compa GROUP BY 1)
+        |SELECT 'attacked' AS scenario,
+        |  CAST((SELECT count(*) FROM rem) AS BIGINT) AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS n_components,
+        |  CAST(max(sz) AS BIGINT) AS largest_cc,
+        |  CAST((max(sz) * 1000) // (SELECT count(*) FROM rem) AS BIGINT) AS largest_share_pm
+        |FROM sza
+        |UNION ALL
+        |SELECT 'full',
+        |  CAST((SELECT count(*) FROM nodes) AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(max(sz) AS BIGINT),
+        |  CAST((max(sz) * 1000) // (SELECT count(*) FROM nodes) AS BIGINT)
+        |FROM szf
+        |ORDER BY scenario""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val eu = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+        .transform(graft.plans.Lineage.truncate) // degree + both scenarios
+      val nodes = eu.select(col("u").as("nd"))
+        .unionByName(eu.select(col("v").as("nd"))).distinct()
+        .transform(graft.plans.Lineage.truncate)
+      val deg = eu.select(col("u").as("nd"))
+        .unionByName(eu.select(col("v").as("nd")))
+        .groupBy("nd").agg(count(lit(1)).as("dg"))
+      val hubs = deg.orderBy(desc("dg"), col("nd")).limit(10).select("nd")
+        .localCheckpoint(true) // two anti-joins + the node filter
+      def profile(pairs: org.apache.spark.sql.DataFrame,
+                  universe: org.apache.spark.sql.DataFrame,
+                  scen: String) = {
+        val cc = Dedup.connectedComponents(
+          pairs.select(col("u").as("id_a"), col("v").as("id_b")))
+        val sz = cc.groupBy("component").agg(count(lit(1)).as("sz"))
+        val es0 = sz.agg(count(lit(1)).as("nc_edge"),
+          coalesce(max("sz"), lit(0L)).as("largest_edge"),
+          coalesce(sum("sz"), lit(0L)).as("edge_nodes"))
+        val uni = universe.agg(count(lit(1)).as("n_nodes"))
+        es0.crossJoin(uni).select(
+          lit(scen).as("scenario"), col("n_nodes"),
+          (col("nc_edge") + col("n_nodes") - col("edge_nodes")).as("n_components"),
+          // an all-isolated survivor set still has components of size 1
+          greatest(col("largest_edge"),
+            when(col("n_nodes") > col("edge_nodes"), 1L).otherwise(0L))
+            .as("largest_cc"))
+          .withColumn("largest_share_pm",
+            expr("(largest_cc * 1000) DIV n_nodes"))
+      }
+      val hubB = broadcast(hubs)
+      val ea = eu
+        .join(hubB.withColumnRenamed("nd", "u"), Seq("u"), "left_anti")
+        .join(hubB.withColumnRenamed("nd", "v"), Seq("v"), "left_anti")
+      val rem = nodes.join(hubB, Seq("nd"), "left_anti")
+      profile(ea, rem, "attacked")
+        .unionByName(profile(eu, nodes, "full"))
+        .orderBy("scenario")
     }
   )
 

@@ -209,6 +209,49 @@ object Quant {
           sum(when(col("dev") > 0 && col("lhs") > col("rhs"), 1L).otherwise(0L)).as("breach_up"),
           sum(when(col("dev") < 0 && col("lhs") > col("rhs"), 1L).otherwise(0L)).as("breach_dn"))
         .orderBy("ym")
+    },
+
+    // R182 — p-chart (SPC for PROPORTIONS, beside ev52's EWMA on
+    // means): monthly return RATE vs 3σ binomial limits around the
+    // grand rate, sqrt-free — (r/n − R/N)² > 9·(R/N)(1−R/N)/n cross-
+    // multiplied by (nN)² into the exact integer test
+    // (r·N − R·n)² > 9·R·(N−R)·n. Products pass 2⁶³ at lake scale →
+    // decimal(38,0)/HUGEINT. One fact pass to month cells; the grand
+    // totals broadcast from a 1-row frame.
+    Q(
+      "q122_pchart",
+      """WITH m AS (
+        |  SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr FROM m)
+        |SELECT ym, n, r,
+        |  (r * 1000) // n AS rate_permille,
+        |  (rr * 1000) // nn AS grand_permille,
+        |  CASE WHEN r * nn > rr * n THEN 1 WHEN r * nn < rr * n THEN -1 ELSE 0 END AS dev_sign,
+        |  CASE WHEN CAST(r * nn - rr * n AS HUGEINT) * (r * nn - rr * n)
+        |            > 9 * CAST(rr AS HUGEINT) * (nn - rr) * n
+        |       THEN 1 ELSE 0 END AS breach
+        |FROM m, g ORDER BY ym""".stripMargin
+    ) { (s, d) =>
+      val m = Tables.lineitem(s, d)
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ym"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"))
+      val g = m.agg(sum("n").as("nn"), sum("r").as("rr"))
+      m.crossJoin(broadcast(g))
+        .select(col("ym"), col("n"), col("r"),
+          expr("(r * 1000) DIV n").as("rate_permille"),
+          expr("(rr * 1000) DIV nn").as("grand_permille"),
+          when(col("r") * col("nn") > col("rr") * col("n"), 1L)
+            .when(col("r") * col("nn") < col("rr") * col("n"), -1L)
+            .otherwise(0L).as("dev_sign"),
+          when(expr("""CAST(r * nn - rr * n AS DECIMAL(38,0)) * (r * nn - rr * n)
+            | > 9 * CAST(rr AS DECIMAL(38,0)) * (nn - rr) * n""".stripMargin), 1L)
+            .otherwise(0L).as("breach"))
+        .orderBy("ym")
     }
   )
 }
