@@ -1053,6 +1053,93 @@ object Analytics {
         .groupBy("abc", "xyz")
         .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"))
         .orderBy("abc", "xyz")
+    },
+
+    // R185 — Lorenz curve by spend decile: q86's Gini is the scalar,
+    // this is the CURVE analysts actually plot (cumulative customer
+    // share vs cumulative revenue share). Deciles are exact integer
+    // arithmetic on the rank — ((rn−1)·10) DIV n + 1 under the
+    // (spend, custkey) total order — so every engine cuts the same
+    // customers; cumulative permilles are floor DIVs on the 10-row
+    // decile frame. Scale: one fact aggregate to customer spend, the
+    // rank window is customer-dimension-bounded, everything after is
+    // 10 rows.
+    Q(
+      "q123_lorenz",
+      """WITH sp AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sp),
+        |rk AS (SELECT cents,
+        |         row_number() OVER (ORDER BY cents, ck) AS rn FROM sp),
+        |dc AS (SELECT ((rn - 1) * 10) // n.n + 1 AS decile, cents FROM rk, n),
+        |agg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |          CAST(sum(cents) AS BIGINT) AS rev_c
+        |        FROM dc GROUP BY 1),
+        |cum AS (SELECT decile, n_cust, rev_c,
+        |          sum(n_cust) OVER (ORDER BY decile) AS cum_cust,
+        |          sum(rev_c) OVER (ORDER BY decile) AS cum_rev,
+        |          sum(n_cust) OVER () AS tot_cust,
+        |          sum(rev_c) OVER () AS tot_rev
+        |        FROM agg)
+        |SELECT decile, n_cust, rev_c,
+        |  CAST((cum_cust * 1000) // tot_cust AS BIGINT) AS cum_pop_pm,
+        |  CAST((cum_rev * 1000) // tot_rev AS BIGINT) AS cum_rev_pm
+        |FROM cum ORDER BY decile""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sp = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val n = sp.agg(count(lit(1)).as("n"))
+      // customer-dimension rank window (dimension-bounded, q105's class)
+      val rk = sp.withColumn("rn",
+        row_number().over(Window.orderBy("cents", "ck")).cast("long"))
+      val agg = rk.crossJoin(broadcast(n))
+        .select(expr("((rn - 1) * 10) DIV n + 1").as("decile"), col("cents"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("rev_c"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy()
+      agg
+        .withColumn("cum_cust", sum("n_cust").over(wc))
+        .withColumn("cum_rev", sum("rev_c").over(wc))
+        .withColumn("tot_cust", sum("n_cust").over(wt))
+        .withColumn("tot_rev", sum("rev_c").over(wt))
+        .select(col("decile"), col("n_cust"), col("rev_c"),
+          expr("(cum_cust * 1000) DIV tot_cust").as("cum_pop_pm"),
+          expr("(cum_rev * 1000) DIV tot_rev").as("cum_rev_pm"))
+        .orderBy("decile")
+    },
+
+    // R186 — price-point (ending-digit) profile: the psychological-
+    // pricing audit — which cents endings dominate the assortment and
+    // what share the charm endings (.99/.95/.49) carry. Pure
+    // scan-local arithmetic (cents mod 100) + one dimension-sized
+    // aggregate; share one floor DIV vs the broadcast total.
+    Q(
+      "q124_price_points",
+      """WITH p AS (
+        |  SELECT CAST(round(p_retailprice*100) AS BIGINT) % 100 AS ending
+        |  FROM part),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM p)
+        |SELECT ending,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  (CAST(count(*) AS BIGINT) * 1000) // (SELECT total FROM t) AS share_pm,
+        |  CASE WHEN ending IN (99, 95, 49) THEN 1 ELSE 0 END AS is_charm
+        |FROM p GROUP BY ending ORDER BY ending""".stripMargin
+    ) { (s, d) =>
+      val p = Tables.part(s, d)
+        .select((round(col("p_retailprice") * 100).cast("long") % 100).as("ending"))
+      val t = p.agg(count(lit(1)).as("total"))
+      p.groupBy("ending").agg(count(lit(1)).as("n_parts"))
+        .crossJoin(broadcast(t))
+        .select(col("ending"), col("n_parts"),
+          expr("(n_parts * 1000) DIV total").as("share_pm"),
+          when(col("ending").isin(99L, 95L, 49L), 1L).otherwise(0L).as("is_charm"))
+        .orderBy("ending")
     }
   )
 }

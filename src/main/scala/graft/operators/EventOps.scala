@@ -2518,6 +2518,43 @@ object EventOps {
           && col("c") >= col("p90"))
         .select(col("hr"), col("c"), col("p90"))
         .orderBy("hr")
+    },
+
+    // R188 — transition dwell times: ev12's Markov matrix says WHERE
+    // sessions go, this says HOW LONG each hop takes — mean/min/max
+    // gap per (from → to) event-type pair, the latency surface of the
+    // behavioural graph. Per-user lead window on the fact (the ev12
+    // shuffle), then one aggregate to the ≤|types|² frame; means are
+    // floor DIVs of exact micro sums.
+    Q(
+      "ev71_transition_dwell",
+      """WITH x AS (
+        |  SELECT event_type AS ft,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      - epoch_us(ts) AS gap_us
+        |  FROM events)
+        |SELECT ft, tt,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us,
+        |  CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        |FROM x WHERE tt IS NOT NULL
+        |GROUP BY ft, tt ORDER BY ft, tt""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type").as("ft"),
+          lead("event_type", 1).over(w).as("tt"),
+          (lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+            .as("gap_us"))
+        .filter(col("tt").isNotNull)
+        .groupBy("ft", "tt")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(gap_us) DIV count(*)").as("mean_gap_us"),
+          min("gap_us").as("min_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .orderBy("ft", "tt")
     }
   )
 

@@ -2144,6 +2144,66 @@ object Graph {
       profile(ea, rem, "attacked")
         .unionByName(profile(eu, nodes, "full"))
         .orderBy("scenario")
+    },
+
+    // R187 — average-neighbour-degree profile knn(k): gr10's
+    // assortativity is the scalar, this is the CURVE (is the mixing
+    // monotone, or hub-avoidance only above a degree knee). Per degree
+    // class k: the edge-weighted mean neighbour degree —
+    // Σ_{nodes of deg k} Σ_nbr deg(nbr) DIV Σ_{deg k} k — exact
+    // integers end to end. Scale: degree frame is node-sized; the
+    // nbr-degree lookup is ONE self-equi-join of the symmetric edge
+    // list against the degree frame (shuffles on the join key); the
+    // profile aggregate lands on |distinct degrees| rows.
+    Q(
+      "gr34_knn_profile",
+      """WITH e0 AS (
+        |  SELECT doc_id AS a,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |eu AS MATERIALIZED (
+        |  SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |  FROM e0 WHERE a <> b),
+        |adj AS (SELECT u AS node, v AS nbr FROM eu
+        |        UNION ALL SELECT v, u FROM eu),
+        |deg AS MATERIALIZED (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+        |j AS (SELECT a.node, dn.dg AS nbr_dg
+        |      FROM adj a JOIN deg dn ON dn.node = a.nbr),
+        |pn AS (SELECT j.node, d.dg, CAST(sum(j.nbr_dg) AS BIGINT) AS s
+        |       FROM j JOIN deg d ON d.node = j.node GROUP BY 1, 2)
+        |SELECT dg AS k,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST((100 * sum(s)) // sum(dg) AS BIGINT) AS avg_nbr_deg_e2
+        |FROM pn GROUP BY dg ORDER BY dg""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val eu = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+        .transform(graft.plans.Lineage.truncate)
+      val adj = eu.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(eu.select(col("v").as("node"), col("u").as("nbr")))
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("dg"))
+        .transform(graft.plans.Lineage.truncate) // both sides of the lookup
+      val j = adj.join(deg.select(col("node").as("nbr"), col("dg").as("nbr_dg")), "nbr")
+        .select("node", "nbr_dg")
+      val pn = j.join(deg, "node")
+        .groupBy("node", "dg").agg(sum("nbr_dg").as("s"))
+      pn.groupBy(col("dg").as("k"))
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("(100 * sum(s)) DIV sum(dg)").as("avg_nbr_deg_e2"))
+        .orderBy("k")
     }
   )
 
