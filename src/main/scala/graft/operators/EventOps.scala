@@ -2555,6 +2555,37 @@ object EventOps {
           min("gap_us").as("min_gap_us"),
           max("gap_us").as("max_gap_us"))
         .orderBy("ft", "tt")
+    },
+
+    // R191 — record-breaking hours: each hour whose load strictly
+    // exceeds EVERY previous hour (running max over the preceding
+    // frame; the first hour is a record by convention — a null
+    // preceding max). Record analysis is the extreme-value cousin of
+    // ev70's peaks: a stationary series sets ~ln(n) records, so a
+    // record RATE above that is itself a growth signal. One fact pass
+    // to the hour spine; the cumulative-max window is spine-bounded.
+    Q(
+      "ev72_records",
+      """WITH hc AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT hr, c,
+        |        max(c) OVER (ORDER BY hr
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_best
+        |      FROM hc)
+        |SELECT hr, c, prev_best
+        |FROM r WHERE prev_best IS NULL OR c > prev_best
+        |ORDER BY hr""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      // hour-spine window: bounded by the time domain, not the fact
+      val w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+      hc.withColumn("prev_best", max("c").over(w))
+        .filter(col("prev_best").isNull || col("c") > col("prev_best"))
+        .orderBy("hr")
     }
   )
 

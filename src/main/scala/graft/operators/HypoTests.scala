@@ -918,6 +918,63 @@ object HypoTests {
           (col("center_e6") - col("hw_e6")).as("lo_e6"),
           (col("center_e6") + col("hw_e6")).as("hi_e6"))
         .orderBy("arm")
+    },
+
+    // R189 — Wald–Wolfowitz runs test: is the daily revenue up/down
+    // sequence RANDOM, or does it trend/mean-revert (the randomness
+    // check the forecasting entries implicitly assume). Signs from
+    // lag-diffs on the day spine (zero diffs dropped, the standard
+    // treatment); runs R = sign changes + 1 counted exactly; μ and σ
+    // of R under H0 are closed-form rationals of the exact counts
+    // n1, n2 — z is ONE double expression of exact sub-2⁵³ integers,
+    // identical tree both engines, e6-rounded. Everything after the
+    // one fact pass runs on the spine.
+    Q(
+      "q125_runs_test",
+      """WITH dc AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders GROUP BY 1),
+        |df AS (SELECT d, rev - lag(rev) OVER (ORDER BY d) AS diff FROM dc),
+        |sg AS (SELECT d, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+        |       FROM df WHERE diff IS NOT NULL AND diff <> 0),
+        |ch AS (SELECT s, lag(s) OVER (ORDER BY d) AS ps FROM sg),
+        |agg AS (SELECT
+        |    CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS runs
+        |  FROM ch)
+        |SELECT n1, n2, runs,
+        |  CAST(round(1000000 * (2.0 * n1 * n2 / (n1 + n2) + 1)) AS BIGINT) AS mu_e6,
+        |  CAST(round(1000000 * (CAST(runs AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1))
+        |    / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)))
+        |         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))) AS BIGINT)
+        |    AS z_e6
+        |FROM agg""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dc = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      // day-spine windows: bounded by the date domain, not the fact
+      val wd = Window.orderBy("d")
+      val sg = dc.withColumn("diff", col("rev") - lag("rev", 1).over(wd))
+        .filter(col("diff").isNotNull && col("diff") =!= 0)
+        .select(col("d"), when(col("diff") > 0, 1L).otherwise(-1L).as("s"))
+      val ch = sg.withColumn("ps", lag("s", 1).over(wd))
+      val agg = ch.agg(
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("s") === -1, 1L).otherwise(0L)).as("n2"),
+        (lit(1L) + sum(when(col("ps").isNotNull && col("s") =!= col("ps"), 1L)
+          .otherwise(0L))).as("runs"))
+      agg.select(col("n1"), col("n2"), col("runs"),
+        expr("CAST(round(1000000 * (2.0 * n1 * n2 / (n1 + n2) + 1)) AS BIGINT)")
+          .as("mu_e6"),
+        expr("""CAST(round(1000000 * (CAST(runs AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1))
+          | / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)))
+          |      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))) AS BIGINT)"""
+          .stripMargin).as("z_e6"))
     }
   )
 }

@@ -1639,5 +1639,52 @@ object MlEval {
       row(20).unionByName(row(40)).unionByName(row(60)).unionByName(row(80))
         .orderBy("train_pct")
     },
+
+    // R190 — 5-fold cross-validation stability (ml29 varies the
+    // training WINDOW, this varies the SPLIT): folds by the
+    // deterministic o_orderkey % 5 hash, each fold scored against the
+    // threshold fit on its complement. The algebra makes it ONE
+    // training pass: per-fold (count, sum) suffice, because the
+    // complement threshold is (S−S_f) DIV (N−N_f) — no refit per fold,
+    // just arithmetic on the 5-row frame. Second fact pass scores all
+    // folds with the 5 thresholds broadcast. Fold-to-fold accuracy
+    // spread is the variance readout a single holdout can't give.
+    Q(
+      "ml31_cv_folds",
+      """WITH od AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    o_orderkey % 5 AS fold
+        |  FROM orders),
+        |fs AS (SELECT fold, CAST(count(*) AS BIGINT) AS nf,
+        |         CAST(sum(cents) AS BIGINT) AS sf
+        |       FROM od GROUP BY 1),
+        |g AS (SELECT CAST(sum(nf) AS BIGINT) AS n, CAST(sum(sf) AS BIGINT) AS s FROM fs),
+        |thr AS (SELECT fold, nf, (g.s - sf) // (g.n - nf) AS thr FROM fs, g)
+        |SELECT od.fold,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(max(thr.thr) AS BIGINT) AS thr,
+        |  (CAST(sum(CASE WHEN (od.cents >= thr.thr) = (od.y = 1)
+        |                 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS acc_permille
+        |FROM od JOIN thr ON od.fold = thr.fold
+        |GROUP BY od.fold ORDER BY od.fold""".stripMargin
+    ) { (s, d) =>
+      val od = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        (col("o_orderkey") % 5).as("fold"))
+        .localCheckpoint(true) // fold sums + scoring pass read it
+      val fs = od.groupBy("fold")
+        .agg(count(lit(1)).as("nf"), sum("cents").as("sf"))
+      val g = fs.agg(sum("nf").as("n"), sum("sf").as("s"))
+      val thr = fs.crossJoin(broadcast(g))
+        .select(col("fold"), expr("(s - sf) DIV (n - nf)").as("thr"))
+      od.join(broadcast(thr), "fold")
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_test"), max("thr").as("thr"),
+          expr("""(sum(CASE WHEN (cents >= thr) = (y = 1) THEN 1 ELSE 0 END) * 1000)
+            | DIV count(*)""".stripMargin).as("acc_permille"))
+        .orderBy("fold")
+    },
   )
 }
