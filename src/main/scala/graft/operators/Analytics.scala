@@ -1140,6 +1140,72 @@ object Analytics {
           expr("(n_parts * 1000) DIV total").as("share_pm"),
           when(col("ending").isin(99L, 95L, 49L), 1L).otherwise(0L).as("is_charm"))
         .orderBy("ending")
+    },
+
+    // R193 — median with a DISTRIBUTION-FREE 95% CI (order-statistic
+    // binomial bounds): the point estimate q111 reports, plus the
+    // uncertainty no parametric formula gives for a discrete skewed
+    // count. CI ranks are the standard normal-approximation bounds
+    // lo=⌊(n−1.96√n)/2⌋, hi=1+⌈(n+1.96√n)/2⌉ clamped to [1,n] — sqrt
+    // is IEEE-portable, floor/ceil of the identical double tree land
+    // on the same integers; all three picks are exact rank lookups on
+    // (segment, orders-per-customer) CELLS (count domain is small, so
+    // cells stay bounded at any scale — the ev19 discipline). One
+    // customer-keyed aggregate, windows only on cells.
+    Q(
+      "q126_median_ci",
+      """WITH oc AS (
+        |  SELECT o_custkey AS ck, c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS k
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |cells AS (SELECT seg, k, CAST(count(*) AS BIGINT) AS c FROM oc GROUP BY 1, 2),
+        |cum AS (SELECT seg, k, c,
+        |          sum(c) OVER (PARTITION BY seg ORDER BY k) AS cum,
+        |          sum(c) OVER (PARTITION BY seg) AS n
+        |        FROM cells),
+        |idx AS (SELECT seg, CAST(max(n) AS BIGINT) AS n,
+        |          greatest(1, CAST(floor((max(n) - 1.96*sqrt(max(n)))/2) AS BIGINT)) AS lo_r,
+        |          (CAST(max(n) AS BIGINT) + 1) // 2 AS med_r,
+        |          least(CAST(max(n) AS BIGINT),
+        |            1 + CAST(ceil((max(n) + 1.96*sqrt(max(n)))/2) AS BIGINT)) AS hi_r
+        |        FROM cum GROUP BY seg),
+        |pick AS (SELECT c.seg,
+        |           min(CASE WHEN c.cum >= i.lo_r THEN c.k END) AS ci_lo,
+        |           min(CASE WHEN c.cum >= i.med_r THEN c.k END) AS median_orders,
+        |           min(CASE WHEN c.cum >= i.hi_r THEN c.k END) AS ci_hi
+        |         FROM cum c JOIN idx i ON c.seg = i.seg GROUP BY c.seg)
+        |SELECT p.seg, i.n, p.median_orders, p.ci_lo, p.ci_hi, i.lo_r, i.hi_r
+        |FROM pick p JOIN idx i ON p.seg = i.seg ORDER BY p.seg""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val oc = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey").as("ck"), col("seg"))
+        .agg(count(lit(1)).as("k"))
+      val cells = oc.groupBy("seg", "k").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // cum windows + idx + picks read it
+      val cum = cells
+        .withColumn("cum", sum("c").over(Window.partitionBy("seg").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(Window.partitionBy("seg")))
+        .localCheckpoint(true)
+      val idx = cum.groupBy("seg").agg(
+        max("n").as("n"),
+        greatest(lit(1L),
+          expr("CAST(floor((max(n) - 1.96*sqrt(max(n)))/2) AS BIGINT)")).as("lo_r"),
+        expr("(max(n) + 1) DIV 2").as("med_r"),
+        least(max("n"),
+          expr("1 + CAST(ceil((max(n) + 1.96*sqrt(max(n)))/2) AS BIGINT)")).as("hi_r"))
+      val pick = cum.join(broadcast(idx.withColumnRenamed("n", "nn")), "seg")
+        .groupBy("seg").agg(
+          min(when(col("cum") >= col("lo_r"), col("k"))).as("ci_lo"),
+          min(when(col("cum") >= col("med_r"), col("k"))).as("median_orders"),
+          min(when(col("cum") >= col("hi_r"), col("k"))).as("ci_hi"))
+      pick.join(broadcast(idx), "seg")
+        .select(col("seg"), col("n"), col("median_orders"),
+          col("ci_lo"), col("ci_hi"), col("lo_r"), col("hi_r"))
+        .orderBy("seg")
     }
   )
 }

@@ -2204,6 +2204,68 @@ object Graph {
         .agg(count(lit(1)).as("n_nodes"),
           expr("(100 * sum(s)) DIV sum(dg)").as("avg_nbr_deg_e2"))
         .orderBy("k")
+    },
+
+    // R192 — triangle-motif significance vs the configuration model:
+    // gr3 counts triangles, this asks whether that count MEANS
+    // anything — observed T against the degree-sequence-preserving
+    // null E[T] = (M2/M1)³/6 (M1=Σd, M2=Σd(d−1); Newman's closed
+    // form), ratio > 1 ⇒ genuine triadic closure. Both moments are
+    // exact integer sums off the node-sized degree frame; the
+    // expectation and ratio are single double expressions of exact
+    // sub-2⁵³ ints (identical trees both engines), e6-rounded. The
+    // triangle count reuses gr3's two-join wedge+adjacency plan,
+    // reduced to ONE scalar.
+    Q(
+      "gr35_motif_z",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |e AS MATERIALIZED (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |deg AS (SELECT nd, CAST(count(*) AS BIGINT) AS dg FROM (
+        |  SELECT u AS nd FROM e UNION ALL SELECT v AS nd FROM e) GROUP BY 1),
+        |m AS (SELECT CAST(sum(dg) AS BIGINT) AS m1,
+        |        CAST(sum(dg*(dg-1)) AS BIGINT) AS m2 FROM deg)
+        |SELECT t AS triangles, m1, m2,
+        |  CAST(round(1000000 * (CAST(m2 AS DOUBLE)/m1) * (CAST(m2 AS DOUBLE)/m1)
+        |    * (CAST(m2 AS DOUBLE)/m1) / 6) AS BIGINT) AS expected_e6,
+        |  CAST(round(1000000 * 6 * CAST(t AS DOUBLE) * m1 * m1 * m1
+        |    / (CAST(m2 AS DOUBLE) * m2 * m2)) AS BIGINT) AS ratio_e6
+        |FROM tri, m""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+        .transform(graft.plans.Lineage.truncate) // triangle joins + degrees
+      val wedges = e.select(col("u"), col("v"))
+        .join(e.select(col("u").as("v"), col("v").as("w")), "v")
+      val tri = wedges.join(e.select(col("u"), col("v").as("w")), Seq("u", "w"))
+        .agg(count(lit(1)).as("t"))
+      val deg = e.select(col("u").as("nd"))
+        .unionByName(e.select(col("v").as("nd")))
+        .groupBy("nd").agg(count(lit(1)).as("dg"))
+      val m = deg.agg(sum("dg").as("m1"), sum(expr("dg*(dg-1)")).as("m2"))
+      tri.crossJoin(broadcast(m))
+        .select(col("t").as("triangles"), col("m1"), col("m2"),
+          expr("""CAST(round(1000000 * (CAST(m2 AS DOUBLE)/m1) * (CAST(m2 AS DOUBLE)/m1)
+            | * (CAST(m2 AS DOUBLE)/m1) / 6) AS BIGINT)""".stripMargin).as("expected_e6"),
+          expr("""CAST(round(1000000 * 6 * CAST(t AS DOUBLE) * m1 * m1 * m1
+            | / (CAST(m2 AS DOUBLE) * m2 * m2)) AS BIGINT)""".stripMargin).as("ratio_e6"))
     }
   )
 

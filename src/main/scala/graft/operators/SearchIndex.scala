@@ -113,6 +113,63 @@ object SearchIndex {
       a.join(b, col("doc_id") === col("bdoc") && col("bpos") === col("pos") + 1)
         .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
         .orderBy("doc_id")
+    },
+
+    // R194 — Dirichlet-smoothed query-likelihood retrieval (the
+    // language-model IR family beside tx14's BM25): score(d) =
+    // Σ_q log p(w|d) with p(w|d) = (tf + μ·cf/|C|)/(|d| + μ), μ=100.
+    // Every doc scores (smoothing gives absent terms background
+    // mass) — the log argument is ONE exact-integer rational
+    // (tf·|C| + μ·cf)/(|C|·(|d|+μ)) evaluated as an identical double
+    // tree on both engines, log2 micro-quantized ONCE per (doc, term)
+    // cell (tx27's discipline), then summed exactly. Scale: term
+    // postings are filtered to the 3-term query BEFORE any shuffle;
+    // the per-doc expansion is 3 scan-local rows; cf totals broadcast;
+    // top-10 is a distributed TakeOrdered under a total order.
+    Q(
+      "tx47_lm_retrieval",
+      """WITH dl AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dlen FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |dtf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+        |        FROM tok WHERE w IN ('scan', 'merge', 'window') GROUP BY 1, 2),
+        |cf AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cf FROM dtf GROUP BY 1),
+        |nc AS (SELECT CAST(sum(dlen) AS BIGINT) AS nc FROM dl),
+        |g AS (SELECT d.doc_id, d.dlen, t.w, t.cf, coalesce(f.tf, 0) AS tf
+        |      FROM dl d CROSS JOIN cf t
+        |      LEFT JOIN dtf f ON f.doc_id = d.doc_id AND f.w = t.w),
+        |sc AS (SELECT doc_id,
+        |    CAST(sum(CAST(round(1000000 *
+        |      log2((CAST(tf AS DOUBLE) * nc.nc + 100.0 * cf)
+        |         / (CAST(nc.nc AS DOUBLE) * (dlen + 100)))) AS BIGINT)) AS BIGINT)
+        |      AS score_e6
+        |  FROM g, nc GROUP BY 1)
+        |SELECT doc_id, score_e6 FROM sc
+        |ORDER BY score_e6 DESC, doc_id LIMIT 10""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("dlen"))
+      val terms = Seq("scan", "merge", "window")
+      val dtf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").isin(terms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // cf totals + the per-doc left join
+      val cf = dtf.groupBy("w").agg(sum("tf").as("cf"))
+      val nc = dl.agg(sum("dlen").as("nc"))
+      val g = dl.crossJoin(broadcast(cf))
+        .join(dtf, Seq("doc_id", "w"), "left")
+        .select(col("doc_id"), col("dlen"), col("cf"),
+          coalesce(col("tf"), lit(0L)).as("tf"))
+      g.crossJoin(broadcast(nc))
+        .select(col("doc_id"),
+          round(lit(1000000) *
+            log2((col("tf").cast("double") * col("nc") + lit(100.0) * col("cf"))
+              / (col("nc").cast("double") * (col("dlen") + 100))))
+            .cast("long").as("q6"))
+        .groupBy("doc_id").agg(sum("q6").as("score_e6"))
+        .orderBy(desc("score_e6"), col("doc_id")).limit(10)
     }
   )
 }
