@@ -1206,6 +1206,49 @@ object Analytics {
         .select(col("seg"), col("n"), col("median_orders"),
           col("ci_lo"), col("ci_hi"), col("lo_r"), col("hi_r"))
         .orderBy("seg")
+    },
+
+    // R197 — CR-k concentration ratios (CR4 / CR8 / CR20): the
+    // antitrust companion to q81's HHI — what revenue share do the
+    // top-k customers hold. Top-20 by a distributed TakeOrdered under
+    // the (spend, custkey) total order (never a rank window over the
+    // customer frame); the three shares come from ONE pass over the
+    // 20-row frame vs the broadcast total. Output is one row.
+    Q(
+      "q127_cr_k",
+      """WITH sp AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |        CAST(sum(cents) AS BIGINT) AS total FROM sp),
+        |top AS (SELECT cents,
+        |          row_number() OVER (ORDER BY cents DESC, ck) AS rn
+        |        FROM sp ORDER BY cents DESC, ck LIMIT 20)
+        |SELECT t.n_cust, t.total,
+        |  (CAST(sum(CASE WHEN rn <= 4 THEN cents ELSE 0 END) AS BIGINT) * 1000)
+        |    // t.total AS cr4_pm,
+        |  (CAST(sum(CASE WHEN rn <= 8 THEN cents ELSE 0 END) AS BIGINT) * 1000)
+        |    // t.total AS cr8_pm,
+        |  (CAST(sum(cents) AS BIGINT) * 1000) // t.total AS cr20_pm
+        |FROM top, t GROUP BY t.n_cust, t.total""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val sp = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint(true) // totals + top-k both read it
+      val t = sp.agg(count(lit(1)).as("n_cust"), sum("cents").as("total"))
+      // distributed top-k first; the rank window then runs on 20 rows
+      val top = sp.orderBy(desc("cents"), col("ck")).limit(20)
+        .withColumn("rn", row_number().over(Window.orderBy(desc("cents"), col("ck"))))
+      top.crossJoin(broadcast(t))
+        .groupBy("n_cust", "total")
+        .agg(
+          expr("(sum(CASE WHEN rn <= 4 THEN cents ELSE 0 END) * 1000) DIV total").as("cr4_pm"),
+          expr("(sum(CASE WHEN rn <= 8 THEN cents ELSE 0 END) * 1000) DIV total").as("cr8_pm"),
+          expr("(sum(cents) * 1000) DIV total").as("cr20_pm"))
+        .select("n_cust", "total", "cr4_pm", "cr8_pm", "cr20_pm")
     }
   )
 }

@@ -2586,6 +2586,74 @@ object EventOps {
       hc.withColumn("prev_best", max("c").over(w))
         .filter(col("prev_best").isNull || col("c") > col("prev_best"))
         .orderBy("hr")
+    },
+
+    // R195 — Spark's NATIVE session_window() in batch mode, certified
+    // against the portable gaps-and-islands oracle (ev2 builds
+    // sessions BY HAND with lag+cumsum; this entry runs the engine's
+    // built-in SessionWindowing operator on the same 30-min gap and
+    // must produce byte-identical sessions — window.end is
+    // last-event + gap by session_window's definition, so the oracle
+    // emits max(ts) + INTERVAL 30 MINUTE). Certifying the builtin
+    // matters: it's the operator a Spark user actually reaches for,
+    // and its session-merge semantics (not our window arithmetic) are
+    // what execute. One shuffle on user_id either way.
+    Q(
+      "ev73_session_window",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n"))
+        .orderBy("user_id", "s_start")
+    },
+
+    // R196 — Spark's NATIVE tumbling window() builtin (6-hour
+    // buckets), certified against pure epoch arithmetic: the builtin
+    // computes epoch-aligned bucket boundaries internally; the oracle
+    // derives the identical boundary from epoch_us DIV (6·3600·10⁶).
+    // Any off-by-one in the engine's bucket math (or a timezone leak —
+    // the session runs UTC) would hash-mismatch. Map-side combinable
+    // aggregate to the bucket spine.
+    Q(
+      "ev74_window_builtin",
+      """WITH b AS (
+        |  SELECT epoch_us(ts) // 21600000000 AS bk,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT make_timestamp(bk * 21600000000) AS w_start,
+        |  make_timestamp((bk + 1) * 21600000000) AS w_end,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM b GROUP BY bk ORDER BY w_start""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("n"), col("cents"))
+        .orderBy("w_start")
     }
   )
 
