@@ -19,7 +19,8 @@ object SparkEntry {
       MlEval.catalog ++ SeqPattern.catalog ++ IncrementalCorpus.catalog ++
       Quant.catalog ++ TextProfile.catalog ++
       graft.sources.v2.SeqDataSource.catalog ++
-      graft.sources.TableLog.catalog
+      graft.sources.TableLog.catalog ++
+      graft.sources.RoundTrip.catalog
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -2654,6 +2654,51 @@ object EventOps {
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("n"), col("cents"))
         .orderBy("w_start")
+    },
+
+    // R200 — error contagion (self-excitation test): is an error more
+    // likely right after an error than at baseline — the Hawkes-style
+    // question answered with exact transition counts off ev12's
+    // per-user lead shuffle. lift = P(err→err)/ (P(·→err)) as an exact
+    // integer floor quotient (products in decimal/HUGEINT — n_ee·n
+    // passes 2⁶³ at lake scale). lift_e6 > 1e6 ⇒ errors cluster;
+    // conditional and baseline permilles alongside for the readout.
+    Q(
+      "ev75_error_contagion",
+      """WITH p AS (
+        |  SELECT event_type AS ft,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+        |  FROM events),
+        |agg AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN ft = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_from_e,
+        |    CAST(sum(CASE WHEN tt = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_to_e,
+        |    CAST(sum(CASE WHEN ft = 'error' AND tt = 'error' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_ee
+        |  FROM p WHERE tt IS NOT NULL)
+        |SELECT n_pairs, n_from_e, n_to_e, n_ee,
+        |  (n_ee * 1000) // n_from_e AS p_cond_pm,
+        |  (n_to_e * 1000) // n_pairs AS p_base_pm,
+        |  CAST((CAST(n_ee AS HUGEINT) * n_pairs * 1000000)
+        |       // (CAST(n_from_e AS HUGEINT) * n_to_e) AS BIGINT) AS lift_e6
+        |FROM agg""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val p = Tables.events(s, d)
+        .select(col("event_type").as("ft"),
+          lead("event_type", 1).over(w).as("tt"))
+        .filter(col("tt").isNotNull)
+      p.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ft") === "error", 1L).otherwise(0L)).as("n_from_e"),
+          sum(when(col("tt") === "error", 1L).otherwise(0L)).as("n_to_e"),
+          sum(when(col("ft") === "error" && col("tt") === "error", 1L)
+            .otherwise(0L)).as("n_ee"))
+        .select(col("n_pairs"), col("n_from_e"), col("n_to_e"), col("n_ee"),
+          expr("(n_ee * 1000) DIV n_from_e").as("p_cond_pm"),
+          expr("(n_to_e * 1000) DIV n_pairs").as("p_base_pm"),
+          expr("""CAST((CAST(n_ee AS DECIMAL(38,0)) * n_pairs * 1000000)
+            | DIV (CAST(n_from_e AS DECIMAL(38,0)) * n_to_e) AS BIGINT)"""
+            .stripMargin).as("lift_e6"))
     }
   )
 

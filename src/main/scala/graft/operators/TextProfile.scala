@@ -62,6 +62,95 @@ object TextProfile {
           expr("(sum(space) * 1000) DIV sum(chars)").as("space_permille"),
           expr("(sum(alpha) * 100) DIV sum(words)").as("wordlen_e2"))
         .orderBy("source")
+    },
+
+    // R198 — corpus-driven stopword discovery: the top-20 terms by
+    // DOCUMENT frequency with their df share and token-mass share —
+    // how a pipeline derives its stoplist from the data instead of
+    // importing one (tx3's quality score and tx13's idf both assume
+    // such a list exists). One token explode (scan-local), df from a
+    // distinct-pair aggregate, top-20 a distributed TakeOrdered under
+    // the (df, term) total order; corpus totals broadcast.
+    Q(
+      "tx48_stopword_discovery",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |tf AS (SELECT w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+        |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |nt AS (SELECT CAST(sum(tf) AS BIGINT) AS nt FROM tf),
+        |top AS (SELECT df.w, df.df, tf.tf FROM df JOIN tf ON df.w = tf.w
+        |        ORDER BY df.df DESC, df.w LIMIT 20)
+        |SELECT top.w AS term, top.df, top.tf,
+        |  (top.df * 1000) // nd.nd AS df_permille,
+        |  (top.tf * 1000) // nt.nt AS tf_share_pm
+        |FROM top, nd, nt ORDER BY top.df DESC, term""".stripMargin
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint(true) // tf + df both read it
+      val tf = tok.groupBy("w").agg(count(lit(1)).as("tf"))
+      val df = tok.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      val nt = tf.agg(sum("tf").as("nt"))
+      df.join(tf, "w")
+        .orderBy(desc("df"), col("w")).limit(20)
+        .crossJoin(broadcast(nd)).crossJoin(broadcast(nt))
+        .select(col("w").as("term"), col("df"), col("tf"),
+          expr("(df * 1000) DIV nd").as("df_permille"),
+          expr("(tf * 1000) DIV nt").as("tf_share_pm"))
+        .orderBy(desc("df"), col("term"))
+    },
+
+    // R199 — shingle document-frequency spectrum: the measurement
+    // behind dd2/dd14's df-cap knob — how many 3-gram shingles live in
+    // each power-of-two df band, and how much total occurrence mass
+    // the hot bands carry. A corpus whose top band holds most mass
+    // NEEDS the cap (bucket joins would explode); one whose spectrum
+    // decays fast doesn't. Shingles via two pos+1 self-joins of the
+    // positional token frame (tx45's machinery); the band is
+    // length(bin(df)) — pure integer, no log2 float anywhere; the
+    // spectrum lands on ≤~20 rows.
+    Q(
+      "dd21_shingle_spectrum",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents),
+        |sh AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |df AS (SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM sh GROUP BY 1),
+        |bd AS (SELECT CAST(length(bin(df)) AS BIGINT) AS band, df FROM df)
+        |SELECT band,
+        |  CAST(1 AS BIGINT) << (CAST(band AS INT) - 1) AS df_lo,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(df) AS BIGINT) AS sum_df
+        |FROM bd GROUP BY band ORDER BY band""".stripMargin
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "w")
+        .localCheckpoint(true) // three-way positional self-join
+      val sh = tok.as("a")
+        .join(tok.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("w").as("wb")), Seq("doc_id", "pos"))
+        .join(tok.select(col("doc_id"), (col("pos") - 2).as("pos"),
+          col("w").as("wc")), Seq("doc_id", "pos"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("w"), col("wb"), col("wc")).as("shingle"))
+      val df = sh.distinct().groupBy("shingle").agg(count(lit(1)).as("df"))
+      df.groupBy(length(bin(col("df"))).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_shingles"), sum("df").as("sum_df"))
+        .withColumn("df_lo", expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT) - 1)"))
+        .select("band", "df_lo", "n_shingles", "sum_df")
+        .orderBy("band")
     }
   )
 }
