@@ -2699,6 +2699,51 @@ object EventOps {
           expr("""CAST((CAST(n_ee AS DECIMAL(38,0)) * n_pairs * 1000000)
             | DIV (CAST(n_from_e AS DECIMAL(38,0)) * n_to_e) AS BIGINT)"""
             .stripMargin).as("lift_e6"))
+    },
+
+    // R202 — MASE forecast backtest: before trusting ev35/ev43's
+    // fitted forecasts, measure whether the SEASONAL-naive baseline
+    // (repeat last week) even beats the naive one (repeat yesterday)
+    // on a one-step-ahead backtest — MASE < 1e6 says weekly structure
+    // is real and worth modelling. Exact: both error sums are integer
+    // |lag diffs| on the day spine over the SAME evaluation rows (both
+    // lags present), MASE one floor quotient (the shared n cancels).
+    Q(
+      "ev76_mase_backtest",
+      """WITH dc AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT dy, c,
+        |        lag(c, 1) OVER (ORDER BY dy) AS c1,
+        |        lag(c, 7) OVER (ORDER BY dy) AS c7
+        |      FROM dc),
+        |e AS (SELECT abs(c - c1) AS e1, abs(c - c7) AS e7
+        |      FROM l WHERE c1 IS NOT NULL AND c7 IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(sum(e1) AS BIGINT) AS abs_err_naive,
+        |  CAST(sum(e7) AS BIGINT) AS abs_err_snaive,
+        |  CAST(sum(e1) // count(*) AS BIGINT) AS mae_naive,
+        |  CAST(sum(e7) // count(*) AS BIGINT) AS mae_snaive,
+        |  CAST((1000000 * sum(e7)) // sum(e1) AS BIGINT) AS mase_e6
+        |FROM e""".stripMargin
+    ) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("c"))
+      // day-spine windows: bounded by the date domain, not the fact
+      val wd = Window.orderBy("dy")
+      dc.withColumn("c1", lag("c", 1).over(wd))
+        .withColumn("c7", lag("c", 7).over(wd))
+        .filter(col("c1").isNotNull && col("c7").isNotNull)
+        .select(abs(col("c") - col("c1")).as("e1"),
+          abs(col("c") - col("c7")).as("e7"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum("e1").as("abs_err_naive"),
+          sum("e7").as("abs_err_snaive"),
+          expr("sum(e1) DIV count(*)").as("mae_naive"),
+          expr("sum(e7) DIV count(*)").as("mae_snaive"),
+          expr("(1000000 * sum(e7)) DIV sum(e1)").as("mase_e6"))
     }
   )
 

@@ -975,6 +975,38 @@ object HypoTests {
           | / sqrt((2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)))
           |      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))) AS BIGINT)"""
           .stripMargin).as("z_e6"))
+    },
+
+    // R201 — sample-ratio mismatch (SRM) gate: the FIRST check every
+    // experiment platform runs before reading any metric — did the
+    // 50/50 assignment actually deliver 50/50 users. One-proportion
+    // chi-square against the fixed split, entirely integer:
+    // χ² = (na−nb)²/(na+nb), quantized e6 by floor DIV, and the 95%
+    // flag as the cross-multiply 10⁶·(na−nb)² > 3841459·(na+nb) (the
+    // χ²₁ critical value scaled e6 — no float compare). Assignment =
+    // user_id parity (the ev28/ev33 arm convention); one distinct-user
+    // aggregate.
+    Q(
+      "q128_srm",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM u)
+        |SELECT na, nb,
+        |  (1000000 * (na - nb) * (na - nb)) // (na + nb) AS chisq_e6,
+        |  CASE WHEN 1000000 * (na - nb) * (na - nb) > 3841459 * (na + nb)
+        |       THEN 1 ELSE 0 END AS srm_flag
+        |FROM a""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d).select("user_id").distinct()
+      u.agg(
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("na"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("nb"))
+        .select(col("na"), col("nb"),
+          expr("(1000000 * (na - nb) * (na - nb)) DIV (na + nb)").as("chisq_e6"),
+          when(expr("1000000 * (na - nb) * (na - nb) > 3841459 * (na + nb)"), 1L)
+            .otherwise(0L).as("srm_flag"))
     }
   )
 }

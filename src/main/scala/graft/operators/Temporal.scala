@@ -210,6 +210,52 @@ object Temporal {
           when(col("in_tol"), col("view_value")).as("view_value"),
           when(col("in_tol"), 1L).otherwise(0L).as("matched"))
         .orderBy("event_id")
+    },
+
+    // R203 — BAND self-join (|a−b| ≤ δ) via the bucketed-equi-join
+    // technique: customers whose balances sit within $50 of each
+    // other. A naive |a−b|≤δ condition is a nested-loop cross product;
+    // bucketing by δ (bal DIV 5000) turns it into THREE equi-joins —
+    // each LEFT row probes its own and both adjacent buckets (explode
+    // of 3 scan-local probe keys), every qualifying pair is produced
+    // exactly once (the right row's bucket is unique), then the exact
+    // |diff| ≤ δ predicate prunes the band edges. Fan-out is bounded
+    // by bucket occupancy, never n². Rolled up to the segment-pair
+    // matrix so the output stays ≤|segments|² at any scale; the total
+    // pair count cross-checks the oracle's direct quadratic form.
+    Q(
+      "rj3_band_join",
+      """WITH c AS (SELECT c_custkey AS ck, c_mktsegment AS seg,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+        |p AS (SELECT a.seg AS seg_a, b.seg AS seg_b,
+        |        abs(a.bal - b.bal) AS dc
+        |      FROM c a JOIN c b ON a.ck < b.ck AND abs(a.bal - b.bal) <= 5000)
+        |SELECT seg_a, seg_b,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(dc) // count(*) AS BIGINT) AS mean_diff_c,
+        |  CAST(max(dc) AS BIGINT) AS max_diff_c
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.customer(s, d).select(
+        col("c_custkey").as("ck"), col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"))
+        .withColumn("bk", expr("bal DIV 5000"))
+        .localCheckpoint(true) // probe side + build side
+      // each left row probes bucket-1, bucket, bucket+1 (equi-join,
+      // never a nested loop); exact band predicate prunes the edges
+      val probes = c.select(col("ck"), col("seg"), col("bal"),
+        explode(array(col("bk") - 1, col("bk"), col("bk") + 1)).as("bk"))
+      val pairs = probes.as("a")
+        .join(c.select(col("ck").as("bck"), col("seg").as("bseg"),
+          col("bal").as("bbal"), col("bk")), Seq("bk"))
+        .filter(col("ck") < col("bck") && abs(col("bal") - col("bbal")) <= 5000)
+        .select(col("seg").as("seg_a"), col("bseg").as("seg_b"),
+          abs(col("bal") - col("bbal")).as("dc"))
+      pairs.groupBy("seg_a", "seg_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(dc) DIV count(*)").as("mean_diff_c"),
+          max("dc").as("max_diff_c"))
+        .orderBy("seg_a", "seg_b")
     }
   )
 }
