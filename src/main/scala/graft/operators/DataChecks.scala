@@ -465,6 +465,43 @@ object DataChecks {
         .select(col("gap_start"), col("gap_end"),
           (col("gap_end") - col("gap_start") + 1).as("gap_len"))
         .orderBy(desc("gap_len"), col("gap_start")).limit(20)
+    },
+
+    // R205 — TEMPORAL referential integrity: q85 audits that foreign
+    // KEYS resolve, this audits that the resolved rows make causal
+    // sense — a lineitem shipped before its order was placed is
+    // corrupt data no key check catches. One fact⨝orders equi-join
+    // (the natural shuffle), violations + lag extremes in a single
+    // aggregate; per-violation-free month breakdown keeps the output
+    // calendar-sized and shows WHEN corruption entered.
+    Q(
+      "q129_temporal_integrity",
+      """WITH j AS (
+        |  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT ym,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ship_before_order,
+        |  CAST(min(lag_days) AS BIGINT) AS min_lag_days,
+        |  CAST(max(lag_days) AS BIGINT) AS max_lag_days,
+        |  CAST(sum(lag_days) // count(*) AS BIGINT) AS mean_lag_days
+        |FROM j GROUP BY ym ORDER BY ym""".stripMargin
+    ) { (s, d) =>
+      val j = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .cast("long").as("lag_days"))
+      j.groupBy("ym")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("lag_days") < 0, 1L).otherwise(0L)).as("n_ship_before_order"),
+          min("lag_days").as("min_lag_days"),
+          max("lag_days").as("max_lag_days"),
+          expr("sum(lag_days) DIV count(*)").as("mean_lag_days"))
+        .orderBy("ym")
     }
   )
 }

@@ -2744,6 +2744,45 @@ object EventOps {
           expr("sum(e1) DIV count(*)").as("mae_naive"),
           expr("sum(e7) DIV count(*)").as("mae_snaive"),
           expr("(1000000 * sum(e7)) DIV sum(e1)").as("mase_e6"))
+    },
+
+    // R204 — engagement streaks (consecutive-active-day runs per
+    // user): the islands trick made exact — on the per-user DISTINCT
+    // active-day frame, epoch_day − row_number is CONSTANT within a
+    // consecutive run, so the longest streak is a max over
+    // (user, group) counts. Two per-user-partitioned windows on the
+    // (user × active-day) frame (≤ users × date-domain, never raw
+    // events), then user-sized aggregates.
+    Q(
+      "ev77_streaks",
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS ed
+        |  FROM events),
+        |g AS (SELECT user_id, ed,
+        |        ed - row_number() OVER (PARTITION BY user_id ORDER BY ed) AS grp
+        |      FROM ud),
+        |runs AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |         FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(count(*) AS BIGINT) AS n_streaks
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("ed"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("ed")
+      val runs = ud
+        .withColumn("grp", col("ed") - row_number().over(w))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+      runs.groupBy("user_id")
+        .agg(sum("len").as("n_active_days"),
+          max("len").as("max_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
     }
   )
 

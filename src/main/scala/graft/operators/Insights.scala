@@ -1013,6 +1013,57 @@ object Insights {
           expr("""CAST(round(sqrt(CAST(laspeyres_e6 AS DOUBLE)
             | * CAST(paasche_e6 AS DOUBLE))) AS BIGINT)""".stripMargin))
         .orderBy("ym")
+    },
+
+    // R206 — brand-switching matrix (loyalty analysis): ev12's Markov
+    // machinery moved from events to PURCHASES — per customer, the
+    // (previous order's dominant brand → this order's dominant brand)
+    // transition counts, diagonal = loyalty. Dominant brand per order
+    // is a rank-1 pick under the (qty, brand) total order (per-order
+    // partitions are basket-sized); the customer sequence is one
+    // lag window on the order-keyed frame; the matrix is
+    // ≤|brands|²-sized, top-20 under a total order.
+    Q(
+      "q130_brand_switching",
+      """WITH ob AS (
+        |  SELECT l_orderkey AS ok, p_brand AS brand,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |dom AS (SELECT ok, brand FROM (
+        |    SELECT ok, brand,
+        |      row_number() OVER (PARTITION BY ok ORDER BY qty DESC, brand) AS rn
+        |    FROM ob) WHERE rn = 1),
+        |seq AS (
+        |  SELECT o_custkey AS ck, dom.brand,
+        |    lag(dom.brand) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS pb
+        |  FROM orders JOIN dom ON o_orderkey = dom.ok)
+        |SELECT pb AS from_brand, brand AS to_brand,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CASE WHEN pb = brand THEN 1 ELSE 0 END AS is_loyal
+        |FROM seq WHERE pb IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY n DESC, from_brand, to_brand LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val ob = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+      val wo = Window.partitionBy("ok").orderBy(desc("qty"), col("brand"))
+      val dom = ob.withColumn("rn", row_number().over(wo))
+        .filter(col("rn") === 1).select("ok", "brand")
+      val wc = Window.partitionBy("ck").orderBy(col("od"), col("ok"))
+      val seq = Tables.orders(s, d)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"),
+          col("o_orderdate").as("od"))
+        .join(dom, "ok")
+        .withColumn("pb", lag("brand", 1).over(wc))
+        .filter(col("pb").isNotNull)
+      seq.groupBy(col("pb").as("from_brand"), col("brand").as("to_brand"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("is_loyal",
+          when(col("from_brand") === col("to_brand"), 1L).otherwise(0L))
+        .orderBy(desc("n"), col("from_brand"), col("to_brand")).limit(20)
     }
   )
 }
