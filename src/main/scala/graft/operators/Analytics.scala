@@ -1249,6 +1249,79 @@ object Analytics {
           expr("(sum(CASE WHEN rn <= 8 THEN cents ELSE 0 END) * 1000) DIV total").as("cr8_pm"),
           expr("(sum(cents) * 1000) DIV total").as("cr20_pm"))
         .select("n_cust", "total", "cr4_pm", "cr8_pm", "cr20_pm")
+    },
+
+    // R208 — Simpson's-paradox detector: does the AUTOMOBILE-vs-
+    // BUILDING mean-order-value comparison flip sign inside any
+    // nation stratum vs the aggregate — the confounding audit every
+    // segment comparison should run before shipping a conclusion.
+    // Sign compares are integer cross-multiplies (sa·nb vs sb·na — no
+    // mean float ever), strata are nation-sized cells off ONE
+    // fact⨝broadcast(customer) pass; the aggregate verdict broadcasts
+    // from a 1-row frame.
+    Q(
+      "q131_simpsons",
+      """WITH oc AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')),
+        |cell AS (SELECT nk,
+        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN cents ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN cents ELSE 0 END) AS BIGINT) AS sb
+        |  FROM oc GROUP BY 1),
+        |g AS (SELECT CAST(sum(na) AS BIGINT) AS na, CAST(sum(sa) AS BIGINT) AS sa,
+        |        CAST(sum(nb) AS BIGINT) AS nb, CAST(sum(sb) AS BIGINT) AS sb
+        |      FROM cell),
+        |gs AS (SELECT CASE WHEN sa * nb > sb * na THEN 1
+        |                   WHEN sa * nb < sb * na THEN -1 ELSE 0 END AS overall_sign
+        |       FROM g)
+        |SELECT cell.nk AS nation, cell.na, cell.nb,
+        |  CASE WHEN cell.na > 0 THEN cell.sa // cell.na END AS mean_a_c,
+        |  CASE WHEN cell.nb > 0 THEN cell.sb // cell.nb END AS mean_b_c,
+        |  gs.overall_sign,
+        |  CASE WHEN cell.na = 0 OR cell.nb = 0 THEN 0
+        |       WHEN cell.sa * cell.nb > cell.sb * cell.na THEN 1
+        |       WHEN cell.sa * cell.nb < cell.sb * cell.na THEN -1 ELSE 0 END AS stratum_sign,
+        |  CASE WHEN cell.na > 0 AND cell.nb > 0
+        |        AND (CASE WHEN cell.sa * cell.nb > cell.sb * cell.na THEN 1
+        |                  WHEN cell.sa * cell.nb < cell.sb * cell.na THEN -1
+        |                  ELSE 0 END) * gs.overall_sign = -1
+        |       THEN 1 ELSE 0 END AS reversal
+        |FROM cell, gs ORDER BY nation""".stripMargin
+    ) { (s, d) =>
+      val oc = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey").as("nk"),
+            col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("seg").isin("AUTOMOBILE", "BUILDING"))
+        .select(col("nk"), col("seg"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cell = oc.groupBy("nk").agg(
+        sum(when(col("seg") === "AUTOMOBILE", 1L).otherwise(0L)).as("na"),
+        sum(when(col("seg") === "AUTOMOBILE", col("cents")).otherwise(0L)).as("sa"),
+        sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("nb"),
+        sum(when(col("seg") === "BUILDING", col("cents")).otherwise(0L)).as("sb"))
+        .localCheckpoint(true) // aggregate verdict + strata read it
+      val gs = cell.agg(sum("na").as("na"), sum("sa").as("sa"),
+          sum("nb").as("nb"), sum("sb").as("sb"))
+        .select(when(expr("sa * nb > sb * na"), 1L)
+          .when(expr("sa * nb < sb * na"), -1L).otherwise(0L).as("overall_sign"))
+      cell.crossJoin(broadcast(gs))
+        .select(col("nk").cast("long").as("nation"), col("na"), col("nb"),
+          when(col("na") > 0, expr("sa DIV na")).as("mean_a_c"),
+          when(col("nb") > 0, expr("sb DIV nb")).as("mean_b_c"),
+          col("overall_sign"),
+          when(col("na") === 0 || col("nb") === 0, 0L)
+            .when(expr("sa * nb > sb * na"), 1L)
+            .when(expr("sa * nb < sb * na"), -1L).otherwise(0L).as("stratum_sign"))
+        .withColumn("reversal",
+          when(col("na") > 0 && col("nb") > 0
+            && col("stratum_sign") * col("overall_sign") === -1, 1L).otherwise(0L))
+        .orderBy("nation")
     }
   )
 }

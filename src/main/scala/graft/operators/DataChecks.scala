@@ -502,6 +502,48 @@ object DataChecks {
           max("lag_days").as("max_lag_days"),
           expr("sum(lag_days) DIV count(*)").as("mean_lag_days"))
         .orderBy("ym")
+    },
+
+    // R209 — table freshness / watermark audit: per temporal table,
+    // the high-water mark and its lag behind the lake-wide maximum —
+    // the "is anything stale" panel a warehouse checks before trusting
+    // cross-table joins (NO wall clock anywhere: the reference point
+    // is the data's own global maximum, so the audit is deterministic
+    // and replayable). Three metadata-cheap min/max aggregates union'd
+    // to a 3-row frame; the global max broadcasts.
+    Q(
+      "dq7_freshness",
+      """WITH w AS (
+        |  SELECT 'events' AS tbl,
+        |    CAST(min(epoch_us(ts)) AS BIGINT) AS lo_us,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS hi_us FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(min(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT),
+        |    CAST(max(epoch_us(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders', CAST(min(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT),
+        |    CAST(max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) FROM orders),
+        |g AS (SELECT CAST(max(hi_us) AS BIGINT) AS lake_hi FROM w)
+        |SELECT tbl, lo_us, hi_us,
+        |  (g.lake_hi - hi_us) // 86400000000 AS staleness_days,
+        |  (hi_us - lo_us) // 86400000000 AS span_days
+        |FROM w, g ORDER BY tbl""".stripMargin
+    ) { (s, d) =>
+      def wm(tbl: String, df: org.apache.spark.sql.DataFrame,
+             ts: org.apache.spark.sql.Column) =
+        df.agg(min(unix_micros(ts)).as("lo_us"), max(unix_micros(ts)).as("hi_us"))
+          .select(lit(tbl).as("tbl"), col("lo_us"), col("hi_us"))
+      val w = Seq(
+        wm("events", Tables.events(s, d), col("ts")),
+        wm("lineitem", Tables.lineitem(s, d), col("l_shipdate").cast("timestamp")),
+        wm("orders", Tables.orders(s, d), col("o_orderdate").cast("timestamp"))
+      ).reduce(_ unionAll _)
+      val g = w.agg(max("hi_us").as("lake_hi"))
+      w.crossJoin(broadcast(g))
+        .select(col("tbl"), col("lo_us"), col("hi_us"),
+          expr("(lake_hi - hi_us) DIV 86400000000").as("staleness_days"),
+          expr("(hi_us - lo_us) DIV 86400000000").as("span_days"))
+        .orderBy("tbl")
     }
   )
 }

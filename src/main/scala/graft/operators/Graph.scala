@@ -2266,6 +2266,45 @@ object Graph {
             | * (CAST(m2 AS DOUBLE)/m1) / 6) AS BIGINT)""".stripMargin).as("expected_e6"),
           expr("""CAST(round(1000000 * 6 * CAST(t AS DOUBLE) * m1 * m1 * m1
             | / (CAST(m2 AS DOUBLE) * m2 * m2)) AS BIGINT)""".stripMargin).as("ratio_e6"))
+    },
+
+    // R207 — sparse matrix multiplication as a relational primitive:
+    // A² of the directed adjacency matrix — (i,k)⨝(k,j) equi-join +
+    // sum per (i,j) — IS distributed spmm (the GraphBLAS/MapReduce
+    // matmul everyone builds on); entries of A² count length-2 WALKS
+    // with multiplicity, which is what gr31's DISTINCT two-hop
+    // deliberately is not. One shuffle on the contraction key k, one
+    // on the output key (i,j); fan-out Σ din(k)·dout(k), never n².
+    // Top-20 cells under the (count, i, j) total order.
+    Q(
+      "gr36_matmul",
+      """WITH e0 AS (
+        |  SELECT doc_id AS i,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS j
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |a AS MATERIALIZED (SELECT DISTINCT i, j FROM e0 WHERE i <> j),
+        |m AS (SELECT x.i, y.j, CAST(count(*) AS BIGINT) AS walks
+        |      FROM a x JOIN a y ON x.j = y.i GROUP BY 1, 2)
+        |SELECT i, j, walks FROM m
+        |ORDER BY walks DESC, i, j LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("i"),
+        ((col("doc_id") * mult + add) % n).as("j"))
+      val a = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("i") =!= col("j")).distinct()
+        .transform(graft.plans.Lineage.truncate) // both sides of the spmm
+      a.select(col("i"), col("j").as("k"))
+        .join(a.select(col("i").as("k"), col("j")), "k")
+        .groupBy("i", "j").agg(count(lit(1)).as("walks"))
+        .orderBy(desc("walks"), col("i"), col("j")).limit(20)
     }
   )
 
