@@ -2783,6 +2783,84 @@ object EventOps {
           max("len").as("max_streak"),
           count(lit(1)).as("n_streaks"))
         .orderBy("user_id")
+    },
+
+    // R212 — duration-weighted concurrency percentiles: ev37 reports
+    // the PEAK, capacity planning needs the DISTRIBUTION — how much
+    // wall-time the system spends at each concurrency level, and the
+    // p50/p95/p99 levels by TIME (not by event). Same day-partitioned
+    // distributed sweep line as ev37 (per-day running sum + a
+    // days-frame carry-in, never a global fact-sized window), extended
+    // with per-day lead() for segment durations and a days-frame
+    // boundary stitch (last point of day → first point of the next
+    // present day at the carry level). Percentiles are exact ceil-rank
+    // picks on (level, Σduration) cells — bounded by the peak
+    // concurrency value, not the fact.
+    Q(
+      "ev78_concurrency_profile",
+      """WITH iv AS (SELECT event_id, ts AS st, ts + INTERVAL 30 MINUTE AS en
+        |            FROM events),
+        |pts AS (SELECT st AS t, 1 AS d, event_id FROM iv
+        |        UNION ALL SELECT en, -1, event_id FROM iv),
+        |r AS (SELECT t, sum(d) OVER w AS c, lead(t) OVER w AS nxt
+        |      FROM pts WINDOW w AS (ORDER BY t, d DESC, event_id)),
+        |seg AS (SELECT CAST(c AS BIGINT) AS level,
+        |          epoch_us(nxt) - epoch_us(t) AS dur
+        |        FROM r WHERE nxt IS NOT NULL),
+        |cells AS (SELECT level, CAST(sum(dur) AS BIGINT) AS dur
+        |          FROM seg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(dur) AS BIGINT) AS total FROM cells),
+        |cum AS (SELECT level, sum(dur) OVER (ORDER BY level) AS cum FROM cells)
+        |SELECT tot.total AS total_us,
+        |  (SELECT min(level) FROM cum WHERE cum >= (tot.total + 1) // 2) AS p50_level,
+        |  (SELECT min(level) FROM cum WHERE cum >= (95*tot.total + 99) // 100) AS p95_level,
+        |  (SELECT min(level) FROM cum WHERE cum >= (99*tot.total + 99) // 100) AS p99_level,
+        |  (SELECT max(level) FROM cells) AS peak_level
+        |FROM tot""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val pts = ev.select(col("ts").as("t"), lit(1L).as("dl"), col("event_id"))
+        .unionByName(ev.select(
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as("t"),
+          lit(-1L).as("dl"), col("event_id")))
+        .withColumn("day", date_trunc("day", col("t")))
+        .localCheckpoint(true) // within-day sweep + day summaries
+      val ord = Window.partitionBy("day")
+        .orderBy(col("t"), col("dl").desc, col("event_id"))
+      val within = pts
+        .withColumn("run", sum("dl").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nxt", lead("t", 1).over(ord))
+      val dayAgg = pts.groupBy("day")
+        .agg(sum("dl").as("dtot"), min("t").as("first_t"), max("t").as("last_t"))
+      // days-frame carry-in (ev37's trick) + boundary stitch
+      val wd = Window.orderBy("day")
+      val carry = dayAgg
+        .withColumn("carry", coalesce(
+          sum("dtot").over(wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val seg1 = within.join(broadcast(carry.select("day", "carry")), "day")
+        .filter(col("nxt").isNotNull)
+        .select((col("carry") + col("run")).as("level"),
+          (unix_micros(col("nxt")) - unix_micros(col("t"))).as("dur"))
+      val seg2 = carry
+        .withColumn("nxt_first", lead("first_t", 1).over(wd))
+        .filter(col("nxt_first").isNotNull)
+        .select((col("carry") + col("dtot")).as("level"),
+          (unix_micros(col("nxt_first")) - unix_micros(col("last_t"))).as("dur"))
+      val cells = seg1.unionByName(seg2)
+        .groupBy("level").agg(sum("dur").as("dur"))
+        .localCheckpoint(true) // cum + peak + total read it
+      val tot = cells.agg(sum("dur").as("total"), max("level").as("peak_level"))
+      // level-domain-bounded window (≤ peak concurrency cells)
+      val cum = cells.withColumn("cum", sum("dur").over(Window.orderBy("level")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(tot))
+      cum.agg(
+          max("total").as("total_us"),
+          min(when(col("cum") >= expr("(total + 1) DIV 2"), col("level"))).as("p50_level"),
+          min(when(col("cum") >= expr("(95*total + 99) DIV 100"), col("level"))).as("p95_level"),
+          min(when(col("cum") >= expr("(99*total + 99) DIV 100"), col("level"))).as("p99_level"),
+          max("peak_level").as("peak_level"))
     }
   )
 

@@ -40,6 +40,63 @@ object Olap {
       .orderBy("win_start", "event_type")
 
   val catalog: Seq[Q] = Seq(
+    // R210 — GROUP BY ALL surface certification: the IDENTICAL
+    // statement text runs on Spark 4 and DuckDB (both dialects infer
+    // the grouping keys from the non-aggregate select list), the gr13
+    // recursive-CTE pattern applied to the modern-SQL grouping
+    // shorthand. Any divergence in which columns the engines infer
+    // hash-mismatches immediately.
+    Q(
+      "q132_group_by_all",
+      Olap.groupByAllSql
+    ) { (s, d) => graft.Views.sql(s, d, Olap.groupByAllSql) },
+
+    // R211 — contribution tree (share-of-parent rollup): every
+    // reporting UI's drill-down column — nation share within region,
+    // region share of total — computed WITHOUT touching the fact
+    // twice: one fact⨝broadcast(dims) aggregate to the nation leaf
+    // frame, the region and grand levels derived from the leaves
+    // (dimension-sized arithmetic), shares one floor DIV per row.
+    Q(
+      "q133_contribution_tree",
+      """WITH leaf AS (
+        |  SELECT r_name AS region, n_name AS nation,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |reg AS (SELECT region, CAST(sum(rev) AS BIGINT) AS rev FROM leaf GROUP BY 1),
+        |g AS (SELECT CAST(sum(rev) AS BIGINT) AS rev FROM reg)
+        |SELECT 'nation' AS lvl, l.region, l.nation, l.rev,
+        |  (l.rev * 1000) // r.rev AS share_of_parent_pm
+        |FROM leaf l JOIN reg r ON l.region = r.region
+        |UNION ALL
+        |SELECT 'region', reg.region, '' AS nation, reg.rev,
+        |  (reg.rev * 1000) // g.rev
+        |FROM reg, g
+        |ORDER BY lvl, region, nation""".stripMargin
+    ) { (s, d) =>
+      val leaf = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+        .localCheckpoint(true) // leaves + both parent levels read it
+      val reg = leaf.groupBy("region").agg(sum("rev").as("rev"))
+      val g = reg.agg(sum("rev").as("rev"))
+      val nations = leaf.join(broadcast(reg.withColumnRenamed("rev", "prev")), "region")
+        .select(lit("nation").as("lvl"), col("region"), col("nation"), col("rev"),
+          expr("(rev * 1000) DIV prev").as("share_of_parent_pm"))
+      val regions = reg.crossJoin(broadcast(g.withColumnRenamed("rev", "prev")))
+        .select(lit("region").as("lvl"), col("region"), lit("").as("nation"),
+          col("rev"), expr("(rev * 1000) DIV prev").as("share_of_parent_pm"))
+      nations.unionByName(regions).orderBy("lvl", "region", "nation")
+    },
+
     // R46 — TPC-H Q11 shape (important stock): per-part shipped value
     // from one supplier group (EUROPE), kept when the part's value
     // exceeds 1/1000 of the group total. The share test is INTEGER
@@ -1083,4 +1140,15 @@ object Olap {
           * (d0("sbb") - d0("sb") * d0("sb") / col("n"))))
         .as("rho"))
   }
+
+  /** Shared statement for q132 — the IDENTICAL text must parse and
+    * agree on both engines (GROUP BY ALL key inference). Lazy: the
+    * catalog val above references it during object init. */
+  private[graft] lazy val groupByAllSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 }
