@@ -544,6 +544,60 @@ object DataChecks {
           expr("(lake_hi - hi_us) DIV 86400000000").as("staleness_days"),
           expr("(hi_us - lo_us) DIV 86400000000").as("span_days"))
         .orderBy("tbl")
+    },
+
+    // R215 — partition-level category-mix drift: which MONTHLY
+    // partitions carry an anomalous returnflag mix vs the lifetime
+    // distribution — the ingest-time canary that catches a bad
+    // upstream batch (tx25's PSI compares two snapshots; this scans
+    // every partition against the whole). χ² per month entirely in
+    // integers: each term (o·N − n·C)²/(n·C·N) e6-floor-quantized in
+    // decimal/HUGEINT (a double cast of (o·N−n·C)² would cross 2⁵³ —
+    // the known ulp trap), summed exactly; the 95% flag compares to
+    // the e6-scaled χ²₂ critical value. One fact pass to (month, flag)
+    // cells; lifetime totals broadcast.
+    Q(
+      "dq8_partition_drift",
+      """WITH c AS (
+        |  SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    l_returnflag AS f, CAST(count(*) AS BIGINT) AS o
+        |  FROM lineitem GROUP BY 1, 2),
+        |mn AS (SELECT ym, CAST(sum(o) AS BIGINT) AS n FROM c GROUP BY 1),
+        |gl AS (SELECT f, CAST(sum(o) AS BIGINT) AS cf FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(sum(cf) AS BIGINT) AS nn FROM gl),
+        |term AS (
+        |  SELECT c.ym,
+        |    CAST((1000000 * CAST(c.o * nn.nn - mn.n * gl.cf AS HUGEINT)
+        |          * (c.o * nn.nn - mn.n * gl.cf))
+        |         // (CAST(mn.n AS HUGEINT) * gl.cf * nn.nn) AS BIGINT) AS t_e6
+        |  FROM c JOIN mn ON c.ym = mn.ym JOIN gl ON c.f = gl.f CROSS JOIN nn)
+        |SELECT term.ym, mn.n,
+        |  CAST(sum(t_e6) AS BIGINT) AS chisq_e6,
+        |  CASE WHEN sum(t_e6) > 5991465 THEN 1 ELSE 0 END AS drift_flag
+        |FROM term JOIN mn ON term.ym = mn.ym
+        |GROUP BY term.ym, mn.n ORDER BY term.ym""".stripMargin
+    ) { (s, d) =>
+      val c = Tables.lineitem(s, d)
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ym"), col("l_returnflag").as("f"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // month totals + category totals + terms
+      val mn = c.groupBy("ym").agg(sum("o").as("n"))
+      val gl = c.groupBy("f").agg(sum("o").as("cf"))
+      val nn = gl.agg(sum("cf").as("nn"))
+      val term = c.join(broadcast(mn), "ym").join(broadcast(gl), "f")
+        .crossJoin(broadcast(nn))
+        .select(col("ym"), col("n"),
+          expr("""CAST((1000000 * CAST(o * nn - n * cf AS DECIMAL(38,0))
+            |  * (o * nn - n * cf))
+            | DIV (CAST(n AS DECIMAL(38,0)) * cf * nn) AS BIGINT)""".stripMargin)
+            .as("t_e6"))
+      term.groupBy("ym", "n")
+        .agg(sum("t_e6").as("chisq_e6"))
+        .withColumn("drift_flag",
+          when(col("chisq_e6") > 5991465L, 1L).otherwise(0L))
+        .select("ym", "n", "chisq_e6", "drift_flag")
+        .orderBy("ym")
     }
   )
 }

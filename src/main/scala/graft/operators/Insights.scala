@@ -1064,6 +1064,49 @@ object Insights {
         .withColumn("is_loyal",
           when(col("from_brand") === col("to_brand"), 1L).otherwise(0L))
         .orderBy(desc("n"), col("from_brand"), col("to_brand")).limit(20)
+    },
+
+    // R214 — dead-stock report: parts with ZERO sales in the trailing
+    // quarter of the history (cutoff = lake max shipdate − 90 days —
+    // data-derived, no wall clock), with their shelf value and last
+    // sale. The assortment-pruning input q105's ABC can't give (C
+    // parts still sell; dead parts don't). One fact aggregate to
+    // per-part last-sale, a dimension-sized anti-pattern join
+    // (left join + null test keeps never-sold parts too), value in
+    // exact cents. Top-50 by value under a total order.
+    Q(
+      "q134_dead_stock",
+      """WITH mx AS (SELECT max(CAST(l_shipdate AS DATE)) AS hi FROM lineitem),
+        |last AS (SELECT l_partkey AS pk, max(CAST(l_shipdate AS DATE)) AS last_sale
+        |         FROM lineitem GROUP BY 1),
+        |dead AS (
+        |  SELECT p.p_partkey AS pk, p.p_brand AS brand,
+        |    CAST(round(p.p_retailprice*100) AS BIGINT) AS price_c,
+        |    l.last_sale
+        |  FROM part p LEFT JOIN last l ON p.p_partkey = l.pk
+        |  CROSS JOIN mx
+        |  WHERE l.last_sale IS NULL OR l.last_sale < mx.hi - INTERVAL 90 DAY)
+        |SELECT pk, brand, price_c,
+        |  CAST(coalesce(date_diff('day', last_sale,
+        |    (SELECT hi FROM mx)), -1) AS BIGINT) AS days_stale
+        |FROM dead ORDER BY price_c DESC, pk LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val mx = Tables.lineitem(s, d)
+        .agg(max(to_date(col("l_shipdate"))).as("hi"))
+      val last = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(max(to_date(col("l_shipdate"))).as("last_sale"))
+      Tables.part(s, d)
+        .select(col("p_partkey").as("pk"), col("p_brand").as("brand"),
+          round(col("p_retailprice") * 100).cast("long").as("price_c"))
+        .join(last, Seq("pk"), "left")
+        .crossJoin(broadcast(mx))
+        .filter(col("last_sale").isNull
+          || col("last_sale") < expr("hi - INTERVAL 90 DAY"))
+        .select(col("pk"), col("brand"), col("price_c"),
+          coalesce(datediff(col("hi"), col("last_sale")).cast("long"), lit(-1L))
+            .as("days_stale"))
+        .orderBy(desc("price_c"), col("pk")).limit(50)
     }
   )
 }

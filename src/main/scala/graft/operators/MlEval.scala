@@ -1686,5 +1686,54 @@ object MlEval {
             | DIV count(*)""".stripMargin).as("acc_permille"))
         .orderBy("fold")
     },
+
+    // R213 — model-performance drift monitor: ml9's frozen classifier
+    // scored per month, each month's ERROR RATE tested against 3σ
+    // binomial limits around the lifetime error rate — q122's
+    // sqrt-free p-chart pointed at the model instead of the process
+    // ((e·N − E·n)² > 9·E·(N−E)·n, exact integers in decimal/
+    // HUGEINT). The MLOps retraining trigger: a flagged month means
+    // the world moved. One scoring pass to month cells; lifetime
+    // totals broadcast.
+    Q(
+      "ml32_model_drift",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym
+        |  FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |m AS (SELECT ym,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN (cents >= thr) = (y = 1) THEN 0 ELSE 1 END) AS BIGINT) AS e
+        |  FROM sc CROSS JOIN t GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(e) AS BIGINT) AS ee FROM m)
+        |SELECT ym, n, e,
+        |  (e * 1000) // n AS err_permille,
+        |  (ee * 1000) // nn AS lifetime_permille,
+        |  CASE WHEN CAST(e * nn - ee * n AS HUGEINT) * (e * nn - ee * n)
+        |            > 9 * CAST(ee AS HUGEINT) * (nn - ee) * n
+        |       THEN 1 ELSE 0 END AS drift_flag
+        |FROM m, g ORDER BY ym""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+        .localCheckpoint(true) // threshold + monthly scoring read it
+      val t = sc.agg(expr("sum(cents) DIV count(*)").as("thr"))
+      val m = sc.crossJoin(broadcast(t)).groupBy("ym").agg(
+        count(lit(1)).as("n"),
+        sum(when(expr("(cents >= thr) = (y = 1)"), 0L).otherwise(1L)).as("e"))
+      val g = m.agg(sum("n").as("nn"), sum("e").as("ee"))
+      m.crossJoin(broadcast(g))
+        .select(col("ym"), col("n"), col("e"),
+          expr("(e * 1000) DIV n").as("err_permille"),
+          expr("(ee * 1000) DIV nn").as("lifetime_permille"),
+          when(expr("""CAST(e * nn - ee * n AS DECIMAL(38,0)) * (e * nn - ee * n)
+            | > 9 * CAST(ee AS DECIMAL(38,0)) * (nn - ee) * n""".stripMargin), 1L)
+            .otherwise(0L).as("drift_flag"))
+        .orderBy("ym")
+    },
   )
 }
