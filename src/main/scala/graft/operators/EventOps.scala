@@ -2861,6 +2861,138 @@ object EventOps {
           min(when(col("cum") >= expr("(95*total + 99) DIV 100"), col("level"))).as("p95_level"),
           min(when(col("cum") >= expr("(99*total + 99) DIV 100"), col("level"))).as("p99_level"),
           max("peak_level").as("peak_level"))
+    },
+
+    // R216 — seasonality STRENGTH (variance explained by the diurnal
+    // profile): ev25 extracts the profile, ev31/ev62 test for it —
+    // this is the one-number η² = SS_between/SS_total of hourly counts
+    // grouped by hour-of-day. Float-free despite being a variance
+    // ratio: each group term (10⁶·S_g²) DIV n_g is floor-quantized
+    // EXACTLY (a 24-term double sum would reassociate across
+    // partitions — nondeterministic), then summed as integers;
+    // decimal/HUGEINT on the squares. One fact pass to the hour
+    // spine, 24 group cells after.
+    Q(
+      "ev79_seasonality_strength",
+      """WITH hc AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |hh AS (SELECT (epoch_us(hr) // 3600000000) % 24 AS hod, c FROM hc),
+        |grp AS (SELECT hod, CAST(count(*) AS BIGINT) AS ng,
+        |          CAST(sum(c) AS BIGINT) AS sg
+        |        FROM hh GROUP BY 1),
+        |gt AS (SELECT
+        |    CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS s,
+        |    CAST(sum(CAST(sg AS HUGEINT) * sg * 1000000 // ng) AS BIGINT) AS bsum_e6
+        |  FROM grp),
+        |sq AS (SELECT CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS cc FROM hh)
+        |SELECT gt.n AS n_hours,
+        |  CAST(gt.bsum_e6 - CAST(gt.s AS HUGEINT) * gt.s * 1000000 // gt.n
+        |       AS BIGINT) AS ssb_e6,
+        |  CAST(sq.cc * 1000000 - CAST(gt.s AS HUGEINT) * gt.s * 1000000 // gt.n
+        |       AS BIGINT) AS sst_e6,
+        |  CAST((1000 * (gt.bsum_e6 - CAST(gt.s AS HUGEINT) * gt.s * 1000000 // gt.n))
+        |       // (sq.cc * 1000000 - CAST(gt.s AS HUGEINT) * gt.s * 1000000 // gt.n)
+        |       AS BIGINT) AS strength_pm
+        |FROM gt, sq""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val hh = hc.select(
+        expr("(unix_micros(hr) DIV 3600000000) % 24").as("hod"), col("c"))
+        .localCheckpoint(true) // group terms + square sum read it
+      val grp = hh.groupBy("hod").agg(count(lit(1)).as("ng"), sum("c").as("sg"))
+      val gt = grp.agg(sum("ng").as("n"), sum("sg").as("s"),
+        sum(expr("CAST(sg AS DECIMAL(38,0)) * sg * 1000000 DIV ng"))
+          .cast("decimal(38,0)").as("bsum_e6"))
+      val sq = hh.agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("cc"))
+      gt.crossJoin(broadcast(sq))
+        .select(col("n").as("n_hours"),
+          expr("CAST(bsum_e6 - CAST(s AS DECIMAL(38,0)) * s * 1000000 DIV n AS BIGINT)")
+            .as("ssb_e6"),
+          expr("CAST(cc * 1000000 - CAST(s AS DECIMAL(38,0)) * s * 1000000 DIV n AS BIGINT)")
+            .as("sst_e6"),
+          expr("""CAST((1000 * (bsum_e6 - CAST(s AS DECIMAL(38,0)) * s * 1000000 DIV n))
+            | DIV (cc * 1000000 - CAST(s AS DECIMAL(38,0)) * s * 1000000 DIV n)
+            | AS BIGINT)""".stripMargin).as("strength_pm"))
+    },
+
+    // R217 — degradation under load: does the error SHARE rise with
+    // traffic — the capacity-health question ev68's budget can't
+    // answer. Two readouts off one hourly frame: (a) exact Pearson
+    // corr between hourly volume and hourly error count (q60's moment
+    // machinery, one identical-tree double e6-rounded), and (b) the
+    // error rate in low- vs high-load halves split at the exact
+    // lower-median volume (rank pick on volume cells). Everything
+    // after the fact pass is spine- or cell-sized.
+    Q(
+      "ev80_load_vs_errors",
+      """WITH hc AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+        |  FROM events GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hc),
+        |cells AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM hc GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM cells),
+        |med AS (SELECT min(v) AS med FROM cum, n WHERE cum >= (n.n + 1) // 2),
+        |mo AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS sv, CAST(sum(e) AS BIGINT) AS se,
+        |    CAST(sum(CAST(v AS HUGEINT) * v) AS BIGINT) AS svv,
+        |    CAST(sum(CAST(e AS HUGEINT) * e) AS BIGINT) AS see,
+        |    CAST(sum(CAST(v AS HUGEINT) * e) AS BIGINT) AS sve
+        |  FROM hc),
+        |halves AS (SELECT
+        |    CAST(sum(CASE WHEN v <= med THEN v ELSE 0 END) AS BIGINT) AS v_lo,
+        |    CAST(sum(CASE WHEN v <= med THEN e ELSE 0 END) AS BIGINT) AS e_lo,
+        |    CAST(sum(CASE WHEN v > med THEN v ELSE 0 END) AS BIGINT) AS v_hi,
+        |    CAST(sum(CASE WHEN v > med THEN e ELSE 0 END) AS BIGINT) AS e_hi
+        |  FROM hc, med)
+        |SELECT mo.n AS n_hours,
+        |  CAST(round(1000000 *
+        |    (CAST(mo.n AS DOUBLE) * mo.sve - CAST(mo.sv AS DOUBLE) * mo.se)
+        |    / sqrt((CAST(mo.n AS DOUBLE) * mo.svv - CAST(mo.sv AS DOUBLE) * mo.sv)
+        |         * (CAST(mo.n AS DOUBLE) * mo.see - CAST(mo.se AS DOUBLE) * mo.se)))
+        |    AS BIGINT) AS corr_e6,
+        |  (halves.e_lo * 1000) // halves.v_lo AS rate_lo_pm,
+        |  (halves.e_hi * 1000) // halves.v_hi AS rate_hi_pm
+        |FROM mo, halves""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("v"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("e"))
+        .localCheckpoint(true) // median + moments + halves read it
+      val n = hc.agg(count(lit(1)).as("n"))
+      // volume-cell window: bounded by the volume domain, not the fact
+      val cum = hc.groupBy("v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.orderBy("v")))
+      val med = cum.crossJoin(broadcast(n))
+        .filter(col("cum") >= expr("(n + 1) DIV 2"))
+        .agg(min("v").as("med"))
+      val mo = hc.agg(count(lit(1)).as("n"),
+        sum("v").as("sv"), sum("e").as("se"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).cast("decimal(38,0)").as("svv"),
+        sum(expr("CAST(e AS DECIMAL(38,0)) * e")).cast("decimal(38,0)").as("see"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * e")).cast("decimal(38,0)").as("sve"))
+      val halves = hc.crossJoin(broadcast(med)).agg(
+        sum(when(col("v") <= col("med"), col("v")).otherwise(0L)).as("v_lo"),
+        sum(when(col("v") <= col("med"), col("e")).otherwise(0L)).as("e_lo"),
+        sum(when(col("v") > col("med"), col("v")).otherwise(0L)).as("v_hi"),
+        sum(when(col("v") > col("med"), col("e")).otherwise(0L)).as("e_hi"))
+      mo.crossJoin(broadcast(halves))
+        .select(col("n").as("n_hours"),
+          expr("""CAST(round(1000000 *
+            | (CAST(n AS DOUBLE) * sve - CAST(sv AS DOUBLE) * se)
+            | / sqrt((CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv)
+            |      * (CAST(n AS DOUBLE) * see - CAST(se AS DOUBLE) * se)))
+            | AS BIGINT)""".stripMargin).as("corr_e6"),
+          expr("(e_lo * 1000) DIV v_lo").as("rate_lo_pm"),
+          expr("(e_hi * 1000) DIV v_hi").as("rate_hi_pm"))
     }
   )
 

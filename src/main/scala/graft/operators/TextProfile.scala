@@ -151,6 +151,67 @@ object TextProfile {
         .withColumn("df_lo", expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT) - 1)"))
         .select("band", "df_lo", "n_shingles", "sum_df")
         .orderBy("band")
+    },
+
+    // R218 — vocabulary coverage curve: what share of the token mass
+    // the top-k most frequent terms carry (k = 10/100/1000) and the
+    // smallest vocabulary covering 90% — THE number that sizes a
+    // tokenizer's vocab budget (tx22 grows the vocab over docs, this
+    // ranks it by mass). Term frequencies are one scan-local explode +
+    // aggregate; the rank/cumulative windows run on the VOCABULARY
+    // frame (≤ distinct terms — vocabulary-sized, the established
+    // bounded class); rank picks are exact.
+    Q(
+      "tx49_vocab_coverage",
+      """WITH tf AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |nt AS (SELECT CAST(sum(tf) AS BIGINT) AS nt FROM tf),
+        |rk AS (SELECT tf,
+        |         row_number() OVER (ORDER BY tf DESC, w) AS rn,
+        |         sum(tf) OVER (ORDER BY tf DESC, w
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM tf),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM tf),
+        |pick AS (SELECT
+        |    CAST(max(CASE WHEN rn <= 10 THEN cum END) AS BIGINT) AS cum10,
+        |    CAST(max(CASE WHEN rn <= 100 THEN cum END) AS BIGINT) AS cum100,
+        |    CAST(max(CASE WHEN rn <= 1000 THEN cum END) AS BIGINT) AS cum1000,
+        |    CAST(min(CASE WHEN cum * 10 >= (SELECT nt * 9 FROM nt) THEN rn END)
+        |         AS BIGINT) AS k90
+        |  FROM rk)
+        |SELECT v.v AS vocab_size, nt.nt AS total_tokens,
+        |  (pick.cum10 * 1000) // nt.nt AS top10_pm,
+        |  (pick.cum100 * 1000) // nt.nt AS top100_pm,
+        |  (pick.cum1000 * 1000) // nt.nt AS top1000_pm,
+        |  pick.k90
+        |FROM pick, nt, v""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // totals + the ranked curve read it
+      val nt = tf.agg(sum("tf").as("nt"))
+      // vocabulary-sized windows (bounded by distinct terms)
+      val wv = Window.orderBy(desc("tf"), col("w"))
+      val rk = tf
+        .withColumn("rn", row_number().over(wv).cast("long"))
+        .withColumn("cum", sum("tf").over(
+          wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val v = tf.agg(count(lit(1)).as("v"))
+      val pick = rk.crossJoin(broadcast(nt)).agg(
+        max(when(col("rn") <= 10, col("cum"))).as("cum10"),
+        max(when(col("rn") <= 100, col("cum"))).as("cum100"),
+        max(when(col("rn") <= 1000, col("cum"))).as("cum1000"),
+        min(when(col("cum") * 10 >= col("nt") * 9, col("rn"))).as("k90"))
+      pick.crossJoin(broadcast(nt)).crossJoin(broadcast(v))
+        .select(col("v").as("vocab_size"), col("nt").as("total_tokens"),
+          expr("(cum10 * 1000) DIV nt").as("top10_pm"),
+          expr("(cum100 * 1000) DIV nt").as("top100_pm"),
+          expr("(cum1000 * 1000) DIV nt").as("top1000_pm"),
+          col("k90"))
     }
   )
 }
