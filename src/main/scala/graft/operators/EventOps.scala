@@ -2993,6 +2993,39 @@ object EventOps {
             | AS BIGINT)""".stripMargin).as("corr_e6"),
           expr("(e_lo * 1000) DIV v_lo").as("rate_lo_pm"),
           expr("(e_hi * 1000) DIV v_hi").as("rate_hi_pm"))
+    },
+
+    // R221 — Spark's NATIVE SLIDING window() builtin (6-hour windows
+    // every 3 hours) certified: each event belongs to exactly TWO
+    // overlapping windows; the oracle replays the assignment with an
+    // explicit 2-slot explode over epoch arithmetic (window start =
+    // slide-aligned buckets at offsets 0 and −1·slide). Any
+    // divergence in the engine's multi-assignment (boundary events,
+    // first/last slots) hash-mismatches. ev74 certified tumbling;
+    // together they pin the whole window() surface.
+    Q(
+      "ev81_sliding_builtin",
+      """WITH b AS (
+        |  SELECT epoch_us(ts) // 10800000000 AS slot,
+        |    CAST(round(value*100) AS BIGINT) AS cents
+        |  FROM events),
+        |a AS (
+        |  SELECT (slot - k) * 10800000000 AS w_start_us, cents
+        |  FROM b, (SELECT unnest([0, 1]) AS k)
+        |  WHERE (slot - k) >= 0)
+        |SELECT make_timestamp(w_start_us) AS w_start,
+        |  make_timestamp(w_start_us + 21600000000) AS w_end,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM a GROUP BY w_start_us ORDER BY w_start""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "6 hours", "3 hours"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("n"), col("cents"))
+        .orderBy("w_start")
     }
   )
 

@@ -2305,6 +2305,70 @@ object Graph {
         .join(a.select(col("i").as("k"), col("j")), "k")
         .groupBy("i", "j").agg(count(lit(1)).as("walks"))
         .orderBy(desc("walks"), col("i"), col("j")).limit(20)
+    },
+
+    // R219 — graph-signal smoothness (Dirichlet energy vs the random
+    // null): is the n_chars signal SMOOTH on the doc graph — mean
+    // edge energy Σ(x_u−x_v)²/m against its random-pairing
+    // expectation 2·var(x); ratio < 1e6 means linked docs look alike
+    // (the numeric cousin of gr30's categorical homophily, and the
+    // quantity every label-propagation/GNN smoothing step implicitly
+    // minimizes). Exact throughout: edge energy and the variance
+    // identity are integer sums, the ratio ONE floor DIV in
+    // decimal(38,0)/HUGEINT — (10⁶·num·n²) passes 2⁶³ by design.
+    // Two edges⨝signal equi-joins; everything else is 1-row frames.
+    Q(
+      "gr37_smoothness",
+      """WITH e0 AS (
+        |  SELECT doc_id AS a,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |eu AS MATERIALIZED (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM e0 WHERE a <> b),
+        |x AS (SELECT doc_id, n_chars AS x FROM documents),
+        |en AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |         CAST(sum(CAST(xu.x - xv.x AS HUGEINT) * (xu.x - xv.x)) AS HUGEINT) AS num
+        |       FROM eu JOIN x xu ON eu.u = xu.doc_id
+        |               JOIN x xv ON eu.v = xv.doc_id),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+        |       FROM x)
+        |SELECT mo.n AS n_nodes, en.m AS n_edges,
+        |  CAST(en.num AS BIGINT) AS energy,
+        |  CAST((1000000 * en.num * mo.n * mo.n)
+        |       // (2 * en.m * (mo.n * mo.q - CAST(mo.s AS HUGEINT) * mo.s))
+        |       AS BIGINT) AS smoothness_e6
+        |FROM en, mo""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val eu = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+      val x = docs.select(col("doc_id"), col("n_chars").as("x"))
+      val en = eu
+        .join(x.select(col("doc_id").as("u"), col("x").as("xu")), "u")
+        .join(x.select(col("doc_id").as("v"), col("x").as("xv")), "v")
+        .agg(count(lit(1)).as("m"),
+          sum(expr("CAST(xu - xv AS DECIMAL(38,0)) * (xu - xv)"))
+            .cast("decimal(38,0)").as("num"))
+      val mo = x.agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).cast("decimal(38,0)").as("q"))
+      en.crossJoin(broadcast(mo))
+        .select(col("n").as("n_nodes"), col("m").as("n_edges"),
+          col("num").cast("long").as("energy"),
+          expr("""CAST((1000000 * num * n * n)
+            | DIV (2 * m * (n * q - CAST(s AS DECIMAL(38,0)) * s))
+            | AS BIGINT)""".stripMargin).as("smoothness_e6"))
     }
   )
 

@@ -1107,6 +1107,49 @@ object Insights {
           coalesce(datediff(col("hi"), col("last_sale")).cast("long"), lit(-1L))
             .as("days_stale"))
         .orderBy(desc("price_c"), col("pk")).limit(50)
+    },
+
+    // R220 — duplicate-payment audit: order pairs from the SAME
+    // customer in the SAME $1000 amount band within 180 days — the
+    // accounts-payable double-entry screen. Candidates come from an
+    // EQUI-join on (customer, amount-band) — the blocking key that
+    // keeps this linear in orders — then the exact day-window
+    // predicate prunes; ok_a < ok_b emits each pair once. Output is
+    // the pair list under a total order (audits want the rows, not a
+    // count).
+    Q(
+      "q135_dup_payments",
+      """WITH o AS (
+        |  SELECT o_custkey AS ck, o_orderkey AS ok,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CAST(round(o_totalprice*100) AS BIGINT) // 100000 AS band,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT) AS ed
+        |  FROM orders)
+        |SELECT a.ck, a.band,
+        |  a.ok AS ok_a, b.ok AS ok_b,
+        |  a.cents AS cents_a, b.cents AS cents_b,
+        |  abs(a.ed - b.ed) AS gap_days
+        |FROM o a JOIN o b
+        |  ON a.ck = b.ck AND a.band = b.band AND a.ok < b.ok
+        | AND abs(a.ed - b.ed) <= 180
+        |ORDER BY a.ck, ok_a, ok_b""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        col("o_custkey").as("ck"), col("o_orderkey").as("ok"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        expr("CAST(round(o_totalprice*100) AS BIGINT) DIV 100000").as("band"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long").as("ed"))
+        .localCheckpoint(true) // both sides of the blocking join
+      val b = o.select(col("ck"), col("band"), col("ok").as("ok_b"),
+        col("cents").as("cents_b"), col("ed").as("ed_b"))
+      o.join(b, Seq("ck", "band"))
+        .filter(col("ok") < col("ok_b") && abs(col("ed") - col("ed_b")) <= 180)
+        .select(col("ck"), col("band"), col("ok").as("ok_a"), col("ok_b"),
+          col("cents").as("cents_a"), col("cents_b"),
+          abs(col("ed") - col("ed_b")).as("gap_days"))
+        .orderBy("ck", "ok_a", "ok_b")
     }
   )
 }
