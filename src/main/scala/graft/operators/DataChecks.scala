@@ -598,6 +598,71 @@ object DataChecks {
           when(col("chisq_e6") > 5991465L, 1L).otherwise(0L))
         .select("ym", "n", "chisq_e6", "drift_flag")
         .orderBy("ym")
+    },
+
+    // R225 — enum-conformance audit: every categorical column checked
+    // against its DECLARED domain, out-of-domain values counted and
+    // the worst offender named (min unexpected value — deterministic).
+    // The contract check dq1's numeric gates don't cover: a new
+    // upstream code lands here before it breaks a downstream CASE.
+    // One map-side-combinable conditional aggregate per column; a
+    // clean lake reports zeros, which is the point of a gate.
+    Q(
+      "dq9_enum_conformance",
+      """WITH u AS (
+        |  SELECT 'documents.lang' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN lang NOT IN ('en','es','de','fr','zh')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |    min(CASE WHEN lang NOT IN ('en','es','de','fr','zh')
+        |        THEN lang END) AS worst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'events.event_type', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_type NOT IN
+        |      ('click','view','purchase','signup','error')
+        |             THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(CASE WHEN event_type NOT IN
+        |      ('click','view','purchase','signup','error') THEN event_type END)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineitem.l_returnflag', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+        |             THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN l_returnflag END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.o_orderstatus', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+        |             THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN o_orderstatus END)
+        |  FROM orders)
+        |SELECT col, n_rows, n_bad,
+        |  coalesce(worst, '') AS worst_value,
+        |  CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS conforms
+        |FROM u ORDER BY col""".stripMargin
+    ) { (s, d) =>
+      def audit(name: String, df: org.apache.spark.sql.DataFrame,
+                c: String, domain: Seq[String]) = {
+        val bad = !col(c).isin(domain.map(lit): _*)
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(when(bad, 1L).otherwise(0L)).as("n_bad"),
+            min(when(bad, col(c))).as("worst"))
+          .select(lit(name).as("col"), col("n_rows"), col("n_bad"), col("worst"))
+      }
+      val u = Seq(
+        audit("documents.lang", Tables.documents(s, d), "lang",
+          Seq("en", "es", "de", "fr", "zh")),
+        audit("events.event_type", Tables.events(s, d), "event_type",
+          Seq("click", "view", "purchase", "signup", "error")),
+        audit("lineitem.l_returnflag", Tables.lineitem(s, d), "l_returnflag",
+          Seq("A", "N", "R")),
+        audit("orders.o_orderstatus", Tables.orders(s, d), "o_orderstatus",
+          Seq("F", "O", "P"))
+      ).reduce(_ unionAll _)
+      u.select(col("col"), col("n_rows"), col("n_bad"),
+          coalesce(col("worst"), lit("")).as("worst_value"),
+          when(col("n_bad") === 0, 1L).otherwise(0L).as("conforms"))
+        .orderBy("col")
     }
   )
 }

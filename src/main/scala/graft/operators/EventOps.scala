@@ -3026,6 +3026,63 @@ object EventOps {
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("n"), col("cents"))
         .orderBy("w_start")
+    },
+
+    // R223 — anomaly run-length profile (ARL, the SPC calibration
+    // number): how long do >2σ hourly anomalies RUN, and how far apart
+    // do they land. Anomalies via ev9's exact integer 2σ test lifted
+    // window-global — (n·c − S)² > 4·(n·Q − S²) cross-multiplied, no σ
+    // float; runs via the islands trick on the anomalous-hour frame
+    // (hour index − row_number constant within a consecutive run);
+    // inter-anomaly gaps from one lag. Everything after the fact pass
+    // is spine- or anomaly-sized.
+    Q(
+      "ev82_anomaly_runs",
+      """WITH hc AS (
+        |  SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS hn,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |mo AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+        |       FROM hc),
+        |an AS (SELECT hn FROM hc, mo
+        |       WHERE CAST(mo.n * c - mo.s AS HUGEINT) * (mo.n * c - mo.s)
+        |             > 4 * (mo.n * mo.q - CAST(mo.s AS HUGEINT) * mo.s)),
+        |runs AS (SELECT hn - row_number() OVER (ORDER BY hn) AS grp FROM an),
+        |rl AS (SELECT CAST(count(*) AS BIGINT) AS len FROM runs GROUP BY grp),
+        |gaps AS (SELECT hn - lag(hn) OVER (ORDER BY hn) AS gap FROM an)
+        |SELECT
+        |  CAST((SELECT count(*) FROM an) AS BIGINT) AS n_anomalies,
+        |  CAST((SELECT count(*) FROM rl) AS BIGINT) AS n_runs,
+        |  CAST((SELECT max(len) FROM rl) AS BIGINT) AS max_run_len,
+        |  CAST((SELECT CASE WHEN count(*) = 0 THEN NULL
+        |                    ELSE sum(gap) // count(*) END
+        |        FROM gaps WHERE gap IS NOT NULL)
+        |       AS BIGINT) AS mean_gap_hours""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").as("hn"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // moments + the anomaly filter read it
+      val mo = hc.agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).cast("decimal(38,0)").as("q"))
+      val an = hc.crossJoin(broadcast(mo))
+        .filter(expr("""CAST(n * c - s AS DECIMAL(38,0)) * (n * c - s)
+          | > 4 * (n * q - CAST(s AS DECIMAL(38,0)) * s)""".stripMargin))
+        .select("hn")
+        .localCheckpoint(true) // runs + gaps + count read it
+      // anomaly-frame windows (≤ anomalous hours, spine-bounded)
+      val wv = Window.orderBy("hn")
+      val rl = an.withColumn("grp", col("hn") - row_number().over(wv))
+        .groupBy("grp").agg(count(lit(1)).as("len"))
+      val gaps = an.withColumn("gap", col("hn") - lag("hn", 1).over(wv))
+        .filter(col("gap").isNotNull)
+      val a1 = an.agg(count(lit(1)).as("n_anomalies"))
+      val a2 = rl.agg(count(lit(1)).as("n_runs"), max("len").as("max_run_len"))
+      val a3 = gaps.agg(
+        expr("CASE WHEN count(*) = 0 THEN NULL ELSE sum(gap) DIV count(*) END")
+          .as("mean_gap_hours"))
+      a1.crossJoin(a2).crossJoin(a3)
     }
   )
 

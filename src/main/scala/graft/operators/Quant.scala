@@ -211,6 +211,64 @@ object Quant {
         .orderBy("ym")
     },
 
+    // R222 — overnight gap analysis (q115's candles, one derivative
+    // further): gap = today's OPEN minus yesterday's CLOSE on the
+    // daily bar series — the discontinuity a close-to-close return
+    // hides. Opens/closes are q115's min_by/max_by picks under the
+    // unique intraday total order; the gap is one lag on the day
+    // spine; extremes localized with min_by/max_by again (exact,
+    // deterministic). One fact aggregate + spine windows; one-row
+    // summary out.
+    Q(
+      "q136_gap_updown",
+      """WITH o AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |         AS BIGINT)*10000000000 + o_orderkey AS skey
+        |  FROM orders),
+        |bar AS (SELECT d, min_by(cents, skey) AS open_c, max_by(cents, skey) AS close_c
+        |        FROM o GROUP BY d),
+        |g AS (SELECT d,
+        |        CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS ed,
+        |        open_c - lag(close_c) OVER (ORDER BY d) AS gap
+        |      FROM bar),
+        |e AS (SELECT d, gap, gap * 100000 + ed AS tkey
+        |      FROM g WHERE gap IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_up,
+        |  CAST(sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_dn,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_c,
+        |  max_by(d, tkey) AS max_gap_day,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_c
+        |FROM e""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d).select(
+        to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
+          .cast("long") * 10000000000L + col("o_orderkey")).as("skey"))
+      val bar = o.groupBy("d")
+        .agg(expr("min_by(cents, skey)").as("open_c"),
+          expr("max_by(cents, skey)").as("close_c"))
+      // day-spine window: bounded by the date domain, not the fact;
+      // tkey = gap·10⁵ + epoch_day makes the argmax pick deterministic
+      // under gap ties on both engines
+      val g = bar
+        .withColumn("ed",
+          datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
+        .withColumn("gap",
+          col("open_c") - lag("close_c", 1).over(Window.orderBy("d")))
+        .filter(col("gap").isNotNull)
+        .withColumn("tkey", col("gap") * 100000L + col("ed"))
+      g.agg(count(lit(1)).as("n_days"),
+        sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gap_up"),
+        sum(when(col("gap") < 0, 1L).otherwise(0L)).as("n_gap_dn"),
+        max("gap").as("max_gap_c"),
+        expr("max_by(d, tkey)").as("max_gap_day"),
+        min("gap").as("min_gap_c"))
+    },
+
     // R182 — p-chart (SPC for PROPORTIONS, beside ev52's EWMA on
     // means): monthly return RATE vs 3σ binomial limits around the
     // grand rate, sqrt-free — (r/n − R/N)² > 9·(R/N)(1−R/N)/n cross-

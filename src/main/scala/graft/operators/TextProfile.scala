@@ -212,6 +212,40 @@ object TextProfile {
           expr("(cum100 * 1000) DIV nt").as("top100_pm"),
           expr("(cum1000 * 1000) DIV nt").as("top1000_pm"),
           col("k90"))
+    },
+
+    // R224 — term burstiness (Church–Gale): terms whose occurrences
+    // CLUSTER in few documents — burst = cf/df, the mean occurrences
+    // per containing doc. A bursty term is topical (good retrieval
+    // signal, bad stopword); a flat one is functional. tx48 ranks by
+    // spread (df), this ranks by clustering — together they split the
+    // vocabulary into stopword vs topic candidates. One explode pass
+    // feeding cf and df aggregates; df≥5 floor keeps singleton noise
+    // out; top-20 a distributed TakeOrdered.
+    Q(
+      "tx50_term_burstiness",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY 1),
+        |df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1)
+        |SELECT cf.w AS term, cf.cf, df.df,
+        |  (100 * cf.cf) // df.df AS burst_e2
+        |FROM cf JOIN df ON cf.w = df.w
+        |WHERE df.df >= 5
+        |ORDER BY burst_e2 DESC, term LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint(true) // cf + df both read it
+      val cf = tok.groupBy("w").agg(count(lit(1)).as("cf"))
+      val df = tok.select("doc_id", "w").distinct()
+        .groupBy("w").agg(count(lit(1)).as("df"))
+      cf.join(df, "w")
+        .filter(col("df") >= 5)
+        .select(col("w").as("term"), col("cf"), col("df"),
+          expr("(100 * cf) DIV df").as("burst_e2"))
+        .orderBy(desc("burst_e2"), col("term")).limit(20)
     }
   )
 }
