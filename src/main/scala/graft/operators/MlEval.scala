@@ -1735,5 +1735,65 @@ object MlEval {
             .otherwise(0L).as("drift_flag"))
         .orderBy("ym")
     },
+
+    // R227 — McNemar's test (paired classifier comparison): is ml9's
+    // price-threshold model actually BETTER than the rule-based
+    // priority model on the SAME rows — the question two separate
+    // accuracies can't answer (they share the rows, so the tests
+    // aren't independent; McNemar uses only the DISCORDANT pairs).
+    // χ² = (b−c)²/(b+c) entirely integer, e6-floored, significance by
+    // the e6-scaled critical-value cross-multiply. One labeled pass to
+    // the 4-cell agreement table.
+    Q(
+      "ml33_mcnemar",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pb
+        |  FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |ag AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN (cents >= thr) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS a_ok,
+        |    CAST(sum(CASE WHEN (pb = 1) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS b_ok,
+        |    CAST(sum(CASE WHEN (cents >= thr) = (y = 1)
+        |                   AND (pb = 1) <> (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+        |    CAST(sum(CASE WHEN (cents >= thr) <> (y = 1)
+        |                   AND (pb = 1) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS c10
+        |  FROM sc CROSS JOIN t)
+        |SELECT n,
+        |  (a_ok * 1000) // n AS acc_a_pm,
+        |  (b_ok * 1000) // n AS acc_b_pm,
+        |  b01 AS a_only_correct, c10 AS b_only_correct,
+        |  CASE WHEN b01 + c10 = 0 THEN NULL
+        |       ELSE (1000000 * (b01 - c10) * (b01 - c10)) // (b01 + c10) END AS mcnemar_e6,
+        |  CASE WHEN 1000000 * (b01 - c10) * (b01 - c10) > 3841459 * (b01 + c10)
+        |       THEN 1 ELSE 0 END AS significant
+        |FROM ag""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pb"))
+        .localCheckpoint(true) // threshold + agreement table read it
+      val t = sc.agg(expr("sum(cents) DIV count(*)").as("thr"))
+      val ag = sc.crossJoin(broadcast(t)).agg(
+        count(lit(1)).as("n"),
+        sum(when(expr("(cents >= thr) = (y = 1)"), 1L).otherwise(0L)).as("a_ok"),
+        sum(when(expr("(pb = 1) = (y = 1)"), 1L).otherwise(0L)).as("b_ok"),
+        sum(when(expr("(cents >= thr) = (y = 1) AND (pb = 1) <> (y = 1)"), 1L)
+          .otherwise(0L)).as("b01"),
+        sum(when(expr("(cents >= thr) <> (y = 1) AND (pb = 1) = (y = 1)"), 1L)
+          .otherwise(0L)).as("c10"))
+      ag.select(col("n"),
+        expr("(a_ok * 1000) DIV n").as("acc_a_pm"),
+        expr("(b_ok * 1000) DIV n").as("acc_b_pm"),
+        col("b01").as("a_only_correct"), col("c10").as("b_only_correct"),
+        when(col("b01") + col("c10") === 0, lit(null))
+          .otherwise(expr("(1000000 * (b01 - c10) * (b01 - c10)) DIV (b01 + c10)"))
+          .as("mcnemar_e6"),
+        when(expr("1000000 * (b01 - c10) * (b01 - c10) > 3841459 * (b01 + c10)"), 1L)
+          .otherwise(0L).as("significant"))
+    },
   )
 }

@@ -97,6 +97,46 @@ object Olap {
       nations.unionByName(regions).orderBy("lvl", "region", "nation")
     },
 
+    // R226 — SKYLINE (Pareto-frontier) operator: parts no other part
+    // dominates on (price ↓, size ↑) — the classic database operator
+    // (Börzsönyi et al.) the preference-query literature is built on.
+    // The 2-D case needs NO quadratic dominance join: sorted by price,
+    // a part survives iff its size strictly exceeds the best size of
+    // every STRICTLY cheaper part (RANGE window to 1 PRECEDING — the
+    // value-based frame handles price ties exactly) AND it carries the
+    // max size within its own price tie-group (equal price + bigger
+    // size dominates; equal price + equal size coexists). Windows run
+    // on the part DIMENSION (bounded); the oracle takes the direct
+    // NOT-EXISTS dominance form — both compute the identical frontier.
+    Q(
+      "q137_skyline",
+      """WITH p AS (SELECT p_partkey AS pk, p_size AS sz,
+        |    CAST(round(p_retailprice*100) AS BIGINT) AS price_c
+        |  FROM part)
+        |SELECT pk, sz, price_c
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.sz >= a.sz
+        |    AND (b.price_c < a.price_c OR b.sz > a.sz))
+        |ORDER BY price_c, pk""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, d).select(col("p_partkey").as("pk"),
+        col("p_size").cast("long").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("price_c"))
+      // part-dimension windows (bounded, q105's class)
+      val wCheaper = Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wTie = Window.partitionBy("price_c")
+      p.withColumn("best_cheaper", max("sz").over(wCheaper))
+        .withColumn("tie_best", max("sz").over(wTie))
+        .filter((col("best_cheaper").isNull || col("sz") > col("best_cheaper"))
+          && col("sz") === col("tie_best"))
+        .select("pk", "sz", "price_c")
+        .orderBy("price_c", "pk")
+    },
+
     // R46 — TPC-H Q11 shape (important stock): per-part shipped value
     // from one supplier group (EUROPE), kept when the part's value
     // exceeds 1/1000 of the group total. The share test is INTEGER
