@@ -1322,6 +1322,65 @@ object Analytics {
           when(col("na") > 0 && col("nb") > 0
             && col("stratum_sign") * col("overall_sign") === -1, 1L).otherwise(0L))
         .orderBy("nation")
+    },
+
+    // R228 — Theil's T with within/between decomposition: the
+    // DECOMPOSABLE inequality index beside q86's Gini (Gini doesn't
+    // split) — how much customer-spend inequality lives INSIDE market
+    // segments vs BETWEEN them. tx27's quantized-ln discipline: each
+    // row term x·⌊10⁶·ln(x·n/S)⌉ quantized ONCE (the log argument is
+    // an exact-integer rational, identical tree both engines), summed
+    // exactly, normalized by one floor DIV; the between term runs the
+    // same recipe on the 5-row segment frame; within = T − between
+    // by construction. One customer-spend aggregate feeds everything.
+    Q(
+      "q138_theil",
+      """WITH sp AS (
+        |  SELECT o_custkey AS ck, c_mktsegment AS seg,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM sp),
+        |rowt AS (SELECT
+        |    CAST(sum(x * CAST(round(1000000 *
+        |      ln(CAST(x AS DOUBLE) * g.n / g.s)) AS BIGINT)) AS HUGEINT) AS tsum
+        |  FROM sp, g),
+        |segf AS (SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+        |           CAST(sum(x) AS BIGINT) AS sg
+        |         FROM sp GROUP BY 1),
+        |bt AS (SELECT
+        |    CAST(sum(sg * CAST(round(1000000 *
+        |      ln((CAST(sg AS DOUBLE) * g.n) / (CAST(g.s AS DOUBLE) * ng)))
+        |      AS BIGINT)) AS HUGEINT) AS bsum
+        |  FROM segf, g)
+        |SELECT g.n AS n_cust,
+        |  CAST(rowt.tsum // g.s AS BIGINT) AS theil_e6,
+        |  CAST(bt.bsum // g.s AS BIGINT) AS between_e6,
+        |  CAST(rowt.tsum // g.s - bt.bsum // g.s AS BIGINT) AS within_e6
+        |FROM g, rowt, bt""".stripMargin
+    ) { (s, d) =>
+      val sp = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey").as("ck"), col("seg"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+        .localCheckpoint(true) // totals + row terms + segment terms
+      val g = sp.agg(count(lit(1)).as("n"), sum("x").as("s"))
+      val rowt = sp.crossJoin(broadcast(g)).agg(
+        sum(col("x") * round(lit(1000000)
+            * log(col("x").cast("double") * col("n") / col("s"))).cast("long"))
+          .cast("decimal(38,0)").as("tsum"))
+      val segf = sp.groupBy("seg").agg(count(lit(1)).as("ng"), sum("x").as("sg"))
+      val bt = segf.crossJoin(broadcast(g)).agg(
+        sum(col("sg") * round(lit(1000000)
+            * log((col("sg").cast("double") * col("n"))
+              / (col("s").cast("double") * col("ng")))).cast("long"))
+          .cast("decimal(38,0)").as("bsum"))
+      g.crossJoin(broadcast(rowt)).crossJoin(broadcast(bt))
+        .select(col("n").as("n_cust"),
+          expr("CAST(tsum DIV s AS BIGINT)").as("theil_e6"),
+          expr("CAST(bsum DIV s AS BIGINT)").as("between_e6"),
+          expr("CAST(tsum DIV s - bsum DIV s AS BIGINT)").as("within_e6"))
     }
   )
 }

@@ -3083,6 +3083,54 @@ object EventOps {
         expr("CASE WHEN count(*) = 0 THEN NULL ELSE sum(gap) DIV count(*) END")
           .as("mean_gap_hours"))
       a1.crossJoin(a2).crossJoin(a3)
+    },
+
+    // R230 — attribution-window sensitivity: ev17 splits credit, this
+    // asks how much the WINDOW CHOICE itself moves the headline — the
+    // share of purchases with a prior view within 1 / 7 / 30 days.
+    // The last-view lookup is ONE prev-value-over-preceding window
+    // per user (no join); the three windows are then pure threshold
+    // tests on the same gap, expanded by a 3-row scan-local explode.
+    // A metric that swings across rows here is a warning that the
+    // marketing number is a parameter choice, not a fact.
+    Q(
+      "ev83_attribution_windows",
+      """WITH lv AS (
+        |  SELECT event_type, epoch_us(ts) AS t_us,
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_us
+        |  FROM events),
+        |pp AS (SELECT t_us - v_us AS gap_us FROM lv
+        |       WHERE event_type = 'purchase'),
+        |w AS (SELECT unnest([1, 7, 30]) AS w_days)
+        |SELECT w.w_days,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN gap_us IS NOT NULL
+        |                 AND gap_us <= w.w_days * 86400000000
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+        |  (CAST(sum(CASE WHEN gap_us IS NOT NULL
+        |                  AND gap_us <= w.w_days * 86400000000
+        |             THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS share_pm
+        |FROM pp, w GROUP BY w.w_days ORDER BY w.w_days""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pp = Tables.events(s, d)
+        .withColumn("v_us",
+          max(when(col("event_type") === "view", unix_micros(col("ts")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select((unix_micros(col("ts")) - col("v_us")).as("gap_us"))
+      pp.select(col("gap_us"),
+          explode(array(lit(1L), lit(7L), lit(30L))).as("w_days"))
+        .groupBy("w_days")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("gap_us").isNotNull
+            && col("gap_us") <= col("w_days") * 86400000000L, 1L)
+            .otherwise(0L)).as("n_attributed"))
+        .withColumn("share_pm", expr("(n_attributed * 1000) DIV n_purchases"))
+        .orderBy("w_days")
     }
   )
 

@@ -2369,6 +2369,70 @@ object Graph {
           expr("""CAST((1000000 * num * n * n)
             | DIV (2 * m * (n * q - CAST(s AS DECIMAL(38,0)) * s))
             | AS BIGINT)""".stripMargin).as("smoothness_e6"))
+    },
+
+    // R229 — multiplex layer overlap: the 3-map doc graph is really
+    // three LAYERS of one multiplex network — how similar are they?
+    // Pairwise edge-set Jaccard (undirected canonical edges per
+    // layer, distinct within layer, intersection via inner join,
+    // union by inclusion–exclusion) — the multiplex redundancy
+    // readout (near-duplicate layers add no structure). Each layer
+    // is one scan-local map; pair joins shuffle on the edge key;
+    // 3 output rows.
+    Q(
+      "gr38_layer_overlap",
+      """WITH l1 AS (SELECT DISTINCT least(doc_id, (doc_id*7+13) % (SELECT count(*) FROM documents)) AS u,
+        |    greatest(doc_id, (doc_id*7+13) % (SELECT count(*) FROM documents)) AS v
+        |  FROM documents
+        |  WHERE doc_id <> (doc_id*7+13) % (SELECT count(*) FROM documents)),
+        |l2 AS (SELECT DISTINCT least(doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)) AS u,
+        |    greatest(doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)) AS v
+        |  FROM documents
+        |  WHERE doc_id <> (doc_id*3+5) % (SELECT count(*) FROM documents)),
+        |l3 AS (SELECT DISTINCT least(doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents)) AS u,
+        |    greatest(doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents)) AS v
+        |  FROM documents
+        |  WHERE doc_id <> (doc_id*11+2) % (SELECT count(*) FROM documents)),
+        |p12 AS (SELECT '1-2' AS pair,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l1) AS na,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l2) AS nb,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l1 JOIN l2 USING (u, v)) AS ni),
+        |p13 AS (SELECT '1-3',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l1),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l3),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l1 JOIN l3 USING (u, v))),
+        |p23 AS (SELECT '2-3',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l2),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l3),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM l2 JOIN l3 USING (u, v))),
+        |u AS (SELECT * FROM p12 UNION ALL SELECT * FROM p13
+        |      UNION ALL SELECT * FROM p23)
+        |SELECT pair, na AS edges_a, nb AS edges_b, ni AS common,
+        |  (ni * 1000) // (na + nb - ni) AS jaccard_pm
+        |FROM u ORDER BY pair""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def layer(mult: Int, add: Int) = docs
+        .select(col("doc_id").as("a"), ((col("doc_id") * mult + add) % n).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+        .transform(graft.plans.Lineage.truncate) // two pair joins each
+      val l = Seq(layer(7, 13), layer(3, 5), layer(11, 2))
+      def pair(name: String, a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) = {
+        val na = a.count(); val nb = b.count()
+        val ni = a.join(b, Seq("u", "v")).count()
+        (name, na, nb, ni)
+      }
+      val rows = Seq(pair("1-2", l(0), l(1)), pair("1-3", l(0), l(2)),
+        pair("2-3", l(1), l(2)))
+      import s.implicits._
+      rows.toDF("pair", "edges_a", "edges_b", "common")
+        .withColumn("jaccard_pm",
+          expr("(common * 1000) DIV (edges_a + edges_b - common)"))
+        .orderBy("pair")
     }
   )
 
