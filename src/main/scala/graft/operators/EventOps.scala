@@ -3131,6 +3131,76 @@ object EventOps {
             .otherwise(0L)).as("n_attributed"))
         .withColumn("share_pm", expr("(n_attributed * 1000) DIV n_purchases"))
         .orderBy("w_days")
+    },
+
+    // R233 — first-touch vs last-touch attribution disagreement: the
+    // two ENDPOINT models (ev17 splits the middle) credited per
+    // channel, side by side — a channel whose first/last credits
+    // diverge is an opener-vs-closer, and the table quantifies how
+    // much the model choice moves budget. Both lookups are min/max
+    // windows over the preceding frame with the TYPE smuggled through
+    // an exact integer encoding (µs·8 + type_id — window max_by
+    // doesn't exist; the encoding is its portable replacement, decoded
+    // by % 8 identically on both engines). One per-user window pass;
+    // the credit table is |channels|-sized.
+    Q(
+      "ev84_touch_models",
+      """WITH enc AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) * 8 +
+        |      CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |           WHEN 'signup' THEN 2 ELSE 3 END END AS e
+        |  FROM events),
+        |w AS (SELECT event_type,
+        |    min(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fe,
+        |    max(e) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS le
+        |  FROM enc),
+        |p AS (SELECT
+        |    CASE fe % 8 WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+        |         WHEN 2 THEN 'signup' ELSE 'view' END AS ft,
+        |    CASE le % 8 WHEN 0 THEN 'click' WHEN 1 THEN 'error'
+        |         WHEN 2 THEN 'signup' ELSE 'view' END AS lt
+        |  FROM w WHERE event_type = 'purchase' AND fe IS NOT NULL),
+        |f AS (SELECT ft AS channel, CAST(count(*) AS BIGINT) AS first_credits
+        |      FROM p GROUP BY 1),
+        |l AS (SELECT lt AS channel, CAST(count(*) AS BIGINT) AS last_credits
+        |      FROM p GROUP BY 1)
+        |SELECT coalesce(f.channel, l.channel) AS channel,
+        |  coalesce(f.first_credits, 0) AS first_credits,
+        |  coalesce(l.last_credits, 0) AS last_credits,
+        |  coalesce(l.last_credits, 0) - coalesce(f.first_credits, 0) AS delta
+        |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+        |ORDER BY channel""".stripMargin
+    ) { (s, d) =>
+      val typeId = expr("""CASE event_type WHEN 'click' THEN 0
+        | WHEN 'error' THEN 1 WHEN 'signup' THEN 2 ELSE 3 END""".stripMargin)
+      val enc = Tables.events(s, d)
+        .withColumn("e", when(col("event_type") =!= "purchase",
+          unix_micros(col("ts")) * 8 + typeId))
+      val wp = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def decode(c: org.apache.spark.sql.Column) =
+        when(c % 8 === 0, "click").when(c % 8 === 1, "error")
+          .when(c % 8 === 2, "signup").otherwise("view")
+      val p = enc
+        .withColumn("fe", min("e").over(wp))
+        .withColumn("le", max("e").over(wp))
+        .filter(col("event_type") === "purchase" && col("fe").isNotNull)
+        .select(decode(col("fe")).as("ft"), decode(col("le")).as("lt"))
+        .localCheckpoint(true) // both credit rollups read it
+      val f = p.groupBy(col("ft").as("channel"))
+        .agg(count(lit(1)).as("first_credits"))
+      val l = p.groupBy(col("lt").as("channel"))
+        .agg(count(lit(1)).as("last_credits"))
+      f.join(l, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("first_credits"), lit(0L)).as("first_credits"),
+          coalesce(col("last_credits"), lit(0L)).as("last_credits"),
+          (coalesce(col("last_credits"), lit(0L))
+            - coalesce(col("first_credits"), lit(0L))).as("delta"))
+        .orderBy("channel")
     }
   )
 

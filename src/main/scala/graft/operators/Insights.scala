@@ -1150,6 +1150,42 @@ object Insights {
           col("cents").as("cents_a"), col("cents_b"),
           abs(col("ed") - col("ed_b")).as("gap_days"))
         .orderBy("ck", "ok_a", "ok_b")
+    },
+
+    // R231 — price-dispersion audit (law of one price): how far the
+    // realized unit price of the SAME part spreads across lines — the
+    // pricing-leakage detector (a part sold at 2× spread means the
+    // discount policy, not the list price, sets revenue). Unit price
+    // micro-quantized ONCE per line ((10⁶·line cents) DIV qty, the
+    // q121 discipline), spread permille one floor DIV; one fact
+    // aggregate to the part frame, top-20 by a distributed
+    // TakeOrdered under the (spread, part) total order.
+    Q(
+      "q139_price_dispersion",
+      """WITH lp AS (
+        |  SELECT l_partkey AS pk,
+        |    (1000000 * CAST(round(l_extendedprice*100) AS BIGINT))
+        |      // CAST(round(l_quantity) AS BIGINT) AS up
+        |  FROM lineitem),
+        |a AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_lines,
+        |        CAST(min(up) AS BIGINT) AS min_up,
+        |        CAST(max(up) AS BIGINT) AS max_up
+        |      FROM lp GROUP BY 1)
+        |SELECT pk, n_lines, min_up, max_up,
+        |  ((max_up - min_up) * 1000) // min_up AS spread_pm
+        |FROM a WHERE n_lines >= 3
+        |ORDER BY spread_pm DESC, pk LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val lp = Tables.lineitem(s, d).select(col("l_partkey").as("pk"),
+        expr("""(1000000 * CAST(round(l_extendedprice*100) AS BIGINT))
+          | DIV CAST(round(l_quantity) AS BIGINT)""".stripMargin).as("up"))
+      lp.groupBy("pk")
+        .agg(count(lit(1)).as("n_lines"),
+          min("up").as("min_up"), max("up").as("max_up"))
+        .filter(col("n_lines") >= 3)
+        .withColumn("spread_pm", expr("((max_up - min_up) * 1000) DIV min_up"))
+        .select("pk", "n_lines", "min_up", "max_up", "spread_pm")
+        .orderBy(desc("spread_pm"), col("pk")).limit(20)
     }
   )
 }

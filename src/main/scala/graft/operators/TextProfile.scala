@@ -246,6 +246,56 @@ object TextProfile {
         .select(col("w").as("term"), col("cf"), col("df"),
           expr("(100 * cf) DIV df").as("burst_e2"))
         .orderBy(desc("burst_e2"), col("term")).limit(20)
+    },
+
+    // R232 — dictionary (lexicon) scoring: the rule-based scorer every
+    // NLP pipeline starts from — per-doc polarity from an embedded
+    // term lexicon (pos = {fast, big}, neg = {slow, small}: the
+    // corpus's own antonym pairs), polarity = (pos−neg)·1000 DIV
+    // (pos+neg), NULL when no lexicon term appears (not a neutral 0 —
+    // absence of evidence). Token counting is scan-local; the source
+    // rollup shows which feeds skew positive. Output: per-source
+    // summary (doc rows would be fact-sized; the rollup is the
+    // dashboard readout).
+    Q(
+      "tx51_lexicon_score",
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |sc AS (SELECT doc_id, source,
+        |    CAST(sum(CASE WHEN w IN ('fast', 'big') THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(sum(CASE WHEN w IN ('slow', 'small') THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        |  FROM tok GROUP BY 1, 2),
+        |pol AS (SELECT source,
+        |    CASE WHEN pos + neg = 0 THEN NULL
+        |         ELSE ((pos - neg) * 1000) // (pos + neg) END AS pol_pm
+        |  FROM sc)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(pol_pm) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN pol_pm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |  CAST(sum(CASE WHEN pol_pm < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        |  CAST(CASE WHEN count(pol_pm) = 0 THEN NULL
+        |       ELSE sum(pol_pm) // count(pol_pm) END AS BIGINT) AS mean_pol_pm
+        |FROM pol GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .groupBy("doc_id", "source")
+        .agg(sum(when(col("w").isin("fast", "big"), 1L).otherwise(0L)).as("pos"),
+          sum(when(col("w").isin("slow", "small"), 1L).otherwise(0L)).as("neg"))
+      val pol = sc.select(col("source"),
+        when(col("pos") + col("neg") === 0, lit(null))
+          .otherwise(expr("((pos - neg) * 1000) DIV (pos + neg)")).as("pol_pm"))
+      pol.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count("pol_pm").as("n_scored"),
+          sum(when(col("pol_pm") > 0, 1L).otherwise(0L)).as("n_positive"),
+          sum(when(col("pol_pm") < 0, 1L).otherwise(0L)).as("n_negative"),
+          expr("""CASE WHEN count(pol_pm) = 0 THEN NULL
+            | ELSE sum(pol_pm) DIV count(pol_pm) END""".stripMargin)
+            .cast("long").as("mean_pol_pm"))
+        .orderBy("source")
     }
   )
 }
