@@ -2433,6 +2433,100 @@ object Graph {
         .withColumn("jaccard_pm",
           expr("(common * 1000) DIV (edges_a + edges_b - common)"))
         .orderBy("pair")
+    },
+
+    // R234 — hop plot (distance distribution from a seed set): how
+    // many docs sit at each BFS distance from the first 12 seeds —
+    // the classic reachability-growth curve (a plateau means the
+    // frontier saturated; gr23's eccentricity is its per-node max).
+    // Runs the shared iterative [[bfs]] (per-round frontier joins,
+    // min-dist dedup, Lineage-truncated) and histograms the
+    // (node, dist) frame; the oracle replays it as a bounded
+    // recursive CTE with min-dist dedup.
+    Q(
+      "gr39_hop_plot",
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS src,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id < 12
+        |  UNION ALL
+        |  SELECT e.dst, r.dist + 1 FROM r JOIN e ON e.src = r.node
+        |  WHERE r.dist < 4 AND e.src <> e.dst),
+        |m AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY 1)
+        |SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM m GROUP BY dist ORDER BY dist""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
+        ((col("doc_id") * mult + add) % n).as("dst"))
+      val e = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("src") =!= col("dst"))
+      val seeds = docs.filter(col("doc_id") < 12).select(col("doc_id").as("node"))
+      bfs(e, seeds, maxHops = 4)
+        .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("dist")
+    },
+
+    // R235 — degree-distribution entropy: the one-number diversity of
+    // the degree sequence beside gr29's Gini (entropy reads evenness,
+    // Gini reads concentration — a regular graph maxes one and zeroes
+    // the other). H = Σ (cnt·⌊10⁶·log2(n/cnt)⌉) DIV n over degree
+    // CELLS — the tx27 quantize-once discipline, exact integer sums,
+    // cells bounded by |distinct degrees|.
+    Q(
+      "gr40_degree_entropy",
+      """WITH e0 AS (
+        |  SELECT doc_id AS a,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |eu AS (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |       FROM e0 WHERE a <> b),
+        |deg AS (SELECT nd, CAST(count(*) AS BIGINT) AS dg FROM (
+        |  SELECT u AS nd FROM eu UNION ALL SELECT v AS nd FROM eu) GROUP BY 1),
+        |cells AS (SELECT dg, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells)
+        |SELECT n.n AS n_nodes,
+        |  CAST(count(*) AS BIGINT) AS n_degree_classes,
+        |  CAST(sum(cnt * CAST(round(1000000 *
+        |    log2(CAST(n.n AS DOUBLE) / cnt)) AS BIGINT)) // n.n AS BIGINT)
+        |    AS entropy_e6
+        |FROM cells, n GROUP BY n.n""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val eu = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+      val deg = eu.select(col("u").as("nd"))
+        .unionByName(eu.select(col("v").as("nd")))
+        .groupBy("nd").agg(count(lit(1)).as("dg"))
+      val cells = deg.groupBy("dg").agg(count(lit(1)).as("cnt"))
+      val nn = cells.agg(sum("cnt").as("n"))
+      cells.crossJoin(broadcast(nn))
+        .groupBy("n")
+        .agg(count(lit(1)).as("n_degree_classes"),
+          expr("""CAST(sum(cnt * CAST(round(1000000 *
+            | log2(CAST(n AS DOUBLE) / cnt)) AS BIGINT)) DIV n AS BIGINT)"""
+            .stripMargin).as("entropy_e6"))
+        .select(col("n").as("n_nodes"), col("n_degree_classes"), col("entropy_e6"))
     }
   )
 

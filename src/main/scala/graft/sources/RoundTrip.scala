@@ -72,6 +72,35 @@ object RoundTrip {
         .select(col("doc_id").cast("long"), col("text"), col("lang"),
           col("source"), col("n_chars").cast("long"))
       profile(back)
+    },
+
+    // S30 — PARTITIONED-layout round trip: write partitionBy(source),
+    // read back with a partition-key filter (only the two selected
+    // directories are even opened — the pruning spec S6 proves; this
+    // entry proves the VALUES), and hash-match the per-lang profile of
+    // those sources against the oracle on the original parquet. The
+    // subtle hazard certified here: partition values travel through
+    // DIRECTORY NAMES (string round trip + column re-attachment), the
+    // classic silent-corruption point of hive-style layouts.
+    Q(
+      "src9_partitioned_roundtrip",
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_text_hashes
+        |FROM documents WHERE source IN ('src0', 'src1')
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val tmp = stage("graft_part_rt")
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("source").isin("src0", "src1"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("chars"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_text_hashes"))
+        .orderBy("lang")
     }
   )
 }
