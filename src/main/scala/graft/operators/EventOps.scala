@@ -3201,6 +3201,55 @@ object EventOps {
           (coalesce(col("last_credits"), lit(0L))
             - coalesce(col("first_credits"), lit(0L))).as("delta"))
         .orderBy("channel")
+    },
+
+    // R236 — bot/automation detection by inter-event regularity: a
+    // human's gaps are bursty, a cron job's are metronomic — so a
+    // suspiciously LOW squared coefficient of variation is the flag
+    // (the training-data hygiene filter that removes machine traffic
+    // before corpus stats are trusted). CV² = (nQ−S²)/S² entirely in
+    // integers — gap² passes 2⁶³ (µs gaps reach 10⁹⁺) so Q runs in
+    // decimal/HUGEINT; the flag is the cross-multiply 10·(nQ−S²) < S².
+    // One per-user lag pass, user-sized output, n≥10 gaps floor.
+    Q(
+      "ev86_bot_regularity",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(gap) AS BIGINT) AS s,
+        |        CAST(sum(CAST(gap AS HUGEINT) * gap) AS HUGEINT) AS q
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n AS n_gaps,
+        |  s // n AS mean_gap_us,
+        |  CAST((1000000 * (n * q - CAST(s AS HUGEINT) * s))
+        |       // (CAST(s AS HUGEINT) * s) AS BIGINT) AS cv2_e6,
+        |  CASE WHEN 10 * (n * q - CAST(s AS HUGEINT) * s)
+        |            < CAST(s AS HUGEINT) * s THEN 1 ELSE 0 END AS bot_flag
+        |FROM u WHERE n >= 10 ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val g = Tables.events(s, d)
+        .withColumn("gap",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap").isNotNull)
+      val u = g.groupBy("user_id").agg(
+        count(lit(1)).as("n"), sum("gap").as("s"),
+        sum(expr("CAST(gap AS DECIMAL(38,0)) * gap"))
+          .cast("decimal(38,0)").as("q"))
+      u.filter(col("n") >= 10)
+        .select(col("user_id"), col("n").as("n_gaps"),
+          expr("s DIV n").as("mean_gap_us"),
+          expr("""CAST((1000000 * (n * q - CAST(s AS DECIMAL(38,0)) * s))
+            | DIV (CAST(s AS DECIMAL(38,0)) * s) AS BIGINT)""".stripMargin)
+            .as("cv2_e6"),
+          when(expr("""10 * (n * q - CAST(s AS DECIMAL(38,0)) * s)
+            | < CAST(s AS DECIMAL(38,0)) * s""".stripMargin), 1L)
+            .otherwise(0L).as("bot_flag"))
+        .orderBy("user_id")
     }
   )
 

@@ -296,6 +296,46 @@ object TextProfile {
             | ELSE sum(pol_pm) DIV count(pol_pm) END""".stripMargin)
             .cast("long").as("mean_pol_pm"))
         .orderBy("source")
+    },
+
+    // R237 — term positional-bias profile: WHERE in documents do the
+    // query terms live — a term that front-loads is title/lede
+    // material (a retrieval prior BM25 ignores; positional rankers
+    // weight it). Relative position (10³·pos) DIV (len−1) exact per
+    // occurrence off tx45's positional frame; per-term mean + the
+    // first-third share; len>1 guard. Scan-local explode, 5-row
+    // output.
+    Q(
+      "tx52_term_positions",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    unnest(range(0, len(string_split(text, ' ')))) AS pos,
+        |    len(string_split(text, ' ')) AS len
+        |  FROM documents),
+        |hits AS (SELECT w, (1000 * pos) // (len - 1) AS relpos_pm
+        |         FROM tok
+        |         WHERE len > 1 AND w IN ('scan','merge','window','hash','join'))
+        |SELECT w AS term,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(sum(relpos_pm) // count(*) AS BIGINT) AS mean_relpos_pm,
+        |  (CAST(sum(CASE WHEN relpos_pm < 333 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS first_third_pm
+        |FROM hits GROUP BY w ORDER BY w""".stripMargin
+    ) { (s, d) =>
+      val terms = Seq("scan", "merge", "window", "hash", "join")
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")),
+          size(split(col("text"), " ")).as("len"))
+        .toDF("doc_id", "pos", "w", "len")
+      tok.filter(col("len") > 1 && col("w").isin(terms: _*))
+        .select(col("w"), expr("(1000 * pos) DIV (len - 1)").as("relpos_pm"))
+        .groupBy(col("w").as("term"))
+        .agg(count(lit(1)).as("n_occ"),
+          expr("sum(relpos_pm) DIV count(*)").as("mean_relpos_pm"),
+          expr("""(sum(CASE WHEN relpos_pm < 333 THEN 1 ELSE 0 END) * 1000)
+            | DIV count(*)""".stripMargin).as("first_third_pm"))
+        .orderBy("term")
     }
   )
 }
