@@ -1381,6 +1381,77 @@ object Analytics {
           expr("CAST(tsum DIV s AS BIGINT)").as("theil_e6"),
           expr("CAST(bsum DIV s AS BIGINT)").as("between_e6"),
           expr("CAST(tsum DIV s - bsum DIV s AS BIGINT)").as("within_e6"))
+    },
+
+    // R238 — correlation MATRIX in one pass: all pairwise Pearson
+    // correlations of (quantity, price, discount) from a SINGLE
+    // moments aggregate — the multi-metric version of q60's pairwise
+    // corr, and the shape a feature-selection step consumes. Nine
+    // exact sums (3 firsts, 3 squares, 3 cross-products) in
+    // decimal/HUGEINT, each correlation ONE identical-tree double of
+    // exact ints e6-rounded; the fact is touched ONCE for the entire
+    // matrix. Output: the 3 off-diagonal cells.
+    Q(
+      "q140_corr_matrix",
+      """WITH v AS (SELECT
+        |    CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS p,
+        |    CAST(round(l_discount*10000) AS BIGINT) AS dsc
+        |  FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+        |    CAST(sum(dsc) AS BIGINT) AS sd,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS qq,
+        |    CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS pp,
+        |    CAST(sum(CAST(dsc AS HUGEINT) * dsc) AS HUGEINT) AS dd,
+        |    CAST(sum(CAST(q AS HUGEINT) * p) AS HUGEINT) AS qp,
+        |    CAST(sum(CAST(q AS HUGEINT) * dsc) AS HUGEINT) AS qd,
+        |    CAST(sum(CAST(p AS HUGEINT) * dsc) AS HUGEINT) AS pd
+        |  FROM v)
+        |SELECT 'price' AS var_a, 'quantity' AS var_b,
+        |  CAST(round(1000000 * (CAST(n AS DOUBLE) * qp - CAST(sq AS DOUBLE) * sp)
+        |    / sqrt((CAST(n AS DOUBLE) * qq - CAST(sq AS DOUBLE) * sq)
+        |         * (CAST(n AS DOUBLE) * pp - CAST(sp AS DOUBLE) * sp))) AS BIGINT) AS corr_e6
+        |FROM m
+        |UNION ALL
+        |SELECT 'discount', 'quantity',
+        |  CAST(round(1000000 * (CAST(n AS DOUBLE) * qd - CAST(sq AS DOUBLE) * sd)
+        |    / sqrt((CAST(n AS DOUBLE) * qq - CAST(sq AS DOUBLE) * sq)
+        |         * (CAST(n AS DOUBLE) * dd - CAST(sd AS DOUBLE) * sd))) AS BIGINT)
+        |FROM m
+        |UNION ALL
+        |SELECT 'discount', 'price',
+        |  CAST(round(1000000 * (CAST(n AS DOUBLE) * pd - CAST(sp AS DOUBLE) * sd)
+        |    / sqrt((CAST(n AS DOUBLE) * pp - CAST(sp AS DOUBLE) * sp)
+        |         * (CAST(n AS DOUBLE) * dd - CAST(sd AS DOUBLE) * sd))) AS BIGINT)
+        |FROM m
+        |ORDER BY var_a, var_b""".stripMargin
+    ) { (s, d) =>
+      val v = Tables.lineitem(s, d).select(
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"),
+        round(col("l_discount") * 10000).cast("long").as("dsc"))
+      def dec(c: String) = expr(s"CAST($c AS DECIMAL(38,0))")
+      val m = v.agg(count(lit(1)).as("n"),
+        sum("q").as("sq"), sum("p").as("sp"), sum("dsc").as("sd"),
+        sum(dec("q") * col("q")).cast("decimal(38,0)").as("qq"),
+        sum(dec("p") * col("p")).cast("decimal(38,0)").as("pp"),
+        sum(dec("dsc") * col("dsc")).cast("decimal(38,0)").as("dd"),
+        sum(dec("q") * col("p")).cast("decimal(38,0)").as("qp"),
+        sum(dec("q") * col("dsc")).cast("decimal(38,0)").as("qd"),
+        sum(dec("p") * col("dsc")).cast("decimal(38,0)").as("pd"))
+        .localCheckpoint(true) // three correlation rows read it
+      def cell(a: String, b: String, sxy: String, sx: String, sy: String,
+               sxx: String, syy: String) =
+        m.select(lit(a).as("var_a"), lit(b).as("var_b"),
+          expr(s"""CAST(round(1000000 * (CAST(n AS DOUBLE) * $sxy - CAST($sx AS DOUBLE) * $sy)
+            | / sqrt((CAST(n AS DOUBLE) * $sxx - CAST($sx AS DOUBLE) * $sx)
+            |      * (CAST(n AS DOUBLE) * $syy - CAST($sy AS DOUBLE) * $sy))) AS BIGINT)"""
+            .stripMargin).as("corr_e6"))
+      cell("price", "quantity", "qp", "sq", "sp", "qq", "pp")
+        .unionByName(cell("discount", "quantity", "qd", "sq", "sd", "qq", "dd"))
+        .unionByName(cell("discount", "price", "pd", "sp", "sd", "pp", "dd"))
+        .orderBy("var_a", "var_b")
     }
   )
 }

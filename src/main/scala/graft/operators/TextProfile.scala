@@ -336,6 +336,60 @@ object TextProfile {
           expr("""(sum(CASE WHEN relpos_pm < 333 THEN 1 ELSE 0 END) * 1000)
             | DIV count(*)""".stripMargin).as("first_third_pm"))
         .orderBy("term")
+    },
+
+    // R239 — character-level entropy per source: the ORACLE-CHECKED
+    // compressibility proxy beside rows-only tx37 (DEFLATE ratios
+    // have no cross-engine oracle; char-unigram entropy bounds the
+    // same signal and is exact). Per-char counts come from 27
+    // scan-local replace-and-measure passes (a broadcast alphabet
+    // frame × length(text)−length(replace(text,ch,'')) — text never
+    // shuffles, no char explode); entropy is the tx27 quantize-once
+    // sum over (source, char) cells.
+    Q(
+      "tx53_char_entropy",
+      """WITH al AS (SELECT unnest(string_split(
+        |    'a b c d e f g h i j k l m n o p q r s t u v w x y z', ' ')) AS ch
+        |  UNION ALL SELECT ' '),
+        |cnt AS (
+        |  SELECT d.source, a.ch,
+        |    CAST(sum(length(d.text) - length(replace(d.text, a.ch, ''))) AS BIGINT) AS c
+        |  FROM documents d CROSS JOIN al a
+        |  GROUP BY 1, 2),
+        |nz AS (SELECT source, ch, c FROM cnt WHERE c > 0),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM nz GROUP BY 1)
+        |SELECT nz.source,
+        |  CAST(count(*) AS BIGINT) AS n_chars_used,
+        |  tot.t AS total_chars,
+        |  CAST(sum(nz.c * CAST(round(1000000 *
+        |    log2(CAST(tot.t AS DOUBLE) / nz.c)) AS BIGINT)) // tot.t AS BIGINT)
+        |    AS entropy_e6
+        |FROM nz JOIN tot ON nz.source = tot.source
+        |GROUP BY nz.source, tot.t ORDER BY nz.source""".stripMargin
+    ) { (s, d) =>
+      val alphabet = ("abcdefghijklmnopqrstuvwxyz".map(_.toString) :+ " ").toSeq
+      val al = alphabet.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+        (acc, ch) =>
+          val one = Tables.documents(s, d).sparkSession.range(1)
+            .select(lit(ch).as("ch"))
+          Some(acc.fold(one)(_ unionAll one))
+      }.get
+      val cnt = Tables.documents(s, d).select(col("source"), col("text"))
+        .crossJoin(broadcast(al))
+        .groupBy("source", "ch")
+        .agg(sum(length(col("text"))
+          - length(expr("replace(text, ch, '')"))).as("c"))
+      val nz = cnt.filter(col("c") > 0).localCheckpoint(true)
+      val tot = nz.groupBy("source").agg(sum("c").as("t"))
+      nz.join(broadcast(tot), "source")
+        .groupBy("source", "t")
+        .agg(count(lit(1)).as("n_chars_used"),
+          expr("""CAST(sum(c * CAST(round(1000000 *
+            | log2(CAST(t AS DOUBLE) / c)) AS BIGINT)) DIV t AS BIGINT)"""
+            .stripMargin).as("entropy_e6"))
+        .select(col("source"), col("n_chars_used"),
+          col("t").as("total_chars"), col("entropy_e6"))
+        .orderBy("source")
     }
   )
 }
