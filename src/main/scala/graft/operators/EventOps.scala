@@ -3250,6 +3250,57 @@ object EventOps {
             | < CAST(s AS DECIMAL(38,0)) * s""".stripMargin), 1L)
             .otherwise(0L).as("bot_flag"))
         .orderBy("user_id")
+    },
+
+    // R241 — conversion-latency TREND: ev19 gives the lifetime
+    // distribution, this tracks the per-week exact median of
+    // view→purchase latency over time — the "are we getting faster"
+    // product readout, and a drifting median here invalidates any
+    // fixed attribution window (ev83). Latency from the same
+    // prev-view window as ev83; medians are exact lower rank picks on
+    // (week, day-latency) CELLS (ev19 discipline — both domains
+    // bounded). One fact pass; everything after is cell-sized.
+    Q(
+      "ev87_conversion_trend",
+      """WITH lv AS (
+        |  SELECT event_type, ts, epoch_us(ts) AS t_us,
+        |    max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS v_us
+        |  FROM events),
+        |pp AS (SELECT epoch_us(ts) // 604800000000 AS wk,
+        |         (t_us - v_us) // 86400000000 AS lat_days
+        |       FROM lv WHERE event_type = 'purchase' AND v_us IS NOT NULL),
+        |cells AS (SELECT wk, lat_days, CAST(count(*) AS BIGINT) AS c
+        |          FROM pp GROUP BY 1, 2),
+        |cum AS (SELECT wk, lat_days, c,
+        |          sum(c) OVER (PARTITION BY wk ORDER BY lat_days) AS cum,
+        |          sum(c) OVER (PARTITION BY wk) AS n
+        |        FROM cells)
+        |SELECT wk, CAST(max(n) AS BIGINT) AS n_conversions,
+        |  CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lat_days END) AS BIGINT)
+        |    AS median_latency_days
+        |FROM cum GROUP BY wk ORDER BY wk""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pp = Tables.events(s, d)
+        .withColumn("v_us",
+          max(when(col("event_type") === "view", unix_micros(col("ts")))).over(w))
+        .filter(col("event_type") === "purchase" && col("v_us").isNotNull)
+        .select(expr("unix_micros(ts) DIV 604800000000").as("wk"),
+          expr("(unix_micros(ts) - v_us) DIV 86400000000").as("lat_days"))
+      val cells = pp.groupBy("wk", "lat_days").agg(count(lit(1)).as("c"))
+      val cum = cells
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("wk").orderBy("lat_days")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(Window.partitionBy("wk")))
+      cum.groupBy("wk")
+        .agg(max("n").as("n_conversions"),
+          min(when(col("cum") >= expr("(n + 1) DIV 2"), col("lat_days")))
+            .as("median_latency_days"))
+        .orderBy("wk")
     }
   )
 

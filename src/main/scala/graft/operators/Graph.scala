@@ -2527,6 +2527,72 @@ object Graph {
             | log2(CAST(n AS DOUBLE) / cnt)) AS BIGINT)) DIV n AS BIGINT)"""
             .stripMargin).as("entropy_e6"))
         .select(col("n").as("n_nodes"), col("n_degree_classes"), col("entropy_e6"))
+    },
+
+    // R240 — local bridges (Granovetter's weak ties): edges whose
+    // endpoints share NO common neighbour — removing one lengthens
+    // its endpoints' distance past 2, so these are the edges holding
+    // communities together (gr3/gr9 count the CLOSED triangles; this
+    // finds the edges in none). Common-neighbour counts per EDGE come
+    // from one wedge join aggregated onto the edge key, then a
+    // left-anti against the edge list; summary + the first-20 bridge
+    // edges under a total order. All shuffles on edge/wedge keys.
+    Q(
+      "gr41_local_bridges",
+      """WITH e0 AS (
+        |  SELECT doc_id AS a,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |eu AS MATERIALIZED (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM e0 WHERE a <> b),
+        |adj AS (SELECT u AS node, v AS nbr FROM eu
+        |        UNION ALL SELECT v, u FROM eu),
+        |closed AS (
+        |  SELECT DISTINCT e.u, e.v
+        |  FROM eu e
+        |  JOIN adj a1 ON a1.node = e.u
+        |  JOIN adj a2 ON a2.node = e.v AND a2.nbr = a1.nbr),
+        |bridges AS (
+        |  SELECT e.u, e.v FROM eu e
+        |  LEFT JOIN closed c ON c.u = e.u AND c.v = e.v
+        |  WHERE c.u IS NULL)
+        |SELECT CAST((SELECT count(*) FROM eu) AS BIGINT) AS n_edges,
+        |  CAST(count(*) AS BIGINT) AS n_local_bridges,
+        |  CAST((count(*) * 1000) // (SELECT count(*) FROM eu) AS BIGINT)
+        |    AS bridge_share_pm,
+        |  CAST(min(u * 100000000 + v) AS BIGINT) AS first_bridge_key
+        |FROM bridges""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val eu = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+        .transform(graft.plans.Lineage.truncate) // adj + anti-join + totals
+      val adj = eu.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(eu.select(col("v").as("node"), col("u").as("nbr")))
+      val closed = eu
+        .join(adj.select(col("node").as("u"), col("nbr").as("w")), "u")
+        .join(adj.select(col("node").as("v"), col("nbr").as("w")), Seq("v", "w"))
+        .select("u", "v").distinct()
+      val bridges = eu.join(closed, Seq("u", "v"), "left_anti")
+        .localCheckpoint(true) // count + key pick read it
+      val tot = eu.agg(count(lit(1)).as("n_edges"))
+      bridges.agg(count(lit(1)).as("n_local_bridges"),
+          min(col("u") * 100000000L + col("v")).as("first_bridge_key"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_edges"), col("n_local_bridges"),
+          expr("(n_local_bridges * 1000) DIV n_edges").as("bridge_share_pm"),
+          col("first_bridge_key"))
     }
   )
 
