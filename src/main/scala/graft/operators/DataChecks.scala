@@ -663,6 +663,35 @@ object DataChecks {
           coalesce(col("worst"), lit("")).as("worst_value"),
           when(col("n_bad") === 0, 1L).otherwise(0L).as("conforms"))
         .orderBy("col")
+    },
+
+    // R243 — derived-column consistency: documents carries BOTH the
+    // text and a precomputed n_chars — do they still agree, or has a
+    // transform updated one and not the other (the classic
+    // denormalization drift ETL introduces). Per source: mismatches,
+    // the worst absolute deviation, and a conformance verdict — all
+    // from one scan-local comparison, no shuffle of text.
+    Q(
+      "dq10_derived_consistency",
+      """SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mismatch,
+        |  CAST(max(abs(length(text) - n_chars)) AS BIGINT) AS max_abs_diff,
+        |  CASE WHEN sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) = 0
+        |       THEN 1 ELSE 0 END AS conforms
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L))
+            .as("n_mismatch"),
+          max(abs(length(col("text")).cast("long") - col("n_chars")))
+            .as("max_abs_diff"))
+        .withColumn("conforms",
+          when(col("n_mismatch") === 0, 1L).otherwise(0L))
+        .orderBy("source")
     }
   )
 }

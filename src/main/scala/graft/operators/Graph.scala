@@ -2593,6 +2593,70 @@ object Graph {
         .select(col("n_edges"), col("n_local_bridges"),
           expr("(n_local_bridges * 1000) DIV n_edges").as("bridge_share_pm"),
           col("first_bridge_key"))
+    },
+
+    // R242 — numeric-attribute assortativity: Pearson correlation of
+    // (x_u, x_v) over the DOUBLED edge list (symmetrization makes the
+    // two marginals identical, the standard convention) for the
+    // n_chars signal — completing the assortativity family: gr10 by
+    // degree, gr30 by category, this by numeric attribute; gr37's
+    // smoothness is its energy-form cousin but reads dispersion, not
+    // linear association. Exact decimal/HUGEINT moments off two
+    // signal joins, one identical-tree double e6-rounded.
+    Q(
+      "gr42_attr_assortativity",
+      """WITH e0 AS (
+        |  SELECT doc_id AS a,
+        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |eu AS MATERIALIZED (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM e0 WHERE a <> b),
+        |de AS (SELECT u, v FROM eu UNION ALL SELECT v, u FROM eu),
+        |x AS (SELECT doc_id, n_chars AS x FROM documents),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xu.x) AS BIGINT) AS sx,
+        |    CAST(sum(xv.x) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(xu.x AS HUGEINT) * xu.x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(xv.x AS HUGEINT) * xv.x) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(xu.x AS HUGEINT) * xv.x) AS HUGEINT) AS sxy
+        |  FROM de JOIN x xu ON de.u = xu.doc_id
+        |          JOIN x xv ON de.v = xv.doc_id)
+        |SELECT n AS n_directed_edges,
+        |  CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)
+        |    AS assortativity_e6
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val n = docs.count()
+      def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
+        ((col("doc_id") * mult + add) % n).as("b"))
+      val eu = es(7, 13).unionByName(es(3, 5)).unionByName(es(11, 2))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")).distinct()
+      val de = eu.unionByName(eu.select(col("v").as("u"), col("u").as("v")))
+      val x = docs.select(col("doc_id"), col("n_chars").as("x"))
+      val m = de
+        .join(x.select(col("doc_id").as("u"), col("x").as("xu")), "u")
+        .join(x.select(col("doc_id").as("v"), col("x").as("xv")), "v")
+        .agg(count(lit(1)).as("n"),
+          sum("xu").as("sx"), sum("xv").as("sy"),
+          sum(expr("CAST(xu AS DECIMAL(38,0)) * xu")).cast("decimal(38,0)").as("sxx"),
+          sum(expr("CAST(xv AS DECIMAL(38,0)) * xv")).cast("decimal(38,0)").as("syy"),
+          sum(expr("CAST(xu AS DECIMAL(38,0)) * xv")).cast("decimal(38,0)").as("sxy"))
+      m.select(col("n").as("n_directed_edges"),
+        expr("""CAST(round(1000000 * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          | / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)"""
+          .stripMargin).as("assortativity_e6"))
     }
   )
 
