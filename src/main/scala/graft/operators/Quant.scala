@@ -269,6 +269,53 @@ object Quant {
         min("gap").as("min_gap_c"))
     },
 
+    // R244 — I-MR (individuals & moving-range) control chart, the
+    // third SPC chart beside q122's p-chart (proportions) and ev52's
+    // EWMA (smoothed means): limits x̄ ± 2.66·M̄R from the mean moving
+    // range, the chart for single observations per period. Entirely
+    // integer: the breach test |x·n − S|·m·1000 > 2660·n·ΣMR
+    // cross-multiplies the 2.66 constant away (products in
+    // decimal/HUGEINT); MR from one lag on the day spine; monthly
+    // breach rollup spine-sized.
+    Q(
+      "q141_xmr_chart",
+      """WITH dc AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |mr AS (SELECT d, x,
+        |         abs(x - lag(x) OVER (ORDER BY d)) AS mr FROM dc),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |        CAST(count(mr) AS BIGINT) AS m, CAST(sum(mr) AS BIGINT) AS smr
+        |      FROM mr),
+        |b AS (SELECT CAST(year(d)*100 + month(d) AS BIGINT) AS ym,
+        |        CASE WHEN CAST(abs(x * g.n - g.s) AS HUGEINT) * g.m * 1000
+        |                  > 2660 * CAST(g.n AS HUGEINT) * g.smr
+        |             THEN 1 ELSE 0 END AS breach
+        |      FROM mr, g)
+        |SELECT ym, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(breach) AS BIGINT) AS n_breach
+        |FROM b GROUP BY ym ORDER BY ym""".stripMargin
+    ) { (s, d) =>
+      val dc = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      // day-spine window: bounded by the date domain, not the fact
+      val mr = dc.withColumn("mr",
+        abs(col("x") - lag("x", 1).over(Window.orderBy("d"))))
+        .localCheckpoint(true) // limits frame + breach pass read it
+      val g = mr.agg(count(lit(1)).as("n"), sum("x").as("s"),
+        count("mr").as("m"), sum("mr").as("smr"))
+      mr.crossJoin(broadcast(g))
+        .select((year(col("d")) * 100 + month(col("d"))).cast("long").as("ym"),
+          when(expr("""CAST(abs(x * n - s) AS DECIMAL(38,0)) * m * 1000
+            | > 2660 * CAST(n AS DECIMAL(38,0)) * smr""".stripMargin), 1L)
+            .otherwise(0L).as("breach"))
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n_days"), sum("breach").as("n_breach"))
+        .orderBy("ym")
+    },
+
     // R182 — p-chart (SPC for PROPORTIONS, beside ev52's EWMA on
     // means): monthly return RATE vs 3σ binomial limits around the
     // grand rate, sqrt-free — (r/n − R/N)² > 9·(R/N)(1−R/N)/n cross-

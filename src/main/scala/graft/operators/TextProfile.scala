@@ -390,6 +390,35 @@ object TextProfile {
         .select(col("source"), col("n_chars_used"),
           col("t").as("total_chars"), col("entropy_e6"))
         .orderBy("source")
+    },
+
+    // R245 — hapax-legomena ratio per source: the share of a source's
+    // vocabulary that appears exactly once (within the source) — the
+    // classic lexical-richness statistic (a high hapax share means the
+    // vocabulary hasn't saturated and tx22's growth curve is still
+    // climbing; near-zero means templated text). One explode pass to
+    // (source, term) cells, two dimension-sized aggregates.
+    Q(
+      "tx54_hapax_ratio",
+      """WITH tf AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cf FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  (CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+        |    // CAST(count(*) AS BIGINT) AS hapax_pm
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cf"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("cf") === 1, 1L).otherwise(0L)).as("hapax"))
+        .withColumn("hapax_pm", expr("(hapax * 1000) DIV vocab"))
+        .orderBy("source")
     }
   )
 }
