@@ -1452,6 +1452,58 @@ object Analytics {
         .unionByName(cell("discount", "quantity", "qd", "sq", "sd", "qq", "dd"))
         .unionByName(cell("discount", "price", "pd", "sp", "sd", "pp", "dd"))
         .orderBy("var_a", "var_b")
+    },
+
+    // R246 — Benford conformance χ² (the TEST on top of q84's
+    // profile): observed leading-digit counts against the Benford
+    // expectation, with the nine log10(1+1/d) probabilities embedded
+    // as e6 integer constants (libm log10 never runs at query time on
+    // either engine). Each χ² term (o·10⁶ − n·p_e6)² DIV (n·p_e6) is
+    // e6-floor-quantized in decimal/HUGEINT (the dq8 recipe — the
+    // squared term passes 2⁶³), summed exactly; the verdict compares
+    // to the e6-scaled χ²₈ 95% critical value. One fact pass to 9
+    // digit cells.
+    Q(
+      "q142_benford_chi",
+      """WITH dg AS (SELECT substring(CAST(CAST(round(l_extendedprice*100) AS BIGINT)
+        |                     AS VARCHAR), 1, 1) AS digit
+        |            FROM lineitem),
+        |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS o FROM dg GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |exp AS (SELECT * FROM (VALUES
+        |  ('1', 301030), ('2', 176091), ('3', 124939), ('4', 96910),
+        |  ('5', 79181), ('6', 66947), ('7', 57992), ('8', 51153),
+        |  ('9', 45757)) AS t(digit, p_e6)),
+        |term AS (SELECT
+        |    CAST((CAST(o.o * 1000000 - n.n * exp.p_e6 AS HUGEINT)
+        |          * (o.o * 1000000 - n.n * exp.p_e6))
+        |         // (CAST(n.n AS HUGEINT) * exp.p_e6) AS BIGINT) AS t_e6
+        |  FROM exp JOIN o ON o.digit = exp.digit CROSS JOIN n)
+        |SELECT (SELECT n FROM n) AS n_values,
+        |  CAST(sum(t_e6) AS BIGINT) AS chisq_e6,
+        |  CASE WHEN sum(t_e6) <= 15507000 THEN 1 ELSE 0 END AS conforms_95
+        |FROM term""".stripMargin
+    ) { (s, d) =>
+      val dg = Tables.lineitem(s, d).select(
+        substring(round(col("l_extendedprice") * 100).cast("long").cast("string"),
+          1, 1).as("digit"))
+      val o = dg.groupBy("digit").agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // total + terms read it
+      val n = o.agg(sum("o").as("n"))
+      val expFrame = Seq(("1", 301030L), ("2", 176091L), ("3", 124939L),
+        ("4", 96910L), ("5", 79181L), ("6", 66947L), ("7", 57992L),
+        ("8", 51153L), ("9", 45757L))
+      import s.implicits._
+      val exp0 = expFrame.toDF("digit", "p_e6")
+      val term = broadcast(exp0).join(o, "digit").crossJoin(broadcast(n))
+        .select(expr("""CAST((CAST(o * 1000000 - n * p_e6 AS DECIMAL(38,0))
+          |  * (o * 1000000 - n * p_e6))
+          | DIV (CAST(n AS DECIMAL(38,0)) * p_e6) AS BIGINT)""".stripMargin)
+          .as("t_e6"))
+      term.crossJoin(broadcast(n))
+        .agg(max("n").as("n_values"), sum("t_e6").as("chisq_e6"))
+        .withColumn("conforms_95",
+          when(col("chisq_e6") <= 15507000L, 1L).otherwise(0L))
     }
   )
 }
