@@ -1504,6 +1504,55 @@ object Analytics {
         .agg(max("n").as("n_values"), sum("t_e6").as("chisq_e6"))
         .withColumn("conforms_95",
           when(col("chisq_e6") <= 15507000L, 1L).otherwise(0L))
+    },
+
+    // R247 — Bowley (quartile) skewness per segment: the robust
+    // skewness a moment-based estimate can't give on heavy tails —
+    // (Q1 + Q3 − 2·Q2)/(Q3 − Q1), all three quartiles exact ceil-rank
+    // picks on (segment, orders-per-customer) CELLS (q126's CI
+    // machinery extended to Q1/Q3), the ratio one permille floor DIV
+    // NULL-guarded on a degenerate IQR. One customer-keyed aggregate;
+    // windows cell-bounded.
+    Q(
+      "q143_bowley_skew",
+      """WITH oc AS (
+        |  SELECT o_custkey AS ck, c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS k
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |cells AS (SELECT seg, k, CAST(count(*) AS BIGINT) AS c FROM oc GROUP BY 1, 2),
+        |cum AS (SELECT seg, k, c,
+        |          sum(c) OVER (PARTITION BY seg ORDER BY k) AS cum,
+        |          sum(c) OVER (PARTITION BY seg) AS n
+        |        FROM cells),
+        |pick AS (SELECT seg, CAST(max(n) AS BIGINT) AS n,
+        |           min(CASE WHEN cum * 4 >= n THEN k END) AS q1,
+        |           min(CASE WHEN cum * 2 >= n THEN k END) AS q2,
+        |           min(CASE WHEN cum * 4 >= 3 * n THEN k END) AS q3
+        |         FROM cum GROUP BY seg)
+        |SELECT seg, n, q1, q2, q3,
+        |  CASE WHEN q3 = q1 THEN NULL
+        |       ELSE ((q1 + q3 - 2*q2) * 1000) // (q3 - q1) END AS bowley_pm
+        |FROM pick ORDER BY seg""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val oc = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey").as("ck"), col("seg"))
+        .agg(count(lit(1)).as("k"))
+      val cum = oc.groupBy("seg", "k").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(Window.partitionBy("seg").orderBy("k")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum("c").over(Window.partitionBy("seg")))
+      cum.groupBy("seg").agg(
+          max("n").as("n"),
+          min(when(col("cum") * 4 >= col("n"), col("k"))).as("q1"),
+          min(when(col("cum") * 2 >= col("n"), col("k"))).as("q2"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("k"))).as("q3"))
+        .withColumn("bowley_pm",
+          when(col("q3") === col("q1"), lit(null))
+            .otherwise(expr("((q1 + q3 - 2*q2) * 1000) DIV (q3 - q1)")))
+        .orderBy("seg")
     }
   )
 }

@@ -3301,6 +3301,71 @@ object EventOps {
           min(when(col("cum") >= expr("(n + 1) DIV 2"), col("lat_days")))
             .as("median_latency_days"))
         .orderBy("wk")
+    },
+
+    // R248 — intraday peak-share (load concentration per day): what
+    // share of each day's traffic lands in its single busiest hour —
+    // flat days provision easily, spiky days don't (the per-day
+    // complement of ev79's global η²). Peak share is one max/sum per
+    // day over hour cells; the summary row reports the mean, the
+    // worst day under a deterministic composed tie key (q136's
+    // discipline), and the spiky-day count (>p90-share via a rank
+    // pick on day cells).
+    Q(
+      "ev88_peak_share",
+      """WITH hc AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+        |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |dd AS (SELECT dy, CAST(max(c) AS BIGINT) AS peak,
+        |         CAST(sum(c) AS BIGINT) AS tot
+        |       FROM hc GROUP BY 1),
+        |sh AS (SELECT dy, (peak * 1000) // tot AS share_pm,
+        |         CAST(date_diff('day', DATE '1970-01-01', CAST(dy AS DATE))
+        |              AS BIGINT) AS ed
+        |       FROM dd),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh),
+        |rk AS (SELECT share_pm, row_number() OVER (ORDER BY share_pm, ed) AS rn
+        |       FROM sh),
+        |p90 AS (SELECT min(share_pm) AS p90 FROM rk, n
+        |        WHERE rn >= (9*n.n + 9) // 10)
+        |SELECT n.n AS n_days,
+        |  CAST((SELECT sum(share_pm) // count(*) FROM sh) AS BIGINT)
+        |    AS mean_share_pm,
+        |  (SELECT max(share_pm) FROM sh) AS max_share_pm,
+        |  (SELECT max_by(dy, share_pm * 100000 + ed) FROM sh) AS worst_day,
+        |  CAST((SELECT count(*) FROM sh, p90 WHERE share_pm >= p90) AS BIGINT)
+        |    AS n_spiky_days
+        |FROM n""".stripMargin
+    ) { (s, d) =>
+      val hc = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("dy"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("c"))
+      val sh = hc.groupBy("dy")
+        .agg(max("c").as("peak"), sum("c").as("tot"))
+        .select(col("dy"),
+          expr("(peak * 1000) DIV tot").as("share_pm"),
+          datediff(to_date(col("dy")), to_date(lit("1970-01-01")))
+            .cast("long").as("ed"))
+        .localCheckpoint(true) // rank pick + all summary readouts
+      val n = sh.agg(count(lit(1)).as("n"))
+      // day-cell rank window: bounded by the date domain
+      val rk = sh.withColumn("rn",
+        row_number().over(Window.orderBy("share_pm", "ed")).cast("long"))
+      val p90 = rk.crossJoin(broadcast(n))
+        .filter(col("rn") >= expr("(9*n + 9) DIV 10"))
+        .agg(min("share_pm").as("p90"))
+      val summary = sh.crossJoin(broadcast(p90)).agg(
+        count(lit(1)).as("n_days"),
+        expr("sum(share_pm) DIV count(*)").as("mean_share_pm"),
+        max("share_pm").as("max_share_pm"),
+        expr("max_by(dy, share_pm * 100000 + ed)").as("worst_day"),
+        sum(when(col("share_pm") >= col("p90"), 1L).otherwise(0L))
+          .as("n_spiky_days"))
+      summary.select("n_days", "mean_share_pm", "max_share_pm",
+        "worst_day", "n_spiky_days")
     }
   )
 
