@@ -983,10 +983,12 @@ object Analytics {
     // GLOBALLY here) is the table stocking policy is actually read off
     // (AX = automate, CZ = make-to-order). Both classifications reuse
     // their entries' exact integer machinery — ABC via prior-row
-    // cumulative cross-multiplies over the PART-sized rank window
-    // (dimension-bounded), XYZ via the variance-identity
-    // cross-multiplies with absent months as exact zeros. One fact
-    // aggregate; every later frame part-sized.
+    // cumulative cross-multiplies under the (rev desc, partkey) total
+    // order, computed BLOCKED (Blocked.cumulative: the part frame scales
+    // with the data, so the global running sum is range-partitioned
+    // two-level, never one WindowExec task); XYZ via the
+    // variance-identity cross-multiplies with absent months as exact
+    // zeros. One fact aggregate; every later frame part-sized.
     Q(
       "q114_abc_xyz_cross",
       """WITH pm AS (
@@ -1033,12 +1035,14 @@ object Analytics {
       val ps = pm.groupBy("l_partkey")
         .agg(sum("q").as("s"), sum(dec(col("q")) * col("q")).as("q2"),
           sum("rev").as("rev"))
-      // the rank window runs on the PART frame — dimension-bounded
-      val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
-      val w = ps
-        .withColumn("cum", sum("rev").over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("rev").over(Window.partitionBy()))
+      // the part frame scales WITH the data (~200k×SF) — the global
+      // cumulative runs BLOCKED (range-partitioned two-level form), not
+      // through one WindowExec task; the grand total is a broadcast scalar
+      val tot = ps.agg(sum("rev").as("total"))
+      val w = Blocked.cumulative(ps,
+          Seq(col("rev").desc, col("l_partkey")), Seq("rev"))
+        .withColumnRenamed("cum_rev", "cum")
+        .crossJoin(broadcast(tot))
       w.crossJoin(broadcast(h))
         .select(col("l_partkey"), col("rev"),
           when(lit(5) * (col("cum") - col("rev")) < lit(4) * col("total"), "A")
@@ -1061,9 +1065,10 @@ object Analytics {
     // arithmetic on the rank — ((rn−1)·10) DIV n + 1 under the
     // (spend, custkey) total order — so every engine cuts the same
     // customers; cumulative permilles are floor DIVs on the 10-row
-    // decile frame. Scale: one fact aggregate to customer spend, the
-    // rank window is customer-dimension-bounded, everything after is
-    // 10 rows.
+    // decile frame. Scale: one fact aggregate to customer spend; the
+    // global rank runs BLOCKED (Blocked.cumulative — the customer frame
+    // scales with the data); everything after is 10 rows, cumulated via
+    // a triangular broadcast join so no unpartitioned window remains.
     Q(
       "q123_lorenz",
       """WITH sp AS (
@@ -1088,26 +1093,28 @@ object Analytics {
         |  CAST((cum_rev * 1000) // tot_rev AS BIGINT) AS cum_rev_pm
         |FROM cum ORDER BY decile""".stripMargin
     ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val sp = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("ck"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       val n = sp.agg(count(lit(1)).as("n"))
-      // customer-dimension rank window (dimension-bounded, q105's class)
-      val rk = sp.withColumn("rn",
-        row_number().over(Window.orderBy("cents", "ck")).cast("long"))
+      // customer frame scales with the data — the global rank runs BLOCKED
+      // (range-partitioned two-level row_number), never one WindowExec task
+      val rk = Blocked.cumulative(sp, Seq(col("cents"), col("ck")), Nil,
+        rn = Some("rn"))
       val agg = rk.crossJoin(broadcast(n))
         .select(expr("((rn - 1) * 10) DIV n + 1").as("decile"), col("cents"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_cust"), sum("cents").as("rev_c"))
-      val wc = Window.orderBy("decile")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wt = Window.partitionBy()
-      agg
-        .withColumn("cum_cust", sum("n_cust").over(wc))
-        .withColumn("cum_rev", sum("rev_c").over(wc))
-        .withColumn("tot_cust", sum("n_cust").over(wt))
-        .withColumn("tot_rev", sum("rev_c").over(wt))
+        .localCheckpoint(true) // triangular cum + totals both read it
+      // cumulative over the 10-row decile frame: triangular broadcast join
+      // (no unpartitioned window anywhere in this plan)
+      val prev = agg.select(col("decile").as("d2"), col("n_cust").as("nc2"),
+        col("rev_c").as("rc2"))
+      val tot = agg.agg(sum("n_cust").as("tot_cust"), sum("rev_c").as("tot_rev"))
+      agg.join(broadcast(prev), col("d2") <= col("decile"))
+        .groupBy("decile", "n_cust", "rev_c")
+        .agg(sum("nc2").as("cum_cust"), sum("rc2").as("cum_rev"))
+        .crossJoin(broadcast(tot))
         .select(col("decile"), col("n_cust"), col("rev_c"),
           expr("(cum_cust * 1000) DIV tot_cust").as("cum_pop_pm"),
           expr("(cum_rev * 1000) DIV tot_rev").as("cum_rev_pm"))

@@ -1461,9 +1461,10 @@ object MlEval {
       val pop = li.join(tr, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("l_partkey").as("pk"))
         .agg(countDistinct("o_custkey").as("cnt"))
-      val topk = pop
-        .withColumn("rn", row_number().over(Window.orderBy(desc("cnt"), col("pk"))))
-        .filter(col("rn") <= 25).select("pk")
+      // top-25 via TakeOrderedAndProject (k rows per map task), not an
+      // unpartitioned row_number over the part-sized frame — same
+      // (cnt DESC, pk) total order, so the oracle's rank pick is identical
+      val topk = pop.orderBy(desc("cnt"), col("pk")).limit(25).select("pk")
       val tu = li.join(te, col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_partkey").as("pk")).distinct()
       val users = tu.join(broadcast(topk.withColumn("intop", lit(1))), Seq("pk"), "left")
