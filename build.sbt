@@ -35,5 +35,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // A 446-query sweep generates thousands of whole-stage-codegen classes;
+  // the JDK default 240 MB reserved code cache fills mid-sweep, the JIT
+  // stops compiling, and every later query pays a 20-40% deopt tax (the
+  // r5 headline regression pattern: shuffle-bearing queries slowed
+  // uniformly while trivial ones held flat). Size the cache for the
+  // sweep; 1 GB is reservation, not allocation.
+  "-XX:ReservedCodeCacheSize=1g",
 )

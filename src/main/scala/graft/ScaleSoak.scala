@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   *    replica carries the original's internal dup structure). The
   *    hot-bucket saturated cases (everything-is-a-dup) stay covered by
   *    ScaleProbe's dedicated shapes — this soak measures organic growth.
-  *  - embeddings: ids shifted, vectors epsilon-rotated per replica
+  *  - embeddings: ids shifted, vectors epsilon-shifted per replica (constant per-component offset)
   *    (deterministic), so ANN corpus cardinality really grows.
   *  - events/orders/lineitem: key-shifted copies (ScaleProbe's model).
   *  - dims (nation/region/customer/supplier/part): copied as-is — dims
@@ -66,7 +66,7 @@ object ScaleSoak {
           .withColumn("embedding",
             if (i == 0) col("embedding")
             else transform(col("embedding"),
-              x => x * lit(1.0f) + lit(i * 0.0017f)))
+              x => x + lit(i * 0.0017f)))
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 

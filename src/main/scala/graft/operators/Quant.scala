@@ -33,17 +33,22 @@ object Quant {
 
   val catalog: Seq[Q] = Seq(
     // R161 — monthly OHLC bars. open/close are min_by/max_by under a
-    // SINGLE-COLUMN total order (epoch-day·10^10 + orderkey — unique, so
+    // SINGLE-COLUMN total order (epoch-day·10^12 + orderkey — unique, so
     // the pick is deterministic on both engines without struct-compare
-    // semantics). One fact aggregate straight to month cells: no window,
-    // no second pass, map-side combinable min_by/max_by partials.
+    // semantics). The composed key is DECIMAL(38,0)/HUGEINT, not BIGINT:
+    // at the 100 TB scale this repo targets, orderkeys exceed 10^10 and a
+    // 64-bit key would interleave day boundaries (identically on both
+    // engines, so the oracle could not catch it) — the 128-bit key keeps
+    // the order correct for any orderkey < 10^12. One fact aggregate
+    // straight to month cells: no window, no second pass, map-side
+    // combinable min_by/max_by partials.
     Q(
       "q115_ohlc",
       """WITH o AS (
         |  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-        |         AS BIGINT)*10000000000 + o_orderkey AS skey
+        |         AS HUGEINT)*1000000000000 + o_orderkey AS skey
         |  FROM orders)
         |SELECT ym,
         |  min_by(cents, skey) AS open_c,
@@ -59,7 +64,8 @@ object Quant {
           .cast("long").as("ym"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         (datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
-          .cast("long") * 10000000000L + col("o_orderkey")).as("skey"))
+          .cast("decimal(38,0)") * lit(1000000000000L) + col("o_orderkey"))
+          .as("skey"))
       o.groupBy("ym")
         .agg(
           expr("min_by(cents, skey)").as("open_c"),
@@ -225,7 +231,7 @@ object Quant {
         |  SELECT CAST(o_orderdate AS DATE) AS d,
         |    CAST(round(o_totalprice*100) AS BIGINT) AS cents,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
-        |         AS BIGINT)*10000000000 + o_orderkey AS skey
+        |         AS HUGEINT)*1000000000000 + o_orderkey AS skey
         |  FROM orders),
         |bar AS (SELECT d, min_by(cents, skey) AS open_c, max_by(cents, skey) AS close_c
         |        FROM o GROUP BY d),
@@ -247,7 +253,8 @@ object Quant {
         to_date(col("o_orderdate")).as("d"),
         round(col("o_totalprice") * 100).cast("long").as("cents"),
         (datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01")))
-          .cast("long") * 10000000000L + col("o_orderkey")).as("skey"))
+          .cast("decimal(38,0)") * lit(1000000000000L) + col("o_orderkey"))
+          .as("skey"))
       val bar = o.groupBy("d")
         .agg(expr("min_by(cents, skey)").as("open_c"),
           expr("max_by(cents, skey)").as("close_c"))

@@ -15,7 +15,10 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - `cartesian-product`   O(n·m) join (CartesianProduct / unconditioned
   *                          nested-loop) — warn
   *  - `global-window`       WindowExec with an empty partitionSpec: every
-  *                          row through ONE reducer — warn
+  *                          row through ONE reducer — warn, UNLESS the
+  *                          input frame is statically bounded (post-limit
+  *                          subtree maxRows / CBO row count <= 100k): the
+  *                          bounded-spine class is info
   *  - `missed-broadcast`    shuffle join whose smaller input is under the
   *                          broadcast threshold by the optimizer's own
   *                          estimate — warn
@@ -71,8 +74,20 @@ object PlanLint {
             s"unconditioned nested-loop join with unbounded build side: " +
               b.simpleStringWithNodeId())
       case w: WindowExec if w.partitionSpec.isEmpty =>
-        out += Finding("global-window", "warn",
-          "window with no PARTITION BY funnels all rows into one task")
+        // post-limit frames (maxRows from a Limit/Aggregate-on-literals
+        // subtree) and CBO/AQE row-counted small frames are the blessed
+        // bounded-spine class — report them as info so the warn set only
+        // carries frames that scale WITH the data (the ones to rewrite
+        // onto Blocked.cumulative's two-level form)
+        val bound = maxRowsOf(w.child)
+          .orElse(rowCountOf(w.child).map(_.toLong))
+        if (bound.exists(_ <= 100000))
+          out += Finding("global-window", "info",
+            s"single-partition window over a statically bounded frame " +
+              s"(<= ${bound.get} rows)")
+        else
+          out += Finding("global-window", "warn",
+            "window with no PARTITION BY funnels all rows into one task")
       case j: SortMergeJoinExec =>
         checkMissedBroadcast(j, j.joinType, j.left, j.right, threshold, out)
       case j: ShuffledHashJoinExec =>
@@ -162,6 +177,13 @@ object PlanLint {
   private def maxRowsOf(p: SparkPlan): Option[Long] =
     p.logicalLink.flatMap(_.maxRows)
       .orElse(p.children.headOption.flatMap(maxRowsOf))
+
+  /** Estimated row count when statistics carry one (CBO-analyzed tables,
+    * AQE runtime stats) — the spine-whitelist fallback when no static
+    * maxRows exists. */
+  private def rowCountOf(p: SparkPlan): Option[BigInt] =
+    p.logicalLink.flatMap(_.stats.rowCount)
+      .orElse(p.children.headOption.flatMap(rowCountOf))
 
   /** True when no warn-severity finding fires — the CI-gate form. */
   def clean(df: DataFrame): Boolean = lint(df).forall(_.severity != "warn")

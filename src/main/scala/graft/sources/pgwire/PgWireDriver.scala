@@ -97,31 +97,75 @@ object PgWireDriver {
     case other => other.toString // Int/Long/Short/Byte/Float/Double/BigInt
   }
 
-  /** Substitute rendered literals for the '?' placeholders (quote-aware:
-    * a '?' inside a string literal is data, not a parameter). */
-  private def render(sql: String, params: Array[AnyRef]): String = {
-    val out = new java.lang.StringBuilder
-    var i = 0; var p = 0; var inStr = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'') { inStr = !inStr; out.append(c) }
-      else if (c == '?' && !inStr) { out.append(literal(params(p))); p += 1 }
-      else out.append(c)
-      i += 1
+  /** Positions of the top-level '?' placeholders. The scanner skips every
+    * PostgreSQL lexical context where '?' is data, not a parameter:
+    * single-quoted strings ('' doubling), E'' strings (backslash escapes),
+    * `--` line comments, nested block comments, and $tag$ dollar-quoted
+    * strings. An unterminated construct swallows the rest of the
+    * statement — the same failure mode the server itself would report. */
+  private[graft] def paramPositions(sql: String): Seq[Int] = {
+    val n = sql.length
+    def isIdent(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def skipQuoted(start: Int, escaped: Boolean): Int = {
+      var i = start + 1 // past the opening quote
+      while (i < n) {
+        val c = sql.charAt(i)
+        if (escaped && c == '\\') i += 2
+        else if (c == '\'' && i + 1 < n && sql.charAt(i + 1) == '\'') i += 2
+        else if (c == '\'') return i + 1
+        else i += 1
+      }
+      n
     }
-    out.toString
+    def skipBlock(start: Int): Int = { // PG block comments NEST
+      var i = start + 2; var depth = 1
+      while (i < n && depth > 0) {
+        if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+          depth += 1; i += 2
+        } else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+          depth -= 1; i += 2
+        } else i += 1
+      }
+      i
+    }
+    def skipDollar(start: Int): Int = {
+      var j = start + 1
+      while (j < n && isIdent(sql.charAt(j))) j += 1
+      if (j < n && sql.charAt(j) == '$') { // a real $tag$ opener
+        val tag = sql.substring(start, j + 1)
+        val close = sql.indexOf(tag, j + 1)
+        if (close < 0) n else close + tag.length
+      } else start + 1 // lone '$' — plain char
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') i = skipQuoted(i, escaped = false)
+      else if ((c == 'E' || c == 'e') && i + 1 < n && sql.charAt(i + 1) == '\'' &&
+               (i == 0 || !isIdent(sql.charAt(i - 1)))) i = skipQuoted(i + 1, escaped = true)
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') i = skipBlock(i)
+      else if (c == '$') i = skipDollar(i)
+      else { if (c == '?') out += i; i += 1 }
+    }
+    out.toSeq
   }
 
-  private def countParams(sql: String): Int = {
-    var i = 0; var n = 0; var inStr = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (c == '\'') inStr = !inStr
-      else if (c == '?' && !inStr) n += 1
-      i += 1
+  /** Substitute rendered literals for the '?' placeholders (lexer-aware:
+    * a '?' inside a string, comment, or dollar-quote is data). */
+  private def render(sql: String, params: Array[AnyRef]): String = {
+    val out = new java.lang.StringBuilder
+    var last = 0
+    paramPositions(sql).zipWithIndex.foreach { case (pos, k) =>
+      out.append(sql, last, pos).append(literal(params(k)))
+      last = pos + 1
     }
-    n
+    out.append(sql.substring(last)).toString
   }
+
+  private def countParams(sql: String): Int = paramPositions(sql).length
 
   private def updateCount(tag: String): Int = {
     val parts = tag.split(" ")

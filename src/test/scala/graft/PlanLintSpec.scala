@@ -44,6 +44,50 @@ class PlanLintSpec extends SparkSpecBase {
     assert(!rules(keyed).contains("global-window"))
   }
 
+  test("global window over a statically bounded (post-limit) frame is " +
+    "info, not warn — the ml27 pre-fix shape warns, the fixed shape is clean") {
+    val df = Tables.documents(spark, sf0001)
+    // ml27's FIXED shape: top-k via orderBy+limit, then a window on the
+    // k-row frame — statically bounded, whitelisted as info
+    val topk = df.orderBy(desc("n_chars"), col("doc_id")).limit(25)
+      .withColumn("rn", row_number().over(Window.orderBy("doc_id")))
+    assert(!rules(topk).contains("global-window"))
+    assert(PlanLint.lint(topk).exists(f =>
+      f.rule == "global-window" && f.severity == "info"))
+    // ml27's literal PRE-fix shape (row_number + filter) is absorbed by
+    // the injected RewriteWindowTopK rule — R76 fixes it in the
+    // OPTIMIZER, so no global WindowExec even reaches the linter:
+    val prefix = df.withColumn("rn",
+      row_number().over(Window.orderBy(desc("n_chars"), col("doc_id"))))
+      .filter(col("rn") <= 25)
+    assert(!rules(prefix).contains("global-window"))
+    // ...so the warn case is a global window NO rewrite can absorb — a
+    // running sum over the whole data-scaling frame
+    val running = df.withColumn("cum", sum("n_chars").over(
+      Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(rules(running).contains("global-window"))
+  }
+
+  test("Blocked.cumulative emits no global window and matches the " +
+    "window form exactly") {
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    val blocked = graft.operators.Blocked.cumulative(
+      df, Seq(col("v"), col("doc_id")), Seq("v"), rn = Some("rn"))
+    assert(!rules(blocked).contains("global-window"))
+    val w = Window.orderBy("v", "doc_id")
+    val plain = df
+      .withColumn("cum_v", sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val got = blocked.orderBy("rn").collect().map(r =>
+      (r.getAs[Long]("rn"), r.getAs[Long]("cum_v"))).toSeq
+    val want = plain.orderBy("rn").collect().map(r =>
+      (r.getAs[Long]("rn"), r.getAs[Long]("cum_v"))).toSeq
+    assert(got === want)
+  }
+
   test("missed broadcast: merge-hinted small join warns, plain join does not") {
     val docs = Tables.documents(spark, sf0001)
     val dim = Tables.documents(spark, sf0001)
