@@ -1245,12 +1245,14 @@ object Graph {
 
     // R81 — betweenness centrality from a 12-pivot sample over the
     // 2-out formula graph: the brokerage top-20 (which docs sit on the
-    // most shortest reference chains). Rows-only (nested shortest-path
-    // DAG recurrences have no portable SQL); BetweennessSpec pins the
-    // distributed result against a sequential reference running the
-    // IDENTICAL fixed-point floors, plus analytic values on path/star
-    // shapes; determinism audit covers layout invariance.
-    Q.rowsOnly("gr15_betweenness", "fixpoint") { (s, d) =>
+    // most shortest reference chains). ORACLE UPGRADE (r6): the k-pivot
+    // Brandes pass — forward σ layers + reverse integral δ recurrence —
+    // unrolls into generated CTEs ([[betweennessUnrolledOracle]], H=24
+    // empty-tail bound over the measured depth-11 fixpoint), so the
+    // full nested shortest-path arithmetic is certified cross-engine.
+    // BetweennessSpec additionally pins the distributed result against
+    // a sequential reference and analytic path/star values.
+    Q("gr15_betweenness", betweennessUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -2786,6 +2788,72 @@ object Graph {
        |$rounds
        |SELECT node, katz AS katz_scaled FROM x6
        |ORDER BY katz_scaled DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** gr15's oracle: the k-pivot Brandes pass unrolled as generated plain
+    * CTEs — forward BFS layers l1..lH (σ path counts as HUGEINT, new
+    * (s,v) pairs only via anti-join against the growing seen set), then
+    * the reverse accumulation ldH..ld1 with [[betweenness]]' EXACT
+    * integral recurrence δ(v) = Σ_w σ_v·(10⁹+δ_w) // σ_w. H=24 is an
+    * empty-tail bound: measured BFS depth from the 12 pivots is 11 at
+    * the oracle SFs (15 at sf0.1), and layers past the fixpoint are
+    * empty frames contributing nothing — so the unroll reproduces the
+    * fixpoint exactly, per-layer CTEs MATERIALIZED to keep it linear
+    * (the gr12 bring-up lesson). */
+  private[graft] lazy val betweennessUnrolledOracle: String = {
+    val S = 1000000000L
+    val H = 24
+    val forward = (1 to H).map { i =>
+      s"""lr$i AS MATERIALIZED (
+         |  SELECT l.s, e.dst AS v, CAST(sum(l.sigma) AS HUGEINT) AS sigma
+         |  FROM l${i - 1} l JOIN e ON e.src = l.v GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT lr.s, lr.v, lr.sigma FROM lr$i lr
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen${i - 1} p
+         |                    WHERE p.s = lr.s AND p.v = lr.v)),
+         |seen$i AS MATERIALIZED (
+         |  SELECT s, v FROM seen${i - 1} UNION ALL SELECT s, v FROM l$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    val backward = (H - 1) to 0 by -1
+    val back = backward.map { i =>
+      s"""dt$i AS MATERIALIZED (
+         |  SELECT l.s, l.v,
+         |    CAST(sum(CAST(CAST(l.sigma * ($S + dn.delta) AS HUGEINT)
+         |                  // dn.sigma AS BIGINT)) AS BIGINT) AS delta
+         |  FROM l$i l JOIN e ON e.src = l.v
+         |  JOIN ld${i + 1} dn ON dn.s = l.s AND dn.v = e.dst
+         |  GROUP BY 1, 2),
+         |ld$i AS MATERIALIZED (
+         |  SELECT l.s, l.v, l.sigma,
+         |    CAST(coalesce(d.delta, 0) AS BIGINT) AS delta
+         |  FROM l$i l LEFT JOIN dt$i d ON d.s = l.s AND d.v = l.v)"""
+        .stripMargin
+    }.mkString(",\n")
+    // contributions: every non-pivot layer's δ (layers 1..H; layer 0 is
+    // the pivot itself, excluded exactly as [[betweenness]] does)
+    val contribs = (1 to H)
+      .map(i => s"SELECT v, delta FROM ld$i").mkString("\n  UNION ALL ")
+    s"""WITH raw AS (
+       |  SELECT doc_id AS src,
+       |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+       |  FROM documents),
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |l0 AS MATERIALIZED (
+       |  SELECT doc_id AS s, doc_id AS v, CAST(1 AS HUGEINT) AS sigma
+       |  FROM documents WHERE doc_id < 12),
+       |seen0 AS MATERIALIZED (SELECT s, v FROM l0),
+       |$forward,
+       |ld$H AS MATERIALIZED (
+       |  SELECT s, v, sigma, CAST(0 AS BIGINT) AS delta FROM l$H),
+       |$back,
+       |c AS ($contribs)
+       |SELECT v AS node, CAST(sum(delta) AS BIGINT) AS btw_e9
+       |FROM c GROUP BY 1
+       |ORDER BY btw_e9 DESC, node LIMIT 20""".stripMargin
   }
 
   /** Shared unrolled-round oracle generator for the PageRank family
