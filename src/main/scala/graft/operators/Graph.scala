@@ -942,11 +942,12 @@ object Graph {
     },
 
     // R75 — k-core decomposition over the same 3-out functional graph.
-    // Rows-only: iterate-to-fixpoint peeling has no portable recursive
-    // CTE (each round re-aggregates degrees); GraphSpec pins the planted
-    // clique-vs-chain case and cross-partitioning determinism. Output is
-    // exact, so the determinism audit covers it like gr2/gr5.
-    Q.rowsOnly("gr6_kcore", "fixpoint") { (s, d) =>
+    // ORACLE UPGRADE (r6): the degree-peel fixpoint unrolls into 5
+    // generated rounds ([[kcoreUnrolledOracle]] — peeling is idempotent
+    // past convergence, so the fixed unroll replays the fixpoint
+    // exactly). GraphSpec additionally pins the planted clique-vs-chain
+    // case and cross-partitioning determinism.
+    Q("gr6_kcore", kcoreUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -1361,10 +1362,13 @@ object Graph {
     // at least one triangle OF THE SURVIVING GRAPH — sparse functional
     // graphs have few overlapping triangles, so higher k empties here
     // (the cascade fixtures in KTrussSpec exercise k=4..6 on cliques).
-    // Rows-only: fixpoint edge peeling has no portable recursive CTE;
-    // KTrussSpec pins cascade semantics (shared-edge collapse, clique
-    // preservation) against a sequential same-rule reference.
-    Q.rowsOnly("gr20_ktruss", "fixpoint") { (s, d) =>
+    // ORACLE UPGRADE (r6): the support-peel fixpoint unrolls into 5
+    // generated rounds ([[ktrussUnrolledOracle]] — idempotent past
+    // convergence, final round's support column is the output exactly
+    // as kTruss returns it). KTrussSpec additionally pins cascade
+    // semantics (shared-edge collapse, clique preservation) against a
+    // sequential same-rule reference.
+    Q("gr20_ktruss", ktrussUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -2788,6 +2792,87 @@ object Graph {
        |$rounds
        |SELECT node, katz AS katz_scaled FROM x6
        |ORDER BY katz_scaled DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** gr6's oracle: the degree-peel loop of [[kCore]] (k=3) unrolled as
+    * 5 generated rounds. Peeling is IDEMPOTENT past its fixpoint (a
+    * round that removes nothing recomputes the same frame), so a fixed
+    * unroll ≥ the measured round count (1 at every oracle SF, with a
+    * 4-round margin) reproduces the fixpoint exactly; if the data ever
+    * out-peeled the unroll, the Spark side still runs to ITS fixpoint
+    * and the driver's hash compare fails loudly — the convergence check
+    * is built into the certification, never silently truncated. */
+  private[graft] lazy val kcoreUnrolledOracle: String = {
+    val R = 5
+    val rounds = (1 to R).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT a FROM s${i - 1} GROUP BY a HAVING count(*) >= 3),
+         |s$i AS MATERIALIZED (
+         |  SELECT s.a, s.b FROM s${i - 1} s
+         |  JOIN k$i x ON x.a = s.a JOIN k$i y ON y.a = s.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT doc_id AS src,
+       |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+       |  FROM documents),
+       |canon AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM raw WHERE src <> dst),
+       |s0 AS MATERIALIZED (
+       |  SELECT u AS a, v AS b FROM canon UNION ALL SELECT v, u FROM canon),
+       |$rounds
+       |SELECT a AS node, CAST(count(*) AS BIGINT) AS core_degree
+       |FROM s$R GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
+  /** gr20's oracle: [[kTruss]] (k=3) support peeling unrolled as 5
+    * generated rounds — ordered-triangle join (u<v<w via canonical
+    * edges), per-edge support, keep support >= k-2. Same idempotent-
+    * past-fixpoint argument as [[kcoreUnrolledOracle]] (measured 2
+    * rounds at every oracle SF); the final round's support column IS
+    * the output, exactly as [[kTruss]] returns the support computed on
+    * the converged edge set. */
+  private[graft] lazy val ktrussUnrolledOracle: String = {
+    val R = 5
+    val rounds = (1 to R).map { i =>
+      s"""tri$i AS MATERIALIZED (
+         |  SELECT ab.u, ab.v, bc.v AS w
+         |  FROM e${i - 1} ab
+         |  JOIN e${i - 1} bc ON bc.u = ab.v
+         |  JOIN e${i - 1} ac ON ac.u = ab.u AND ac.v = bc.v),
+         |supp$i AS MATERIALIZED (
+         |  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+         |    SELECT u AS a, v AS b FROM tri$i
+         |    UNION ALL SELECT u, w FROM tri$i
+         |    UNION ALL SELECT v, w FROM tri$i)
+         |  GROUP BY 1, 2),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.u, e.v, coalesce(p.support, 0) AS support
+         |  FROM e${i - 1} e LEFT JOIN supp$i p ON p.a = e.u AND p.b = e.v
+         |  WHERE coalesce(p.support, 0) >= 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT doc_id AS src,
+       |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS dst
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*3 + 5) % (SELECT count(*) FROM documents)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*11 + 2) % (SELECT count(*) FROM documents)
+       |  FROM documents),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM raw WHERE src <> dst),
+       |$rounds
+       |SELECT u, v, CAST(support AS BIGINT) AS support
+       |FROM e$R ORDER BY u, v""".stripMargin
   }
 
   /** gr15's oracle: the k-pivot Brandes pass unrolled as generated plain
