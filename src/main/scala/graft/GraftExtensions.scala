@@ -56,6 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.RewriteWindowTopK). Toggle:
     // spark.graft.topkRewrite.enabled (default on).
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    // SQL UPDATE over the versioned table log: the resolved UpdateTable
+    // plan is replaced at analysis with a copy-on-write TableLog.update
+    // command (see graft.sources.v2.ResolveGraftUpdate — GraftLogTable
+    // deliberately does not wire SupportsRowLevelOperations).
+    ext.injectResolutionRule(_ => graft.sources.v2.ResolveGraftUpdate)
     // Materialized-view query rewrite: conforming base-table aggregates
     // are answered from a registered summary table (see
     // graft.plans.RewriteToMv). No-op while the MV registry is empty.

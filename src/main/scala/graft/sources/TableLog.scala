@@ -658,6 +658,43 @@ object TableLog {
     v
   }
 
+  /** Copy-on-write UPDATE: SET assignments applied where `predicate`
+    * holds, in one rewrite commit — the row-level sibling of [[delete]]
+    * (same erasure boundary: old versions keep the pre-update rows
+    * until [[vacuum]]). Assignment values are cast to the manifest
+    * column types (the schema is the contract, exactly as the SQL
+    * insert path aligns with `Dataset.to`); CHECK constraints are
+    * re-verified on the REWRITTEN frame, so an UPDATE cannot smuggle a
+    * constraint violation past the gate the append path enforces. */
+  def update(spark: SparkSession, dir: String,
+             predicate: org.apache.spark.sql.Column,
+             assignments: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(assignments.nonEmpty, "update: at least one SET assignment")
+    val prevV = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"table $dir does not exist"))
+    val prev = readManifest(spark, dir, prevV)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(prev.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val assignMap = assignments.toMap
+    assignments.foreach { case (k, _) =>
+      require(schema.fieldNames.contains(k), s"update: $k is not a column of $dir")
+    }
+    val next = readVersion(spark, dir, prevV).select(
+      schema.fields.toIndexedSeq.map { f =>
+        assignMap.get(f.name) match {
+          case Some(v) =>
+            when(predicate, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    requireConstraints(next, prev.constraints, dir, "update")
+    val v = prevV + 1
+    val d = writeData(next, dir, v)
+    publish(spark, dir, Manifest(v, "update", prev.schemaJson, Seq(d),
+      constraints = prev.constraints))
+    v
+  }
+
   /** Merge-on-read DELETE via a deletion vector: the commit writes only
     * the DELETED KEYS (O(Δ), never O(table) — the fast path [[delete]]'s
     * copy-on-write doc comment promises at 100 TB) and every subsequent
@@ -808,6 +845,35 @@ object TableLog {
                |    AS cents
                |FROM $cat.ns.orders WHERE o_orderkey >= 10
                |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // S24b (r6): SQL `UPDATE … SET … WHERE …` over the versioned table,
+    // routed through the injected ResolveGraftUpdate analysis rule into
+    // ONE copy-on-write [[update]] commit. The oracle recomputes the
+    // post-update snapshot from the base table with a CASE, so a lost
+    // update, wrong-rows update, or double-apply all hash-mismatch.
+    graft.Q(
+      "src10_sql_update",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(round((CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice * 2
+        |    ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val cat = s"graftsql_src10_${sqlCatSeq.incrementAndGet()}"
+      val root = java.nio.file.Files.createTempDirectory("sqlupd").toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.TableLogCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      graft.Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("src10_orders")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+      s.sql(s"CREATE TABLE $cat.ns.orders AS SELECT * FROM src10_orders")
+      s.sql(s"UPDATE $cat.ns.orders SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderkey % 3 = 1")
+      s.sql(s"""SELECT o_orderpriority, count(*) AS n_orders,
+               |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+               |    AS cents
+               |FROM $cat.ns.orders GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
     graft.Q(

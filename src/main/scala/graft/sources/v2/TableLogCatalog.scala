@@ -222,13 +222,18 @@ private[v2] class GraftLogTable(dir: String, version: Long)
   // NATIVE V2 Batch scan (BatchScanExec calls Scan.toBatch — verified
   // empirically; the V1Scan bridge is not honored there). Providing one
   // would mean re-implementing parquet reading + DV subtraction inside
-  // a connector scan for no semantic gain — UPDATE/MERGE stay on the
-  // native API (TableLog.merge / delete / deleteByKey), and wiring the
-  // interface anyway would silently BREAK the SupportsDelete fast path
-  // (the rewrite is preferred over it when both exist).
+  // a connector scan for no semantic gain — and wiring the interface
+  // anyway would silently BREAK the SupportsDelete fast path (the
+  // rewrite is preferred over it when both exist). SQL UPDATE is served
+  // instead by an injected analysis rule ([[ResolveGraftUpdate]], r6)
+  // that routes the statement to TableLog.update's copy-on-write
+  // commit; MERGE stays on the native API (TableLog.merge).
 
   private def spark = SparkSession.active
   private lazy val manifest = TableLog.readManifest(spark, dir, version)
+
+  /** The log directory — [[ResolveGraftUpdate]] routes SQL UPDATE here. */
+  private[v2] def tableDir: String = dir
 
   override def name(): String = s"graftlog:$dir@v$version"
   override def schema(): StructType =
