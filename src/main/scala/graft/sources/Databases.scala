@@ -38,15 +38,42 @@ final case class HiveConfig(name: String, host: String, port: Int,
   def dialect: SqlDialect = HiveDialect
 }
 
+final case class MySqlConfig(name: String, host: String, port: Int,
+    database: String, username: Option[String] = None,
+    password: Option[String] = None) extends DatabaseConfig {
+  val vendor = DatabaseConfig.MYSQL
+  val driver = "com.mysql.cj.jdbc.Driver"
+  def connectionString = s"jdbc:mysql://$host:$port/$database"
+  def dialect: SqlDialect = MySqlDialect
+}
+
+final case class OracleConfig(name: String, host: String, port: Int,
+    database: String, username: Option[String] = None,
+    password: Option[String] = None) extends DatabaseConfig {
+  val vendor = DatabaseConfig.ORACLE
+  val driver = "oracle.jdbc.OracleDriver"
+  // service-name form — the modern shape Spark's OracleDialect expects
+  def connectionString = s"jdbc:oracle:thin:@//$host:$port/$database"
+  def dialect: SqlDialect = OracleDialect
+}
+
 object DatabaseConfig {
   final val POSTGRESQL = "postgresql"
   final val HIVE = "apache-hive"
+  // the reference enumerates both and THROWS for each (diff :50-51,
+  // :60) — implemented here instead: full config + dialect, exercised
+  // by spec (no live server ships in-sandbox, matching the reference's
+  // own evidence level for these vendors minus the throw)
+  final val MYSQL = "mysql"
+  final val ORACLE = "oracle"
 
   def apply(name: String, vendor: String, host: String, port: Int,
             database: String, username: Option[String],
             password: Option[String]): DatabaseConfig = vendor match {
     case POSTGRESQL => PostgresConfig(name, host, port, database, username, password)
     case HIVE       => HiveConfig(name, host, port, database, username, password)
+    case MYSQL      => MySqlConfig(name, host, port, database, username, password)
+    case ORACLE     => OracleConfig(name, host, port, database, username, password)
     case other      => throw new IllegalArgumentException(s"Unknown database vendor: $other")
   }
 
@@ -64,6 +91,8 @@ object DatabaseConfig {
     vendorFromConnectionString(connectionString) match {
       case "hive2" => HiveDialect
       case "postgresql" => PostgresDialect
+      case "mysql" => MySqlDialect
+      case "oracle" => OracleDialect
       case _ => AnsiDialect
     }
 

@@ -64,6 +64,30 @@ object HiveDialect extends SqlDialect {
   }
 }
 
+/** MySQL quotes identifiers with backticks and, in its default SQL mode,
+  * interprets backslash escapes inside string literals — the same two
+  * deviations as Hive, independently (reference: the diff's vendor enum
+  * lists MySQL as a known-but-unimplemented vendor, diff :50; this
+  * implements it instead of throwing). */
+object MySqlDialect extends SqlDialect {
+  val name = "mysql"
+  def quote(ident: String): String = HiveDialect.quote(ident)
+  override def literal(v: Any): String = v match {
+    case s: String =>
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+    case other => super.literal(other)
+  }
+}
+
+/** Oracle is ANSI-quoted but has no LIMIT — row bounds print as the
+  * SQL:2008 FETCH FIRST form (12c+). Vendor enum parity with the
+  * reference's known-but-unimplemented list (diff :51). */
+object OracleDialect extends SqlDialect {
+  val name = "oracle"
+  def quote(ident: String): String = AnsiDialect.quote(ident)
+  override def limitClause(n: Long): String = s" FETCH FIRST $n ROWS ONLY"
+}
+
 /** Minimal pushdown predicate AST — the relational subtree the engine is
   * willing to ship to the source, kept deliberately small so every node
   * prints identically (modulo quoting) on every vendor.
