@@ -174,10 +174,13 @@ object Analytics {
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name", "c_custkey")
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
-      val ord = Window.partitionBy("n_name").orderBy(col("rev").desc, col("c_custkey"))
-      val cum = cr
-        .withColumn("cum", sum("rev").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("rev").over(Window.partitionBy("n_name")))
+      // nation partitions scale with the data (|customers|/25 rows each):
+      // blocked-within-nation running sum + 25-row broadcast totals
+      val tot = cr.groupBy("n_name").agg(sum("rev").as("total"))
+      val cum = graft.operators.Blocked.cumulativeBy(cr, Seq("n_name"),
+          Seq(col("rev").desc, col("c_custkey")), Seq("rev"))
+        .withColumnRenamed("cum_rev", "cum")
+        .join(broadcast(tot), Seq("n_name"))
       cum.groupBy("n_name")
         .agg(count(lit(1)).as("n_customers"),
           sum(when(lit(5) * (col("cum") - col("rev")) < lit(4) * col("total"), 1)
@@ -349,8 +352,11 @@ object Analytics {
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment", "o_custkey")
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
-      val w = Window.partitionBy("c_mktsegment").orderBy(col("cents"), col("o_custkey"))
-      val ranked = spend.withColumn("i", row_number().over(w))
+      // segment partitions scale with the data (|customers|/5 rows each):
+      // the rank comes from Blocked.cumulativeBy's blocked row_number
+      val ranked = graft.operators.Blocked.cumulativeBy(spend,
+        Seq("c_mktsegment"), Seq(col("cents"), col("o_custkey")),
+        Nil, rn = Some("i"))
       ranked.groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_cust"),
           sum(col("i").cast("decimal(38,0)") * col("cents").cast("decimal(38,0)"))
@@ -775,12 +781,14 @@ object Analytics {
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "l_partkey")
         .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"))
-      val ord = Window.partitionBy("p_brand")
-        .orderBy(col("rev").desc, col("l_partkey"))
-      val w = pr
-        .withColumn("cum", sum("rev").over(
-          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("total", sum("rev").over(Window.partitionBy("p_brand")))
+      // brand partitions scale with the data (|parts|/25 rows each), so
+      // the running sum goes BLOCKED-within-brand (Blocked.cumulativeBy)
+      // and the per-brand total is a 25-row broadcast, not a window
+      val tot = pr.groupBy("p_brand").agg(sum("rev").as("total"))
+      val w = graft.operators.Blocked.cumulativeBy(pr, Seq("p_brand"),
+          Seq(col("rev").desc, col("l_partkey")), Seq("rev"))
+        .withColumnRenamed("cum_rev", "cum")
+        .join(broadcast(tot), Seq("p_brand"))
       w.withColumn("abc",
           when(lit(5) * (col("cum") - col("rev")) < lit(4) * col("total"), "A")
             .when(lit(20) * (col("cum") - col("rev")) < lit(19) * col("total"), "B")

@@ -102,11 +102,13 @@ object Olap {
     // (Börzsönyi et al.) the preference-query literature is built on.
     // The 2-D case needs NO quadratic dominance join: sorted by price,
     // a part survives iff its size strictly exceeds the best size of
-    // every STRICTLY cheaper part (RANGE window to 1 PRECEDING — the
-    // value-based frame handles price ties exactly) AND it carries the
-    // max size within its own price tie-group (equal price + bigger
-    // size dominates; equal price + equal size coexists). Windows run
-    // on the part DIMENSION (bounded); the oracle takes the direct
+    // every STRICTLY cheaper part AND it carries the max size within
+    // its own price tie-group (equal price + bigger size dominates;
+    // equal price + equal size coexists). Scale (r6): parts collapse to
+    // PRICE CELLS first (tie_best = max size per price — the tie rule
+    // for free), and the strict-prefix max runs BLOCKED over the cells
+    // (Blocked.prefixMax — the part frame scales with the data, so no
+    // unpartitioned window anywhere); the oracle takes the direct
     // NOT-EXISTS dominance form — both compute the identical frontier.
     Q(
       "q137_skyline",
@@ -121,16 +123,13 @@ object Olap {
         |    AND (b.price_c < a.price_c OR b.sz > a.sz))
         |ORDER BY price_c, pk""".stripMargin
     ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val p = Tables.part(s, d).select(col("p_partkey").as("pk"),
         col("p_size").cast("long").as("sz"),
         round(col("p_retailprice") * 100).cast("long").as("price_c"))
-      // part-dimension windows (bounded, q105's class)
-      val wCheaper = Window.orderBy("price_c")
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val wTie = Window.partitionBy("price_c")
-      p.withColumn("best_cheaper", max("sz").over(wCheaper))
-        .withColumn("tie_best", max("sz").over(wTie))
+      val cells = p.groupBy("price_c").agg(max("sz").as("tie_best"))
+      val cp = graft.operators.Blocked.prefixMax(cells, Seq(col("price_c")),
+        "tie_best", "best_cheaper", inclusive = false)
+      p.join(cp, Seq("price_c"))
         .filter((col("best_cheaper").isNull || col("sz") > col("best_cheaper"))
           && col("sz") === col("tie_best"))
         .select("pk", "sz", "price_c")

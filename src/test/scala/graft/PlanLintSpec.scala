@@ -88,6 +88,52 @@ class PlanLintSpec extends SparkSpecBase {
     assert(got === want)
   }
 
+  test("Blocked.cumulativeBy matches the partitioned window form exactly " +
+    "(running sum + row_number per group)") {
+    val df = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"), col("n_chars").cast("long").as("v"))
+    val blocked = graft.operators.Blocked.cumulativeBy(
+      df, Seq("lang"), Seq(col("v").desc, col("doc_id")), Seq("v"),
+      rn = Some("rn"))
+    val w = Window.partitionBy("lang").orderBy(col("v").desc, col("doc_id"))
+    val plain = df
+      .withColumn("cum_v", sum("v").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cum_v"), r.getAs[Long]("rn"))
+    assert(blocked.collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      === plain.collect().map(key).sortBy(k => (k._1, k._2)).toSeq)
+  }
+
+  test("Blocked.prefixMax emits no global window and matches the window " +
+    "form in both inclusive and strict-prefix modes") {
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("n_chars").cast("long").as("v"))
+    val w = Window.orderBy("doc_id")
+    // inclusive: running max ≡ max over unbounded-preceding..current
+    val inc = graft.operators.Blocked.prefixMax(
+      df, Seq(col("doc_id")), "v", "pm")
+    assert(!rules(inc).contains("global-window"))
+    val incWant = df.withColumn("pm", max("v").over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(inc.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getAs[Long]("pm"))).toSeq
+      === incWant.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getAs[Long]("pm"))).toSeq)
+    // strict: max over rows BEFORE current; first row NULL (q137's frame)
+    val strict = graft.operators.Blocked.prefixMax(
+      df, Seq(col("doc_id")), "v", "pm", inclusive = false)
+    assert(!rules(strict).contains("global-window"))
+    val strictWant = df.withColumn("pm", max("v").over(
+      w.rowsBetween(Window.unboundedPreceding, -1)))
+    val got = strict.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("pm")))).toSeq
+    val want = strictWant.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[java.lang.Long]("pm")))).toSeq
+    assert(got === want)
+    assert(got.head._2.isEmpty) // first row has no strict prefix
+  }
+
   test("missed broadcast: merge-hinted small join warns, plain join does not") {
     val docs = Tables.documents(spark, sf0001)
     val dim = Tables.documents(spark, sf0001)
