@@ -1568,6 +1568,141 @@ object Analytics {
           when(col("q3") === col("q1"), lit(null))
             .otherwise(expr("((q1 + q3 - 2*q2) * 1000) DIV (q3 - q1)")))
         .orderBy("seg")
+    },
+
+    // R248 — Hoover (Robin Hood) index per nation: the share of total
+    // spend that would have to move to equalize customers — the third
+    // leg of the inequality triptych (q86 Gini integrates the Lorenz
+    // curve, q123 plots it; Hoover is its max vertical gap). NO ranking
+    // at all: H = Σ|x_i − μ| / (2S) = Σ|n·x_i − S| / (2nS), so the
+    // numerator is a single pass of exact integer products over the
+    // customer frame (decimal(38,0)/HUGEINT per the q73 wide-product
+    // precedent) — no window, no sort, nothing data-ordered anywhere;
+    // the one double division is the final readout. The identity needs
+    // n and S first: a 25-row broadcast join feeds them back.
+    Q(
+      "q144_hoover",
+      """WITH cr AS (
+        |  SELECT n_name, o_custkey,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS s
+        |      FROM cr GROUP BY 1)
+        |SELECT cr.n_name, max(t.n) AS n_cust,
+        |  CAST(sum(abs(CAST(t.n AS HUGEINT) * cr.cents - t.s)) AS DOUBLE)
+        |    / (2.0 * CAST(max(t.n) AS DOUBLE) * CAST(max(t.s) AS DOUBLE))
+        |    AS hoover
+        |FROM cr JOIN t ON cr.n_name = t.n_name
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val cr = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val t = cr.groupBy("n_name")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      cr.join(broadcast(t), Seq("n_name"))
+        .groupBy("n_name")
+        .agg(max("n").as("n_cust"),
+          sum(abs(col("n").cast("decimal(38,0)") * col("cents") - col("s")))
+            .as("dev"),
+          max("n").as("nn"), max("s").as("ss"))
+        .select(col("n_name"), col("n_cust"),
+          (col("dev").cast("double")
+            / (lit(2.0) * col("nn").cast("double") * col("ss").cast("double")))
+            .as("hoover"))
+        .orderBy("n_name")
+    },
+
+    // R249 — 10% two-sided trimmed mean of order value per segment: the
+    // robust-location sibling of q47's winsorized aggregate (winsorize
+    // CLAMPS the tails, trim DROPS them — both kill the heavy-tail bias
+    // a plain mean carries). lo = ⌊n/10⌋ rows come off each end; the
+    // kept mass is total − (sum of the lo smallest) − (sum of the lo
+    // largest), and each tail sum reads off the (segment, cents) CELL
+    // frame: full cells below the cut plus a partial cell straddling
+    // it — cnt·cents arithmetic, exact. The trimmed mean in cents is
+    // one exact floor division at the end. SCALE: order-value cents are
+    // a near-continuous domain (cells ~ 0.9·n here), so the per-segment
+    // cell cumulative runs BLOCKED (Blocked.cumulativeBy, never a
+    // segment-partitioned window whose partitions scale with the data);
+    // the oracle uses the plain window form.
+    Q(
+      "q145_trimmed_mean",
+      """WITH oc AS (
+        |  SELECT c_mktsegment AS seg,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, cents, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM oc GROUP BY 1, 2),
+        |cum AS (SELECT seg, cents, cnt,
+        |    sum(cnt) OVER (PARTITION BY seg ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(CAST(cnt AS HUGEINT) * cents) OVER (PARTITION BY seg
+        |      ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+        |  FROM cells),
+        |t AS (SELECT seg, CAST(max(cum) AS BIGINT) AS n,
+        |        CAST(max(cumv) AS HUGEINT) AS s FROM cum GROUP BY 1),
+        |lo AS (SELECT cum.seg, t.n, t.s, t.n // 10 AS k,
+        |    -- smallest-tail sum: full cells with cum ≤ k, plus the
+        |    -- straddling cell's partial k − (cum − cnt) rows
+        |    CAST(sum(CASE WHEN cum <= t.n // 10 THEN CAST(cnt AS HUGEINT) * cents
+        |             WHEN cum - cnt < t.n // 10
+        |               THEN (t.n // 10 - (cum - cnt)) * CAST(cents AS HUGEINT)
+        |             ELSE 0 END) AS HUGEINT) AS s_lo,
+        |    CAST(sum(CASE WHEN t.n - (cum - cnt) <= t.n // 10
+        |               THEN CAST(cnt AS HUGEINT) * cents
+        |             WHEN t.n - cum < t.n // 10
+        |               THEN (t.n // 10 - (t.n - cum)) * CAST(cents AS HUGEINT)
+        |             ELSE 0 END) AS HUGEINT) AS s_hi
+        |  FROM cum JOIN t ON cum.seg = t.seg
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT seg, n, k AS trimmed_each_side,
+        |  CAST((s - s_lo - s_hi) // (n - 2 * k) AS BIGINT) AS trimmed_mean_cents
+        |FROM lo ORDER BY seg""".stripMargin
+    ) { (s, d) =>
+      val oc = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cells = oc.groupBy("seg", "cents").agg(count(lit(1)).as("cnt"))
+        .withColumn("v", col("cnt").cast("decimal(38,0)") * col("cents"))
+      val cum = Blocked.cumulativeBy(cells, Seq("seg"), Seq(col("cents")),
+          Seq("cnt", "v"))
+        .withColumnRenamed("cum_cnt", "cum").withColumnRenamed("cum_v", "cumv")
+      val t = cum.groupBy("seg")
+        .agg(max("cum").as("n"), max("cumv").as("s"))
+        .withColumn("k", expr("n DIV 10"))
+      val j = cum.join(broadcast(t), Seq("seg"))
+      val cLo = when(col("cum") <= col("k"),
+          col("cnt").cast("decimal(38,0)") * col("cents"))
+        .when(col("cum") - col("cnt") < col("k"),
+          (col("k") - (col("cum") - col("cnt"))).cast("decimal(38,0)") * col("cents"))
+        .otherwise(lit(0).cast("decimal(38,0)"))
+      val cHi = when(col("n") - (col("cum") - col("cnt")) <= col("k"),
+          col("cnt").cast("decimal(38,0)") * col("cents"))
+        .when(col("n") - col("cum") < col("k"),
+          (col("k") - (col("n") - col("cum"))).cast("decimal(38,0)") * col("cents"))
+        .otherwise(lit(0).cast("decimal(38,0)"))
+      j.groupBy("seg")
+        .agg(max("n").as("n"), max("k").as("trimmed_each_side"),
+          max("s").as("s"), sum(cLo).as("s_lo"), sum(cHi).as("s_hi"))
+        .select(col("seg"), col("n"), col("trimmed_each_side"),
+          { // exact truncating quotient (ev89's pmod discipline — decimal
+            // `/` rounds HALF_UP at result scale, DuckDB `//` truncates)
+            val num = col("s") - col("s_lo") - col("s_hi")
+            val den = col("n") - lit(2) * col("trimmed_each_side")
+            ((num - pmod(num, den)) / den).cast("long").as("trimmed_mean_cents")
+          })
+        .orderBy("seg")
     }
   )
 }

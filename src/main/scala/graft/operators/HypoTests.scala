@@ -1007,6 +1007,92 @@ object HypoTests {
           expr("(1000000 * (na - nb) * (na - nb)) DIV (na + nb)").as("chisq_e6"),
           when(expr("1000000 * (na - nb) * (na - nb) > 3841459 * (na + nb)"), 1L)
             .otherwise(0L).as("srm_flag"))
+    },
+
+    // T94 — Kruskal-Wallis H: the k-group generalization completing the
+    // nonparametric family (T33 Mann-Whitney handles 2 groups, T41
+    // ANOVA assumes normality). Does `value` differ across ALL FIVE
+    // event types at once? Tie-averaged global ranks come from value
+    // cells: 2·rank(v) = 2·cum(<v) + t_v + 1 (doubled — halves stay
+    // integral, ev26's identity), so the per-group doubled rank sum is
+    // u2_g = Σ_v c_gv·(2·cumlt_v + t_v + 1), exact in decimal(38,0).
+    // H = 3/(N(N+1))·Σ_g u2_g²/n_g − 3(N+1); each group's u2²/n_g is
+    // FLOOR-DIVIDED to an integer before the cross-group sum (per-term
+    // quantization — a sum of k double terms would reassociate), and
+    // the tie correction 1 − Σ(t³−t)/(N³−N) is the same exact-integer
+    // tsum as ev26. Width bound (q115's key-width discipline): u2 ≤
+    // N(2N+1), so u2² fits decimal(38,0)/HUGEINT while N ≲ 2·10⁹ —
+    // beyond that, carry the per-group terms as doubles (the statistic
+    // is a double anyway). SCALE: the value-cell frame is ~0.66·N distinct
+    // cents here (a continuous domain — NOT bounded), so the global
+    // cell cumulative runs through Blocked.cumulative, never an
+    // unpartitioned window; the oracle uses the plain window form.
+    Q(
+      "ev89_kruskal_wallis",
+      """WITH q AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |gc AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+        |vc AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gc GROUP BY 1),
+        |cum AS (SELECT v, t,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cumlt
+        |  FROM vc),
+        |rs AS (SELECT gc.grp, CAST(sum(gc.c) AS BIGINT) AS n_g,
+        |    CAST(sum(CAST(gc.c AS HUGEINT)
+        |             * (2 * cum.cumlt + cum.t + 1)) AS HUGEINT) AS u2
+        |  FROM gc JOIN cum ON gc.v = cum.v GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(u2 * u2 // n_g) AS HUGEINT) AS qsum
+        |  FROM rs),
+        |ties AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+        |           AS tsum FROM vc)
+        |SELECT n, k,
+        |  3.0 * CAST(qsum AS DOUBLE)
+        |    / (4.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1) AS h,
+        |  (3.0 * CAST(qsum AS DOUBLE)
+        |    / (4.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+        |    - 3.0 * (CAST(n AS DOUBLE) + 1))
+        |  / (1.0 - CAST(tsum AS DOUBLE)
+        |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |          - CAST(n AS DOUBLE))) AS h_tie_corrected
+        |FROM tot CROSS JOIN ties""".stripMargin
+    ) { (s, d) =>
+      val q = Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+          round(col("value") * 100).cast("long").as("v"))
+      val gc = q.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      val vc = gc.groupBy("v").agg(sum("c").as("t"))
+      val cum = Blocked.cumulative(vc, Seq(col("v")), Seq("t"))
+        .withColumn("cumlt", col("cum_t") - col("t"))
+        .select("v", "t", "cumlt")
+      val rs = gc.join(cum, Seq("v"))
+        .groupBy("grp")
+        .agg(sum("c").as("n_g"),
+          sum(col("c").cast("decimal(38,0)")
+            * (lit(2) * col("cumlt") + col("t") + 1)).as("u2"))
+      // exact floor quotient: subtract the remainder BEFORE dividing —
+      // Spark decimal division rounds HALF_UP at result scale, which
+      // could disagree with DuckDB's truncating // on near-integer
+      // quotients; (x − x%n)/n divides evenly on both engines
+      val sq = col("u2") * col("u2")
+      val tot = rs.agg(
+        sum("n_g").as("n"), count(lit(1)).as("k"),
+        sum(((sq - pmod(sq, col("n_g"))) / col("n_g"))
+          .cast("decimal(38,0)")).as("qsum"))
+      val ties = vc.agg(
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .as("tsum"))
+      val nd = col("n").cast("double")
+      val hExpr = lit(3.0) * col("qsum").cast("double")
+        ./(lit(4.0) * nd * (nd + 1)) - lit(3.0) * (nd + 1)
+      tot.crossJoin(ties)
+        .select(col("n"), col("k"), hExpr.as("h"),
+          (hExpr / (lit(1.0) - col("tsum").cast("double")
+            / (nd * nd * nd - nd))).as("h_tie_corrected"))
     }
   )
 }
