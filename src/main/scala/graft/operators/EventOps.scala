@@ -3366,6 +3366,82 @@ object EventOps {
           .as("n_spiky_days"))
       summary.select("n_days", "mean_share_pm", "max_share_pm",
         "worst_day", "n_spiky_days")
+    },
+
+    // T95 — exact SHAPLEY channel attribution: the game-theoretic upgrade
+    // of T21's rule-based credit split (linear/first/last all answer
+    // "which rule", Shapley answers "what is each channel WORTH" with
+    // the only split that is efficient + symmetric + marginal). The
+    // coalition game: players are the 4 non-purchase channels, v(S) =
+    // observed conversion rate of users whose touched-channel set is
+    // EXACTLY S (e6-quantized integer rate; unobserved coalitions
+    // contribute v=0 — the standard data-driven estimator). Channel
+    // sets ride a 4-BIT MASK (view=1, click=2, signup=4, error=8) so
+    // subset algebra is pure arithmetic — DIV/% bit tests, m+b unions —
+    // portable to any engine with integer division. φ_c = Σ_{S∌c}
+    // |S|!(3−|S|)!/4! · (v(S∪c) − v(S)): with |C|=4 the weights are
+    // {6,2,2,6}/24, so 24·φ stays an EXACT integer in e6 rate units.
+    // Scale: ONE user-keyed aggregate (map-side combinable) collapses
+    // the fact to ≤16 coalition rows; the 16×4 Shapley sum is
+    // broadcast algebra — nothing downstream of the first shuffle
+    // scales with the data.
+    Q(
+      "ev90_shapley_attribution",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |      + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS m,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1),
+        |sets AS (SELECT m, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(conv) AS BIGINT) AS c
+        |         FROM u GROUP BY 1),
+        |r AS (SELECT m, (1000000 * c) // n AS r_e6 FROM sets),
+        |grid AS (SELECT unnest(range(0, 16)) AS m),
+        |ch AS (SELECT * FROM (VALUES ('view', 1), ('click', 2),
+        |         ('signup', 4), ('error', 8)) AS t(channel, b)),
+        |terms AS (
+        |  SELECT ch.channel,
+        |    CASE (grid.m % 2) + (grid.m // 2) % 2
+        |         + (grid.m // 4) % 2 + (grid.m // 8) % 2
+        |      WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END
+        |      * (coalesce(rw.r_e6, 0) - coalesce(ro.r_e6, 0)) AS t
+        |  FROM grid CROSS JOIN ch
+        |  LEFT JOIN r ro ON ro.m = grid.m
+        |  LEFT JOIN r rw ON rw.m = grid.m + ch.b
+        |  WHERE (grid.m // ch.b) % 2 = 0)
+        |SELECT channel, CAST(sum(t) AS BIGINT) AS phi24_e6,
+        |  CAST(sum(t) AS DOUBLE) / 24000000.0 AS phi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      def has(t: String) = max(when(col("event_type") === t, 1L).otherwise(0L))
+      val sets = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg((has("view") + lit(2) * has("click") + lit(4) * has("signup")
+          + lit(8) * has("error")).as("m"), has("purchase").as("conv"))
+        .groupBy("m").agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val r = sets.select(col("m"), expr("(1000000 * c) DIV n").as("r_e6"))
+      val grid = s.range(0, 16).select(col("id").as("m"))
+      val ch = s.createDataFrame(Seq(("view", 1L), ("click", 2L),
+        ("signup", 4L), ("error", 8L))).toDF("channel", "b")
+      val pc = expr("m % 2 + (m DIV 2) % 2 + (m DIV 4) % 2 + (m DIV 8) % 2")
+      val weight = when(pc === 0, 6L).when(pc === 1, 2L)
+        .when(pc === 2, 2L).otherwise(6L)
+      val ro = r.select(col("m").as("mo"), col("r_e6").as("ro"))
+      val rw = r.select(col("m").as("mw"), col("r_e6").as("rw"))
+      grid.crossJoin(broadcast(ch))
+        .filter(expr("(m DIV b) % 2 = 0"))
+        .join(broadcast(ro), col("mo") === col("m"), "left")
+        .join(broadcast(rw), col("mw") === col("m") + col("b"), "left")
+        .select(col("channel"),
+          (weight * (coalesce(col("rw"), lit(0L)) - coalesce(col("ro"), lit(0L))))
+            .as("t"))
+        .groupBy("channel")
+        .agg(sum("t").as("phi24_e6"),
+          (sum("t").cast("double") / lit(24000000.0)).as("phi"))
+        .orderBy("channel")
     }
   )
 

@@ -364,6 +364,73 @@ object Quant {
             | > 9 * CAST(rr AS DECIMAL(38,0)) * (nn - rr) * n""".stripMargin), 1L)
             .otherwise(0L).as("breach"))
         .orderBy("ym")
+    },
+
+    // R250 — Ulcer index + Martin (pain) ratio on the monthly vwap
+    // series: q116 plots the drawdown curve; the Ulcer index is its
+    // RMS (Peter Martin's replacement for σ — penalizes DEPTH and
+    // DURATION of drawdowns, ignores upside wobble), and the Martin
+    // ratio divides the period return by it. Every dd_permille is
+    // q116's exact integer ((peak−v)·1000 DIV peak); Σdd², max dd, and
+    // the endpoint return are integer algebra (endpoints picked by
+    // min_by/max_by under the unique ym key — portable per q115), so
+    // the only doubles are the final sqrt and one division. The month
+    // spine is calendar-bounded; the fact is touched once.
+    Q(
+      "q146_ulcer",
+      """WITH m AS (
+        |  SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS ext_c,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1),
+        |v AS (SELECT ym, ext_c // qty AS vwap_c FROM m),
+        |p AS (SELECT ym, vwap_c,
+        |        max(vwap_c) OVER (ORDER BY ym
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
+        |      FROM v),
+        |dd AS (SELECT ym, ((peak_c - vwap_c) * 1000) // peak_c AS dd_pm FROM p),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(max(dd_pm) AS BIGINT) AS max_dd_pm,
+        |    CAST(sum(dd_pm * dd_pm) AS BIGINT) AS ss
+        |  FROM dd),
+        |ret AS (SELECT CAST(min_by(vwap_c, ym) AS BIGINT) AS first_c,
+        |    CAST(max_by(vwap_c, ym) AS BIGINT) AS last_c
+        |  FROM v)
+        |SELECT n_months, max_dd_pm,
+        |  sqrt(CAST(ss AS DOUBLE) / CAST(n_months AS DOUBLE)) AS ulcer_pm,
+        |  ((last_c - first_c) * 1000) // first_c AS ret_pm,
+        |  CASE WHEN ss = 0 THEN NULL
+        |       ELSE CAST(((last_c - first_c) * 1000) // first_c AS DOUBLE)
+        |            / sqrt(CAST(ss AS DOUBLE) / CAST(n_months AS DOUBLE)) END
+        |    AS martin_ratio
+        |FROM agg CROSS JOIN ret""".stripMargin
+    ) { (s, d) =>
+      val m = Tables.lineitem(s, d)
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ym"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("ext_c"),
+          sum(round(col("l_quantity")).cast("long")).as("qty"))
+      val v = m.select(col("ym"), expr("ext_c DIV qty").as("vwap_c"))
+        .localCheckpoint(true) // drawdown pass + endpoint pick both read it
+      val w = Window.orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dd = v.withColumn("peak_c", max("vwap_c").over(w))
+        .select(expr("((peak_c - vwap_c) * 1000) DIV peak_c").as("dd_pm"))
+      val agg = dd.agg(count(lit(1)).as("n_months"), max("dd_pm").as("max_dd_pm"),
+        sum(col("dd_pm") * col("dd_pm")).as("ss"))
+      val ret = v.agg(min_by(col("vwap_c"), col("ym")).as("first_c"),
+        max_by(col("vwap_c"), col("ym")).as("last_c"))
+      agg.crossJoin(ret)
+        .select(col("n_months"), col("max_dd_pm"),
+          sqrt(col("ss").cast("double") / col("n_months").cast("double"))
+            .as("ulcer_pm"),
+          expr("((last_c - first_c) * 1000) DIV first_c").as("ret_pm"),
+          when(col("ss") === 0, lit(null))
+            .otherwise(expr("((last_c - first_c) * 1000) DIV first_c")
+              .cast("double")
+              / sqrt(col("ss").cast("double") / col("n_months").cast("double")))
+            .as("martin_ratio"))
     }
   )
 }

@@ -689,6 +689,45 @@ object TextOps {
         .select(col("actual"), col("pred"), col("n"),
           expr("(n * 1000) DIV t").as("recall_permille"))
         .orderBy("actual", "pred")
+    },
+
+    // L107 — mixed-language detection: the training-data filter tx2's
+    // argmax can't express — a doc whose SECOND language score carries
+    // real mass is code-switched or boilerplate-contaminated, and a
+    // language-pure corpus wants it flagged, not routed. Top-2 of the
+    // four stopword scores via a portable array sort (both engines sort
+    // ascending, 1-indexed: slot 4 = best, slot 3 = runner-up);
+    // mix_permille = 1000·s2/(s1+s2) as an exact integer DIV; the flag
+    // fires when the runner-up holds ≥20% of the winner with ≥2 hits.
+    // Scan-local per doc — no shuffle at all before the final sort.
+    Q(
+      "tx55_lang_mix",
+      s"""SELECT doc_id, s1, s2,
+         |  CASE WHEN s1 + s2 = 0 THEN 0
+         |       ELSE (1000 * s2) // (s1 + s2) END AS mix_permille,
+         |  CASE WHEN 5 * s2 >= s1 AND s2 >= 2 THEN 1 ELSE 0 END AS mixed
+         |FROM (SELECT doc_id,
+         |    CAST(l[4] AS BIGINT) AS s1, CAST(l[3] AS BIGINT) AS s2
+         |  FROM (SELECT doc_id, list_sort([
+         |      len(regexp_extract_all(text,'$enRe')),
+         |      len(regexp_extract_all(text,'$esRe')),
+         |      len(regexp_extract_all(text,'$deRe')),
+         |      len(regexp_extract_all(text,'$frRe'))]) AS l
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), array_sort(array(
+          hits(col("text"), enRe), hits(col("text"), esRe),
+          hits(col("text"), deRe), hits(col("text"), frRe))).as("l"))
+        .select(col("doc_id"),
+          element_at(col("l"), 4).as("s1"), element_at(col("l"), 3).as("s2"))
+      scored.select(col("doc_id"), col("s1"), col("s2"),
+          when(col("s1") + col("s2") === 0, 0L)
+            .otherwise(expr("(1000 * s2) DIV (s1 + s2)")).as("mix_permille"),
+          when(lit(5) * col("s2") >= col("s1") && col("s2") >= 2, 1L)
+            .otherwise(0L).as("mixed"))
+        .orderBy("doc_id")
     }
   )
 }
