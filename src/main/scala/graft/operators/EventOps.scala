@@ -3442,9 +3442,148 @@ object EventOps {
         .agg(sum("t").as("phi24_e6"),
           (sum("t").cast("double") / lit(24000000.0)).as("phi"))
         .orderBy("channel")
+    },
+
+    // T96 — Markov removal-effect attribution: the OTHER standard
+    // data-driven credit model, completing the pair with T95's Shapley
+    // (Shapley prices coalition membership; removal effect prices a
+    // channel's position in the JOURNEY GRAPH — drop the state, don't
+    // renormalize, and measure how much absorption into purchase
+    // survives). reach = Σ_s start(s)·absorb₈(s) with ev58's exact
+    // e6-integer 8-step absorption recurrence, start(s) = first-event
+    // distribution; five scenarios (base + 4 removals) run the SAME
+    // unrolled rounds on the ≤5×5 transition frame. Everything after
+    // the bigram + first-event aggregates is broadcast-tiny algebra —
+    // 40 joins on ≤25-row frames, nothing scales with the fact.
+    Q("ev91_markov_removal", markovRemovalOracle) { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+      val t = ev
+        .select(col("event_type").as("prev"),
+          lead(col("event_type"), 1).over(byUser).as("next"))
+        .filter(col("next").isNotNull && col("prev") =!= "purchase")
+        .groupBy("prev", "next").agg(count(lit(1)).as("cnt"))
+      val m = t.select(col("prev"), col("next"),
+          expr("(cnt * 1000000) DIV sum(cnt) OVER (PARTITION BY prev)").as("p_e6"))
+        .localCheckpoint(true) // 5 scenarios × 8 rounds read it
+      val q0 = m.filter(col("next") =!= "purchase")
+      val r0 = m.filter(col("next") === "purchase")
+        .select(col("prev"), col("p_e6").as("r_e6"))
+      val starts = ev
+        .withColumn("rn", row_number().over(byUser))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type").as("state")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // one reach join per scenario
+      def reachDf(removed: Option[String]): DataFrame = {
+        val q = removed.map(c =>
+          q0.filter(col("prev") =!= c && col("next") =!= c)).getOrElse(q0)
+        val r = removed.map(c => r0.filter(col("prev") =!= c)).getOrElse(r0)
+        val states = removed.map(c =>
+          m.filter(col("prev") =!= c)).getOrElse(m)
+          .select(col("prev").as("state")).distinct()
+        var a = states.withColumn("v_e6", lit(0L))
+        for (_ <- 1 to 8) {
+          val step = q.join(a, q("next") === a("state"))
+            .groupBy(q("prev").as("state"))
+            .agg(expr("CAST(sum(p_e6 * v_e6) DIV 1000000 AS BIGINT)").as("acc"))
+          a = states
+            .join(r.withColumnRenamed("prev", "state"), Seq("state"), "left")
+            .join(step, Seq("state"), "left")
+            .select(col("state"),
+              (coalesce(col("r_e6"), lit(0L)) + coalesce(col("acc"), lit(0L)))
+                .as("v_e6"))
+        }
+        val value = when(col("state") === "purchase", lit(1000000L))
+          .otherwise(removed.map(c =>
+            when(col("state") === c, lit(0L))
+              .otherwise(coalesce(col("v_e6"), lit(0L))))
+            .getOrElse(coalesce(col("v_e6"), lit(0L))))
+        starts.join(a, Seq("state"), "left")
+          .withColumn("v", value)
+          .agg(expr("CAST(sum(cnt * v) DIV sum(cnt) AS BIGINT)").as("reach_e6"))
+      }
+      val base = reachDf(None).select(col("reach_e6").as("reach_base_e6"))
+      Seq("click", "error", "signup", "view").map { c =>
+        reachDf(Some(c)).select(col("reach_e6").as("reach_removed_e6"))
+          .crossJoin(base)
+          .select(lit(c).as("channel"), col("reach_base_e6"),
+            col("reach_removed_e6"),
+            when(col("reach_base_e6") === 0, 0L)
+              .otherwise(expr(
+                "((reach_base_e6 - reach_removed_e6) * 1000) DIV reach_base_e6"))
+              .as("removal_effect_pm"))
+      }.reduce(_ unionByName _).orderBy("channel")
     }
   )
 
   private def spark_range_h(s: org.apache.spark.sql.SparkSession) =
     s.range(1, 8).select(col("id").as("h"))
+
+  /** ev91's oracle: ev58's 8-round absorption unroll replayed FIVE times
+    * — once on the full chain, once per removed channel (transitions
+    * into OR out of the removed state dropped, probabilities NOT
+    * renormalized — the standard removal-effect estimator), each reach
+    * weighted by the first-event start distribution. Scenario CTEs are
+    * generated by the same loop that builds the Spark side's rounds. */
+  private[graft] lazy val markovRemovalOracle: String = {
+    val channels = Seq("view", "click", "signup", "error")
+    def rounds(tag: String) = (1 to 8).map { i =>
+      s"""s$tag$i AS (SELECT q.prev AS state,
+         |    CAST(sum(q.p_e6 * a$tag${i - 1}.v_e6) // 1000000 AS BIGINT) AS acc
+         |  FROM q$tag q JOIN a$tag${i - 1} ON q.next = a$tag${i - 1}.state
+         |  GROUP BY 1),
+         |a$tag$i AS (SELECT t.state,
+         |    CAST(coalesce(r.r_e6, 0) + coalesce(s$tag$i.acc, 0) AS BIGINT)
+         |      AS v_e6
+         |  FROM st$tag t LEFT JOIN r$tag r ON r.prev = t.state
+         |    LEFT JOIN s$tag$i ON s$tag$i.state = t.state)"""
+        .stripMargin
+    }.mkString(",\n")
+    def scenario(tag: String, rm: Option[String]) = {
+      val filt = rm.map(c => s"WHERE prev <> '$c' AND next <> '$c'").getOrElse("")
+      val rfilt = rm.map(c => s"AND prev <> '$c'").getOrElse("")
+      s"""q$tag AS (SELECT prev, next, p_e6 FROM q0 $filt),
+         |r$tag AS (SELECT prev, r_e6 FROM r0 WHERE 1=1 $rfilt),
+         |st$tag AS (SELECT DISTINCT prev AS state FROM m ${rm.map(c =>
+           s"WHERE prev <> '$c'").getOrElse("")}),
+         |a${tag}0 AS (SELECT state, CAST(0 AS BIGINT) AS v_e6 FROM st$tag),
+         |${rounds(tag)},
+         |reach$tag AS (
+         |  SELECT CAST(sum(s.cnt * CASE
+         |      WHEN s.state = 'purchase' THEN 1000000
+         |      ${rm.map(c => s"WHEN s.state = '$c' THEN 0").getOrElse("")}
+         |      ELSE coalesce(a.v_e6, 0) END) // sum(s.cnt) AS BIGINT) AS reach_e6
+         |  FROM starts s LEFT JOIN a${tag}8 a ON a.state = s.state)"""
+        .stripMargin
+    }
+    val scen = scenario("b", None) + ",\n" +
+      channels.map(c => scenario(s"_$c", Some(c))).mkString(",\n")
+    val out = channels.map { c =>
+      s"""SELECT '$c' AS channel, b.reach_e6 AS reach_base_e6,
+         |  x.reach_e6 AS reach_removed_e6,
+         |  CASE WHEN b.reach_e6 = 0 THEN 0
+         |       ELSE ((b.reach_e6 - x.reach_e6) * 1000) // b.reach_e6 END
+         |    AS removal_effect_pm
+         |FROM reachb b CROSS JOIN reach_$c x""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS prev, ts, event_id,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |      AS next
+       |  FROM events),
+       |t AS (SELECT prev, next, count(*) AS cnt FROM seq
+       |      WHERE next IS NOT NULL AND prev <> 'purchase' GROUP BY 1, 2),
+       |m AS (SELECT prev, next,
+       |        (cnt * 1000000) // sum(cnt) OVER (PARTITION BY prev) AS p_e6
+       |      FROM t),
+       |q0 AS (SELECT prev, next, p_e6 FROM m WHERE next <> 'purchase'),
+       |r0 AS (SELECT prev, p_e6 AS r_e6 FROM m WHERE next = 'purchase'),
+       |starts AS (
+       |  SELECT event_type AS state, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT event_type, row_number() OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS rn
+       |    FROM events) WHERE rn = 1 GROUP BY 1),
+       |$scen
+       |SELECT * FROM ($out) ORDER BY channel""".stripMargin
+  }
 }

@@ -1186,6 +1186,110 @@ object Insights {
         .withColumn("spread_pm", expr("((max_up - min_up) * 1000) DIV min_up"))
         .select("pk", "n_lines", "min_up", "max_up", "spread_pm")
         .orderBy(desc("spread_pm"), col("pk")).limit(20)
+    },
+
+    // R251 — Croston's method for INTERMITTENT demand: q120's newsvendor
+    // and q108's XYZ both assume a demand level exists; sparse demand
+    // (many zero months) biases plain exponential smoothing toward
+    // zero, and Croston's fix — separate EMAs for nonzero demand SIZE
+    // (z) and the INTERVAL between demands (x), forecast = z/x — is the
+    // standard spare-parts/slow-mover estimator. The fold state is a
+    // flat [init, z, x, q] 4-list over the per-brand monthly series
+    // (zeros filled on the global month spine): before the first
+    // nonzero month the state passes through; at it, z seeds to the
+    // demand and x to 1; after, dyadic α = 1/4 keeps every operation a
+    // correctly-rounded IEEE primitive of the IDENTICAL expression tree
+    // on both engines (ev43's license — hash-equal doubles, no
+    // rounding). DuckDB's seedless list_reduce takes the seed
+    // PREPENDED with list-typed elements (ev36/ev43 precedent). The
+    // fact collapses to (brand, month) cells in one pass; folds run on
+    // ≤|months| lists per brand.
+    Q(
+      "q147_croston",
+      """WITH pm AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(year(CAST(l_shipdate AS DATE))*12
+        |      + month(CAST(l_shipdate AS DATE)) - 1 AS BIGINT) AS mi,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT min(mi) AS m0, max(mi) AS m1 FROM pm),
+        |spine AS (
+        |  SELECT b.brand, g.mi FROM (SELECT DISTINCT brand FROM pm) b
+        |  CROSS JOIN (SELECT unnest(range((SELECT m0 FROM bounds),
+        |                                  (SELECT m1 FROM bounds) + 1)) AS mi) g),
+        |series AS (
+        |  SELECT s.brand, s.mi, CAST(coalesce(pm.qty, 0) AS DOUBLE) AS y
+        |  FROM spine s LEFT JOIN pm ON pm.brand = s.brand AND pm.mi = s.mi),
+        |arrs AS (
+        |  SELECT brand, list(y ORDER BY mi) AS xs,
+        |    CAST(count(*) AS BIGINT) AS n_months,
+        |    CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+        |  FROM series GROUP BY 1),
+        |fit AS (
+        |  SELECT brand, n_months, n_nonzero,
+        |    list_reduce(
+        |      list_concat([[0.0e0, 0.0e0, 0.0e0, 0.0e0]],
+        |        list_transform(xs, v -> [v, 0.0e0, 0.0e0, 0.0e0])),
+        |      (acc, e) -> CASE WHEN acc[1] < 0.5e0 THEN
+        |          CASE WHEN e[1] > 0.0e0
+        |               THEN [1.0e0, e[1], 1.0e0, 1.0e0] ELSE acc END
+        |        ELSE CASE WHEN e[1] > 0.0e0
+        |          THEN [1.0e0, acc[2] + 0.25e0*(e[1] - acc[2]),
+        |                acc[3] + 0.25e0*(acc[4] - acc[3]), 1.0e0]
+        |          ELSE [1.0e0, acc[2], acc[3], acc[4] + 1.0e0] END
+        |      END) AS st
+        |  FROM arrs)
+        |SELECT brand, n_months, n_nonzero,
+        |  st[2] AS z_size, st[3] AS x_interval,
+        |  CASE WHEN st[1] < 0.5e0 THEN NULL ELSE st[2] / st[3] END
+        |    AS croston_rate
+        |FROM fit ORDER BY brand""".stripMargin
+    ) { (s, d) =>
+      val pm = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33"))
+          .select(col("p_partkey"), col("p_brand").as("brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("brand"),
+          (year(col("l_shipdate").cast("date")) * 12
+            + month(col("l_shipdate").cast("date")) - 1).cast("long").as("mi"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("qty"))
+        .localCheckpoint(true) // bounds + spine join both read it
+      val bounds = pm.agg(min("mi").as("m0"), max("mi").as("m1"))
+      val spine = pm.select("brand").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("brand"), explode(sequence(col("m0"), col("m1"))).as("mi"))
+      val series = spine.join(pm, Seq("brand", "mi"), "left")
+        .select(col("brand"), col("mi"),
+          coalesce(col("qty"), lit(0L)).cast("double").as("y"))
+      val arrs = series.groupBy("brand")
+        .agg(expr("transform(array_sort(collect_list(struct(mi, y))), s -> s.y)")
+            .as("xs"),
+          count(lit(1)).as("n_months"),
+          sum(when(col("y") > 0, 1L).otherwise(0L)).as("n_nonzero"))
+      val fit = arrs.select(col("brand"), col("n_months"), col("n_nonzero"),
+        expr(
+          """aggregate(xs,
+            |  array(0.0D, 0.0D, 0.0D, 0.0D),
+            |  (acc, y) -> CASE WHEN element_at(acc,1) < 0.5D THEN
+            |      CASE WHEN y > 0.0D
+            |           THEN array(1.0D, y, 1.0D, 1.0D) ELSE acc END
+            |    ELSE CASE WHEN y > 0.0D
+            |      THEN array(1.0D, element_at(acc,2) + 0.25D*(y - element_at(acc,2)),
+            |                 element_at(acc,3)
+            |                   + 0.25D*(element_at(acc,4) - element_at(acc,3)), 1.0D)
+            |      ELSE array(1.0D, element_at(acc,2), element_at(acc,3),
+            |                 element_at(acc,4) + 1.0D) END
+            |  END)""".stripMargin).as("st"))
+      fit.select(col("brand"), col("n_months"), col("n_nonzero"),
+          element_at(col("st"), 2).as("z_size"),
+          element_at(col("st"), 3).as("x_interval"),
+          when(element_at(col("st"), 1) < 0.5, lit(null))
+            .otherwise(element_at(col("st"), 2) / element_at(col("st"), 3))
+            .as("croston_rate"))
+        .orderBy("brand")
     }
   )
 }
