@@ -708,6 +708,72 @@ object Dedup {
         .filter(col("jw_raw") >= 0.8)
         .select(col("name_a"), col("name_b"), round(col("jw_raw"), 6).as("jw"))
         .orderBy("name_a", "name_b")
+    },
+
+    // L109 — PREFIX-FILTERED exact similarity join (AllPairs/PPJoin
+    // lineage): the third candidate-generation family beside dd2's LSH
+    // banding (probabilistic) and dd10's df-capped inverted index
+    // (heuristic) — prefix filtering is EXACT: order each doc's token
+    // set by global rarity (df asc, token asc — one total order shared
+    // by all docs), keep only the first |A| − ⌈t·|A|⌉ + 1 tokens
+    // (t = 0.5 → ⌊|A|/2⌋+1), and any pair with J ≥ t MUST collide on
+    // some prefix token, so the candidate join touches only prefix
+    // postings. The ORACLE brute-forces the full inverted-index join —
+    // the hash match IS the zero-false-negative certificate for the
+    // filter. Verification is scan-local array_intersect on the
+    // candidate-bounded pair frame; the J ≥ 1/2 gate is the integer
+    // cross-multiply 3·|∩| ≥ |A|+|B|; per-doc rank windows are
+    // doc-length-bounded. At 100 TB the prefix postings (half the
+    // index, and the RARE half — tiny posting lists) are the only join
+    // input; a df-cap is available but NOT needed for exactness.
+    Q(
+      "dd22_prefix_join",
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws
+        |           FROM documents),
+        |e AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(count(*) AS BIGINT) AS inter
+        |      FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM w)
+        |SELECT id_a, id_b, inter,
+        |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        |  (inter * 1000) // (sa.n + sb.n - inter) AS jac_pm
+        |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE 3 * inter >= sa.n + sb.n
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+        .localCheckpoint(true) // index, sizes, and pair verify read it
+      val e = w.select(col("doc_id"), explode(col("ws")).as("tok"))
+      val dfTok = e.groupBy("tok").agg(count(lit(1)).as("df"))
+      val sz = w.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
+      // per-doc rarity rank: the window frame is one document's tokens
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+      val pref = e.join(dfTok, Seq("tok"))
+        .withColumn("r", row_number().over(byDoc))
+        .join(sz, Seq("doc_id"))
+        .filter(col("r") <= expr("n DIV 2 + 1"))
+        .select(col("doc_id"), col("tok"))
+      val cands = pref.select(col("doc_id").as("id_a"), col("tok"))
+        .join(pref.select(col("doc_id").as("id_b"), col("tok")), Seq("tok"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val verified = cands
+        .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
+        .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("ws_a"), col("ws_b"))).cast("long").as("inter"),
+          size(col("ws_a")).cast("long").as("size_a"),
+          size(col("ws_b")).cast("long").as("size_b"))
+      verified
+        .filter(lit(3) * col("inter") >= col("size_a") + col("size_b"))
+        .withColumn("jac_pm",
+          expr("(inter * 1000) DIV (size_a + size_b - inter)"))
+        .select("id_a", "id_b", "inter", "size_a", "size_b", "jac_pm")
+        .orderBy("id_a", "id_b")
     }
   )
 

@@ -1017,6 +1017,98 @@ object Similarity {
         .select(col("label"), col("n_queries"), col("n_correct"),
           expr("(n_correct * 1000) DIV n_queries").as("acc_pm"))
         .orderBy("label")
+    },
+
+    // L108 — Maximal Marginal Relevance (Carbonell–Goldstein) diverse
+    // re-ranking: retrieval that returns 5 near-identical neighbors
+    // wastes 4 slots (RAG context, dedup review queues); MMR greedily
+    // picks argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), λ=0.7, trading
+    // relevance against redundancy. The greedy loop is a FIXED 5-round
+    // unroll (gr32's license — no fixpoint), each round an argmax under
+    // the (score DESC, id) total order over the ≤30-row pool; identical
+    // IEEE cosine trees on both engines make even the float argmax
+    // deterministic. SCALE: pool selection is the only data-sized step
+    // (TakeOrderedAndProject top-30 by relevance); the 30×30 pairwise
+    // frame and all 5 rounds are constant work regardless of corpus
+    // size. First pick's diversity term is empty → mmr₁ = λ·rel.
+    Q("sim14_mmr", mmrUnrolledOracle) { (s, d) =>
+      val e = prepared(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nrm").as("qn"))
+      val pool = e.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("c_id"), col("v"), col("nrm"),
+          cosineNative(
+            col("qv"), col("v"), col("qn"), col("nrm")).as("rel"))
+        .orderBy(desc("rel"), col("c_id")).limit(30)
+        .localCheckpoint(true) // pairs + 5 rounds read it
+      val pairs = pool.select(col("c_id").as("a_id"), col("v").as("av"),
+          col("nrm").as("an"))
+        .crossJoin(pool.select(col("c_id").as("b_id"), col("v").as("bv"),
+          col("nrm").as("bn")))
+        .select(col("a_id"), col("b_id"),
+          cosineNative(
+            col("av"), col("bv"), col("an"), col("bn")).as("cos_ab"))
+        .localCheckpoint(true) // one read per round
+      var selected = pool
+        .orderBy(desc("rel"), col("c_id")).limit(1)
+        .select(col("c_id"), col("rel"), lit(1L).as("rk"),
+          (lit(0.7) * col("rel")).as("mmr"))
+      for (i <- 2 to 5) {
+        val selIds = selected.select(col("c_id").as("sid"))
+        val ms = pairs.join(broadcast(selIds), col("b_id") === col("sid"))
+          .groupBy("a_id").agg(max("cos_ab").as("msim"))
+        val pick = pool.join(ms, pool("c_id") === ms("a_id"))
+          .join(broadcast(selIds), pool("c_id") === col("sid"), "left_anti")
+          .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+          .orderBy(desc("score"), col("c_id")).limit(1)
+          .select(col("c_id"), col("rel"), lit(i.toLong).as("rk"),
+            col("score").as("mmr"))
+        selected = selected.unionByName(pick).localCheckpoint(true)
+      }
+      selected.select("rk", "c_id", "rel", "mmr").orderBy("rk")
     }
   )
+
+  /** sim14's oracle: the 5-round MMR greedy unrolled as generated CTEs —
+    * pool and pairwise-cosine frames MATERIALIZED once, each round a
+    * max-sim-to-selected aggregate + argmax LIMIT 1 under the
+    * (score DESC, id) total order, exactly the Spark side's rounds. */
+  private[graft] lazy val mmrUnrolledOracle: String = {
+    val rounds = (2 to 5).map { i =>
+      val selParts = (1 until i).map(j => s"SELECT c_id FROM s$j")
+        .mkString(" UNION ALL ")
+      s"""sel$i AS (${selParts}),
+         |m$i AS (SELECT p.a_id, max(p.cos_ab) AS msim
+         |        FROM pairs p JOIN sel$i s ON p.b_id = s.c_id GROUP BY 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT pool.c_id, pool.rel, CAST($i AS BIGINT) AS rk,
+         |    0.7e0*pool.rel - 0.3e0*m.msim AS mmr
+         |  FROM pool JOIN m$i m ON m.a_id = pool.c_id
+         |  WHERE pool.c_id NOT IN (SELECT c_id FROM sel$i)
+         |  ORDER BY 0.7e0*pool.rel - 0.3e0*m.msim DESC, pool.c_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(i => s"SELECT rk, c_id, rel, mmr FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+       |               AS nrm
+       |           FROM embeddings),
+       |q AS (SELECT v, nrm FROM e WHERE vec_id = 0),
+       |pool AS MATERIALIZED (
+       |  SELECT c.vec_id AS c_id, c.v, c.nrm,
+       |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS rel
+       |  FROM e c CROSS JOIN q WHERE c.vec_id >= 10
+       |  ORDER BY rel DESC, c_id LIMIT 30),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.c_id AS a_id, b.c_id AS b_id,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_ab
+       |  FROM pool a CROSS JOIN pool b),
+       |s1 AS MATERIALIZED (
+       |  SELECT c_id, rel, CAST(1 AS BIGINT) AS rk, 0.7e0*rel AS mmr
+       |  FROM pool ORDER BY rel DESC, c_id LIMIT 1),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY rk""".stripMargin
+  }
 }
