@@ -1386,7 +1386,74 @@ object Corpus {
         |  CAST(len_r AS BIGINT) AS len_r, m1, m2, gm_e6, bp_e6,
         |  (gm_e6 * bp_e6) // 1000000 AS bleu_e6
         |FROM q ORDER BY doc_id""".stripMargin
-    ) { (s, d) => bleuLagPairs(s, d) }
+    ) { (s, d) => bleuLagPairs(s, d) },
+
+    // L110 — cross-source language-model transfer matrix: tx27 scores a
+    // doc against the GLOBAL unigram model; the mixture question a
+    // corpus designer actually asks is "how well does source A's model
+    // predict source B" — the domain-shift / transfer readout (high
+    // off-diagonal = interchangeable sources, spiky diagonal = siloed
+    // vocabulary; tx40's JSD compares distributions symmetrically, this
+    // is the asymmetric predictive version). Add-1-smoothed per-source
+    // unigram models over the GLOBAL vocab (OOV w.r.t. a model gets
+    // count 0 → log2(Ns+V)); bits are tx27's per-term e6-quantized
+    // log2 of an exact integer ratio — identical doubles both engines —
+    // and everything else is integer sums. Scale: models are
+    // vocabulary-sized frames; the (eval-term × 10 models) join is the
+    // only fan-out and its width is the SOURCE count, a constant.
+    Q(
+      "tx56_cross_surprisal",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |       FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sw GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM sw),
+        |pairs AS (
+        |  SELECT ev.source AS eval_src, m.source AS train_src, ev.w,
+        |    ev.c AS c_eval, coalesce(tm.c, 0) AS c_train
+        |  FROM sw ev
+        |  CROSS JOIN (SELECT source FROM ns) m
+        |  LEFT JOIN sw tm ON tm.source = m.source AND tm.w = ev.w),
+        |term AS (
+        |  SELECT p.eval_src, p.train_src,
+        |    p.c_eval AS c_eval,
+        |    p.c_eval * CAST(round(1000000 * log2(
+        |      CAST(ns.n + v.v AS DOUBLE) / (p.c_train + 1))) AS BIGINT) AS sq
+        |  FROM pairs p JOIN ns ON ns.source = p.train_src CROSS JOIN v)
+        |SELECT train_src, eval_src, CAST(sum(c_eval) AS BIGINT) AS n_tokens,
+        |  CAST(sum(sq) AS DOUBLE) / (1000000 * CAST(sum(c_eval) AS DOUBLE))
+        |    AS bits_per_token
+        |FROM term GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val sw = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // eval side, model side, N, V all read it
+      val ns = sw.groupBy("source").agg(sum("c").as("n"))
+      val v = sw.agg(countDistinct("w").as("v"))
+      val pairs = sw
+        .select(col("source").as("eval_src"), col("w"), col("c").as("c_eval"))
+        .crossJoin(broadcast(ns.select(col("source").as("train_src"))))
+        .join(sw.select(col("source").as("train_src"), col("w"),
+          col("c").as("c_train")), Seq("train_src", "w"), "left")
+        .select(col("eval_src"), col("train_src"), col("c_eval"),
+          coalesce(col("c_train"), lit(0L)).as("c_train"))
+      pairs
+        .join(broadcast(ns.withColumnRenamed("source", "train_src")),
+          Seq("train_src"))
+        .crossJoin(broadcast(v))
+        .select(col("eval_src"), col("train_src"), col("c_eval"),
+          (col("c_eval") * round(lit(1000000) * log2(
+            (col("n") + col("v")).cast("double") / (col("c_train") + 1)))
+            .cast("long")).as("sq"))
+        .groupBy("train_src", "eval_src")
+        .agg(sum("c_eval").as("n_tokens"),
+          (sum("sq").cast("double")
+            / (lit(1000000) * sum("c_eval").cast("double")))
+            .as("bits_per_token"))
+        .orderBy("train_src", "eval_src")
+    }
   )
 
   /** dd15's engine — blocked sorted-neighborhood candidate pairs with

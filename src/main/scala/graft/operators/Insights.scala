@@ -1290,6 +1290,70 @@ object Insights {
             .otherwise(element_at(col("st"), 2) / element_at(col("st"), 3))
             .as("croston_rate"))
         .orderBy("brand")
+    },
+
+    // R252 — net + gross revenue retention (NRR/GRR) per acquisition
+    // cohort: q95's LTV matrix shows cumulative value; NRR answers the
+    // SaaS-boardroom question "a year later, do the SAME customers
+    // spend more or less" (expansion included), and GRR caps each
+    // customer at their starting spend (contraction only — expansion
+    // can't mask churn). Per customer: acquisition month mi0 = min
+    // order month, r0 = cents in mi0, r12 = cents in mi0+12; cohorts
+    // whose +12 month exceeds the data horizon are EXCLUDED (a partial
+    // year would read as churn). All cents exact; the two ratios are
+    // integer permille DIVs. One customer-keyed reduction; the cohort
+    // frame is month-spine-sized.
+    Q(
+      "q148_nrr",
+      """WITH om AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(year(CAST(o_orderdate AS DATE))*12
+        |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mi,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |f AS (SELECT ck, min(mi) AS mi0 FROM om GROUP BY 1),
+        |h AS (SELECT max(mi) AS hmax FROM om),
+        |cust AS (
+        |  SELECT f.ck, f.mi0,
+        |    sum(CASE WHEN om.mi = f.mi0 THEN om.cents ELSE 0 END) AS r0,
+        |    sum(CASE WHEN om.mi = f.mi0 + 12 THEN om.cents ELSE 0 END) AS r12
+        |  FROM f JOIN om ON om.ck = f.ck GROUP BY 1, 2)
+        |SELECT mi0 // 12 AS cohort_yr, mi0 % 12 + 1 AS cohort_mo,
+        |  CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(r0) AS BIGINT) AS rev0_cents,
+        |  CAST(sum(r12) AS BIGINT) AS rev12_cents,
+        |  CAST((1000 * sum(r12)) // sum(r0) AS BIGINT) AS nrr_pm,
+        |  CAST((1000 * sum(least(r0, r12))) // sum(r0) AS BIGINT) AS grr_pm
+        |FROM cust CROSS JOIN h
+        |WHERE mi0 + 12 <= hmax
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val om = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("ck"),
+          (year(col("o_orderdate").cast("date")) * 12
+            + month(col("o_orderdate").cast("date")) - 1).cast("long").as("mi"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint(true) // first-month frame + rejoin both read it
+      val f = om.groupBy("ck").agg(min("mi").as("mi0"))
+      val h = om.agg(max("mi").as("hmax"))
+      val cust = f.join(om, Seq("ck"))
+        .groupBy("ck", "mi0")
+        .agg(sum(when(col("mi") === col("mi0"), col("cents")).otherwise(0L))
+            .as("r0"),
+          sum(when(col("mi") === col("mi0") + 12, col("cents")).otherwise(0L))
+            .as("r12"))
+      cust.crossJoin(broadcast(h))
+        .filter(col("mi0") + 12 <= col("hmax"))
+        .groupBy(expr("mi0 DIV 12").as("cohort_yr"),
+          (col("mi0") % 12 + 1).as("cohort_mo"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum("r0").as("rev0_cents"), sum("r12").as("rev12_cents"),
+          sum(least(col("r0"), col("r12"))).as("g"))
+        .select(col("cohort_yr"), col("cohort_mo"), col("n_cust"),
+          col("rev0_cents"), col("rev12_cents"),
+          expr("(1000 * rev12_cents) DIV rev0_cents").as("nrr_pm"),
+          expr("(1000 * g) DIV rev0_cents").as("grr_pm"))
+        .orderBy("cohort_yr", "cohort_mo")
     }
   )
 }
