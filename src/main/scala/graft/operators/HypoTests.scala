@@ -1093,6 +1093,84 @@ object HypoTests {
         .select(col("n"), col("k"), hExpr.as("h"),
           (hExpr / (lit(1.0) - col("tsum").cast("double")
             / (nd * nd * nd - nd))).as("h_tie_corrected"))
+    },
+
+    // T97 — Wilcoxon signed-rank: the PAIRED test completing the
+    // nonparametric family (T33 rank-sum compares two samples, this
+    // compares each unit with ITSELF — here every customer's 1995 vs
+    // 1996 spend, the repeated-measures design a mean-of-differences
+    // t-test would need normality for). Zero differences drop (the
+    // standard treatment); |d| ranks are tie-averaged DOUBLED integers
+    // off |d|-value cells (ev26's 2·rank = 2·cum(<v) + t + 1 identity),
+    // so 2·W⁺ = Σ_v pos(v)·(2·cumlt_v + t_v + 1) is exact; the normal
+    // approximation z = (2W⁺ − n(n+1)/2) / √(n(n+1)(2n+1)/6 − Σ(t³−t)/12)
+    // is the one double tree, tie correction exact in decimal/HUGEINT.
+    // SCALE: spend-difference cents are near-continuous, so the
+    // |d|-cell cumulative runs through Blocked.cumulative; the oracle
+    // uses the plain window form.
+    Q(
+      "q149_wilcoxon_signed",
+      """WITH cy AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1995
+        |             THEN CAST(round(o_totalprice*100) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS c95,
+        |    CAST(sum(CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+        |             THEN CAST(round(o_totalprice*100) AS BIGINT)
+        |             ELSE 0 END) AS BIGINT) AS c96
+        |  FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) IN (1995, 1996)
+        |  GROUP BY 1),
+        |dd AS (SELECT abs(c96 - c95) AS v,
+        |         CASE WHEN c96 > c95 THEN 1 ELSE 0 END AS pos
+        |       FROM cy WHERE c96 <> c95),
+        |cells AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |            CAST(sum(pos) AS BIGINT) AS p FROM dd GROUP BY 1),
+        |cum AS (SELECT v, t, p,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cumlt
+        |  FROM cells),
+        |agg AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+        |    CAST(sum(CAST(p AS HUGEINT) * (2 * cumlt + t + 1)) AS BIGINT)
+        |      AS w2plus,
+        |    CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS tsum
+        |  FROM cum)
+        |SELECT n, w2plus,
+        |  (CAST(w2plus AS DOUBLE) - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+        |     / 2)
+        |  / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+        |         * (2 * CAST(n AS DOUBLE) + 1) / 6
+        |         - CAST(tsum AS DOUBLE) / 12) AS z
+        |FROM agg""".stripMargin
+    ) { (s, d) =>
+      val yr = year(col("o_orderdate").cast("date"))
+      val cy = Tables.orders(s, d)
+        .filter(yr.isin(1995, 1996))
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(sum(when(yr === 1995,
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("c95"),
+          sum(when(yr === 1996,
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L))
+            .as("c96"))
+      val dd = cy.filter(col("c96") =!= col("c95"))
+        .select(abs(col("c96") - col("c95")).as("v"),
+          when(col("c96") > col("c95"), 1L).otherwise(0L).as("pos"))
+      val cells = dd.groupBy("v")
+        .agg(count(lit(1)).as("t"), sum("pos").as("p"))
+      val cum = Blocked.cumulative(cells, Seq(col("v")), Seq("t"))
+        .withColumn("cumlt", col("cum_t") - col("t"))
+      val agg = cum.agg(sum("t").as("n"),
+        sum(col("p").cast("decimal(38,0)")
+          * (lit(2) * col("cumlt") + col("t") + 1)).cast("long").as("w2plus"),
+        sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .as("tsum"))
+      val nd = col("n").cast("double")
+      agg.select(col("n"), col("w2plus"),
+        ((col("w2plus").cast("double") - nd * (nd + 1) / 2)
+          / sqrt(nd * (nd + 1) * (lit(2) * nd + 1) / 6
+            - col("tsum").cast("double") / 12)).as("z"))
     }
   )
 }

@@ -1796,5 +1796,110 @@ object MlEval {
         when(expr("1000000 * (b01 - c10) * (b01 - c10) > 3841459 * (b01 + c10)"), 1L)
           .otherwise(0L).as("significant"))
     },
+
+    // L111 — Qini uplift curve by targeting decile: ml10's cumulative
+    // gains grade a RESPONSE model; an uplift model is graded on
+    // INCREMENTAL conversions — Qini(k) = cumConvT(k) − cumConvC(k)·
+    // cumNT(k)/cumNC(k), the treated conversions minus the control's
+    // scaled counterfactual among the top-k targeted. Arms by user_id
+    // parity (ev29/q128's randomization), outcome = purchased, targeting
+    // score = pre-purchase engagement (view+click count). Deciles come
+    // from ml10's broadcast percentile_disc thresholds (score ties land
+    // in one decile — deterministic, never a global rank), cumulative
+    // via the triangular self-join on the ≤10-row decile frame, and the
+    // Qini value is EXACT: 1000·cumPT − (1000·cumPC·cumNT) DIV cumNC in
+    // e3 units. One user-keyed aggregate touches the fact.
+    Q(
+      "ml34_qini",
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS tr,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+        |    sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END)
+        |      AS score
+        |  FROM events GROUP BY 1),
+        |thr AS (SELECT
+        |    percentile_disc(0.1) WITHIN GROUP (ORDER BY score DESC) AS t1,
+        |    percentile_disc(0.2) WITHIN GROUP (ORDER BY score DESC) AS t2,
+        |    percentile_disc(0.3) WITHIN GROUP (ORDER BY score DESC) AS t3,
+        |    percentile_disc(0.4) WITHIN GROUP (ORDER BY score DESC) AS t4,
+        |    percentile_disc(0.5) WITHIN GROUP (ORDER BY score DESC) AS t5,
+        |    percentile_disc(0.6) WITHIN GROUP (ORDER BY score DESC) AS t6,
+        |    percentile_disc(0.7) WITHIN GROUP (ORDER BY score DESC) AS t7,
+        |    percentile_disc(0.8) WITHIN GROUP (ORDER BY score DESC) AS t8,
+        |    percentile_disc(0.9) WITHIN GROUP (ORDER BY score DESC) AS t9
+        |  FROM u),
+        |tagged AS (SELECT tr, y,
+        |    1 + (CASE WHEN score < t1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score < t2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score < t3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score < t4 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score < t5 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score < t6 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score < t7 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score < t8 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN score < t9 THEN 1 ELSE 0 END) AS dc
+        |  FROM u CROSS JOIN thr),
+        |g AS (SELECT CAST(dc AS BIGINT) AS decile,
+        |    CAST(sum(tr) AS BIGINT) AS nt,
+        |    CAST(sum(tr * y) AS BIGINT) AS pt,
+        |    CAST(sum(1 - tr) AS BIGINT) AS nc,
+        |    CAST(sum((1 - tr) * y) AS BIGINT) AS pc
+        |  FROM tagged GROUP BY 1),
+        |c AS (SELECT a.decile, max(a.nt) AS nt, max(a.pt) AS pt,
+        |    max(a.nc) AS nc, max(a.pc) AS pc,
+        |    CAST(sum(b.nt) AS BIGINT) AS cnt, CAST(sum(b.pt) AS BIGINT) AS cpt,
+        |    CAST(sum(b.nc) AS BIGINT) AS cnc, CAST(sum(b.pc) AS BIGINT) AS cpc
+        |  FROM g a JOIN g b ON b.decile <= a.decile GROUP BY a.decile)
+        |SELECT decile, nt, pt, nc, pc,
+        |  CASE WHEN nt = 0 OR nc = 0 THEN NULL
+        |       ELSE (1000 * pt) // nt - (1000 * pc) // nc END AS uplift_pm,
+        |  CASE WHEN cnc = 0 THEN NULL
+        |       ELSE 1000 * cpt - (1000 * cpc * cnt) // cnc END AS qini_e3
+        |FROM c ORDER BY decile""".stripMargin
+    ) { (s, d) =>
+      val u = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"),
+          sum(when(col("event_type").isin("view", "click"), 1L).otherwise(0L))
+            .as("score"))
+        .select(col("user_id"),
+          when(col("user_id") % 2 === 0, 1L).otherwise(0L).as("tr"),
+          col("y"), col("score"))
+        .localCheckpoint(true) // threshold agg + tagging pass both read it
+      val thr = u.agg(
+        (1 to 9).map(k => expr(
+          s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY score DESC)")
+          .as(s"t$k")).head,
+        (2 to 9).map(k => expr(
+          s"percentile_disc(0.$k) WITHIN GROUP (ORDER BY score DESC)")
+          .as(s"t$k")): _*)
+      val dc = (1 to 9).map(k =>
+        when(col("score") < col(s"t$k"), 1L).otherwise(0L))
+        .reduce(_ + _) + 1
+      val g = u.crossJoin(broadcast(thr))
+        .select(col("tr"), col("y"), dc.as("decile"))
+        .groupBy("decile")
+        .agg(sum("tr").as("nt"), sum(col("tr") * col("y")).as("pt"),
+          sum(lit(1L) - col("tr")).as("nc"),
+          sum((lit(1L) - col("tr")) * col("y")).as("pc"))
+        .localCheckpoint(true) // triangular cumulative reads it twice
+      val b = g.select(col("decile").as("bd"), col("nt").as("bnt"),
+        col("pt").as("bpt"), col("nc").as("bnc"), col("pc").as("bpc"))
+      g.join(broadcast(b), col("bd") <= col("decile"))
+        .groupBy("decile")
+        .agg(max("nt").as("nt"), max("pt").as("pt"),
+          max("nc").as("nc"), max("pc").as("pc"),
+          sum("bnt").as("cnt"), sum("bpt").as("cpt"),
+          sum("bnc").as("cnc"), sum("bpc").as("cpc"))
+        .select(col("decile"), col("nt"), col("pt"), col("nc"), col("pc"),
+          when(col("nt") === 0 || col("nc") === 0, lit(null))
+            .otherwise(expr("(1000 * pt) DIV nt - (1000 * pc) DIV nc"))
+            .as("uplift_pm"),
+          when(col("cnc") === 0, lit(null))
+            .otherwise(expr("1000 * cpt - (1000 * cpc * cnt) DIV cnc"))
+            .as("qini_e3"))
+        .orderBy("decile")
+    },
   )
 }
