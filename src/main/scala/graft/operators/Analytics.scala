@@ -1703,6 +1703,70 @@ object Analytics {
             ((num - pmod(num, den)) / den).cast("long").as("trimmed_mean_cents")
           })
         .orderBy("seg")
+    },
+
+    // R253 — price-volume (PVM) bridge per brand, 1995 → 1996: q107's
+    // mix-shift bridge decomposes against a parent's SHARE; the finance
+    // close wants the other split — how much of Δrevenue came from
+    // charging differently (price) vs selling more units (volume). The
+    // exact identity p₁q₁ − p₀q₀ = (p₁−p₀)q₁ + (q₁−q₀)p₀ is evaluated
+    // WITHOUT ever forming a unit price: price = (rev₁·q₀ − q₁·rev₀)/q₀
+    // and volume = (q₁−q₀)·rev₀/q₀, numerators exact in decimal(38,0)/
+    // HUGEINT, the one truncating division per effect is signed —
+    // portable because both engines truncate toward zero (the −7//2=−3
+    // identity). Effects reconcile to Δrev within ±1 cent of
+    // truncation, asserted nowhere but stated here. One fact pass to
+    // the (brand, year) frame.
+    Q(
+      "q150_pvm_bridge",
+      """WITH by AS (
+        |  SELECT p_brand AS brand, year(CAST(l_shipdate AS DATE)) AS yr,
+        |    CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE year(CAST(l_shipdate AS DATE)) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT a.brand, a.rev AS rev0, a.qty AS q0, b.rev AS rev1,
+        |    b.qty AS q1
+        |  FROM by a JOIN by b ON a.brand = b.brand
+        |  WHERE a.yr = 1995 AND b.yr = 1996 AND a.qty > 0 AND b.qty > 0)
+        |SELECT brand, rev0, rev1, q0, q1, rev1 - rev0 AS delta_cents,
+        |  CAST((CAST(rev1 AS HUGEINT) * q0 - CAST(q1 AS HUGEINT) * rev0) // q0
+        |    AS BIGINT) AS price_effect_cents,
+        |  CAST(((CAST(q1 AS HUGEINT) - q0) * rev0) // q0 AS BIGINT)
+        |    AS volume_effect_cents
+        |FROM w ORDER BY brand""".stripMargin
+    ) { (s, d) =>
+      val by = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand").as("brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("yr", year(col("l_shipdate").cast("date")))
+        .filter(col("yr").isin(1995, 1996))
+        .groupBy("brand", "yr")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"),
+          sum(round(col("l_quantity")).cast("long")).as("qty"))
+        .localCheckpoint(true) // both years read it
+      val a = by.filter(col("yr") === 1995 && col("qty") > 0)
+        .select(col("brand"), col("rev").as("rev0"), col("qty").as("q0"))
+      val b = by.filter(col("yr") === 1996 && col("qty") > 0)
+        .select(col("brand"), col("rev").as("rev1"), col("qty").as("q1"))
+      a.join(b, Seq("brand"))
+        .select(col("brand"), col("rev0"), col("rev1"), col("q0"), col("q1"),
+          (col("rev1") - col("rev0")).as("delta_cents"),
+          { // signed TRUNCATING quotient: (num − num % den)/den — Spark %
+            // keeps the dividend's sign, so this matches DuckDB's
+            // toward-zero // on negative effects (pmod would give FLOOR)
+            val num = col("rev1").cast("decimal(38,0)") * col("q0") -
+              col("q1").cast("decimal(38,0)") * col("rev0")
+            ((num - num % col("q0")) / col("q0")).cast("long")
+              .as("price_effect_cents") },
+          { val num = (col("q1").cast("decimal(38,0)") - col("q0")) * col("rev0")
+            ((num - num % col("q0")) / col("q0")).cast("long")
+              .as("volume_effect_cents") })
+        .orderBy("brand")
     }
   )
 }

@@ -2663,6 +2663,92 @@ object Graph {
           | / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
           |      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))) AS BIGINT)"""
           .stripMargin).as("assortativity_e6"))
+    },
+
+    // R254 — undirected triad census + global transitivity: gr3
+    // enumerates the triangles, gr9 the per-node closure; the census
+    // places EVERY C(n,3) triple into its class (empty / one-edge /
+    // path / triangle) in CLOSED FORM — no triple enumeration anywhere:
+    // wedges W = Σ C(d,2); paths = W − 3T; one-edge = m(n−2) − 2W + 3T
+    // (each triple containing k edges is counted k times by m(n−2));
+    // empty = C(n,3) − rest. Triangles come from gr3's oriented
+    // two-join COUNT (u<v<w — each triangle once). All products ride
+    // decimal(38,0)/HUGEINT; the two exact divisions (C(n,3)/6 and
+    // W's /2) divide evenly but still use the %-subtraction identity
+    // so neither engine ever rounds. Global transitivity 3T/W is the
+    // one double. Cost: degree aggregate + gr3's triangle join.
+    Q(
+      "gr43_triad_census",
+      """WITH raw AS (
+        |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents)
+        |  FROM documents),
+        |e AS MATERIALIZED (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+        |      FROM raw WHERE a <> b),
+        |nd AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |        SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |      GROUP BY 1),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(d AS HUGEINT) * (d - 1)) // 2 AS HUGEINT) AS w
+        |  FROM nd),
+        |em AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+        |tr AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT n, m, CAST(w AS BIGINT) AS wedges, t AS triangles,
+        |  CAST(CAST(m AS HUGEINT) * (n - 2) - 2 * w + 3 * t AS BIGINT)
+        |    AS triad_one_edge,
+        |  CAST(w - 3 * t AS BIGINT) AS triad_path,
+        |  CAST((CAST(n AS HUGEINT) * (n-1) * (n-2)) // 6
+        |    - (CAST(m AS HUGEINT) * (n - 2) - 2 * w + 3 * t)
+        |    - (w - 3 * t) - t AS BIGINT) AS triad_empty,
+        |  3.0 * CAST(t AS DOUBLE) / CAST(w AS DOUBLE) AS transitivity
+        |FROM base CROSS JOIN em CROSS JOIN tr""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val nDocs = docs.count()
+      val raw = docs.select(col("doc_id").as("a"),
+          ((col("doc_id") * 7 + 13) % nDocs).as("b"))
+        .unionByName(docs.select(col("doc_id").as("a"),
+          ((col("doc_id") * 3 + 5) % nDocs).as("b")))
+        .unionByName(docs.select(col("doc_id").as("a"),
+          ((col("doc_id") * 11 + 2) % nDocs).as("b")))
+      val e = raw.filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .transform(graft.plans.Lineage.truncate) // degrees + 3-way triangle join
+      val nd = e.select(col("u").as("node"))
+        .unionByName(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val dd1 = col("d").cast("decimal(38,0)") * (col("d") - 1)
+      val base = nd.agg(count(lit(1)).as("n"),
+        ((sum(dd1) - pmod(sum(dd1), lit(2))) / 2).cast("decimal(38,0)").as("w"))
+      val em = e.agg(count(lit(1)).as("m"))
+      val tr = e.join(e.select(col("u").as("v"), col("v").as("w0")), "v")
+        .join(e.select(col("u"), col("v").as("w0")), Seq("u", "w0"))
+        .agg(count(lit(1)).as("t"))
+      val nD = col("n").cast("decimal(38,0)")
+      val c3num = nD * (col("n") - 1) * (col("n") - 2)
+      base.crossJoin(em).crossJoin(tr)
+        .select(col("n"), col("m"),
+          col("w").cast("long").as("wedges"), col("t").as("triangles"),
+          (col("m").cast("decimal(38,0)") * (col("n") - 2)
+            - lit(2) * col("w") + lit(3) * col("t")).cast("long")
+            .as("triad_one_edge"),
+          (col("w") - lit(3) * col("t")).cast("long").as("triad_path"),
+          (((c3num - pmod(c3num, lit(6))) / 6).cast("decimal(38,0)")
+            - (col("m").cast("decimal(38,0)") * (col("n") - 2)
+              - lit(2) * col("w") + lit(3) * col("t"))
+            - (col("w") - lit(3) * col("t")) - col("t")).cast("long")
+            .as("triad_empty"),
+          (lit(3.0) * col("t").cast("double") / col("w").cast("double"))
+            .as("transitivity"))
     }
   )
 
