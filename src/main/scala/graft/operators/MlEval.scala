@@ -1901,5 +1901,112 @@ object MlEval {
             .as("qini_e3"))
         .orderBy("decile")
     },
+
+    // L112 — Friedman test (k related samples over n blocks): ml33's
+    // McNemar compares TWO classifiers; Friedman is the k-way
+    // rank-based omnibus — here, does order PRIORITY CLASS shift mean
+    // order value consistently across the 25 nation blocks (each nation
+    // is its own control). Within each block the k=3 class means rank
+    // WITHOUT division: avg_i > avg_j ⟺ s_i·c_j > s_j·c_i (exact
+    // wide-integer cross-multiply — no float mean ever exists), doubled
+    // ranks absorb ties (r2 = 2 + Σ 2·[beats] + [ties], rank 1 =
+    // largest). χ²_F = 3·ΣR2²/(n·k(k+1)) − 3n(k+1) with ΣR2² exact in
+    // decimal/HUGEINT; blocks missing any class drop (the balanced
+    // design Friedman assumes). One fact aggregate to (nation, class)
+    // cells; everything after is 25×3 algebra.
+    Q(
+      "ml35_friedman",
+      """WITH cells AS (
+        |  SELECT n_name, substr(o_orderpriority, 1, 1) AS pc,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE substr(o_orderpriority, 1, 1) IN ('1', '2', '3')
+        |  GROUP BY 1, 2),
+        |blk AS (
+        |  SELECT n_name,
+        |    max(CASE WHEN pc = '1' THEN s END) AS s1,
+        |    max(CASE WHEN pc = '1' THEN c END) AS c1,
+        |    max(CASE WHEN pc = '2' THEN s END) AS s2,
+        |    max(CASE WHEN pc = '2' THEN c END) AS c2,
+        |    max(CASE WHEN pc = '3' THEN s END) AS s3,
+        |    max(CASE WHEN pc = '3' THEN c END) AS c3
+        |  FROM cells GROUP BY 1
+        |  HAVING count(*) = 3),
+        |rk AS (
+        |  SELECT n_name,
+        |    2 + 2*(CASE WHEN CAST(s2 AS HUGEINT)*c1 > CAST(s1 AS HUGEINT)*c2 THEN 1 ELSE 0 END)
+        |      + 2*(CASE WHEN CAST(s3 AS HUGEINT)*c1 > CAST(s1 AS HUGEINT)*c3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(s2 AS HUGEINT)*c1 = CAST(s1 AS HUGEINT)*c2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(s3 AS HUGEINT)*c1 = CAST(s1 AS HUGEINT)*c3 THEN 1 ELSE 0 END) AS r1,
+        |    2 + 2*(CASE WHEN CAST(s1 AS HUGEINT)*c2 > CAST(s2 AS HUGEINT)*c1 THEN 1 ELSE 0 END)
+        |      + 2*(CASE WHEN CAST(s3 AS HUGEINT)*c2 > CAST(s2 AS HUGEINT)*c3 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(s1 AS HUGEINT)*c2 = CAST(s2 AS HUGEINT)*c1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(s3 AS HUGEINT)*c2 = CAST(s2 AS HUGEINT)*c3 THEN 1 ELSE 0 END) AS r2,
+        |    2 + 2*(CASE WHEN CAST(s1 AS HUGEINT)*c3 > CAST(s3 AS HUGEINT)*c1 THEN 1 ELSE 0 END)
+        |      + 2*(CASE WHEN CAST(s2 AS HUGEINT)*c3 > CAST(s3 AS HUGEINT)*c2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(s1 AS HUGEINT)*c3 = CAST(s3 AS HUGEINT)*c1 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN CAST(s2 AS HUGEINT)*c3 = CAST(s3 AS HUGEINT)*c2 THEN 1 ELSE 0 END) AS r3
+        |  FROM blk),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(r1) AS BIGINT) AS r2_1, CAST(sum(r2) AS BIGINT) AS r2_2,
+        |    CAST(sum(r3) AS BIGINT) AS r2_3
+        |  FROM rk)
+        |SELECT n, r2_1, r2_2, r2_3,
+        |  -- doubled ranks: χ² = 3·ΣR2²/(n·k(k+1)) − 3n(k+1), k = 3
+        |  3.0 * (CAST(r2_1 AS DOUBLE)*r2_1 + CAST(r2_2 AS DOUBLE)*r2_2
+        |         + CAST(r2_3 AS DOUBLE)*r2_3)
+        |    / (CAST(n AS DOUBLE) * 3 * 4) - 3.0 * CAST(n AS DOUBLE) * 4
+        |    AS chi2_f
+        |FROM agg""".stripMargin
+    ) { (s, d) =>
+      val cells = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .withColumn("pc", substring(col("o_orderpriority"), 1, 1))
+        .filter(col("pc").isin("1", "2", "3"))
+        .groupBy("n_name", "pc")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s"),
+          count(lit(1)).as("c"))
+      val blk = cells.groupBy("n_name")
+        .agg(max(when(col("pc") === "1", col("s"))).as("s1"),
+          max(when(col("pc") === "1", col("c"))).as("c1"),
+          max(when(col("pc") === "2", col("s"))).as("s2"),
+          max(when(col("pc") === "2", col("c"))).as("c2"),
+          max(when(col("pc") === "3", col("s"))).as("s3"),
+          max(when(col("pc") === "3", col("c"))).as("c3"),
+          count(lit(1)).as("k"))
+        .filter(col("k") === 3)
+      def cmp(si: org.apache.spark.sql.Column, ci: org.apache.spark.sql.Column, sj: org.apache.spark.sql.Column, cj: org.apache.spark.sql.Column) =
+        (when(si.cast("decimal(38,0)") * cj > sj.cast("decimal(38,0)") * ci,
+          1L).otherwise(0L),
+         when(si.cast("decimal(38,0)") * cj === sj.cast("decimal(38,0)") * ci,
+          1L).otherwise(0L))
+      def rank(si: org.apache.spark.sql.Column, ci: org.apache.spark.sql.Column,
+               so1: org.apache.spark.sql.Column, co1: org.apache.spark.sql.Column,
+               so2: org.apache.spark.sql.Column, co2: org.apache.spark.sql.Column) = {
+        val (b1, t1) = cmp(so1, co1, si, ci)
+        val (b2, t2) = cmp(so2, co2, si, ci)
+        lit(2L) + lit(2L) * b1 + lit(2L) * b2 + t1 + t2
+      }
+      val rk = blk.select(
+        rank(col("s1"), col("c1"), col("s2"), col("c2"), col("s3"), col("c3"))
+          .as("r1"),
+        rank(col("s2"), col("c2"), col("s1"), col("c1"), col("s3"), col("c3"))
+          .as("r2"),
+        rank(col("s3"), col("c3"), col("s1"), col("c1"), col("s2"), col("c2"))
+          .as("r3"))
+      val agg = rk.agg(count(lit(1)).as("n"),
+        sum("r1").as("r2_1"), sum("r2").as("r2_2"), sum("r3").as("r2_3"))
+      val nd = col("n").cast("double")
+      agg.select(col("n"), col("r2_1"), col("r2_2"), col("r2_3"),
+        (lit(3.0) * (col("r2_1").cast("double") * col("r2_1")
+          + col("r2_2").cast("double") * col("r2_2")
+          + col("r2_3").cast("double") * col("r2_3"))
+          / (nd * 3 * 4) - lit(3.0) * nd * 4).as("chi2_f"))
+    },
   )
 }
