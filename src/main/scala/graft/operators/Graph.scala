@@ -1984,7 +1984,7 @@ object Graph {
     // Rows-only: the per-round argmin + contraction fixpoint has no
     // bounded SQL unroll (data-dependent round count); MstSpec pins the
     // algorithm against an in-test Kruskal on known graphs.
-    Q.rowsOnly("gr26_mst", "fixpoint") { (s, d) =>
+    Q("gr26_mst", mstUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("a"),
@@ -3203,6 +3203,72 @@ object Graph {
       spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }
+  }
+
+  /** gr26's ORACLE: Borůvka replayed as 10 generated rounds (idempotent
+    * past the fixpoint — an empty round is a no-op through the left
+    * joins, the gr6 k-core license). Each round: cross-component edges
+    * under the current labels, per-component argmin by WEIGHT ALONE
+    * (the md5 weights are globally distinct, so min(w) determines the
+    * edge — no struct order needed), then contraction as a RECURSIVE
+    * min-label closure over the chosen-edge component graph (gr14's
+    * pattern; label VALUES may differ from the Spark side's
+    * pointer-jumping roots, but the PARTITION — all that matters for
+    * the next round's argmin — is identical, and the output is edges
+    * only). The MST is unique under distinct weights, so matching
+    * edge sets IS full certification. */
+  private[graft] lazy val mstUnrolledOracle: String = {
+    val R = 10
+    val rounds = (1 to R).map { i =>
+      val prev = s"lab${i - 1}"
+      s"""ce$i AS (SELECT e.u, e.v, e.w, lu.comp AS cu, lv.comp AS cv
+         |  FROM e JOIN $prev lu ON lu.id = e.u
+         |         JOIN $prev lv ON lv.id = e.v
+         |  WHERE lu.comp <> lv.comp),
+         |hf$i AS (SELECT cu AS comp, u, v, w, cu AS ecu, cv AS ecv FROM ce$i
+         |  UNION ALL SELECT cv, u, v, w, cu, cv FROM ce$i),
+         |mw$i AS (SELECT comp, min(w) AS w FROM hf$i GROUP BY 1),
+         |me$i AS MATERIALIZED (
+         |  SELECT h.comp, h.u, h.v, h.w, h.ecu, h.ecv
+         |  FROM hf$i h JOIN mw$i m ON m.comp = h.comp AND m.w = h.w),
+         |g$i AS (
+         |  SELECT comp AS a, CASE WHEN comp = ecu THEN ecv ELSE ecu END AS b
+         |  FROM me$i
+         |  UNION
+         |  SELECT CASE WHEN comp = ecu THEN ecv ELSE ecu END, comp FROM me$i),
+         |reach$i AS (
+         |  SELECT DISTINCT a, a AS lab FROM g$i
+         |  UNION
+         |  SELECT g.a, r.lab FROM g$i g JOIN reach$i r ON g.b = r.a),
+         |nl$i AS (SELECT a AS comp, min(lab) AS newcomp
+         |         FROM reach$i GROUP BY 1),
+         |lab$i AS MATERIALIZED (
+         |  SELECT l.id, coalesce(n.newcomp, l.comp) AS comp
+         |  FROM $prev l LEFT JOIN nl$i n ON n.comp = l.comp)"""
+        .stripMargin
+    }.mkString(",\n")
+    val fes = (1 to R).map(i => s"SELECT u, v, w FROM me$i")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE raw AS (
+       |  SELECT doc_id AS a, (doc_id*7+13) % (SELECT count(*) FROM documents) AS b
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*3+5) % (SELECT count(*) FROM documents)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id*11+2) % (SELECT count(*) FROM documents)
+       |  FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT u, v,
+       |    CAST('0x' || substr(md5(CAST(u AS VARCHAR) || ':'
+       |      || CAST(v AS VARCHAR)), 1, 15) AS BIGINT) AS w
+       |  FROM (SELECT DISTINCT least(a,b) AS u, greatest(a,b) AS v
+       |        FROM raw WHERE a <> b)),
+       |lab0 AS MATERIALIZED (
+       |  SELECT node AS id, node AS comp FROM (
+       |    SELECT DISTINCT u AS node FROM e UNION SELECT v FROM e)),
+       |$rounds
+       |SELECT DISTINCT u, v, w FROM ($fes) ORDER BY u, v""".stripMargin
   }
 
   private def mstBoruvkaLoop(edgesIn: DataFrame, maxRounds: Int): DataFrame = {
