@@ -1384,7 +1384,7 @@ object Graph {
     // the clique-glue fixture where LPA under-splits, and the measured
     // exact-modularity improvement. Output is the community summary
     // (deterministic — the whole gain algebra is integer/decimal).
-    Q.rowsOnly("gr18_louvain", "fixpoint") { (s, d) =>
+    Q("gr18_louvain", louvainUnrolledOracle) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"))
       val n = docs.count()
       def es(mult: Int, add: Int) = docs.select(col("doc_id").as("src"),
@@ -2757,10 +2757,12 @@ object Graph {
     * count and tie rule cannot drift from the Spark loop). */
   // lazy: referenced by the `catalog` val ABOVE its declaration — a
   // strict val would still be null during catalog construction
-  private[graft] lazy val lpaUnrolledOracle: String = {
-    // MATERIALIZED per round: l_{i-1} is referenced twice (neighbor
-    // join + self vote) — inlining would re-evaluate the upstream chain
-    // 2^rounds times (the gr12 bring-up lesson)
+  /** Shared WITH-list prefix: 3-map edges, symmetric adjacency, and the
+    * 5 unrolled synchronous-LPA rounds ending at `l5(node, lbl)`.
+    * MATERIALIZED per round: l_{i-1} is referenced twice (neighbor
+    * join + self vote) — inlining would re-evaluate the upstream chain
+    * 2^rounds times (the gr12 bring-up lesson). */
+  private lazy val lpaPrefixSql: String = {
     val rounds = (1 to 5).map { i =>
       s"""v$i AS MATERIALIZED (
          |      SELECT a.s AS node, l.lbl FROM adj a JOIN l${i - 1} l ON l.node = a.t
@@ -2771,7 +2773,7 @@ object Graph {
          |                 ORDER BY cnt DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT doc_id AS s,
        |         (doc_id*7 + 13) % (SELECT count(*) FROM documents) AS t
        |  FROM documents
@@ -2785,11 +2787,65 @@ object Graph {
        |  SELECT s, t FROM e WHERE s <> t
        |  UNION ALL SELECT t, s FROM e WHERE s <> t)),
        |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM adj),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private[graft] lazy val lpaUnrolledOracle: String =
+    s"""WITH $lpaPrefixSql
        |SELECT CAST(lbl AS BIGINT) AS community,
        |  CAST(count(*) AS BIGINT) AS n_members,
        |  CAST(min(node) AS BIGINT) AS min_node
        |FROM l5 GROUP BY 1
+       |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
+
+  /** gr18's ORACLE (r6): the LPA prefix seeds 4 generated Louvain
+    * local-move rounds — [[louvainRefine]]'s exact synchronous
+    // parity-gated rule, integer gain algebra in HUGEINT (m2·kic −
+    * ki·(Σtot − [stay]·ki)), argmax ≡ row_number (g DESC, c), strict
+    * improvement gate. Every round is FIXED — the loop was never a
+    * data-dependent fixpoint, so a straight unroll certifies it. */
+  private[graft] lazy val louvainUnrolledOracle: String = {
+    val rounds = (1 to 4).map { r =>
+      val prev = s"lv${r - 1}"
+      s"""sg$r AS (SELECT l.c, CAST(sum(d.ki) AS BIGINT) AS sigma
+         |  FROM $prev l JOIN deg d ON d.node = l.node GROUP BY 1),
+         |kc$r AS (SELECT a.s AS node, l.c, CAST(count(*) AS BIGINT) AS kic
+         |  FROM adj a JOIN $prev l ON l.node = a.t GROUP BY 1, 2),
+         |cd$r AS (SELECT node, c, CAST(sum(kic) AS BIGINT) AS kic FROM (
+         |    SELECT node, c, kic FROM kc$r
+         |    UNION ALL SELECT node, c, CAST(0 AS BIGINT) FROM $prev)
+         |  GROUP BY 1, 2),
+         |sc$r AS MATERIALIZED (
+         |  SELECT cd.node, cd.c, li.c AS ci,
+         |    CAST((SELECT m2 FROM m2t) AS HUGEINT) * cd.kic
+         |      - CAST(d.ki AS HUGEINT)
+         |        * (sg.sigma - CASE WHEN cd.c = li.c THEN d.ki ELSE 0 END) AS g
+         |  FROM cd$r cd JOIN $prev li ON li.node = cd.node
+         |  JOIN deg d ON d.node = cd.node
+         |  JOIN sg$r sg ON sg.c = cd.c),
+         |bt$r AS (SELECT node, c AS bc, g AS bg FROM (
+         |    SELECT node, c, g, row_number() OVER (PARTITION BY node
+         |      ORDER BY g DESC, c) AS rn FROM sc$r) WHERE rn = 1),
+         |st$r AS (SELECT node, max(CASE WHEN c = ci THEN g END) AS gstay
+         |  FROM sc$r GROUP BY 1),
+         |lv$r AS MATERIALIZED (
+         |  SELECT b.node,
+         |    CASE WHEN (b.node + $r) % 2 = 0 AND b.bg > s.gstay
+         |         THEN b.bc ELSE li.c END AS c
+         |  FROM bt$r b JOIN st$r s ON s.node = b.node
+         |  JOIN $prev li ON li.node = b.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $lpaPrefixSql,
+       |deg AS MATERIALIZED (SELECT s AS node, CAST(count(*) AS BIGINT) AS ki
+       |  FROM adj GROUP BY 1),
+       |m2t AS (SELECT CAST(sum(ki) AS BIGINT) AS m2 FROM deg),
+       |lv0 AS MATERIALIZED (SELECT node, lbl AS c FROM l5),
+       |$rounds
+       |SELECT CAST(c AS BIGINT) AS community,
+       |  CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(min(node) AS BIGINT) AS min_node
+       |FROM lv4 GROUP BY 1
        |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
   }
 
