@@ -1767,6 +1767,126 @@ object Analytics {
             ((num - num % col("q0")) / col("q0")).cast("long")
               .as("volume_effect_cents") })
         .orderBy("brand")
+    },
+
+    // R255 — discount-depth response curve: q112's log-log elasticity
+    // fits ONE slope; merchandising wants the whole curve — at each
+    // discount depth, how much MORE volume moves than at full price,
+    // per brand. Response index = (avg qty at depth d) / (avg qty at
+    // d=0), held as the exact cross-multiplied permille
+    // (1000·q_d·n_0) DIV (n_d·q_0) — no float mean ever exists. The
+    // discount domain is 11 cells (0–10%), so the (brand, depth) frame
+    // is constant-sized after one fact pass; the zero-depth baseline
+    // joins back brand-keyed (broadcast).
+    Q(
+      "q151_discount_response",
+      """WITH bd AS (
+        |  SELECT p_brand AS brand,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS depth,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |base AS (SELECT brand, q AS q0, n AS n0 FROM bd WHERE depth = 0)
+        |SELECT bd.brand, bd.depth, bd.q AS qty, bd.n AS n_lines,
+        |  CAST((1000 * CAST(bd.q AS HUGEINT) * b.n0)
+        |    // (CAST(bd.n AS HUGEINT) * b.q0) AS BIGINT) AS response_pm
+        |FROM bd JOIN base b ON b.brand = bd.brand
+        |WHERE b.q0 > 0 AND bd.n > 0
+        |ORDER BY bd.brand, bd.depth""".stripMargin
+    ) { (s, d) =>
+      val bd = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand").as("brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("brand"),
+          round(col("l_discount") * 100).cast("long").as("depth"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("q"),
+          count(lit(1)).as("n"))
+        .localCheckpoint(true) // baseline + curve both read it
+      val base = bd.filter(col("depth") === 0 && col("q") > 0)
+        .select(col("brand"), col("q").as("q0"), col("n").as("n0"))
+      bd.filter(col("n") > 0)
+        .join(broadcast(base), Seq("brand"))
+        .select(col("brand"), col("depth"), col("q").as("qty"),
+          col("n").as("n_lines"),
+          { val num = lit(1000).cast("decimal(38,0)") * col("q") * col("n0")
+            val den = col("n").cast("decimal(38,0)") * col("q0")
+            ((num - pmod(num, den)) / den).cast("long").as("response_pm") })
+        .orderBy("brand", "depth")
+    },
+
+    // R256 — cross-column IQR fence audit: q48 profiles central
+    // moments, q102 counts robust outliers for ONE measure — the
+    // data-quality gate wants Tukey fences for EVERY numeric column in
+    // one artifact. Columns UNPIVOT to (col, value-cell) rows first
+    // (scan-local stack), quartiles are exact ceil-rank picks on the
+    // per-column cell cumulative (q143's machinery), fences at
+    // 4·Q1 − 6·(Q3−Q1)... kept integer: x is an outlier iff
+    // 2·x < 2·Q1 − 3·IQR or 2·x > 2·Q3 + 3·IQR (the 1.5×IQR rule
+    // cross-multiplied by 2). Counts per column + fence values out.
+    // SCALE: cents/qty cells are value-domain frames; the per-column
+    // cumulative is partitioned BY COLUMN over cells and runs blocked
+    // (Blocked.cumulativeBy) since cents cells scale with data.
+    Q(
+      "q152_fence_audit",
+      """WITH stacked AS (
+        |  SELECT 'extendedprice' AS colname,
+        |    CAST(round(l_extendedprice*100) AS BIGINT) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'quantity', CAST(round(l_quantity) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'tax', CAST(round(l_tax*100) AS BIGINT) FROM lineitem),
+        |cells AS (SELECT colname, v, CAST(count(*) AS BIGINT) AS c
+        |          FROM stacked GROUP BY 1, 2),
+        |cum AS (SELECT colname, v, c,
+        |    sum(c) OVER (PARTITION BY colname ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY colname) AS n
+        |  FROM cells),
+        |qq AS (SELECT colname, CAST(max(n) AS BIGINT) AS n,
+        |    min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+        |    min(CASE WHEN cum * 4 >= 3 * n THEN v END) AS q3
+        |  FROM cum GROUP BY 1),
+        |fl AS (SELECT s.colname, q.n, q.q1, q.q3,
+        |    CAST(sum(CASE WHEN 2 * s.v < 2 * q.q1 - 3 * (q.q3 - q.q1)
+        |                    OR 2 * s.v > 2 * q.q3 + 3 * (q.q3 - q.q1)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM stacked s JOIN qq q ON q.colname = s.colname
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT colname, n, q1, q3, n_outliers,
+        |  (n_outliers * 1000000) // n AS outlier_ppm
+        |FROM fl ORDER BY colname""".stripMargin
+    ) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val stacked = li.select(lit("extendedprice").as("colname"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .unionByName(li.select(lit("quantity").as("colname"),
+          round(col("l_quantity")).cast("long").as("v")))
+        .unionByName(li.select(lit("tax").as("colname"),
+          round(col("l_tax") * 100).cast("long").as("v")))
+        .localCheckpoint(true) // cells + fence-count pass both read it
+      val cells = stacked.groupBy("colname", "v").agg(count(lit(1)).as("c"))
+      val cum = Blocked.cumulativeBy(cells, Seq("colname"), Seq(col("v")),
+        Seq("c")).withColumnRenamed("cum_c", "cum")
+      // quartile picks need n first — two-phase like q143
+      val n2 = cum.groupBy("colname").agg(max("cum").as("n"))
+      val picks = cum.join(broadcast(n2), Seq("colname"))
+        .groupBy("colname")
+        .agg(max("n").as("n"),
+          min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+      val iqr3 = lit(3) * (col("q3") - col("q1"))
+      stacked.join(broadcast(picks), Seq("colname"))
+        .groupBy("colname")
+        .agg(max("n").as("n"), max("q1").as("q1"), max("q3").as("q3"),
+          sum(when(lit(2) * col("v") < lit(2) * col("q1") - iqr3
+            || lit(2) * col("v") > lit(2) * col("q3") + iqr3, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("colname"), col("n"), col("q1"), col("q3"),
+          col("n_outliers"),
+          expr("(n_outliers * 1000000) DIV n").as("outlier_ppm"))
+        .orderBy("colname")
     }
   )
 }
