@@ -716,16 +716,19 @@ object Dedup {
     // (heuristic) — prefix filtering is EXACT: order each doc's token
     // set by global rarity (df asc, token asc — one total order shared
     // by all docs), keep only the first |A| − ⌈t·|A|⌉ + 1 tokens
-    // (t = 0.5 → ⌊|A|/2⌋+1), and any pair with J ≥ t MUST collide on
-    // some prefix token, so the candidate join touches only prefix
-    // postings. The ORACLE brute-forces the full inverted-index join —
-    // the hash match IS the zero-false-negative certificate for the
-    // filter. Verification is scan-local array_intersect on the
-    // candidate-bounded pair frame; the J ≥ 1/2 gate is the integer
-    // cross-multiply 3·|∩| ≥ |A|+|B|; per-doc rank windows are
-    // doc-length-bounded. At 100 TB the prefix postings (half the
-    // index, and the RARE half — tiny posting lists) are the only join
-    // input; a df-cap is available but NOT needed for exactness.
+    // (t = 0.8, the standard near-dup threshold → n − ⌈4n/5⌉ + 1), and
+    // any pair with J ≥ t MUST collide on some prefix token, so the
+    // candidate join touches only prefix postings. The ORACLE
+    // brute-forces the full inverted-index join — the hash match IS
+    // the zero-false-negative certificate for the filter (measured: at
+    // t=0.5 this corpus yields 8.9M true pairs at sf0.1 — the 0.8 gate
+    // is both the realistic operating point and what keeps the output
+    // pair-bounded). Verification is scan-local array_intersect on the
+    // candidate-bounded pair frame; the J ≥ 4/5 gate is the integer
+    // cross-multiply 9·|∩| ≥ 4(|A|+|B|); per-doc rank windows are
+    // doc-length-bounded. At 100 TB the ⌈n/5⌉ prefix postings (the
+    // RAREST fifth — tiny posting lists) are the only join input; a
+    // df-cap is available but NOT needed for exactness.
     Q(
       "dd22_prefix_join",
       """WITH w AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws
@@ -740,7 +743,7 @@ object Dedup {
         |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
         |  (inter * 1000) // (sa.n + sb.n - inter) AS jac_pm
         |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |WHERE 3 * inter >= sa.n + sb.n
+        |WHERE 9 * inter >= 4 * (sa.n + sb.n)
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
       val w = Tables.documents(s, d)
@@ -755,11 +758,26 @@ object Dedup {
       val pref = e.join(dfTok, Seq("tok"))
         .withColumn("r", row_number().over(byDoc))
         .join(sz, Seq("doc_id"))
-        .filter(col("r") <= expr("n DIV 2 + 1"))
-        .select(col("doc_id"), col("tok"))
-      val cands = pref.select(col("doc_id").as("id_a"), col("tok"))
-        .join(pref.select(col("doc_id").as("id_b"), col("tok")), Seq("tok"))
-        .filter(col("id_a") < col("id_b"))
+        .filter(col("r") <= expr("n - (4 * n + 4) DIV 5 + 1"))
+        .select(col("doc_id"), col("tok"), col("r"), col("n"))
+        .localCheckpoint(true) // both sides of the candidate self-join
+      // PPJoin's two EXACT candidate prunes (no false negatives):
+      //  - length filter: J ≥ 4/5 forces 5·n_a ≥ 4·n_b and vice versa
+      //  - position filter: a true pair's collision on its FIRST shared
+      //    prefix token still has 1 + min(n_a−r_a, n_b−r_b) remaining
+      //    slots ≥ the overlap bound ⌈4(n_a+n_b)/9⌉ (t/(1+t) scaling); keeping pairs where
+      //    ANY collision passes therefore loses nothing, and the junk
+      //    collisions (late positions, mismatched sizes) never reach
+      //    the distinct
+      val cands = pref.select(col("doc_id").as("id_a"), col("tok"),
+          col("r").as("ra"), col("n").as("na"))
+        .join(pref.select(col("doc_id").as("id_b"), col("tok"),
+          col("r").as("rb"), col("n").as("nb")), Seq("tok"))
+        .filter(col("id_a") < col("id_b")
+          && lit(5) * col("na") >= lit(4) * col("nb")
+          && lit(5) * col("nb") >= lit(4) * col("na")
+          && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+             >= expr("(4 * (na + nb) + 8) DIV 9"))
         .select("id_a", "id_b").distinct()
       val verified = cands
         .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
@@ -769,7 +787,7 @@ object Dedup {
           size(col("ws_a")).cast("long").as("size_a"),
           size(col("ws_b")).cast("long").as("size_b"))
       verified
-        .filter(lit(3) * col("inter") >= col("size_a") + col("size_b"))
+        .filter(lit(9) * col("inter") >= lit(4) * (col("size_a") + col("size_b")))
         .withColumn("jac_pm",
           expr("(inter * 1000) DIV (size_a + size_b - inter)"))
         .select("id_a", "id_b", "inter", "size_a", "size_b", "jac_pm")
