@@ -779,13 +779,23 @@ object Dedup {
           && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
              >= expr("(4 * (na + nb) + 8) DIV 9"))
         .select("id_a", "id_b").distinct()
-      val verified = cands
-        .join(w.select(col("doc_id").as("id_a"), col("ws").as("ws_a")), Seq("id_a"))
-        .join(w.select(col("doc_id").as("id_b"), col("ws").as("ws_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          size(array_intersect(col("ws_a"), col("ws_b"))).cast("long").as("inter"),
-          size(col("ws_a")).cast("long").as("size_a"),
-          size(col("ws_b")).cast("long").as("size_b"))
+      // NARROW verify: carrying both token ARRAYS onto the pair frame
+      // OOMs once candidates × array width exceed executor memory (the
+      // 64× soak found exactly that cliff) — instead expand candidate
+      // pairs against a-side token rows and equi-join b's inverted
+      // index on (id_b, tok): every shuffle row is 3 narrow columns,
+      // the count is map-side combinable, and spill handles any size.
+      val inter = cands
+        .join(e.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
+        .join(e.select(col("doc_id").as("id_b"), col("tok")),
+          Seq("id_b", "tok"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val verified = inter
+        .join(sz.select(col("doc_id").as("id_a"), col("n").as("size_a")),
+          Seq("id_a"))
+        .join(sz.select(col("doc_id").as("id_b"), col("n").as("size_b")),
+          Seq("id_b"))
+        .select("id_a", "id_b", "inter", "size_a", "size_b")
       verified
         .filter(lit(9) * col("inter") >= lit(4) * (col("size_a") + col("size_b")))
         .withColumn("jac_pm",
