@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Blocked global-order windows — the scale-safe replacement for
   * `Window.orderBy(...)` with no partition spec (which funnels the whole
@@ -21,9 +22,15 @@ import org.apache.spark.sql.functions._
   * Correctness does not depend on where the range sampler puts the block
   * boundaries: cumulative sums and row_number decompose exactly as
   * local + preceding-block totals for ANY order-monotone blocking. The
-  * blocked frame is localCheckpoint'ed because the range partitioner's
-  * sample (and hence the block assignment) must agree between the local
-  * window pass and the summary pass.
+  * blocked frame is persisted (MEMORY_AND_DISK, shared InMemoryRelation)
+  * because the range partitioner's sample (and hence the block
+  * assignment) must agree between the local window pass and the summary
+  * pass. Persist keeps the LINEAGE — an evicted or executor-lost block
+  * recomputes through the same deterministic sampler (RangePartitioner
+  * seeds by partition index) over the deterministic input this helper
+  * already requires, so both reads still agree; a localCheckpoint here
+  * would instead truncate lineage into non-replicated executor-local
+  * storage and make executor loss unrecoverable at cluster scale.
   *
   * Reference behavior matched: global rank / cumulative-share operators
   * (ABC classes, Lorenz curves, Pareto coverage) — re-expressed so the
@@ -45,7 +52,7 @@ object Blocked {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val blocked = df.repartitionByRange(nb, sort: _*)
       .withColumn("__blk", spark_partition_id())
-      .localCheckpoint(true) // block ids must agree across both reads
+      .persist(StorageLevel.MEMORY_AND_DISK) // block ids agree across both reads
     // level 1: per-block local windows (partitioned — parallel)
     val wOrd = Window.partitionBy("__blk").orderBy(sort: _*)
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -103,7 +110,7 @@ object Blocked {
     val fullSort = part.map(col) ++ sort
     val blocked = df.repartitionByRange(nb, fullSort: _*)
       .withColumn("__blk", spark_partition_id())
-      .localCheckpoint(true) // block ids must agree across both reads
+      .persist(StorageLevel.MEMORY_AND_DISK) // block ids agree across both reads
     val wOrd = Window.partitionBy((part :+ "__blk").map(col): _*).orderBy(sort: _*)
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var local = blocked
@@ -158,7 +165,7 @@ object Blocked {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val blocked = df.repartitionByRange(nb, sort: _*)
       .withColumn("__blk", spark_partition_id())
-      .localCheckpoint(true) // block ids must agree across both reads
+      .persist(StorageLevel.MEMORY_AND_DISK) // block ids agree across both reads
     val wOrd = Window.partitionBy("__blk").orderBy(sort: _*)
     val frame =
       if (inclusive) wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -85,6 +85,102 @@ object Corpus {
     rules.toSeq.toDF("rank", "left", "right", "merged", "freq")
   }
 
+  /** Batched [[trainBpe]]: up to `batch` merges per DRIVER ROUND-TRIP,
+    * provably EQUAL to the sequential train (BpeBatchSpec pins it on
+    * toy + adversarial + real corpora). Per round the top `batch`+1
+    * pairs are collected once and the accepted set is chosen by an
+    * exactness rule derived here, not the usual lossy heuristic:
+    *
+    *  1. accept the maximal PREFIX of the ranked list (freq DESC, l, r)
+    *     whose members are pairwise symbol-disjoint — stop at the FIRST
+    *     candidate sharing a symbol with an earlier acceptance;
+    *  2. truncate acceptances to freq STRICTLY GREATER than the
+    *     stopper's freq (the first non-accepted candidate, or the last
+    *     collected row when the table is longer than the batch).
+    *
+    * Why that is exact: a merge p=(l,r)→m only (a) zeroes p, (b)
+    * decreases pairs sharing a symbol with p, and (c) creates pairs
+    * containing m whose frequency is bounded by some OLD pair of form
+    * (z,l) or (r,z) — a conflicting pair. Under rule 1 every pair
+    * ranked above the stopper is accepted-and-disjoint, so every
+    * conflicting pair ranks at/below the stopper; rule 2 then makes
+    * each later acceptance STRICTLY out-frequency every pair a prior
+    * in-round merge can create or leave behind — no lexicographic tie
+    * against a freshly-created multi-char symbol can flip the argmax
+    * (ties are why prefix-disjointness ALONE is not exact: e.g.
+    * N×"azw" + N×"bc" — merging (a,z) births ("az",w) at freq N, which
+    * lex-beats the disjoint (b,c)). If truncation empties the batch
+    * the round falls back to the plain argmax, which is sequential by
+    * definition. Worst case (flat tie plateaus) degrades to 1
+    * merge/round — never to a wrong rule; on Zipfian corpora the
+    * round count drops ~`batch`-fold: a 32k-merge production train at
+    * batch=16 is ~2k driver round-trips instead of 32k.
+    */
+  def trainBpeBatched(docs: DataFrame, nMerges: Int, batch: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var segs = docs
+      .select(explode(split(col("text"), " ")).as("wd"))
+      .filter(length(col("wd")) >= 1)
+      .groupBy("wd").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(wd)), i -> substring(wd, i, 1))").as("syms"))
+      .localCheckpoint(true)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= nMerges && !done) {
+      val want = math.min(batch, nMerges - rank + 1)
+      val top = segs
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum("cnt").as("freq"))
+        .orderBy(desc("freq"), col("l"), col("r"))
+        .limit(want + 1).collect() // batch candidates + the stopper probe
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopper: Option[Long] = None
+        var i = 0
+        while (i < math.min(want, top.length) && stopper.isEmpty) {
+          val (l, r, f) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (used(l) || used(r)) stopper = Some(f)
+          else { acc += ((l, r, f)); used += l; used += r }
+          i += 1
+        }
+        // table longer than the batch: the unseen tail bounds at row want
+        if (stopper.isEmpty && top.length > want)
+          stopper = Some(top(want).getLong(2))
+        val truncated = stopper match {
+          case Some(sf) => acc.takeWhile(_._3 > sf).toSeq
+          case None => acc.toSeq // whole pair table is disjoint — no new
+                                 // pair can form (its (z,l)/(r,z) source
+                                 // would be a conflicting table row)
+        }
+        val accepted = if (truncated.isEmpty) acc.take(1).toSeq else truncated
+        accepted.foreach { case (l, r, f) =>
+          rules += ((rank, l, r, l + r, f)); rank += 1
+        }
+        val folded = accepted.foldLeft(col("syms")) { case (c, (l, r, _)) =>
+          aggregate(c,
+            array().cast("array<string>"),
+            (a, s) => when(
+              size(a) > 0 && element_at(a, -1) === lit(l) && s === lit(r),
+              concat(slice(a, lit(1), size(a) - 1), array(lit(l + r))))
+              .otherwise(concat(a, array(s))))
+        }
+        segs = segs.select(col("cnt"), folded.as("syms")).localCheckpoint(true)
+      }
+    }
+    rules.toSeq.toDF("rank", "left", "right", "merged", "freq")
+  }
+
   /** Greedy left-to-right application of ONE merge rule to a symbol
     * array — the SAME semantics as [[trainBpe]]'s in-loop fold (a pair
     * consumed by a merge can't also pair with the preceding symbol), in
@@ -825,13 +921,17 @@ object Corpus {
     },
 
     // L59 — BPE tokenizer training (the full merge loop): 12 merge
-    // rules trained on the corpus via [[trainBpe]] — vocabulary-sized
-    // rounds, corpus touched once, driver argmax under a total order.
-    // Not SQL-expressible (iterative with a data-dependent argmax per
-    // round) → rows-only here; BpeSpec pins the rules against an
-    // independent sequential reference implementation.
+    // rules trained on the corpus via [[trainBpeBatched]] —
+    // vocabulary-sized rounds, corpus touched once, and up to 8 merges
+    // per driver round-trip under the exactness rule documented on the
+    // method (disjoint prefix + strict-frequency truncation), so a
+    // production 32k-merge train is O(merges/batch) driver rounds, not
+    // O(merges), while staying rule-for-rule equal to the sequential
+    // fold (BpeBatchSpec). Not SQL-expressible (iterative with a
+    // data-dependent argmax per round) → rows-only here; BpeSpec pins
+    // the rules against an independent sequential reference.
     Q.rowsOnly("tx29_bpe_train", "fixpoint") { (s, d) =>
-      trainBpe(Tables.documents(s, d), 12).orderBy("rank")
+      trainBpeBatched(Tables.documents(s, d), 12).orderBy("rank")
     },
 
     // L61 — BPE corpus encoding (the tokenizer's APPLY half): token

@@ -746,30 +746,68 @@ object Dedup {
         |WHERE 9 * inter >= 4 * (sa.n + sb.n)
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
-      val w = Tables.documents(s, d)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
-        .localCheckpoint(true) // index, sizes, and pair verify read it
-      val e = w.select(col("doc_id"), explode(col("ws")).as("tok"))
-      val dfTok = e.groupBy("tok").agg(count(lit(1)).as("df"))
-      val sz = w.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
-      // per-doc rarity rank: the window frame is one document's tokens
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("df"), col("tok"))
-      val pref = e.join(dfTok, Seq("tok"))
-        .withColumn("r", row_number().over(byDoc))
-        .join(sz, Seq("doc_id"))
-        .filter(col("r") <= expr("n - (4 * n + 4) DIV 5 + 1"))
-        .select(col("doc_id"), col("tok"), col("r"), col("n"))
-        .localCheckpoint(true) // both sides of the candidate self-join
-      // PPJoin's two EXACT candidate prunes (no false negatives):
-      //  - length filter: J ≥ 4/5 forces 5·n_a ≥ 4·n_b and vice versa
-      //  - position filter: a true pair's collision on its FIRST shared
-      //    prefix token still has 1 + min(n_a−r_a, n_b−r_b) remaining
-      //    slots ≥ the overlap bound ⌈4(n_a+n_b)/9⌉ (t/(1+t) scaling); keeping pairs where
-      //    ANY collision passes therefore loses nothing, and the junk
-      //    collisions (late positions, mismatched sizes) never reach
-      //    the distinct
-      val cands = pref.select(col("doc_id").as("id_a"), col("tok"),
+      // GRAFT_PREFIX_BANDS is the documented saturated-corpus knob (the
+      // r6 64× soak's disk-exhaustion fix) — output is band-invariant,
+      // so the default single-pass plan is what the oracle certifies.
+      val bands = sys.env.get("GRAFT_PREFIX_BANDS").map(_.toInt).getOrElse(1)
+      prefixJoinPairs(Tables.documents(s, d), bands).orderBy("id_a", "id_b")
+    }
+  )
+
+  /** PPJoin prefix-filtered exact similarity self-join at J ≥ 4/5
+    * (`dd22_prefix_join`'s engine). Tokens are set-distinct; each doc
+    * keeps only its n − ⌈4n/5⌉ + 1 globally-rarest tokens (df asc, tok
+    * asc — one shared total order), and a J ≥ 4/5 pair MUST collide on
+    * a prefix token, so candidates come from prefix postings only.
+    * Two further EXACT prunes (no false negatives):
+    *  - length filter: J ≥ 4/5 forces 5·n_a ≥ 4·n_b and vice versa
+    *  - position filter: a true pair's collision on its FIRST shared
+    *    prefix token still has 1 + min(n_a−r_a, n_b−r_b) remaining
+    *    slots ≥ the overlap bound ⌈4(n_a+n_b)/9⌉ (t/(1+t) scaling);
+    *    keeping pairs where ANY collision passes loses nothing
+    * NARROW verify: carrying both token ARRAYS onto the pair frame OOMs
+    * once candidates × array width exceed executor memory (the 64× soak
+    * found exactly that cliff) — instead candidate pairs expand against
+    * a-side token rows and equi-join b's inverted index on (id_b, tok):
+    * every shuffle row is 3 narrow columns, the count is map-side
+    * combinable, and spill handles any size.
+    *
+    * `bands` > 1 is the saturated-corpus SCALE KNOB (standard PPJoin
+    * sharding): the candidate join + verify run as `bands` SEQUENTIAL
+    * shards over a hash band of id_a. Every pair lands in exactly one
+    * band (id_a is the pair's smaller id, and the a-side alone is band-
+    * filtered), so the union is exactly the single-pass output — but
+    * each shard is materialized and its shuffle files released before
+    * the next starts, so PEAK spill disk is ~1/bands of the one-pass
+    * plan. That converts the r6 soak's single-box disk exhaustion at
+    * 64× (~190M true pairs vs ~77 GB free) into a bounded sequence.
+    * Shared frames (token sets, prefix index) persist MEMORY_AND_DISK
+    * with lineage intact (executor-loss-recoverable, unlike a
+    * localCheckpoint of a corpus-sized frame) and are released once the
+    * shards are materialized.
+    */
+  def prefixJoinPairs(docs: DataFrame, bands: Int = 1): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val w = docs
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // index, sizes, verify read it
+    val e = w.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val dfTok = e.groupBy("tok").agg(count(lit(1)).as("df"))
+    val sz = w.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
+    // per-doc rarity rank: the window frame is one document's tokens
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val pref = e.join(dfTok, Seq("tok"))
+      .withColumn("r", row_number().over(byDoc))
+      .join(sz, Seq("doc_id"))
+      .filter(col("r") <= expr("n - (4 * n + 4) DIV 5 + 1"))
+      .select(col("doc_id"), col("tok"), col("r"), col("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+    def bandOut(b: Int): DataFrame = {
+      val prefA0 =
+        if (bands == 1) pref
+        else pref.filter(pmod(xxhash64(col("doc_id")), lit(bands)) === b)
+      val cands = prefA0.select(col("doc_id").as("id_a"), col("tok"),
           col("r").as("ra"), col("n").as("na"))
         .join(pref.select(col("doc_id").as("id_b"), col("tok"),
           col("r").as("rb"), col("n").as("nb")), Seq("tok"))
@@ -779,31 +817,32 @@ object Dedup {
           && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
              >= expr("(4 * (na + nb) + 8) DIV 9"))
         .select("id_a", "id_b").distinct()
-      // NARROW verify: carrying both token ARRAYS onto the pair frame
-      // OOMs once candidates × array width exceed executor memory (the
-      // 64× soak found exactly that cliff) — instead expand candidate
-      // pairs against a-side token rows and equi-join b's inverted
-      // index on (id_b, tok): every shuffle row is 3 narrow columns,
-      // the count is map-side combinable, and spill handles any size.
       val inter = cands
         .join(e.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
         .join(e.select(col("doc_id").as("id_b"), col("tok")),
           Seq("id_b", "tok"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      val verified = inter
+      inter
         .join(sz.select(col("doc_id").as("id_a"), col("n").as("size_a")),
           Seq("id_a"))
         .join(sz.select(col("doc_id").as("id_b"), col("n").as("size_b")),
           Seq("id_b"))
-        .select("id_a", "id_b", "inter", "size_a", "size_b")
-      verified
         .filter(lit(9) * col("inter") >= lit(4) * (col("size_a") + col("size_b")))
         .withColumn("jac_pm",
           expr("(inter * 1000) DIV (size_a + size_b - inter)"))
         .select("id_a", "id_b", "inter", "size_a", "size_b", "jac_pm")
-        .orderBy("id_a", "id_b")
     }
-  )
+    if (bands == 1) bandOut(0)
+    else {
+      val parts = (0 until bands).map { b =>
+        val out = bandOut(b).localCheckpoint(true) // band-bounded pair frame
+        System.gc() // let ContextCleaner release the finished band's shuffles
+        out
+      }
+      w.unpersist(false); pref.unpersist(false)
+      parts.reduce(_ unionByName _)
+    }
+  }
 
   /** Shingle-containment pair search (L41, `dd10_containment`'s engine):
     * distinct (doc, shingle) inverted index, pair intersections from one

@@ -1051,10 +1051,10 @@ object HypoTests {
         |           AS tsum FROM vc)
         |SELECT n, k,
         |  3.0 * CAST(qsum AS DOUBLE)
-        |    / (4.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
         |    - 3.0 * (CAST(n AS DOUBLE) + 1) AS h,
         |  (3.0 * CAST(qsum AS DOUBLE)
-        |    / (4.0 * CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1))
         |    - 3.0 * (CAST(n AS DOUBLE) + 1))
         |  / (1.0 - CAST(tsum AS DOUBLE)
         |       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
@@ -1087,8 +1087,12 @@ object HypoTests {
         sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
           .as("tsum"))
       val nd = col("n").cast("double")
+      // H = 12/(N(N+1))·ΣR²/n − 3(N+1); with doubled rank sums u2=2R the
+      // qsum already carries u2²=4R², so 12/4 = 3 and the denominator is
+      // exactly N(N+1) — no further /4 (that would shrink H fourfold and
+      // drive it negative, impossible for H ≥ 0).
       val hExpr = lit(3.0) * col("qsum").cast("double")
-        ./(lit(4.0) * nd * (nd + 1)) - lit(3.0) * (nd + 1)
+        ./(nd * (nd + 1)) - lit(3.0) * (nd + 1)
       tot.crossJoin(ties)
         .select(col("n"), col("k"), hExpr.as("h"),
           (hExpr / (lit(1.0) - col("tsum").cast("double")

@@ -158,9 +158,12 @@ object TextProfile {
     // smallest vocabulary covering 90% — THE number that sizes a
     // tokenizer's vocab budget (tx22 grows the vocab over docs, this
     // ranks it by mass). Term frequencies are one scan-local explode +
-    // aggregate; the rank/cumulative windows run on the VOCABULARY
-    // frame (≤ distinct terms — vocabulary-sized, the established
-    // bounded class); rank picks are exact.
+    // aggregate. SCALE: vocabulary grows with the corpus (Heaps' law —
+    // 10⁸⁺ terms at 100 TB), so the global rank + running sum run
+    // through Blocked.cumulative's two-level blocked form (per-block
+    // windows + tiny offset join), NEVER an unpartitioned window; the
+    // oracle keeps the plain window form. VocabCoveragePlanSpec pins
+    // the physical plan free of single-partition WindowExec stages.
     Q(
       "tx49_vocab_coverage",
       """WITH tf AS (
@@ -188,18 +191,15 @@ object TextProfile {
         |  pick.k90
         |FROM pick, nt, v""".stripMargin
     ) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val tf = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(true) // totals + the ranked curve read it
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nt = tf.agg(sum("tf").as("nt"))
-      // vocabulary-sized windows (bounded by distinct terms)
-      val wv = Window.orderBy(desc("tf"), col("w"))
-      val rk = tf
-        .withColumn("rn", row_number().over(wv).cast("long"))
-        .withColumn("cum", sum("tf").over(
-          wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // blocked global order — no vocabulary-sized single-reducer window
+      val rk = Blocked
+        .cumulative(tf, Seq(desc("tf"), col("w")), Seq("tf"), rn = Some("rn"))
+        .withColumnRenamed("cum_tf", "cum")
       val v = tf.agg(count(lit(1)).as("v"))
       val pick = rk.crossJoin(broadcast(nt)).agg(
         max(when(col("rn") <= 10, col("cum"))).as("cum10"),

@@ -129,13 +129,20 @@ object PgWireDriver {
       i
     }
     def skipDollar(start: Int): Int = {
+      // PG dollar-quote tags must START with a letter or underscore
+      // (digits allowed only after) — '$1$' is positional-parameter
+      // syntax, never a quote opener, so digit-leading tags fall
+      // through to the plain-char path instead of swallowing the rest
+      // of the statement.
       var j = start + 1
-      while (j < n && isIdent(sql.charAt(j))) j += 1
-      if (j < n && sql.charAt(j) == '$') { // a real $tag$ opener
+      if (j < n && (Character.isLetter(sql.charAt(j)) || sql.charAt(j) == '_')) {
+        while (j < n && isIdent(sql.charAt(j))) j += 1
+      }
+      if (j < n && sql.charAt(j) == '$') { // a real $$ or $tag$ opener
         val tag = sql.substring(start, j + 1)
         val close = sql.indexOf(tag, j + 1)
         if (close < 0) n else close + tag.length
-      } else start + 1 // lone '$' — plain char
+      } else start + 1 // lone '$' / '$1…' — plain chars
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var i = 0

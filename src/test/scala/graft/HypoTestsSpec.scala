@@ -197,6 +197,43 @@ class HypoTestsSpec extends SparkSpecBase {
     assert(rc.getDouble(2) === chi2E6.toLong.toDouble / 1000000)
   }
 
+  test("ev89: Kruskal-Wallis H matches the textbook tie-averaged-rank " +
+    "computation on the same events, and H >= 0 (ADVICE r6 formula fix)") {
+    import spark.implicits._
+    // independent sequential reference over ALL five event types
+    val all: Array[(String, Long)] = Tables.events(spark, sf0001)
+      .select($"event_type", org.apache.spark.sql.functions
+        .round($"value" * 100).cast("long").as("v"))
+      .as[(String, Long)].collect()
+    val n = all.length.toDouble
+    // tie-averaged global ranks
+    val sorted = all.map(_._2).sorted
+    val rankOf: Map[Long, Double] = sorted.zipWithIndex
+      .groupBy(_._1).map { case (v, idx) =>
+        v -> (idx.map(_._2 + 1).sum.toDouble / idx.length)
+      }
+    val groups = all.groupBy(_._1)
+    val sumTerm = groups.values.map { vs =>
+      val r = vs.map(t => rankOf(t._2)).sum
+      r * r / vs.length
+    }.sum
+    val hWant = 12.0 / (n * (n + 1)) * sumTerm - 3.0 * (n + 1)
+    val tsum = all.groupBy(_._2).values
+      .map(g => g.length.toDouble).map(t => t * t * t - t).sum
+    val hTieWant = hWant / (1.0 - tsum / (n * n * n - n))
+    val row = results("ev89_kruskal_wallis").head
+    val h = row.getAs[Double]("h")
+    val hTie = row.getAs[Double]("h_tie_corrected")
+    val k = groups.size.toDouble
+    // the entry floor-divides each group's u2²/n_g to an integer before
+    // the cross-group sum (cross-engine determinism), shaving < 1 off
+    // each of the k terms: |h − textbook| ≤ 3k/(N(N+1))
+    val tol = 3.0 * k / (n * (n + 1)) + 1e-9
+    assert(h >= 0.0, s"H must be nonnegative, got $h")
+    assert(math.abs(h - hWant) <= tol, s"h=$h want=$hWant tol=$tol")
+    assert(math.abs(hTie - hTieWant) <= tol * 2, s"h_tie=$hTie want=$hTieWant")
+  }
+
   test("all tests emit one row per comparison group, deterministically") {
     assert(results("ev26_mannwhitney").map(_.getString(0)).toSeq
       === Seq("click", "view"))

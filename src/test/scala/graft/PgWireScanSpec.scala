@@ -41,6 +41,17 @@ class PgWireScanSpec extends AnyFunSuite {
     assert(n("SELECT price$ , ?") === 1)
   }
 
+  test("digit-leading dollar tags are NOT quote openers (ADVICE r6): " +
+    "PG tags must start with a letter or underscore") {
+    // '$1$' is positional-parameter-style text, not a dollar quote — the
+    // trailing '?' must still count
+    assert(n("SELECT a $1$ b ?") === 1)
+    assert(n("SELECT $1 + $2, ?") === 1)
+    // underscore- and letter-leading tags still quote
+    assert(n("SELECT $_t$ ? $_t$, ?") === 1)
+    assert(n("SELECT $q1$ ? $q1$, ?") === 1) // digits allowed AFTER the first
+  }
+
   test("unterminated constructs swallow the tail (server-equivalent)") {
     assert(n("SELECT '? unterminated ?") === 0)
     assert(n("SELECT /* open ?") === 0)

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** dd22's PPJoin engine: band-sharding is an execution knob, not a
+  * semantics knob — the sharded union must equal the single-pass output
+  * pair for pair, and both must equal the filter-free brute-force join
+  * (the zero-false-negative certificate for the prefix/length/position
+  * prunes).
+  */
+class PrefixJoinSpec extends SparkSpecBase {
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("inter"),
+      r.getAs[Long]("size_a"), r.getAs[Long]("size_b"), r.getAs[Long]("jac_pm"))
+
+  private lazy val docs = Tables.documents(spark, sf0001)
+
+  private lazy val single =
+    Dedup.prefixJoinPairs(docs).collect().map(key).sortBy(identity).toSeq
+
+  test("band-sharded output equals the single-pass output exactly") {
+    for (bands <- Seq(2, 5)) {
+      val banded = Dedup.prefixJoinPairs(docs, bands)
+        .collect().map(key).sortBy(identity).toSeq
+      assert(banded === single, s"bands=$bands diverged from single-pass")
+    }
+  }
+
+  test("single-pass output equals the brute-force inverted-index join " +
+    "(zero false negatives from the prefix/length/position filters)") {
+    val w = docs.select(col("doc_id"),
+      array_distinct(split(col("text"), " ")).as("ws"))
+    val e = w.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val sz = w.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
+    val brute = e.select(col("doc_id").as("id_a"), col("tok"))
+      .join(e.select(col("doc_id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("size_a")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("size_b")), Seq("id_b"))
+      .filter(lit(9) * col("inter") >= lit(4) * (col("size_a") + col("size_b")))
+      .withColumn("jac_pm", expr("(inter * 1000) DIV (size_a + size_b - inter)"))
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jac_pm")
+      .collect().map(key).sortBy(identity).toSeq
+    assert(single === brute)
+    assert(single.nonEmpty) // the corpus carries near-dup pairs to certify on
+  }
+}
