@@ -73,7 +73,39 @@ object Bench {
     val headline = Set("q01_agg", "q02_filter_project", "q03_join_agg",
       "q04_semi_join", "q06_broadcast_join", "q07_star_join",
       "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
-    val headlineTotal = timings.filter(r => headline(r._1)).map(_._2).filter(_ >= 0).sum
+    // Median-of-3 headline read-out (judge r6 item 8): full sweeps spread
+    // ~±0.9 s run-to-run at this scale, which made per-round regressions
+    // unreadable. The sweep above is pass 1; two more HEADLINE-ONLY
+    // passes (~2× headline_sec extra, nothing else re-run) give three
+    // samples per headline query — stdout carries the median pass total
+    // plus the min/max spread, so a verdict can say "regressed" only
+    // when the delta clears the measured noise band.
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    val headlineNames = headline.toSeq.sorted.filter(n => only.isEmpty || only(n))
+    val extraPasses: Seq[Map[String, Double]] = (1 to 2).map { _ =>
+      headlineNames.map { n => val s = timeOne(n); System.gc(); n -> s }.toMap
+    }
+    val sweepTimes = timings.toMap
+    def samples(n: String): Seq[Double] =
+      (sweepTimes.get(n).toSeq ++ extraPasses.map(_.getOrElse(n, -1.0)))
+        .filter(_ >= 0)
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val headlineMedians = headlineNames.map(n => n -> r3(median(samples(n))))
+    val passTotals: Seq[Double] =
+      (Seq(headlineNames.flatMap(sweepTimes.get)) ++
+        extraPasses.map(p => headlineNames.map(p(_))))
+        .map(_.filter(_ >= 0).sum)
+    val headlineTotal = r3(median(passTotals))
+    val headlineSpread = r3(passTotals.max - passTotals.min)
     // The FULL per-query map goes to target/bench.json. The stdout line
     // carries only the 10 headline queries: the driver keeps just the
     // last 2000 chars of stdout (BENCH_r01/r02 "tail"), and the full
@@ -84,13 +116,16 @@ object Bench {
     // sbt's trailing "[success] Total time..." line, and stays the ONLY
     // stdout line matching '"metric"'.
     def emit(qs: String, extra: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal,"headline_spread_sec":$headlineSpread$extra}"""
     val shuffleMap = jsonMap(results.map(r => r._1 -> (math.rint(r._3 * 1000) / 1000)))
-    val full = emit(jsonMap(timings), s""","shuffle_mb":$shuffleMap""")
+    val passesJson = passTotals.map(r3).mkString("[", ",", "]")
+    val full = emit(jsonMap(timings),
+      s""","shuffle_mb":$shuffleMap,"headline_pass_totals":$passesJson,"headline_medians":${jsonMap(headlineMedians)}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
-    println(emit(jsonMap(timings.filter(r => headline(r._1))),
+    // stdout queries map = per-headline MEDIANS (bounded, ~500 chars)
+    println(emit(jsonMap(headlineMedians),
       s""","n_queries":${results.size},"all_queries_file":"target/bench.json""""))
     spark.stop()
   }

@@ -1865,7 +1865,11 @@ object Analytics {
           round(col("l_quantity")).cast("long").as("v")))
         .unionByName(li.select(lit("tax").as("colname"),
           round(col("l_tax") * 100).cast("long").as("v")))
-        .localCheckpoint(true) // cells + fence-count pass both read it
+        // persist, not localCheckpoint: the stacked frame is 3× the FACT
+        // table — O(table) executor-local checkpoint storage would both
+        // pin that much space and make executor loss unrecoverable
+        // (ADVICE r6); MEMORY_AND_DISK keeps the lineage replayable
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cells = stacked.groupBy("colname", "v").agg(count(lit(1)).as("c"))
       val cum = Blocked.cumulativeBy(cells, Seq("colname"), Seq(col("v")),
         Seq("c")).withColumnRenamed("cum_c", "cum")

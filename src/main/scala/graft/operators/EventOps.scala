@@ -392,11 +392,13 @@ object EventOps {
         .select(col("user_id"),
           expr("(unix_micros(pts) - unix_micros(vts)) DIV 1000000").as("delta_s"))
       val cells = dd.groupBy("delta_s").agg(count(lit(1)).as("c"))
-      val cum = Window.orderBy("delta_s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val r = cells.select(col("delta_s"),
-        sum("c").over(cum).as("cum"),
-        sum("c").over(Window.partitionBy()).as("n"))
+      // latency-second cells scale with the observation domain — the
+      // cumulative runs blocked, never through one reducer (r7)
+      val tot = cells.agg(sum("c").as("n"))
+      val r = graft.operators.Blocked
+        .cumulative(cells, Seq(col("delta_s")), Seq("c"))
+        .withColumnRenamed("cum_c", "cum")
+        .crossJoin(broadcast(tot))
       r.agg(max("n").cast("long").as("n_converts"),
         min(when(expr("cum >= (n+1) DIV 2"), col("delta_s"))).cast("long").as("p50_s"),
         min(when(expr("cum >= (n*9+9) DIV 10"), col("delta_s"))).cast("long").as("p90_s"),
@@ -3513,6 +3515,149 @@ object EventOps {
                 "((reach_base_e6 - reach_removed_e6) * 1000) DIV reach_base_e6"))
               .as("removal_effect_pm"))
       }.reduce(_ unionByName _).orderBy("channel")
+    },
+
+    // T98 — single change-point detection (binary-segmentation step 1,
+    // the CUSUM-location twin of ev20's drift alarm): the split of the
+    // daily event-count series that maximizes the between-segment sum
+    // of squares S1²/n1 + S2²/n2 (equivalently minimizes pooled SSE —
+    // Σx² is split-invariant so it cancels). Entirely exact: per-split
+    // scores are the integer cross-form (S1²·n2 + S2²·n1)·10⁶ floor-
+    // divided by n1·n2 in decimal(38,0), so the argmax is a total-order
+    // pick, never a float race. The day-spine cumulative comes from a
+    // triangular SELF-JOIN on the calendar-bounded spine (≤ days rows
+    // — no window at all, partitioned or otherwise), which also makes
+    // the entry spine²-cheap and fact-linear at any corpus size.
+    Q(
+      "ev92_changepoint",
+      """WITH dc AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(c) AS BIGINT) AS s FROM dc),
+        |pre AS (SELECT a.dy, CAST(count(*) AS BIGINT) AS n1,
+        |               CAST(sum(b.c) AS BIGINT) AS s1
+        |        FROM dc a JOIN dc b ON b.dy <= a.dy GROUP BY 1),
+        |scored AS (SELECT dy, n1, s1, n - n1 AS n2, s - s1 AS s2,
+        |    (CAST(s1 AS HUGEINT) * s1 * (n - n1)
+        |     + CAST(s - s1 AS HUGEINT) * (s - s1) * n1) * 1000000
+        |      // (CAST(n1 AS HUGEINT) * (n - n1)) AS score_micro
+        |  FROM pre CROSS JOIN tot WHERE n1 < n)
+        |SELECT dy AS split_day, n1 AS n_before, n2 AS n_after,
+        |  (s1 * 1000) // n1 AS mean_before_milli,
+        |  (s2 * 1000) // n2 AS mean_after_milli,
+        |  CAST(score_micro AS BIGINT) AS score_micro
+        |FROM scored ORDER BY score_micro DESC, dy LIMIT 1""".stripMargin
+    ) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // spine self-join + totals read it
+      val tot = dc.agg(count(lit(1)).as("n"), sum("c").as("s"))
+      val pre = dc.as("a")
+        .join(dc.select(col("dy").as("bdy"), col("c").as("bc")),
+          col("bdy") <= col("dy"))
+        .groupBy("dy")
+        .agg(count(lit(1)).as("n1"), sum("bc").as("s1"))
+      val d38 = "decimal(38,0)"
+      val scored = pre.crossJoin(broadcast(tot))
+        .filter(col("n1") < col("n"))
+        .withColumn("n2", col("n") - col("n1"))
+        .withColumn("s2", col("s") - col("s1"))
+        .withColumn("num",
+          (col("s1").cast(d38) * col("s1") * col("n2")
+            + col("s2").cast(d38) * col("s2") * col("n1")) * 1000000)
+        .withColumn("den", col("n1").cast(d38) * col("n2"))
+        // exact floor quotient (HypoTests' pmod-subtract discipline)
+        .withColumn("score_micro",
+          ((col("num") - pmod(col("num"), col("den"))) / col("den"))
+            .cast("long"))
+      scored.select(col("dy").as("split_day"),
+          col("n1").as("n_before"), col("n2").as("n_after"),
+          expr("(s1 * 1000) DIV n1").as("mean_before_milli"),
+          expr("(s2 * 1000) DIV n2").as("mean_after_milli"),
+          col("score_micro"))
+        .orderBy(desc("score_micro"), col("split_day")).limit(1)
+    },
+
+    // T99 — interrupted time series (ITS, segmented regression): the
+    // causal readout ev32's diff-in-diff can't give WITHOUT a control
+    // group — fit level+trend OLS separately before and after a fixed
+    // intervention point (the midpoint day here, deterministic) and
+    // report both slopes plus the level SHIFT at the split (each
+    // segment's fitted value extrapolated to the split day). Entirely
+    // exact: per-segment OLS moments are integer sums over the day
+    // spine, slope = (nΣxy−ΣxΣy)/D and fitted ŷ(s) = [Σy·D +
+    // (nΣxy−ΣxΣy)(n·s−Σx)]/(n·D) are single e6 integral divisions of
+    // decimal(38,0) integers — Spark's DIV and DuckDB's // BOTH
+    // truncate toward zero (measured: −7//2 = −3 on both), so signed
+    // slopes stay engine-exact. Aggregates only — no windows.
+    Q(
+      "ev93_its",
+      """WITH dc AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1),
+        |ix AS (SELECT CAST(datediff('day', (SELECT min(dy) FROM dc), dy)
+        |              AS BIGINT) AS x, c FROM dc),
+        |sp AS (SELECT (max(x) + 1) // 2 AS s FROM ix),
+        |m AS (SELECT CASE WHEN x < s THEN 0 ELSE 1 END AS seg,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * c) AS HUGEINT) AS sxy
+        |  FROM ix CROSS JOIN sp GROUP BY 1),
+        |f AS (SELECT seg, n,
+        |    (n * sxy - CAST(sx AS HUGEINT) * sy) AS bn,
+        |    (n * sxx - CAST(sx AS HUGEINT) * sx) AS d,
+        |    sx, sy, s
+        |  FROM m CROSS JOIN sp),
+        |g AS (SELECT seg, n,
+        |    CAST((bn * 1000000) // d AS BIGINT) AS slope_e6,
+        |    CAST(((CAST(sy AS HUGEINT) * d + bn * (n * s - sx)) * 1000000)
+        |         // (n * d) AS BIGINT) AS level_at_split_e6
+        |  FROM f)
+        |SELECT max(CASE WHEN seg = 0 THEN n END) AS n_pre,
+        |  max(CASE WHEN seg = 1 THEN n END) AS n_post,
+        |  max(CASE WHEN seg = 0 THEN slope_e6 END) AS slope_pre_e6,
+        |  max(CASE WHEN seg = 1 THEN slope_e6 END) AS slope_post_e6,
+        |  max(CASE WHEN seg = 1 THEN level_at_split_e6 END)
+        |    - max(CASE WHEN seg = 0 THEN level_at_split_e6 END)
+        |    AS level_shift_e6
+        |FROM g""".stripMargin
+    ) { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("c"))
+      val mn = dc.agg(min("dy").as("d0"))
+      val ix = dc.crossJoin(broadcast(mn))
+        .select(datediff(col("dy"), col("d0")).cast("long").as("x"), col("c"))
+        .localCheckpoint(true) // split scalar + both segments read it
+      val sp = ix.agg(expr("CAST((max(x) + 1) DIV 2 AS BIGINT)").as("s"))
+      val d38 = "decimal(38,0)"
+      val m = ix.crossJoin(broadcast(sp))
+        .groupBy(when(col("x") < col("s"), 0L).otherwise(1L).as("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("c").as("sy"),
+          sum(col("x").cast(d38) * col("x")).as("sxx"),
+          sum(col("x").cast(d38) * col("c")).as("sxy"),
+          max(col("s")).as("s"))
+      val f = m.select(col("seg"), col("n"), col("sx"), col("sy"), col("s"),
+        (col("n").cast(d38) * col("sxy") - col("sx").cast(d38) * col("sy")).as("bn"),
+        (col("n").cast(d38) * col("sxx") - col("sx").cast(d38) * col("sx")).as("d"))
+      val g = f.select(col("seg"), col("n"),
+        expr("CAST((bn * 1000000) DIV d AS BIGINT)").as("slope_e6"),
+        expr("""CAST(((CAST(sy AS DECIMAL(38,0)) * d
+                 + bn * (CAST(n AS DECIMAL(38,0)) * s - sx)) * 1000000)
+                DIV (CAST(n AS DECIMAL(38,0)) * d) AS BIGINT)""".stripMargin
+          .replaceAll("\\s+", " ")).as("level_at_split_e6"))
+      g.agg(
+        max(when(col("seg") === 0, col("n"))).as("n_pre"),
+        max(when(col("seg") === 1, col("n"))).as("n_post"),
+        max(when(col("seg") === 0, col("slope_e6"))).as("slope_pre_e6"),
+        max(when(col("seg") === 1, col("slope_e6"))).as("slope_post_e6"),
+        (max(when(col("seg") === 1, col("level_at_split_e6")))
+          - max(when(col("seg") === 0, col("level_at_split_e6"))))
+          .as("level_shift_e6"))
     }
   )
 

@@ -1768,11 +1768,12 @@ object Graph {
         .groupBy("node").agg(count(lit(1)).as("dg"))
         .transform(graft.plans.Lineage.truncate) // cells + membership read it
       val cells = deg.groupBy("dg").agg(count(lit(1)).as("cnt"))
-      import org.apache.spark.sql.expressions.Window
-      val rk = cells.select(col("dg"),
-        sum("cnt").over(Window.orderBy("dg")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
-        sum("cnt").over(Window.partitionBy()).as("tot"))
+      // degree-value cells grow with the graph — blocked cumulative (r7)
+      val tot0 = cells.agg(sum("cnt").as("tot"))
+      val rk = graft.operators.Blocked
+        .cumulative(cells, Seq(col("dg")), Seq("cnt"))
+        .withColumnRenamed("cum_cnt", "cum")
+        .crossJoin(broadcast(tot0))
       val thr = rk.filter(lit(10) * col("cum") >= lit(9) * col("tot"))
         .agg(min("dg").as("t"))
       val rich = deg.crossJoin(broadcast(thr)).filter(col("dg") >= col("t"))
@@ -1839,10 +1840,12 @@ object Graph {
         .unionByName(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("dg"))
       val cells = deg.groupBy("dg").agg(count(lit(1)).as("c"))
-      import org.apache.spark.sql.expressions.Window
-      val rk = cells.withColumn("r",
-        coalesce(sum("c").over(Window.orderBy("dg")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // degree-value cells grow with the graph — blocked strict-prefix
+      // cumulative (inclusive minus own count), never one reducer (r7)
+      val rk = graft.operators.Blocked
+        .cumulative(cells, Seq(col("dg")), Seq("c"))
+        .withColumn("r", col("cum_c") - col("c"))
+        .drop("cum_c")
       val m = rk.agg(sum("c").as("n"), sum(col("dg") * col("c")).as("t"),
         sum(dec(col("dg"))
           * (col("c") * col("r") + expr("(c * (c + 1)) DIV 2"))).as("s"))

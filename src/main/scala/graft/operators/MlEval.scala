@@ -2008,5 +2008,175 @@ object MlEval {
           + col("r2_3").cast("double") * col("r2_3"))
           / (nd * 3 * 4) - lit(3.0) * nd * 4).as("chi2_f"))
     },
+
+    // L113 — Population Stability Index (PSI): THE production
+    // score-drift monitor (ml32 watches accuracy drift, which needs
+    // labels; PSI watches the SCORE DISTRIBUTION, available the moment
+    // a batch scores). Decile bin edges come from the 1995 baseline's
+    // order statistics (exact: value-cell cumulative, min v with
+    // 10·cum ≥ k·n), every later year's scores bin against those SAME
+    // edges, counts are +1-smoothed over the full year×bin grid (an
+    // empty bin must contribute, not NaN), and each bin's
+    // (p−q)·ln(p/q) term is micro-quantized to a BIGINT before the
+    // per-year sum so the fold is order-invariant and engine-exact.
+    // psi_micro ≥ 200000 (PSI > 0.2) is the standard retrain flag.
+    // SCALE: the score-cell cumulative runs through Blocked.cumulative
+    // (scores are near-continuous cents — a data-scaling frame); the
+    // oracle uses the plain window form; the only other shuffles are
+    // year×bin-sized.
+    Q(
+      "ml36_psi",
+      """WITH sc AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS v
+        |  FROM orders),
+        |base AS (SELECT v FROM sc WHERE yr = 1995),
+        |cells AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+        |nb AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+        |cum AS (SELECT v,
+        |    CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+        |  FROM cells),
+        |edges AS (SELECT k, min(v) AS edge
+        |  FROM cum CROSS JOIN nb CROSS JOIN (SELECT unnest(range(1, 10)) AS k)
+        |  WHERE 10 * cc >= k * n GROUP BY 1),
+        |yv AS (SELECT yr, v, CAST(count(*) AS BIGINT) AS m
+        |       FROM sc GROUP BY 1, 2),
+        |binned AS (SELECT yr, v, m,
+        |    1 + CAST(count(CASE WHEN v > edge THEN 1 END) AS BIGINT) AS bin
+        |  FROM yv CROSS JOIN edges GROUP BY yr, v, m),
+        |grid AS (SELECT yr, k AS bin FROM (SELECT DISTINCT yr FROM sc)
+        |  CROSS JOIN (SELECT unnest(range(1, 11)) AS k)),
+        |cnt AS (SELECT g.yr, g.bin,
+        |    CAST(coalesce(b.c, 0) + 1 AS BIGINT) AS c
+        |  FROM grid g LEFT JOIN (SELECT yr, bin, CAST(sum(m) AS BIGINT) AS c
+        |                         FROM binned GROUP BY 1, 2) b
+        |    ON g.yr = b.yr AND g.bin = b.bin),
+        |tot AS (SELECT yr, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+        |bl AS (SELECT bin, c AS bc FROM cnt WHERE yr = 1995),
+        |bt AS (SELECT n AS bn FROM tot WHERE yr = 1995),
+        |terms AS (SELECT cnt.yr, cnt.bin,
+        |    CAST(floor(1000000.0 *
+        |      (CAST(cnt.c AS DOUBLE) / tot.n - CAST(bl.bc AS DOUBLE) / bt.bn)
+        |      * ln((CAST(cnt.c AS DOUBLE) / tot.n)
+        |           / (CAST(bl.bc AS DOUBLE) / bt.bn))) AS BIGINT) AS t_micro
+        |  FROM cnt JOIN tot ON cnt.yr = tot.yr
+        |  JOIN bl ON cnt.bin = bl.bin CROSS JOIN bt)
+        |SELECT yr, CAST(sum(t_micro) AS BIGINT) AS psi_micro,
+        |  CAST(CASE WHEN sum(t_micro) >= 200000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS drift_flag
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d)
+        .select(year(col("o_orderdate").cast("date")).cast("long").as("yr"),
+          round(col("o_totalprice") * 100).cast("long").as("v"))
+      val base = sc.filter(col("yr") === 1995).select("v")
+      val cells = base.groupBy("v").agg(count(lit(1)).as("c"))
+      val nb = cells.agg(sum("c").as("n"))
+      val cum = Blocked.cumulative(cells, Seq(col("v")), Seq("c"))
+        .select(col("v"), col("cum_c").as("cc"))
+      val edges = cum.crossJoin(broadcast(nb))
+        .select(col("v"), col("cc"), col("n"),
+          explode(sequence(lit(1L), lit(9L))).as("k"))
+        .filter(lit(10) * col("cc") >= col("k") * col("n"))
+        .groupBy("k").agg(min("v").as("edge"))
+      val yv = sc.groupBy("yr", "v").agg(count(lit(1)).as("m"))
+      val binned = yv
+        .join(broadcast(edges), col("v") > col("edge"), "left")
+        .groupBy("yr", "v", "m")
+        .agg((lit(1) + count(col("edge"))).as("bin"))
+      val grid = sc.select("yr").distinct()
+        .crossJoin(broadcast(
+          s.range(1, 11).toDF("bin").select(col("bin"))))
+      val cnt = grid.join(
+          binned.groupBy("yr", "bin").agg(sum("m").as("c0")),
+          Seq("yr", "bin"), "left")
+        .select(col("yr"), col("bin"),
+          (coalesce(col("c0"), lit(0L)) + 1).as("c"))
+      val tot = cnt.groupBy("yr").agg(sum("c").as("n"))
+      val bl = cnt.filter(col("yr") === 1995)
+        .select(col("bin"), col("c").as("bc"))
+      val bt = tot.filter(col("yr") === 1995).select(col("n").as("bn"))
+      val p = col("c").cast("double") / col("n")
+      val q = col("bc").cast("double") / col("bn")
+      val terms = cnt.join(tot, Seq("yr"))
+        .join(broadcast(bl), Seq("bin")).crossJoin(broadcast(bt))
+        .select(col("yr"),
+          floor(lit(1000000.0) * (p - q) * log(p / q)).cast("long")
+            .as("t_micro"))
+      terms.groupBy("yr").agg(
+          sum("t_micro").as("psi_micro"),
+          when(sum("t_micro") >= 200000L, 1L).otherwise(0L).as("drift_flag"))
+        .orderBy("yr")
+    },
+
+    // L114 — Cochran's Q (k paired binary classifiers): ml33's McNemar
+    // generalized from 2 to k — do the price-threshold model, the
+    // priority rule, and a custkey-parity null baseline have EQUAL
+    // success rates on the SAME rows? (k separate accuracies can't
+    // answer it — the tests share blocks.) Q = (k−1)(k·ΣG² − T²)
+    // / (k·T − ΣL²) with G_j = per-classifier correct totals, L_i =
+    // per-row correct count, T = ΣL — entirely integer (decimal(38,0)
+    // for the squares), ONE e6 floor division at the end; significance
+    // vs χ²(k−1 = 2, .95) as the e6 cross-compare. One labeled pass.
+    Q(
+      "ml37_cochran_q",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS pb,
+        |    CAST(o_custkey % 2 AS BIGINT) AS pc
+        |  FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |x AS (SELECT
+        |    CASE WHEN (cents >= thr) = (y = 1) THEN 1 ELSE 0 END AS xa,
+        |    CASE WHEN (pb = 1) = (y = 1) THEN 1 ELSE 0 END AS xb,
+        |    CASE WHEN (pc = 1) = (y = 1) THEN 1 ELSE 0 END AS xc
+        |  FROM sc CROSS JOIN t),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(xa) AS BIGINT) AS ga, CAST(sum(xb) AS BIGINT) AS gb,
+        |    CAST(sum(xc) AS BIGINT) AS gc,
+        |    CAST(sum((xa + xb + xc) * (xa + xb + xc)) AS BIGINT) AS l2
+        |  FROM x)
+        |SELECT n, ga, gb, gc,
+        |  CAST((CAST(2 AS HUGEINT) * 1000000
+        |        * (3 * (CAST(ga AS HUGEINT)*ga + CAST(gb AS HUGEINT)*gb
+        |                + CAST(gc AS HUGEINT)*gc)
+        |           - CAST(ga + gb + gc AS HUGEINT) * (ga + gb + gc)))
+        |    // (3 * CAST(ga + gb + gc AS HUGEINT) - l2) AS BIGINT) AS q_e6,
+        |  CAST(2 AS BIGINT) AS df,
+        |  CAST(CASE WHEN (CAST(2 AS HUGEINT) * 1000000
+        |        * (3 * (CAST(ga AS HUGEINT)*ga + CAST(gb AS HUGEINT)*gb
+        |                + CAST(gc AS HUGEINT)*gc)
+        |           - CAST(ga + gb + gc AS HUGEINT) * (ga + gb + gc)))
+        |    // (3 * CAST(ga + gb + gc AS HUGEINT) - l2) > 5991465
+        |    THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+        |FROM ag""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pb"),
+        (col("o_custkey") % 2).cast("long").as("pc"))
+      val t = sc.agg(expr("CAST(sum(cents) DIV count(*) AS BIGINT)").as("thr"))
+      val x = sc.crossJoin(broadcast(t)).select(
+        when((col("cents") >= col("thr")) === (col("y") === 1), 1L)
+          .otherwise(0L).as("xa"),
+        when((col("pb") === 1) === (col("y") === 1), 1L).otherwise(0L).as("xb"),
+        when((col("pc") === 1) === (col("y") === 1), 1L).otherwise(0L).as("xc"))
+      val ag = x.agg(count(lit(1)).as("n"),
+        sum("xa").as("ga"), sum("xb").as("gb"), sum("xc").as("gc"),
+        sum((col("xa") + col("xb") + col("xc"))
+          * (col("xa") + col("xb") + col("xc"))).as("l2"))
+      val d38 = "decimal(38,0)"
+      val g2 = col("ga").cast(d38) * col("ga") + col("gb").cast(d38) * col("gb") +
+        col("gc").cast(d38) * col("gc")
+      val tt = (col("ga") + col("gb") + col("gc")).cast(d38)
+      val num = lit(2).cast(d38) * 1000000 * (lit(3) * g2 - tt * tt)
+      val den = lit(3).cast(d38) * tt - col("l2")
+      val qe6 = ((num - pmod(num, den)) / den).cast("long")
+      ag.select(col("n"), col("ga"), col("gb"), col("gc"),
+        qe6.as("q_e6"), lit(2L).as("df"),
+        when(qe6 > 5991465L, 1L).otherwise(0L).as("reject_95"))
+    },
   )
 }

@@ -187,4 +187,59 @@ object PlanLint {
 
   /** True when no warn-severity finding fires — the CI-gate form. */
   def clean(df: DataFrame): Boolean = lint(df).forall(_.severity != "warn")
+
+  /** The "unpartitioned window ⇒ bounded-frame allowlist" invariant
+    * (VERDICT r6 item 3): Spark's advisory `WindowExec: No Partition
+    * Defined` warning, promoted to a CHECKED catalog rule. Catalog
+    * entries whose physical plan legitimately carries a
+    * partitionSpec-empty WindowExec are enumerated here with the
+    * declared reason the frame is BOUNDED — i.e. does not scale with
+    * the data, so one reducer is fine at 100 TB. CatalogSpec enforces,
+    * for every entry: a global-window finding of ANY severity requires
+    * membership here, and everything not listed must plan zero
+    * unpartitioned WindowExec nodes (data-scaling global sorts belong
+    * on Blocked.cumulative's two-level form instead). */
+  val boundedWindowAllowlist: Map[String, String] = Map(
+    // measured by graft.WindowAudit at sf0.001 (r7) — every entry below
+    // PLANS an unpartitioned WindowExec and declares why its frame is
+    // bounded. Time spines grow with the OBSERVATION DOMAIN (hours/days
+    // of history), never with row volume — the blessed class.
+    "dd18_dup_rate_curve" -> "10-row id-decile slice frame",
+    "ev16_interpolate" -> "hourly calendar spine — time-domain-bounded",
+    "ev57_cumulative_reach" -> "daily spine — time-domain-bounded",
+    "ev62_periodogram" -> "candidate-period spine — 3 rows",
+    "ev68_slo_burn" -> "daily spine, trailing-7 windows — time-domain-bounded",
+    "ev70_peaks" -> "hourly spine + hourly-count-cell p90 pick (≤ hours rows)",
+    "ev72_records" -> "hourly spine running max — time-domain-bounded",
+    "ev76_mase_backtest" -> "daily spine lag diffs — time-domain-bounded",
+    "ev78_concurrency_profile" -> "concurrency-level cells (≤ peak level) + day-summary stitch",
+    "ev80_load_vs_errors" -> "hourly frame + hourly-volume-cell median pick",
+    "ev82_anomaly_runs" -> "hourly spine; islands on the anomaly-sized frame",
+    "ev88_peak_share" -> "day×hour grid — time-domain-bounded",
+    "ml15_best_split" -> "32-bin histogram cell frame",
+    "ml20_feature_importance" -> "32-bin cell frame per feature (3 features)",
+    "ml21_pr_curve" -> "19-threshold grid",
+    "ml25_ks_score" -> "20-bin score-cell frame",
+    "ml27_pop_recall" -> "top-25-first (orderBy+limit) — statically bounded",
+    "q104_growth_mom" -> "month×nation grid — calendar×dim-bounded",
+    "q116_drawdown" -> "weekly spine — time-domain-bounded",
+    "q117_rsi" -> "daily spine, trailing-14 — time-domain-bounded",
+    "q118_bollinger" -> "month×nation bands — calendar×dim-bounded",
+    "q119_seq_gaps" -> "block-SUMMARY frame (N/4096 rows, re-blockable by another DIV level — the documented two-level design)",
+    "q125_runs_test" -> "daily-spine sign sequence — time-domain-bounded",
+    "q127_cr_k" -> "top-20-first concentration frame — statically bounded",
+    "q136_gap_updown" -> "daily bar spine lag — time-domain-bounded",
+    "q146_ulcer" -> "weekly drawdown spine — time-domain-bounded",
+    "q46_approx_topk" -> "approx_top_k output frame — k-bounded",
+    "q90_quantile_rollup" -> "sketch-boundary frame — sketch-size-bounded",
+    "q98_top5_other" -> "top-5-first — statically bounded",
+    "tx22_vocab_growth" -> "10-row id-range slice frame",
+    "tx23_zipf_slope" -> "top-1000-limited rank frame"
+  )
+
+  /** All global-window findings for one frame, with severities — the
+    * enumerable surface the CatalogSpec invariant and WindowAudit tool
+    * both read. */
+  def globalWindows(df: DataFrame): Seq[Finding] =
+    lint(df).filter(_.rule == "global-window")
 }
