@@ -75,11 +75,14 @@ object Bench {
       "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
     // Median-of-3 headline read-out (judge r6 item 8): full sweeps spread
     // ~±0.9 s run-to-run at this scale, which made per-round regressions
-    // unreadable. The sweep above is pass 1; two more HEADLINE-ONLY
-    // passes (~2× headline_sec extra, nothing else re-run) give three
-    // samples per headline query — stdout carries the median pass total
-    // plus the min/max spread, so a verdict can say "regressed" only
-    // when the delta clears the measured noise band.
+    // unreadable. Three ISOLATED headline-only passes run after the
+    // sweep (~3× headline_sec extra, nothing else re-run) — the sweep's
+    // own headline sample is recorded in bench.json (headline_sweep_sec)
+    // but kept OUT of the median: mid-sweep storage/GC pressure inflates
+    // it ~2× (measured 12.9 vs 6.4-6.7 s isolated), which would poison
+    // the spread. stdout carries the median isolated pass total plus the
+    // min/max spread, so a verdict can say "regressed" only when the
+    // delta clears the measured noise band.
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try {
@@ -89,21 +92,20 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
     val headlineNames = headline.toSeq.sorted.filter(n => only.isEmpty || only(n))
-    val extraPasses: Seq[Map[String, Double]] = (1 to 2).map { _ =>
+    val isoPasses: Seq[Map[String, Double]] = (1 to 3).map { _ =>
       headlineNames.map { n => val s = timeOne(n); System.gc(); n -> s }.toMap
     }
     val sweepTimes = timings.toMap
     def samples(n: String): Seq[Double] =
-      (sweepTimes.get(n).toSeq ++ extraPasses.map(_.getOrElse(n, -1.0)))
-        .filter(_ >= 0)
+      isoPasses.map(_.getOrElse(n, -1.0)).filter(_ >= 0)
     def median(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0 else xs.sorted.apply(xs.size / 2)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val headlineMedians = headlineNames.map(n => n -> r3(median(samples(n))))
     val passTotals: Seq[Double] =
-      (Seq(headlineNames.flatMap(sweepTimes.get)) ++
-        extraPasses.map(p => headlineNames.map(p(_))))
-        .map(_.filter(_ >= 0).sum)
+      isoPasses.map(p => headlineNames.map(p(_)).filter(_ >= 0).sum)
+    val headlineSweep =
+      r3(headlineNames.flatMap(sweepTimes.get).filter(_ >= 0).sum)
     val headlineTotal = r3(median(passTotals))
     val headlineSpread = r3(passTotals.max - passTotals.min)
     // The FULL per-query map goes to target/bench.json. The stdout line
@@ -120,7 +122,7 @@ object Bench {
     val shuffleMap = jsonMap(results.map(r => r._1 -> (math.rint(r._3 * 1000) / 1000)))
     val passesJson = passTotals.map(r3).mkString("[", ",", "]")
     val full = emit(jsonMap(timings),
-      s""","shuffle_mb":$shuffleMap,"headline_pass_totals":$passesJson,"headline_medians":${jsonMap(headlineMedians)}""")
+      s""","shuffle_mb":$shuffleMap,"headline_pass_totals":$passesJson,"headline_sweep_sec":$headlineSweep,"headline_medians":${jsonMap(headlineMedians)}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))
