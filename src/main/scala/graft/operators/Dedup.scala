@@ -781,16 +781,20 @@ object Dedup {
     * the next starts, so PEAK spill disk is ~1/bands of the one-pass
     * plan. That converts the r6 soak's single-box disk exhaustion at
     * 64× (~190M true pairs vs ~77 GB free) into a bounded sequence.
-    * Shared frames (token sets, prefix index) persist MEMORY_AND_DISK
-    * with lineage intact (executor-loss-recoverable, unlike a
-    * localCheckpoint of a corpus-sized frame) and are released once the
-    * shards are materialized.
+    * Shared frames (token sets, prefix index) are localCheckpoint'd —
+    * the r6-measured form. An r7 A/B against persist(MEMORY_AND_DISK)
+    * (ADVICE r6's executor-loss suggestion) was noise-dominated on this
+    * box (persist 48.9-49.7 s vs checkpoint 42-65 s warm, identical
+    * plans), so the known-good checkpoint form stays. The executor-loss
+    * concern is bounded anyway: these frames are doc-count-sized (token
+    * SETS and the rarest-fifth prefix index), not corpus-sized, and the
+    * operator re-runs cheaply relative to carrying recompute lineage
+    * through the pair fan-out.
     */
   def prefixJoinPairs(docs: DataFrame, bands: Int = 1): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val w = docs
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // index, sizes, verify read it
+      .localCheckpoint(true) // index, sizes, and pair verify read it
     val e = w.select(col("doc_id"), explode(col("ws")).as("tok"))
     val dfTok = e.groupBy("tok").agg(count(lit(1)).as("df"))
     val sz = w.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
@@ -802,7 +806,7 @@ object Dedup {
       .join(sz, Seq("doc_id"))
       .filter(col("r") <= expr("n - (4 * n + 4) DIV 5 + 1"))
       .select(col("doc_id"), col("tok"), col("r"), col("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // both sides of the self-join
+      .localCheckpoint(true) // both sides of the candidate self-join
     def bandOut(b: Int): DataFrame = {
       val prefA0 =
         if (bands == 1) pref
@@ -839,7 +843,6 @@ object Dedup {
         System.gc() // let ContextCleaner release the finished band's shuffles
         out
       }
-      w.unpersist(false); pref.unpersist(false)
       parts.reduce(_ unionByName _)
     }
   }
