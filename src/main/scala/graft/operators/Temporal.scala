@@ -256,6 +256,72 @@ object Temporal {
           expr("sum(dc) DIV count(*)").as("mean_diff_c"),
           max("dc").as("max_diff_c"))
         .orderBy("seg_a", "seg_b")
+    },
+
+    // R262 — as-of join, NEAREST direction (pandas merge_asof
+    // direction='nearest'): each purchase attaches the user's view
+    // CLOSEST in time, either side — the sensor-alignment semantics
+    // aj1's backward-only match can't express (a reading logged just
+    // AFTER the probe is the right match when nothing precedes it).
+    // Built as TWO linear as-of passes over the same machinery:
+    // backward on the micros axis, forward as backward on the NEGATED
+    // axis (latest −v ≤ −t ⇔ earliest v ≥ t), then one row-local pick
+    // of the smaller |Δ| with ties to the earlier (backward) view —
+    // two key-shuffles total, no per-row probe, exactly aj1's 100 TB
+    // shape. The oracle is the brute quadratic argmin under the same
+    // (|Δ|, view_ts) total order; purchases from users with no views
+    // drop on both engines.
+    Q(
+      "aj4_asof_nearest",
+      """WITH v AS (SELECT user_id, ts AS view_ts, max(value) AS view_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |c AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value,
+        |        abs(epoch_us(c.ts) - epoch_us(v.view_ts)) AS delta_us,
+        |        row_number() OVER (PARTITION BY c.event_id
+        |          ORDER BY abs(epoch_us(c.ts) - epoch_us(v.view_ts)), v.view_ts)
+        |          AS rk
+        |      FROM c JOIN v ON c.user_id = v.user_id)
+        |SELECT event_id, user_id, ts, view_ts, view_value,
+        |  CAST(delta_us AS BIGINT) AS delta_us,
+        |  CASE WHEN view_ts <= ts THEN 'backward' ELSE 'forward' END
+        |    AS direction
+        |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("value").as("view_value"))
+        .withColumn("view_ts", col("ts"))
+        .drop("ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      def pass(sign: Int, suffix: String) = AsOfJoin.asof(
+          purchases.withColumn("__k", lit(sign) * unix_micros(col("ts"))),
+          views.withColumn("__k", lit(sign) * unix_micros(col("view_ts"))),
+          Seq("user_id"), "__k", Seq("view_ts", "view_value"),
+          rightTiebreak = lit(0))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_ts").as(s"view_ts_$suffix"),
+          col("view_value").as(s"view_value_$suffix"))
+      val back = pass(1, "b")
+      val fwd = pass(-1, "f").select("event_id", "view_ts_f", "view_value_f")
+      val db = unix_micros(col("ts")) - unix_micros(col("view_ts_b"))
+      val df = unix_micros(col("view_ts_f")) - unix_micros(col("ts"))
+      val useBack = col("view_ts_b").isNotNull &&
+        (col("view_ts_f").isNull || db <= df)
+      back.join(fwd, Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(useBack, col("view_ts_b")).otherwise(col("view_ts_f"))
+            .as("view_ts"),
+          when(useBack, col("view_value_b")).otherwise(col("view_value_f"))
+            .as("view_value"),
+          when(useBack, db).otherwise(df).as("delta_us"),
+          when(useBack, lit("backward")).otherwise(lit("forward"))
+            .as("direction"))
+        .filter(col("view_ts").isNotNull) // users with no views drop
+        .orderBy("event_id")
     }
   )
 }
