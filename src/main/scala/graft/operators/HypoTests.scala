@@ -1175,6 +1175,121 @@ object HypoTests {
         ((col("w2plus").cast("double") - nd * (nd + 1) / 2)
           / sqrt(nd * (nd + 1) * (lit(2) * nd + 1) / 6
             - col("tsum").cast("double") / 12)).as("z"))
+    },
+
+    // T100 — Benjamini-Hochberg FDR control over a test BATTERY: run
+    // one two-proportion z-test per nation ("is this nation's F-rate
+    // off the global rate") and control the FALSE DISCOVERY RATE across
+    // all 25 simultaneous tests — the multiple-comparison correction an
+    // experimentation platform applies before reading any per-segment
+    // scan (25 uncorrected α=.05 tests expect ~1.25 false positives).
+    // Exact: z²_n = (c_n·N − C·n_n)²/(n_n·C·(N−C)) is one e6-floored
+    // integral division of decimal(38,0) integers; p-values never
+    // materialize — p_(i) ≤ α·i/m ⇔ z²_(i) ≥ χ²₁(1 − α·i/m), so the
+    // step-up compares ranked z² against a LITERAL 25-entry critical
+    // ladder (e6-scaled χ²₁ quantiles at α·i/25, i=1..25; the i=25 rung
+    // is the familiar 3.841459). m is pinned to 25 by anchoring on the
+    // NATION dimension (zero-order nations score z²=0, never rejected),
+    // so the ladder is total by construction. Ranking is a triangular
+    // self-join on the 25-row battery frame (strict (z², name) order —
+    // no window, bounded work); BH's step-up k = max flagged rank
+    // broadcasts back as a 1-row scalar.
+    Q(
+      "q153_bh_fdr",
+      """WITH o AS (SELECT n.n_name AS nation,
+        |    CAST(count(*) AS BIGINT) AS n_trials,
+        |    CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS f_cnt
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1),
+        |b AS (SELECT n_name AS nation,
+        |        coalesce(o.n_trials, 0) AS n_trials,
+        |        coalesce(o.f_cnt, 0) AS f_cnt
+        |      FROM nation LEFT JOIN o ON nation.n_name = o.nation),
+        |g AS (SELECT CAST(sum(n_trials) AS BIGINT) AS nn,
+        |             CAST(sum(f_cnt) AS BIGINT) AS cc FROM b),
+        |z AS (SELECT nation, n_trials, f_cnt,
+        |    CASE WHEN n_trials = 0 OR cc = 0 OR cc = nn THEN 0
+        |    ELSE CAST((1000000 * (CAST(f_cnt AS HUGEINT) * nn - CAST(cc AS HUGEINT) * n_trials)
+        |                        * (CAST(f_cnt AS HUGEINT) * nn - CAST(cc AS HUGEINT) * n_trials))
+        |         // (CAST(n_trials AS HUGEINT) * cc * (nn - cc)) AS BIGINT) END AS z2_e6
+        |  FROM b CROSS JOIN g),
+        |rk AS (SELECT a.nation, a.n_trials, a.f_cnt, a.z2_e6,
+        |    CAST(1 + count(CASE WHEN bb.z2_e6 > a.z2_e6
+        |          OR (bb.z2_e6 = a.z2_e6 AND bb.nation < a.nation)
+        |          THEN 1 END) AS BIGINT) AS rk
+        |  FROM z a CROSS JOIN z bb GROUP BY 1, 2, 3, 4),
+        |lad AS (SELECT * FROM (VALUES
+        |  (1,9549536),(2,8283815),(3,7550303),(4,7033474),(5,6634897),
+        |  (6,6310869),(7,6038143),(8,5802874),(9,5596149),(10,5411894),
+        |  (11,5245785),(12,5094632),(13,4956019),(14,4828067),(15,4709292),
+        |  (16,4598497),(17,4494704),(18,4397105),(19,4305022),(20,4217885),
+        |  (21,4135204),(22,4056562),(23,3981594),(24,3909986),(25,3841459))
+        |  AS t(rk, q_e6)),
+        |fl AS (SELECT rk.*, CASE WHEN rk.z2_e6 >= lad.q_e6 THEN 1 ELSE 0 END
+        |         AS at_rung
+        |       FROM rk JOIN lad ON rk.rk = lad.rk),
+        |kk AS (SELECT coalesce(max(CASE WHEN at_rung = 1 THEN rk END), 0) AS k
+        |       FROM fl)
+        |SELECT nation, n_trials, f_cnt, z2_e6, rk,
+        |  CAST(CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT) AS reject
+        |FROM fl CROSS JOIN kk ORDER BY rk""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_trials"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("f_cnt"))
+      val b = broadcast(Tables.nation(s, d).select(col("n_name").as("nation")))
+        .join(joined, Seq("nation"), "left")
+        .select(col("nation"),
+          coalesce(col("n_trials"), lit(0L)).as("n_trials"),
+          coalesce(col("f_cnt"), lit(0L)).as("f_cnt"))
+      val g = b.agg(sum("n_trials").as("nn"), sum("f_cnt").as("cc"))
+      val d38 = "decimal(38,0)"
+      val dev = col("f_cnt").cast(d38) * col("nn") -
+        col("cc").cast(d38) * col("n_trials")
+      val z = b.crossJoin(broadcast(g)).select(col("nation"),
+        col("n_trials"), col("f_cnt"),
+        when(col("n_trials") === 0 || col("cc") === 0 || col("cc") === col("nn"),
+          lit(0L))
+          .otherwise({
+            val num = lit(1000000).cast(d38) * dev * dev
+            val den = col("n_trials").cast(d38) * col("cc") *
+              (col("nn") - col("cc"))
+            ((num - pmod(num, den)) / den).cast("long")
+          }).as("z2_e6"))
+        .localCheckpoint(true) // both sides of the 25×25 rank join
+      val rk = z.as("a")
+        .crossJoin(z.select(col("z2_e6").as("bz"), col("nation").as("bn")))
+        .groupBy("nation", "n_trials", "f_cnt", "z2_e6")
+        .agg((lit(1) + count(when(col("bz") > col("z2_e6")
+          || (col("bz") === col("z2_e6") && col("bn") < col("nation")), 1)))
+          .cast("long").as("rk"))
+      val ladder = Seq(
+        1L -> 9549536L, 2L -> 8283815L, 3L -> 7550303L, 4L -> 7033474L,
+        5L -> 6634897L, 6L -> 6310869L, 7L -> 6038143L, 8L -> 5802874L,
+        9L -> 5596149L, 10L -> 5411894L, 11L -> 5245785L, 12L -> 5094632L,
+        13L -> 4956019L, 14L -> 4828067L, 15L -> 4709292L, 16L -> 4598497L,
+        17L -> 4494704L, 18L -> 4397105L, 19L -> 4305022L, 20L -> 4217885L,
+        21L -> 4135204L, 22L -> 4056562L, 23L -> 3981594L, 24L -> 3909986L,
+        25L -> 3841459L).toDF("rk", "q_e6")
+      val fl = rk.join(broadcast(ladder), Seq("rk"))
+        .withColumn("at_rung",
+          when(col("z2_e6") >= col("q_e6"), 1L).otherwise(0L))
+      val kk = fl.agg(coalesce(
+        max(when(col("at_rung") === 1, col("rk"))), lit(0L)).as("k"))
+      fl.crossJoin(broadcast(kk))
+        .select(col("nation"), col("n_trials"), col("f_cnt"), col("z2_e6"),
+          col("rk"),
+          when(col("rk") <= col("k"), 1L).otherwise(0L).as("reject"))
+        .orderBy("rk")
     }
   )
 }
