@@ -1290,6 +1290,136 @@ object HypoTests {
           col("rk"),
           when(col("rk") <= col("k"), 1L).otherwise(0L).as("reject"))
         .orderBy("rk")
+    },
+
+    // T101 — Dunn's post-hoc pairwise test: AFTER ev89's Kruskal-Wallis
+    // omnibus says "the five event types differ somewhere", Dunn says
+    // WHERE — all 10 pairwise mean-rank comparisons on the SAME global
+    // tie-averaged ranks (never per-pair re-ranking — that's
+    // Mann-Whitney and inflates error), with q153's BH step-up
+    // controlling the FDR across the 10 simultaneous pairs (two-sided
+    // ladder, m=10). Doubled rank sums u2_g reuse ev89's cell algebra;
+    // each group's MEAN doubled rank is e6-quantized ONCE
+    // (m_g = 10⁶·u2_g ÷ n_g — the only quantization, identical floors
+    // on both engines), and z²_ij = 3(N−1)·Δ²·n_i·n_j /
+    // ((n_i+n_j)·(N(N+1)(N−1) − Σ(t³−t))) with Δ² staged as
+    // (m_i−m_j)² ÷ 10⁶ so every intermediate stays under
+    // decimal(38,0)/HUGEINT through N ≈ 10⁷ (the exact N⁶ cross-form
+    // overflows at sf0.1 already — width audit in the r7 notes; beyond
+    // the bound carry doubles, ev89's documented policy). Pair frame
+    // is 10 rows; ranking is the q153 triangular join.
+    Q(
+      "q154_dunn_posthoc",
+      """WITH q AS (SELECT event_type AS grp,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events),
+        |gc AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM q GROUP BY 1, 2),
+        |vc AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gc GROUP BY 1),
+        |cum AS (SELECT v, t,
+        |    CAST(coalesce(sum(t) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cumlt
+        |  FROM vc),
+        |rs AS (SELECT grp, n_g, u2, (u2 * 1000000) // n_g AS m FROM (
+        |    SELECT gc.grp, CAST(sum(gc.c) AS BIGINT) AS n_g,
+        |      CAST(sum(CAST(gc.c AS HUGEINT)
+        |               * (2 * cum.cumlt + cum.t + 1)) AS HUGEINT) AS u2
+        |    FROM gc JOIN cum ON gc.v = cum.v GROUP BY 1)),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n FROM rs),
+        |ties AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+        |           AS tsum FROM vc),
+        |pr AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |    a.n_g AS na, b.n_g AS nb,
+        |    3 * (CAST(n AS HUGEINT) - 1)
+        |      * (((a.m - b.m) * (a.m - b.m)) // 1000000)
+        |      * a.n_g * b.n_g AS num,
+        |    CAST(a.n_g + b.n_g AS HUGEINT)
+        |      * (CAST(n AS HUGEINT) * (n + 1) * (n - 1) - tsum) AS den
+        |  FROM rs a JOIN rs b ON a.grp < b.grp CROSS JOIN tot CROSS JOIN ties),
+        |zz AS (SELECT grp_a, grp_b, na, nb,
+        |    CAST(num // den AS BIGINT) AS z2_e6
+        |  FROM pr),
+        |rk AS (SELECT a.grp_a, a.grp_b, a.na, a.nb, a.z2_e6,
+        |    CAST(1 + count(CASE WHEN bb.z2_e6 > a.z2_e6
+        |          OR (bb.z2_e6 = a.z2_e6
+        |              AND (bb.grp_a || '|' || bb.grp_b) < (a.grp_a || '|' || a.grp_b))
+        |          THEN 1 END) AS BIGINT) AS rk
+        |  FROM zz a CROSS JOIN zz bb GROUP BY 1, 2, 3, 4, 5),
+        |lad AS (SELECT * FROM (VALUES
+        |  (1,7879439),(2,6634897),(3,5916468),(4,5411894),(5,5023886),
+        |  (6,4709292),(7,4445175),(8,4217885),(9,4018640),(10,3841459))
+        |  AS t(rk, q_e6)),
+        |fl AS (SELECT rk.*, CASE WHEN rk.z2_e6 >= lad.q_e6 THEN 1 ELSE 0 END
+        |         AS at_rung
+        |       FROM rk JOIN lad ON rk.rk = lad.rk),
+        |kk AS (SELECT coalesce(max(CASE WHEN at_rung = 1 THEN rk END), 0) AS k
+        |       FROM fl)
+        |SELECT grp_a, grp_b, na, nb, z2_e6, rk,
+        |  CAST(CASE WHEN rk <= k THEN 1 ELSE 0 END AS BIGINT) AS reject
+        |FROM fl CROSS JOIN kk ORDER BY rk""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val q = Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+          round(col("value") * 100).cast("long").as("v"))
+      val gc = q.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      val vc = gc.groupBy("v").agg(sum("c").as("t"))
+      val cum = Blocked.cumulative(vc, Seq(col("v")), Seq("t"))
+        .withColumn("cumlt", col("cum_t") - col("t"))
+        .select("v", "t", "cumlt")
+      val d38 = "decimal(38,0)"
+      def fdiv(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+        (num - pmod(num, den)) / den // non-negative operands — exact floor
+      val rs0 = gc.join(cum, Seq("v"))
+        .groupBy("grp")
+        .agg(sum("c").as("n_g"),
+          sum(col("c").cast(d38)
+            * (lit(2) * col("cumlt") + col("t") + 1)).as("u2"))
+      val rs = rs0
+        .withColumn("m",
+          fdiv(col("u2") * 1000000, col("n_g").cast(d38)).cast(d38))
+        .localCheckpoint(true) // both sides of the pair join + totals
+      val tot = rs.agg(sum("n_g").as("n"))
+      val ties = vc.agg(
+        sum(col("t").cast(d38) * col("t") * col("t") - col("t")).as("tsum"))
+      val md = col("m") - col("mb")
+      val pr = rs.as("a")
+        .join(rs.select(col("grp").as("grp_b"), col("n_g").as("nb"),
+          col("m").as("mb")), col("grp") < col("grp_b"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+        .select(col("grp").as("grp_a"), col("grp_b"),
+          col("n_g").as("na"), col("nb"),
+          (lit(3).cast(d38) * (col("n") - 1)
+            * fdiv(md * md, lit(1000000).cast(d38)).cast(d38)
+            * col("n_g") * col("nb")).as("num"),
+          ((col("n_g") + col("nb")).cast(d38)
+            * (col("n").cast(d38) * (col("n") + 1) * (col("n") - 1)
+              - col("tsum"))).as("den"))
+      val zz = pr.select(col("grp_a"), col("grp_b"), col("na"), col("nb"),
+        fdiv(col("num"), col("den")).cast("long").as("z2_e6"))
+        .localCheckpoint(true) // both sides of the 10×10 rank join
+      val key = concat(col("grp_a"), lit("|"), col("grp_b"))
+      val rk = zz
+        .crossJoin(zz.select(col("z2_e6").as("bz"),
+          concat(col("grp_a"), lit("|"), col("grp_b")).as("bk")))
+        .groupBy("grp_a", "grp_b", "na", "nb", "z2_e6")
+        .agg((lit(1) + count(when(col("bz") > col("z2_e6")
+          || (col("bz") === col("z2_e6") && col("bk") < key), 1)))
+          .cast("long").as("rk"))
+      val ladder = Seq(
+        1L -> 7879439L, 2L -> 6634897L, 3L -> 5916468L, 4L -> 5411894L,
+        5L -> 5023886L, 6L -> 4709292L, 7L -> 4445175L, 8L -> 4217885L,
+        9L -> 4018640L, 10L -> 3841459L).toDF("rk", "q_e6")
+      val fl = rk.join(broadcast(ladder), Seq("rk"))
+        .withColumn("at_rung",
+          when(col("z2_e6") >= col("q_e6"), 1L).otherwise(0L))
+      val kk = fl.agg(coalesce(
+        max(when(col("at_rung") === 1, col("rk"))), lit(0L)).as("k"))
+      fl.crossJoin(broadcast(kk))
+        .select(col("grp_a"), col("grp_b"), col("na"), col("nb"),
+          col("z2_e6"), col("rk"),
+          when(col("rk") <= col("k"), 1L).otherwise(0L).as("reject"))
+        .orderBy("rk")
     }
   )
 }
