@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.WindowAudit [sfDir]
   * Prints one line per finding: `WINAUDIT <entry> <severity> <listed?>`
   * plus a trailing `WINAUDIT-SUMMARY` line; exits nonzero when a finding
-  * is not allowlisted or a warn fires, mirroring the CatalogSpec gate.
+  * is not allowlisted, a plan errors, or the allowlist carries stale
+  * keys, mirroring the CatalogSpec gate. Allowlisted findings print
+  * (severity included) but do not fail the run — each allowlist entry
+  * declares the calendar/cell/top-k bound that justifies the warn.
   */
 object WindowAudit {
   def main(args: Array[String]): Unit = {
@@ -42,7 +45,10 @@ object WindowAudit {
       }
     }
     val unlisted = PlanLint.boundedWindowAllowlist.keySet -- SparkEntry.queries.keySet
-    if (unlisted.nonEmpty) println(s"WINAUDIT-STALE-KEYS $unlisted")
+    if (unlisted.nonEmpty) {
+      println(s"WINAUDIT-STALE-KEYS $unlisted")
+      bad += unlisted.size // stale allowlist keys fail the run too
+    }
     println(s"WINAUDIT-SUMMARY flagged=$flagged bad=$bad " +
       s"allowlist=${PlanLint.boundedWindowAllowlist.size}")
     spark.stop()

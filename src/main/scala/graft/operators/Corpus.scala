@@ -94,7 +94,10 @@ object Corpus {
     *  1. accept the maximal PREFIX of the ranked list (freq DESC, l, r)
     *     whose members are pairwise symbol-disjoint — stop at the FIRST
     *     candidate sharing a symbol with an earlier acceptance;
-    *  2. truncate acceptances to freq STRICTLY GREATER than the
+    *  2. also stop at the FIRST candidate whose merged string l+r
+    *     COLLIDES with an already-existing merged symbol (any prior
+    *     round's rule, or an earlier acceptance this round);
+    *  3. truncate acceptances to freq STRICTLY GREATER than the
     *     stopper's freq (the first non-accepted candidate, or the last
     *     collected row when the table is longer than the batch).
     *
@@ -103,18 +106,31 @@ object Corpus {
     * containing m whose frequency is bounded by some OLD pair of form
     * (z,l) or (r,z) — a conflicting pair. Under rule 1 every pair
     * ranked above the stopper is accepted-and-disjoint, so every
-    * conflicting pair ranks at/below the stopper; rule 2 then makes
+    * conflicting pair ranks at/below the stopper; rule 3 then makes
     * each later acceptance STRICTLY out-frequency every pair a prior
     * in-round merge can create or leave behind — no lexicographic tie
     * against a freshly-created multi-char symbol can flip the argmax
     * (ties are why prefix-disjointness ALONE is not exact: e.g.
     * N×"azw" + N×"bc" — merging (a,z) births ("az",w) at freq N, which
-    * lex-beats the disjoint (b,c)). If truncation empties the batch
-    * the round falls back to the plain argmax, which is sequential by
-    * definition. Worst case (flat tie plateaus) degrades to 1
-    * merge/round — never to a wrong rule; on Zipfian corpora the
-    * round count drops ~`batch`-fold: a 32k-merge production train at
-    * batch=16 is ~2k driver round-trips instead of 32k.
+    * lex-beats the disjoint (b,c)). Rule 2 closes the one hole in (c):
+    * pairs are keyed by SYMBOL STRING, so if m's string already names
+    * an existing symbol (two decompositions of the same string, e.g.
+    * (a,bc) in an earlier round and (ab,c) now), the created pairs ADD
+    * to that symbol's existing pair counts instead of starting at 0
+    * and the stopper bound no longer caps them. Initial symbols are
+    * single characters and m is always ≥2 chars, so the risk set is
+    * exactly the merged strings produced so far — a driver-side set,
+    * no extra query. (We could not construct such a collision under
+    * this greedy-global-fold semantics — the two decompositions
+    * compete for the same characters at rule-application time — but
+    * the guard costs one hash probe and makes the proof independent
+    * of that conjecture.) If truncation or a first-candidate collision
+    * empties the batch, the round falls back to the plain argmax,
+    * which is sequential by definition. Worst case (flat tie plateaus)
+    * degrades to 1 merge/round — never to a wrong rule; on Zipfian
+    * corpora the round count drops ~`batch`-fold: a 32k-merge
+    * production train at batch=16 is ~2k driver round-trips instead
+    * of 32k.
     */
   def trainBpeBatched(docs: DataFrame, nMerges: Int, batch: Int = 8): DataFrame = {
     val spark = docs.sparkSession
@@ -127,6 +143,9 @@ object Corpus {
         "transform(sequence(1, length(wd)), i -> substring(wd, i, 1))").as("syms"))
       .localCheckpoint(true)
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    // every merged string materialized so far — the collision-guard risk
+    // set of doc rule 2 (initial symbols are single chars, m is ≥2 chars)
+    val mergedStrings = scala.collection.mutable.Set.empty[String]
     var done = false
     var rank = 1
     while (rank <= nMerges && !done) {
@@ -144,14 +163,19 @@ object Corpus {
       if (top.isEmpty) done = true
       else {
         val used = scala.collection.mutable.Set.empty[String]
+        val roundMerged = scala.collection.mutable.Set.empty[String]
         val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var stopper: Option[Long] = None
         var i = 0
         while (i < math.min(want, top.length) && stopper.isEmpty) {
           val (l, r, f) =
             (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
-          if (used(l) || used(r)) stopper = Some(f)
-          else { acc += ((l, r, f)); used += l; used += r }
+          // doc rule 2: a merged string naming an existing symbol (prior
+          // round or earlier this round) voids the created-pair bound —
+          // stop the batch here, same as a shared-symbol conflict
+          if (used(l) || used(r) || mergedStrings(l + r) || roundMerged(l + r))
+            stopper = Some(f)
+          else { acc += ((l, r, f)); used += l; used += r; roundMerged += (l + r) }
           i += 1
         }
         // table longer than the batch: the unseen tail bounds at row want
@@ -163,9 +187,17 @@ object Corpus {
                                  // pair can form (its (z,l)/(r,z) source
                                  // would be a conflicting table row)
         }
-        val accepted = if (truncated.isEmpty) acc.take(1).toSeq else truncated
+        val accepted =
+          if (truncated.nonEmpty) truncated
+          else
+            // single-merge fallback — the plain argmax is sequential by
+            // definition. Taken from top(0), not acc, because a FIRST-
+            // candidate collision (doc rule 2) leaves acc empty; the
+            // colliding argmax is safe to merge alone (nothing later in
+            // the round depends on the stopper bound it voids).
+            Seq((top(0).getString(0), top(0).getString(1), top(0).getLong(2)))
         accepted.foreach { case (l, r, f) =>
-          rules += ((rank, l, r, l + r, f)); rank += 1
+          rules += ((rank, l, r, l + r, f)); mergedStrings += (l + r); rank += 1
         }
         val folded = accepted.foldLeft(col("syms")) { case (c, (l, r, _)) =>
           aggregate(c,

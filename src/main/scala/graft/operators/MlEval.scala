@@ -22,6 +22,54 @@ import org.apache.spark.sql.functions._
   */
 object MlEval {
 
+  /** Engine-pinned ln(x) as shared SQL text (ml36_psi's drift terms —
+    * see the entry note). Levels of (alias, expression): each level
+    * references only prior-level aliases plus the input column `x`.
+    * Ladder: sign fold to y0 ≥ 1, six exact power-of-two divides to
+    * m ∈ [1,2) (handles x up to 2^64), then atanh series
+    * ln m = 2t(1 + t²/3 + … + t¹⁵/15), t = (m−1)/(m+1) ≤ 1/3 —
+    * truncation ≤ ~1e-9 relative. Every op is IEEE-754
+    * correctly-rounded (+,-,*,/, compare), so Spark and DuckDB
+    * evaluating this SAME text produce bit-identical doubles.
+    */
+  private def pinnedLnSteps: Seq[Seq[(String, String)]] = Seq(
+    Seq("sg" -> "CASE WHEN x < 1.0 THEN -1.0 ELSE 1.0 END",
+      "y0" -> "CASE WHEN x < 1.0 THEN 1.0 / x ELSE x END"),
+    Seq("y1" -> "CASE WHEN y0 >= 4294967296.0 THEN y0 / 4294967296.0 ELSE y0 END",
+      "k1" -> "CASE WHEN y0 >= 4294967296.0 THEN 32.0 ELSE 0.0 END"),
+    Seq("y2" -> "CASE WHEN y1 >= 65536.0 THEN y1 / 65536.0 ELSE y1 END",
+      "k2" -> "CASE WHEN y1 >= 65536.0 THEN 16.0 ELSE 0.0 END"),
+    Seq("y3" -> "CASE WHEN y2 >= 256.0 THEN y2 / 256.0 ELSE y2 END",
+      "k3" -> "CASE WHEN y2 >= 256.0 THEN 8.0 ELSE 0.0 END"),
+    Seq("y4" -> "CASE WHEN y3 >= 16.0 THEN y3 / 16.0 ELSE y3 END",
+      "k4" -> "CASE WHEN y3 >= 16.0 THEN 4.0 ELSE 0.0 END"),
+    Seq("y5" -> "CASE WHEN y4 >= 4.0 THEN y4 / 4.0 ELSE y4 END",
+      "k5" -> "CASE WHEN y4 >= 4.0 THEN 2.0 ELSE 0.0 END"),
+    Seq("y6" -> "CASE WHEN y5 >= 2.0 THEN y5 / 2.0 ELSE y5 END",
+      "k6" -> "CASE WHEN y5 >= 2.0 THEN 1.0 ELSE 0.0 END"),
+    Seq("tt" -> "(y6 - 1.0) / (y6 + 1.0)"),
+    Seq("uu" -> "tt * tt"),
+    Seq("lnx" -> ("sg * ((k1 + k2 + k3 + k4 + k5 + k6) * 0.6931471805599453"
+      + " + 2.0 * tt * (1.0 + uu * (1.0/3.0 + uu * (1.0/5.0 + uu * (1.0/7.0"
+      + " + uu * (1.0/9.0 + uu * (1.0/11.0 + uu * (1.0/13.0"
+      + " + uu * (1.0/15.0)))))))))")))
+
+  /** [[pinnedLnSteps]] rendered as a DuckDB CTE chain reading column `x`
+    * from CTE `from`; the final CTE is named `plF` and carries every
+    * input column plus `lnx`. */
+  private def pinnedLnCtes(from: String): String = {
+    val levels = pinnedLnSteps
+    val sb = new StringBuilder
+    var prev = from
+    levels.zipWithIndex.foreach { case (lvl, i) =>
+      val name = if (i == levels.size - 1) "plF" else s"pl$i"
+      val cols = lvl.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+      sb.append(s"$name AS (SELECT *, $cols FROM $prev),\n")
+      prev = name
+    }
+    sb.toString
+  }
+
   val catalog: Seq[Q] = Seq(
 
     // L66 — ROC AUC per group from the rank-sum (Mann-Whitney U)
@@ -2019,6 +2067,16 @@ object MlEval {
     // empty bin must contribute, not NaN), and each bin's
     // (p−q)·ln(p/q) term is micro-quantized to a BIGINT before the
     // per-year sum so the fold is order-invariant and engine-exact.
+    // ln is NOT taken from libm (r7 advice: JVM vs DuckDB libm can
+    // differ in the last ulp and flip the e6 floor at a boundary — the
+    // catalog's only transcendental-before-quantize). Instead both
+    // engines evaluate the SAME pinned expression text (pinnedLnSteps):
+    // a 6-step binary ladder of exact power-of-two divides reduces the
+    // rational p/q to m ∈ [1,2), then an 8-term atanh series — plain
+    // IEEE +,-,*,/ and CASE, each correctly-rounded per IEEE-754, so
+    // the two engines produce BIT-IDENTICAL doubles and the floor can
+    // never disagree (relative error vs true ln ≈ 1e-9, irrelevant at
+    // e6 quantization of a [0, ~few] metric).
     // psi_micro ≥ 200000 (PSI > 0.2) is the standard retrain flag.
     // SCALE: the score-cell cumulative runs through Blocked.cumulative
     // (scores are near-continuous cents — a data-scaling frame); the
@@ -2054,13 +2112,15 @@ object MlEval {
         |tot AS (SELECT yr, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
         |bl AS (SELECT bin, c AS bc FROM cnt WHERE yr = 1995),
         |bt AS (SELECT n AS bn FROM tot WHERE yr = 1995),
-        |terms AS (SELECT cnt.yr, cnt.bin,
-        |    CAST(floor(1000000.0 *
-        |      (CAST(cnt.c AS DOUBLE) / tot.n - CAST(bl.bc AS DOUBLE) / bt.bn)
-        |      * ln((CAST(cnt.c AS DOUBLE) / tot.n)
-        |           / (CAST(bl.bc AS DOUBLE) / bt.bn))) AS BIGINT) AS t_micro
+        |terms0 AS (SELECT cnt.yr,
+        |    CAST(cnt.c AS DOUBLE) / tot.n - CAST(bl.bc AS DOUBLE) / bt.bn AS d,
+        |    (CAST(cnt.c AS DOUBLE) / tot.n)
+        |      / (CAST(bl.bc AS DOUBLE) / bt.bn) AS x
         |  FROM cnt JOIN tot ON cnt.yr = tot.yr
-        |  JOIN bl ON cnt.bin = bl.bin CROSS JOIN bt)
+        |  JOIN bl ON cnt.bin = bl.bin CROSS JOIN bt),
+        |""".stripMargin + pinnedLnCtes("terms0") +
+      """terms AS (SELECT yr,
+        |    CAST(floor(1000000.0 * d * lnx) AS BIGINT) AS t_micro FROM plF)
         |SELECT yr, CAST(sum(t_micro) AS BIGINT) AS psi_micro,
         |  CAST(CASE WHEN sum(t_micro) >= 200000 THEN 1 ELSE 0 END AS BIGINT)
         |    AS drift_flag
@@ -2098,11 +2158,16 @@ object MlEval {
       val bt = tot.filter(col("yr") === 1995).select(col("n").as("bn"))
       val p = col("c").cast("double") / col("n")
       val q = col("bc").cast("double") / col("bn")
-      val terms = cnt.join(tot, Seq("yr"))
+      val terms0 = cnt.join(tot, Seq("yr"))
         .join(broadcast(bl), Seq("bin")).crossJoin(broadcast(bt))
-        .select(col("yr"),
-          floor(lit(1000000.0) * (p - q) * log(p / q)).cast("long")
-            .as("t_micro"))
+        .select(col("yr"), (p - q).as("d"), (p / q).as("x"))
+      // engine-pinned ln: the SAME expression text DuckDB runs (no libm)
+      val withLn = pinnedLnSteps.foldLeft(terms0) { (df, lvl) =>
+        lvl.foldLeft(df) { case (d2, (nm, ex)) => d2.withColumn(nm, expr(ex)) }
+      }
+      val terms = withLn.select(col("yr"),
+        floor(lit(1000000.0) * col("d") * col("lnx")).cast("long")
+          .as("t_micro"))
       terms.groupBy("yr").agg(
           sum("t_micro").as("psi_micro"),
           when(sum("t_micro") >= 200000L, 1L).otherwise(0L).as("drift_flag"))

@@ -63,4 +63,46 @@ class BpeBatchSpec extends SparkSpecBase {
     val docs = corpus(Seq("a b c", "a b"))
     assert(rulesOf(Corpus.trainBpeBatched(docs, 5, 4)).isEmpty)
   }
+
+  test("merged-string collision corpus (two decompositions of the same " +
+    "string): batched == sequential") {
+    // r7 advice: two different merges can concatenate to the SAME string
+    // (e.g. (a,bc) and (ab,c) both -> "abc"), and a created pair keyed by
+    // that string would ADD to the existing symbol's counts instead of
+    // starting at 0, voiding the batch's stopper bound. This corpus
+    // plants both decomposition routes at once: "bc"-first words, plain
+    // "ab" words, "abc" words, and longer carriers whose pair tables mix
+    // all of {ab, bc, abc, a+bc, ab+c} across rounds with near-tie
+    // frequencies — the shape the collision guard (doc rule 2) exists
+    // for. Batched must stay rule-for-rule sequential.
+    val docs = corpus(
+      Seq.fill(9)("bc xbc bcd") ++ // (b,c) wins round 1 in these words
+        Seq.fill(8)("ab ab dab") ++ // raw (a,b) elsewhere
+        Seq.fill(7)("abc abc") ++ // contested: a+bc vs ab+c
+        Seq.fill(6)("aabc zabc abcc") ++ // carriers exposing (z,abc)/(abc,c)
+        Seq.fill(5)("abab bab"))
+    val seq = rulesOf(Corpus.trainBpe(docs, 12))
+    for (b <- Seq(2, 4, 8)) {
+      assert(rulesOf(Corpus.trainBpeBatched(docs, 12, b)) === seq,
+        s"batch=$b diverged on the collision corpus")
+    }
+  }
+
+  test("randomized tiny-alphabet corpora: batched == sequential (seeded)") {
+    // property-style sweep over {a,b,c} word soup: dense repeated
+    // substrings maximize same-string re-derivations and tie plateaus;
+    // any collision- or tie-induced divergence shows up as a rule
+    // mismatch. Seeded for determinism.
+    val rnd = new scala.util.Random(20260816L)
+    for (trial <- 1 to 2) {
+      val words = Seq.fill(40)(
+        (1 to (2 + rnd.nextInt(5))).map(_ => "abc" (rnd.nextInt(3))).mkString)
+      val docs = corpus(Seq.fill(3)(words.mkString(" ")))
+      val seq = rulesOf(Corpus.trainBpe(docs, 10))
+      for (b <- Seq(3, 8)) {
+        assert(rulesOf(Corpus.trainBpeBatched(docs, 10, b)) === seq,
+          s"trial=$trial batch=$b diverged")
+      }
+    }
+  }
 }
