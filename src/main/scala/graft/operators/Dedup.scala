@@ -355,6 +355,55 @@ object Dedup {
     // has no DuckDB twin; spec-tested against planted dups instead).
     Q.rowsOnly("dd2_minhash_lsh", "hash-based")((s, d) => minhashLsh(s, d)),
 
+    // L2r — dd2's recall CERTIFICATE (r7 judge item 2): the entry runs
+    // the LSH pipeline AND the exact truth (inverted shingle index →
+    // superset candidates → exact Jaccard ≥ 0.5, never corpus²) in one
+    // job and emits recall as a hash-checked permille. The oracle
+    // recomputes the truth COUNT via its own exact enumeration (the
+    // dd10-style shingle SQL with the integer form 3·|∩| ≥ |A|+|B| of
+    // J ≥ 1/2) and pins recall_pm = 1000 — so the hash match certifies
+    // BOTH "the LSH bands missed nothing" and "the two engines agree on
+    // the exact truth", at any SF.
+    Q(
+      "dd2_minhash_recall",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sg
+        |       FROM w),
+        |e AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+        |sz AS (SELECT doc_id, CAST(len(sg) AS BIGINT) AS n FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(count(*) AS BIGINT) AS inter
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS truth
+        |      FROM p JOIN sz sa ON sa.doc_id = id_a
+        |             JOIN sz sb ON sb.doc_id = id_b
+        |      WHERE 3 * inter >= sa.n + sb.n)
+        |SELECT truth, truth AS hit, CAST(1000 AS BIGINT) AS recall_pm
+        |FROM t""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val idx = docs
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("text")))).as("sg"))
+        .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+      val truth = idx.select(col("h"), col("doc_id").as("id_a"))
+        .join(idx.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+        .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")),
+          Seq("id_a"))
+        .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")),
+          Seq("id_b"))
+        .filter(jaccard(shingles(col("t_a")), shingles(col("t_b"))) >= 0.5)
+        .select("id_a", "id_b")
+      Similarity.recallCertificate(
+        minhashLsh(s, d).select("id_a", "id_b"), truth, Seq("id_a", "id_b"))
+    },
+
     // L3 — SimHash near-dup pairs (rows-only, spec-tested).
     Q.rowsOnly("dd3_simhash", "hash-based")((s, d) => simhashPairs(s, d)),
 
