@@ -3665,6 +3665,81 @@ object EventOps {
         (max(when(col("seg") === 1, col("level_at_split_e6")))
           - max(when(col("seg") === 0, col("level_at_split_e6"))))
           .as("level_shift_e6"))
+    },
+
+    // T100 — one-sided CUSUM drift monitor on the daily event-count
+    // series (ev92 FINDS the single best split in hindsight; CUSUM is
+    // the SEQUENTIAL monitor that fires while drift happens — the
+    // production pager). The recursion Cᵢ = max(0, Cᵢ₋₁ + (xᵢ − μ))
+    // closes over prefix sums: Cᵢ = Sᵢ − min(0, min_{j≤i} Sⱼ), with
+    // Sᵢ = Σ(n·xₜ − T) kept EXACTLY integral by scaling through n
+    // (μ = T/n never materializes as a float). Both the prefix sum and
+    // its running minimum come from triangular self-joins on the
+    // calendar-bounded day spine (ev92's idiom — no window at all).
+    // The 3σ alarm is the integer cross-form n·C² > 9·Σd² (C and d
+    // share the ×n scaling). decimal(38,0)/HUGEINT throughout; the
+    // no-breach case is pinned to epoch via coalesce on both engines.
+    Q(
+      "ev94_cusum",
+      """WITH dc AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS dy,
+        |              CAST(count(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CAST(sum(c) AS BIGINT) AS t FROM dc),
+        |pre AS (SELECT a.dy,
+        |    CAST(sum(CAST(tot.n AS HUGEINT) * b.c - tot.t) AS HUGEINT) AS sp
+        |  FROM dc a JOIN dc b ON b.dy <= a.dy CROSS JOIN tot GROUP BY 1),
+        |rm AS (SELECT a.dy, a.sp,
+        |    least(CAST(0 AS HUGEINT), min(b.sp)) AS mn
+        |  FROM pre a JOIN pre b ON b.dy <= a.dy GROUP BY a.dy, a.sp),
+        |cu AS (SELECT dy, sp - mn AS cval FROM rm),
+        |sd AS (SELECT CAST(sum((CAST(tot.n AS HUGEINT) * c - tot.t)
+        |                  * (CAST(tot.n AS HUGEINT) * c - tot.t)) AS HUGEINT)
+        |         AS ssd
+        |       FROM dc CROSS JOIN tot)
+        |SELECT tot.n AS n_days,
+        |  CAST((max(cu.cval) * 1000) // tot.n AS BIGINT) AS cusum_max_milli,
+        |  CAST(sum(CASE WHEN tot.n * cu.cval * cu.cval > 9 * sd.ssd
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_breach_days,
+        |  coalesce(min(CASE WHEN tot.n * cu.cval * cu.cval > 9 * sd.ssd
+        |       THEN cu.dy END), TIMESTAMP '1970-01-01') AS first_breach_day
+        |FROM cu CROSS JOIN tot CROSS JOIN sd
+        |GROUP BY tot.n""".stripMargin
+    ) { (s, d) =>
+      val d38 = "decimal(38,0)"
+      val dc = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("dy"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // prefix join + Σd² read it
+      val tot = dc.agg(count(lit(1)).as("n"), sum("c").as("t"))
+      val pre = dc.as("a")
+        .join(dc.select(col("dy").as("bdy"), col("c").as("bc")),
+          col("bdy") <= col("dy"))
+        .crossJoin(broadcast(tot))
+        .groupBy("dy")
+        .agg(sum(col("n").cast(d38) * col("bc") - col("t")).as("sp"))
+        .localCheckpoint(true) // running-min self-join reads it twice
+      val rm = pre.as("a")
+        .join(pre.select(col("dy").as("bdy"), col("sp").as("bsp")),
+          col("bdy") <= col("dy"))
+        .groupBy("dy", "sp")
+        .agg(least(lit(0).cast(d38), min(col("bsp"))).as("mn"))
+      val cu = rm.select(col("dy"), (col("sp") - col("mn")).as("cval"))
+      val sd = dc.crossJoin(broadcast(tot))
+        .agg(sum((col("n").cast(d38) * col("c") - col("t"))
+          * (col("n").cast(d38) * col("c") - col("t"))).as("ssd"))
+      val breach = col("n").cast(d38) * col("cval") * col("cval") >
+        lit(9).cast(d38) * col("ssd")
+      cu.crossJoin(broadcast(tot)).crossJoin(broadcast(sd))
+        .groupBy("n")
+        .agg(
+          expr("CAST((max(cval) * 1000) DIV n AS BIGINT)").as("cusum_max_milli"),
+          sum(when(breach, 1L).otherwise(0L)).as("n_breach_days"),
+          coalesce(min(when(breach, col("dy"))),
+            lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")))
+            .as("first_breach_day"))
+        .select(col("n").as("n_days"), col("cusum_max_milli"),
+          col("n_breach_days"), col("first_breach_day"))
     }
   )
 

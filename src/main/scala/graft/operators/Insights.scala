@@ -1354,6 +1354,70 @@ object Insights {
           expr("(1000 * rev12_cents) DIV rev0_cents").as("nrr_pm"),
           expr("(1000 * g) DIV rev0_cents").as("grr_pm"))
         .orderBy("cohort_yr", "cohort_mo")
+    },
+
+    // R259 — odds ratio with Wald significance per priority segment:
+    // the 2×2 effect-size readout (q153's z-tests say WHETHER segments
+    // differ; the odds ratio says HOW MUCH, on the multiplicative
+    // scale reviewers actually quote). Cells: exposure = order value
+    // above the global mean, outcome = finalized status, +1 smoothing
+    // so no cell zeroes the ratio (documented variant of Haldane's
+    // correction that keeps the counts integral). ln(OR) comes from
+    // graft.functions.PinnedMath (both engines run the SAME ladder
+    // text → identical doubles → the e6 floor can never flip), and the
+    // Wald test |lnOR| > 1.96·SE is evaluated SQUARED —
+    // lnx² > 3.8416·(1/a+1/b+1/c+1/d) — in doubles whose expression
+    // text is identical on both engines (÷ and + are correctly-rounded,
+    // so the boolean is deterministic). One labeled pass, 5-row output.
+    Q(
+      "q155_odds_ratio",
+      """WITH sc AS (SELECT o_orderpriority AS priority,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |cells AS (SELECT priority,
+        |    CAST(1 + sum(CASE WHEN cents >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(1 + sum(CASE WHEN cents >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(1 + sum(CASE WHEN cents < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(1 + sum(CASE WHEN cents < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM sc CROSS JOIN t GROUP BY 1),
+        |terms0 AS (SELECT priority, a, b, c, d,
+        |    (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) AS x,
+        |    1.0/a + 1.0/b + 1.0/c + 1.0/d AS se2
+        |  FROM cells),
+        |""".stripMargin + graft.functions.PinnedMath.lnCtes("terms0") +
+      """r AS (SELECT priority, a, b, c, d,
+        |    CAST(floor(1000000.0 * lnx) AS BIGINT) AS lnor_micro,
+        |    CAST(CASE WHEN lnx * lnx > 3.8416 * se2 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS sig_95
+        |  FROM plF)
+        |SELECT * FROM r ORDER BY priority""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        col("o_orderpriority").as("priority"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val t = sc.agg(expr("CAST(sum(cents) DIV count(*) AS BIGINT)").as("thr"))
+      val cells = sc.crossJoin(broadcast(t)).groupBy("priority").agg(
+        (lit(1L) + sum(when(col("cents") >= col("thr") && col("y") === 1, 1L)
+          .otherwise(0L))).as("a"),
+        (lit(1L) + sum(when(col("cents") >= col("thr") && col("y") === 0, 1L)
+          .otherwise(0L))).as("b"),
+        (lit(1L) + sum(when(col("cents") < col("thr") && col("y") === 1, 1L)
+          .otherwise(0L))).as("c"),
+        (lit(1L) + sum(when(col("cents") < col("thr") && col("y") === 0, 1L)
+          .otherwise(0L))).as("d"))
+      val terms0 = cells.select(col("priority"),
+        col("a"), col("b"), col("c"), col("d"),
+        expr("(CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)").as("x"),
+        expr("1.0/a + 1.0/b + 1.0/c + 1.0/d").as("se2"))
+      graft.functions.PinnedMath.withLnx(terms0)
+        .select(col("priority"), col("a"), col("b"), col("c"), col("d"),
+          floor(lit(1000000.0) * col("lnx")).cast("long").as("lnor_micro"),
+          when(col("lnx") * col("lnx") > lit(3.8416) * col("se2"), 1L)
+            .otherwise(0L).as("sig_95"))
+        .orderBy("priority")
     }
   )
 }

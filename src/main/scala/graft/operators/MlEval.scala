@@ -22,53 +22,10 @@ import org.apache.spark.sql.functions._
   */
 object MlEval {
 
-  /** Engine-pinned ln(x) as shared SQL text (ml36_psi's drift terms —
-    * see the entry note). Levels of (alias, expression): each level
-    * references only prior-level aliases plus the input column `x`.
-    * Ladder: sign fold to y0 ≥ 1, six exact power-of-two divides to
-    * m ∈ [1,2) (handles x up to 2^64), then atanh series
-    * ln m = 2t(1 + t²/3 + … + t¹⁵/15), t = (m−1)/(m+1) ≤ 1/3 —
-    * truncation ≤ ~1e-9 relative. Every op is IEEE-754
-    * correctly-rounded (+,-,*,/, compare), so Spark and DuckDB
-    * evaluating this SAME text produce bit-identical doubles.
-    */
-  private def pinnedLnSteps: Seq[Seq[(String, String)]] = Seq(
-    Seq("sg" -> "CASE WHEN x < 1.0 THEN -1.0 ELSE 1.0 END",
-      "y0" -> "CASE WHEN x < 1.0 THEN 1.0 / x ELSE x END"),
-    Seq("y1" -> "CASE WHEN y0 >= 4294967296.0 THEN y0 / 4294967296.0 ELSE y0 END",
-      "k1" -> "CASE WHEN y0 >= 4294967296.0 THEN 32.0 ELSE 0.0 END"),
-    Seq("y2" -> "CASE WHEN y1 >= 65536.0 THEN y1 / 65536.0 ELSE y1 END",
-      "k2" -> "CASE WHEN y1 >= 65536.0 THEN 16.0 ELSE 0.0 END"),
-    Seq("y3" -> "CASE WHEN y2 >= 256.0 THEN y2 / 256.0 ELSE y2 END",
-      "k3" -> "CASE WHEN y2 >= 256.0 THEN 8.0 ELSE 0.0 END"),
-    Seq("y4" -> "CASE WHEN y3 >= 16.0 THEN y3 / 16.0 ELSE y3 END",
-      "k4" -> "CASE WHEN y3 >= 16.0 THEN 4.0 ELSE 0.0 END"),
-    Seq("y5" -> "CASE WHEN y4 >= 4.0 THEN y4 / 4.0 ELSE y4 END",
-      "k5" -> "CASE WHEN y4 >= 4.0 THEN 2.0 ELSE 0.0 END"),
-    Seq("y6" -> "CASE WHEN y5 >= 2.0 THEN y5 / 2.0 ELSE y5 END",
-      "k6" -> "CASE WHEN y5 >= 2.0 THEN 1.0 ELSE 0.0 END"),
-    Seq("tt" -> "(y6 - 1.0) / (y6 + 1.0)"),
-    Seq("uu" -> "tt * tt"),
-    Seq("lnx" -> ("sg * ((k1 + k2 + k3 + k4 + k5 + k6) * 0.6931471805599453"
-      + " + 2.0 * tt * (1.0 + uu * (1.0/3.0 + uu * (1.0/5.0 + uu * (1.0/7.0"
-      + " + uu * (1.0/9.0 + uu * (1.0/11.0 + uu * (1.0/13.0"
-      + " + uu * (1.0/15.0)))))))))")))
-
-  /** [[pinnedLnSteps]] rendered as a DuckDB CTE chain reading column `x`
-    * from CTE `from`; the final CTE is named `plF` and carries every
-    * input column plus `lnx`. */
-  private def pinnedLnCtes(from: String): String = {
-    val levels = pinnedLnSteps
-    val sb = new StringBuilder
-    var prev = from
-    levels.zipWithIndex.foreach { case (lvl, i) =>
-      val name = if (i == levels.size - 1) "plF" else s"pl$i"
-      val cols = lvl.map { case (n, e) => s"$e AS $n" }.mkString(", ")
-      sb.append(s"$name AS (SELECT *, $cols FROM $prev),\n")
-      prev = name
-    }
-    sb.toString
-  }
+  // Engine-pinned ln shared with tx50/tx51/q155 — see
+  // graft.functions.PinnedMath for the ladder + series derivation.
+  private def pinnedLnCtes(from: String): String =
+    graft.functions.PinnedMath.lnCtes(from)
 
   val catalog: Seq[Q] = Seq(
 
@@ -2162,9 +2119,7 @@ object MlEval {
         .join(broadcast(bl), Seq("bin")).crossJoin(broadcast(bt))
         .select(col("yr"), (p - q).as("d"), (p / q).as("x"))
       // engine-pinned ln: the SAME expression text DuckDB runs (no libm)
-      val withLn = pinnedLnSteps.foldLeft(terms0) { (df, lvl) =>
-        lvl.foldLeft(df) { case (d2, (nm, ex)) => d2.withColumn(nm, expr(ex)) }
-      }
+      val withLn = graft.functions.PinnedMath.withLnx(terms0)
       val terms = withLn.select(col("yr"),
         floor(lit(1000000.0) * col("d") * col("lnx")).cast("long")
           .as("t_micro"))
@@ -2242,6 +2197,134 @@ object MlEval {
       ag.select(col("n"), col("ga"), col("gb"), col("gc"),
         qe6.as("q_e6"), lit(2L).as("df"),
         when(qe6 > 5991465L, 1L).otherwise(0L).as("reject_95"))
+    },
+
+    // L115 — Cohen's kappa (chance-corrected agreement): the labeling-
+    // pipeline QA statistic raw accuracy can't give — ml37's price-
+    // threshold model vs the actual label, corrected for the agreement
+    // two raters reach by marginal luck. κ = (pₒ−pₑ)/(1−pₑ) with
+    // pₒ = (a+d)/n and pₑ = [(a+b)(a+c) + (c+d)(b+d)]/n² collapses to
+    // ONE exact integer division: κ·10⁶ = 10⁶·(n·(a+d) − pen) DIV
+    // (n² − pen) — signed, and Spark DIV / DuckDB // BOTH truncate
+    // toward zero (measured in ev93), so the quantized κ is
+    // engine-exact. One labeled pass; the Landis-Koch band is a CASE
+    // over the shared integer. All decimal(38,0)/HUGEINT intermediates.
+    Q(
+      "ml38_cohen_kappa",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN cents >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN cents < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM sc CROSS JOIN t),
+        |k AS (SELECT n, a, b, c, n - a - b - c AS d,
+        |    (CAST(a + b AS HUGEINT) * (a + c)
+        |     + CAST(n - a - b AS HUGEINT) * (n - a - c)) AS pen
+        |  FROM ag),
+        |r AS (SELECT n, a, b, c, d,
+        |    CAST((CAST(a + d AS HUGEINT) * 1000000) // n AS BIGINT) AS po_e6,
+        |    CAST((pen * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_e6,
+        |    CAST(((CAST(n AS HUGEINT) * (a + d) - pen) * 1000000)
+        |      // (CAST(n AS HUGEINT) * n - pen) AS BIGINT) AS kappa_e6
+        |  FROM k)
+        |SELECT n, a, b, c, d, po_e6, pe_e6, kappa_e6,
+        |  CASE WHEN kappa_e6 < 0 THEN 'poor'
+        |       WHEN kappa_e6 < 200000 THEN 'slight'
+        |       WHEN kappa_e6 < 400000 THEN 'fair'
+        |       WHEN kappa_e6 < 600000 THEN 'moderate'
+        |       WHEN kappa_e6 < 800000 THEN 'substantial'
+        |       ELSE 'near-perfect' END AS landis_koch
+        |FROM r""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      val t = sc.agg(expr("CAST(sum(cents) DIV count(*) AS BIGINT)").as("thr"))
+      val ag = sc.crossJoin(broadcast(t)).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("cents") >= col("thr") && col("y") === 1, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("cents") >= col("thr") && col("y") === 0, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("cents") < col("thr") && col("y") === 1, 1L)
+          .otherwise(0L)).as("c"))
+      val d38 = "decimal(38,0)"
+      val k = ag.select(col("n"), col("a"), col("b"), col("c"),
+        (col("n") - col("a") - col("b") - col("c")).as("d"),
+        ((col("a") + col("b")).cast(d38) * (col("a") + col("c"))
+          + (col("n") - col("a") - col("b")).cast(d38)
+            * (col("n") - col("a") - col("c"))).as("pen"))
+      val r = k.select(col("n"), col("a"), col("b"), col("c"), col("d"),
+        expr("CAST((CAST(a + d AS decimal(38,0)) * 1000000) DIV n AS BIGINT)")
+          .as("po_e6"),
+        expr("CAST((pen * 1000000) DIV (CAST(n AS decimal(38,0)) * n) AS BIGINT)")
+          .as("pe_e6"),
+        expr("CAST(((CAST(n AS decimal(38,0)) * (a + d) - pen) * 1000000) " +
+          "DIV (CAST(n AS decimal(38,0)) * n - pen) AS BIGINT)").as("kappa_e6"))
+      r.withColumn("landis_koch",
+        when(col("kappa_e6") < 0, "poor")
+          .when(col("kappa_e6") < 200000, "slight")
+          .when(col("kappa_e6") < 400000, "fair")
+          .when(col("kappa_e6") < 600000, "moderate")
+          .when(col("kappa_e6") < 800000, "substantial")
+          .otherwise("near-perfect"))
+    },
+
+    // L116 — Mann-Kendall trend test on monthly revenue: the
+    // distribution-free "is this series trending" check (ev93 fits
+    // slopes ASSUMING a linear model; MK asks whether ANY monotone
+    // trend exists). S = Σ_{i<j} sign(v_j − v_i) over the
+    // calendar-bounded month frame (≤ ~84 rows → the pair join is
+    // spine²-cheap and fact-linear), tie-corrected variance
+    // V = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18, and the two-sided 5%
+    // decision |S|−1 > 1.96·√V cross-multiplied into integers:
+    // 180000·(|S|−1)² > 38416·W (W = 18V). Entirely integer — no
+    // quantization anywhere.
+    Q(
+      "ml39_mann_kendall",
+      """WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS ym,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+        |                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s
+        |      FROM m a JOIN m b ON b.ym > a.ym),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m),
+        |ties AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tsum
+        |         FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM m
+        |               GROUP BY v HAVING count(*) > 1)),
+        |w AS (SELECT n, n * (n - 1) * (2 * n + 5) - tsum AS wv
+        |      FROM nn CROSS JOIN ties)
+        |SELECT n AS n_months, s AS s_stat, wv AS var18,
+        |  CAST(CASE WHEN s <> 0
+        |         AND 180000 * (abs(s) - 1) * (abs(s) - 1) > 38416 * wv
+        |       THEN 1 ELSE 0 END AS BIGINT) AS trend_reject_95
+        |FROM w CROSS JOIN p""".stripMargin
+    ) { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate").cast("date")).as("ym"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("v"))
+        .localCheckpoint(true) // pair join + ties + count read it
+      val p = m.as("a")
+        .join(m.select(col("ym").as("bym"), col("v").as("bv")),
+          col("bym") > col("ym"))
+        .agg(sum(when(col("bv") > col("v"), 1L)
+          .when(col("bv") < col("v"), -1L).otherwise(0L)).as("s"))
+      val nn = m.agg(count(lit(1)).as("n"))
+      val ties = m.groupBy("v").agg(count(lit(1)).as("t"))
+        .filter(col("t") > 1)
+        .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)),
+          lit(0L)).as("tsum"))
+      nn.crossJoin(broadcast(ties)).crossJoin(broadcast(p))
+        .select(col("n").as("n_months"), col("s").as("s_stat"),
+          (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tsum"))
+            .as("var18"))
+        .withColumn("trend_reject_95",
+          when(col("s_stat") =!= 0
+            && lit(180000L) * (abs(col("s_stat")) - 1) * (abs(col("s_stat")) - 1)
+               > lit(38416L) * col("var18"), 1L).otherwise(0L))
     },
   )
 }

@@ -419,6 +419,123 @@ object TextProfile {
           sum(when(col("cf") === 1, 1L).otherwise(0L)).as("hapax"))
         .withColumn("hapax_pm", expr("(hapax * 1000) DIV vocab"))
         .orderBy("source")
+    },
+
+    // R257 — per-source unigram entropy (nats, e6-quantized): the
+    // information density of each source's token stream — low entropy
+    // = templated/repetitive text (dedup/cleanup candidate), high =
+    // diverse natural text; THE summary statistic next to tx54's hapax
+    // share when deciding a source's mix weight. H = Σ p·ln(1/p) with
+    // p = cf/N per source; ln comes from graft.functions.PinnedMath
+    // (the ml36 machinery — both engines run the SAME ladder+series
+    // text, so the per-term e6 floor can never disagree), each term
+    // floored to a BIGINT BEFORE the sum so the fold is
+    // order-invariant. One (source, term) shuffle, dimension-sized
+    // output; x = N/cf ≥ 1 keeps the ladder in its trivial-sign branch.
+    Q(
+      "tx57_source_entropy",
+      """WITH tf AS (
+        |  SELECT source, w, CAST(count(*) AS BIGINT) AS cf FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |nt AS (SELECT source, CAST(sum(cf) AS BIGINT) AS n,
+        |              CAST(count(*) AS BIGINT) AS vocab
+        |       FROM tf GROUP BY 1),
+        |terms0 AS (SELECT tf.source, nt.n, nt.vocab,
+        |    CAST(tf.cf AS DOUBLE) / nt.n AS p,
+        |    CAST(nt.n AS DOUBLE) / tf.cf AS x
+        |  FROM tf JOIN nt ON tf.source = nt.source),
+        |""".stripMargin + graft.functions.PinnedMath.lnCtes("terms0") +
+      """t AS (SELECT source, n, vocab,
+        |    CAST(floor(1000000.0 * p * lnx) AS BIGINT) AS t_micro FROM plF)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(max(vocab) AS BIGINT) AS vocab,
+        |  CAST(sum(t_micro) AS BIGINT) AS entropy_micro
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("cf"))
+      val nt = tf.groupBy("source")
+        .agg(sum("cf").as("n"), count(lit(1)).as("vocab"))
+      val terms0 = tf.join(broadcast(nt), Seq("source"))
+        .select(col("source"), col("n"), col("vocab"),
+          (col("cf").cast("double") / col("n")).as("p"),
+          (col("n").cast("double") / col("cf")).as("x"))
+      graft.functions.PinnedMath.withLnx(terms0)
+        .select(col("source"), col("n"), col("vocab"),
+          floor(lit(1000000.0) * col("p") * col("lnx")).cast("long")
+            .as("t_micro"))
+        .groupBy("source")
+        .agg(max("n").as("n_tokens"), max("vocab").as("vocab"),
+          sum("t_micro").as("entropy_micro"))
+        .orderBy("source")
+    },
+
+    // R258 — per-source vocabulary Jensen-Shannon divergence vs the
+    // corpus-wide unigram distribution: the corpus-MIX drift readout —
+    // which source's language is furthest from the blend it feeds
+    // (0 = identical, ln2·10⁶ ≈ 693147 = disjoint). JSD(P‖Q) =
+    // ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) over the GLOBAL vocabulary
+    // (q > 0 everywhere by construction; p = 0 terms contribute only
+    // the q side, so the p-branch rows are dropped exactly when p = 0
+    // — 0·ln0 = 0). Both log branches ride ONE PinnedMath chain by
+    // UNION-ALL-ing (coef, x) rows, each term e6-floored pre-sum with
+    // the ½ folded in (5e5). Frame: |sources|·|global vocab| rows via
+    // a broadcast of the source list — fixed-width at any corpus size.
+    Q(
+      "tx58_vocab_jsd",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |sc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cs
+        |       FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+        |g AS (SELECT w, CAST(count(*) AS BIGINT) AS cg FROM tok GROUP BY 1),
+        |ng AS (SELECT CAST(sum(cg) AS BIGINT) AS n_g FROM g),
+        |f AS (SELECT ns.source, g.w, coalesce(sc.cs, 0) AS cs, g.cg,
+        |             ns.n_s, ng.n_g
+        |      FROM g CROSS JOIN ns CROSS JOIN ng
+        |      LEFT JOIN sc ON sc.source = ns.source AND sc.w = g.w),
+        |pq AS (SELECT source, cs,
+        |    CAST(cs AS DOUBLE) / n_s AS p, CAST(cg AS DOUBLE) / n_g AS q
+        |  FROM f),
+        |terms0 AS (
+        |  SELECT source, p AS coef, (2.0 * p) / (p + q) AS x FROM pq WHERE cs > 0
+        |  UNION ALL
+        |  SELECT source, q AS coef, (2.0 * q) / (p + q) AS x FROM pq),
+        |""".stripMargin + graft.functions.PinnedMath.lnCtes("terms0") +
+      """t AS (SELECT source,
+        |    CAST(floor(500000.0 * coef * lnx) AS BIGINT) AS t_micro FROM plF)
+        |SELECT source, CAST(sum(t_micro) AS BIGINT) AS jsd_micro
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .localCheckpoint(true) // source counts + global counts, one pass
+      val sc = tok.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+      val ns = sc.groupBy("source").agg(sum("cs").as("n_s"))
+      val g = tok.groupBy("w").agg(count(lit(1)).as("cg"))
+      val ng = g.agg(sum("cg").as("n_g"))
+      val f = g.crossJoin(broadcast(ns)).crossJoin(broadcast(ng))
+        .join(sc, Seq("source", "w"), "left")
+        .select(col("source"),
+          coalesce(col("cs"), lit(0L)).as("cs"), col("cg"),
+          col("n_s"), col("n_g"))
+      val pq = f.select(col("source"), col("cs"),
+        expr("CAST(cs AS DOUBLE) / n_s").as("p"),
+        expr("CAST(cg AS DOUBLE) / n_g").as("q"))
+      val termsP = pq.filter(col("cs") > 0)
+        .select(col("source"), col("p").as("coef"),
+          expr("(2.0 * p) / (p + q)").as("x"))
+      val termsQ = pq
+        .select(col("source"), col("q").as("coef"),
+          expr("(2.0 * q) / (p + q)").as("x"))
+      graft.functions.PinnedMath.withLnx(termsP.unionByName(termsQ))
+        .select(col("source"),
+          floor(lit(500000.0) * col("coef") * col("lnx")).cast("long")
+            .as("t_micro"))
+        .groupBy("source").agg(sum("t_micro").as("jsd_micro"))
+        .orderBy("source")
     }
   )
 }
