@@ -839,10 +839,13 @@ object Dedup {
     * `bands = 0` (the default) AUTO-SIZES: the candidate-volume
     * estimate Σ df²/2 over the already-built prefix index, times the
     * mean doc token count (the verify expansion's fan-out), times a
-    * ~32 B/row spilled-shuffle heuristic, divided by the disk budget
+    * ~5 B/row spilled-shuffle constant calibrated on the r7 64× soak
+    * (see autoPrefixBands), divided by the disk budget
     * (`GRAFT_PREFIX_DISK_BUDGET_GB`, default 64). The r7-measured 22%
     * banding overhead when disk is NOT the constraint is why the
-    * estimate must clear the budget before any sharding happens.
+    * estimate must clear the budget before any sharding happens —
+    * measured decisions: sf0.1 → 1 (one-pass, correct), 8× → 1
+    * (one-pass completed in r7), 64× → ~6 (one-pass died at >77 GB).
     * Shared frames (token sets, prefix index) are localCheckpoint'd —
     * the r6-measured form. An r7 A/B against persist(MEMORY_AND_DISK)
     * (ADVICE r6's executor-loss suggestion) was noise-dominated on this
@@ -857,9 +860,14 @@ object Dedup {
     * over the disk budget, floored at 1 (single pass) and capped at 64.
     * The estimate is one aggregate over the prefix index: Σ df²/2
     * candidate pairs (the prefix self-join's fan-out), each expanding to
-    * ~avg-doc-length narrow verify rows at ~32 compressed bytes — an
-    * order-of-magnitude heuristic calibrated against the r7 64× soak
-    * (~77 GB one-pass), not a promise. GRAFT_PREFIX_BANDS overrides it.
+    * ~avg-doc-length narrow verify rows at ~5 compressed bytes/row —
+    * CALIBRATED against the r7 64× soak: one-pass peak ≈ 350 GB
+    * (bands=16 peaked at ~22 GB ≈ 1/16 of it) over Σdf²/2·avgN ≈ 66·10⁹
+    * expansion rows → ~5.3 B/row after LZ4. Cross-checked at the scales
+    * that RAN one-pass: 8× → est 41 GB (completed, fits), sf0.1 →
+    * est 5 GB → bands=1, matching the measured 22%-overhead rule that
+    * sharding must be earned. An order-of-magnitude heuristic, not a
+    * promise; GRAFT_PREFIX_BANDS overrides it.
     */
   private[graft] def autoPrefixBands(pref: DataFrame, sz: DataFrame,
                                      budgetBytes: Long): Int = {
@@ -868,7 +876,7 @@ object Dedup {
     val sumDf2 = fan.getLong(0)
     val avgN = Option(sz.agg(avg("n")).first().get(0))
       .map(_.toString.toDouble).getOrElse(0.0)
-    val estBytes = (sumDf2 / 2.0) * avgN * 32.0
+    val estBytes = (sumDf2 / 2.0) * avgN * 5.0
     math.min(64, math.max(1, math.ceil(estBytes / budgetBytes.toDouble).toInt))
   }
 

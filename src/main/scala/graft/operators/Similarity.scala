@@ -811,8 +811,8 @@ object Similarity {
     // the truth COUNT independently (DuckDB brute force) and pins
     // recall_pm = 1000 — the driver-verify operating point (sf0.001 and
     // sf0.01 measure 1.00 across the family). sf0.1 operating points
-    // (sim3 1.00 @ 21 tables, dd9 0.962 @ nAssign=3) remain RecallProbe
-    // sweep business, recorded in PLANS.md per round.
+    // (sim3 1.00 @ 21 tables, dd9 0.997 @ nAssign=4 — r8 probe) remain
+    // RecallProbe sweep business, recorded in PLANS.md per round.
     Q("sim3_lsh_recall", annRecallOracle) { (s, d) =>
       recallCertificate(lshAnn(s, d), bruteTopk(s, d, 3), Seq("q_id", "c_id"))
     },

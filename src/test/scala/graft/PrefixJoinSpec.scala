@@ -52,10 +52,10 @@ class PrefixJoinSpec extends SparkSpecBase {
     "estimate exceeds the disk budget (r7 judge item 3)") {
     import spark.implicits._
     // 1000 postings on one token → Σdf²/2 = 500,000 candidate pairs;
-    // avg doc length 10 → estimate = 5e5 × 10 × 32 = 1.6e8 bytes
+    // avg doc length 10, 5 B/row → estimate = 5e5 × 10 × 5 = 2.5e7 bytes
     val pref = (1L to 1000L).map(i => (i, "tok")).toDF("doc_id", "tok")
     val sz = (1L to 1000L).map(i => (i, 10L)).toDF("doc_id", "n")
-    val est = 1.6e8.toLong
+    val est = 2.5e7.toLong
     assert(Dedup.autoPrefixBands(pref, sz, est + 1) === 1,
       "budget just above the estimate must stay single-pass")
     assert(Dedup.autoPrefixBands(pref, sz, est - 1) === 2,
