@@ -981,6 +981,47 @@ object Corpus {
       bpeTokenCounts(docs, rules)
     },
 
+    // L61b — BPE encoder INVARIANT CERTIFICATE (r8, the bound-
+    // certificate recipe applied to the fixpoint family): the merge
+    // RULES have no SQL oracle (tx29 stays rows-only), but the
+    // encoder's structural contract does — over EVERY distinct word
+    // type in the corpus, (a) concat(tokens) == word (lossless
+    // segmentation), (b) every token is a single char or a trained
+    // merge string (closed vocabulary), (c) token count ≤ char count
+    // (merges only shrink). The entry trains, encodes every type, and
+    // emits the violation counts; the oracle computes the type count
+    // and literal zeros — a hash match certifies the encoder's
+    // invariants corpus-wide each round, next to BpeSpec's pointwise
+    // fixtures.
+    Q(
+      "tx59_bpe_roundtrip",
+      """SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+        |  CAST(0 AS BIGINT) AS roundtrip_bad,
+        |  CAST(0 AS BIGINT) AS vocab_bad,
+        |  CAST(0 AS BIGINT) AS inflate_bad
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |WHERE len(w) >= 1""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val rules = trainBpe(docs, 12).orderBy("rank")
+        .select("left", "right", "merged").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      val merged = rules.map(_._3).toSet
+      docs.select(explode(split(col("text"), " ")).as("wd"))
+        .filter(length(col("wd")) >= 1)
+        .distinct().as[String]
+        .mapPartitions(_.map { wd =>
+          val toks = encodeWord(wd, rules)
+          (1L,
+            if (toks.mkString == wd) 0L else 1L,
+            if (toks.forall(t => t.length == 1 || merged(t))) 0L else 1L,
+            if (toks.length <= wd.length) 0L else 1L)
+        }).toDF("one", "rb", "vb", "ib")
+        .agg(sum("one").as("n_types"), sum("rb").as("roundtrip_bad"),
+          sum("vb").as("vocab_bad"), sum("ib").as("inflate_bad"))
+    },
+
     // L62 — n-gram novelty per document (memorization/duplication risk
     // in ingestion order): the share of a doc's distinct sliding word
     // 4-grams whose FIRST corpus occurrence (min doc_id) is this doc.

@@ -473,6 +473,72 @@ object HypoTests {
           (col("chi2_e6").cast("double") / 1000000).as("chi2"))
     },
 
+    // T42b — Cramér's V (effect size for ev34's independence test): a
+    // significant χ² on a 100 TB fact is near-guaranteed — V says whether
+    // the association MATTERS. V² = χ²/(n·min(r−1, c−1)) stays exact:
+    // v2_e6 = chi2_e6 DIV (n·k) on the same order-invariant integer
+    // χ² sum ev34 builds (per-cell e6 DIV of decimal products), and
+    // Cohen's V bands (0.1/0.3/0.5) compare as V² thresholds on the
+    // shared integer (10000/90000/250000 e6-units) — no sqrt anywhere.
+    Q(
+      "ev95_cramers_v",
+      """WITH cell AS (
+        |  SELECT event_type AS grp, (hour(ts) // 6) AS part, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT grp, CAST(sum(o) AS BIGINT) AS r FROM cell GROUP BY 1),
+        |cm AS (SELECT part, CAST(sum(o) AS BIGINT) AS c FROM cell GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM cell),
+        |terms AS (
+        |  SELECT ((CAST(o AS HUGEINT) * tt - CAST(r AS HUGEINT) * c)
+        |     * (CAST(o AS HUGEINT) * tt - CAST(r AS HUGEINT) * c) * 1000000)
+        |    // (CAST(r AS HUGEINT) * c * tt) AS term_e6
+        |  FROM cell JOIN rm ON cell.grp = rm.grp
+        |    JOIN cm ON cell.part = cm.part, t),
+        |dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rm) AS nr,
+        |                (SELECT CAST(count(*) AS BIGINT) FROM cm) AS nc),
+        |ag AS (SELECT CAST(sum(term_e6) AS BIGINT) AS chi2_e6 FROM terms),
+        |r AS (SELECT tt AS n, nr AS r_levels, nc AS c_levels, chi2_e6,
+        |    CAST(chi2_e6 // (tt * least(nr - 1, nc - 1)) AS BIGINT) AS v2_e6
+        |  FROM ag CROSS JOIN t CROSS JOIN dims)
+        |SELECT n, r_levels, c_levels, chi2_e6, v2_e6,
+        |  CASE WHEN v2_e6 < 10000 THEN 'negligible'
+        |       WHEN v2_e6 < 90000 THEN 'small'
+        |       WHEN v2_e6 < 250000 THEN 'medium'
+        |       ELSE 'large' END AS cohen_band
+        |FROM r""".stripMargin
+    ) { (s, d) =>
+      val cell = graft.Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"),
+          expr("hour(ts) DIV 6").as("part"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // margins + terms all consume it
+      val rm = cell.groupBy("grp").agg(sum("o").as("r"))
+      val cm = cell.groupBy("part").agg(sum("o").as("c"))
+      val t = cell.agg(sum("o").as("tt"))
+      val dims = rm.agg(count(lit(1)).as("nr"))
+        .crossJoin(cm.agg(count(lit(1)).as("nc")))
+      val ag = cell.join(broadcast(rm), Seq("grp"))
+        .join(broadcast(cm), Seq("part"))
+        .crossJoin(broadcast(t))
+        .select(expr(
+          """((CAST(o AS DECIMAL(38,0)) * tt - CAST(r AS DECIMAL(38,0)) * c)
+            | * (CAST(o AS DECIMAL(38,0)) * tt - CAST(r AS DECIMAL(38,0)) * c)
+            | * 1000000)
+            | DIV (CAST(r AS DECIMAL(38,0)) * c * tt)""".stripMargin)
+          .as("term_e6"))
+        .agg(sum("term_e6").cast("long").as("chi2_e6"))
+      ag.crossJoin(broadcast(t)).crossJoin(broadcast(dims))
+        .select(col("tt").as("n"), col("nr").as("r_levels"),
+          col("nc").as("c_levels"), col("chi2_e6"),
+          expr("CAST(chi2_e6 DIV (tt * least(nr - 1, nc - 1)) AS BIGINT)")
+            .as("v2_e6"))
+        .withColumn("cohen_band",
+          when(col("v2_e6") < 10000, "negligible")
+            .when(col("v2_e6") < 90000, "small")
+            .when(col("v2_e6") < 250000, "medium")
+            .otherwise("large"))
+    },
+
     // T40 — difference-in-differences: the 2×2 (arm × period) causal
     // readout over the same midpoint split — DID = (T_post − T_pre) −
     // (C_post − C_pre) on per-cell purchase means. One user-free cell

@@ -2326,5 +2326,62 @@ object MlEval {
             && lit(180000L) * (abs(col("s_stat")) - 1) * (abs(col("s_stat")) - 1)
                > lit(38416L) * col("var18"), 1L).otherwise(0L))
     },
+
+    // L117 — Fleiss' kappa over ml37's three binary raters (the
+    // price-threshold model, the priority rule, the custkey-parity
+    // null): ml38 corrects ONE rater against the label; Fleiss asks
+    // whether the PANEL agrees with itself beyond chance — the
+    // multi-annotator QA statistic. For k = 3 binary raters with
+    // per-item positive count s ∈ {0..3}: P̄ = (A − 3n)/(6n) with
+    // A = Σ(s² + (3−s)²), P̄ₑ = (T² + (3n−T)²)/(9n²) with T = Σs,
+    // and κ = (P̄−P̄ₑ)/(1−P̄ₑ) collapses over the 18n² common
+    // denominator to ONE signed exact integer division:
+    // κ·10⁶ = 10⁶·(3n(A−3n) − 2(T²+(3n−T)²)) DIV (18n² − 2(T²+(3n−T)²))
+    // — decimal(38,0)/HUGEINT products, Spark DIV ≡ DuckDB //
+    // truncation (the ev93 license). One labeled pass, 1-row output.
+    Q(
+      "ml40_fleiss_kappa",
+      """WITH sc AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS rb,
+        |    CAST(o_custkey % 2 AS BIGINT) AS rc
+        |  FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |x AS (SELECT (CASE WHEN cents >= thr THEN 1 ELSE 0 END) + rb + rc AS s
+        |      FROM sc CROSS JOIN t),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(s) AS BIGINT) AS tpos,
+        |    CAST(sum(s * s + (3 - s) * (3 - s)) AS BIGINT) AS a
+        |  FROM x),
+        |k AS (SELECT n, tpos, a,
+        |    (CAST(2 AS HUGEINT) * (CAST(tpos AS HUGEINT) * tpos
+        |       + CAST(3 * n - tpos AS HUGEINT) * (3 * n - tpos))) AS pe2
+        |  FROM ag)
+        |SELECT n, tpos, a,
+        |  CAST(((CAST(3 AS HUGEINT) * n * (a - 3 * n) - pe2) * 1000000)
+        |    // (CAST(18 AS HUGEINT) * n * n - pe2) AS BIGINT) AS kappa_e6
+        |FROM k""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("rb"),
+        (col("o_custkey") % 2).cast("long").as("rc"))
+      val t = sc.agg(expr("CAST(sum(cents) DIV count(*) AS BIGINT)").as("thr"))
+      val x = sc.crossJoin(broadcast(t)).select(
+        (when(col("cents") >= col("thr"), 1L).otherwise(0L)
+          + col("rb") + col("rc")).as("s"))
+      val ag = x.agg(count(lit(1)).as("n"), sum("s").as("tpos"),
+        sum(col("s") * col("s") + (lit(3) - col("s")) * (lit(3) - col("s")))
+          .as("a"))
+      val d38 = "decimal(38,0)"
+      val k = ag.withColumn("pe2",
+        lit(2).cast(d38) * (col("tpos").cast(d38) * col("tpos")
+          + (lit(3) * col("n") - col("tpos")).cast(d38)
+            * (lit(3) * col("n") - col("tpos"))))
+      k.select(col("n"), col("tpos"), col("a"),
+        expr("CAST(((CAST(3 AS decimal(38,0)) * n * (a - 3 * n) - pe2) " +
+          "* 1000000) DIV (CAST(18 AS decimal(38,0)) * n * n - pe2) " +
+          "AS BIGINT)").as("kappa_e6"))
+    },
   )
 }
