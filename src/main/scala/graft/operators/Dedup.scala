@@ -845,7 +845,10 @@ object Dedup {
     * banding overhead when disk is NOT the constraint is why the
     * estimate must clear the budget before any sharding happens —
     * measured decisions: sf0.1 → 1 (one-pass, correct), 8× → 1
-    * (one-pass completed in r7), 64× → ~6 (one-pass died at >77 GB).
+    * (one-pass completed in r7), 64× → 6 (one-pass died at >77 GB;
+    * the r8 END-TO-END auto run COMPLETED: 189,977,472 pairs — equal
+    * to the manual bands=16 output — peak ~52 GB over baseline vs the
+    * estimate's predicted 55 GB; PLANS.md r8).
     * Shared frames (token sets, prefix index) are localCheckpoint'd —
     * the r6-measured form. An r7 A/B against persist(MEMORY_AND_DISK)
     * (ADVICE r6's executor-loss suggestion) was noise-dominated on this
