@@ -356,14 +356,18 @@ object Dedup {
     Q.rowsOnly("dd2_minhash_lsh", "hash-based")((s, d) => minhashLsh(s, d)),
 
     // L2r — dd2's recall CERTIFICATE (r7 judge item 2): the entry runs
-    // the LSH pipeline AND the exact truth (inverted shingle index →
-    // superset candidates → exact Jaccard ≥ 0.5, never corpus²) in one
-    // job and emits recall as a hash-checked permille. The oracle
-    // recomputes the truth COUNT via its own exact enumeration (the
-    // dd10-style shingle SQL with the integer form 3·|∩| ≥ |A|+|B| of
-    // J ≥ 1/2) and pins recall_pm = 1000 — so the hash match certifies
-    // BOTH "the LSH bands missed nothing" and "the two engines agree on
-    // the exact truth", at any SF.
+    // the LSH pipeline AND the exact truth in one job and emits recall
+    // as a hash-checked permille. The truth rides the GENERALIZED
+    // PPJoin machinery at J ≥ 1/2 over shingle sets
+    // (prefixJoinPairsAt — prefix/length/position prunes, all exact,
+    // zero false negatives; narrow inverted-index verify) instead of
+    // the df²-fan-out full-postings join the r8-initial form used
+    // (measured: 124 s → prefix-filtered form in the sf0.1 sweep —
+    // PLANS.md r8). The oracle recomputes the truth COUNT via its own
+    // exact enumeration (the dd10-style shingle SQL with the integer
+    // form 3·|∩| ≥ |A|+|B| of J ≥ 1/2) and pins recall_pm = 1000 — so
+    // the hash match certifies BOTH "the LSH bands missed nothing" and
+    // "the two engines agree on the exact truth", at any SF.
     Q(
       "dd2_minhash_recall",
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -386,19 +390,8 @@ object Dedup {
         |FROM t""".stripMargin
     ) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val idx = docs
-        .select(col("doc_id"),
-          explode(array_distinct(shingles(col("text")))).as("sg"))
-        .select(col("doc_id"), xxhash64(col("sg")).as("h"))
-      val truth = idx.select(col("h"), col("doc_id").as("id_a"))
-        .join(idx.select(col("h"), col("doc_id").as("id_b")), Seq("h"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-        .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")),
-          Seq("id_a"))
-        .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")),
-          Seq("id_b"))
-        .filter(jaccard(shingles(col("t_a")), shingles(col("t_b"))) >= 0.5)
+      val truth = prefixJoinPairsAt(docs, bands = 0, tn = 1, td = 2,
+          t => array_distinct(shingles(t)))
         .select("id_a", "id_b")
       Similarity.recallCertificate(
         minhashLsh(s, d).select("id_a", "id_b"), truth, Seq("id_a", "id_b"))
@@ -883,9 +876,30 @@ object Dedup {
     math.min(64, math.max(1, math.ceil(estBytes / budgetBytes.toDouble).toInt))
   }
 
-  def prefixJoinPairs(docs: DataFrame, bands: Int = 0): DataFrame = {
+  def prefixJoinPairs(docs: DataFrame, bands: Int = 0): DataFrame =
+    prefixJoinPairsAt(docs, bands, 4, 5,
+      t => array_distinct(split(t, " ")))
+
+  /** [[prefixJoinPairs]] generalized to ANY rational threshold
+    * J ≥ tn/td (0 < tn < td) and any set-tokenizer (r8 — so dd2's
+    * recall-certificate TRUTH can ride the same proven prefix/length/
+    * position machinery at J ≥ 1/2 over SHINGLE sets instead of a
+    * df²-fan-out full-postings join). The three prunes in general form,
+    * each still EXACT (zero false negatives):
+    *  - prefix length: n − ⌈tn·n/td⌉ + 1 rarest tokens;
+    *  - length filter: td·n_a ≥ tn·n_b and vice versa;
+    *  - position filter: 1 + min(n_a−r_a, n_b−r_b) ≥
+    *    ⌈tn(n_a+n_b)/(tn+td)⌉ (the t/(1+t) overlap bound);
+    *  - final gate: (tn+td)·|∩| ≥ tn·(n_a+n_b) ⟺ J ≥ tn/td.
+    * tn=4, td=5, word tokens reproduce dd22 exactly (the default
+    * wrapper above; PrefixJoinSpec pins it).
+    */
+  def prefixJoinPairsAt(docs: DataFrame, bands: Int,
+                        tn: Int, td: Int,
+                        tokenizer: Column => Column): DataFrame = {
+    require(0 < tn && tn < td, s"threshold $tn/$td out of (0,1)")
     val w = docs
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+      .select(col("doc_id"), tokenizer(col("text")).as("ws"))
       .localCheckpoint(true) // index, sizes, and pair verify read it
     val e = w.select(col("doc_id"), explode(col("ws")).as("tok"))
     val dfTok = e.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -896,7 +910,7 @@ object Dedup {
     val pref = e.join(dfTok, Seq("tok"))
       .withColumn("r", row_number().over(byDoc))
       .join(sz, Seq("doc_id"))
-      .filter(col("r") <= expr("n - (4 * n + 4) DIV 5 + 1"))
+      .filter(col("r") <= expr(s"n - ($tn * n + ${td - 1}) DIV $td + 1"))
       .select(col("doc_id"), col("tok"), col("r"), col("n"))
       .localCheckpoint(true) // both sides of the candidate self-join
     // bands <= 0 → auto-size from the candidate-volume estimate against
@@ -915,10 +929,10 @@ object Dedup {
         .join(pref.select(col("doc_id").as("id_b"), col("tok"),
           col("r").as("rb"), col("n").as("nb")), Seq("tok"))
         .filter(col("id_a") < col("id_b")
-          && lit(5) * col("na") >= lit(4) * col("nb")
-          && lit(5) * col("nb") >= lit(4) * col("na")
+          && lit(td) * col("na") >= lit(tn) * col("nb")
+          && lit(td) * col("nb") >= lit(tn) * col("na")
           && lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
-             >= expr("(4 * (na + nb) + 8) DIV 9"))
+             >= expr(s"($tn * (na + nb) + ${tn + td - 1}) DIV ${tn + td}"))
         .select("id_a", "id_b").distinct()
       val inter = cands
         .join(e.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
@@ -930,7 +944,8 @@ object Dedup {
           Seq("id_a"))
         .join(sz.select(col("doc_id").as("id_b"), col("n").as("size_b")),
           Seq("id_b"))
-        .filter(lit(9) * col("inter") >= lit(4) * (col("size_a") + col("size_b")))
+        .filter(lit(tn + td) * col("inter")
+          >= lit(tn) * (col("size_a") + col("size_b")))
         .withColumn("jac_pm",
           expr("(inter * 1000) DIV (size_a + size_b - inter)"))
         .select("id_a", "id_b", "inter", "size_a", "size_b", "jac_pm")

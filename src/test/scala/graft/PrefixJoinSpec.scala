@@ -66,6 +66,35 @@ class PrefixJoinSpec extends SparkSpecBase {
     assert(Dedup.autoPrefixBands(pref.limit(0), sz.limit(0), 1L) === 1)
   }
 
+  test("generalized threshold J >= 1/2 over shingle sets equals the " +
+    "filter-free brute force (dd2 truth's engine, r8)") {
+    val sh = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(col("text"))).as("ws"))
+    val e = sh.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val sz = sh.select(col("doc_id"), size(col("ws")).cast("long").as("n"))
+    val brute = e.select(col("doc_id").as("id_a"), col("tok"))
+      .join(e.select(col("doc_id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("id_a"), col("n").as("size_a")), Seq("id_a"))
+      .join(sz.select(col("doc_id").as("id_b"), col("n").as("size_b")), Seq("id_b"))
+      .filter(lit(3) * col("inter") >= col("size_a") + col("size_b"))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val pref = Dedup.prefixJoinPairsAt(docs, bands = 0, tn = 1, td = 2,
+        t => array_distinct(Dedup.shingles(t)))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pref === brute)
+    assert(pref.nonEmpty)
+    // and banding stays a non-semantic knob at this threshold too
+    val banded = Dedup.prefixJoinPairsAt(docs, bands = 3, tn = 1, td = 2,
+        t => array_distinct(Dedup.shingles(t)))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(banded === brute)
+  }
+
   test("sf0.001 corpus auto-sizes to a single pass at the default budget " +
     "(the 22%-overhead data point says bands>1 must be earned)") {
     val w = docs.select(col("doc_id"),
