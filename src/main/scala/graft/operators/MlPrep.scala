@@ -154,6 +154,88 @@ object MlPrep {
                  | * ln(CAST(nxy * n AS DOUBLE) / (CAST(nx AS DOUBLE) * ny)), 6)""".stripMargin)
             .as("mi_term"))
         .orderBy("seg", "pri")
+    },
+
+    // L118 — Neyman-allocated stratified sampling (variance-optimal
+    // per-source budgets + a DETERMINISTIC content-hash pick): the
+    // sampling primitive a training-data pipeline wants when sources
+    // differ wildly in length variance — allocation ∝ N_h·σ_h puts
+    // budget where the variance is. Everything is engine-exact:
+    // N_h·σ_h = √(N_h·Σx² − (Σx)²) — one IEEE sqrt of an exact integer
+    // (correctly rounded on both engines), e6-floored ONCE; the k=200
+    // budget splits by largest-remainder entirely in integers (base =
+    // k·w DIV W, +1 to the `k − Σbase` largest remainders under the
+    // total order (rem DESC, source)); the per-stratum pick is
+    // bottom-a_h by md5(doc_id) — reproducible across engines, reruns,
+    // and partitionings (the q49 wsample discipline). Allocations cap
+    // at N_h (no reallocation — documented). The allocation windows
+    // ride source-dimension-sized frames (allowlisted); the pick
+    // window is PARTITIONED by source. Output: the sampled rows
+    // themselves — the driver hash certifies the exact sample.
+    Q(
+      "ml41_stratified_sample",
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+        |    CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sxx,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, nh,
+        |    CAST(floor(1000000.0
+        |      * sqrt(CAST(nh * sxx - sx * sx AS DOUBLE))) AS BIGINT) AS w6
+        |  FROM st),
+        |tot AS (SELECT CAST(sum(w6) AS BIGINT) AS wt FROM w),
+        |base AS (SELECT source, nh, w6,
+        |    CAST((200 * w6) // wt AS BIGINT) AS alloc0,
+        |    CAST((200 * w6) % wt AS BIGINT) AS rem
+        |  FROM w CROSS JOIN tot),
+        |extra AS (SELECT CAST(200 - sum(alloc0) AS BIGINT) AS ex FROM base),
+        |rk AS (SELECT source, nh, alloc0, rem,
+        |    row_number() OVER (ORDER BY rem DESC, source) AS rr FROM base),
+        |alloc AS (SELECT source, nh,
+        |    CAST(alloc0 + CASE WHEN rr <= (SELECT ex FROM extra)
+        |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM rk),
+        |pick AS (SELECT d.source, d.doc_id,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '#strat'), d.doc_id)
+        |      AS pr
+        |  FROM documents d)
+        |SELECT p.source, p.doc_id, a.alloc
+        |FROM pick p JOIN alloc a ON p.source = a.source
+        |WHERE p.pr <= a.alloc
+        |ORDER BY p.source, p.doc_id""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val st = docs.groupBy("source").agg(
+        count(lit(1)).as("nh"),
+        sum(col("n_chars").cast("long") * col("n_chars")).as("sxx"),
+        sum("n_chars").as("sx"))
+      val w = st.select(col("source"), col("nh"),
+        floor(lit(1000000.0)
+          * sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"))).cast("long").as("w6"))
+      val tot = w.agg(sum("w6").as("wt"))
+      val base = w.crossJoin(broadcast(tot)).select(
+        col("source"), col("nh"), col("w6"),
+        expr("CAST((200 * w6) DIV wt AS BIGINT)").as("alloc0"),
+        expr("CAST((200 * w6) % wt AS BIGINT)").as("rem"))
+      val extra = base.agg((lit(200L) - sum("alloc0")).as("ex"))
+      val rk = base.withColumn("rr", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("rem"), col("source"))))
+      val alloc = rk.crossJoin(broadcast(extra))
+        .select(col("source"), col("nh"),
+          (col("alloc0")
+            + when(col("rr") <= col("ex"), 1L).otherwise(0L)).as("alloc"))
+      val pick = docs.select(col("source"), col("doc_id"))
+        .withColumn("pr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(md5(concat(col("doc_id").cast("string"), lit("#strat"))
+                .cast("binary")),
+              col("doc_id"))))
+      pick.join(broadcast(alloc), Seq("source"))
+        .filter(col("pr") <= col("alloc"))
+        .select(col("source"), col("doc_id"), col("alloc"))
+        .orderBy("source", "doc_id")
     }
   )
 }

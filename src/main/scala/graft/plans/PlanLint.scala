@@ -217,6 +217,7 @@ object PlanLint {
     "ev82_anomaly_runs" -> "hourly spine; islands on the anomaly-sized frame",
     "ev88_peak_share" -> "day×hour grid — time-domain-bounded",
     "ml15_best_split" -> "32-bin histogram cell frame",
+    "ml41_stratified_sample" -> "largest-remainder rank over the source-dimension frame (≤ sources rows)",
     "ml20_feature_importance" -> "32-bin cell frame per feature (3 features)",
     "ml21_pr_curve" -> "19-threshold grid",
     "ml25_ks_score" -> "20-bin score-cell frame",
