@@ -236,6 +236,49 @@ object MlPrep {
         .filter(col("pr") <= col("alloc"))
         .select(col("source"), col("doc_id"), col("alloc"))
         .orderBy("source", "doc_id")
+    },
+
+    // L119 — deterministic STRATIFIED k-fold assignment (k=5): the
+    // cross-validation split a pipeline must be able to REPLAY — fold
+    // membership survives reruns, engines, and partitionings. Naive
+    // md5-mod-k is deterministic but only approximately balanced; the
+    // exact form ranks each stratum's docs by md5(doc_id) and takes
+    // rank mod k, which makes per-(source, fold) counts provably equal
+    // to ⌊N_h/k⌋ or ⌈N_h/k⌉ — the balance certificate column
+    // (spread = max−min count per source ≤ 1) is TRUE by construction
+    // and both engines recompute it. The rank window is PARTITIONED by
+    // source; output is the (source, fold) count grid.
+    Q(
+      "ml42_kfold_assign",
+      """WITH f AS (SELECT source,
+        |    (row_number() OVER (PARTITION BY source
+        |       ORDER BY md5(CAST(doc_id AS VARCHAR) || '#fold'), doc_id) - 1)
+        |      % 5 AS fold
+        |  FROM documents),
+        |g AS (SELECT source, CAST(fold AS BIGINT) AS fold,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM f GROUP BY 1, 2),
+        |b AS (SELECT source, CAST(max(n) - min(n) AS BIGINT) AS spread
+        |      FROM g GROUP BY 1)
+        |SELECT g.source, g.fold, g.n, b.spread,
+        |  (b.spread <= 1) AS balanced
+        |FROM g JOIN b ON g.source = b.source
+        |ORDER BY g.source, g.fold""".stripMargin
+    ) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(col("source"),
+          ((row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("source")
+              .orderBy(md5(concat(col("doc_id").cast("string"), lit("#fold"))
+                  .cast("binary")),
+                col("doc_id"))) - 1) % 5).as("fold"))
+      val g = f.groupBy(col("source"), col("fold").cast("long").as("fold"))
+        .agg(count(lit(1)).as("n"))
+      val b = g.groupBy("source").agg((max("n") - min("n")).as("spread"))
+      g.join(broadcast(b), Seq("source"))
+        .select(col("source"), col("fold"), col("n"), col("spread"),
+          (col("spread") <= 1).as("balanced"))
+        .orderBy("source", "fold")
     }
   )
 }
