@@ -57,6 +57,15 @@ object Bench {
     // query list (r7 advice: partial passes understated time and
     // overstated noise with no signal); per-pass valid counts are
     // emitted so a partial run is visible in the JSON itself.
+    // Ambient-load stamps: fresh-JVM samples of identical code spread
+    // 5.7-7.1 s on this box, and one load-contaminated run read 13.4 s
+    // (PLANS.md r8) — the JSON carries the 1-min system load before the
+    // isolated passes and after the sweep, so a polluted sample is
+    // readable from the artifact instead of silently poisoning a
+    // round-over-round comparison.
+    def loadAvg: Double = math.rint(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100
+    val loadStart = loadAvg
     // One UNTIMED headline pass first: pre-sweep placement means the
     // timed passes would otherwise charge whole-stage codegen + JIT of
     // every headline plan to pass 1 alone (measured: ~2× pass-1
@@ -130,8 +139,9 @@ object Bench {
     // pointer to the full file) ends well inside the window even after
     // sbt's trailing "[success] Total time..." line, and stays the ONLY
     // stdout line matching '"metric"'.
+    val loadEnd = loadAvg
     def emit(qs: String, extra: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal,"headline_isolated_sec":$headlineTotal,"headline_spread_sec":$headlineSpread$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal,"headline_isolated_sec":$headlineTotal,"headline_spread_sec":$headlineSpread,"load_avg_start":$loadStart,"load_avg_end":$loadEnd$extra}"""
     val shuffleMap = jsonMap(results.map(r => r._1 -> (math.rint(r._3 * 1000) / 1000)))
     val passesJson = completeTotals.map(r3).mkString("[", ",", "]")
     val validJson = passValid.mkString("[", ",", "]")
