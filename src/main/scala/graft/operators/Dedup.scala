@@ -397,6 +397,52 @@ object Dedup {
         minhashLsh(s, d).select("id_a", "id_b"), truth, Seq("id_a", "id_b"))
     },
 
+    // L2c — dedup threshold TUNING CURVE: how many near-dup pairs exist
+    // at J ≥ 0.5/0.6/0.7/0.8/0.9 — the report an operator reads before
+    // picking a production threshold (too low → mass false merges, too
+    // high → missed dups). ONE exact pass: the generalized PPJoin at
+    // the loosest point (J ≥ 1/2 over shingle sets — its candidate set
+    // is a superset of every tighter threshold's), then five
+    // conditional counts off the integer jac_pm; floor(1000·i/u) ≥ t
+    // ⟺ 1000·i ≥ t·u exactly for these t, so each bucket is the true
+    // pair count at that threshold. Oracle: the dd10-style exact
+    // enumeration with the same conditional counts.
+    Q(
+      "dd23_threshold_curve",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sg
+        |       FROM w),
+        |e AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+        |sz AS (SELECT doc_id, CAST(len(sg) AS BIGINT) AS n FROM sh),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(count(*) AS BIGINT) AS inter
+        |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT (inter * 1000) // (sa.n + sb.n - inter) AS jac_pm
+        |      FROM p JOIN sz sa ON sa.doc_id = id_a
+        |             JOIN sz sb ON sb.doc_id = id_b
+        |      WHERE 3 * inter >= sa.n + sb.n)
+        |SELECT CAST(sum(CASE WHEN jac_pm >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_500,
+        |  CAST(sum(CASE WHEN jac_pm >= 600 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_600,
+        |  CAST(sum(CASE WHEN jac_pm >= 700 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_700,
+        |  CAST(sum(CASE WHEN jac_pm >= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_800,
+        |  CAST(sum(CASE WHEN jac_pm >= 900 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_900
+        |FROM j""".stripMargin
+    ) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      prefixJoinPairsAt(docs, bands = 0, tn = 1, td = 2,
+          t => array_distinct(shingles(t)))
+        .agg(
+          sum(when(col("jac_pm") >= 500, 1L).otherwise(0L)).as("n_ge_500"),
+          sum(when(col("jac_pm") >= 600, 1L).otherwise(0L)).as("n_ge_600"),
+          sum(when(col("jac_pm") >= 700, 1L).otherwise(0L)).as("n_ge_700"),
+          sum(when(col("jac_pm") >= 800, 1L).otherwise(0L)).as("n_ge_800"),
+          sum(when(col("jac_pm") >= 900, 1L).otherwise(0L)).as("n_ge_900"))
+    },
+
     // L3 — SimHash near-dup pairs (rows-only, spec-tested).
     Q.rowsOnly("dd3_simhash", "hash-based")((s, d) => simhashPairs(s, d)),
 
