@@ -165,6 +165,41 @@ class RocksDbStreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("T3 funnel state survives a query STOP + RESTART from the RocksDB " +
+    "checkpoint (driver-loss recovery, r8)") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val base = java.nio.file.Files.createTempDirectory("funnelckpt").toString
+      val ckpt = base + "/ckpt"; val outDir = base + "/out"
+      val in = MemoryStream[EventStream.Event]
+      def start() = EventStream.funnel(in.toDS(),
+          Seq("view", "click", "purchase"), timeoutMs = 0L).toDF()
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      // q1: user 1 mid-funnel (view+click), user 2 completes fully
+      val q1 = start()
+      in.addData(
+        EventStream.Event(1L, ts(0), 1L, "view", 0.0),
+        EventStream.Event(2L, ts(1), 1L, "click", 0.0),
+        EventStream.Event(3L, ts(0), 2L, "view", 0.0),
+        EventStream.Event(4L, ts(1), 2L, "click", 0.0),
+        EventStream.Event(5L, ts(2), 2L, "purchase", 0.0))
+      q1.processAllAvailable()
+      q1.stop()
+      // restart against the SAME checkpoint: user 1's mid-funnel
+      // FunnelState must come back from RocksDB, user 2 must NOT re-emit
+      val q2 = start()
+      in.addData(EventStream.Event(6L, ts(5), 1L, "purchase", 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(outDir)
+        .select("user_id", "duration_sec").as[(Long, Double)].collect().sorted
+      assert(rows.toSeq === Seq((1L, 300.0), (2L, 120.0)),
+        s"user 1 must complete from RESTORED state (view@0 → purchase@5min " +
+          s"= 300 s), user 2 exactly once, got ${rows.toSeq}")
+    }
+  }
+
   test("T50 streaming CEP carries pattern state across batches on RocksDB") {
     withRocksDb {
       implicit val sqlCtx = spark.sqlContext
