@@ -819,20 +819,7 @@ object Dedup {
     // df-cap is available but NOT needed for exactness.
     Q(
       "dd22_prefix_join",
-      """WITH w AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws
-        |           FROM documents),
-        |e AS (SELECT doc_id, unnest(ws) AS tok FROM w),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |        CAST(count(*) AS BIGINT) AS inter
-        |      FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |sz AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM w)
-        |SELECT id_a, id_b, inter,
-        |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
-        |  (inter * 1000) // (sa.n + sb.n - inter) AS jac_pm
-        |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
-        |WHERE 9 * inter >= 4 * (sa.n + sb.n)
-        |ORDER BY id_a, id_b""".stripMargin
+      prefixJoinOracle
     ) { (s, d) =>
       // GRAFT_PREFIX_BANDS forces a band count (the documented override);
       // unset → bands auto-size from the candidate-volume estimate vs
@@ -840,6 +827,28 @@ object Dedup {
       // so whichever plan runs is what the oracle certifies.
       val bands = sys.env.get("GRAFT_PREFIX_BANDS").map(_.toInt).getOrElse(0)
       prefixJoinPairs(Tables.documents(s, d), bands).orderBy("id_a", "id_b")
+    },
+
+    // L2i — INCREMENTAL prefix-index near-dup join (r8, the r9-seeded
+    // durable-index item): dd22's exact J ≥ 4/5 search as a per-ingest
+    // pipeline — build the PrefixIndex on the first half of the corpus
+    // (reporting its internal pairs), ingest the second half against
+    // the STORED index (reporting exactly the ≥-1-new-endpoint pairs;
+    // old docs are read, never re-ranked — the frozen-order trick
+    // documented on graft.operators.PrefixIndex). The union of the two
+    // phases must equal the ONE-SHOT whole-corpus join, so the entry
+    // shares dd22's exact oracle verbatim — the hash match IS the
+    // incremental-equals-oneshot certificate, re-proven every round.
+    Q("dd24_incremental_prefix", prefixJoinOracle) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .localCheckpoint(true) // split twice + a count
+      val mid = docs.agg(expr("CAST(max(doc_id) DIV 2 AS BIGINT)"))
+        .first().getLong(0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("prefix_index_dd24").toString
+      val firstPairs = PrefixIndex.build(docs.filter(col("doc_id") <= mid), dir)
+      val secondPairs = PrefixIndex.appendBatch(docs.filter(col("doc_id") > mid), dir)
+      firstPairs.unionByName(secondPairs).orderBy("id_a", "id_b")
     }
   )
 
@@ -921,6 +930,24 @@ object Dedup {
     val estBytes = (sumDf2 / 2.0) * avgN * 5.0
     math.min(64, math.max(1, math.ceil(estBytes / budgetBytes.toDouble).toInt))
   }
+
+  /** dd22's exact whole-corpus oracle — shared verbatim by
+    * dd24_incremental_prefix, whose two-phase output must equal it. */
+  private def prefixJoinOracle: String =
+    """WITH w AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS ws
+        |           FROM documents),
+        |e AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(count(*) AS BIGINT) AS inter
+        |      FROM e a JOIN e b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |sz AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n FROM w)
+        |SELECT id_a, id_b, inter,
+        |  CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+        |  (inter * 1000) // (sa.n + sb.n - inter) AS jac_pm
+        |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE 9 * inter >= 4 * (sa.n + sb.n)
+        |ORDER BY id_a, id_b""".stripMargin
 
   def prefixJoinPairs(docs: DataFrame, bands: Int = 0): DataFrame =
     prefixJoinPairsAt(docs, bands, 4, 5,
