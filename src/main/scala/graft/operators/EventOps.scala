@@ -3735,8 +3735,10 @@ object EventOps {
         .agg(
           expr("CAST((max(cval) * 1000) DIV n AS BIGINT)").as("cusum_max_milli"),
           sum(when(breach, 1L).otherwise(0L)).as("n_breach_days"),
+          // session-TZ-safe sentinel: java.sql.Timestamp.valueOf parses
+          // in the JVM DEFAULT zone and shifts off UTC hosts (r8 ADVICE)
           coalesce(min(when(breach, col("dy"))),
-            lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")))
+            to_timestamp(lit("1970-01-01 00:00:00")))
             .as("first_breach_day"))
         .select(col("n").as("n_days"), col("cusum_max_milli"),
           col("n_breach_days"), col("first_breach_day"))

@@ -670,9 +670,13 @@ object Similarity {
     val hit = approx.select(keys.map(col): _*)
       .join(t, keys, "left_semi")
       .agg(count(lit(1)).as("hit"))
+    // empty-truth guard: Spark DIV null vs DuckDB //-by-zero ERROR would
+    // otherwise diverge (r8 ADVICE) — an empty truth set is vacuous
+    // recall, pinned to 1000 on both engines
     t.agg(count(lit(1)).as("truth")).crossJoin(hit)
       .select(col("truth"), col("hit"),
-        expr("(hit * 1000) DIV truth").as("recall_pm"))
+        expr("CAST(CASE WHEN truth = 0 THEN 1000 ELSE (hit * 1000) DIV truth END AS BIGINT)")
+          .as("recall_pm"))
   }
 
   /** Shared oracle text for the four ANN recall certificates: DuckDB

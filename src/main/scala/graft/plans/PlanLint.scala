@@ -216,8 +216,10 @@ object PlanLint {
     "ev80_load_vs_errors" -> "hourly frame + hourly-volume-cell median pick",
     "ev82_anomaly_runs" -> "hourly spine; islands on the anomaly-sized frame",
     "ev88_peak_share" -> "day×hour grid — time-domain-bounded",
+    // ml41's largest-remainder rank window (source-dimension-bounded)
+    // now runs inside the entry's bounded alloc collect — the returned
+    // plan carries only per-source TakeOrderedAndProject (r9)
     "ml15_best_split" -> "32-bin histogram cell frame",
-    "ml41_stratified_sample" -> "largest-remainder rank over the source-dimension frame (≤ sources rows)",
     "ml20_feature_importance" -> "32-bin cell frame per feature (3 features)",
     "ml21_pr_curve" -> "19-threshold grid",
     "ml25_ks_score" -> "20-bin score-cell frame",
