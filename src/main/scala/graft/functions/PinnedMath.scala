@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions.expr
   * tx51 JSD, q155 odds ratio): libm `ln` differs between the JVM and
   * DuckDB in the last ulp, which can flip an e6 floor at a boundary —
   * so BOTH engines evaluate the SAME expression text instead, built
-  * only from IEEE-754 correctly-rounded ops (+, −, ×, ÷, compare),
-  * which makes the resulting doubles BIT-IDENTICAL by construction.
+  * only from IEEE-754 correctly-rounded ops (+, −, ×, ÷, compare, and
+  * sqrt — correctly rounded by the standard on both engines), which
+  * makes the resulting doubles BIT-IDENTICAL by construction.
   *
   * ln(x) for x > 0, reading column `x`, producing column `lnx`:
   *  1. sign fold: y0 = x or 1/x so y0 ≥ 1 (sg carries the sign);
@@ -20,9 +21,30 @@ import org.apache.spark.sql.functions.expr
   *     ≤ 1/3 — truncation ≤ ~1e-9 relative;
   *  4. lnx = sg·(k·ln2 + series), ln2 as the correctly-rounded literal.
   *
-  * Accuracy is ~1e-9 relative vs true ln — irrelevant at the e6
-  * quantization every consumer applies; what matters is that the two
-  * engines can NEVER disagree on the floor.
+  * exp(x) reading column `x`, producing column `expx` (r9 — unlocks
+  * exact CI bounds, exp(lnOR ± 1.96·SE)):
+  *  1. n = floor(x/ln2 + 0.5) — both engines agree bit-for-bit on the
+  *     divide and the floor; r = x − n·ln2 with |r| ≤ ln2/2 + ε;
+  *  2. Taylor exp(r) = Σ_{k≤13} r^k/k! in Horner form (truncation
+  *     ~4e-18 relative at |r| ≤ 0.347);
+  *  3. scale by 2^n via a ±(512,256,…,1) CASE ladder of EXACT
+  *     power-of-two multiplies/divides (the constants are built by
+  *     exact squaring from 2^32; saturation to ±inf/0 beyond |n| =
+  *     1023 is IEEE-identical on both engines).
+  *  Accuracy ~1e-13 relative over |x| ≤ 700 (dominated by n·ulp(ln2)).
+  *
+  * atan2(y, x) reading columns `yy`, `xx`, producing `at2` (r9 —
+  * angular geo metrics): quadrant-fold to t = min ratio ∈ [0,1], TWO
+  * half-angle reductions t ← t/(1+√(1+t²)) (sqrt is correctly rounded,
+  * so the reduced argument is engine-identical), an 8-term alternating
+  * series at |t| ≤ tan(π/16) ≈ 0.199 (truncation ~7e-14), then the
+  * standard quadrant assembly with correctly-rounded π literals.
+  * Matches java.lang.Math.atan2 conventions incl. atan2(0,0) = 0.
+  *
+  * What matters throughout is not closeness to libm but that the two
+  * engines can NEVER disagree on a downstream floor/quantize —
+  * PinnedMathSpec additionally pins closeness to libm at the
+  * documented tolerances.
   */
 object PinnedMath {
 
@@ -30,41 +52,103 @@ object PinnedMath {
     * prior-level aliases plus the input column `x`. The text is valid
     * in BOTH Spark SQL and DuckDB. */
   val lnSteps: Seq[Seq[(String, String)]] = Seq(
-    Seq("sg" -> "CASE WHEN x < 1.0 THEN -1.0 ELSE 1.0 END",
+    Seq("sg" -> "CASE WHEN x < 1.0 THEN -1E0 ELSE 1E0 END",
       "y0" -> "CASE WHEN x < 1.0 THEN 1.0 / x ELSE x END"),
     Seq("y1" -> "CASE WHEN y0 >= 4294967296.0 THEN y0 / 4294967296.0 ELSE y0 END",
-      "k1" -> "CASE WHEN y0 >= 4294967296.0 THEN 32.0 ELSE 0.0 END"),
+      "k1" -> "CASE WHEN y0 >= 4294967296.0 THEN 32E0 ELSE 0E0 END"),
     Seq("y2" -> "CASE WHEN y1 >= 65536.0 THEN y1 / 65536.0 ELSE y1 END",
-      "k2" -> "CASE WHEN y1 >= 65536.0 THEN 16.0 ELSE 0.0 END"),
+      "k2" -> "CASE WHEN y1 >= 65536.0 THEN 16E0 ELSE 0E0 END"),
     Seq("y3" -> "CASE WHEN y2 >= 256.0 THEN y2 / 256.0 ELSE y2 END",
-      "k3" -> "CASE WHEN y2 >= 256.0 THEN 8.0 ELSE 0.0 END"),
+      "k3" -> "CASE WHEN y2 >= 256.0 THEN 8E0 ELSE 0E0 END"),
     Seq("y4" -> "CASE WHEN y3 >= 16.0 THEN y3 / 16.0 ELSE y3 END",
-      "k4" -> "CASE WHEN y3 >= 16.0 THEN 4.0 ELSE 0.0 END"),
+      "k4" -> "CASE WHEN y3 >= 16.0 THEN 4E0 ELSE 0E0 END"),
     Seq("y5" -> "CASE WHEN y4 >= 4.0 THEN y4 / 4.0 ELSE y4 END",
-      "k5" -> "CASE WHEN y4 >= 4.0 THEN 2.0 ELSE 0.0 END"),
+      "k5" -> "CASE WHEN y4 >= 4.0 THEN 2E0 ELSE 0E0 END"),
     Seq("y6" -> "CASE WHEN y5 >= 2.0 THEN y5 / 2.0 ELSE y5 END",
-      "k6" -> "CASE WHEN y5 >= 2.0 THEN 1.0 ELSE 0.0 END"),
+      "k6" -> "CASE WHEN y5 >= 2.0 THEN 1E0 ELSE 0E0 END"),
     Seq("tt" -> "(y6 - 1.0) / (y6 + 1.0)"),
     Seq("uu" -> "tt * tt"),
-    Seq("lnx" -> ("sg * ((k1 + k2 + k3 + k4 + k5 + k6) * 0.6931471805599453"
-      + " + 2.0 * tt * (1.0 + uu * (1.0/3.0 + uu * (1.0/5.0 + uu * (1.0/7.0"
-      + " + uu * (1.0/9.0 + uu * (1.0/11.0 + uu * (1.0/13.0"
-      + " + uu * (1.0/15.0)))))))))")))
+    Seq("lnx" -> ("sg * ((k1 + k2 + k3 + k4 + k5 + k6) * 0.6931471805599453E0"
+      + " + 2.0 * tt * (1.0 + uu * (1E0/3E0 + uu * (1E0/5E0 + uu * (1E0/7E0"
+      + " + uu * (1E0/9E0 + uu * (1E0/11E0 + uu * (1E0/13E0"
+      + " + uu * (1E0/15E0)))))))))")))
+
+  /** exp levels (see object scaladoc) — input `x`, output `expx`. */
+  val expSteps: Seq[Seq[(String, String)]] = {
+    val ln2 = "0.6931471805599453E0"
+    // Horner Σ_{k≤13} r^k/k!:  (…((1)·r/13 + 1)·r/12 + 1…)·r + 1
+    val taylor = (13 to 2 by -1)
+      .foldLeft("1.0")((acc, k) => s"($acc) * rr / $k.0 + 1.0")
+    val base = Seq(
+      Seq("en" -> s"floor(x / $ln2 + 0.5)"),
+      Seq("rr" -> s"x - en * $ln2"),
+      Seq("pa" -> "4294967296E0 * 4294967296E0"), // 2^64, exact
+      Seq("pb" -> "pa * pa"),                     // 2^128
+      Seq("pc" -> "pb * pb"),                     // 2^256
+      Seq("pd" -> "pc * pc"),                     // 2^512
+      Seq("m0" -> s"($taylor) * rr + 1.0", "q0" -> "en"))
+    // TWO 512 levels: greedy subset sums then cover any |n| ≤ 1535, and
+    // past the finite range the intermediate products overflow to ±inf /
+    // underflow to 0 IEEE-identically on both engines (exp(709.8)=inf,
+    // exp(-746)=0 — the true saturation points land inside coverage)
+    val scales = Seq(512 -> "pd", 512 -> "pd", 256 -> "pc", 128 -> "pb",
+      64 -> "pa", 32 -> "4294967296.0", 16 -> "65536.0", 8 -> "256.0",
+      4 -> "16.0", 2 -> "4.0", 1 -> "2.0")
+    val ladder = scales.zipWithIndex.map { case ((s, p), i) =>
+      Seq(
+        s"m${i + 1}" -> (s"CASE WHEN q$i >= $s.0 THEN m$i * $p" +
+          s" WHEN q$i <= -$s.0 THEN m$i / $p ELSE m$i END"),
+        s"q${i + 1}" -> (s"CASE WHEN q$i >= $s.0 THEN q$i - $s.0" +
+          s" WHEN q$i <= -$s.0 THEN q$i + $s.0 ELSE q$i END"))
+    }
+    base ++ ladder ++ Seq(Seq("expx" -> s"m${scales.size}"))
+  }
+
+  /** atan2 levels (see object scaladoc) — inputs `yy`, `xx`, output
+    * `at2`. */
+  val atan2Steps: Seq[Seq[(String, String)]] = {
+    // E = 1/3 − u(1/5 − u(1/7 − … (1/13 − u/15)…)); atan(t)=t(1 − uE)
+    val core = Seq(13, 11, 9, 7, 5, 3)
+      .foldLeft("1E0/15E0")((acc, k) => s"1E0/${k}E0 - us * ($acc)")
+    Seq(
+      Seq("ay" -> "CASE WHEN yy < 0.0 THEN 0.0 - yy ELSE yy END",
+        "ax" -> "CASE WHEN xx < 0.0 THEN 0.0 - xx ELSE xx END"),
+      Seq("tq" -> ("CASE WHEN ay <= ax THEN" +
+        " CASE WHEN ax = 0.0 THEN 0.0 ELSE ay / ax END" +
+        " ELSE ax / ay END")),
+      Seq("t1" -> "tq / (1.0 + sqrt(1.0 + tq * tq))"),
+      Seq("t2" -> "t1 / (1.0 + sqrt(1.0 + t1 * t1))"),
+      Seq("us" -> "t2 * t2"),
+      Seq("a4" -> s"t2 * (1.0 - us * ($core))"),
+      Seq("ab" -> ("CASE WHEN ay <= ax THEN 4.0 * a4" +
+        " ELSE 1.5707963267948966 - 4.0 * a4 END")),
+      Seq("at2" -> ("CASE WHEN xx = 0.0 AND yy = 0.0 THEN 0.0" +
+        " WHEN xx >= 0.0 AND yy >= 0.0 THEN ab" +
+        " WHEN xx >= 0.0 THEN 0.0 - ab" +
+        " WHEN yy >= 0.0 THEN 3.141592653589793 - ab" +
+        " ELSE ab - 3.141592653589793 END")))
+  }
 
   /** The intermediate aliases [[withLnx]] adds besides `lnx` — callers
     * project them away before emitting oracle-checked columns. */
   val lnScratch: Seq[String] =
     lnSteps.flatMap(_.map(_._1)).filterNot(_ == "lnx")
+  val expScratch: Seq[String] =
+    expSteps.flatMap(_.map(_._1)).filterNot(_ == "expx")
+  val atan2Scratch: Seq[String] =
+    atan2Steps.flatMap(_.map(_._1)).filterNot(_ == "at2")
 
-  /** [[lnSteps]] rendered as a DuckDB CTE chain reading column `x` from
-    * CTE `from`; the final CTE is named `plF` (override with `out`) and
-    * carries every input column plus `lnx`. The returned text ends with
-    * ",\n" so the caller appends its own next CTE. */
-  def lnCtes(from: String, out: String = "plF"): String = {
+  /** A step chain rendered as a DuckDB CTE chain reading its input
+    * column(s) from CTE `from`; the final CTE is named `out` and
+    * carries every input column plus the chain's output alias. The
+    * returned text ends with ",\n" so the caller appends its own next
+    * CTE. */
+  def stepCtes(steps: Seq[Seq[(String, String)]], from: String,
+               out: String): String = {
     val sb = new StringBuilder
     var prev = from
-    lnSteps.zipWithIndex.foreach { case (lvl, i) =>
-      val name = if (i == lnSteps.size - 1) out else s"${out}_$i"
+    steps.zipWithIndex.foreach { case (lvl, i) =>
+      val name = if (i == steps.size - 1) out else s"${out}_$i"
       val cols = lvl.map { case (n, e) => s"$e AS $n" }.mkString(", ")
       sb.append(s"$name AS (SELECT *, $cols FROM $prev),\n")
       prev = name
@@ -72,10 +156,28 @@ object PinnedMath {
     sb.toString
   }
 
-  /** Spark twin of [[lnCtes]]: adds `lnx` (plus scratch columns — see
-    * [[lnScratch]]) to a frame carrying a double column `x`. */
-  def withLnx(df: DataFrame): DataFrame =
-    lnSteps.foldLeft(df) { (d, lvl) =>
+  /** Spark twin of [[stepCtes]]: adds the chain's aliases to a frame
+    * carrying the chain's input column(s). */
+  def withSteps(df: DataFrame, steps: Seq[Seq[(String, String)]]): DataFrame =
+    steps.foldLeft(df) { (d, lvl) =>
       lvl.foldLeft(d) { case (d2, (nm, ex)) => d2.withColumn(nm, expr(ex)) }
     }
+
+  /** [[lnSteps]] as CTEs reading column `x` from CTE `from`; final CTE
+    * `plF` (override with `out`). */
+  def lnCtes(from: String, out: String = "plF"): String =
+    stepCtes(lnSteps, from, out)
+
+  /** [[expSteps]] as CTEs reading column `x`; final CTE `peF`. */
+  def expCtes(from: String, out: String = "peF"): String =
+    stepCtes(expSteps, from, out)
+
+  /** [[atan2Steps]] as CTEs reading columns `yy`, `xx`; final CTE
+    * `paF`. */
+  def atan2Ctes(from: String, out: String = "paF"): String =
+    stepCtes(atan2Steps, from, out)
+
+  /** Spark twin of [[lnCtes]]: adds `lnx` (plus scratch columns — see
+    * [[lnScratch]]) to a frame carrying a double column `x`. */
+  def withLnx(df: DataFrame): DataFrame = withSteps(df, lnSteps)
 }

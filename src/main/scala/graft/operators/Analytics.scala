@@ -1891,6 +1891,57 @@ object Analytics {
           col("n_outliers"),
           expr("(n_outliers * 1000000) DIV n").as("outlier_ppm"))
         .orderBy("colname")
+    },
+
+    // R271 — PinnedMath BIT-IDENTITY certificate (r9): the chains'
+    // whole point is that Spark and DuckDB produce the SAME double, so
+    // this entry emits the RAW (unquantized) ln/exp/atan2 doubles over
+    // a corpus-derived probe grid and lets the driver hash them — a
+    // single flipped bit anywhere fails the round. The grid stresses
+    // the regions that can diverge: ln over 13 decades on BOTH sides of
+    // 1 (the k-ladder region whose decimal-typed literals silently
+    // diverged ~2.4e-8 and crashed DuckDB for k·ln2 ≥ 10 before the r9
+    // E-notation fix), exp across ±690 (the full ±512-level scale
+    // ladder), atan2 over all quadrants and axes including the origin.
+    Q(
+      "q157_pinned_math",
+      """WITH probe AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN CAST((doc_id + 1) * ((doc_id * doc_id) % 9973 + 1) AS DOUBLE)
+        |      ELSE 1E0 / CAST((doc_id + 1) * ((doc_id * doc_id) % 9973 + 1) AS DOUBLE)
+        |    END AS x,
+        |    CAST(doc_id % 1381 AS DOUBLE) / 2E0
+        |      * CASE WHEN doc_id % 4 < 2 THEN 1E0 ELSE -1E0 END AS xe,
+        |    CAST((doc_id % 17) - 8 AS DOUBLE) AS yy,
+        |    CAST((doc_id % 13) - 6 AS DOUBLE) AS xx
+        |  FROM documents),
+        |""".stripMargin + graft.functions.PinnedMath.lnCtes("probe") +
+        """e0 AS (SELECT doc_id, lnx, yy, xx, xe AS x FROM plF),
+        |""".stripMargin + graft.functions.PinnedMath.expCtes("e0") +
+        """a0 AS (SELECT doc_id, lnx, expx, yy, xx FROM peF),
+        |""".stripMargin + graft.functions.PinnedMath.atan2Ctes("a0") +
+        """fin AS (SELECT doc_id, lnx, expx, at2 FROM paF)
+        |SELECT * FROM fin ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val pm = graft.functions.PinnedMath
+      val probe = Tables.documents(s, d).select(col("doc_id"),
+        expr("""CASE WHEN doc_id % 2 = 0
+          | THEN CAST((doc_id + 1) * ((doc_id * doc_id) % 9973 + 1) AS DOUBLE)
+          | ELSE 1E0 / CAST((doc_id + 1) * ((doc_id * doc_id) % 9973 + 1) AS DOUBLE)
+          | END""".stripMargin).as("x"),
+        expr("""CAST(doc_id % 1381 AS DOUBLE) / 2E0
+          | * CASE WHEN doc_id % 4 < 2 THEN 1E0 ELSE -1E0 END""".stripMargin)
+          .as("xe"),
+        expr("CAST((doc_id % 17) - 8 AS DOUBLE)").as("yy"),
+        expr("CAST((doc_id % 13) - 6 AS DOUBLE)").as("xx"))
+      val e0 = pm.withLnx(probe)
+        .select(col("doc_id"), col("lnx"), col("yy"), col("xx"),
+          col("xe").as("x"))
+      val a0 = pm.withSteps(e0, pm.expSteps)
+        .select(col("doc_id"), col("lnx"), col("expx"), col("yy"), col("xx"))
+      pm.withSteps(a0, pm.atan2Steps)
+        .select(col("doc_id"), col("lnx"), col("expx"), col("at2"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -451,6 +451,58 @@ object Geo {
           when(col("s9") * col("kk") > lit(2) * col("k9") * col("nn"), 1L)
             .otherwise(0L).as("hot"))
         .orderBy("tx", "ty")
+    },
+
+    // R270 — trajectory BEARING histogram (r9, the PinnedMath-atan2
+    // unlock): heading atan2(dy, dx) of every consecutive hop in geo6's
+    // per-user trajectories, quantized to e6 and bucketed into the 8
+    // compass sectors. The angle is the FIRST oracle-checked
+    // trigonometric output in the catalog — libm atan2 is not
+    // cross-engine-reproducible, so both engines run the pinned
+    // sqrt+series chain on identical (dx, dy) doubles (exact integer
+    // deltas < 2^53) and the e6 floors/sector cuts can never disagree.
+    // One user-key window, hop frame narrow, histogram output 8 rows.
+    Q(
+      "geo10_bearing",
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |    (event_id * 2654435761) % 360000001 AS ex,
+        |    (((event_id * event_id) % 179424673) * 48271) % 180000001 AS ey
+        |  FROM events),
+        |h0 AS (SELECT user_id,
+        |    CAST(ex - lag(ex) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS DOUBLE) AS xx,
+        |    CAST(ey - lag(ey) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS DOUBLE) AS yy
+        |  FROM p),
+        |h AS (SELECT xx, yy FROM h0 WHERE xx IS NOT NULL),
+        |""".stripMargin + graft.functions.PinnedMath.atan2Ctes("h") +
+        """b AS (SELECT
+        |    LEAST(CAST(floor((at2 + 3.141592653589793)
+        |                     / 0.7853981633974483) AS BIGINT), 7) AS sector,
+        |    CAST(floor(1000000.0 * at2) AS BIGINT) AS b_micro
+        |  FROM paF)
+        |SELECT sector, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(b_micro) AS BIGINT) AS sum_bearing_micro
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val p = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        ((col("event_id") * 2654435761L) % 360000001L).as("ex"),
+        ((((col("event_id") * col("event_id")) % 179424673L) * 48271L)
+          % 180000001L).as("ey"))
+      val h = p.select(
+          (col("ex") - lag("ex", 1).over(w)).cast("double").as("xx"),
+          (col("ey") - lag("ey", 1).over(w)).cast("double").as("yy"))
+        .filter(col("xx").isNotNull)
+      graft.functions.PinnedMath
+        .withSteps(h, graft.functions.PinnedMath.atan2Steps)
+        .select(
+          least(floor((col("at2") + lit(3.141592653589793))
+            / lit(0.7853981633974483)).cast("long"), lit(7L)).as("sector"),
+          floor(lit(1000000.0) * col("at2")).cast("long").as("b_micro"))
+        .groupBy("sector")
+        .agg(count(lit(1)).as("n"), sum("b_micro").as("sum_bearing_micro"))
+        .orderBy("sector")
     }
   )
 }

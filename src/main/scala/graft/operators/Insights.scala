@@ -1418,6 +1418,71 @@ object Insights {
           when(col("lnx") * col("lnx") > lit(3.8416) * col("se2"), 1L)
             .otherwise(0L).as("sig_95"))
         .orderBy("priority")
+    },
+
+    // R268b — odds-ratio 95% CONFIDENCE BOUNDS (r9, the PinnedMath-exp
+    // unlock): exp(lnOR ± 1.96·SE) per segment, long format (one row
+    // per bound side) so ONE pinned exp chain serves both bounds. The
+    // whole path — Haldane cells → pinned ln → ±1.96·sqrt(se2) (sqrt
+    // is correctly rounded on both engines) → pinned exp → e6 floor —
+    // is the SAME expression text on both engines, so the bounds are
+    // bit-identical before quantization; the oracle recomputes all of
+    // it from the raw orders table.
+    Q(
+      "q156_odds_ratio_ci",
+      """WITH sc AS (SELECT o_orderpriority AS priority,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+        |    CAST(round(o_totalprice*100) AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS thr FROM sc),
+        |cells AS (SELECT priority,
+        |    CAST(1 + sum(CASE WHEN cents >= thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(1 + sum(CASE WHEN cents >= thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(1 + sum(CASE WHEN cents < thr AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(1 + sum(CASE WHEN cents < thr AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM sc CROSS JOIN t GROUP BY 1),
+        |terms0 AS (SELECT priority,
+        |    (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) AS x,
+        |    1.0/a + 1.0/b + 1.0/c + 1.0/d AS se2
+        |  FROM cells),
+        |""".stripMargin + graft.functions.PinnedMath.lnCtes("terms0") +
+        """expIn AS (
+        |  SELECT priority, 'lo' AS side, lnx - 1.96 * sqrt(se2) AS x FROM plF
+        |  UNION ALL
+        |  SELECT priority, 'hi' AS side, lnx + 1.96 * sqrt(se2) AS x FROM plF),
+        |""".stripMargin + graft.functions.PinnedMath.expCtes("expIn") +
+        """fin AS (SELECT priority, side,
+        |    CAST(floor(1000000.0 * expx) AS BIGINT) AS or_bound_micro
+        |  FROM peF)
+        |SELECT * FROM fin ORDER BY priority, side""".stripMargin
+    ) { (s, d) =>
+      val sc = Tables.orders(s, d).select(
+        col("o_orderpriority").as("priority"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val t = sc.agg(expr("CAST(sum(cents) DIV count(*) AS BIGINT)").as("thr"))
+      val cells = sc.crossJoin(broadcast(t)).groupBy("priority").agg(
+        (lit(1L) + sum(when(col("cents") >= col("thr") && col("y") === 1, 1L)
+          .otherwise(0L))).as("a"),
+        (lit(1L) + sum(when(col("cents") >= col("thr") && col("y") === 0, 1L)
+          .otherwise(0L))).as("b"),
+        (lit(1L) + sum(when(col("cents") < col("thr") && col("y") === 1, 1L)
+          .otherwise(0L))).as("c"),
+        (lit(1L) + sum(when(col("cents") < col("thr") && col("y") === 0, 1L)
+          .otherwise(0L))).as("d"))
+      val terms0 = cells.select(col("priority"),
+        expr("(CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)").as("x"),
+        expr("1.0/a + 1.0/b + 1.0/c + 1.0/d").as("se2"))
+      val withLn = graft.functions.PinnedMath.withLnx(terms0)
+      val expIn = withLn.select(col("priority"), lit("lo").as("side"),
+          (col("lnx") - lit(1.96) * sqrt(col("se2"))).as("x"))
+        .unionByName(withLn.select(col("priority"), lit("hi").as("side"),
+          (col("lnx") + lit(1.96) * sqrt(col("se2"))).as("x")))
+      graft.functions.PinnedMath
+        .withSteps(expIn, graft.functions.PinnedMath.expSteps)
+        .select(col("priority"), col("side"),
+          floor(lit(1000000.0) * col("expx")).cast("long").as("or_bound_micro"))
+        .orderBy("priority", "side")
     }
   )
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.PinnedMath
+import org.apache.spark.sql.functions._
+
+/** Pins the engine-pinned transcendental chains against libm at their
+  * documented tolerances (the chains' PURPOSE is bit-identical
+  * cross-engine doubles, certified by the consuming entries' oracle
+  * hash matches every round — this spec pins that they are also CLOSE
+  * to the true functions, so a quantized output is meaningful):
+  *  - lnSteps:    ~1e-9 relative vs math.log over (0, 1e12]
+  *  - expSteps:   ~2e-14 relative vs math.exp over [-700, 700]
+  *  - atan2Steps: ~1e-12 absolute vs math.atan2 over all quadrants
+  */
+class PinnedMathSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def grid(vals: Seq[Double]) = vals.toDF("x")
+
+  test("lnSteps tracks math.log within 1e-9 relative over 12 decades") {
+    val xs = (for (e <- -6 to 12; m <- Seq(1.0, 1.7, 2.5, 3.14159, 9.99))
+      yield m * math.pow(10, e)) :+ 1.0 :+ 0.5 :+ 2.0
+    val got = PinnedMath.withLnx(grid(xs)).select("x", "lnx")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.foreach { x =>
+      val want = math.log(x)
+      val tol = math.max(1e-9 * math.abs(want), 1e-12)
+      assert(math.abs(got(x) - want) <= tol,
+        s"ln($x): got ${got(x)}, libm $want")
+    }
+  }
+
+  test("expSteps tracks math.exp within 1e-13 relative over [-700, 700]") {
+    val xs = (-700 to 700 by 7).map(_.toDouble) ++
+      Seq(0.0, 1.0, -1.0, 0.3465735902799726, -0.3465735902799726,
+        math.log(2.0) / 2, 100.123456789, -99.987654321, 709.0, -709.0)
+    val got = PinnedMath.withSteps(grid(xs), PinnedMath.expSteps)
+      .select("x", "expx")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.foreach { x =>
+      val want = math.exp(x)
+      assert(math.abs(got(x) - want) <= 1e-13 * want,
+        s"exp($x): got ${got(x)}, libm $want, rel ${math.abs(got(x) - want) / want}")
+    }
+  }
+
+  test("expSteps saturates IEEE-identically beyond the finite range") {
+    val got = PinnedMath.withSteps(grid(Seq(800.0, -800.0)), PinnedMath.expSteps)
+      .select("x", "expx")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(got(800.0).isPosInfinity)
+    assert(got(-800.0) == 0.0)
+  }
+
+  test("atan2Steps tracks math.atan2 within 1e-12 absolute across all " +
+    "quadrants, axes, and the origin") {
+    val vs = Seq(-3.5, -1.0, -0.25, 0.0, 0.25, 1.0, 3.5, 1e6, -1e6, 1e-9)
+    val pairs = for (y <- vs; x <- vs) yield (y, x)
+    val got = PinnedMath.withSteps(pairs.toDF("yy", "xx"), PinnedMath.atan2Steps)
+      .select("yy", "xx", "at2")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    pairs.foreach { case (y, x) =>
+      val want = math.atan2(y, x)
+      assert(math.abs(got((y, x)) - want) <= 1e-12,
+        s"atan2($y, $x): got ${got((y, x))}, libm $want")
+    }
+  }
+
+  test("the chains are pure column algebra: no UDF, no shuffle") {
+    val df = PinnedMath.withSteps(
+      PinnedMath.withLnx(grid(Seq(2.0))).select(col("lnx").as("x")),
+      PinnedMath.expSteps)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"))
+  }
+}
