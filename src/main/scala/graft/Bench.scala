@@ -161,6 +161,22 @@ object Bench {
     val headlineTotal = r3(median(decisive.map(_._1)))
     val bandLo = r3(decisive.map(_._1).min)
     val bandHi = r3(decisive.map(_._1).max)
+    // exchange-reuse probe (r9): per headline query, execute the frame
+    // through ITS OWN QueryExecution (collect — headline outputs are
+    // small aggregates) so AQE resolves the final plan, then count
+    // materialized vs reused exchanges. The per-round hit rate goes to
+    // target/bench.json — the measured form of the spec-tested
+    // AQE-reuse row.
+    val exchangeReuse: Seq[(String, (Int, Int))] =
+      if (headlineNames.isEmpty) Seq.empty
+      else headlineNames.map { n =>
+        val counts = try {
+          val df = SparkEntry.queries(n)(spark, sfDir)
+          df.collect()
+          graft.plans.PlanLint.exchangeReuse(df)
+        } catch { case _: Throwable => (-1, -1) }
+        n -> counts
+      }
     // per-query shuffle accounting: a listener sums task-level shuffle
     // read/write bytes; the per-query delta goes to target/bench.json
     // (NOT the bounded stdout line) so plan-discipline claims ("this
@@ -222,8 +238,13 @@ object Bench {
     val validJson = passValid.mkString("[", ",", "]")
     val childTotalsJson = jvmSamples.map(_._3.map(r3).mkString("[", ",", "]"))
       .mkString("[", ",", "]")
+    val reuseMap = exchangeReuse
+      .map { case (k, (e, r)) => s"\"$k\":[$e,$r]" }.mkString("{", ",", "}")
+    val reuseTotal =
+      (exchangeReuse.map(_._2._1).filter(_ >= 0).sum,
+        exchangeReuse.map(_._2._2).filter(_ >= 0).sum)
     val full = emit(jsonMap(timings),
-      s""","shuffle_mb":$shuffleMap,"headline_pass_totals":$passesJson,"headline_pass_valid":$validJson,"headline_jvm_pass_totals":$childTotalsJson,"headline_sweep_sec":$headlineSweep,"headline_medians":${jsonMap(headlineMedians)}""")
+      s""","shuffle_mb":$shuffleMap,"headline_pass_totals":$passesJson,"headline_pass_valid":$validJson,"headline_jvm_pass_totals":$childTotalsJson,"headline_sweep_sec":$headlineSweep,"exchange_reuse":$reuseMap,"exchange_reuse_total":[${reuseTotal._1},${reuseTotal._2}],"headline_medians":${jsonMap(headlineMedians)}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

@@ -240,6 +240,38 @@ object PlanLint {
     "tx23_zipf_slope" -> "top-1000-limited rank frame"
   )
 
+  /** Exchange-reuse counts for an EXECUTED frame (r9 — the measured
+    * form of the spec-tested AQE-reuse row): walks the final adaptive
+    * plan (and every subquery) counting materialized exchanges vs
+    * reuse nodes. Returns (exchanges, reused) — `reused` is how many
+    * exchange consumptions Catalyst served from an already-planned
+    * stage instead of recomputing it. Run an action first: under AQE
+    * the final plan (and thus reuse) only exists after execution. */
+  def exchangeReuse(df: DataFrame): (Int, Int) = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+    var exchanges = 0
+    var reused = 0
+    // QueryStageExec and ReusedExchangeExec are LEAF wrappers — descend
+    // into stage plans explicitly, never into a ReusedExchange (its
+    // referenced exchange is the original, already counted once)
+    def walk(p: SparkPlan): Unit = p.foreach {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec =>
+        q.plan match {
+          case _: ReusedExchangeExec => reused += 1
+          case inner => walk(inner)
+        }
+      case _: ReusedExchangeExec => reused += 1
+      case _: ShuffleExchangeLike | _: BroadcastExchangeLike => exchanges += 1
+      case _ => ()
+    }
+    val plan = df.queryExecution.executedPlan
+    walk(plan)
+    plan.subqueriesAll.foreach(walk)
+    (exchanges, reused)
+  }
+
   /** All global-window findings for one frame, with severities — the
     * enumerable surface the CatalogSpec invariant and WindowAudit tool
     * both read. */

@@ -160,6 +160,18 @@ class PlanGuardSpec extends SparkSpecBase {
     assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
       p.contains("TableCacheQueryStage"),
       s"expected the aggregate's exchange to be planned once in:\n$p")
+    // the measured form (r9 — PlanLint.exchangeReuse feeds bench.json's
+    // per-round hit rate): the self-consumed aggregate must count at
+    // least one reused exchange, and a linear single-agg plan none
+    val (ex, re) = graft.plans.PlanLint.exchangeReuse(joined)
+    assert(re >= 1, s"exchangeReuse counted no reuse: ($ex, $re) in:\n$p")
+    assert(ex >= 1, s"exchangeReuse counted no exchanges: ($ex, $re)")
+    val single = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag").agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+    single.collect()
+    val (ex1, re1) = graft.plans.PlanLint.exchangeReuse(single)
+    assert(re1 === 0 && ex1 >= 1,
+      s"linear plan must reuse nothing: ($ex1, $re1)")
   }
 
   test("AQE coalesces an over-partitioned shuffle down to the data's real size") {
