@@ -90,13 +90,19 @@ object PrefixIndex {
     * One aggregate over the two PREFIX frames (the rarest-fifth index,
     * not postings), the same cost class as the one-shot path. */
   private def autoBands(prefA: DataFrame, prefB: DataFrame,
-                        selfJoin: Boolean, avgN: Double,
+                        selfJoin: Boolean, sizes: DataFrame,
                         budgetBytes: Long): Int = {
     val ca = prefA.groupBy("tok").agg(count(lit(1)).as("ca"))
     val cb = prefB.groupBy("tok").agg(count(lit(1)).as("cb"))
-    val fan = ca.join(cb, Seq("tok"))
+    // ONE Spark job: fan and the mean doc length ride the same action
+    // (the estimate is valve metadata — its cost must stay fixed, not
+    // grow with how often the index ingests)
+    val row = ca.join(cb, Seq("tok"))
       .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("f"))
-      .first().getLong(0)
+      .crossJoin(sizes.agg(avg("n").as("an")))
+      .first()
+    val fan = row.getLong(0)
+    val avgN = Option(row.get(1)).map(_.toString.toDouble).getOrElse(0.0)
     val pairs = if (selfJoin) fan / 2.0 else fan.toDouble
     val estBytes = pairs * avgN * 5.0
     math.min(64, math.max(1, math.ceil(estBytes / budgetBytes.toDouble).toInt))
@@ -180,11 +186,8 @@ object PrefixIndex {
                            selfJoin: Boolean, sizes: DataFrame,
                            budgetBytes: Long): Int =
     if (bands > 0) bands
-    else sys.env.get("GRAFT_PREFIX_BANDS").map(_.toInt).getOrElse {
-      val avgN = Option(sizes.agg(avg("n")).first().get(0))
-        .map(_.toString.toDouble).getOrElse(0.0)
-      autoBands(prefA, prefB, selfJoin, avgN, budgetBytes)
-    }
+    else sys.env.get("GRAFT_PREFIX_BANDS").map(_.toInt)
+      .getOrElse(autoBands(prefA, prefB, selfJoin, sizes, budgetBytes))
 
   /** Ingest a batch against the stored index: returns exactly the
     * pairs with ≥ 1 endpoint in `newDocs` (old×old pairs were reported
