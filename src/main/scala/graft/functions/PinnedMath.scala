@@ -129,6 +129,48 @@ object PinnedMath {
         " ELSE ab - 3.141592653589793 END")))
   }
 
+  /** sin(x) for |x| ≤ π/2 — input `x`, output `sinx`: pure Taylor to
+    * x¹⁷ in nested product form (truncation ≤ ~5e-14 at π/2; the
+    * documented domain covers geo latitudes/half-angles, so no range
+    * reduction is needed — keeping the fold out keeps the text small
+    * and every op correctly rounded). */
+  val sinSteps: Seq[Seq[(String, String)]] = {
+    // sin = x(1 − u/6(1 − u/20(… (1 − u/272)…))) — denoms 2k(2k+1)
+    val core = Seq(210, 156, 110, 72, 42, 20, 6)
+      .foldLeft("1.0 - su / 272E0")((acc, d) => s"1.0 - su / ${d}E0 * ($acc)")
+    Seq(Seq("su" -> "x * x"), Seq("sinx" -> s"x * ($core)"))
+  }
+
+  /** cos(x) for |x| ≤ π/2 — input `x`, output `cosx`: Taylor to x¹⁶
+    * (truncation ≤ ~5e-13 at π/2). */
+  val cosSteps: Seq[Seq[(String, String)]] = {
+    // cos = 1 − u/2(1 − u/12(… (1 − u/240)…)) — denoms (2k−1)2k
+    val core = Seq(182, 132, 90, 56, 30, 12, 2)
+      .foldLeft("1.0 - cu / 240E0")((acc, d) => s"1.0 - cu / ${d}E0 * ($acc)")
+    Seq(Seq("cu" -> "x * x"), Seq("cosx" -> core))
+  }
+
+  /** A step chain with every alias PREFIXED and input columns renamed —
+    * lets one query apply the same chain to several inputs without
+    * alias collisions (e.g. haversine needs sin twice + cos twice).
+    * Replacement is word-boundary-safe, longest-alias-first. */
+  def renamed(steps: Seq[Seq[(String, String)]], prefix: String,
+              inputs: Map[String, String]): Seq[Seq[(String, String)]] = {
+    val aliases = steps.flatMap(_.map(_._1))
+    def rw(e: String): String = {
+      var out = e
+      for (a <- aliases.sortBy(-_.length))
+        out = out.replaceAll(
+          "\\b" + java.util.regex.Pattern.quote(a) + "\\b", prefix + a)
+      for ((k, v) <- inputs)
+        out = out.replaceAll(
+          "\\b" + java.util.regex.Pattern.quote(k) + "\\b",
+          java.util.regex.Matcher.quoteReplacement(v))
+      out
+    }
+    steps.map(_.map { case (n, e) => (prefix + n) -> rw(e) })
+  }
+
   /** The intermediate aliases [[withLnx]] adds besides `lnx` — callers
     * project them away before emitting oracle-checked columns. */
   val lnScratch: Seq[String] =

@@ -503,6 +503,72 @@ object Geo {
         .groupBy("sector")
         .agg(count(lit(1)).as("n"), sum("b_micro").as("sum_bearing_micro"))
         .orderBy("sector")
+    },
+
+    // R272 — HAVERSINE k-nearest under the oracle (r9, r10-seed-1
+    // delivered early): the one geo surface that was spec-only because
+    // libm sin/cos aren't cross-engine-reproducible. The customer
+    // micro-degree grid reads as real (lat, lon); sin/cos come from the
+    // PinnedMath Taylor chains (|x| ≤ π/2 domains hold by construction:
+    // lat/2, lon/2, lat), the final angle from the pinned atan2
+    // (2R·atan2(√h, √(1−h)) ≡ 2R·asin√h), and the mm-quantized top-20
+    // nearest the (0°,0°) reference hash-match DuckDB running the SAME
+    // expression text. GeoSpec separately pins the chain against the
+    // libm haversineMeters builder. TakeOrderedAndProject top-k; no
+    // shuffle beyond it.
+    Q("geo11_haversine", haversineOracle) { (s, d) =>
+      val pm = graft.functions.PinnedMath
+      val rad = custPoints(s, d).select(col("id"),
+        expr("(CAST(py AS DOUBLE) / 1000000E0 - 90E0) * 0.017453292519943295")
+          .as("latr"),
+        expr("(CAST(px AS DOUBLE) / 1000000E0 - 180E0) * 0.017453292519943295")
+          .as("lonr"))
+      val g3 = Seq(havS1, havS2, havC1).foldLeft(rad)(pm.withSteps)
+      val hs = g3.select(col("id"),
+          expr("LEAST(GREATEST(s1_sinx * s1_sinx + c1_cosx * (s2_sinx * s2_sinx), 0E0), 1E0)")
+            .as("hc"))
+        .select(col("id"), expr("sqrt(hc)").as("sh"),
+          expr("sqrt(1E0 - hc)").as("so"))
+      pm.withSteps(hs, havA1)
+        .select(col("id"),
+          expr("CAST(floor(2E0 * 6371008.8E0 * a1_at2 * 1000E0) AS BIGINT)")
+            .as("dist_mm"))
+        .orderBy(col("dist_mm"), col("id")).limit(20)
     }
   )
+
+  // the haversine chains are shared verbatim by the Spark side and the
+  // oracle text — one definition, two engines
+  private lazy val havS1 = graft.functions.PinnedMath
+    .renamed(graft.functions.PinnedMath.sinSteps, "s1_",
+      Map("x" -> "(latr / 2E0)"))
+  private lazy val havS2 = graft.functions.PinnedMath
+    .renamed(graft.functions.PinnedMath.sinSteps, "s2_",
+      Map("x" -> "(lonr / 2E0)"))
+  private lazy val havC1 = graft.functions.PinnedMath
+    .renamed(graft.functions.PinnedMath.cosSteps, "c1_", Map("x" -> "latr"))
+  private lazy val havA1 = graft.functions.PinnedMath
+    .renamed(graft.functions.PinnedMath.atan2Steps, "a1_",
+      Map("yy" -> "sh", "xx" -> "so"))
+
+  private lazy val haversineOracle: String = {
+    val pm = graft.functions.PinnedMath
+    s"""WITH $ptsSql,
+      |rad AS (SELECT id,
+      |    (CAST(py AS DOUBLE) / 1000000E0 - 90E0) * 0.017453292519943295 AS latr,
+      |    (CAST(px AS DOUBLE) / 1000000E0 - 180E0) * 0.017453292519943295 AS lonr
+      |  FROM pts),
+      |""".stripMargin +
+      pm.stepCtes(havS1, "rad", "g1") + pm.stepCtes(havS2, "g1", "g2") +
+      pm.stepCtes(havC1, "g2", "g3") +
+      """hh AS (SELECT id, LEAST(GREATEST(s1_sinx * s1_sinx
+        |    + c1_cosx * (s2_sinx * s2_sinx), 0E0), 1E0) AS hc FROM g3),
+        |hs AS (SELECT id, sqrt(hc) AS sh, sqrt(1E0 - hc) AS so FROM hh),
+        |""".stripMargin +
+      pm.stepCtes(havA1, "hs", "g4") +
+      """fin AS (SELECT id,
+        |    CAST(floor(2E0 * 6371008.8E0 * a1_at2 * 1000E0) AS BIGINT) AS dist_mm
+        |  FROM g4)
+        |SELECT id, dist_mm FROM fin ORDER BY dist_mm, id LIMIT 20""".stripMargin
+  }
 }

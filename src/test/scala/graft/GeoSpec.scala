@@ -27,6 +27,45 @@ class GeoSpec extends SparkSpecBase {
     }
   }
 
+  test("geo11's pinned haversine chain matches the libm haversineMeters " +
+    "builder within 1e-6 relative (r9)") {
+    // geo11's engine-pinned sin/cos/atan2 form vs the libm builder over
+    // the same synthetic customer grid mapping — same R, same formula,
+    // different trig implementations: agreement certifies the chains'
+    // accuracy on the real operating domain (GeoSpec city pins cover
+    // the builder itself)
+    import graft.functions.PinnedMath
+    val pm = PinnedMath
+    val pts = spark.range(1, 500).select(
+      col("id"),
+      ((col("id") * 2654435761L) % 360000001L).as("px"),
+      ((((col("id") * col("id")) % 179424673L) * 48271L) % 180000001L).as("py"))
+    val rad = pts.select(col("id"),
+      expr("(CAST(py AS DOUBLE) / 1000000E0 - 90E0) * 0.017453292519943295").as("latr"),
+      expr("(CAST(px AS DOUBLE) / 1000000E0 - 180E0) * 0.017453292519943295").as("lonr"),
+      expr("CAST(py AS DOUBLE) / 1000000E0 - 90E0").as("latd"),
+      expr("CAST(px AS DOUBLE) / 1000000E0 - 180E0").as("lond"))
+    val s1 = pm.renamed(pm.sinSteps, "s1_", Map("x" -> "(latr / 2E0)"))
+    val s2 = pm.renamed(pm.sinSteps, "s2_", Map("x" -> "(lonr / 2E0)"))
+    val c1 = pm.renamed(pm.cosSteps, "c1_", Map("x" -> "latr"))
+    val a1 = pm.renamed(pm.atan2Steps, "a1_", Map("yy" -> "sh", "xx" -> "so"))
+    val g3 = Seq(s1, s2, c1).foldLeft(rad)(pm.withSteps)
+    val hs = g3.withColumn("hc",
+        expr("LEAST(GREATEST(s1_sinx * s1_sinx + c1_cosx * (s2_sinx * s2_sinx), 0E0), 1E0)"))
+      .withColumn("sh", expr("sqrt(hc)"))
+      .withColumn("so", expr("sqrt(1E0 - hc)"))
+    val out = pm.withSteps(hs, a1)
+      .withColumn("pinned", expr("2E0 * 6371008.8E0 * a1_at2"))
+      .withColumn("libm", operators.Geo.haversineMeters(
+        col("latd"), col("lond"), lit(0.0), lit(0.0)))
+      .select("pinned", "libm").collect()
+    out.foreach { r =>
+      val (p, l) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(p - l) <= math.max(1e-6 * l, 1e-4),
+        s"pinned $p vs libm $l")
+    }
+  }
+
   test("radiusJoin equals the naive all-pairs join on a dense fixture") {
     // 400 deterministic points in a 40e6×40e6 box → plenty of pairs
     // within r=2e6, including cross-cell ones (the recall-critical case)

@@ -66,6 +66,41 @@ class PinnedMathSpec extends SparkSpecBase {
     }
   }
 
+  test("sinSteps/cosSteps track libm within 1e-13/1e-12 absolute over " +
+    "[-pi/2, pi/2] (the documented geo domain)") {
+    val xs = (-157 to 157 by 3).map(_ / 100.0) ++
+      Seq(0.0, math.Pi / 2, -math.Pi / 2, 1e-9, -1e-9)
+    val got = PinnedMath.withSteps(
+      PinnedMath.withSteps(grid(xs), PinnedMath.sinSteps),
+      PinnedMath.cosSteps)
+      .select("x", "sinx", "cosx")
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    xs.foreach { x =>
+      assert(math.abs(got(x)._1 - math.sin(x)) <= 1e-13, s"sin($x)")
+      assert(math.abs(got(x)._2 - math.cos(x)) <= 1e-12, s"cos($x)")
+    }
+  }
+
+  test("renamed() prefixes aliases and renames inputs without corrupting " +
+    "expressions: prefixed chain equals the plain chain") {
+    val xs = Seq(0.3, -1.2, 1.5)
+    val plain = PinnedMath.withSteps(grid(xs), PinnedMath.sinSteps)
+      .select("x", "sinx").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val pref = PinnedMath.withSteps(
+      grid(xs).withColumnRenamed("x", "theta"),
+      PinnedMath.renamed(PinnedMath.sinSteps, "p9_", Map("x" -> "theta")))
+      .select("theta", "p9_sinx")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    xs.foreach(x => assert(plain(x) == pref(x), s"renamed chain diverged at $x"))
+    // atan2's alias set includes substring pairs (t2 inside at2) — the
+    // word-boundary rewrite must leave composite aliases intact
+    val a = PinnedMath.renamed(PinnedMath.atan2Steps, "z_", Map.empty)
+    val names = a.flatMap(_.map(_._1))
+    assert(names.contains("z_at2") && names.contains("z_t2"))
+    assert(!a.flatMap(_.map(_._2)).exists(_.contains("z_az_t2")),
+      "prefixing corrupted the at2 alias")
+  }
+
   test("the chains are pure column algebra: no UDF, no shuffle") {
     val df = PinnedMath.withSteps(
       PinnedMath.withLnx(grid(Seq(2.0))).select(col("lnx").as("x")),
