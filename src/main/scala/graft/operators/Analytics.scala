@@ -1912,15 +1912,22 @@ object Analytics {
         |    END AS x,
         |    CAST(doc_id % 1381 AS DOUBLE) / 2E0
         |      * CASE WHEN doc_id % 4 < 2 THEN 1E0 ELSE -1E0 END AS xe,
+        |    CAST((doc_id % 315) - 157 AS DOUBLE) / 100E0 AS xs,
         |    CAST((doc_id % 17) - 8 AS DOUBLE) AS yy,
         |    CAST((doc_id % 13) - 6 AS DOUBLE) AS xx
         |  FROM documents),
         |""".stripMargin + graft.functions.PinnedMath.lnCtes("probe") +
-        """e0 AS (SELECT doc_id, lnx, yy, xx, xe AS x FROM plF),
+        """e0 AS (SELECT doc_id, lnx, yy, xx, xs, xe AS x FROM plF),
         |""".stripMargin + graft.functions.PinnedMath.expCtes("e0") +
-        """a0 AS (SELECT doc_id, lnx, expx, yy, xx FROM peF),
+        """a0 AS (SELECT doc_id, lnx, expx, yy, xx, xs FROM peF),
         |""".stripMargin + graft.functions.PinnedMath.atan2Ctes("a0") +
-        """fin AS (SELECT doc_id, lnx, expx, at2 FROM paF)
+        """t0 AS (SELECT doc_id, lnx, expx, at2, xs AS x FROM paF),
+        |""".stripMargin +
+        graft.functions.PinnedMath.stepCtes(
+          graft.functions.PinnedMath.sinSteps, "t0", "psF") +
+        graft.functions.PinnedMath.stepCtes(
+          graft.functions.PinnedMath.cosSteps, "psF", "pcF") +
+        """fin AS (SELECT doc_id, lnx, expx, at2, sinx, cosx FROM pcF)
         |SELECT * FROM fin ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       val pm = graft.functions.PinnedMath
@@ -1932,15 +1939,21 @@ object Analytics {
         expr("""CAST(doc_id % 1381 AS DOUBLE) / 2E0
           | * CASE WHEN doc_id % 4 < 2 THEN 1E0 ELSE -1E0 END""".stripMargin)
           .as("xe"),
+        expr("CAST((doc_id % 315) - 157 AS DOUBLE) / 100E0").as("xs"),
         expr("CAST((doc_id % 17) - 8 AS DOUBLE)").as("yy"),
         expr("CAST((doc_id % 13) - 6 AS DOUBLE)").as("xx"))
       val e0 = pm.withLnx(probe)
-        .select(col("doc_id"), col("lnx"), col("yy"), col("xx"),
+        .select(col("doc_id"), col("lnx"), col("yy"), col("xx"), col("xs"),
           col("xe").as("x"))
       val a0 = pm.withSteps(e0, pm.expSteps)
-        .select(col("doc_id"), col("lnx"), col("expx"), col("yy"), col("xx"))
-      pm.withSteps(a0, pm.atan2Steps)
-        .select(col("doc_id"), col("lnx"), col("expx"), col("at2"))
+        .select(col("doc_id"), col("lnx"), col("expx"), col("yy"), col("xx"),
+          col("xs"))
+      val t0 = pm.withSteps(a0, pm.atan2Steps)
+        .select(col("doc_id"), col("lnx"), col("expx"), col("at2"),
+          col("xs").as("x"))
+      pm.withSteps(pm.withSteps(t0, pm.sinSteps), pm.cosSteps)
+        .select(col("doc_id"), col("lnx"), col("expx"), col("at2"),
+          col("sinx"), col("cosx"))
         .orderBy("doc_id")
     }
   )
