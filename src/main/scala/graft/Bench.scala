@@ -16,10 +16,25 @@ import scala.jdk.CollectionConverters._
   * (default 2) child JVMs — same flags, same classpath, sequential so
   * they never compete — each producing its own median-of-3. Samples
   * whose pre-pass 1-min load exceeds GRAFT_BENCH_LOAD_GATE (default
-  * 8.0 on this 32-core box) are excluded as contaminated unless that
-  * would empty the set. The JSON carries every per-JVM sample + its
-  * load stamp + the clean band, so a cross-round delta is readable
-  * from the artifact alone.
+  * 2.5 — tightened from 8.0 per the r9 verdict: the harness now
+  * RETRIES a contaminated child, GRAFT_BENCH_RETRIES extra spawns
+  * shared across slots, keeping the best-load sample when none lands
+  * clean) are excluded as contaminated unless that would empty the
+  * set. Child spawns that fail outright are counted LOUDLY in
+  * `jvm_spawn_failures` (r9 ADVICE — a degraded headline must be
+  * readable from the artifact, not silently single-JVM). The JSON
+  * carries every per-JVM sample + its load stamp + the clean band, so
+  * a cross-round delta is readable from the artifact alone.
+  *
+  * r10 additions (verdict items 5/7/8): `headline_8x_sec` — one
+  * fresh-pass median of the same 10 headliners over the ScaleSoak 8×
+  * replica dir (the standing scale-up row; skipped when the sf dir
+  * isn't the bench-scale sf0.1 or GRAFT_BENCH_8X=0);
+  * `exchange_reuse` now also probes the designated REUSE SET
+  * (q75_share_selfjoin — plans that must fire ReusedExchange) so the
+  * artifact carries a measured nonzero reuse rate every round;
+  * `replay_p50_sec`/`replay_p95_sec` — the BenchReplay interleave on
+  * this warm session (GRAFT_BENCH_REPLAY_ROUNDS, default 5).
   */
 object Bench {
 
@@ -50,6 +65,11 @@ object Bench {
   private[graft] val headline = Set("q01_agg", "q02_filter_project",
     "q03_join_agg", "q04_semi_join", "q06_broadcast_join", "q07_star_join",
     "q08_window_rank", "q10_distinct_agg", "q15_sort_limit", "q17_having")
+
+  // entries whose plans MUST fire ReusedExchange — probed per round so
+  // bench.json's exchange_reuse carries a measured nonzero reuse rate
+  // (r10, verdict item 7; the headliners are deliberately linear)
+  private[graft] val reuseSet = Seq("q75_share_selfjoin")
 
   // failed queries report -1, never a misleading partial elapsed time.
   // Execution is a noop-sink write, not count(): count() let Catalyst
@@ -148,13 +168,39 @@ object Bench {
     val (ownTotals, passValid) = completeTotals(passes, headlineNames)
     val ownMedian = median(ownTotals)
     // fresh-JVM samples: this JVM's median + each child's median. The
-    // load gate drops contaminated samples unless that empties the set.
+    // load gate drops contaminated samples unless that empties the set;
+    // contaminated children are RETRIED (shared budget) keeping the
+    // best-load sample, and spawn failures are counted loudly.
     val nJvms = sys.env.get("GRAFT_BENCH_JVMS").map(_.toInt).getOrElse(3)
     val loadGate = sys.env.get("GRAFT_BENCH_LOAD_GATE").map(_.toDouble)
-      .getOrElse(8.0)
+      .getOrElse(2.5)
+    val retryBudget = sys.env.get("GRAFT_BENCH_RETRIES").map(_.toInt)
+      .getOrElse(2)
+    var spawnFailures = 0
+    var retriesUsed = 0
     val childResults: Seq[(Double, Double, Seq[Double])] =
       if (only.nonEmpty || headlineNames.isEmpty) Seq.empty
-      else (1 until nJvms).flatMap(i => spawnChild(i, sfDir, cpus))
+      else (1 until nJvms).flatMap { i =>
+        var best: Option[(Double, Double, Seq[Double])] = None
+        var attempt = 0
+        var done = false
+        while (!done) {
+          spawnChild(i * 10 + attempt, sfDir, cpus) match {
+            case None =>
+              spawnFailures += 1
+              // a failed spawn is structural (classpath/flags) more
+              // often than transient — retry it once within budget
+              if (retriesUsed < retryBudget && attempt == 0) retriesUsed += 1
+              else done = true
+            case Some(s) =>
+              best = Some(best.fold(s)(p => if (s._2 < p._2) s else p))
+              if (s._2 <= loadGate || retriesUsed >= retryBudget) done = true
+              else retriesUsed += 1
+          }
+          attempt += 1
+        }
+        best
+      }
     val jvmSamples = (ownMedian, loadStart, ownTotals) +: childResults
     val cleanSamples = jvmSamples.filter(_._2 <= loadGate)
     val decisive = if (cleanSamples.nonEmpty) cleanSamples else jvmSamples
@@ -167,9 +213,14 @@ object Bench {
     // materialized vs reused exchanges. The per-round hit rate goes to
     // target/bench.json — the measured form of the spec-tested
     // AQE-reuse row.
+    // … and over the designated REUSE SET (r10, verdict item 7): entries
+    // whose plans MUST fire ReusedExchange, so the artifact carries a
+    // measured reused ≥ 1 each round, not only the spec pin.
+    val probeNames = headlineNames ++
+      (if (only.isEmpty) reuseSet.filter(SparkEntry.queries.contains) else Seq.empty)
     val exchangeReuse: Seq[(String, (Int, Int))] =
-      if (headlineNames.isEmpty) Seq.empty
-      else headlineNames.map { n =>
+      if (probeNames.isEmpty) Seq.empty
+      else probeNames.map { n =>
         val counts = try {
           val df = SparkEntry.queries(n)(spark, sfDir)
           df.collect()
@@ -177,6 +228,34 @@ object Bench {
         } catch { case _: Throwable => (-1, -1) }
         n -> counts
       }
+    // workload replay on this warm session (r10, verdict item 8) —
+    // the interleaved tail-latency readout, now a tracked artifact
+    val replayRounds = sys.env.get("GRAFT_BENCH_REPLAY_ROUNDS").map(_.toInt)
+      .getOrElse(5)
+    val replay: Option[BenchReplay.Result] =
+      if (only.nonEmpty || headlineNames.isEmpty || replayRounds <= 0) None
+      else Some(BenchReplay.run(spark, sfDir, headlineNames, replayRounds))
+    // standing 8× scale-up sample (r10, verdict item 5): the same 10
+    // headliners over the ScaleSoak replica dir — one untimed pass +
+    // 3 timed complete-pass totals, median + band. Only at the bench
+    // scale (sf0.1) so sf0.001 iteration loops stay fast.
+    val do8x = only.isEmpty && headlineNames.nonEmpty &&
+      sys.env.get("GRAFT_BENCH_8X").forall(_ != "0") && sfDir.endsWith("sf0.1")
+    val h8x: Option[(Double, Double, Double)] =
+      if (!do8x) None
+      else try {
+        val dir8 = ScaleSoak.materialize(spark, sfDir, 8)
+        System.gc()
+        headlineNames.foreach(timeOne(spark, dir8, _)) // untimed codegen/IO pass
+        val p8 = (1 to 3).map { _ =>
+          headlineNames.map { n =>
+            val s = timeOne(spark, dir8, n); System.gc(); n -> s
+          }.toMap
+        }
+        val (t8, _) = completeTotals(p8, headlineNames)
+        if (t8.isEmpty) None
+        else Some((r3(median(t8)), r3(t8.min), r3(t8.max)))
+      } catch { case scala.util.control.NonFatal(_) => None }
     // per-query shuffle accounting: a listener sums task-level shuffle
     // read/write bytes; the per-query delta goes to target/bench.json
     // (NOT the bounded stdout line) so plan-discipline claims ("this
@@ -231,8 +310,12 @@ object Bench {
     val loadEnd = loadAvg
     val jvmSamplesJson = jvmSamples.map(s => r3(s._1)).mkString("[", ",", "]")
     val jvmLoadsJson = jvmSamples.map(_._2).mkString("[", ",", "]")
+    val replayJson = replay.map(r =>
+      s""","replay_p50_sec":${r.fleetP50},"replay_p95_sec":${r.fleetP95},"replay_executions":${r.executions}""").getOrElse("")
+    val h8xJson = h8x.map { case (m, lo, hi) =>
+      s""","headline_8x_sec":$m,"headline_8x_band":[$lo,$hi]""" }.getOrElse("")
     def emit(qs: String, extra: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal,"headline_isolated_sec":$headlineTotal,"headline_jvm_samples":$jvmSamplesJson,"headline_jvm_loads":$jvmLoadsJson,"headline_band":[$bandLo,$bandHi],"headline_spread_sec":$headlineSpread,"load_avg_start":$loadStart,"load_avg_end":$loadEnd$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal,"headline_isolated_sec":$headlineTotal,"headline_jvm_samples":$jvmSamplesJson,"headline_jvm_loads":$jvmLoadsJson,"headline_band":[$bandLo,$bandHi],"headline_spread_sec":$headlineSpread,"jvm_spawn_failures":$spawnFailures,"jvm_retries":$retriesUsed,"load_avg_start":$loadStart,"load_avg_end":$loadEnd$replayJson$h8xJson$extra}"""
     val shuffleMap = jsonMap(results.map(r => r._1 -> (math.rint(r._3 * 1000) / 1000)))
     val passesJson = ownTotals.map(r3).mkString("[", ",", "]")
     val validJson = passValid.mkString("[", ",", "]")
@@ -240,11 +323,22 @@ object Bench {
       .mkString("[", ",", "]")
     val reuseMap = exchangeReuse
       .map { case (k, (e, r)) => s"\"$k\":[$e,$r]" }.mkString("{", ",", "}")
+    // headliners-only total (the honest "linear plans" number) — the
+    // reuse-set entries get their own total below
     val reuseTotal =
-      (exchangeReuse.map(_._2._1).filter(_ >= 0).sum,
-        exchangeReuse.map(_._2._2).filter(_ >= 0).sum)
+      (exchangeReuse.filterNot(e => reuseSet.contains(e._1))
+        .map(_._2._1).filter(_ >= 0).sum,
+        exchangeReuse.filterNot(e => reuseSet.contains(e._1))
+          .map(_._2._2).filter(_ >= 0).sum)
+    val reuseSetTotal =
+      (exchangeReuse.filter(e => reuseSet.contains(e._1))
+        .map(_._2._1).filter(_ >= 0).sum,
+        exchangeReuse.filter(e => reuseSet.contains(e._1))
+          .map(_._2._2).filter(_ >= 0).sum)
+    val replayPerQ = replay.map(r =>
+      s""","replay_per_query_p50_p95":${r.perQueryJson}""").getOrElse("")
     val full = emit(jsonMap(timings),
-      s""","shuffle_mb":$shuffleMap,"headline_pass_totals":$passesJson,"headline_pass_valid":$validJson,"headline_jvm_pass_totals":$childTotalsJson,"headline_sweep_sec":$headlineSweep,"exchange_reuse":$reuseMap,"exchange_reuse_total":[${reuseTotal._1},${reuseTotal._2}],"headline_medians":${jsonMap(headlineMedians)}""")
+      s""","shuffle_mb":$shuffleMap,"headline_pass_totals":$passesJson,"headline_pass_valid":$validJson,"headline_jvm_pass_totals":$childTotalsJson,"headline_sweep_sec":$headlineSweep,"exchange_reuse":$reuseMap,"exchange_reuse_total":[${reuseTotal._1},${reuseTotal._2}],"exchange_reuse_set_total":[${reuseSetTotal._1},${reuseSetTotal._2}]$replayPerQ,"headline_medians":${jsonMap(headlineMedians)}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, full.getBytes("UTF-8"))

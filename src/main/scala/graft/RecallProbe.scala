@@ -63,6 +63,35 @@ object RecallProbe {
     val dd2Truth = truthPairs.count()
     val dd2Hit = dd2Pairs.join(truthPairs, Seq("id_a", "id_b"), "left_semi").count()
 
+    // ---- dd3 (r10): TWO readouts. dd3_recall = the banded pipeline vs
+    // brute-force exact hamming ≤ 3 over the production fingerprints —
+    // the operator's CONTRACT truth (provably 1.0 by pigeonhole; the
+    // measurement guards the implementation). dd3_j90_capture = the
+    // measured fraction of exact J ≥ 0.9 shingle pairs within hamming
+    // ≤ 3 — NOT a recall gate (SimHash trades semantic recall for
+    // fixed cost; the hamming of J ≥ 0.9 pairs reaches 11 at sf0.1),
+    // recorded so the semantic operating point is a tracked number. ----
+    val dd3Fp = Dedup.simhashFingerprints(spark, sfDir).localCheckpoint(true)
+    val dd3Pairs = SparkEntry.queries("dd3_simhash")(spark, sfDir)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val dd3TruthPairs = dd3Fp.select(col("doc_id").as("id_a"), col("simhash").as("fa"))
+      .crossJoin(dd3Fp.select(col("doc_id").as("id_b"), col("simhash").as("fb")))
+      .filter(col("id_a") < col("id_b") && expr("bit_count(fa ^ fb)") <= 3)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val dd3Truth = dd3TruthPairs.count()
+    val dd3Hit = dd3Pairs.join(dd3TruthPairs, Seq("id_a", "id_b"), "left_semi").count()
+    val truth09 = candA.join(candB, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(docs.select(col("doc_id").as("id_a"), col("text").as("t_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("text").as("t_b")), Seq("id_b"))
+      .filter(Dedup.jaccard(Dedup.shingles(col("t_a")), Dedup.shingles(col("t_b"))) >= 0.9)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val j90Truth = truth09.count()
+    val j90Hit = dd3Pairs.join(truth09, Seq("id_a", "id_b"), "left_semi").count()
+
     // ---- ANN ground truth: brute-force cosine top-3, taken from the
     // catalog's own brute-force entry (k=5, identical tie-break) so the
     // probe's "truth" can never drift from what the catalog calls brute
@@ -107,6 +136,8 @@ object RecallProbe {
     def ratio(hit: Long, truth: Long): Double =
       if (truth == 0) 1.0 else hit.toDouble / truth
     s"""{"sf":"$sfDir","dd2_recall":${ratio(dd2Hit, dd2Truth)},"dd2_truth_pairs":$dd2Truth,""" +
+      s""""dd3_recall":${ratio(dd3Hit, dd3Truth)},"dd3_truth_pairs":$dd3Truth,""" +
+      s""""dd3_j90_capture":${ratio(j90Hit, j90Truth)},"dd3_j90_truth_pairs":$j90Truth,""" +
       s""""sim3_recall":${ratio(sim3Hit, annTruth)},"sim5_recall":${ratio(sim5Hit, annTruth)},""" +
       s""""sim7_recall":${ratio(sim7Hit, annTruth)},"sim8_recall":${ratio(sim8Hit, annTruth)},""" +
       s""""ann_truth_pairs":$annTruth,""" +

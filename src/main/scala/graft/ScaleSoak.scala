@@ -29,20 +29,14 @@ import org.apache.spark.sql.functions._
   * still the linearity readout.
   */
 object ScaleSoak {
-  def main(args: Array[String]): Unit = {
-    val rep = args.headOption.map(_.toInt).getOrElse(8)
-    val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+
+  /** Materialize (once — `_done`-marker cached) the replicated sf dir
+    * at `/tmp/graft_soak_rep$rep` from `src` and return its path.
+    * Shared by this soak's main and Bench's per-round 8× headline
+    * sample (r10, verdict item 5). */
+  private[graft] def materialize(spark: SparkSession, src: String,
+                                 rep: Int): String = {
     val dst = s"/tmp/graft_soak_rep$rep"
-    val spark = SparkSession.builder().master("local[32]")
-      .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.codegen.maxFields", "256")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
 
     def shift(df: DataFrame, keys: Seq[String], i: Int): DataFrame =
       keys.foldLeft(df)((acc, k) => acc.withColumn(k, col(k) + lit(i * 10000000L)))
@@ -83,6 +77,23 @@ object ScaleSoak {
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       new java.io.File(s"$dst/_done").createNewFile()
     }
+    dst
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rep = args.headOption.map(_.toInt).getOrElse(8)
+    val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.maxFields", "256")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dst = materialize(spark, src, rep)
 
     // SOAK_ONLY=a,b overrides the default top-wall-time list (used to
     // soak newly-added heavy entries without re-timing the stable set)

@@ -150,6 +150,43 @@ object PinnedMath {
     Seq(Seq("cu" -> "x * x"), Seq("cosx" -> core))
   }
 
+  /** sin AND cos of an ARBITRARY radian argument — input `x`, outputs
+    * `sinx`, `cosx` (r10, verdict item 3 — full argument reduction):
+    *  1. n = floor(x/(π/2) + 1/2) — the nearest multiple of π/2; the
+    *     divide/floor are correctly rounded, so n is engine-identical;
+    *  2. Cody–Waite two-term reduction r = (x − n·pio2_hi) − n·pio2_lo
+    *     with pio2_hi = π/2 truncated to 33 significand bits
+    *     (0x3FF921FB54400000) so n·pio2_hi is EXACT for |n| < 2²⁰, and
+    *     pio2_lo the correctly-rounded remainder — |r| ≤ π/4 with
+    *     reduced-argument error ≈ n·2⁻⁸⁶ (≤ 2⁻⁶⁶ at |x| ≈ 1.6e6, the
+    *     documented accuracy domain; PAST it the chain stays
+    *     bit-identical cross-engine — every op is still correctly
+    *     rounded — but drifts from libm like every double-based
+    *     reduction does);
+    *  3. quadrant q = n mod 4 via n − 4·floor(n/4) (exact in doubles);
+    *  4. one shared u = r², BOTH Taylor cores (sin to r¹⁷, cos to r¹⁶ —
+    *     truncation < 2e-18 at |r| ≤ π/4), then the quadrant CASE
+    *     assembles sin(x)/cos(x) with sign flips only.
+    * The |x| ≤ π/2 [[sinSteps]]/[[cosSteps]] remain for domain-bounded
+    * consumers (geo half-angles) where the fold would be dead weight. */
+  val trigSteps: Seq[Seq[(String, String)]] = {
+    val sinCore = Seq(210, 156, 110, 72, 42, 20, 6)
+      .foldLeft("1.0 - tu / 272E0")((acc, d) => s"1.0 - tu / ${d}E0 * ($acc)")
+    val cosCore = Seq(182, 132, 90, 56, 30, 12, 2)
+      .foldLeft("1.0 - tu / 240E0")((acc, d) => s"1.0 - tu / ${d}E0 * ($acc)")
+    Seq(
+      Seq("hn" -> "floor(x / 1.5707963267948966E0 + 0.5E0)"),
+      Seq("rr" -> ("(x - hn * 1.57079632673412561417E0)"
+        + " - hn * 6.07710050650619224932E-11"),
+        "q4" -> "hn - 4.0 * floor(hn / 4E0)"),
+      Seq("tu" -> "rr * rr"),
+      Seq("sr" -> s"rr * ($sinCore)", "cr" -> s"$cosCore"),
+      Seq("sinx" -> ("CASE WHEN q4 = 0.0 THEN sr WHEN q4 = 1.0 THEN cr"
+        + " WHEN q4 = 2.0 THEN 0.0 - sr ELSE 0.0 - cr END"),
+        "cosx" -> ("CASE WHEN q4 = 0.0 THEN cr WHEN q4 = 1.0 THEN 0.0 - sr"
+          + " WHEN q4 = 2.0 THEN 0.0 - cr ELSE sr END")))
+  }
+
   /** A step chain with every alias PREFIXED and input columns renamed —
     * lets one query apply the same chain to several inputs without
     * alias collisions (e.g. haversine needs sin twice + cos twice).

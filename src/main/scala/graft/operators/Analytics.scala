@@ -1903,6 +1903,13 @@ object Analytics {
     // diverged ~2.4e-8 and crashed DuckDB for k·ln2 ≥ 10 before the r9
     // E-notation fix), exp across ±690 (the full ±512-level scale
     // ladder), atan2 over all quadrants and axes including the origin.
+    // WIDENED r10 (verdict item 3): a MULTI-OCTAVE column xt (±6200
+    // radians, fractional steps — quadrant counts n up to ~3900) runs
+    // the full-argument-reduction trig chain (PinnedMath.trigSteps,
+    // Cody–Waite fold + quadrant CASE) next to the |x| ≤ π/2 Taylor
+    // pair, so the reduction's floor/fold arithmetic is raw-bits
+    // certified across thousands of quadrants, both signs, and the
+    // near-multiple-of-π/2 cells where a wrong fold flips the sign.
     Q(
       "q157_pinned_math",
       """WITH probe AS (SELECT doc_id,
@@ -1913,21 +1920,27 @@ object Analytics {
         |    CAST(doc_id % 1381 AS DOUBLE) / 2E0
         |      * CASE WHEN doc_id % 4 < 2 THEN 1E0 ELSE -1E0 END AS xe,
         |    CAST((doc_id % 315) - 157 AS DOUBLE) / 100E0 AS xs,
+        |    CAST((doc_id % 40009) - 20004 AS DOUBLE) * 31E0 / 100E0 AS xt,
         |    CAST((doc_id % 17) - 8 AS DOUBLE) AS yy,
         |    CAST((doc_id % 13) - 6 AS DOUBLE) AS xx
         |  FROM documents),
         |""".stripMargin + graft.functions.PinnedMath.lnCtes("probe") +
-        """e0 AS (SELECT doc_id, lnx, yy, xx, xs, xe AS x FROM plF),
+        """e0 AS (SELECT doc_id, lnx, yy, xx, xs, xt, xe AS x FROM plF),
         |""".stripMargin + graft.functions.PinnedMath.expCtes("e0") +
-        """a0 AS (SELECT doc_id, lnx, expx, yy, xx, xs FROM peF),
+        """a0 AS (SELECT doc_id, lnx, expx, yy, xx, xs, xt FROM peF),
         |""".stripMargin + graft.functions.PinnedMath.atan2Ctes("a0") +
-        """t0 AS (SELECT doc_id, lnx, expx, at2, xs AS x FROM paF),
+        """t0 AS (SELECT doc_id, lnx, expx, at2, xt, xs AS x FROM paF),
         |""".stripMargin +
         graft.functions.PinnedMath.stepCtes(
           graft.functions.PinnedMath.sinSteps, "t0", "psF") +
         graft.functions.PinnedMath.stepCtes(
           graft.functions.PinnedMath.cosSteps, "psF", "pcF") +
-        """fin AS (SELECT doc_id, lnx, expx, at2, sinx, cosx FROM pcF)
+        graft.functions.PinnedMath.stepCtes(
+          graft.functions.PinnedMath.renamed(
+            graft.functions.PinnedMath.trigSteps, "f", Map("x" -> "xt")),
+          "pcF", "ptF") +
+        """fin AS (SELECT doc_id, lnx, expx, at2, sinx, cosx,
+        |    fsinx AS sinx_f, fcosx AS cosx_f FROM ptF)
         |SELECT * FROM fin ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       val pm = graft.functions.PinnedMath
@@ -1940,20 +1953,25 @@ object Analytics {
           | * CASE WHEN doc_id % 4 < 2 THEN 1E0 ELSE -1E0 END""".stripMargin)
           .as("xe"),
         expr("CAST((doc_id % 315) - 157 AS DOUBLE) / 100E0").as("xs"),
+        expr("CAST((doc_id % 40009) - 20004 AS DOUBLE) * 31E0 / 100E0")
+          .as("xt"),
         expr("CAST((doc_id % 17) - 8 AS DOUBLE)").as("yy"),
         expr("CAST((doc_id % 13) - 6 AS DOUBLE)").as("xx"))
       val e0 = pm.withLnx(probe)
         .select(col("doc_id"), col("lnx"), col("yy"), col("xx"), col("xs"),
-          col("xe").as("x"))
+          col("xt"), col("xe").as("x"))
       val a0 = pm.withSteps(e0, pm.expSteps)
         .select(col("doc_id"), col("lnx"), col("expx"), col("yy"), col("xx"),
-          col("xs"))
+          col("xs"), col("xt"))
       val t0 = pm.withSteps(a0, pm.atan2Steps)
         .select(col("doc_id"), col("lnx"), col("expx"), col("at2"),
-          col("xs").as("x"))
-      pm.withSteps(pm.withSteps(t0, pm.sinSteps), pm.cosSteps)
+          col("xt"), col("xs").as("x"))
+      pm.withSteps(
+          pm.withSteps(pm.withSteps(t0, pm.sinSteps), pm.cosSteps),
+          pm.renamed(pm.trigSteps, "f", Map("x" -> "xt")))
         .select(col("doc_id"), col("lnx"), col("expx"), col("at2"),
-          col("sinx"), col("cosx"))
+          col("sinx"), col("cosx"),
+          col("fsinx").as("sinx_f"), col("fcosx").as("cosx_f"))
         .orderBy("doc_id")
     }
   )

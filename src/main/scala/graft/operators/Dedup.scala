@@ -188,21 +188,46 @@ object Dedup {
     * `spark.sql.codegen.maxFields` ≥ ~140 to stay in whole-stage codegen
     * (all graft entrypoints set it).
     */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+  /** The production (doc_id, simhash) fingerprint frame — 64-bit
+    * xxhash64 tokens, tf-weighted bit sums. Exposed for RecallProbe's
+    * banded-vs-brute recall row (r10). */
+  private[graft] def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", xxhash64(col("w")))
     val bitSums = (0 until 64).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
-    // Materialize the tiny (doc_id, simhash) frame: the candidate stage
-    // self-joins it, and without this both branches would re-run the
-    // whole tokenize+aggregate pipeline. 16 bytes/doc — negligible even
-    // at full corpus scale, spills to disk if not.
-    val sim = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
         (0 until 64).map(b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
           .as("simhash"))
+  }
+
+  /** dd3_simhash_recall's ENGINE-PORTABLE fingerprint twin: the same
+    * tf-weighted bit-sum algorithm over a 60-bit md5-derived token hash
+    * (the ml3 conv/0x idiom) both engines compute identically — lets
+    * the DuckDB oracle recompute the fingerprints from scratch. */
+  private def portableSimhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("h",
+        expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1L).otherwise(-1L)).as(s"b$b"))
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+          .as("f"))
+  }
+
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    // Materialize the tiny (doc_id, simhash) frame: the candidate stage
+    // self-joins it, and without this both branches would re-run the
+    // whole tokenize+aggregate pipeline. 16 bytes/doc — negligible even
+    // at full corpus scale, spills to disk if not.
+    val sim = simhashFingerprints(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
@@ -445,6 +470,68 @@ object Dedup {
 
     // L3 — SimHash near-dup pairs (rows-only, spec-tested).
     Q.rowsOnly("dd3_simhash", "hash-based")((s, d) => simhashPairs(s, d)),
+
+    // L3r — dd3's recall CERTIFICATE (r10, verdict item 4 — the last
+    // approximate operator without a hash-matched accuracy row): the
+    // dd2 recipe applied to SimHash, certified against the truth the
+    // operator CONTRACTS to serve — "every pair within hamming ≤ 3 of
+    // the fingerprint" — where recall = 1000 is PROVABLE (4 chunks,
+    // ≤ 3 flipped bits → pigeonhole leaves ≥ 1 chunk intact), not a
+    // corpus accident. (A Jaccard-truth pin would be an accident: the
+    // measured hamming of J ≥ 0.9 pairs reaches 11 at sf0.1 — SimHash
+    // trades semantic recall for fixed cost; RecallProbe records that
+    // measured capture rate per round as dd3_j90_capture.) To make the
+    // WHOLE pipeline DuckDB-checkable the certificate runs the same
+    // tf-weighted bit-sum algorithm and the same banded plan over a
+    // 60-bit md5-derived token hash both engines compute identically
+    // (the ml3 conv/0x idiom); truth = brute-force exact hamming over
+    // the doc-sized fingerprint frame (certificate machinery — at
+    // production scale the pigeonhole proof replaces it), and the
+    // oracle recomputes fingerprints AND truth from scratch, pinning
+    // recall_pm = 1000. A hash match certifies the bit sums, the
+    // banding, the verify filter, and cross-engine fingerprint
+    // equality in one row.
+    Q(
+      "dd3_simhash_recall",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |       FROM documents),
+        |hh AS (SELECT doc_id,
+        |         CAST('0x'||substr(md5(w),1,15) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |    CAST(sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS s
+        |  FROM hh CROSS JOIN (SELECT unnest(generate_series(0,59)) AS b) g
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
+        |  FROM bits GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS truth
+        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |      WHERE bit_count(xor(a.f, b.f)) <= 3)
+        |SELECT truth, truth AS hit, CAST(1000 AS BIGINT) AS recall_pm
+        |FROM t""".stripMargin
+    ) { (s, d) =>
+      val fp = portableSimhash(s, d)
+        .localCheckpoint(true) // banded probe + brute truth read it
+      val chunked = fp.select(col("doc_id"), col("f"),
+        posexplode(array((0 until 4).map(i =>
+          expr(s"(f >> ${i * 15}) & 32767")): _*)).as(Seq("chunk", "cv")))
+      val a = chunked.select(col("chunk"), col("cv"),
+        col("doc_id").as("id_a"), col("f").as("fa"))
+      val b = chunked.select(col("chunk"), col("cv"),
+        col("doc_id").as("id_b"), col("f").as("fb"))
+      val banded = a.join(b, Seq("chunk", "cv"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .filter(expr("bit_count(fa ^ fb)") <= 3)
+        .select("id_a", "id_b")
+      val brute = fp.select(col("doc_id").as("id_a"), col("f").as("fa"))
+        .crossJoin(fp.select(col("doc_id").as("id_b"), col("f").as("fb")))
+        .filter(col("id_a") < col("id_b") && expr("bit_count(fa ^ fb)") <= 3)
+        .select("id_a", "id_b")
+      Similarity.recallCertificate(banded, brute, Seq("id_a", "id_b"))
+    },
 
     // L4b — duplicate CLUSTERS: generic distributed connected components,
     // oracle-checked against ground truth. Pair doc i with i+1 when they

@@ -3742,6 +3742,51 @@ object EventOps {
             .as("first_breach_day"))
         .select(col("n").as("n_days"), col("cusum_max_milli"),
           col("n_breach_days"), col("first_breach_day"))
+    },
+
+    // E95 — weekly SEASONALITY phase per event type (r10, the
+    // full-argument-reduction trig consumer — verdict item 3): the
+    // circular-statistics resultant (Σsin θ, Σcos θ) of each event's
+    // position in the week, where θ = raw epoch seconds · 2π/604800 —
+    // deliberately UNREDUCED (≈17,600 radians at 2025 timestamps,
+    // ~11,000 quadrants), so the PinnedMath.trigSteps Cody–Waite fold
+    // runs on every row and the oracle hash certifies it end-to-end on
+    // real data, not just q157's grid. Each sin/cos is floored to e6
+    // BEFORE summing (long sums are order-invariant — raw double sums
+    // would flake across partitionings), so the resultant is exact on
+    // both engines. One scan + one fixed-width aggregate; the phase
+    // chain is scan-local arithmetic inside whole-stage codegen.
+    Q(
+      "ev95_weekly_phase",
+      """WITH p AS (SELECT event_type,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS DOUBLE)
+        |      * 6.283185307179586E0 / 604800E0 AS x
+        |  FROM events),
+        |""".stripMargin +
+        graft.functions.PinnedMath.stepCtes(
+          graft.functions.PinnedMath.trigSteps, "p", "ptF") +
+        """b AS (SELECT event_type,
+        |    CAST(floor(1000000E0 * sinx) AS BIGINT) AS s_micro,
+        |    CAST(floor(1000000E0 * cosx) AS BIGINT) AS c_micro
+        |  FROM ptF)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(s_micro) AS BIGINT) AS sum_sin_micro,
+        |  CAST(sum(c_micro) AS BIGINT) AS sum_cos_micro
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val pm = graft.functions.PinnedMath
+      val p = Tables.events(s, d).select(col("event_type"),
+        (expr("CAST(unix_micros(ts) DIV 1000000 AS DOUBLE)")
+          * lit(6.283185307179586) / lit(604800.0)).as("x"))
+      pm.withSteps(p, pm.trigSteps)
+        .select(col("event_type"),
+          floor(lit(1000000.0) * col("sinx")).cast("long").as("s_micro"),
+          floor(lit(1000000.0) * col("cosx")).cast("long").as("c_micro"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum("s_micro").as("sum_sin_micro"),
+          sum("c_micro").as("sum_cos_micro"))
+        .orderBy("event_type")
     }
   )
 

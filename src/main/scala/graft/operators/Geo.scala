@@ -283,7 +283,7 @@ object Geo {
       "geo6_trajectory",
       """WITH p AS (SELECT user_id, ts, event_id,
         |    (event_id * 2654435761) % 360000001 AS ex,
-        |    (((event_id * event_id) % 179424673) * 48271) % 180000001 AS ey
+        |    ((((event_id % 179424673) * (event_id % 179424673)) % 179424673) * 48271) % 180000001 AS ey
         |  FROM events),
         |h AS (SELECT user_id,
         |    abs(ex - lag(ex) OVER (PARTITION BY user_id ORDER BY ts, event_id))
@@ -298,7 +298,7 @@ object Geo {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val p = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
         ((col("event_id") * 2654435761L) % 360000001L).as("ex"),
-        ((((col("event_id") * col("event_id")) % 179424673L) * 48271L)
+        (((((col("event_id") % 179424673L) * (col("event_id") % 179424673L)) % 179424673L) * 48271L)
           % 180000001L).as("ey"))
       p.withColumn("hop",
           abs(col("ex") - lag("ex", 1).over(w)) +
@@ -466,7 +466,7 @@ object Geo {
       "geo10_bearing",
       """WITH p AS (SELECT user_id, ts, event_id,
         |    (event_id * 2654435761) % 360000001 AS ex,
-        |    (((event_id * event_id) % 179424673) * 48271) % 180000001 AS ey
+        |    ((((event_id % 179424673) * (event_id % 179424673)) % 179424673) * 48271) % 180000001 AS ey
         |  FROM events),
         |h0 AS (SELECT user_id,
         |    CAST(ex - lag(ex) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -488,7 +488,7 @@ object Geo {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       val p = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_id"),
         ((col("event_id") * 2654435761L) % 360000001L).as("ex"),
-        ((((col("event_id") * col("event_id")) % 179424673L) * 48271L)
+        (((((col("event_id") % 179424673L) * (col("event_id") % 179424673L)) % 179424673L) * 48271L)
           % 180000001L).as("ey"))
       val h = p.select(
           (col("ex") - lag("ex", 1).over(w)).cast("double").as("xx"),

@@ -1384,7 +1384,7 @@ object Insights {
         |  FROM sc CROSS JOIN t GROUP BY 1),
         |terms0 AS (SELECT priority, a, b, c, d,
         |    (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) AS x,
-        |    1.0/a + 1.0/b + 1.0/c + 1.0/d AS se2
+        |    1E0/a + 1E0/b + 1E0/c + 1E0/d AS se2
         |  FROM cells),
         |""".stripMargin + graft.functions.PinnedMath.lnCtes("terms0") +
       """r AS (SELECT priority, a, b, c, d,
@@ -1411,7 +1411,7 @@ object Insights {
       val terms0 = cells.select(col("priority"),
         col("a"), col("b"), col("c"), col("d"),
         expr("(CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)").as("x"),
-        expr("1.0/a + 1.0/b + 1.0/c + 1.0/d").as("se2"))
+        expr("1E0/a + 1E0/b + 1E0/c + 1E0/d").as("se2"))
       graft.functions.PinnedMath.withLnx(terms0)
         .select(col("priority"), col("a"), col("b"), col("c"), col("d"),
           floor(lit(1000000.0) * col("lnx")).cast("long").as("lnor_micro"),
@@ -1443,7 +1443,7 @@ object Insights {
         |  FROM sc CROSS JOIN t GROUP BY 1),
         |terms0 AS (SELECT priority,
         |    (CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c) AS x,
-        |    1.0/a + 1.0/b + 1.0/c + 1.0/d AS se2
+        |    1E0/a + 1E0/b + 1E0/c + 1E0/d AS se2
         |  FROM cells),
         |""".stripMargin + graft.functions.PinnedMath.lnCtes("terms0") +
         """expIn AS (
@@ -1472,7 +1472,7 @@ object Insights {
           .otherwise(0L))).as("d"))
       val terms0 = cells.select(col("priority"),
         expr("(CAST(a AS DOUBLE) * d) / (CAST(b AS DOUBLE) * c)").as("x"),
-        expr("1.0/a + 1.0/b + 1.0/c + 1.0/d").as("se2"))
+        expr("1E0/a + 1E0/b + 1E0/c + 1E0/d").as("se2"))
       val withLn = graft.functions.PinnedMath.withLnx(terms0)
       val expIn = withLn.select(col("priority"), lit("lo").as("side"),
           (col("lnx") - lit(1.96) * sqrt(col("se2"))).as("x"))

@@ -241,15 +241,30 @@ object MlPrep {
       val allocRows = alloc.collect()
       val pickKey = md5(concat(col("doc_id").cast("string"), lit("#strat"))
         .cast("binary"))
-      allocRows.toSeq.sortBy(_.getString(0)).map { r =>
+      val picked = allocRows.toSeq.sortBy(_.getString(0)).map { r =>
         val src = r.getString(0)
         val a = r.getLong(2)
+        // alloc ≤ the 200-row global budget by construction, but guard
+        // anyway: a silent toInt wrap would turn limit() into a crash
+        require(a >= 0L && a <= Int.MaxValue,
+          s"ml41 allocation out of limit() range: $a for source $src")
         docs.filter(col("source") === src)
           .select(col("source"), col("doc_id"))
           .orderBy(pickKey, col("doc_id"))
           .limit(a.toInt)
           .withColumn("alloc", lit(a))
-      }.reduce(_ unionByName _)
+      }.reduceOption(_ unionByName _)
+      // empty corpus → empty frame (the window formulation's behavior),
+      // not reduce()'s UnsupportedOperationException
+      picked.getOrElse(docs.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("alloc",
+              org.apache.spark.sql.types.LongType)))))
         .orderBy("source", "doc_id")
     },
 

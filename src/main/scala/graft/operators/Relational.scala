@@ -1323,6 +1323,40 @@ object Relational {
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "min_cost")
         .orderBy("min_cost", "p_partkey", "s_suppkey")
         .limit(100)
+    },
+
+    // R44 — twice-consumed aggregate SHARE (r10, verdict item 7): each
+    // (returnflag, linestatus) cell's permille share of its flag total,
+    // computed the SELF-JOIN way — the cell aggregate feeds two
+    // consumers (the cell side and the flag-total re-aggregation), and
+    // because both sit over the IDENTICAL aggregate subtree Catalyst
+    // plans the fact scan + shuffle ONCE and wires the second consumer
+    // to a ReusedExchange/ReusedQueryStage (the r3 q44/q45 lesson in
+    // reverse: identical subtrees DO unify). PlanGuardSpec pins the
+    // reuse on this shape; Bench probes this entry per round so
+    // bench.json's exchange_reuse_set carries a measured nonzero reuse
+    // rate (verdict r9 item 7). Integer DIV share — exact on both
+    // engines.
+    Q(
+      "q75_share_selfjoin",
+      """WITH cell AS (SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+        |     FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_returnflag, CAST(sum(q) AS BIGINT) AS fq
+        |        FROM cell GROUP BY 1)
+        |SELECT cell.l_returnflag, l_linestatus, q, fq,
+        |  (q * 1000) // fq AS share_pm
+        |FROM cell JOIN tot ON cell.l_returnflag = tot.l_returnflag
+        |ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val cell = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("q"))
+      val tot = cell.groupBy("l_returnflag").agg(sum("q").as("fq"))
+      cell.join(tot, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("q"), col("fq"),
+          expr("(q * 1000) DIV fq").as("share_pm"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
   )
 }

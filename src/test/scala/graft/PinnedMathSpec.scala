@@ -81,6 +81,43 @@ class PinnedMathSpec extends SparkSpecBase {
     }
   }
 
+  test("trigSteps (full argument reduction) tracks libm within 1e-11 " +
+    "absolute over multi-octave arguments and lands EXACTLY on the " +
+    "Taylor pair inside |x| <= pi/4") {
+    // multi-octave grid: thousands of radians both signs, fractional
+    // steps, near-multiples of pi/2 (the cells where a wrong fold flips
+    // the sign), plus the unreduced-consumer magnitude (~1.8e4 rad —
+    // ev95's weekly phase of 2025 epoch seconds) and tiny arguments
+    val xs = (-2000 to 2000 by 7).map(_ * 3.1) ++
+      (-20 to 20).map(n => n * math.Pi / 2 + 1e-7) ++
+      (-20 to 20).map(n => n * math.Pi / 2 - 1e-7) ++
+      Seq(0.0, 1e-9, -1e-9, 17600.123, -17600.123, 1.0e6, -1.0e6)
+    val got = PinnedMath.withSteps(grid(xs), PinnedMath.trigSteps)
+      .select("x", "sinx", "cosx")
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    xs.foreach { x =>
+      assert(math.abs(got(x)._1 - math.sin(x)) <= 1e-11, s"sin($x)")
+      assert(math.abs(got(x)._2 - math.cos(x)) <= 1e-11, s"cos($x)")
+    }
+    // inside |x| <= pi/4 the fold picks n = 0, so the full chain must
+    // reproduce the domain-bounded Taylor chains BIT FOR BIT
+    val small = (-78 to 78 by 3).map(_ / 100.0)
+    val tay = PinnedMath.withSteps(
+      PinnedMath.withSteps(grid(small), PinnedMath.sinSteps),
+      PinnedMath.cosSteps)
+      .select("x", "sinx", "cosx")
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val full = PinnedMath.withSteps(grid(small), PinnedMath.trigSteps)
+      .select("x", "sinx", "cosx")
+      .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    small.foreach { x =>
+      assert(java.lang.Double.doubleToLongBits(tay(x)._1)
+        == java.lang.Double.doubleToLongBits(full(x)._1), s"sin bits at $x")
+      assert(java.lang.Double.doubleToLongBits(tay(x)._2)
+        == java.lang.Double.doubleToLongBits(full(x)._2), s"cos bits at $x")
+    }
+  }
+
   test("renamed() prefixes aliases and renames inputs without corrupting " +
     "expressions: prefixed chain equals the plain chain") {
     val xs = Seq(0.3, -1.2, 1.5)

@@ -174,6 +174,19 @@ class PlanGuardSpec extends SparkSpecBase {
       s"linear plan must reuse nothing: ($ex1, $re1)")
   }
 
+  test("q75_share_selfjoin (Bench's reuse set) fires ReusedExchange") {
+    // the catalog form of the shape above — Bench probes it per round
+    // so bench.json's exchange_reuse carries a measured reused ≥ 1
+    // (r10, verdict item 7); this pin fails if a refactor breaks the
+    // identical-subtree property that lets Catalyst unify the two
+    // consumers of the cell aggregate
+    val df = SparkEntry.queries("q75_share_selfjoin")(spark, sf0001)
+    df.collect()
+    val (ex, re) = graft.plans.PlanLint.exchangeReuse(df)
+    assert(re >= 1, s"q75 must reuse the cell aggregate's exchange: ($ex, $re) in:\n" +
+      df.queryExecution.executedPlan.toString)
+  }
+
   test("AQE coalesces an over-partitioned shuffle down to the data's real size") {
     // 32 shuffle partitions configured, a few KB of data: the adaptive
     // read must collapse post-shuffle partitions (coalesced) — at scale

@@ -149,6 +149,89 @@ class PrefixIndexSpec extends SparkSpecBase {
     }
   }
 
+  test("compaction mid-sequence: pairs identical to the uncompacted run, " +
+    "epoch commits marker-last, superseded dirs removed, files coalesce") {
+    val b1 = Seq((0L, "a b c d q"), (1L, "a b c d e"), (2L, "m n o p"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d q"), (11L, "m n o p r")).toDF("doc_id", "text")
+    val b3 = Seq((20L, "a b c d e f"), (21L, "m n o p")).toDF("doc_id", "text")
+    val all = b1.unionByName(b2).unionByName(b3)
+    def run(compactAfter2: Boolean) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"prefix_index_compact$compactAfter2").toString
+      val got = PrefixIndex.build(b1, dir).collect().map(key).toSeq ++
+        PrefixIndex.appendBatch(b2, dir).collect().map(key)
+      if (compactAfter2) {
+        val filesBefore = PrefixIndex.dirFileCount(spark, s"$dir/prefix")
+        assert(PrefixIndex.compact(spark, dir) === 1L)
+        assert(PrefixIndex.currentEpoch(spark, dir) === 1L)
+        // superseded epoch-0 dirs are gone; the compacted dir is small
+        assert(!new java.io.File(s"$dir/prefix").exists())
+        val filesAfter = PrefixIndex.dirFileCount(spark, s"$dir/prefix_e1")
+        assert(filesAfter <= filesBefore,
+          s"compaction must not grow file count ($filesBefore -> $filesAfter)")
+        // valve-aux squashed: stats/ is ONE row, pdf/ one row per token
+        assert(spark.read.parquet(s"$dir/stats_e1").count() === 1)
+        val pdf = spark.read.parquet(s"$dir/pdf_e1")
+        assert(pdf.count() === pdf.select("tok").distinct().count())
+      }
+      (dir, (got ++ PrefixIndex.appendBatch(b3, dir).collect().map(key))
+        .sortBy(identity))
+    }
+    val (_, plain) = run(compactAfter2 = false)
+    val (_, compacted) = run(compactAfter2 = true)
+    assert(compacted === plain)
+    assert(compacted === oneShot(all))
+    assert(compacted.nonEmpty)
+  }
+
+  test("crash DURING compaction is invisible: half-written next-epoch " +
+    "dirs without the marker are never read, and a re-compact heals") {
+    val b1 = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val b3 = Seq((20L, "a b c e f")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_compact_crash").toString
+    val p1 = PrefixIndex.build(b1, dir).collect().map(key).toSeq
+    val p2 = PrefixIndex.appendBatch(b2, dir).collect().map(key).toSeq
+    // simulate the crash: a GARBAGE half-written next-epoch prefix dir
+    // (wrong content — a real crash can leave any partial state) with
+    // NO epoch marker appended
+    spark.read.parquet(s"$dir/prefix").limit(1)
+      .write.mode("overwrite").parquet(s"$dir/prefix_e1")
+    assert(PrefixIndex.currentEpoch(spark, dir) === 0L,
+      "no marker -> the half-written compaction must be invisible")
+    // ingest still reads the committed epoch-0 state
+    val p3 = PrefixIndex.appendBatch(b3, dir).collect().map(key).toSeq
+    // the replayed compact overwrites the garbage and commits
+    assert(PrefixIndex.compact(spark, dir) === 1L)
+    val p4 = PrefixIndex.appendBatch(
+      Seq((30L, "a b c d x")).toDF("doc_id", "text"), dir)
+      .collect().map(key).toSeq
+    assert((p1 ++ p2 ++ p3 ++ p4).sorted === oneShot(
+      b1.unionByName(b2).unionByName(b3)
+        .unionByName(Seq((30L, "a b c d x")).toDF("doc_id", "text"))))
+  }
+
+  test("post-compaction auto-valve ingest (bands=0, tiny budget) still " +
+    "equals the one-shot join — incrementalBands reads the epoch dirs") {
+    val b1 = Seq((0L, "q a b c d"), (1L, "a b c d e")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "q x1 x2 x3"), (11L, "q x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+    val b3 = Seq((20L, "q x1 x2 x3"), (21L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_compact_valve").toString
+    val got = PrefixIndex.build(b1, dir).collect().map(key).toSeq ++
+      PrefixIndex.appendBatch(b2, dir).collect().map(key)
+    PrefixIndex.compact(spark, dir)
+    val p3 = PrefixIndex.appendBatch(b3, dir, bands = 0, budgetBytes = 300L)
+      .collect().map(key).toSeq
+    assert((got ++ p3).sortBy(identity) ===
+      oneShot(b1.unionByName(b2).unionByName(b3)))
+    assert(p3.nonEmpty)
+  }
+
   test("sf0.001 documents: split-corpus ingest equals the one-shot join") {
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
     val mid = docs.agg(max("doc_id")).first().getLong(0) / 2
