@@ -62,6 +62,32 @@ object PrefixSoak {
     def add(a: (Long, Long, Long, Long), b: (Long, Long, Long, Long)) =
       (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4)
     val batchSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // ZERO-COLLISION probe: a train-batch-sized synthetic batch whose
+    // tokens are uniquely suffixed (collides with NOTHING — pairs must
+    // be 0), ingested right after the build and again after the last
+    // train batch. The two probe times isolate the pure O(batch) floor:
+    // equal early-vs-late probes prove the per-ingest fixed term does
+    // not grow with index size (the train batches' wall DOES grow, but
+    // with their measured collision volume — the contract).
+    var probeEarly = -1.0
+    var probeLate = -1.0
+    def zeroCollisionProbe(tag: String, i: Int): Double = {
+      val probe = docs
+        .filter(pmod(xxhash64(col("doc_id")), lit(batches)) === 0)
+        .select((col("doc_id") + lit(900000000L * i)).as("doc_id"),
+          // suffix per DOC, not per batch: a per-batch suffix keeps the
+          // batch's INTERNAL dup structure (measured: the probe re-paired
+          // batch 0's 86k internal pairs) — per-doc suffixes share no
+          // token with anything, inside or outside the probe
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"_pz${i}_"), col("doc_id"))), " ").as("text"))
+      val t0 = System.nanoTime()
+      val s = sums(PrefixIndex.appendBatch(probe, dir))
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(s._1 == 0L, s"zero-collision probe produced pairs: $s")
+      println(f"""PREFIX_SOAK_PROBE {"at":"$tag","secs":${math.rint(sec * 10) / 10},"pairs":${s._1}}""")
+      sec
+    }
     for (b <- 0 until batches) {
       val batch = docs.filter(pmod(xxhash64(col("doc_id")), lit(batches)) === b)
       val t0 = System.nanoTime()
@@ -84,6 +110,8 @@ object PrefixSoak {
         println(f"""PREFIX_SOAK_COMPACT {"after_batch":$b,"secs":${math.rint(csec * 10) / 10},"epoch":$newEp,"prefix_files_before":$files,"prefix_files_after":$after}""")
       }
       System.gc()
+      if (b == 0) probeEarly = zeroCollisionProbe("early", 1)
+      if (b == batches - 1) probeLate = zeroCollisionProbe("late", 2)
     }
 
     val oneShot =
@@ -104,6 +132,8 @@ object PrefixSoak {
         s""""oneshot_pairs":${s._1},"oneshot_secs":${math.rint(sec * 10) / 10},""" }
         .getOrElse("") +
       s""""equality_ok":$okEquality,""" +
+      s""""probe_early_secs":${math.rint(probeEarly * 10) / 10},""" +
+      s""""probe_late_secs":${math.rint(probeLate * 10) / 10},""" +
       s""""mean_ingest_secs_first_half":${math.rint(mean(half1.toSeq) * 10) / 10},""" +
       s""""mean_ingest_secs_second_half":${math.rint(mean(half2.toSeq) * 10) / 10},""" +
       s""""batch_secs":[${batchSecs.map(x => math.rint(x * 10) / 10).mkString(",")}]}""")
