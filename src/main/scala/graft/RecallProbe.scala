@@ -92,6 +92,20 @@ object RecallProbe {
     val j90Truth = truth09.count()
     val j90Hit = dd3Pairs.join(truth09, Seq("id_a", "id_b"), "left_semi").count()
 
+    // ---- dd26 (r10): the multi-probe variant at hamming ≤ 7 — contract
+    // recall vs brute hamming truth (provably 1.0 by chunk-pigeonhole)
+    // and the lifted J ≥ 0.9 capture the wider radius buys ----
+    val dd26Pairs = SparkEntry.queries("dd26_simhash_multiprobe")(spark, sfDir)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val ham7Truth = dd3Fp.select(col("doc_id").as("id_a"), col("simhash").as("fa"))
+      .crossJoin(dd3Fp.select(col("doc_id").as("id_b"), col("simhash").as("fb")))
+      .filter(col("id_a") < col("id_b") && expr("bit_count(fa ^ fb)") <= 7)
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val dd26Truth = ham7Truth.count()
+    val dd26Hit = dd26Pairs.join(ham7Truth, Seq("id_a", "id_b"), "left_semi").count()
+    val j90Hit26 = dd26Pairs.join(truth09, Seq("id_a", "id_b"), "left_semi").count()
+
     // ---- ANN ground truth: brute-force cosine top-3, taken from the
     // catalog's own brute-force entry (k=5, identical tie-break) so the
     // probe's "truth" can never drift from what the catalog calls brute
@@ -138,6 +152,8 @@ object RecallProbe {
     s"""{"sf":"$sfDir","dd2_recall":${ratio(dd2Hit, dd2Truth)},"dd2_truth_pairs":$dd2Truth,""" +
       s""""dd3_recall":${ratio(dd3Hit, dd3Truth)},"dd3_truth_pairs":$dd3Truth,""" +
       s""""dd3_j90_capture":${ratio(j90Hit, j90Truth)},"dd3_j90_truth_pairs":$j90Truth,""" +
+      s""""dd26_recall":${ratio(dd26Hit, dd26Truth)},"dd26_truth_pairs":$dd26Truth,""" +
+      s""""dd26_j90_capture":${ratio(j90Hit26, j90Truth)},""" +
       s""""sim3_recall":${ratio(sim3Hit, annTruth)},"sim5_recall":${ratio(sim5Hit, annTruth)},""" +
       s""""sim7_recall":${ratio(sim7Hit, annTruth)},"sim8_recall":${ratio(sim8Hit, annTruth)},""" +
       s""""ann_truth_pairs":$annTruth,""" +

@@ -1973,6 +1973,45 @@ object Analytics {
           col("sinx"), col("cosx"),
           col("fsinx").as("sinx_f"), col("fcosx").as("cosx_f"))
         .orderBy("doc_id")
+    },
+
+    // R274 — PinnedMath POW composition certificate (r10, early r11
+    // seed 5): x^y = exp(y·ln x) composed from the two certified
+    // chains — the composition is bit-identical cross-engine BY
+    // CONSTRUCTION (ln and exp are, and the y·lnx multiply is
+    // correctly rounded), but this entry pins it END TO END with raw
+    // unquantized doubles over the q157 ln decade grid × y ∈ [-2.5,
+    // 2.5] (y·lnx spans ±38.6 — well inside exp's certified range),
+    // so any future chain edit that breaks composition lands here as
+    // a flipped bit. PinnedMathSpec pins libm closeness (~|y·lnx|·1e-9
+    // relative — the ln chain's relative error scaled by the exponent).
+    Q(
+      "q158_pinned_pow",
+      """WITH probe AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN CAST((doc_id + 1) * ((doc_id * doc_id) % 9973 + 1) AS DOUBLE)
+        |      ELSE 1E0 / CAST((doc_id + 1) * ((doc_id * doc_id) % 9973 + 1) AS DOUBLE)
+        |    END AS x,
+        |    CAST((doc_id % 11) - 5 AS DOUBLE) / 2E0 AS yv
+        |  FROM documents),
+        |""".stripMargin + graft.functions.PinnedMath.lnCtes("probe") +
+        """m AS (SELECT doc_id, yv, yv * lnx AS x FROM plF),
+        |""".stripMargin + graft.functions.PinnedMath.expCtes("m") +
+        """fin AS (SELECT doc_id, yv, expx AS powx FROM peF)
+        |SELECT * FROM fin ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val pm = graft.functions.PinnedMath
+      val probe = Tables.documents(s, d).select(col("doc_id"),
+        expr("""CASE WHEN doc_id % 2 = 0
+          | THEN CAST((doc_id + 1) * ((doc_id * doc_id) % 9973 + 1) AS DOUBLE)
+          | ELSE 1E0 / CAST((doc_id + 1) * ((doc_id * doc_id) % 9973 + 1) AS DOUBLE)
+          | END""".stripMargin).as("x"),
+        expr("CAST((doc_id % 11) - 5 AS DOUBLE) / 2E0").as("yv"))
+      val m = pm.withLnx(probe)
+        .select(col("doc_id"), col("yv"), (col("yv") * col("lnx")).as("x"))
+      pm.withSteps(m, pm.expSteps)
+        .select(col("doc_id"), col("yv"), col("expx").as("powx"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -222,6 +222,46 @@ object Dedup {
           .as("f"))
   }
 
+  /** MULTI-PROBE SimHash pairs (r10, early r11 seed 3): same 4×16-bit
+    * chunk index as [[simhashPairs]], but the probe side looks up each
+    * chunk value AND its 16 one-bit flips (17 keys/chunk/doc), which by
+    * chunk-pigeonhole (≤ 7 flipped bits over 4 chunks → some chunk
+    * differs by ≤ ⌊7/4⌋ = 1 bit) is COMPLETE for hamming ≤ 7 — the
+    * radius that captures ~96% of exact J ≥ 0.9 pairs at sf0.1 where
+    * hamming ≤ 3 captured 75.5% (RecallProbe). Index cost unchanged
+    * (the stored side is still one exact chunk row per doc); candidate
+    * volume grows 17× per chunk, NOT the 2^8-bucket quadratic a
+    * radius-7-complete 8-chunk banding would cost. The discovery
+    * orientation keeps id_a exact-side < id_b probe-side, so a
+    * qualifying pair is found via the probe of its higher id — complete
+    * because probe sets are symmetric under one-bit difference. */
+  def multiprobeSimhashPairs(s: SparkSession, d: String,
+                             maxHamming: Int = 7): DataFrame = {
+    val sim = simhashFingerprints(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chunked = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"(simhash >> ${i * 16}) & 65535")): _*)).as(Seq("chunk", "cv")))
+    val probes = chunked.select(col("doc_id"), col("simhash"), col("chunk"),
+      explode(array(col("cv") +:
+        (0 until 16).map(j => expr(s"CAST(cv ^ ${1 << j} AS BIGINT)")): _*))
+        .as("pv"))
+    val a = chunked.select(col("chunk"), col("cv").as("k"),
+      col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = probes.select(col("chunk"), col("pv").as("k"),
+      col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    val out = a.join(b, Seq("chunk", "k"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    sim.unpersist()
+    out
+  }
+
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     // Materialize the tiny (doc_id, simhash) frame: the candidate stage
     // self-joins it, and without this both branches would re-run the
@@ -531,6 +571,149 @@ object Dedup {
         .filter(col("id_a") < col("id_b") && expr("bit_count(fa ^ fb)") <= 3)
         .select("id_a", "id_b")
       Similarity.recallCertificate(banded, brute, Seq("id_a", "id_b"))
+    },
+
+    // L3m — MULTI-PROBE SimHash pairs at hamming ≤ 7 (r10, early r11
+    // seed 3): one-bit-flip probe neighborhoods lift the semantic
+    // capture (J ≥ 0.9 pairs found: 75.5% → ~96% at sf0.1, RecallProbe)
+    // at UNCHANGED index cost. Rows-only (xxhash64 fingerprints);
+    // the certificate sibling below is the hash-matched accuracy row.
+    Q.rowsOnly("dd26_simhash_multiprobe", "hash-based")((s, d) =>
+      multiprobeSimhashPairs(s, d)),
+
+    // L3mr — dd26's recall CERTIFICATE: the dd3 recipe at radius 7 —
+    // probe = the multi-probe banded plan over the 60-bit md5-portable
+    // fingerprints (4×15-bit chunks, exact + 15 one-bit flips — by
+    // pigeonhole ≤ 7 flips over 4 chunks leave some chunk within 1
+    // bit, so recall 1000 is PROVABLE), truth = brute-force exact
+    // hamming ≤ 7; the oracle recomputes fingerprints and truth from
+    // scratch and pins recall_pm = 1000.
+    Q(
+      "dd26_multiprobe_recall",
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+        |       FROM documents),
+        |hh AS (SELECT doc_id,
+        |         CAST('0x'||substr(md5(w),1,15) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, b,
+        |    CAST(sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)
+        |      AS BIGINT) AS s
+        |  FROM hh CROSS JOIN (SELECT unnest(generate_series(0,59)) AS b) g
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS f
+        |  FROM bits GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS truth
+        |      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |      WHERE bit_count(xor(a.f, b.f)) <= 7)
+        |SELECT truth, truth AS hit, CAST(1000 AS BIGINT) AS recall_pm
+        |FROM t""".stripMargin
+    ) { (s, d) =>
+      val fp = portableSimhash(s, d)
+        .localCheckpoint(true) // probe index + probe side + brute truth
+      val chunked = fp.select(col("doc_id"), col("f"),
+        posexplode(array((0 until 4).map(i =>
+          expr(s"(f >> ${i * 15}) & 32767")): _*)).as(Seq("chunk", "cv")))
+      val probes = chunked.select(col("doc_id"), col("f"), col("chunk"),
+        explode(array(col("cv") +:
+          (0 until 15).map(j => expr(s"CAST(cv ^ ${1 << j} AS BIGINT)")): _*))
+          .as("pv"))
+      val a = chunked.select(col("chunk"), col("cv").as("k"),
+        col("doc_id").as("id_a"), col("f").as("fa"))
+      val b = probes.select(col("chunk"), col("pv").as("k"),
+        col("doc_id").as("id_b"), col("f").as("fb"))
+      val found = a.join(b, Seq("chunk", "k"))
+        .filter(col("id_a") < col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+        .filter(expr("bit_count(fa ^ fb)") <= 7)
+        .select("id_a", "id_b")
+      val brute = fp.select(col("doc_id").as("id_a"), col("f").as("fa"))
+        .crossJoin(fp.select(col("doc_id").as("id_b"), col("f").as("fb")))
+        .filter(col("id_a") < col("id_b") && expr("bit_count(fa ^ fb)") <= 7)
+        .select("id_a", "id_b")
+      Similarity.recallCertificate(found, brute, Seq("id_a", "id_b"))
+    },
+
+    // L2p — FULLY PORTABLE MinHash+LSH pipeline certificate (r10, early
+    // r11 seed 2): dd2's banding itself gets a from-scratch oracle
+    // recomputation, not only the truth-side count. The SAME algorithm
+    // as dd2 — 16 min-hash permutations, 8 bands × 2 rows, banded
+    // candidate self-join, exact-Jaccard verify at J ≥ 1/2 — over
+    // md5-portable 60-bit hashes h_i(g) = md5(g||'#mh'||i), so DuckDB
+    // recomputes signatures, band keys, candidates, AND the verified
+    // pair list; the hash match certifies every stage of the LSH
+    // pipeline cross-engine (the production dd2 keeps xxhash64 — this
+    // twin costs 16 md5s per shingle occurrence, the documented
+    // portability tax). Emits the verified pairs with exact integer
+    // evidence columns.
+    Q(
+      "dd25_portable_lsh",
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) END AS sg
+        |       FROM w),
+        |e AS (SELECT doc_id, unnest(sg) AS g FROM sh),
+        |hi AS (SELECT doc_id, i,
+        |    CAST('0x'||substr(md5(g || '#mh' || CAST(i AS VARCHAR)),1,15)
+        |      AS BIGINT) AS h
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(1,16)) AS i) t),
+        |sig AS (SELECT doc_id, i, min(h) AS s FROM hi GROUP BY 1, 2),
+        |bk AS (SELECT doc_id, CAST((i-1)//2 AS INT) AS band,
+        |         max(CASE WHEN i % 2 = 1 THEN s END) AS v1,
+        |         max(CASE WHEN i % 2 = 0 THEN s END) AS v2
+        |       FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band
+        |           AND a.v1 = b.v1 AND a.v2 = b.v2
+        |           AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, CAST(len(sg) AS BIGINT) AS n FROM sh),
+        |p AS (SELECT e1.doc_id AS ia, e2.doc_id AS ib,
+        |        CAST(count(*) AS BIGINT) AS inter
+        |      FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b,
+        |  (inter * 1000) // (sa.n + sb.n - inter) AS jac_pm
+        |FROM cand JOIN p ON ia = id_a AND ib = id_b
+        |  JOIN sz sa ON sa.doc_id = id_a
+        |  JOIN sz sb ON sb.doc_id = id_b
+        |WHERE 3 * inter >= sa.n + sb.n
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles(col("text"))).as("sg"))
+        .localCheckpoint(true) // signatures + both verify sides read it
+      val e = sh.select(col("doc_id"), explode(col("sg")).as("g"))
+      val sig = e
+        .select(col("doc_id"), col("g"),
+          explode(sequence(lit(1), lit(16))).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr("CAST(conv(substr(md5(concat(g, '#mh', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+        .groupBy("doc_id", "i").agg(min("h").as("s"))
+      val bk = sig
+        .groupBy(col("doc_id"), expr("CAST((i - 1) DIV 2 AS INT)").as("band"))
+        .agg(max(when(col("i") % 2 === 1, col("s"))).as("v1"),
+          max(when(col("i") % 2 === 0, col("s"))).as("v2"))
+      val a = bk.select(col("band"), col("v1"), col("v2"),
+        col("doc_id").as("id_a"))
+      val b = bk.select(col("band"), col("v1"), col("v2"),
+        col("doc_id").as("id_b"))
+      val cand = a.join(b, Seq("band", "v1", "v2"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      cand
+        .join(sh.select(col("doc_id").as("id_a"), col("sg").as("sa")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("sg").as("sb")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long").as("inter"),
+          size(col("sa")).cast("long").as("n_a"),
+          size(col("sb")).cast("long").as("n_b"))
+        .filter(lit(3) * col("inter") >= col("n_a") + col("n_b"))
+        .withColumn("jac_pm",
+          expr("(inter * 1000) DIV (n_a + n_b - inter)"))
+        .orderBy("id_a", "id_b")
     },
 
     // L4b — duplicate CLUSTERS: generic distributed connected components,

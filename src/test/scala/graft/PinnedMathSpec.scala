@@ -118,6 +118,26 @@ class PinnedMathSpec extends SparkSpecBase {
     }
   }
 
+  test("pow composition exp(y*ln x) tracks math.pow within the composed " +
+    "error envelope |y*ln x|*2e-9 relative") {
+    import org.apache.spark.sql.functions.col
+    val xs = for { e <- -6 to 6; m <- Seq(1.0, 3.7) } yield m * math.pow(10.0, e)
+    val ys = Seq(-2.5, -1.0, -0.5, 0.5, 1.0, 2.5)
+    val df = xs.flatMap(x => ys.map(y => (x, y))).toDF("x", "yv")
+    val m = PinnedMath.withSteps(df, PinnedMath.lnSteps)
+      .select(col("x").as("x0"), col("yv"), (col("yv") * col("lnx")).as("x"))
+    val got = PinnedMath.withSteps(m, PinnedMath.expSteps)
+      .select("x0", "yv", "expx").collect()
+    assert(got.length == xs.size * ys.size)
+    got.foreach { r =>
+      val x = r.getDouble(0); val y = r.getDouble(1); val p = r.getDouble(2)
+      val want = math.pow(x, y)
+      val tol = math.abs(y * math.log(x)) * 2e-9 + 1e-12
+      assert(math.abs(p - want) <= tol * want,
+        s"pow($x,$y): got $p want $want relTol $tol")
+    }
+  }
+
   test("renamed() prefixes aliases and renames inputs without corrupting " +
     "expressions: prefixed chain equals the plain chain") {
     val xs = Seq(0.3, -1.2, 1.5)
