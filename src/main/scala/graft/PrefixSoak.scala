@@ -102,7 +102,11 @@ object PrefixSoak {
       val files = PrefixIndex.dirFileCount(spark,
         if (ep == 0) s"$dir/prefix" else s"$dir/prefix_e$ep")
       println(f"""PREFIX_SOAK_BATCH {"batch":$b,"secs":${math.rint(sec * 10) / 10},"pairs":${s._1},"prefix_files":$files,"epoch":$ep}""")
-      if (b == compactAt) {
+      // GRAFT_SOAK_AUTOCOMPACT=1 → rely on appendBatch's file-count
+      // policy (set GRAFT_PREFIX_COMPACT_FILES to size it) instead of
+      // a scheduled mid-train compact
+      val auto = sys.env.get("GRAFT_SOAK_AUTOCOMPACT").exists(_ == "1")
+      if (!auto && b == compactAt) {
         val tc = System.nanoTime()
         val newEp = PrefixIndex.compact(spark, dir)
         val csec = (System.nanoTime() - tc) / 1e9

@@ -67,7 +67,11 @@ import org.apache.spark.sql.functions._
   * deleted best-effort AFTER the commit (a crash between marker and
   * delete leaves unreferenced garbage, never a wrong read). Single
   * writer assumed (the TableLog contract): no concurrent ingest while
-  * a compact is in flight.
+  * a compact is in flight. [[appendBatch]] also runs the compact
+  * AUTOMATICALLY when the committed prefix dir's part-file count
+  * reaches `GRAFT_PREFIX_COMPACT_FILES` (default 256; 0 disables) —
+  * measured after the batch's marker, inside the writer's own window,
+  * so unbounded trains keep bounded listings with no scheduler.
   *
   * [[build]] emits the first batch's internal pairs; [[appendBatch]]
   * emits exactly the pairs with ≥ 1 new endpoint (old×old pairs were
@@ -83,6 +87,16 @@ object PrefixIndex {
   private def defaultBudget: Long =
     sys.env.get("GRAFT_PREFIX_DISK_BUDGET_GB").map(_.toLong)
       .getOrElse(64L) * (1L << 30)
+
+  /** Auto-compaction trigger (r10, r11 seed 1): when the prefix dir's
+    * part-file count reaches this after an append, the batch's writer
+    * runs [[compact]] before returning — inside the single-writer
+    * window it already owns, so the policy adds no new concurrency
+    * class. 0 disables. Default 256 ≈ one compaction per ~8 appends at
+    * 32 shuffle partitions — listings stay bounded at any train
+    * length without the caller scheduling anything. */
+  private def defaultCompactFiles: Long =
+    sys.env.get("GRAFT_PREFIX_COMPACT_FILES").map(_.toLong).getOrElse(256L)
 
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -319,7 +333,8 @@ object PrefixIndex {
     * O(batch + collisions), including the valve estimate. */
   def appendBatch(newDocs: DataFrame, dir: String,
                   tn: Int = 4, td: Int = 5, bands: Int = 0,
-                  budgetBytes: Long = defaultBudget): DataFrame = {
+                  budgetBytes: Long = defaultBudget,
+                  compactFiles: Long = defaultCompactFiles): DataFrame = {
     val spark = newDocs.sparkSession
     val ep = currentEpoch(spark, dir)
     val (pairsPlan, eNew, prefNew, szNew) =
@@ -336,6 +351,13 @@ object PrefixIndex {
         coalesce(sum("n"), lit(0L)).cast("long").as("sum_n"))
       .write.mode("append").parquet(dataPath(dir, "stats", ep))
     szNew.write.mode("append").parquet(dataPath(dir, "sizes", ep)) // marker
+    // auto-compaction policy (see [[defaultCompactFiles]]): measured on
+    // the committed state AFTER the marker, so a crash inside compact()
+    // can never orphan this batch — the batch is durable first, and
+    // compact is itself crash-invisible (marker-last epoch commit)
+    if (compactFiles > 0 &&
+        dirFileCount(spark, dataPath(dir, "prefix", ep)) >= compactFiles)
+      compact(spark, dir)
     pairs
   }
 

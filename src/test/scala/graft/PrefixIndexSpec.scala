@@ -232,6 +232,24 @@ class PrefixIndexSpec extends SparkSpecBase {
     assert(p3.nonEmpty)
   }
 
+  test("auto-compaction policy: appendBatch compacts itself once the " +
+    "committed prefix dir reaches the file threshold, output unchanged") {
+    def batch(i: Int) = Seq(
+      (i * 10L, "a b c d"), // exact dup planted in EVERY batch
+      (i * 10L + 1, s"u$i v$i w$i x$i")).toDF("doc_id", "text")
+    val all = (0 to 5).map(batch).reduce(_ unionByName _)
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_autocompact").toString
+    var got = PrefixIndex.build(batch(0), dir).collect().map(key).toSeq
+    for (i <- 1 to 5)
+      got ++= PrefixIndex.appendBatch(batch(i), dir, compactFiles = 3L)
+        .collect().map(key)
+    assert(PrefixIndex.currentEpoch(spark, dir) >= 1L,
+      "the file-count policy must have fired at least one compact")
+    assert(got.sortBy(identity) === oneShot(all))
+    assert(got.nonEmpty)
+  }
+
   test("sf0.001 documents: split-corpus ingest equals the one-shot join") {
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
     val mid = docs.agg(max("doc_id")).first().getLong(0) / 2
