@@ -241,6 +241,7 @@ object Bench {
     // scale (sf0.1) so sf0.001 iteration loops stay fast.
     val do8x = only.isEmpty && headlineNames.nonEmpty &&
       sys.env.get("GRAFT_BENCH_8X").forall(_ != "0") && sfDir.endsWith("sf0.1")
+    var h8xFailed = false
     val h8x: Option[(Double, Double, Double)] =
       if (!do8x) None
       else try {
@@ -253,9 +254,13 @@ object Bench {
           }.toMap
         }
         val (t8, _) = completeTotals(p8, headlineNames)
-        if (t8.isEmpty) None
+        if (t8.isEmpty) { h8xFailed = true; None }
         else Some((r3(median(t8)), r3(t8.min), r3(t8.max)))
-      } catch { case scala.util.control.NonFatal(_) => None }
+      } catch { case scala.util.control.NonFatal(_) =>
+        // a failed 8x row must be READABLE from the artifact, not an
+        // absent key that diffs as "not applicable" (r10 review — the
+        // same silent-degradation class as jvm_spawn_failures)
+        h8xFailed = true; None }
     // per-query shuffle accounting: a listener sums task-level shuffle
     // read/write bytes; the per-query delta goes to target/bench.json
     // (NOT the bounded stdout line) so plan-discipline claims ("this
@@ -313,7 +318,8 @@ object Bench {
     val replayJson = replay.map(r =>
       s""","replay_p50_sec":${r.fleetP50},"replay_p95_sec":${r.fleetP95},"replay_executions":${r.executions}""").getOrElse("")
     val h8xJson = h8x.map { case (m, lo, hi) =>
-      s""","headline_8x_sec":$m,"headline_8x_band":[$lo,$hi]""" }.getOrElse("")
+      s""","headline_8x_sec":$m,"headline_8x_band":[$lo,$hi]""" }
+      .getOrElse(if (h8xFailed) ""","headline_8x_failed":true""" else "")
     def emit(qs: String, extra: String) =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal,"headline_isolated_sec":$headlineTotal,"headline_jvm_samples":$jvmSamplesJson,"headline_jvm_loads":$jvmLoadsJson,"headline_band":[$bandLo,$bandHi],"headline_spread_sec":$headlineSpread,"jvm_spawn_failures":$spawnFailures,"jvm_retries":$retriesUsed,"load_avg_start":$loadStart,"load_avg_end":$loadEnd$replayJson$h8xJson$extra}"""
     val shuffleMap = jsonMap(results.map(r => r._1 -> (math.rint(r._3 * 1000) / 1000)))

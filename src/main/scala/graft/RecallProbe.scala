@@ -74,9 +74,16 @@ object RecallProbe {
     val dd3Fp = Dedup.simhashFingerprints(spark, sfDir).localCheckpoint(true)
     val dd3Pairs = SparkEntry.queries("dd3_simhash")(spark, sfDir)
       .select("id_a", "id_b").localCheckpoint(true)
-    val dd3TruthPairs = dd3Fp.select(col("doc_id").as("id_a"), col("simhash").as("fa"))
+    // ONE brute pass serves both radii (r10 review): emit hamming ≤ 7
+    // once, filter the ≤ 3 subset for free
+    val ham7Truth = dd3Fp.select(col("doc_id").as("id_a"), col("simhash").as("fa"))
       .crossJoin(dd3Fp.select(col("doc_id").as("id_b"), col("simhash").as("fb")))
-      .filter(col("id_a") < col("id_b") && expr("bit_count(fa ^ fb)") <= 3)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(fa ^ fb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= 7)
+      .localCheckpoint(true)
+    val dd3TruthPairs = ham7Truth.filter(col("hamming") <= 3)
       .select("id_a", "id_b")
       .localCheckpoint(true)
     val dd3Truth = dd3TruthPairs.count()
@@ -97,13 +104,9 @@ object RecallProbe {
     // and the lifted J ≥ 0.9 capture the wider radius buys ----
     val dd26Pairs = SparkEntry.queries("dd26_simhash_multiprobe")(spark, sfDir)
       .select("id_a", "id_b").localCheckpoint(true)
-    val ham7Truth = dd3Fp.select(col("doc_id").as("id_a"), col("simhash").as("fa"))
-      .crossJoin(dd3Fp.select(col("doc_id").as("id_b"), col("simhash").as("fb")))
-      .filter(col("id_a") < col("id_b") && expr("bit_count(fa ^ fb)") <= 7)
-      .select("id_a", "id_b")
-      .localCheckpoint(true)
-    val dd26Truth = ham7Truth.count()
-    val dd26Hit = dd26Pairs.join(ham7Truth, Seq("id_a", "id_b"), "left_semi").count()
+    val ham7Pairs = ham7Truth.select("id_a", "id_b")
+    val dd26Truth = ham7Pairs.count()
+    val dd26Hit = dd26Pairs.join(ham7Pairs, Seq("id_a", "id_b"), "left_semi").count()
     val j90Hit26 = dd26Pairs.join(truth09, Seq("id_a", "id_b"), "left_semi").count()
 
     // ---- ANN ground truth: brute-force cosine top-3, taken from the

@@ -36,7 +36,13 @@ object ScaleSoak {
     * sample (r10, verdict item 5). */
   private[graft] def materialize(spark: SparkSession, src: String,
                                  rep: Int): String = {
-    val dst = s"/tmp/graft_soak_rep$rep"
+    // cache key includes the SOURCE (r10 review): the bare legacy name
+    // is reserved for the bench-scale sf0.1 dir — a replica built from
+    // any other source must never be served to Bench's 8x sample
+    val dst =
+      if (src.stripSuffix("/").endsWith("sf0.1")) s"/tmp/graft_soak_rep$rep"
+      else s"/tmp/graft_soak_rep${rep}_" +
+        src.replaceAll("[^A-Za-z0-9.]", "_").takeRight(40)
 
     def shift(df: DataFrame, keys: Seq[String], i: Int): DataFrame =
       keys.foldLeft(df)((acc, k) => acc.withColumn(k, col(k) + lit(i * 10000000L)))

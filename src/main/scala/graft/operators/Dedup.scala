@@ -173,21 +173,6 @@ object Dedup {
     (pairs, freshOut)
   }
 
-  /** 64-bit SimHash per document + near-dup pairs by hamming distance,
-    * candidates via 4×16-bit chunk agreement. By pigeonhole, recall is
-    * GUARANTEED only for hamming ≤ 3 (4 chunks: ≤3 differing bits leave
-    * one chunk untouched) — hence the default `maxHamming = 3`; a larger
-    * cutoff returns only the candidate pairs that happen to share a
-    * chunk (documented partial recall, like any LSH).
-    *
-    * The 64 weighted-bit majorities are 64 conditional-sum aggregate
-    * columns straight over token-occurrence rows (±1 per occurrence sums
-    * to the ±term-frequency weighting with no pre-aggregation shuffle) —
-    * one map-side-combined shuffle of 64 longs per doc, instead of
-    * exploding a 64× row blowup through the shuffle. Needs
-    * `spark.sql.codegen.maxFields` ≥ ~140 to stay in whole-stage codegen
-    * (all graft entrypoints set it).
-    */
   /** The production (doc_id, simhash) fingerprint frame — 64-bit
     * xxhash64 tokens, tf-weighted bit sums. Exposed for RecallProbe's
     * banded-vs-brute recall row (r10). */
@@ -237,6 +222,11 @@ object Dedup {
     * because probe sets are symmetric under one-bit difference. */
   def multiprobeSimhashPairs(s: SparkSession, d: String,
                              maxHamming: Int = 7): DataFrame = {
+    // completeness precondition: 4 chunks + one-bit probes cover
+    // exactly hamming <= 7 (pigeonhole) — a larger radius would
+    // silently drop qualifying pairs (r10 review)
+    require(maxHamming <= 7,
+      s"multiprobe banding is complete only to hamming 7, got $maxHamming")
     val sim = simhashFingerprints(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sim.select(col("doc_id"), col("simhash"),
@@ -262,6 +252,21 @@ object Dedup {
     out
   }
 
+  /** 64-bit SimHash per document + near-dup pairs by hamming distance,
+    * candidates via 4×16-bit chunk agreement. By pigeonhole, recall is
+    * GUARANTEED only for hamming ≤ 3 (4 chunks: ≤3 differing bits leave
+    * one chunk untouched) — hence the default `maxHamming = 3`; a larger
+    * cutoff returns only the candidate pairs that happen to share a
+    * chunk (documented partial recall, like any LSH).
+    *
+    * The 64 weighted-bit majorities are 64 conditional-sum aggregate
+    * columns straight over token-occurrence rows (±1 per occurrence sums
+    * to the ±term-frequency weighting with no pre-aggregation shuffle) —
+    * one map-side-combined shuffle of 64 longs per doc, instead of
+    * exploding a 64× row blowup through the shuffle. Needs
+    * `spark.sql.codegen.maxFields` ≥ ~140 to stay in whole-stage codegen
+    * (all graft entrypoints set it).
+    */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     // Materialize the tiny (doc_id, simhash) frame: the candidate stage
     // self-joins it, and without this both branches would re-run the

@@ -132,6 +132,26 @@ object PrefixIndex {
 
   private val dataDirs = Seq("df", "postings", "prefix", "sizes", "pdf", "stats")
 
+  /** Backfill migration (r10 review): index dirs persisted by the
+    * pre-r10 layout carry no `pdf/`/`stats/` aux dirs — rebuild them
+    * ONCE from the stored prefix/sizes frames (one O(index) aggregate,
+    * the pre-r10 per-ingest estimate's cost class paid a single time)
+    * so old durable indexes stay ingestable and compactable. */
+  private def ensureAux(spark: SparkSession, dir: String, ep: Long): Unit = {
+    val fs = hadoopFs(spark, dir)
+    val pdfP = dataPath(dir, "pdf", ep)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(pdfP)))
+      spark.read.parquet(dataPath(dir, "prefix", ep)).groupBy("tok")
+        .agg(count(lit(1)).cast("long").as("c"))
+        .write.mode("overwrite").parquet(pdfP)
+    val stP = dataPath(dir, "stats", ep)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stP)))
+      spark.read.parquet(dataPath(dir, "sizes", ep))
+        .agg(count(lit(1)).cast("long").as("docs"),
+          coalesce(sum("n"), lit(0L)).cast("long").as("sum_n"))
+        .write.mode("overwrite").parquet(stP)
+  }
+
   /** Marker-last compaction commit: rewrite every data dir coalesced to
     * ~128 MB partitions into the next epoch's dirs, append the epoch
     * marker LAST, then best-effort delete the superseded dirs. Crash
@@ -140,6 +160,7 @@ object PrefixIndex {
     * garbage remains. Returns the new epoch. */
   def compact(spark: SparkSession, dir: String): Long = {
     val e = currentEpoch(spark, dir)
+    ensureAux(spark, dir, e) // pre-r10 indexes lack the aux dirs
     val next = e + 1
     dataDirs.foreach { n =>
       val src = dataPath(dir, n, e)
@@ -216,6 +237,7 @@ object PrefixIndex {
   private def incrementalBands(spark: SparkSession, dir: String, e: Long,
                                prefNew: DataFrame, szNew: DataFrame,
                                budgetBytes: Long): Int = {
+    ensureAux(spark, dir, e) // pre-r10 indexes lack the aux dirs
     val ca = prefNew.groupBy("tok").agg(count(lit(1)).as("ca"))
     // verify B side = stored ∪ batch, so the fan side sums both
     val cb = spark.read.parquet(dataPath(dir, "pdf", e))
@@ -289,11 +311,17 @@ object PrefixIndex {
   }
 
   /** Create the index from the first corpus batch; returns the batch's
-    * internal J ≥ tn/td pairs. */
+    * internal J ≥ tn/td pairs. REBUILD-SAFE: the whole dir is deleted
+    * first — build's contract is "this dir now IS this corpus's index",
+    * and the epoch marker + `_e<N>` dirs a previous compacted index
+    * left behind are hidden state that would otherwise make readers
+    * resolve the OLD epoch's data after a rebuild (r10 review). */
   def build(docs: DataFrame, dir: String,
             tn: Int = 4, td: Int = 5, bands: Int = 0,
             budgetBytes: Long = defaultBudget): DataFrame = {
     val spark = docs.sparkSession
+    try hadoopFs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    catch { case scala.util.control.NonFatal(_) => () } // absent is fine
     val e = tokens(docs).localCheckpoint(true)
     e.groupBy("tok").agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$dir/df")

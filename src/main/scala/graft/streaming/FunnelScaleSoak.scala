@@ -83,6 +83,23 @@ object FunnelScaleSoak {
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
 
+    // cumulative processed-row counter across ALL micro-batches (a
+    // listener — lastProgress alone misses batches between samples):
+    // proves the kill batch was genuinely IN FLIGHT, i.e. written but
+    // not processed by run 1 (r10 review — without this a fast small
+    // run could process the "kill" batch before stop() and the soak
+    // would certify a resume path it never exercised)
+    val processedRows = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+          processedRows.addAndGet(e.progress.numInputRows)
+        override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      })
     var peakStateRows = 0L
     var peakMemBytes = 0L
     var peakSstBytes = 0L
@@ -124,6 +141,8 @@ object FunnelScaleSoak {
     writeBatch(off, hiKill)
     off = hiKill; b += 1
     q1.stop()
+    Thread.sleep(3000) // drain async listener events before reading
+    val inFlight = off - processedRows.get() // written - processed by run 1
     val wall1 = (System.nanoTime() - t0) / 1e9
     val stateDir = java.nio.file.Paths.get(ckpt, "state")
     val sawChangelog = java.nio.file.Files.walk(stateDir)
@@ -151,13 +170,14 @@ object FunnelScaleSoak {
     val lost = users - distinct
     val dups = total - distinct
     val ok = total == users && distinct == users &&
-      sawRocksDb && sawChangelog
+      sawRocksDb && sawChangelog && inFlight > 0
     val bytesPerKey =
       if (peakStateRows > 0) (math.max(peakMemBytes, peakSstBytes).toDouble
         / peakStateRows) else -1.0
     println(
       s"""FUNNEL_SCALE {"users":$users,"batches":$batches,"events":$totalEvents,""" +
-      s""""kill_batch":$killBatch,"completed_total":$total,"distinct_users":$distinct,""" +
+      s""""kill_batch":$killBatch,"in_flight_events_at_kill":$inFlight,""" +
+      s""""completed_total":$total,"distinct_users":$distinct,""" +
       s""""lost":$lost,"duplicated":$dups,""" +
       s""""state_budget_mb":$stateMb,"peak_state_rows":$peakStateRows,""" +
       s""""peak_mem_bytes":$peakMemBytes,"peak_sst_bytes":$peakSstBytes,""" +

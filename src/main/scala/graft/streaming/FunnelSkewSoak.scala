@@ -92,9 +92,11 @@ object FunnelSkewSoak {
       * this batch — completes once per batch). */
     def writeBatch(b: Int): Unit = {
       var parts = Seq.empty[org.apache.spark.sql.DataFrame]
-      def chunkIds(c: Int) = // last chunk absorbs the division remainder
-        (c * chunk, if (c == batches - 1) cold
-                    else math.min((c + 1) * chunk, cold))
+      def chunkIds(c: Int) = { // last chunk absorbs the division remainder
+        val lo = math.min(c * chunk, cold)
+        (lo, if (c == batches - 1) cold
+             else math.max(lo, math.min((c + 1) * chunk, cold)))
+      }
       if (b < batches) {
         val (lo, hi) = chunkIds(b)
         parts :+= seg(hi - lo)(s"id + $lo", "'view'")

@@ -250,6 +250,51 @@ class PrefixIndexSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("rebuild over a previously-compacted dir resets the epoch: build " +
+    "must not leave readers resolving the old epoch's data (r10 review)") {
+    val b1 = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val n1 = Seq((100L, "p q r s"), (101L, "p q r s t")).toDF("doc_id", "text")
+    val n2 = Seq((110L, "p q r s")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_rebuild").toString
+    PrefixIndex.build(b1, dir)
+    PrefixIndex.appendBatch(b2, dir)
+    PrefixIndex.compact(spark, dir) // epoch 1: data now lives in *_e1
+    // REBUILD with a NEW corpus in the same dir
+    val p1 = PrefixIndex.build(n1, dir).collect().map(key).toSeq
+    assert(PrefixIndex.currentEpoch(spark, dir) === 0L,
+      "build must clear the stale epoch marker")
+    val p2 = PrefixIndex.appendBatch(n2, dir).collect().map(key).toSeq
+    assert((p1 ++ p2).sorted === oneShot(n1.unionByName(n2)),
+      "post-rebuild pairs must come from the NEW corpus, not epoch-1 leftovers")
+    // no old-corpus ids anywhere
+    assert(!(p1 ++ p2).exists { case (a, b, _, _, _, _) => a < 100 || b < 100 })
+  }
+
+  test("pre-r10 index layout (no pdf/stats aux dirs) is migrated on " +
+    "first ingest: auto-valve estimate backfills and works") {
+    val b1 = Seq((0L, "q a b c d"), (1L, "a b c d e")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "q x1 x2 x3"), (11L, "q x1 x2 x3 x4"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_legacy").toString
+    val p1 = PrefixIndex.build(b1, dir).collect().map(key).toSeq
+    // simulate a pre-r10 index: strip the aux dirs build wrote
+    for (n <- Seq("pdf", "stats")) {
+      val f = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      f.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(f, true)
+    }
+    // bands=0 forces the incremental estimate -> must backfill, not throw
+    val p2 = PrefixIndex.appendBatch(b2, dir, bands = 0, budgetBytes = 300L)
+      .collect().map(key).toSeq
+    assert(new java.io.File(s"$dir/pdf").exists(), "pdf/ must be backfilled")
+    assert(new java.io.File(s"$dir/stats").exists(), "stats/ must be backfilled")
+    assert((p1 ++ p2).sortBy(identity) === oneShot(b1.unionByName(b2)))
+    // and compact() on the migrated dir works too
+    assert(PrefixIndex.compact(spark, dir) === 1L)
+  }
+
   test("sf0.001 documents: split-corpus ingest equals the one-shot join") {
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
     val mid = docs.agg(max("doc_id")).first().getLong(0) / 2
