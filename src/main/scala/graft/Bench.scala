@@ -35,6 +35,14 @@ import scala.jdk.CollectionConverters._
   * artifact carries a measured nonzero reuse rate every round;
   * `replay_p50_sec`/`replay_p95_sec` — the BenchReplay interleave on
   * this warm session (GRAFT_BENCH_REPLAY_ROUNDS, default 5).
+  *
+  * r11 (verdict item 5): the own-JVM sample pre-gates itself — a
+  * bounded wait-for-quiet spin before its passes
+  * (GRAFT_BENCH_QUIET_WAIT_SEC, default 90) — and when it is STILL
+  * load-gated out, a replacement child is spawned so the decisive
+  * median stays ≥ 2 clean fresh-JVM samples; `own_quiet_wait_sec`,
+  * `own_replaced` and `decisive_clean_samples` make any remaining
+  * degradation readable from the artifact.
   */
 object Bench {
 
@@ -160,6 +168,23 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val headlineNames = headline.toSeq.sorted.filter(n => only.isEmpty || only(n))
     def timeOneHere(name: String): Double = timeOne(spark, sfDir, name)
+    val nJvmsPre = sys.env.get("GRAFT_BENCH_JVMS").map(_.toInt).getOrElse(3)
+    val loadGatePre = sys.env.get("GRAFT_BENCH_LOAD_GATE").map(_.toDouble)
+      .getOrElse(2.5)
+    // r11 (verdict item 5): the own-JVM sample is always sample #1 and
+    // was not retryable — BENCH_r10's decisive set collapsed to one
+    // child because this JVM started at load 4.87. Gate the own sample
+    // BEFORE its passes run: a bounded wait-for-quiet spin (default 90 s,
+    // GRAFT_BENCH_QUIET_WAIT_SEC; only for full runs, so subset
+    // iteration loops never sleep). The waited seconds are an artifact
+    // field, not silence.
+    val quietWaitMax = sys.env.get("GRAFT_BENCH_QUIET_WAIT_SEC").map(_.toInt)
+      .getOrElse(90)
+    var quietWaited = 0
+    if (only.isEmpty && headlineNames.nonEmpty)
+      while (loadAvg > loadGatePre && quietWaited < quietWaitMax) {
+        Thread.sleep(5000); quietWaited += 5
+      }
     // Median-of-3 ISOLATED headline read-out runs BEFORE the full sweep,
     // so the decision-grade number is free of the sweep's storage/GC
     // pressure (measured ~2× inflation mid-sweep: 12.9 vs 6.4-6.7 s).
@@ -171,9 +196,8 @@ object Bench {
     // load gate drops contaminated samples unless that empties the set;
     // contaminated children are RETRIED (shared budget) keeping the
     // best-load sample, and spawn failures are counted loudly.
-    val nJvms = sys.env.get("GRAFT_BENCH_JVMS").map(_.toInt).getOrElse(3)
-    val loadGate = sys.env.get("GRAFT_BENCH_LOAD_GATE").map(_.toDouble)
-      .getOrElse(2.5)
+    val nJvms = nJvmsPre
+    val loadGate = loadGatePre
     val retryBudget = sys.env.get("GRAFT_BENCH_RETRIES").map(_.toInt)
       .getOrElse(2)
     var spawnFailures = 0
@@ -201,7 +225,29 @@ object Bench {
         }
         best
       }
-    val jvmSamples = (ownMedian, loadStart, ownTotals) +: childResults
+    // r11 (verdict item 5, second half): if the own sample is going to
+    // be load-gated out anyway (quiet-wait expired under sustained
+    // load), spawn ONE replacement child so the decisive median is
+    // still over ≥ 2 clean fresh-JVM samples; a failed replacement is
+    // named in the artifact via decisive_clean_samples + own_replaced.
+    val ownGatedOut = loadStart > loadGate
+    val replacement: Option[(Double, Double, Seq[Double])] =
+      if (!ownGatedOut || only.nonEmpty || headlineNames.isEmpty) None
+      else {
+        var best: Option[(Double, Double, Seq[Double])] = None
+        var attempt = 0
+        while (attempt < 2 && !best.exists(_._2 <= loadGate)) {
+          spawnChild(90 + attempt, sfDir, cpus) match {
+            case None    => spawnFailures += 1
+            case Some(s) =>
+              best = Some(best.fold(s)(p => if (s._2 < p._2) s else p))
+          }
+          attempt += 1
+        }
+        best
+      }
+    val jvmSamples =
+      (ownMedian, loadStart, ownTotals) +: (childResults ++ replacement)
     val cleanSamples = jvmSamples.filter(_._2 <= loadGate)
     val decisive = if (cleanSamples.nonEmpty) cleanSamples else jvmSamples
     val headlineTotal = r3(median(decisive.map(_._1)))
@@ -321,7 +367,7 @@ object Bench {
       s""","headline_8x_sec":$m,"headline_8x_band":[$lo,$hi]""" }
       .getOrElse(if (h8xFailed) ""","headline_8x_failed":true""" else "")
     def emit(qs: String, extra: String) =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal,"headline_isolated_sec":$headlineTotal,"headline_jvm_samples":$jvmSamplesJson,"headline_jvm_loads":$jvmLoadsJson,"headline_band":[$bandLo,$bandHi],"headline_spread_sec":$headlineSpread,"jvm_spawn_failures":$spawnFailures,"jvm_retries":$retriesUsed,"load_avg_start":$loadStart,"load_avg_end":$loadEnd$replayJson$h8xJson$extra}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline_sec":$headlineTotal,"headline_isolated_sec":$headlineTotal,"headline_jvm_samples":$jvmSamplesJson,"headline_jvm_loads":$jvmLoadsJson,"headline_band":[$bandLo,$bandHi],"headline_spread_sec":$headlineSpread,"jvm_spawn_failures":$spawnFailures,"jvm_retries":$retriesUsed,"own_quiet_wait_sec":$quietWaited,"own_replaced":${replacement.nonEmpty},"decisive_clean_samples":${cleanSamples.size},"load_avg_start":$loadStart,"load_avg_end":$loadEnd$replayJson$h8xJson$extra}"""
     val shuffleMap = jsonMap(results.map(r => r._1 -> (math.rint(r._3 * 1000) / 1000)))
     val passesJson = ownTotals.map(r3).mkString("[", ",", "]")
     val validJson = passValid.mkString("[", ",", "]")

@@ -152,6 +152,23 @@ object RecallProbe {
 
     def ratio(hit: Long, truth: Long): Double =
       if (truth == 0) 1.0 else hit.toDouble / truth
+
+    // ---- dd9 nAssign sweep (r11, verdict item 6): the 0.997 residue at
+    // the shipped nAssign=4 is boundary-cell misses — pairs whose two
+    // vectors never co-occur in any of the 4 nearest centroid cells.
+    // Sweeping the operating point per round makes the capture/cost
+    // curve a TRACKED number: whether the residue closes at nAssign=8
+    // (more probe redundancy, same stored index) is read from the
+    // artifact, not argued. ----
+    val dd9Sweep = Seq(2, 4, 8).map { na =>
+      val removed = Similarity.semanticDedup(spark, sfDir, nAssign = na)
+        .select("removed_id")
+      val hit =
+        removed.join(exactRemoved, Seq("removed_id"), "left_semi").count()
+      na -> ratio(hit, dd9Truth)
+    }
+    val dd9SweepJson = dd9Sweep
+      .map { case (na, r) => s""""n$na":$r""" }.mkString("{", ",", "}")
     s"""{"sf":"$sfDir","dd2_recall":${ratio(dd2Hit, dd2Truth)},"dd2_truth_pairs":$dd2Truth,""" +
       s""""dd3_recall":${ratio(dd3Hit, dd3Truth)},"dd3_truth_pairs":$dd3Truth,""" +
       s""""dd3_j90_capture":${ratio(j90Hit, j90Truth)},"dd3_j90_truth_pairs":$j90Truth,""" +
@@ -160,6 +177,7 @@ object RecallProbe {
       s""""sim3_recall":${ratio(sim3Hit, annTruth)},"sim5_recall":${ratio(sim5Hit, annTruth)},""" +
       s""""sim7_recall":${ratio(sim7Hit, annTruth)},"sim8_recall":${ratio(sim8Hit, annTruth)},""" +
       s""""ann_truth_pairs":$annTruth,""" +
-      s""""dd9_recall":${ratio(dd9Hit, dd9Truth)},"dd9_truth_removed":$dd9Truth}"""
+      s""""dd9_recall":${ratio(dd9Hit, dd9Truth)},"dd9_truth_removed":$dd9Truth,""" +
+      s""""dd9_recall_sweep":$dd9SweepJson}"""
   }
 }

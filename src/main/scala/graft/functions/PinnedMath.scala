@@ -170,6 +170,11 @@ object PinnedMath {
     * The |x| ≤ π/2 [[sinSteps]]/[[cosSteps]] remain for domain-bounded
     * consumers (geo half-angles) where the fold would be dead weight. */
   val trigSteps: Seq[Seq[(String, String)]] = {
+    // NOTE for extenders: the `1.0 - tu/272E0` literals below are the
+    // decimal-minus-double shape — OUTSIDE the literal×literal class the
+    // E-notation convention targets (q157's raw-bits certificate pins
+    // the typing as portable). Pure literal-literal arithmetic added to
+    // this chain MUST still use E-notation on every operand.
     val sinCore = Seq(210, 156, 110, 72, 42, 20, 6)
       .foldLeft("1.0 - tu / 272E0")((acc, d) => s"1.0 - tu / ${d}E0 * ($acc)")
     val cosCore = Seq(182, 132, 90, 56, 30, 12, 2)
@@ -186,6 +191,28 @@ object PinnedMath {
         "cosx" -> ("CASE WHEN q4 = 0.0 THEN cr WHEN q4 = 1.0 THEN 0.0 - sr"
           + " WHEN q4 = 2.0 THEN 0.0 - cr ELSE sr END")))
   }
+
+  /** [[trigSteps]] with the libm-accuracy domain ENFORCED (r11, verdict
+    * item 4): past |x| ≈ 1.6e6 rad the Cody–Waite reduced-argument
+    * error (≈ n·2⁻⁸⁶) leaves the chain bit-identical CROSS-ENGINE but
+    * visibly adrift from libm — a consumer deriving phase from, say,
+    * MICROsecond epoch timestamps would silently compute plausible
+    * wrong angles. This variant fails LOUDLY instead: inputs beyond the
+    * domain raise (Spark `raise_error`, surfaced as a SparkException
+    * naming the offending magnitude), inside it the outputs are
+    * BIT-IDENTICAL to [[trigSteps]] (the guard only substitutes `x`
+    * unchanged). Engine-pinned certificates keep using the unguarded
+    * chain — their grids sit inside the domain by construction and
+    * `raise_error` is not oracle-portable; the guard is for Spark-side
+    * CONSUMERS (ev95's weekly phase at ~1.8e4 rad sits 2 orders inside;
+    * anything new that might not should take this chain). */
+  val trigStepsGuarded: Seq[Seq[(String, String)]] =
+    Seq(Seq("xg" -> ("CASE WHEN abs(x) <= 1600000E0 THEN x ELSE " +
+      "raise_error(concat('PinnedMath.trig: |x| = ', CAST(abs(x) AS STRING), " +
+      "' rad exceeds the 1.6e6 libm-accuracy reduction domain - derive the " +
+      "phase at a coarser unit or extend the Cody-Waite reduction')) END"))) ++
+      renamed(trigSteps, "g", Map("x" -> "xg")) ++
+      Seq(Seq("sinx" -> "gsinx", "cosx" -> "gcosx"))
 
   /** A step chain with every alias PREFIXED and input columns renamed —
     * lets one query apply the same chain to several inputs without

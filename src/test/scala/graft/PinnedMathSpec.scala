@@ -158,6 +158,31 @@ class PinnedMathSpec extends SparkSpecBase {
       "prefixing corrupted the at2 alias")
   }
 
+  test("trigStepsGuarded: bit-identical to trigSteps through the 1.6e6 " +
+    "rad boundary, loud raise_error past it (r11, verdict item 4)") {
+    // inside + exactly AT the boundary: outputs must be the unguarded
+    // chain's bits (the guard substitutes x unchanged)
+    val xs = Seq(0.0, 1.0, -123.456, 17600.123, 1.0e6, 1600000.0, -1600000.0)
+    def bits(steps: Seq[Seq[(String, String)]]) =
+      PinnedMath.withSteps(grid(xs), steps).select("x", "sinx", "cosx")
+        .collect().map(r => r.getDouble(0) ->
+          (java.lang.Double.doubleToLongBits(r.getDouble(1)),
+            java.lang.Double.doubleToLongBits(r.getDouble(2)))).toMap
+    val plain = bits(PinnedMath.trigSteps)
+    val guarded = bits(PinnedMath.trigStepsGuarded)
+    xs.foreach(x => assert(plain(x) == guarded(x), s"guard changed bits at $x"))
+    // past the boundary: the documented loud refusal, naming the domain
+    val ex = intercept[Exception] {
+      PinnedMath.withSteps(grid(Seq(1600000.5)), PinnedMath.trigStepsGuarded)
+        .select("sinx").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("libm-accuracy")),
+      s"expected the domain-guard message, got: ${msgs(ex).mkString(" | ")}")
+  }
+
   test("the chains are pure column algebra: no UDF, no shuffle") {
     val df = PinnedMath.withSteps(
       PinnedMath.withLnx(grid(Seq(2.0))).select(col("lnx").as("x")),

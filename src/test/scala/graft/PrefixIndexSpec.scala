@@ -295,6 +295,139 @@ class PrefixIndexSpec extends SparkSpecBase {
     assert(PrefixIndex.compact(spark, dir) === 1L)
   }
 
+  test("bucketed point-lookup (r11, verdict item 1): a small-vocabulary " +
+    "ingest's verify scans only the candidate docs' postings buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // broad corpus: 400 docs with disjoint vocabularies → the postings
+    // dir populates (essentially) every doc-hash bucket
+    val b1 = (0 until 400)
+      .map(i => (i.toLong, s"w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_buckets").toString
+    PrefixIndex.build(b1, dir)
+    val totalBuckets = new java.io.File(s"$dir/postings")
+      .listFiles().count(_.getName.startsWith("db="))
+    assert(totalBuckets >= 32, s"expected a populated bucket layout, got $totalBuckets")
+    // tiny batch: near-dups exactly one stored doc → ONE candidate
+    val b2 = Seq((1000L, "w7a w7b w7c w7d")).toDF("doc_id", "text")
+    val (pairs, _, _, _) =
+      PrefixIndex.ingestPairs(b2, dir, 4, 5, bands = 1,
+        budgetBytes = Long.MaxValue)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.collect {
+        case f: FileSourceScanExec => f }
+      case f: FileSourceScanExec => Seq(f)
+    }.flatten
+    val postScans = scans(pairs.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postScans.nonEmpty, "the verify must scan the stored postings")
+    assert(postScans.forall(_.partitionFilters.nonEmpty),
+      "the candidate-bucket restriction must land in partitionFilters")
+    // candidate endpoints = {7, 1000} → ≤ 2 buckets per postings scan
+    // (the verify reads postings twice: id_a side + id_b side)
+    postScans.foreach { s =>
+      val sel = s.selectedPartitions.partitionCount
+      assert(sel >= 1 && sel <= 2,
+        s"one candidate pair must select ≤ 2 of $totalBuckets buckets, got $sel")
+    }
+    // and the pruned plan still finds the planted pair exactly
+    val got = pairs.collect().map(key).toSeq
+    assert(got === Seq((7L, 1000L, 4L, 4L, 4L, 1000L)))
+  }
+
+  test("writer lock (r11, verdict item 2): a live concurrent lease " +
+    "refuses loudly, an expired lease is taken over and cleaned up") {
+    val b1 = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_lock").toString
+    val p1 = PrefixIndex.build(b1, dir).collect().map(key).toSeq
+    val lock = new java.io.File(dir, "_writer.lock")
+    assert(!lock.exists(), "build must release its lease")
+    // a LIVE concurrent writer: future expiry → loud refusal, no append
+    val w = new java.io.PrintWriter(lock)
+    w.println(s"expiry=${System.currentTimeMillis() + 3600000L}"); w.close()
+    val ex = intercept[IllegalStateException] {
+      PrefixIndex.appendBatch(b2, dir)
+    }
+    assert(ex.getMessage.contains("concurrent writer"))
+    assert(spark.read.parquet(s"$dir/sizes").count() === 2,
+      "the refused append must not have committed anything")
+    // an EXPIRED lease (crashed writer): taken over, append proceeds
+    val w2 = new java.io.PrintWriter(lock)
+    w2.println(s"expiry=${System.currentTimeMillis() - 1000L}"); w2.close()
+    val p2 = PrefixIndex.appendBatch(b2, dir).collect().map(key).toSeq
+    assert(!lock.exists(), "the successful append must release the lease")
+    assert((p1 ++ p2).sorted === oneShot(b1.unionByName(b2)))
+  }
+
+  test("a crashed marker append (epoch/ or an aux dir with only " +
+    "_temporary, no committed files) reads as absent, not as a bricked " +
+    "index (r10 ADVICE)") {
+    val b1 = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val b3 = Seq((20L, "a b c e f")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_crashdir").toString
+    val p1 = PrefixIndex.build(b1, dir).collect().map(key).toSeq
+    val p2 = PrefixIndex.appendBatch(b2, dir).collect().map(key).toSeq
+    // crash DURING the first-ever epoch marker append: the dir exists
+    // but holds only an uncommitted _temporary tree
+    assert(new java.io.File(s"$dir/epoch/_temporary").mkdirs())
+    assert(PrefixIndex.currentEpoch(spark, dir) === 0L,
+      "an uncommitted epoch/ dir must read as epoch 0, not throw")
+    // same state in an aux dir: pdf/ wiped to an uncommitted shell —
+    // the valve path must backfill, not throw schema inference errors
+    val pdfP = new org.apache.hadoop.fs.Path(s"$dir/pdf")
+    pdfP.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pdfP, true)
+    assert(new java.io.File(s"$dir/pdf/_temporary").mkdirs())
+    val p3 = PrefixIndex.appendBatch(b3, dir, bands = 0, budgetBytes = 300L)
+      .collect().map(key).toSeq
+    // the index still compacts (real marker commits over the shell)
+    assert(PrefixIndex.compact(spark, dir) === 1L)
+    val p4 = PrefixIndex.appendBatch(
+      Seq((30L, "a b c d x")).toDF("doc_id", "text"), dir)
+      .collect().map(key).toSeq
+    assert((p1 ++ p2 ++ p3 ++ p4).sorted === oneShot(
+      b1.unionByName(b2).unionByName(b3)
+        .unionByName(Seq((30L, "a b c d x")).toDF("doc_id", "text"))))
+  }
+
+  test("pre-r11 unbucketed layout: reads work unpruned, appends match " +
+    "the legacy schema, and compact() migrates to the bucketed layout") {
+    val b1 = Seq((0L, "a b c d q"), (1L, "a b c d e"), (2L, "m n o p"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d q"), (11L, "m n o p r")).toDF("doc_id", "text")
+    val b3 = Seq((20L, "a b c d e f"), (21L, "m n o p")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_prer11").toString
+    val p1 = PrefixIndex.build(b1, dir).collect().map(key).toSeq
+    // strip the bucket layout: rewrite every data dir unbucketed, as a
+    // pre-r11 build would have left it
+    for ((n, bc) <- Seq("df" -> "tb", "postings" -> "db", "prefix" -> "tb",
+        "sizes" -> "db", "pdf" -> "tb")) {
+      val flat = spark.read.parquet(s"$dir/$n").drop(bc).localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      flat.write.parquet(s"$dir/$n")
+    }
+    // ingest against the legacy layout: unpruned reads, matching append
+    val p2 = PrefixIndex.appendBatch(b2, dir).collect().map(key).toSeq
+    assert(!spark.read.parquet(s"$dir/prefix").columns.contains("tb"),
+      "append into a legacy dir must keep the legacy schema")
+    // migration: compact rewrites everything bucket-partitioned
+    assert(PrefixIndex.compact(spark, dir) === 1L)
+    assert(spark.read.parquet(s"$dir/prefix_e1").columns.contains("tb"),
+      "compact must migrate prefix/ to the bucketed layout")
+    assert(spark.read.parquet(s"$dir/postings_e1").columns.contains("db"),
+      "compact must migrate postings/ to the bucketed layout")
+    val p3 = PrefixIndex.appendBatch(b3, dir).collect().map(key).toSeq
+    assert((p1 ++ p2 ++ p3).sorted ===
+      oneShot(b1.unionByName(b2).unionByName(b3)))
+  }
+
   test("sf0.001 documents: split-corpus ingest equals the one-shot join") {
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
     val mid = docs.agg(max("doc_id")).first().getLong(0) / 2

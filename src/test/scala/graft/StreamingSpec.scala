@@ -162,6 +162,54 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.select("user_id").as[Long].head() === 1L)
   }
 
+  test("T3 funnelFrom: a drained query's state rebuilt offline via " +
+    "foldFunnel and seeded through initialState completes cross-phase " +
+    "funnels exactly (r11 rescale path; soak: FunnelRescaleSoak)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("view", "click", "purchase")
+    // phase 1: user 1 completed; user 2 mid-funnel; user 3 just started
+    val phase1 = Seq(
+      EventStream.Event(1L, ts(0), 1L, "view", 0.0),
+      EventStream.Event(2L, ts(1), 1L, "click", 0.0),
+      EventStream.Event(3L, ts(2), 1L, "purchase", 0.0),
+      EventStream.Event(4L, ts(0), 2L, "view", 0.0),
+      EventStream.Event(5L, ts(1), 2L, "click", 0.0),
+      EventStream.Event(6L, ts(0), 3L, "view", 0.0))
+    val in1 = MemoryStream[EventStream.Event]
+    in1.addData(phase1: _*)
+    val out1 = runStream("t3_rescale_p1",
+      EventStream.funnel(in1.toDS(), stages, timeoutMs = 0L).toDF())
+    assert(out1.count() === 1)
+    // offline rebuild from the phase-1 landing data — the SAME
+    // transition function the live query ran
+    val rebuilt = phase1.toDS().groupByKey(_.user_id)
+      .flatMapGroups { (u: Long, it: Iterator[EventStream.Event]) =>
+        val (st, _) = EventStream.foldFunnel(stages, u,
+          EventStream.FunnelState(0, 0L, 0L), it)
+        if (st.stage == 0) Iterator.empty else Iterator((u, st))
+      }
+    val states = rebuilt.collect().toMap
+    assert(states.keySet === Set(2L, 3L), "completed users hold no state")
+    assert(states(2L).stage === 2 && states(3L).stage === 1)
+    // phase 2: a FRESH query seeded with the rebuilt state
+    val initial = rebuilt.groupByKey(_._1).mapValues(_._2)
+    val in2 = MemoryStream[EventStream.Event]
+    in2.addData(
+      EventStream.Event(7L, ts(10), 2L, "purchase", 0.0), // seeded → completes
+      EventStream.Event(8L, ts(10), 3L, "click", 0.0),    // advances only
+      EventStream.Event(9L, ts(10), 1L, "view", 0.0))     // restarts, no dup
+    val out2 = runStream("t3_rescale_p2",
+      EventStream.funnelFrom(in2.toDS(), stages, initial,
+        timeoutMs = 0L).toDF())
+    val hits2 = out2.select("user_id").as[Long].collect().toSeq
+    assert(hits2 === Seq(2L),
+      s"exactly the seeded mid-funnel user completes, got $hits2")
+    // the duration spans the RESCALE: view at phase-1 ts(0), purchase at
+    // phase-2 ts(10) — the seeded startUs survived the migration
+    assert(out2.filter(col("user_id") === 2L)
+      .select("duration_sec").as[Double].head() === 600.0)
+  }
+
   test("T5 stream-stream join matches purchases to views within the window") {
     implicit val sqlCtx = spark.sqlContext
     val vIn = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
