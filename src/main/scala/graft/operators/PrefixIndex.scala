@@ -253,6 +253,25 @@ object PrefixIndex {
     } else raw
   }
 
+  /** True iff the dir is ABSENT/EMPTY (fresh dirs take the bucketed
+    * layout) or already carries `<bucketCol>=` partition children — one
+    * fs listing, no parquet footer reads (the per-append layout probe
+    * must not cost a schema inference per dir). */
+  private def dirBucketed(spark: SparkSession, path: String,
+                          bucketCol: String): Boolean = {
+    val fs = hadoopFs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) true
+    else {
+      val children = fs.listStatus(p)
+      children.exists(_.getPath.getName.startsWith(s"$bucketCol=")) ||
+        !children.exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        } // only metadata/_temporary inside — treat as fresh
+    }
+  }
+
   /** Append/overwrite a frame matching the layout the dir already has:
     * fresh dirs get the bucketed layout; a legacy dir keeps its
     * unbucketed schema until [[compact]] migrates it. The small
@@ -262,9 +281,7 @@ object PrefixIndex {
                         mode: String): Unit = {
     val spark = df.sparkSession
     val bucketCol = dataDirs.toMap.getOrElse(name, "")
-    val bucketed = bucketCol.nonEmpty &&
-      (!hasData(spark, path) ||
-        spark.read.parquet(path).columns.contains(bucketCol))
+    val bucketed = bucketCol.nonEmpty && dirBucketed(spark, path, bucketCol)
     if (bucketed)
       df.withColumn(bucketCol, bucketExprFor(name))
         .repartition(col(bucketCol))
@@ -277,17 +294,62 @@ object PrefixIndex {
   private def leaseMs: Long =
     sys.env.get("GRAFT_PREFIX_LEASE_MS").map(_.toLong).getOrElse(15L * 60 * 1000)
 
+  /** Bounded wait budget for a HELD (unexpired) lease. 0 (default) =
+    * refuse immediately — detect-and-refuse is the safe default for a
+    * landing zone that should not have parallel lanes. > 0 = parallel
+    * ingest lanes SERIALIZE: a writer polls until the lease frees (or
+    * the budget runs out, then throws) and proceeds against the state
+    * the previous writer committed — correctness is untouched because
+    * currentEpoch/known-ids are read INSIDE the held lease, and the
+    * pair contract ("≥ 1 new endpoint") makes the union of any
+    * serialization order equal the one-shot join (spec-pinned with two
+    * genuinely concurrent appendBatch threads). System property
+    * `graft.prefix.lockWaitMs` overrides the env for tests. */
+  private def lockWaitMs: Long =
+    sys.props.get("graft.prefix.lockWaitMs").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_PREFIX_LOCK_WAIT_MS").map(_.toLong))
+      .getOrElse(0L)
+
+  /** In-process writer monitors, one per index dir: the file lease's
+    * create-no-overwrite is atomic ACROSS processes on HDFS/object
+    * stores, but the local-FS approximation (check-then-create) can
+    * admit two threads of the SAME JVM simultaneously — so in-process
+    * writers serialize on a JVM lock first and the file lease covers
+    * the cross-process story. */
+  private val processLocks =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.locks.ReentrantLock]()
+
   /** Acquire the writer lease or fail loudly. Create-no-overwrite is
     * the atomicity primitive (atomic on HDFS; conditional put on an
-    * object store). A live lease from another writer throws — never
-    * silent interleaving; an EXPIRED lease is taken over (the previous
-    * writer crashed — its partial appends heal via the marker
-    * discipline like any crash). */
+    * object store). A live lease from another writer waits up to
+    * [[lockWaitMs]] (default 0) then throws — never silent
+    * interleaving; an EXPIRED lease is taken over (the previous writer
+    * crashed — its partial appends heal via the marker discipline like
+    * any crash). */
   private[graft] def acquireLock(spark: SparkSession, dir: String): Unit = {
+    val jl = processLocks.computeIfAbsent(dir,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    val gotJvm =
+      if (lockWaitMs > 0)
+        jl.tryLock(lockWaitMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      else jl.tryLock()
+    if (!gotJvm)
+      throw new IllegalStateException(
+        s"PrefixIndex: concurrent writer (same process) holds $dir — " +
+          "single-writer contract; refusing rather than silently " +
+          "interleaving appends (set GRAFT_PREFIX_LOCK_WAIT_MS to " +
+          "serialize parallel lanes)")
+    try acquireLease(spark, dir)
+    catch { case t: Throwable => jl.unlock(); throw t }
+  }
+
+  private def acquireLease(spark: SparkSession, dir: String): Unit = {
     val fs = hadoopFs(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir, "_writer.lock")
     fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    var attempts = 0
+    val waitDeadline = System.currentTimeMillis() + lockWaitMs
+    var takeovers = 0
     var done = false
     while (!done) {
       try {
@@ -297,7 +359,6 @@ object PrefixIndex {
         done = true
       } catch {
         case _: java.io.IOException =>
-          attempts += 1
           val expiry =
             try {
               val in = fs.open(p)
@@ -306,16 +367,28 @@ object PrefixIndex {
               txt.linesIterator.find(_.startsWith("expiry="))
                 .map(_.drop("expiry=".length).trim.toLong).getOrElse(0L)
             } catch { case scala.util.control.NonFatal(_) => 0L }
-          if (System.currentTimeMillis() < expiry)
-            throw new IllegalStateException(
-              s"PrefixIndex: concurrent writer holds $p (lease expires at " +
-                s"$expiry) — single-writer contract; refusing rather than " +
-                "silently interleaving appends")
-          if (attempts > 5)
-            throw new IllegalStateException(
-              s"PrefixIndex: could not acquire $p after $attempts attempts")
-          try fs.delete(p, false) // stale lease takeover
-          catch { case scala.util.control.NonFatal(_) => () }
+          if (System.currentTimeMillis() < expiry) {
+            // a LIVE lease: wait inside the budget, else refuse loudly
+            if (System.currentTimeMillis() + 200 > waitDeadline)
+              throw new IllegalStateException(
+                s"PrefixIndex: concurrent writer holds $p (lease expires at " +
+                  s"$expiry) — single-writer contract; refusing rather than " +
+                  "silently interleaving appends (set " +
+                  "GRAFT_PREFIX_LOCK_WAIT_MS to serialize parallel lanes)")
+            Thread.sleep(200)
+          } else {
+            takeovers += 1
+            if (takeovers > 5)
+              throw new IllegalStateException(
+                s"PrefixIndex: could not acquire $p after $takeovers takeover attempts")
+            // local-FS approximation: two waiters racing the SAME stale
+            // lease could both delete (the second deleting the first's
+            // fresh lease). Real stores close this with delete-if-match
+            // (HDFS rename, object-store etag conditional delete) — the
+            // lease CONTENT protocol is store-agnostic.
+            try fs.delete(p, false) // stale lease takeover
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
       }
     }
   }
@@ -324,6 +397,8 @@ object PrefixIndex {
     try hadoopFs(spark, dir)
       .delete(new org.apache.hadoop.fs.Path(dir, "_writer.lock"), false)
     catch { case scala.util.control.NonFatal(_) => () }
+    val jl = processLocks.get(dir)
+    if (jl != null && jl.isHeldByCurrentThread) jl.unlock()
   }
 
   private def withLock[T](spark: SparkSession, dir: String)(body: => T): T = {
@@ -516,7 +591,8 @@ object PrefixIndex {
     * can be driven — and its stored reads PRUNED — from the realized
     * candidate set. */
   private def candidatesOf(prefA: DataFrame, prefB: DataFrame,
-                           tn: Int, td: Int, bands: Int): DataFrame = {
+                           tn: Int, td: Int, bands: Int,
+                           materialize: Boolean = true): DataFrame = {
     def bandCands(b: Int): DataFrame = {
       val pa0 =
         if (bands == 1) prefA
@@ -535,8 +611,10 @@ object PrefixIndex {
           greatest(col("ia"), col("ib")).as("id_b"))
         .distinct()
     }
-    if (bands == 1) bandCands(0).localCheckpoint(true)
-    else (0 until bands).map { b =>
+    if (bands == 1) {
+      val c = bandCands(0)
+      if (materialize) c.localCheckpoint(true) else c
+    } else (0 until bands).map { b =>
       val out = bandCands(b).localCheckpoint(true) // band-bounded id pairs
       System.gc() // best-effort shuffle-file release (dd22 discipline)
       out
@@ -622,8 +700,12 @@ object PrefixIndex {
       val sizes = readData(spark, s"$dir/sizes", "db", None)
       val eff = resolveBands(bands,
         autoBands(stored, stored, selfJoin = true, sizes, budgetBytes))
+      // at build the verify reads whole dirs anyway (stored side IS the
+      // batch) — keep the candidate plan LAZY; materialization is only
+      // the ingest path's pruning driver
       val cands = candidatesOf(stored,
-        stored.withColumn("is_old", lit(false)), tn, td, eff)
+        stored.withColumn("is_old", lit(false)), tn, td, eff,
+        materialize = eff > 1)
       verifyOf(cands, readData(spark, s"$dir/postings", "db", None),
         sizes, tn, td, eff)
     } finally releaseLock(spark, dir)

@@ -363,6 +363,34 @@ class PrefixIndexSpec extends SparkSpecBase {
     assert((p1 ++ p2).sorted === oneShot(b1.unionByName(b2)))
   }
 
+  test("concurrent writers with a wait budget SERIALIZE: two genuinely " +
+    "concurrent appendBatch threads both commit, union equals the " +
+    "one-shot join (r11, verdict item 2 'at best' clause)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val b1 = Seq((0L, "a b c d"), (1L, "a b c e")).toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d"), (11L, "f g h i")).toDF("doc_id", "text")
+    val b3 = Seq((20L, "a b c e x"), (21L, "f g h i j")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_serialize").toString
+    val p1 = PrefixIndex.build(b1, dir).collect().map(key).toSeq
+    System.setProperty("graft.prefix.lockWaitMs", "60000")
+    try {
+      val f2 = Future(PrefixIndex.appendBatch(b2, dir).collect().map(key).toSeq)
+      val f3 = Future(PrefixIndex.appendBatch(b3, dir).collect().map(key).toSeq)
+      val p2 = Await.result(f2, 5.minutes)
+      val p3 = Await.result(f3, 5.minutes)
+      // whichever lane ingested second saw the first lane's commit as
+      // "old" — the union is order-independently the one-shot join
+      assert((p1 ++ p2 ++ p3).sorted ===
+        oneShot(b1.unionByName(b2).unionByName(b3)))
+      // both lanes' docs are durably committed exactly once
+      assert(spark.read.parquet(s"$dir/sizes")
+        .select("doc_id").distinct().count() === 6)
+    } finally System.clearProperty("graft.prefix.lockWaitMs")
+  }
+
   test("a crashed marker append (epoch/ or an aux dir with only " +
     "_temporary, no committed files) reads as absent, not as a bricked " +
     "index (r10 ADVICE)") {
