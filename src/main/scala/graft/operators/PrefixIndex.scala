@@ -35,7 +35,12 @@ import org.apache.spark.sql.functions._
   * (`postings/`, `sizes/`) by `db = pmod(xxhash64(doc_id), B)`
   * (B = `GRAFT_PREFIX_BUCKETS`, default 64; raise it with the corpus —
   * bucket dirs are partition-pruned parquet, so B is a layout constant
-  * like a Hive bucket count, not a shuffle width). An ingest then
+  * like a Hive bucket count, not a shuffle width). The modulus actually
+  * used for pruning and appends is PERSISTED with the layout
+  * (`_buckets_e<N>` — pruning with a different modulus than the files
+  * were partitioned with would silently drop true pairs), so changing
+  * the env only takes effect through a rewrite: RESIZE = set the env,
+  * run [[compact]] (spec-pinned 8 → 32). An ingest then
   * reads ONLY the buckets its batch touches:
   *  - `df/`, `prefix/`, `pdf/` pruned to the batch's token buckets
   *    (an inner/left join on `tok` cannot match outside them);
@@ -153,11 +158,51 @@ object PrefixIndex {
   private def defaultCompactFiles: Long =
     sys.env.get("GRAFT_PREFIX_COMPACT_FILES").map(_.toLong).getOrElse(256L)
 
-  /** Hash-bucket count for the point-lookup layout (see scaladoc). A
-    * layout constant: changing it only affects NEW builds/compactions —
-    * reads derive the partition set from the dirs, not the env. */
+  /** Hash-bucket count for NEW layouts (see scaladoc) — what [[build]]
+    * and [[compact]] write. The count actually USED for pruning and
+    * appends is the one PERSISTED with the layout ([[layoutBuckets]],
+    * `_buckets_e<N>`): pruning with a different modulus than the files
+    * were partitioned with would silently drop true pairs, so the env
+    * only ever takes effect through a rewrite. That also makes RESIZE a
+    * supported operation: set the env, run [[compact]] — the rewrite
+    * re-derives every bucket column at the new count and commits the
+    * new `_buckets` marker with the epoch. System property
+    * `graft.prefix.buckets` overrides the env for tests. */
   private def bucketCount: Int =
-    sys.env.get("GRAFT_PREFIX_BUCKETS").map(_.toInt).getOrElse(64)
+    sys.props.get("graft.prefix.buckets").map(_.toInt)
+      .orElse(sys.env.get("GRAFT_PREFIX_BUCKETS").map(_.toInt))
+      .getOrElse(64)
+
+  /** The bucket count epoch `ep`'s layout was WRITTEN with — the only
+    * modulus pruning/appends may use. Recorded by build/compact
+    * (`_buckets_e<N>`, after the data, before/with the commit
+    * discipline: a missing marker — crash window or a dir from before
+    * the marker existed — falls back to the current [[bucketCount]],
+    * which is only UNSAFE if the env ALSO changed inside that window;
+    * compact() heals it). */
+  private def layoutBuckets(spark: SparkSession, dir: String,
+                            ep: Long): Int = {
+    val fs = hadoopFs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, s"_buckets_e$ep")
+    if (!fs.exists(p)) bucketCount
+    else try {
+      val in = fs.open(p)
+      val txt = scala.io.Source.fromInputStream(in).mkString
+      in.close()
+      txt.trim.toInt
+    } catch { case scala.util.control.NonFatal(_) => bucketCount }
+  }
+
+  private def writeBucketsMarker(spark: SparkSession, dir: String,
+                                 ep: Long, b: Int): Unit = {
+    try {
+      val fs = hadoopFs(spark, dir)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, s"_buckets_e$ep"), true)
+      out.writeBytes(b.toString)
+      out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
 
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
@@ -224,17 +269,17 @@ object PrefixIndex {
     "df" -> "tb", "postings" -> "db", "prefix" -> "tb",
     "sizes" -> "db", "pdf" -> "tb", "stats" -> "")
 
-  private def bucketExprFor(name: String): Column =
+  private def bucketExprFor(name: String, b: Int): Column =
     if (dataDirs.toMap.getOrElse(name, "") == "tb")
-      pmod(xxhash64(col("tok")), lit(bucketCount)).cast("int")
-    else pmod(xxhash64(col("doc_id")), lit(bucketCount)).cast("int")
+      pmod(xxhash64(col("tok")), lit(b)).cast("int")
+    else pmod(xxhash64(col("doc_id")), lit(b)).cast("int")
 
   /** Bucket ids (as ints) a key column's values hash into — a bounded
     * driver-side list (≤ B values by construction), collected once per
     * ingest to drive partition pruning. The bounded-collect class: the
     * result is a partition-dir selector, never data. */
-  private def bucketsOf(df: DataFrame, key: String): Seq[Int] =
-    df.select(pmod(xxhash64(col(key)), lit(bucketCount)).cast("int").as("b"))
+  private def bucketsOf(df: DataFrame, key: String, b: Int): Seq[Int] =
+    df.select(pmod(xxhash64(col(key)), lit(b)).cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
 
   /** Read a stored frame, partition-pruned to `buckets` when the dir
@@ -278,12 +323,12 @@ object PrefixIndex {
     * repartition-by-bucket shuffle is O(frame being written) and bounds
     * the append to ≤ 1 file per touched bucket. */
   private def writeData(df: DataFrame, path: String, name: String,
-                        mode: String): Unit = {
+                        mode: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     val bucketCol = dataDirs.toMap.getOrElse(name, "")
     val bucketed = bucketCol.nonEmpty && dirBucketed(spark, path, bucketCol)
     if (bucketed)
-      df.withColumn(bucketCol, bucketExprFor(name))
+      df.withColumn(bucketCol, bucketExprFor(name, buckets))
         .repartition(col(bucketCol))
         .write.mode(mode).partitionBy(bucketCol).parquet(path)
     else df.write.mode(mode).parquet(path)
@@ -421,7 +466,7 @@ object PrefixIndex {
       writeData(
         readData(spark, dataPath(dir, "prefix", ep), "tb", None)
           .groupBy("tok").agg(count(lit(1)).cast("long").as("c")),
-        pdfP, "pdf", "overwrite")
+        pdfP, "pdf", "overwrite", layoutBuckets(spark, dir, ep))
     val stP = dataPath(dir, "stats", ep)
     if (!hasData(spark, stP))
       readData(spark, dataPath(dir, "sizes", ep), "db", None)
@@ -462,6 +507,7 @@ object PrefixIndex {
     val e = currentEpoch(spark, dir)
     ensureAux(spark, dir, e) // pre-r10 indexes lack the aux dirs
     val next = e + 1
+    val newB = bucketCount // the rewrite is where a RESIZE takes effect
     dataDirs.foreach { case (n, bucketCol) =>
       val src = dataPath(dir, n, e)
       val df0 = readData(spark, src, bucketCol, None)
@@ -481,14 +527,16 @@ object PrefixIndex {
         // task → ≤ 1 file per bucket; `parts` bounds task memory. A
         // single bucket past 128 MB stays one file — raise
         // GRAFT_PREFIX_BUCKETS with the corpus (layout constant).
-        squashed.withColumn(bucketCol, bucketExprFor(n))
+        squashed.withColumn(bucketCol, bucketExprFor(n, newB))
           .repartition(math.max(parts, 1), col(bucketCol))
           .write.mode("overwrite").partitionBy(bucketCol).parquet(dst)
     }
     spark.range(1).select(lit(next).cast("long").as("e"))
       .write.mode("append").parquet(s"$dir/epoch") // COMMIT marker — last
-    // post-commit bookkeeping: the auto-compaction baseline (ADVICE —
-    // growth since last compact, not absolute count), then garbage
+    // post-commit bookkeeping: the layout's bucket count, the
+    // auto-compaction baseline (ADVICE — growth since last compact, not
+    // absolute count), then garbage
+    writeBucketsMarker(spark, dir, next, newB)
     val fs = hadoopFs(spark, dir)
     try {
       val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"cbase_e$next"), true)
@@ -680,22 +728,24 @@ object PrefixIndex {
           try fs.delete(st.getPath, true)
           catch { case scala.util.control.NonFatal(_) => () }
         }
+      val b = bucketCount
+      writeBucketsMarker(spark, dir, 0L, b) // the layout's modulus, first
       val e = tokens(docs).localCheckpoint(true)
       writeData(e.groupBy("tok").agg(count(lit(1)).as("df")),
-        s"$dir/df", "df", "overwrite")
-      writeData(e, s"$dir/postings", "postings", "overwrite")
+        s"$dir/df", "df", "overwrite", b)
+      writeData(e, s"$dir/postings", "postings", "overwrite", b)
       val pref = prefixOf(e, readData(spark, s"$dir/df", "tb", None), tn, td)
-      writeData(pref, s"$dir/prefix", "prefix", "overwrite")
+      writeData(pref, s"$dir/prefix", "prefix", "overwrite", b)
       // valve-estimate aux state (estimate metadata only — see scaladoc)
       writeData(readData(spark, s"$dir/prefix", "tb", None).groupBy("tok")
           .agg(count(lit(1)).cast("long").as("c")),
-        s"$dir/pdf", "pdf", "overwrite")
+        s"$dir/pdf", "pdf", "overwrite", b)
       val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
         .localCheckpoint(true) // stats + the sizes marker read it
       sz.agg(count(lit(1)).cast("long").as("docs"),
           coalesce(sum("n"), lit(0L)).cast("long").as("sum_n"))
         .write.mode("overwrite").parquet(s"$dir/stats")
-      writeData(sz, s"$dir/sizes", "sizes", "overwrite") // commit marker last
+      writeData(sz, s"$dir/sizes", "sizes", "overwrite", b) // commit marker last
       val stored = readData(spark, s"$dir/prefix", "tb", None)
       val sizes = readData(spark, s"$dir/sizes", "db", None)
       val eff = resolveBands(bands,
@@ -733,20 +783,21 @@ object PrefixIndex {
     withLock(newDocs.sparkSession, dir) {
       val spark = newDocs.sparkSession
       val ep = currentEpoch(spark, dir)
+      val b = layoutBuckets(spark, dir, ep)
       val (pairsPlan, eNew, prefNew, szNew) =
         ingestPairs(newDocs, dir, tn, td, bands, budgetBytes)
       val pairs = pairsPlan
         .localCheckpoint(true) // materialize BEFORE the appends below
-      writeData(prefNew, dataPath(dir, "prefix", ep), "prefix", "append")
-      writeData(eNew, dataPath(dir, "postings", ep), "postings", "append")
+      writeData(prefNew, dataPath(dir, "prefix", ep), "prefix", "append", b)
+      writeData(eNew, dataPath(dir, "postings", ep), "postings", "append", b)
       // estimate-aux BEFORE the marker: a crash in between only inflates
       // a future estimate (safe direction), never loses a committed delta
       writeData(prefNew.groupBy("tok").agg(count(lit(1)).cast("long").as("c")),
-        dataPath(dir, "pdf", ep), "pdf", "append")
+        dataPath(dir, "pdf", ep), "pdf", "append", b)
       szNew.agg(count(lit(1)).cast("long").as("docs"),
           coalesce(sum("n"), lit(0L)).cast("long").as("sum_n"))
         .write.mode("append").parquet(dataPath(dir, "stats", ep))
-      writeData(szNew, dataPath(dir, "sizes", ep), "sizes", "append") // marker
+      writeData(szNew, dataPath(dir, "sizes", ep), "sizes", "append", b) // marker
       // auto-compaction policy (see [[defaultCompactFiles]]): growth
       // since the last compaction, measured on the committed state AFTER
       // the marker, so a crash inside compact() can never orphan this
@@ -774,13 +825,16 @@ object PrefixIndex {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
     val ep = currentEpoch(spark, dir)
+    // the PERSISTED layout modulus — pruning with any other count would
+    // silently drop true pairs (see [[layoutBuckets]])
+    val b = layoutBuckets(spark, dir, ep)
     // bounded bucket selectors (≤ B ints each — partition-dir lists)
-    val newIdBuckets = bucketsOf(newDocs, "doc_id")
+    val newIdBuckets = bucketsOf(newDocs, "doc_id", b)
     val known = readData(spark, dataPath(dir, "sizes", ep), "db",
       Some(newIdBuckets)).select("doc_id")
     val fresh = newDocs.join(known, Seq("doc_id"), "left_anti")
     val eNew = tokens(fresh).localCheckpoint(true)
-    val tokBuckets = bucketsOf(eNew, "tok")
+    val tokBuckets = bucketsOf(eNew, "tok", b)
     val prefNew = prefixOf(eNew,
         readData(spark, dataPath(dir, "df", ep), "tb", Some(tokBuckets)),
         tn, td)
@@ -802,7 +856,7 @@ object PrefixIndex {
     // (near) nothing from the two big stored frames
     val candBuckets =
       bucketsOf(cands.select(col("id_a").as("doc_id"))
-        .unionByName(cands.select(col("id_b").as("doc_id"))), "doc_id")
+        .unionByName(cands.select(col("id_b").as("doc_id"))), "doc_id", b)
     val postAll = readData(spark, dataPath(dir, "postings", ep), "db",
         Some(candBuckets))
       .unionByName(eNew)

@@ -806,6 +806,13 @@ object Similarity {
     // (pinned per-round by dd9_semantic_recall below) — the
     // structureless synthetic corpus needs the multi-assignment margin,
     // exactly like sim5's high nProbe (PLANS.md "r4 continuation").
+    // r11: the operating point is a per-round TRACKED SWEEP
+    // (RecallProbe dd9_recall_sweep — sf0.1: nAssign 2 → 0.767,
+    // 4 → 0.997, 8 → 1.0): the 0.997 residue at the default is
+    // boundary-cell pairs whose vectors never co-occur in 4 cells, and
+    // it CLOSES at nAssign=8 — purchasable recall, not a ceiling; 4
+    // stays the default because the pair work grows ~nAssign² within
+    // clusters and 0.997 is the documented cost/recall knee.
     Q.rowsOnly("dd9_semantic_dedup", "fixpoint")((s, d) => semanticDedup(s, d)),
 
     // L7r/L33r/L32r/L37r — recall CERTIFICATES (r7 judge item 2): each

@@ -456,6 +456,44 @@ class PrefixIndexSpec extends SparkSpecBase {
       oneShot(b1.unionByName(b2).unionByName(b3)))
   }
 
+  test("bucket-count RESIZE: ingests prune with the PERSISTED layout " +
+    "modulus even after the env changes, and compact() re-buckets at " +
+    "the new count (r11 — the silent-misprune trap)") {
+    val b1 = Seq((0L, "a b c d q"), (1L, "a b c d e"), (2L, "m n o p"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((10L, "a b c d q"), (11L, "m n o p r")).toDF("doc_id", "text")
+    val b3 = Seq((20L, "a b c d e f"), (21L, "m n o p")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefix_index_resize").toString
+    System.setProperty("graft.prefix.buckets", "8")
+    val got = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, Long, Long, Long)]
+    try {
+      got ++= PrefixIndex.build(b1, dir).collect().map(key)
+      // the operator changes the modulus WITHOUT a rewrite — ingests
+      // MUST keep pruning with the persisted 8 or they drop true pairs
+      // (b2 near-dups b1 docs; a 32-modulus prune of 8-bucket dirs
+      // would miss the stored prefix/postings rows)
+      System.setProperty("graft.prefix.buckets", "32")
+      got ++= PrefixIndex.appendBatch(b2, dir).collect().map(key)
+      // every bucket value in the dir stays < 8: the append used the
+      // PERSISTED modulus, not the changed env
+      def bucketVals(d: String) = new java.io.File(d).listFiles().toSeq
+        .map(_.getName).filter(_.startsWith("db="))
+        .map(_.stripPrefix("db=").toInt)
+      assert(bucketVals(s"$dir/postings").forall(_ < 8),
+        "appends must keep the persisted 8-bucket layout")
+      // the RESIZE path: compact under the new env re-buckets at 32 and
+      // commits the new modulus with the epoch
+      assert(PrefixIndex.compact(spark, dir) === 1L)
+      val marker = scala.io.Source.fromFile(s"$dir/_buckets_e1").mkString.trim
+      assert(marker === "32", s"compact must persist the new modulus, got $marker")
+      got ++= PrefixIndex.appendBatch(b3, dir).collect().map(key)
+    } finally System.clearProperty("graft.prefix.buckets")
+    assert(got.sortBy(identity).toSeq ===
+      oneShot(b1.unionByName(b2).unionByName(b3)))
+  }
+
   test("sf0.001 documents: split-corpus ingest equals the one-shot join") {
     val docs = Tables.documents(spark, sf0001).select(col("doc_id"), col("text"))
     val mid = docs.agg(max("doc_id")).first().getLong(0) / 2
