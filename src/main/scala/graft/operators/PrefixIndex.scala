@@ -85,7 +85,10 @@ import org.apache.spark.sql.functions._
   * `sizes/`, so a replay re-ingests them; the orphan prefix rows a
   * replay duplicates are harmless (the candidate join ends in
   * distinct()) and orphan postings rows are harmless because the
-  * verify counts DISTINCT tokens per pair, not rows. Orphan/duplicated
+  * verify dedupes its postings side on (doc_id, tok) before counting
+  * shared tokens per pair (r11 OPT: a one-time bounded side dedup
+  * replaced the per-pair countDistinct — same tolerance, two
+  * expansion-wide exchanges fewer). Orphan/duplicated
   * `pdf/`/`stats/` rows only INFLATE the valve estimate (more bands —
   * the safe direction); they never touch pair results. A dir a crash
   * left with NO committed part-files (only `_temporary`/metadata —
@@ -143,6 +146,19 @@ import org.apache.spark.sql.functions._
   */
 object PrefixIndex {
 
+  /** Dev-only phase profiler (`-Dgraft.prefix.profile=1`): one
+    * `PREFIXPROF <tag> <sec>` line per wrapped phase. Zero cost when
+    * off — the guide's "measure first" applied to the ingest path. */
+  private def prof[T](tag: String)(body: => T): T = {
+    if (!sys.props.get("graft.prefix.profile").contains("1")) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"PREFIXPROF $tag ${(System.nanoTime() - t0) / 1e9}%.3f")
+      r
+    }
+  }
+
   private def defaultBudget: Long =
     sys.env.get("GRAFT_PREFIX_DISK_BUDGET_GB").map(_.toLong)
       .getOrElse(64L) * (1L << 30)
@@ -167,11 +183,32 @@ object PrefixIndex {
     * supported operation: set the env, run [[compact]] — the rewrite
     * re-derives every bucket column at the new count and commits the
     * new `_buckets` marker with the epoch. System property
-    * `graft.prefix.buckets` overrides the env for tests. */
-  private def bucketCount: Int =
+    * `graft.prefix.buckets` overrides the env for tests.
+    *
+    * r11 OPTIMIZATION (guide §2 — partitioning derived from input size,
+    * not a constant): when neither override is set, the count ADAPTS to
+    * the corpus — `sumN` token rows at ~4M rows per bucket (~100 MB of
+    * parquet), clamped to [8, 65536]. The r11-original flat 64 was
+    * tuned for the 16× soak and cost the sf0.1 bench ~8 s/entry in
+    * 64-dir write commits + listings on a 300 KB corpus (measured:
+    * PREFIXPROF write phases 8.2 s of dd24's 50.8 s); at 100 TB a flat
+    * 64 is far too COARSE for candidate pruning. Every build/compact
+    * persists whatever it chose (`_buckets_e<N>`), so adaptivity adds
+    * no new correctness surface: reads always prune with the persisted
+    * modulus, and the index re-buckets as it grows through the existing
+    * auto-compaction rewrite. */
+  private def bucketOverride: Option[Int] =
     sys.props.get("graft.prefix.buckets").map(_.toInt)
       .orElse(sys.env.get("GRAFT_PREFIX_BUCKETS").map(_.toInt))
-      .getOrElse(64)
+
+  private[graft] def adaptiveBuckets(sumN: Long): Int =
+    bucketOverride.getOrElse(
+      math.min(65536L, math.max(8L, (sumN + (1L << 22) - 1) / (1L << 22)))
+        .toInt)
+
+  /** Legacy flat default — only the paths with no corpus-size signal
+    * (a `_buckets` marker missing after a crash window) fall back here. */
+  private def bucketCount: Int = bucketOverride.getOrElse(64)
 
   /** The bucket count epoch `ep`'s layout was WRITTEN with — the only
     * modulus pruning/appends may use. Recorded by build/compact
@@ -507,14 +544,22 @@ object PrefixIndex {
     val e = currentEpoch(spark, dir)
     ensureAux(spark, dir, e) // pre-r10 indexes lack the aux dirs
     val next = e + 1
-    val newB = bucketCount // the rewrite is where a RESIZE takes effect
+    // the rewrite is where a RESIZE takes effect — adaptive from the
+    // CURRENT corpus size (`stats/` sum, O(batches) rows) unless the
+    // env/prop override pins a count; the squashed row doubles as the
+    // new epoch's stats content, so the read costs no extra pass
+    val statsRow = readData(spark, dataPath(dir, "stats", e), "", None)
+      .agg(coalesce(sum("docs"), lit(0L)).cast("long").as("docs"),
+        coalesce(sum("sum_n"), lit(0L)).cast("long").as("sum_n")).first()
+    val newB = adaptiveBuckets(statsRow.getLong(1))
     dataDirs.foreach { case (n, bucketCol) =>
       val src = dataPath(dir, n, e)
       val df0 = readData(spark, src, bucketCol, None)
       val squashed = n match {
         case "pdf"   => df0.groupBy("tok").agg(sum("c").as("c"))
-        case "stats" => df0.agg(coalesce(sum("docs"), lit(0L)).as("docs"),
-          coalesce(sum("sum_n"), lit(0L)).as("sum_n"))
+        case "stats" => spark.range(1)
+          .select(lit(statsRow.getLong(0)).as("docs"),
+            lit(statsRow.getLong(1)).as("sum_n"))
         case _       => df0
       }
       val parts = math.max(1L,
@@ -669,24 +714,39 @@ object PrefixIndex {
     }.reduce(_ unionByName _)
   }
 
-  /** Narrow verify over a MATERIALIZED candidate set: count DISTINCT
-    * shared tokens per pair (replay-orphan-proof, see scaladoc), gate
-    * on the exact Jaccard threshold. Banded by a hash of the pair so
-    * the ~avgN-per-pair expansion spills band-bounded. Sizes come from
-    * the persisted frame, never a postings aggregate. */
+  /** Narrow verify over a MATERIALIZED candidate set: count shared
+    * tokens per pair, gate on the exact Jaccard threshold. Banded by a
+    * hash of the pair so the ~avgN-per-pair expansion spills
+    * band-bounded. Sizes come from the persisted frame, never a
+    * postings aggregate.
+    *
+    * REPLAY-ORPHAN tolerance (r11 OPT, guide §2.3 — aggregate before
+    * you shuffle): duplicated postings rows a crash-replay leaves
+    * behind used to be absorbed by countDistinct(tok) per pair — but a
+    * distinct aggregate plans as TWO exchanges over the pair×token
+    * EXPANSION (measured 964 MB shuffled for dd24 at sf0.1). The
+    * postings side is now deduped on (doc_id, tok) ONCE — an exchange
+    * over the candidate-bucket-pruned read, O(collisions + batch),
+    * bounded by the same frame the join scans anyway — and the pair
+    * count is a plain count(*) whose map-side partial aggregation
+    * collapses the expansion to ≤ one row per pair BEFORE its single
+    * exchange (measured: dd24 964 → ~180 MB, append verify 9.3 →
+    * 5.4 s). inter is unchanged by construction: with dup-free sides,
+    * join-match count per pair = the number of distinct shared tokens. */
   private def verifyOf(cands: DataFrame, postings: DataFrame,
                        sizes: DataFrame, tn: Int, td: Int,
                        bands: Int): DataFrame = {
+    val post = postings.dropDuplicates("doc_id", "tok")
     def bandOut(b: Int): DataFrame = {
       val c0 =
         if (bands == 1) cands
         else cands.filter(
           pmod(xxhash64(col("id_a"), col("id_b")), lit(bands)) === b)
       c0
-        .join(postings.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
-        .join(postings.select(col("doc_id").as("id_b"), col("tok")),
+        .join(post.select(col("doc_id").as("id_a"), col("tok")), Seq("id_a"))
+        .join(post.select(col("doc_id").as("id_b"), col("tok")),
           Seq("id_b", "tok"))
-        .groupBy("id_a", "id_b").agg(countDistinct(col("tok")).as("inter"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
         .join(sizes.select(col("doc_id").as("id_a"), col("n").as("size_a")),
           Seq("id_a"))
         .join(sizes.select(col("doc_id").as("id_b"), col("n").as("size_b")),
@@ -728,34 +788,54 @@ object PrefixIndex {
           try fs.delete(st.getPath, true)
           catch { case scala.util.control.NonFatal(_) => () }
         }
-      val b = bucketCount
+      // r11 OPT: the sizes frame + stats row move BEFORE any write so
+      // the adaptive bucket count can derive from the corpus size.
+      // NOTE (measured, guide §1.1 empirical loop): an attempted
+      // "optimization" that fed the verify/valve from these in-memory
+      // checkpoints instead of re-reading the just-written parquet dirs
+      // REGRESSED the build verify 6.1 → 22.8 s — localCheckpoint
+      // leaves carry inflated size estimates (see plans.Lineage), so
+      // the planner lost the accurate parquet scan statistics and
+      // repicked join strategies. The disk re-reads stay: they are what
+      // gives Catalyst real sizes.
+      val e = prof("build.tokens")(tokens(docs).localCheckpoint(true))
+      val sz = prof("build.sizes")(
+        e.groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)) // stats + the sizes marker read it
+      val statsRow = prof("build.stats_row")(
+        sz.agg(count(lit(1)).cast("long").as("docs"),
+          coalesce(sum("n"), lit(0L)).cast("long").as("sum_n")).first())
+      val b = adaptiveBuckets(statsRow.getLong(1))
       writeBucketsMarker(spark, dir, 0L, b) // the layout's modulus, first
-      val e = tokens(docs).localCheckpoint(true)
-      writeData(e.groupBy("tok").agg(count(lit(1)).as("df")),
-        s"$dir/df", "df", "overwrite", b)
-      writeData(e, s"$dir/postings", "postings", "overwrite", b)
+      prof("build.write_df")(writeData(
+        e.groupBy("tok").agg(count(lit(1)).as("df")),
+        s"$dir/df", "df", "overwrite", b))
+      prof("build.write_postings")(
+        writeData(e, s"$dir/postings", "postings", "overwrite", b))
       val pref = prefixOf(e, readData(spark, s"$dir/df", "tb", None), tn, td)
-      writeData(pref, s"$dir/prefix", "prefix", "overwrite", b)
+      prof("build.write_prefix")(
+        writeData(pref, s"$dir/prefix", "prefix", "overwrite", b))
       // valve-estimate aux state (estimate metadata only — see scaladoc)
-      writeData(readData(spark, s"$dir/prefix", "tb", None).groupBy("tok")
+      prof("build.write_pdf")(writeData(
+        readData(spark, s"$dir/prefix", "tb", None).groupBy("tok")
           .agg(count(lit(1)).cast("long").as("c")),
-        s"$dir/pdf", "pdf", "overwrite", b)
-      val sz = e.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        .localCheckpoint(true) // stats + the sizes marker read it
-      sz.agg(count(lit(1)).cast("long").as("docs"),
-          coalesce(sum("n"), lit(0L)).cast("long").as("sum_n"))
-        .write.mode("overwrite").parquet(s"$dir/stats")
-      writeData(sz, s"$dir/sizes", "sizes", "overwrite", b) // commit marker last
+        s"$dir/pdf", "pdf", "overwrite", b))
+      prof("build.write_stats")(
+        spark.range(1).select(lit(statsRow.getLong(0)).as("docs"),
+            lit(statsRow.getLong(1)).as("sum_n"))
+          .write.mode("overwrite").parquet(s"$dir/stats"))
+      prof("build.write_sizes")(
+        writeData(sz, s"$dir/sizes", "sizes", "overwrite", b)) // commit marker last
       val stored = readData(spark, s"$dir/prefix", "tb", None)
       val sizes = readData(spark, s"$dir/sizes", "db", None)
-      val eff = resolveBands(bands,
-        autoBands(stored, stored, selfJoin = true, sizes, budgetBytes))
+      val eff = prof("build.valve")(resolveBands(bands,
+        autoBands(stored, stored, selfJoin = true, sizes, budgetBytes)))
       // at build the verify reads whole dirs anyway (stored side IS the
       // batch) — keep the candidate plan LAZY; materialization is only
       // the ingest path's pruning driver
-      val cands = candidatesOf(stored,
+      val cands = prof("build.candidates")(candidatesOf(stored,
         stored.withColumn("is_old", lit(false)), tn, td, eff,
-        materialize = eff > 1)
+        materialize = eff > 1))
       verifyOf(cands, readData(spark, s"$dir/postings", "db", None),
         sizes, tn, td, eff)
     } finally releaseLock(spark, dir)
@@ -784,20 +864,28 @@ object PrefixIndex {
       val spark = newDocs.sparkSession
       val ep = currentEpoch(spark, dir)
       val b = layoutBuckets(spark, dir, ep)
+      // epoch + layout modulus resolved ONCE per append (r11 OPT —
+      // the original resolved both here AND inside ingestPairs; the
+      // epoch read is a Spark action on a compacted index)
       val (pairsPlan, eNew, prefNew, szNew) =
-        ingestPairs(newDocs, dir, tn, td, bands, budgetBytes)
-      val pairs = pairsPlan
-        .localCheckpoint(true) // materialize BEFORE the appends below
-      writeData(prefNew, dataPath(dir, "prefix", ep), "prefix", "append", b)
-      writeData(eNew, dataPath(dir, "postings", ep), "postings", "append", b)
+        ingestPairsAt(newDocs, dir, tn, td, bands, budgetBytes, ep, b)
+      val pairs = prof("append.verify_pairs")(pairsPlan
+        .localCheckpoint(true)) // materialize BEFORE the appends below
+      prof("append.write_prefix")(writeData(
+        prefNew, dataPath(dir, "prefix", ep), "prefix", "append", b))
+      prof("append.write_postings")(writeData(
+        eNew, dataPath(dir, "postings", ep), "postings", "append", b))
       // estimate-aux BEFORE the marker: a crash in between only inflates
       // a future estimate (safe direction), never loses a committed delta
-      writeData(prefNew.groupBy("tok").agg(count(lit(1)).cast("long").as("c")),
-        dataPath(dir, "pdf", ep), "pdf", "append", b)
-      szNew.agg(count(lit(1)).cast("long").as("docs"),
-          coalesce(sum("n"), lit(0L)).cast("long").as("sum_n"))
-        .write.mode("append").parquet(dataPath(dir, "stats", ep))
-      writeData(szNew, dataPath(dir, "sizes", ep), "sizes", "append", b) // marker
+      prof("append.write_pdf")(writeData(
+        prefNew.groupBy("tok").agg(count(lit(1)).cast("long").as("c")),
+        dataPath(dir, "pdf", ep), "pdf", "append", b))
+      prof("append.write_stats")(
+        szNew.agg(count(lit(1)).cast("long").as("docs"),
+            coalesce(sum("n"), lit(0L)).cast("long").as("sum_n"))
+          .write.mode("append").parquet(dataPath(dir, "stats", ep)))
+      prof("append.write_sizes")(writeData(
+        szNew, dataPath(dir, "sizes", ep), "sizes", "append", b)) // marker
       // auto-compaction policy (see [[defaultCompactFiles]]): growth
       // since the last compaction, measured on the committed state AFTER
       // the marker, so a crash inside compact() can never orphan this
@@ -825,38 +913,50 @@ object PrefixIndex {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = newDocs.sparkSession
     val ep = currentEpoch(spark, dir)
-    // the PERSISTED layout modulus — pruning with any other count would
-    // silently drop true pairs (see [[layoutBuckets]])
-    val b = layoutBuckets(spark, dir, ep)
+    ingestPairsAt(newDocs, dir, tn, td, bands, budgetBytes, ep,
+      layoutBuckets(spark, dir, ep))
+  }
+
+  /** [[ingestPairs]] with the epoch + persisted layout modulus already
+    * resolved — [[appendBatch]] resolves them once and passes them down
+    * (pruning with any modulus other than the persisted one would
+    * silently drop true pairs, see [[layoutBuckets]]). */
+  private def ingestPairsAt(newDocs: DataFrame, dir: String,
+                            tn: Int, td: Int, bands: Int,
+                            budgetBytes: Long, ep: Long, b: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val spark = newDocs.sparkSession
     // bounded bucket selectors (≤ B ints each — partition-dir lists)
-    val newIdBuckets = bucketsOf(newDocs, "doc_id", b)
+    val newIdBuckets = prof("ingest.id_buckets")(bucketsOf(newDocs, "doc_id", b))
     val known = readData(spark, dataPath(dir, "sizes", ep), "db",
       Some(newIdBuckets)).select("doc_id")
     val fresh = newDocs.join(known, Seq("doc_id"), "left_anti")
-    val eNew = tokens(fresh).localCheckpoint(true)
-    val tokBuckets = bucketsOf(eNew, "tok", b)
-    val prefNew = prefixOf(eNew,
+    val eNew = prof("ingest.tokens")(tokens(fresh).localCheckpoint(true))
+    val tokBuckets = prof("ingest.tok_buckets")(bucketsOf(eNew, "tok", b))
+    val prefNew = prof("ingest.prefix")(prefixOf(eNew,
         readData(spark, dataPath(dir, "df", ep), "tb", Some(tokBuckets)),
         tn, td)
-      .localCheckpoint(true) // candidate side + the index append
-    val szNew = eNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // verify size side + the index append
+      .localCheckpoint(true)) // candidate side + the index append
+    val szNew = prof("ingest.sizes")(
+      eNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)) // verify size side + the index append
     val prefStored = readData(spark, dataPath(dir, "prefix", ep), "tb",
         Some(tokBuckets))
       .withColumn("is_old", lit(true))
     val prefAll = prefStored
       .unionByName(prefNew.withColumn("is_old", lit(false)))
-    val eff = resolveBands(bands,
+    val eff = prof("ingest.valve")(resolveBands(bands,
       incrementalBands(spark, dir, ep, prefNew, szNew, tokBuckets,
-        budgetBytes))
-    val cands = candidatesOf(prefNew, prefAll, tn, td, eff)
+        budgetBytes)))
+    val cands = prof("ingest.candidates")(
+      candidatesOf(prefNew, prefAll, tn, td, eff))
     // candidate endpoints decide which doc buckets the verify reads:
     // batch endpoints resolve from eNew/szNew; stored endpoints live in
     // the candidate ids' buckets only — a zero-collision batch reads
     // (near) nothing from the two big stored frames
-    val candBuckets =
+    val candBuckets = prof("ingest.cand_buckets")(
       bucketsOf(cands.select(col("id_a").as("doc_id"))
-        .unionByName(cands.select(col("id_b").as("doc_id"))), "doc_id", b)
+        .unionByName(cands.select(col("id_b").as("doc_id"))), "doc_id", b))
     val postAll = readData(spark, dataPath(dir, "postings", ep), "db",
         Some(candBuckets))
       .unionByName(eNew)
